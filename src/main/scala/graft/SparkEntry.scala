@@ -1,13 +1,446 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.encode.Encoding
+import graft.io.{RatingsIO, Tables}
+import graft.prep.Prep
+import graft.recommender.{Evaluator, Serving}
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
+  * SQL-expressible) per implemented operator of SURVEY.md §2.
+  *
+  * Naming: q0x prep/ETL · q1x agg/join/window/set · q2x serving/eval ·
+  * q3x recommenders · q4x LLM-data-pipeline ops · q5x streaming.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Ratings relation (user,item,rating,time) + unique event_id for
+    * deterministic tie-breaks; see Tables.ratingsFromEvents.
+    */
+  private def ratings(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id").cast("string").as("user"),
+      get_json_object(col("props"), "$.k").cast("long").cast("string").as("item"),
+      col("value").as("rating"),
+      unix_micros(col("ts")).as("time"),
+      col("event_id"))
+
+  /** The same relation as a DuckDB CTE — interpolated into every oracle. */
+  private val ratingsCte: String =
+    """WITH ratings AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS "user",
+      |         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS item,
+      |         value AS rating,
+      |         epoch_us(ts) AS "time",
+      |         event_id
+      |  FROM events
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- q0x prep
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    Prep.projectRename(
+      Tables.lineitem(s, dir),
+      Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+      Seq("okey", "pkey", "qty", "price"))
+      .filter(col("qty") < 10)
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Prep.dedupExact(ratings(s, dir).drop("event_id"))
+
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    Prep.dedupKeepLast(ratings(s, dir), Seq("user", "item"),
+      Seq(col("time"), col("event_id")))
+      .select("user", "item", "rating", "time")
+
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    Prep.modSplit(ratings(s, dir), col("event_id"), 10, 7)._1
+      .select("user", "item", "rating", "time")
+
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    Prep.modSplit(ratings(s, dir), col("event_id"), 10, 7)._2
+      .select("user", "item", "rating", "time")
+
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    Encoding.dimension(ratings(s, dir), "user", "time", "u_id")
+
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    ratings(s, dir).agg(
+      count(lit(1)).as("n_ratings"),
+      countDistinct(col("user")).as("n_users"),
+      countDistinct(col("item")).as("n_items"),
+      min(col("rating")).as("min_rating"),
+      max(col("rating")).as("max_rating"),
+      round(avg(col("rating")), 6).as("mean_rating"))
+
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val r = ratings(s, dir)
+    // JSON field extraction (ETL scan surface, reference json-to-csv.py:7)
+    r.select(col("event_id"), col("item").cast("long").as("k"))
+  }
+
+  /** Headerless-CSV sink + positional-schema scan roundtrip (reference
+    * `json-to-csv.py:12` + `run_als.py:8`). Oracle is the identity: the
+    * ratings relation itself.
+    */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    RatingsIO.writeCsv(ratings(s, dir).select("user", "item", "rating", "time"), tmp)
+    RatingsIO.readRatingsCsv(s, tmp)
+  }
+
+  /** NDJSON sink + the review-ETL scan (reference `json-to-csv.py:5-11`:
+    * JSON-lines → project 4 of N fields → rename).
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_reviews"
+    ratings(s, dir).select(
+      col("user").as("reviewerID"),
+      col("item").as("asin"),
+      col("rating").as("overall"),
+      col("time").as("unixReviewTime"),
+      lit("noise").as("extraneousField"))
+      .write.mode("overwrite").json(tmp)
+    RatingsIO.readReviewsJson(s, tmp)
+  }
+
+  // ------------------------------------------------------- q1x agg/join/win
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val r = ratings(s, dir)
+    r.groupBy(col("user"))
+      .agg(round(sum(col("rating")), 2).as("sum_rating"),
+        count(lit(1)).as("n"),
+        countDistinct(col("item")).as("n_items"))
+  }
+
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val r = ratings(s, dir)
+    r.groupBy(col("item"))
+      .agg(round(sum(col("rating")), 2).as("sum_rating"),
+        count(lit(1)).as("n"))
+  }
+
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 260000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+  }
+
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("running_value"))
+  }
+
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").cast("int").as("nkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").cast("int").as("nkey"))
+    c.intersect(sup)
+  }
+
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey").as("key"))
+    val highCust = Tables.orders(s, dir).filter(col("o_totalprice") > 260000)
+      .select(col("o_custkey").as("key"))
+    c.except(highCust)
+  }
+
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"), lit("customer").as("side"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("key"), col("s_acctbal").as("bal"), lit("supplier").as("side"))
+    c.unionAll(sup)
+  }
+
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_discount") - lit(0.05)).as("abs_d"),
+      (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+      round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+      signum(col("l_discount") - lit(0.05)).as("sign_d"),
+      Serving.clip(col("l_quantity"), 5.0, 45.0).as("clipped_qty"),
+      col("l_quantity").cast("int").as("qty_int"))
+  }
+
+  // ----------------------------------------------------- q2x serving / eval
+
+  /** Bias-model serving pipeline with the reference's exact cold-start
+    * semantics (SURVEY §2.4, §7.1.3): deterministic split → global stats →
+    * user/item bias → predict with clip, global-mean fallback for unknown
+    * user/item → MAE/MSE/RMSE in one pass.
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = Prep.modSplit(ratings(s, dir), col("event_id"), 10, 7)
+    val st = train.agg(
+      avg(col("rating")).as("mean_r"),
+      min(col("rating")).as("min_r"),
+      max(col("rating")).as("max_r")).head()
+    val (meanR, minR, maxR) = (st.getDouble(0), st.getDouble(1), st.getDouble(2))
+    val ub = train.groupBy("user").agg(avg(col("rating") - meanR).as("u_bias"))
+    val ib = train.groupBy("item").agg(avg(col("rating") - meanR).as("i_bias"))
+    val known = col("u_bias").isNotNull && col("i_bias").isNotNull
+    val score = lit(meanR) + col("u_bias") + col("i_bias")
+    val pred = test
+      .join(broadcast(ub), Seq("user"), "left_outer")
+      .join(broadcast(ib), Seq("item"), "left_outer")
+      .withColumn("prediction",
+        when(known, Serving.clip(score, minR, maxR)).otherwise(lit(meanR)))
+    val err = col("prediction") - col("rating")
+    pred.agg(
+      round(avg(abs(err)), 6).as("mae"),
+      round(avg(err * err), 6).as("mse"),
+      round(sqrt(avg(err * err)), 6).as("rmse"))
+  }
+
+  // --------------------------------------------------------------- registry
+
+  /** Flagship: the full serving-eval pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q25(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_project_filter" -> (q01 _),
+    "q02_dedup_full" -> (q02 _),
+    "q03_dedup_keeplast" -> (q03 _),
+    "q04_split_train" -> (q04 _),
+    "q05_split_test" -> (q05 _),
+    "q06_encode_dim" -> (q06 _),
+    "q07_global_stats" -> (q07 _),
+    "q08_json_extract" -> (q08 _),
+    "q09_csv_roundtrip" -> (q09 _),
+    "q24_json_etl" -> (q24 _),
+    "q10_tpch_q1" -> (q10 _),
+    "q11_user_agg" -> (q11 _),
+    "q12_item_agg" -> (q12 _),
+    "q13_join_broadcast" -> (q13 _),
+    "q14_join_multiway" -> (q14 _),
+    "q15_semi_join" -> (q15 _),
+    "q16_anti_join" -> (q16 _),
+    "q17_window_topk" -> (q17 _),
+    "q18_window_running" -> (q18 _),
+    "q19_global_topk" -> (q19 _),
+    "q20_intersect" -> (q20 _),
+    "q21_except" -> (q21 _),
+    "q22_union_all" -> (q22 _),
+    "q23_scalar_funcs" -> (q23 _),
+    "q25_bias_serve_eval" -> (q25 _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_project_filter" ->
+      """SELECT l_orderkey AS okey, l_partkey AS pkey, l_quantity AS qty,
+        |       l_extendedprice AS price
+        |FROM lineitem WHERE l_quantity < 10""".stripMargin,
+    "q02_dedup_full" ->
+      s"""$ratingsCte
+         |SELECT DISTINCT "user", item, rating, "time" FROM ratings""".stripMargin,
+    "q03_dedup_keeplast" ->
+      s"""$ratingsCte
+         |SELECT "user", item, rating, "time" FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY "user", item
+         |    ORDER BY "time" DESC, event_id DESC) AS rn
+         |  FROM ratings) WHERE rn = 1""".stripMargin,
+    "q04_split_train" ->
+      s"""$ratingsCte
+         |SELECT "user", item, rating, "time" FROM ratings
+         |WHERE event_id % 10 < 7""".stripMargin,
+    "q05_split_test" ->
+      s"""$ratingsCte
+         |SELECT "user", item, rating, "time" FROM ratings
+         |WHERE event_id % 10 >= 7""".stripMargin,
+    "q06_encode_dim" ->
+      s"""$ratingsCte
+         |SELECT "user",
+         |       CAST(row_number() OVER (ORDER BY first_seen, "user") - 1 AS INT) AS u_id
+         |FROM (SELECT "user", min("time") AS first_seen
+         |      FROM ratings GROUP BY "user")""".stripMargin,
+    "q07_global_stats" ->
+      s"""$ratingsCte
+         |SELECT count(*) AS n_ratings,
+         |       count(DISTINCT "user") AS n_users,
+         |       count(DISTINCT item) AS n_items,
+         |       min(rating) AS min_rating,
+         |       max(rating) AS max_rating,
+         |       round(avg(rating), 6) AS mean_rating
+         |FROM ratings""".stripMargin,
+    "q08_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+    "q09_csv_roundtrip" ->
+      s"""$ratingsCte
+         |SELECT "user", item, rating, "time" FROM ratings""".stripMargin,
+    "q24_json_etl" ->
+      s"""$ratingsCte
+         |SELECT "user", item, rating, "time" FROM ratings""".stripMargin,
+    "q10_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_user_agg" ->
+      s"""$ratingsCte
+         |SELECT "user", round(sum(rating), 2) AS sum_rating,
+         |       count(*) AS n, count(DISTINCT item) AS n_items
+         |FROM ratings GROUP BY "user"""".stripMargin,
+    "q12_item_agg" ->
+      s"""$ratingsCte
+         |SELECT item, round(sum(rating), 2) AS sum_rating, count(*) AS n
+         |FROM ratings GROUP BY item""".stripMargin,
+    "q13_join_broadcast" ->
+      """SELECT p_brand,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q14_join_multiway" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q15_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q16_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 260000)""".stripMargin,
+    "q17_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q18_window_running" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |         AS running_value
+        |FROM events""".stripMargin,
+    "q19_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q20_intersect" ->
+      """SELECT CAST(c_nationkey AS INT) AS nkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INT) AS nkey FROM supplier""".stripMargin,
+    "q21_except" ->
+      """SELECT c_custkey AS key FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS key FROM orders
+        |WHERE o_totalprice > 260000""".stripMargin,
+    "q22_union_all" ->
+      """SELECT c_custkey AS key, c_acctbal AS bal, 'customer' AS side FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS key, s_acctbal AS bal, 'supplier' AS side FROM supplier""".stripMargin,
+    "q23_scalar_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS abs_d,
+        |       l_quantity * l_quantity AS qty_sq,
+        |       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d,
+        |       least(greatest(l_quantity, 5.0), 45.0) AS clipped_qty,
+        |       CAST(l_quantity AS INT) AS qty_int
+        |FROM lineitem""".stripMargin,
+    "q25_bias_serve_eval" ->
+      s"""$ratingsCte,
+         |train AS (SELECT * FROM ratings WHERE event_id % 10 < 7),
+         |test  AS (SELECT * FROM ratings WHERE event_id % 10 >= 7),
+         |stats AS (SELECT avg(rating) AS mean_r, min(rating) AS min_r,
+         |                 max(rating) AS max_r FROM train),
+         |ub AS (SELECT "user",
+         |              avg(rating - (SELECT mean_r FROM stats)) AS u_bias
+         |       FROM train GROUP BY "user"),
+         |ib AS (SELECT item,
+         |              avg(rating - (SELECT mean_r FROM stats)) AS i_bias
+         |       FROM train GROUP BY item),
+         |pred AS (
+         |  SELECT t.rating,
+         |         CASE WHEN ub.u_bias IS NOT NULL AND ib.i_bias IS NOT NULL
+         |              THEN least(greatest(s.mean_r + ub.u_bias + ib.i_bias,
+         |                                  s.min_r), s.max_r)
+         |              ELSE s.mean_r END AS prediction
+         |  FROM test t CROSS JOIN stats s
+         |  LEFT JOIN ub ON t."user" = ub."user"
+         |  LEFT JOIN ib ON t.item = ib.item)
+         |SELECT round(avg(abs(prediction - rating)), 6) AS mae,
+         |       round(avg((prediction - rating) * (prediction - rating)), 6) AS mse,
+         |       round(sqrt(avg((prediction - rating) * (prediction - rating))), 6) AS rmse
+         |FROM pred""".stripMargin)
 }

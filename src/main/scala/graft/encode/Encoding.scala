@@ -1,0 +1,82 @@
+package graft.encode
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense-ID encoding and global statistics (SURVEY §2.5, §1.3).
+  *
+  * The reference builds driver-local Python dicts `u_mapping`/`i_mapping`
+  * (reference `models/als.py:29-32`) — its single worst 100-TB bottleneck.
+  * Here the mapping IS a distributed dimension table `(key, id)`; encoding
+  * is a join (broadcast when the dimension is small, shuffle otherwise),
+  * decoding is the same join the other way. Nothing ever lands on the
+  * driver.
+  */
+object Encoding {
+
+  /** Distributed dimension table: one row per distinct `keyCol`, dense
+    * contiguous ids 0..n-1 ordered by first appearance (earliest
+    * `orderCol`, ties broken by the key itself so the mapping is total
+    * and deterministic — reference `models/als.py:26-30` uses
+    * first-appearance file order, unobservable in outputs, SURVEY §7.1.4).
+    *
+    * The `row_number` over a global window is a single-partition sort of
+    * the *distinct keys only* — fine up to ~billions of keys; at that
+    * point switch to `zipWithIndex`-style per-partition offsets. The
+    * groupBy before it is a standard partial-agg shuffle.
+    */
+  def dimension(df: DataFrame, keyCol: String, orderCol: String, idCol: String): DataFrame = {
+    val firstSeen = df.groupBy(col(keyCol))
+      .agg(min(col(orderCol)).as("__first_seen"))
+    val w = Window.orderBy(col("__first_seen"), col(keyCol))
+    firstSeen
+      .withColumn(idCol, (row_number().over(w) - 1).cast("int"))
+      .drop("__first_seen")
+  }
+
+  /** Attach dense ids for user and item (reference
+    * `models/als.py:31-32` `df[col].map(mapping)`): two equi-joins.
+    * Dimensions are broadcast — they are |distinct users| / |distinct
+    * items| rows, orders of magnitude smaller than the ratings fact
+    * table; Catalyst's auto-broadcast handles it below the threshold and
+    * the explicit hint keeps the plan stable above local test sizes.
+    */
+  def encode(ratings: DataFrame, userDim: DataFrame, itemDim: DataFrame): DataFrame =
+    ratings
+      .join(broadcast(userDim), Seq("user"))
+      .join(broadcast(itemDim), Seq("item"))
+
+  /** Global statistics in ONE pass (reference `models/als.py:35-41` runs
+    * five separate eager computations): count, distinct users/items,
+    * min/max/mean rating. Single hash-aggregate, partial+final.
+    */
+  def ratingStats(ratings: DataFrame): RatingStats = {
+    val row = ratings.agg(
+      count(lit(1)).as("n_ratings"),
+      countDistinct(col("user")).as("n_users"),
+      countDistinct(col("item")).as("n_items"),
+      min(col("rating")).as("min_rating"),
+      max(col("rating")).as("max_rating"),
+      avg(col("rating")).as("mean_rating")).head()
+    RatingStats(
+      nRatings = row.getLong(0),
+      nUsers = row.getLong(1),
+      nItems = row.getLong(2),
+      minRating = row.getDouble(3),
+      maxRating = row.getDouble(4),
+      meanRating = row.getDouble(5))
+  }
+}
+
+/** Driver-side scalars of the fit (reference `models/als.py:35-41`) —
+  * six doubles/longs, the only model state that legitimately lives on the
+  * driver.
+  */
+final case class RatingStats(
+    nRatings: Long,
+    nUsers: Long,
+    nItems: Long,
+    minRating: Double,
+    maxRating: Double,
+    meanRating: Double)

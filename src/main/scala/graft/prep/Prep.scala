@@ -1,0 +1,78 @@
+package graft.prep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Preparation operators (SURVEY §2.2–2.3): projection/rename, dedup,
+  * keep-last-per-key dedup, column drop, train/test split.
+  *
+  * All operators are single declarative plans — dedups are one shuffle
+  * (hash-partition by key), splits are scan-local (no shuffle at all) —
+  * so each survives a 1000-executor / 100 TB scale-up unchanged.
+  */
+object Prep {
+
+  /** Keep 4 of ~12 review columns + positional rename in one projection
+    * (reference `json-to-csv.py:10-11`). Catalyst pushes the pruning into
+    * the scan.
+    */
+  def projectRename(df: DataFrame, keep: Seq[String], names: Seq[String]): DataFrame = {
+    require(keep.length == names.length, "keep/names arity mismatch")
+    df.select(keep.zip(names).map { case (c, n) => col(c).as(n) }: _*)
+  }
+
+  /** Full-row distinct (reference `run_als.py:9` `drop_duplicates()`).
+    * One hash-repartition on all columns + per-partition hash dedup;
+    * map-side partial aggregation bounds the shuffle volume by the number
+    * of distinct rows, not the input size.
+    */
+  def dedupExact(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** Keep-last-per-key dedup (reference `run_als.py:10`:
+    * `sort_values('time').drop_duplicates(subset=['item','user'],
+    * keep="last")`).
+    *
+    * Spark-first formulation: no global sort — a global sort is a
+    * range-partition shuffle of the whole table whose only purpose in the
+    * reference is to define "last". `row_number` over
+    * `partitionBy(keys).orderBy(order desc)` needs just one hash
+    * shuffle by key and sorts only within partitions.
+    *
+    * Pandas breaks `time` ties by file order (unspecified for us —
+    * SURVEY §2.3); callers pass extra `orderBy` columns to make the
+    * survivor deterministic (e.g. a unique event id).
+    */
+  def dedupKeepLast(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Column drop (reference `run_als.py:11` `df.drop('time', axis=1)`). */
+  def dropColumns(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
+
+  /** Seeded random 70/30-style split (reference `run_als.py:13-14`:
+    * `df.sample(frac, random_state)` + index-complement). `randomSplit`
+    * evaluates a per-row seeded Bernoulli draw at the scan — zero
+    * shuffles, unlike the reference's driver-side index anti-join.
+    * Returns (train, test); complement is exact (each row lands in
+    * exactly one side).
+    */
+  def randomSplit(df: DataFrame, trainFrac: Double, seed: Long): (DataFrame, DataFrame) = {
+    val parts = df.randomSplit(Array(trainFrac, 1.0 - trainFrac), seed)
+    (parts(0), parts(1))
+  }
+
+  /** Deterministic, engine-independent split on a stable key expression:
+    * row goes to train iff `key mod buckets < trainBuckets`. Used by the
+    * oracle-differential tests (a seeded RNG can never hash-match across
+    * engines); also the right tool at 100 TB when a split must be
+    * reproducible across reruns and engines.
+    */
+  def modSplit(df: DataFrame, key: Column, buckets: Int, trainBuckets: Int): (DataFrame, DataFrame) = {
+    val bucket = pmod(key, lit(buckets))
+    (df.filter(bucket < trainBuckets), df.filter(bucket >= trainBuckets))
+  }
+}

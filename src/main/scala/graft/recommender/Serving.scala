@@ -1,0 +1,53 @@
+package graft.recommender
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Predict-time serving surface (reference `models/als.py:193-217`).
+  *
+  * The reference predicts with a driver-side Python loop over test rows
+  * (dict lookups + NumPy dot) — O(|test|) on one core. Here prediction is
+  * a distributed plan: two left-outer equi-joins (user state, item state)
+  * + a scoring expression + clip + cold-start fallback, all inside
+  * whole-stage codegen. The per-id state tables are broadcast when small.
+  *
+  * Semantics preserved exactly (SURVEY §7.1.3):
+  *  - known user AND known item → dot(u,i) + biases + mean, clipped to
+  *    the observed [min,max] rating range;
+  *  - anything unknown → raw global mean, NOT clipped, biases ignored.
+  */
+object Serving {
+
+  /** dot(u_factors, i_factors) as a codegen'd higher-order expression —
+    * no UDF, no driver loop (reference `models/als.py:211`).
+    */
+  def dot(u: Column, i: Column): Column =
+    aggregate(zip_with(u, i, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
+
+  def clip(c: Column, lo: Double, hi: Double): Column =
+    least(greatest(c, lit(lo)), lit(hi))
+
+  /** Generic factor-model scoring.
+    *
+    * @param userState (user, u_factors ARRAY<DOUBLE>, u_bias DOUBLE)
+    * @param itemState (item, i_factors ARRAY<DOUBLE>, i_bias DOUBLE)
+    */
+  def predict(
+      test: DataFrame,
+      userState: DataFrame,
+      itemState: DataFrame,
+      stats: graft.encode.RatingStats,
+      predCol: String = "prediction"): DataFrame = {
+    val scored = test
+      .join(broadcast(userState), Seq("user"), "left_outer")
+      .join(broadcast(itemState), Seq("item"), "left_outer")
+    val known = col("u_factors").isNotNull && col("i_factors").isNotNull
+    val score = dot(col("u_factors"), col("i_factors")) +
+      col("u_bias") + col("i_bias") + lit(stats.meanRating)
+    scored
+      .withColumn(predCol,
+        when(known, clip(score, stats.minRating, stats.maxRating))
+          .otherwise(lit(stats.meanRating)))
+      .drop("u_factors", "i_factors", "u_bias", "i_bias")
+  }
+}

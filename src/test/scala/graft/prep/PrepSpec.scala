@@ -1,0 +1,67 @@
+package graft.prep
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Rating
+
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES.md F2: duplicates, re-reviews, ties
+  private def fixture = Seq(
+    Rating("u1", "i1", 5.0, 100L),
+    Rating("u1", "i1", 5.0, 100L), // exact duplicate
+    Rating("u1", "i1", 2.0, 200L), // re-review, later
+    Rating("u2", "i1", 3.0, 50L),
+    Rating("u3", "i2", 1.0, 300L),
+    Rating("u3", "i2", 4.0, 300L) // tie on (key, time)
+  ).toDF
+
+  test("dedupExact drops exact duplicates only") {
+    assert(Prep.dedupExact(fixture).count() === 5)
+  }
+
+  test("dedupExact is idempotent") {
+    val once = Prep.dedupExact(fixture)
+    assert(once.count() === Prep.dedupExact(once).count())
+  }
+
+  test("dedupKeepLast keeps one row per key, the latest by time") {
+    val out = Prep.dedupKeepLast(fixture, Seq("user", "item"),
+      Seq(col("time"), col("rating")))
+    assert(out.count() === 3)
+    val u1 = out.filter($"user" === "u1").as[Rating].head()
+    assert(u1.rating === 2.0 && u1.time === 200L)
+    // tie on time → exactly one survivor, deterministic by tiebreak col
+    val u3 = out.filter($"user" === "u3").as[Rating].head()
+    assert(u3.rating === 4.0)
+  }
+
+  test("randomSplit is an exact disjoint cover") {
+    val df = (1 to 1000).map(i => Rating(s"u$i", s"i$i", 1.0, i.toLong)).toDF
+    val (train, test) = Prep.randomSplit(df, 0.7, seed = 7L)
+    assert(train.count() + test.count() === 1000)
+    assert(train.intersect(test).count() === 0)
+    val frac = train.count() / 1000.0
+    assert(frac > 0.6 && frac < 0.8)
+  }
+
+  test("randomSplit is reproducible for a fixed seed") {
+    val df = (1 to 500).map(i => Rating(s"u$i", s"i$i", 1.0, i.toLong)).toDF
+    val a = Prep.randomSplit(df, 0.7, 7L)._1
+    val b = Prep.randomSplit(df, 0.7, 7L)._1
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("modSplit is deterministic and partitions exactly") {
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val (train, test) = Prep.modSplit(df, col("id"), 10, 7)
+    assert(train.count() === 70 && test.count() === 30)
+  }
+
+  test("projectRename keeps and renames") {
+    val out = Prep.projectRename(fixture, Seq("user", "rating"), Seq("u", "r"))
+    assert(out.columns.toSeq === Seq("u", "r"))
+  }
+}

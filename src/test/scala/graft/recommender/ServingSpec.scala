@@ -1,0 +1,57 @@
+package graft.recommender
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.encode.RatingStats
+
+class ServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stats = RatingStats(
+    nRatings = 4, nUsers = 2, nItems = 2,
+    minRating = 1.0, maxRating = 5.0, meanRating = 3.0)
+
+  private def userState = Seq(
+    ("u1", Array(1.0, 0.0), 0.5)).toDF("user", "u_factors", "u_bias")
+  private def itemState = Seq(
+    ("i1", Array(10.0, 0.0), 0.25)).toDF("item", "i_factors", "i_bias")
+
+  // FIXTURES.md F3 cold-start split: the 4 fallback cases of
+  // reference models/als.py:205-212
+  test("predict: known pair scores dot+biases+mean then clips; unknown falls back to raw mean") {
+    val test = Seq(
+      ("u1", "i1", 5.0), // both known: 1*10 + 0.5 + 0.25 + 3 = 13.75 → clip 5.0
+      ("uX", "i1", 3.0), // unknown user → mean
+      ("u1", "iX", 3.0), // unknown item → mean
+      ("uX", "iX", 3.0) // both unknown → mean
+    ).toDF("user", "item", "rating")
+    val out = Serving.predict(test, userState, itemState, stats)
+      .select("user", "item", "prediction").as[(String, String, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("u1", "i1")) === 5.0)
+    assert(out(("uX", "i1")) === 3.0)
+    assert(out(("u1", "iX")) === 3.0)
+    assert(out(("uX", "iX")) === 3.0)
+  }
+
+  test("dot is the inner product") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(Serving.dot(col("a"), col("b"))).as[Double].head() === 32.0)
+  }
+
+  test("clip clamps to bounds") {
+    val df = Seq(0.5, 3.0, 9.9).toDF("x")
+    assert(df.select(Serving.clip(col("x"), 1.0, 5.0)).as[Double]
+      .collect().toSeq === Seq(1.0, 3.0, 5.0))
+  }
+
+  test("evaluate computes mae/mse/rmse in one pass") {
+    val df = Seq((1.0, 2.0), (3.0, 3.0), (5.0, 3.0)).toDF("label", "pred")
+    val m = Evaluator.evaluate(df, "label", "pred")
+    assert(math.abs(m.mae - 1.0) < 1e-12)
+    assert(math.abs(m.mse - 5.0 / 3.0) < 1e-12)
+    assert(math.abs(m.rmse - math.sqrt(5.0 / 3.0)) < 1e-12)
+    assert(math.abs(m.rmse * m.rmse - m.mse) < 1e-12)
+  }
+}
