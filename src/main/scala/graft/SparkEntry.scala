@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.encode.Encoding
 import graft.io.{RatingsIO, Tables}
 import graft.prep.Prep
-import graft.recommender.{Evaluator, Serving}
+import graft.recommender.{AlsRecommender, Evaluator, GdMf, Serving}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
   * SQL-expressible) per implemented operator of SURVEY.md §2.
@@ -256,6 +256,44 @@ object SparkEntry {
       round(sqrt(avg(err * err)), 6).as("rmse"))
   }
 
+  // --------------------------------------------------------- q3x recommenders
+
+  /** MLlib ALS (scale path) trained on a deterministic split, evaluated
+    * with the reference's serving semantics. Rows-only check (training is
+    * not SQL-expressible).
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = Prep.modSplit(
+      ratings(s, dir).select("user", "item", "rating", "time"), col("time"), 10, 7)
+    val m = AlsRecommender.fit(train,
+      AlsRecommender.Params(rank = 8, maxIter = 5, numBlocks = 8))
+    Evaluator.evaluateDf(m.predict(test), "rating", "prediction")
+  }
+
+  /** Top-N recommendation serving (decoded natural keys). */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val m = AlsRecommender.fit(
+      ratings(s, dir).select("user", "item", "rating", "time"),
+      AlsRecommender.Params(rank = 8, maxIter = 5, numBlocks = 8))
+    m.recommendForAllUsers(5)
+  }
+
+  /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
+    * error history surfaced as data.
+    */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    GdMf.fit(
+      ratings(s, dir).select("user", "item", "rating", "time"),
+      GdMf.Config(nFactors = 4, epochs = 3, lr = 0.001, reg = 0.001,
+        collectErrors = true)).trainErrorsDf
+
+  /** Reference-faithful alternating GD ("ALS" in the reference). */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    GdMf.fit(
+      ratings(s, dir).select("user", "item", "rating", "time"),
+      GdMf.Config(nFactors = 4, epochs = 3, lr = 0.001, reg = 0.001,
+        alternating = true, collectErrors = true)).trainErrorsDf
+
   // --------------------------------------------------------------- registry
 
   /** Flagship: the full serving-eval pipeline on sf0.001. */
@@ -287,7 +325,11 @@ object SparkEntry {
     "q21_except" -> (q21 _),
     "q22_union_all" -> (q22 _),
     "q23_scalar_funcs" -> (q23 _),
-    "q25_bias_serve_eval" -> (q25 _))
+    "q25_bias_serve_eval" -> (q25 _),
+    "q30_mllib_als_eval" -> (q30 _),
+    "q31_topn_recommend" -> (q31 _),
+    "q32_funk_svd_train" -> (q32 _),
+    "q33_als_gd_train" -> (q33 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->

@@ -1,0 +1,220 @@
+package graft.recommender
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.encode.{Encoding, RatingStats}
+
+/** Full-batch gradient-descent matrix factorization with the reference's
+  * exact semantics (reference `models/funk_svd.py:136-190`,
+  * `models/als.py:139-188`) re-expressed relationally.
+  *
+  * The reference materializes a dense `n_users × n_items` error matrix
+  * per epoch (`error = x - pred * x_mask`) and runs blocked dense
+  * algebra over it — O(n_users·n_items) work on ~0.075 %-dense data,
+  * which is why its distributed runs OOM'd (`report.pdf` §7.1.2). Here
+  * the error is a *relation* on observed cells only (the inner join IS
+  * the mask, SURVEY §1.3) and every update is join + groupBy +
+  * vector-sum — O(nnz·k) work, shuffle volume bounded by
+  * (n_users + n_items)·k per epoch thanks to map-side partial
+  * aggregation. This formulation scales to any nnz that fits a cluster.
+  *
+  * Semantics traps preserved (SURVEY §7.1):
+  *  1. the bias regularizer sums over the FULL dimension (reference
+  *     `models/als.py:168` `da.sum(error - reg*u_biases, axis=1)` — the
+  *     reg term is broadcast across all n_items columns, error is zero
+  *     off-mask) → bias decay is `lr·reg·n_items·bias`, not
+  *     `lr·reg·bias`;
+  *  2. update ordering — FunkSVD's item-factor gradient uses the
+  *     already-updated user factors within the epoch
+  *     (`models/funk_svd.py:166-167`); ALS-GD recomputes the error
+  *     between the user-side and item-side updates
+  *     (`models/als.py:160-174`).
+  */
+object GdMf {
+  import VectorSum.vecSum
+
+  final case class Config(
+      nFactors: Int,
+      epochs: Int,
+      lr: Double = 0.001,
+      reg: Double = 0.001,
+      seed: Long = 42L,
+      alternating: Boolean = false, // false = FunkSVD, true = ALS-GD
+      collectErrors: Boolean = false)
+
+  /** Trained model: distributed per-id state, driver-side scalars, and
+    * the optional per-epoch training-error history (reference
+    * `collect_errors`, surfaced as data instead of a matplotlib PDF —
+    * SURVEY §2.1 "plot sink").
+    */
+  final case class Model(
+      userState: DataFrame, // user, u_factors ARRAY<DOUBLE>, u_bias
+      itemState: DataFrame, // item, i_factors ARRAY<DOUBLE>, i_bias
+      stats: RatingStats,
+      trainErrors: Seq[(Int, Metrics)]) {
+
+    def predict(test: DataFrame): DataFrame =
+      Serving.predict(test, userState, itemState, stats)
+
+    def trainErrorsDf: DataFrame = {
+      val spark = userState.sparkSession
+      import spark.implicits._
+      trainErrors.map { case (e, m) => (e, m.mae, m.mse, m.rmse) }
+        .toDF("epoch", "mae", "mse", "rmse")
+    }
+  }
+
+  // --- deterministic per-id initialization (SURVEY §4.3.4) -------------
+  // The reference's dask RNG is chunking-dependent; ours is a pure
+  // function of (id, factor index, seed), reproducible at any
+  // parallelism. xxhash64 → U(0,1) → Box-Muller for the normal path.
+
+  private def u01(id: Column, salt: Int, seed: Long): Column =
+    xxhash64(id, lit(salt), lit(seed)).cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+
+  /** ALS init: uniform(0, 0.1) (reference `models/als.py:74-75`). */
+  private def uniformFactors(id: Column, k: Int, seed: Long): Column =
+    array((0 until k).map(f => u01(id, f, seed) * 0.1): _*)
+
+  /** FunkSVD init: normal(0, 0.1) (reference `models/funk_svd.py:76-77`). */
+  private def normalFactors(id: Column, k: Int, seed: Long): Column =
+    array((0 until k).map { f =>
+      val a = greatest(u01(id, 2 * f, seed), lit(1e-12))
+      val b = u01(id, 2 * f + 1, seed)
+      sqrt(lit(-2.0) * log(a)) * cos(lit(2.0 * math.Pi) * b) * 0.1
+    }: _*)
+
+  // ---------------------------------------------------------------------
+
+  def fit(ratings: DataFrame, cfg: Config): Model = {
+    val spark = ratings.sparkSession
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+
+    val orderCol = if (ratings.columns.contains("time")) "time" else "rating"
+    val userDim = Encoding.dimension(ratings, "user", orderCol, "u_id")
+    val itemDim = Encoding.dimension(ratings, "item", orderCol, "i_id")
+    val stats = Encoding.ratingStats(ratings)
+
+    // The fact table: encoded observed cells, hash-partitioned by u_id so
+    // every user-side join/groupBy in the epoch loop reuses the
+    // partitioning without a new exchange (reference chunk grid → §1.3).
+    val facts = Encoding.encode(ratings, userDim, itemDim)
+      .select(col("u_id"), col("i_id"), col("rating"))
+      .repartition(shufflePartitions, col("u_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    facts.count() // materialize once
+
+    val init = if (cfg.alternating) uniformFactors _ else normalFactors _
+    var uState = userDim
+      .withColumn("u_factors", init(col("u_id"), cfg.nFactors, cfg.seed))
+      .withColumn("u_bias", lit(0.0))
+      .localCheckpoint(true)
+    var iState = itemDim
+      .withColumn("i_factors", init(col("i_id"), cfg.nFactors, cfg.seed + 1))
+      .withColumn("i_bias", lit(0.0))
+      .localCheckpoint(true)
+
+    // err(u_id, i_id, e) + both factor vectors, observed cells only.
+    def errRel(u: DataFrame, i: DataFrame): DataFrame =
+      facts
+        .join(u.select("u_id", "u_factors", "u_bias"), "u_id")
+        .join(i.select("i_id", "i_factors", "i_bias"), "i_id")
+        .withColumn("e",
+          col("rating") - (lit(stats.meanRating) + col("u_bias") +
+            col("i_bias") + Serving.dot(col("u_factors"), col("i_factors"))))
+
+    def metricsOf(err: DataFrame): Metrics = {
+      val r = err.agg(
+        sum(abs(col("e"))).as("sae"),
+        sum(col("e") * col("e")).as("sse")).head()
+      val mae = r.getDouble(0) / stats.nRatings
+      val mse = r.getDouble(1) / stats.nRatings
+      Metrics(mae, mse, math.sqrt(mse))
+    }
+
+    // Σᵢ e·Qᵢ and Σᵢ e per user (vector-sum UDAF; map-side combine).
+    def userGrad(err: DataFrame): DataFrame =
+      err.withColumn("eq", transform(col("i_factors"), q => q * col("e")))
+        .groupBy("u_id")
+        .agg(vecSum(col("eq")).as("fgrad"), sum(col("e")).as("esum"))
+
+    def itemGrad(err: DataFrame): DataFrame =
+      err.withColumn("ep", transform(col("u_factors"), p => p * col("e")))
+        .groupBy("i_id")
+        .agg(vecSum(col("ep")).as("fgrad"), sum(col("e")).as("esum"))
+
+    def updated(state: DataFrame, grad: DataFrame, idCol: String,
+        factorsCol: String, biasCol: String, dimSize: Long): DataFrame =
+      state.join(grad, Seq(idCol), "left_outer")
+        .withColumn(factorsCol,
+          zip_with(col(factorsCol),
+            coalesce(col("fgrad"), array((0 until cfg.nFactors).map(_ => lit(0.0)): _*)),
+            (p, g) => p + lit(cfg.lr) * (g - lit(cfg.reg) * p)))
+        // trap 1: reg term scales with the FULL opposite-dimension size
+        .withColumn(biasCol,
+          col(biasCol) + lit(cfg.lr) *
+            (coalesce(col("esum"), lit(0.0)) - lit(cfg.reg) * col(biasCol) * dimSize))
+        .drop("fgrad", "esum")
+
+    val history = scala.collection.mutable.ArrayBuffer.empty[(Int, Metrics)]
+
+    def checkpointSwap(old: DataFrame, next: DataFrame): DataFrame = {
+      val cp = next.localCheckpoint(true) // cut lineage (SURVEY §4.1)
+      old.unpersist()
+      cp
+    }
+
+    if (cfg.alternating) {
+      // ALS-GD (reference models/als.py:158-174): error at epoch start is
+      // the previous epoch's final error; metrics recorded pre-update.
+      var err = errRel(uState, iState).persist(StorageLevel.MEMORY_AND_DISK)
+      for (epoch <- 0 until cfg.epochs) {
+        if (cfg.collectErrors) history += ((epoch, metricsOf(err)))
+        val newU = checkpointSwap(uState,
+          updated(uState, userGrad(err), "u_id", "u_factors", "u_bias", stats.nItems))
+        uState = newU
+        val err1 = errRel(uState, iState).persist(StorageLevel.MEMORY_AND_DISK)
+        err.unpersist()
+        val newI = checkpointSwap(iState,
+          updated(iState, itemGrad(err1), "i_id", "i_factors", "i_bias", stats.nUsers))
+        iState = newI
+        val err2 = errRel(uState, iState).persist(StorageLevel.MEMORY_AND_DISK)
+        err1.unpersist()
+        err = err2
+      }
+      err.unpersist()
+    } else {
+      // FunkSVD (reference models/funk_svd.py:157-170): ONE error per
+      // epoch; item-side factor gradient uses the UPDATED user factors
+      // (trap 2); biases both update from the shared epoch error.
+      for (epoch <- 0 until cfg.epochs) {
+        val err = errRel(uState, iState).persist(StorageLevel.MEMORY_AND_DISK)
+        if (cfg.collectErrors) history += ((epoch, metricsOf(err)))
+        val newU = checkpointSwap(uState,
+          updated(uState, userGrad(err), "u_id", "u_factors", "u_bias", stats.nItems))
+        // item grad joins the epoch error against the NEW user factors
+        val gradI = err.select("u_id", "i_id", "e")
+          .join(newU.select("u_id", "u_factors"), "u_id")
+          .withColumn("ep", transform(col("u_factors"), p => p * col("e")))
+          .groupBy("i_id")
+          .agg(vecSum(col("ep")).as("fgrad"), sum(col("e")).as("esum"))
+        val newI = checkpointSwap(iState,
+          updated(iState, gradI, "i_id", "i_factors", "i_bias", stats.nUsers))
+        uState = newU
+        iState = newI
+        err.unpersist()
+      }
+    }
+
+    facts.unpersist()
+    Model(
+      userState = uState.select(col("user"),
+        col("u_factors"), col("u_bias")),
+      itemState = iState.select(col("item"),
+        col("i_factors"), col("i_bias")),
+      stats = stats,
+      trainErrors = history.toSeq)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.recommender
+
+import graft.SparkSpec
+import graft.model.Rating
+
+class AlsRecommenderSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES.md F4-ish: seeded synthetic ratings, every user/item ≥ 3
+  private lazy val data: Seq[Rating] = {
+    val rnd = new scala.util.Random(42)
+    for {
+      u <- 0 until 60
+      i <- 0 until 30
+      if rnd.nextDouble() < 0.3
+    } yield {
+      val base = 1.0 + (u % 5) * 0.5 + (i % 4) * 0.5
+      Rating(s"u$u", s"i$i", math.min(5.0, math.max(1.0, base)), (u * 100 + i).toLong)
+    }
+  }
+
+  private lazy val model =
+    AlsRecommender.fit(data.toDF, AlsRecommender.Params(rank = 8, maxIter = 8, numBlocks = 4))
+
+  test("fit + predict beats the global-mean baseline on train data") {
+    val pred = model.predict(data.toDF)
+    assert(pred.count() === data.size)
+    val m = Evaluator.evaluate(pred, "rating", "prediction")
+    // global-mean predictor's RMSE = stddev of ratings; ALS must beat it
+    val ratings = data.map(_.rating)
+    val mean = ratings.sum / ratings.size
+    val sd = math.sqrt(ratings.map(r => (r - mean) * (r - mean)).sum / ratings.size)
+    assert(m.rmse < sd, s"rmse ${m.rmse} not better than baseline $sd")
+  }
+
+  test("cold-start rows fall back to the raw global mean, known rows are clipped") {
+    val test = Seq(
+      Rating("u0", "i0", 3.0, 0L),
+      Rating("uNEW", "i0", 3.0, 0L),
+      Rating("u0", "iNEW", 3.0, 0L),
+      Rating("uNEW", "iNEW", 3.0, 0L)).toDF
+    val got = model.predict(test)
+      .select("user", "item", "prediction").as[(String, String, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val mean = model.stats.meanRating
+    assert(got(("uNEW", "i0")) === mean)
+    assert(got(("u0", "iNEW")) === mean)
+    assert(got(("uNEW", "iNEW")) === mean)
+    val known = got(("u0", "i0"))
+    assert(known >= model.stats.minRating && known <= model.stats.maxRating)
+  }
+
+  test("recommendForAllUsers returns n decoded recs per user") {
+    val recs = model.recommendForAllUsers(3)
+    assert(recs.columns.toSet === Set("user", "item", "rank"))
+    val users = data.map(_.user).distinct.size
+    assert(recs.count() === users * 3)
+    assert(recs.filter($"rank" < 1 || $"rank" > 3).count() === 0)
+  }
+}
