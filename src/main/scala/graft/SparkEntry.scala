@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.encode.Encoding
 import graft.io.{RatingsIO, Tables}
 import graft.prep.Prep
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.recommender.{AlsRecommender, Evaluator, GdMf, Serving}
+import graft.similarity.Ann
+import graft.text.TextAnalysis
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
   * SQL-expressible) per implemented operator of SURVEY.md §2.
@@ -294,6 +298,89 @@ object SparkEntry {
       GdMf.Config(nFactors = 4, epochs = 3, lr = 0.001, reg = 0.001,
         alternating = true, collectErrors = true)).trainErrorsDf
 
+  // ------------------------------------------- q4x LLM-data-pipeline ops
+
+  /** Text-analysis profile: token counts (whitespace + BPE-ish),
+    * punctuation/stopword ratios, quality score, heuristic language ID.
+    */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(Tables.documents(s, dir), "text")
+      .select("doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio",
+        "stop_ratio", "quality", "lang_pred")
+
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  /** Documents with whitespace-mangled copies planted (the corpus has no
+    * natural dups) → exact dedup groups by normalized content hash.
+    */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionAll(d.select(col("doc_id") + 100000,
+      regexp_replace(col("text"), " ", "  ")))
+  }
+
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docsWithExactDups(s, dir), "doc_id", "text")
+
+  /** Documents with appended-suffix near-copies planted → MinHash+LSH
+    * candidate generation + exact-Jaccard verify.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionAll(d.select(col("doc_id") + 100000,
+      concat(col("text"), lit(" near duplicate suffix marker"))))
+  }
+
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(docsWithNearDups(s, dir), "doc_id", "text",
+      shingleK = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 3)
+
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      blockCol = "source", n = 3, threshold = 0.12)
+
+  /** Embeddings with scaled copies planted (cosine 1 with originals) →
+    * cosine near-dup pairs.
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = e.unionAll(e.select(col("vec_id") + 100000,
+      transform(col("embedding"), x => x * 2.0)))
+    Dedup.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.45)
+  }
+
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.bruteForceTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+  }
+
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.lshTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 10, tables = 16, planes = 6)
+  }
+
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    Ann.itemItemTopK(ratings(s, dir), k = 5)
+
+  /** Multimodal plumbing: binary media column + typed metadata + (stub)
+    * feature extraction via typed mapPartitions.
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.extractFeatures(media, dim = 16)
+      .select(col("media_id"), col("kind"), size(col("features")).as("n_features"),
+        round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
+  }
+
   // --------------------------------------------------------------- registry
 
   /** Flagship: the full serving-eval pipeline on sf0.001. */
@@ -329,7 +416,18 @@ object SparkEntry {
     "q30_mllib_als_eval" -> (q30 _),
     "q31_topn_recommend" -> (q31 _),
     "q32_funk_svd_train" -> (q32 _),
-    "q33_als_gd_train" -> (q33 _))
+    "q33_als_gd_train" -> (q33 _),
+    "q40_text_profile" -> (q40 _),
+    "q41_fingerprint" -> (q41 _),
+    "q42_dedup_exact_docs" -> (q42 _),
+    "q43_minhash_neardup" -> (q43 _),
+    "q44_simhash_neardup" -> (q44 _),
+    "q45_ngram_jaccard" -> (q45 _),
+    "q46_embed_neardup" -> (q46 _),
+    "q47_ann_bruteforce" -> (q47 _),
+    "q48_ann_lsh" -> (q48 _),
+    "q49_item_item_sim" -> (q49 _),
+    "q50_multimodal_features" -> (q50 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -460,6 +558,102 @@ object SparkEntry {
         |       least(greatest(l_quantity, 5.0), 45.0) AS clipped_qty,
         |       CAST(l_quantity AS INT) AS qty_int
         |FROM lineitem""".stripMargin,
+    "q40_text_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS ws,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS wsl
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_tokens,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        |    len(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(len(text) AS DOUBLE) AS pr,
+        |    len(list_filter(wsl, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) / CAST(len(ws) AS DOUBLE) AS sr,
+        |    len(list_filter(wsl, w -> list_contains(['the','a','and','of','to','is'], w))) AS s_en,
+        |    len(list_filter(wsl, w -> list_contains(['der','die','das','und','ist','nicht'], w))) AS s_de,
+        |    len(list_filter(wsl, w -> list_contains(['el','la','los','y','es','que'], w))) AS s_es,
+        |    len(list_filter(wsl, w -> list_contains(['le','la','les','et','est','que'], w))) AS s_fr,
+        |    len(list_filter(wsl, w -> list_contains(['的','了','是','在','我','不'], w))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_bpe_tokens,
+        |  round(pr, 6) AS punct_ratio,
+        |  round(sr, 6) AS stop_ratio,
+        |  round(least(1.0, n_tokens / 100.0) * (1 - pr) * (0.5 + sr), 6) AS quality,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM r""".stripMargin,
+    "q41_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q42_dedup_exact_docs" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, replace(text, ' ', '  ') FROM documents)
+        |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |       count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM all_docs GROUP BY 1""".stripMargin,
+    "q45_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(len(ws) - 2),
+        |      i -> concat_ws(' ', ws[i+1], ws[i+2], ws[i+3]))) AS s
+        |  FROM (SELECT doc_id, source,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
+        |        FROM documents))
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |       round(len(list_intersect(l.s, r.s)) /
+        |         CAST(len(l.s) + len(r.s) - len(list_intersect(l.s, r.s)) AS DOUBLE), 6) AS jaccard
+        |FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+        |WHERE len(list_intersect(l.s, r.s)) /
+        |      CAST(len(l.s) + len(r.s) - len(list_intersect(l.s, r.s)) AS DOUBLE) >= 0.12""".stripMargin,
+    "q46_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+        |  FROM embeddings)
+        |SELECT l.id AS id_a, r.id AS id_b,
+        |       round(list_cosine_similarity(l.v, r.v), 4) AS cos_sim
+        |FROM e l JOIN e r ON l.id < r.id
+        |WHERE list_cosine_similarity(l.v, r.v) >= 0.45""".stripMargin,
+    "q47_ann_bruteforce" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.v, q.v) AS cs
+        |  FROM c JOIN q ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, rank, round(cs, 4) AS cos_sim FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+    "q49_item_item_sim" ->
+      s"""$ratingsCte,
+         |r AS (SELECT "user", item, rating FROM ratings),
+         |norms AS (SELECT item, sum(rating * rating) AS norm_sq FROM r GROUP BY item),
+         |pairs AS (
+         |  SELECT l.item AS item_a, r2.item AS item_b, sum(l.rating * r2.rating) AS dot
+         |  FROM r l JOIN r r2 ON l."user" = r2."user" AND l.item < r2.item
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT item_a, item_b, dot FROM pairs
+         |        UNION ALL
+         |        SELECT item_b, item_a, dot FROM pairs),
+         |scored AS (
+         |  SELECT s.item_a, s.item_b,
+         |         s.dot / sqrt(na.norm_sq * nb.norm_sq) AS cs
+         |  FROM sym s
+         |  JOIN norms na ON s.item_a = na.item
+         |  JOIN norms nb ON s.item_b = nb.item)
+         |SELECT item_a, item_b, rank, round(cs, 6) AS cos_sim FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY item_a ORDER BY cs DESC, item_b) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
     "q25_bias_serve_eval" ->
       s"""$ratingsCte,
          |train AS (SELECT * FROM ratings WHERE event_id % 10 < 7),

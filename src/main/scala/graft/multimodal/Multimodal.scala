@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines (BASELINE north-star):
+  * image/audio/video payloads as opaque BINARY columns with typed
+  * metadata, plus decode / feature-extract / frame-sample operators.
+  *
+  * The Spark-side plumbing — schema, batch shape, partition-parallel
+  * execution, feature arrays sized for downstream ANN — is real and
+  * tested. The codec itself is STUBBED with a deterministic fake
+  * (`fakeDecode`): this container ships no image/audio libraries, so the
+  * byte→pixel step is a pure hash of the payload. Swapping in a real
+  * decoder is a one-function change inside `mapPartitions`; nothing
+  * about the distributed plan changes.
+  */
+object Multimodal {
+
+  /** Canonical media schema: payload + typed metadata, one row per
+    * asset. `meta` mirrors what a real ingest records at scan time.
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("n_bytes", LongType))))))
+
+  /** Deterministic synthetic media table derived from a documents table
+    * (payload = utf8 bytes of the text; kind round-robins by id).
+    * Stands in for `spark.read.format("binaryFile")` at test time.
+    */
+  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("bytes"))
+      .withColumn("meta", struct(
+        (pmod(col("media_id"), lit(64)) * 16 + 16).cast("int").as("width"),
+        (pmod(col("media_id"), lit(48)) * 16 + 16).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (length(col("bytes")) * 20L).cast("long").as("duration_ms"),
+        length(col("bytes")).cast("long").as("n_bytes")))
+
+  /** STUB decode: payload bytes → `dim` float features via a rolling
+    * polynomial hash per band. Deterministic, partition-parallel, and
+    * shaped exactly like a real embedding extractor's output
+    * (`ARRAY<FLOAT>` of fixed dim). Replace the body with a real codec +
+    * model call to productionize; the plan shape is already right.
+    */
+  def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31 + bytes(i)
+      out(i % dim) += (h % 1000L).toFloat / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction over the media table: typed `mapPartitions` — the
+    * Scala analog of a Pandas-UDF batch loop: one iterator per partition,
+    * codec state amortized across the partition, no per-row JNI churn.
+    */
+  def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, String, Array[Byte])] = media
+      .select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+    ds.mapPartitions { it =>
+      // real impl: initialize codec/model ONCE here, then stream batches
+      it.map { case (id, kind, bytes) => (id, kind, fakeDecode(bytes, dim)) }
+    }.toDF("media_id", "kind", "features")
+  }
+
+  /** Frame sampling: split the payload into `n` evenly-sized binary
+    * frames (video keyframe extraction shape). Pure expression.
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val frameLen = (length(col("bytes")) / n).cast("int")
+    media.select(col("media_id"), col("kind"),
+      posexplode(transform(sequence(lit(0), lit(n - 1)),
+        i => col("bytes").substr(i * frameLen + lit(1), frameLen)))
+        .as(Seq("frame_no", "frame_bytes")))
+      .filter(length(col("frame_bytes")) > 0)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup.cosine
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (BASELINE north-star).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — a broadcast of the query
+  *    set against the corpus scan (queries are small; the corpus never
+  *    shuffles). O(|corpus|·|queries|·d) flops but embarrassingly
+  *    parallel and the right baseline/verifier at any scale.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus is bucketed by
+  *    signature bands; only same-bucket candidates are scored. The scale
+  *    path: shuffle keys are short band hashes, never vectors-× -vectors.
+  *
+  * Hyperplanes are deterministic functions of (table, plane, dim, seed)
+  * via xxhash64→Box-Muller, so signatures are reproducible across runs
+  * and cluster sizes with no driver-side randomness.
+  */
+object Ann {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Exact cosine top-k for each query vector. Output:
+    * (query_id, neighbor_id, rank, cos_sim) with rank 1..k.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(qIdCol).as("query_id"), asDouble(col(qVecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Deterministic N(0,1) hyperplane weight for (table, plane, dim). */
+  private def gauss(table: Int, plane: Column, dim: Column, seed: Long): Column = {
+    val u1 = greatest(
+      xxhash64(lit(table), plane, dim, lit(seed)).cast("double") /
+        lit(1.8446744073709552e19) + lit(0.5), lit(1e-12))
+    val u2 = xxhash64(lit(table), plane, dim, lit(seed + 1)).cast("double") /
+      lit(1.8446744073709552e19) + lit(0.5)
+    sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
+  /** Random-hyperplane signature for one table: `planes` sign bits packed
+    * into a long. bit_p = sign(Σ_d v[d] · w(table,p,d)).
+    */
+  def rhpSignature(vec: Column, table: Int, planes: Int, seed: Long): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x * gauss(table, p, d, seed)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(planes - 1)),
+        (b, p) => call_function("shiftleft", b, p)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** (id, table, bucket) relation: `tables` independent hash tables of
+    * `planes`-bit buckets — the shared bucketing primitive for ANN and
+    * embedding near-dup at scale.
+    */
+  def lshBuckets(
+      embs: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 8, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val e = embs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    e.select(col("id"), col("v"),
+      posexplode(array((0 until tables).map(t =>
+        rhpSignature(col("v"), t, planes, seed)): _*)).as(Seq("table", "bucket")))
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket in ≥1 table; exact
+    * cosine + top-k within candidates. Recall is tunable via
+    * (tables, planes); candidates-per-query is the cost knob.
+    */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, tables: Int = 8, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, tables, planes, seed)
+    val qb = lshBuckets(queries, qIdCol, qVecCol, tables, planes, seed)
+      .withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv")
+    val candidates = cb.join(qb, Seq("table", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"), col("v"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Item-item cosine similarity top-k from a ratings relation (SURVEY
+    * §7.2 P9): items as implicit vectors over the user dimension. The
+    * classic co-occurrence formulation — pair items within each user's
+    * ratings (one self-join on the user key), Σ r_a·r_b per pair, norms
+    * per item, cosine = dot/√(na·nb). Never materializes item vectors;
+    * skew from power users is the known hazard (cap or sample per-user
+    * histories upstream at extreme scale).
+    */
+  def itemItemTopK(ratings: DataFrame, k: Int): DataFrame = {
+    val r = ratings.select(col("user"), col("item"), col("rating"))
+    val norms = r.groupBy("item")
+      .agg(sum(col("rating") * col("rating")).as("norm_sq"))
+    val pairs = r.as("l").join(r.as("r"),
+      col("l.user") === col("r.user") && col("l.item") < col("r.item"))
+      .groupBy(col("l.item").as("item_a"), col("r.item").as("item_b"))
+      .agg(sum(col("l.rating") * col("r.rating")).as("dot"))
+    val sym = pairs.unionAll(pairs.select(col("item_b").as("item_a"),
+      col("item_a").as("item_b"), col("dot")))
+    val w = Window.partitionBy(col("item_a"))
+      .orderBy(col("cos_sim").desc, col("item_b"))
+    sym
+      .join(norms.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("norm_sq", "na"), "item_a")
+      .join(norms.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("norm_sq", "nb"), "item_b")
+      .withColumn("cos_sim", col("dot") / sqrt(col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item_a"), col("item_b"), col("rank"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

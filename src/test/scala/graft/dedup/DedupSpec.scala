@@ -1,0 +1,90 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "THE QUICK  BROWN fox jumps over the lazy dog near the river bank today"), // = 1 modulo case/ws
+    (3L, "a completely different document about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (5L, "yet another unrelated text mentioning neither foxes nor dogs at all ok"))
+
+  test("exactGroups collapses case/whitespace variants; min id survives") {
+    val g = Dedup.exactGroups(base.toDF("doc_id", "text"), "doc_id", "text")
+    assert(g.count() === 4)
+    val dup = g.filter($"n_copies" === 2).select("keep_id").as[Long].collect()
+    assert(dup.toSeq === Seq(1L))
+  }
+
+  test("exactSurvivors keeps exactly one row per content key") {
+    val s = Dedup.exactSurvivors(base.toDF("doc_id", "text"), "doc_id", "text")
+    assert(s.count() === 4)
+    assert(s.filter($"doc_id" === 2L).count() === 0)
+  }
+
+  test("jaccard of word shingles: identical=1, disjoint=0") {
+    val df = Seq((
+      Seq("a b c", "b c d"),
+      Seq("a b c", "b c d"),
+      Seq("x y z"))).toDF("s1", "s2", "s3")
+    val r = df.select(
+      Dedup.jaccard($"s1", $"s2").as("same"),
+      Dedup.jaccard($"s1", $"s3").as("disjoint")).as[(Double, Double)].head()
+    assert(r._1 === 1.0 && r._2 === 0.0)
+  }
+
+  test("minHashPairs finds the planted near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minHashPairs(base.toDF("doc_id", "text"), "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup modulo normalization
+    assert(pairs.contains((1L, 4L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) })
+  }
+
+  test("simHash is identical for normalized-equal docs; near for near-dups") {
+    val sigs = base.toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simHash64($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(4L)) <= 8)
+    assert(hamming(sigs(1L), sigs(3L)) > 8)
+  }
+
+  test("simHashPairs returns hamming-bounded candidate pairs") {
+    val pairs = Dedup.simHashPairs(base.toDF("doc_id", "text"), "doc_id", "text",
+      maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("embeddingPairs flags scaled copies (cosine 1) above threshold") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)), // colinear with 1
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs respects blocking") {
+    val docs = Seq(
+      (1L, "srcA", "one two three four five six seven"),
+      (2L, "srcA", "one two three four five six eight"),
+      (3L, "srcB", "one two three four five six seven") // same text, other block
+    ).toDF("doc_id", "source", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L))) // (1,3) blocked apart despite jaccard 1
+  }
+}

@@ -1,0 +1,54 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "an image-ish payload with enough bytes to slice into frames"),
+    (1L, "an audio-ish payload that is also just deterministic bytes"),
+    (2L, "a video-ish payload for the frame sampling operator test")).toDF("doc_id", "text")
+
+  test("syntheticMedia conforms to the media schema with typed metadata") {
+    val m = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    assert(m.schema.fieldNames.toSeq === Seq("media_id", "kind", "bytes", "meta"))
+    val meta = m.select("meta.width", "meta.height", "meta.n_bytes")
+      .as[(Int, Int, Long)].collect()
+    assert(meta.forall { case (w, h, n) => w > 0 && h > 0 && n > 0 })
+    val kinds = m.select("kind").as[String].collect().toSet
+    assert(kinds.subsetOf(Set("image", "audio", "video")))
+  }
+
+  test("extractFeatures yields fixed-dim float vectors, deterministically") {
+    val m = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(m, dim = 16)
+    assert(f1.select(size($"features")).as[Int].collect().forall(_ === 16))
+    val a = f1.select("media_id", "features").as[(Long, Array[Float])]
+      .collect().toMap
+    val b = Multimodal.extractFeatures(m, dim = 16)
+      .select("media_id", "features").as[(Long, Array[Float])].collect().toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(v.toSeq === b(k).toSeq) }
+  }
+
+  test("extractFeatures features feed directly into ANN search") {
+    val m = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(m, dim = 8)
+    val topk = graft.similarity.Ann.bruteForceTopK(
+      feats, "media_id", "features", feats.limit(1), "media_id", "features", k = 2)
+    assert(topk.count() === 2)
+  }
+
+  test("sampleFrames splits payload into n ordered binary frames") {
+    val m = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(m, n = 4)
+    assert(frames.columns.toSeq === Seq("media_id", "kind", "frame_no", "frame_bytes"))
+    val perDoc = frames.groupBy("media_id").count()
+      .select("count").as[Long].collect()
+    assert(perDoc.forall(_ === 4))
+    assert(frames.select(max($"frame_no")).as[Int].head() === 3)
+  }
+}

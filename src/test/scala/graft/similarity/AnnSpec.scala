@@ -1,0 +1,58 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Rating
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L)
+    val got = Ann.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(2L, 3L, 4L)) // by descending cosine to (1,0)
+  }
+
+  test("lshTopK achieves high recall@10 against brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      10, tables = 16, planes = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall@10 too low: $recall")
+  }
+
+  test("lsh signatures are deterministic across invocations") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    val a = Ann.lshBuckets(e, "vec_id", "embedding", tables = 2, planes = 8)
+      .select("id", "table", "bucket").as[(Long, Int, Long)].collect().toSet
+    val b = Ann.lshBuckets(e, "vec_id", "embedding", tables = 2, planes = 8)
+      .select("id", "table", "bucket").as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("itemItemTopK computes cosine over co-rating vectors") {
+    // i1 and i2 rated identically by u1,u2 → cosine 1; i3 orthogonal-ish
+    val r = Seq(
+      Rating("u1", "i1", 2.0, 1L), Rating("u1", "i2", 2.0, 1L),
+      Rating("u2", "i1", 3.0, 1L), Rating("u2", "i2", 3.0, 1L),
+      Rating("u3", "i3", 5.0, 1L)).toDF
+    val got = Ann.itemItemTopK(r, k = 2)
+      .select("item_a", "item_b", "cos_sim").as[(String, String, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(got(("i1", "i2")) - 1.0) < 1e-9)
+    assert(math.abs(got(("i2", "i1")) - 1.0) < 1e-9)
+    assert(!got.keySet.exists(p => p._1 == "i3" || p._2 == "i3"))
+  }
+}
