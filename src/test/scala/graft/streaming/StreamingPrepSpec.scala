@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals the batch groupBy") {
+    val streamed = StreamingPrep.runToMemory(
+      StreamingPrep.windowedAgg(
+        StreamingPrep.streamEvents(spark, dir), "10 minutes", "1 hour"),
+      outputMode = "complete")
+    val batch = graft.io.Tables.events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("streaming dedupByKey yields exactly the distinct key set") {
+    val s = StreamingPrep.streamEvents(spark, dir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val out = StreamingPrep.runToMemory(
+      StreamingPrep.dedupByKey(s, "10 minutes", Seq("user_id", "event_type")))
+    val expected = graft.io.Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct().count()
+    assert(out.count() === expected)
+    assert(out.select("user_id", "event_type").distinct().count() === expected)
+  }
+
+  test("sessionize closes sessions at the inactivity gap") {
+    val gapUs = 30L * 60 * 1000 * 1000 // 30 min
+    val sessions = StreamingPrep.runToMemory(
+      StreamingPrep.sessionize(
+        StreamingPrep.streamEvents(spark, dir), gapUs))
+    // closed sessions exist, are well-formed, and non-overlapping per user
+    assert(sessions.count() > 0)
+    val bad = sessions.filter(col("session_end") < col("session_start") ||
+      col("n_events") < 1).count()
+    assert(bad === 0)
+    val rows = sessions.select("user_id", "session_start", "session_end")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    rows.values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + gapUs < b._2,
+          s"sessions not separated by gap: $a $b")
+        case _ =>
+      }
+    }
+  }
+}
