@@ -313,13 +313,21 @@ object SparkEntry {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
 
+  /** The corpus parquet is one row group = ONE scan partition; the
+    * dedup/text pipelines are expression-heavy, so fan the scan out
+    * across cores first (at production scale the many-file layout does
+    * this for free; see SCALE.md).
+    */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Documents with whitespace-mangled copies planted (the corpus has no
     * natural dups) → exact dedup groups by normalized content hash.
     */
   private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
-    d.unionAll(d.select(col("doc_id") + 100000,
-      regexp_replace(col("text"), " ", "  ")))
+    fanOut(d.unionAll(d.select(col("doc_id") + 100000,
+      regexp_replace(col("text"), " ", "  "))))
   }
 
   private def q42(s: SparkSession, dir: String): DataFrame =
@@ -330,8 +338,8 @@ object SparkEntry {
     */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
-    d.unionAll(d.select(col("doc_id") + 100000,
-      concat(col("text"), lit(" near duplicate suffix marker"))))
+    fanOut(d.unionAll(d.select(col("doc_id") + 100000,
+      concat(col("text"), lit(" near duplicate suffix marker")))))
   }
 
   private def q43(s: SparkSession, dir: String): DataFrame =
@@ -342,7 +350,7 @@ object SparkEntry {
     Dedup.simHashPairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 3)
 
   private def q45(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.ngramJaccardPairs(fanOut(Tables.documents(s, dir)), "doc_id", "text",
       blockCol = "source", n = 3, threshold = 0.12)
 
   /** Embeddings with scaled copies planted (cosine 1 with originals) →

@@ -43,13 +43,40 @@ object Dedup {
 
   // ----------------------------------------------------------- shingles
 
-  /** Word k-shingles of the normalized text (distinct). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val ws = TextAnalysis.words(TextAnalysis.normalizeText(text))
-    array_distinct(
-      transform(sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", slice(ws, i + lit(1), lit(k)))))
-  }
+  /** Shingles from an already-materialized words array.
+    *
+    * PERFORMANCE INVARIANT for this whole file: higher-order functions
+    * (`transform`/`aggregate`) are interpreted, not codegen'd, and they
+    * re-evaluate argument expressions per element — so a nested HOF whose
+    * argument is itself an expensive expression (a regex split, another
+    * transform) does combinatorial work per row. Every pipeline below
+    * therefore materializes each derived array (words → shingles → base
+    * hashes → signature) as its OWN projection via `withColumn`, so each
+    * is computed once per row and downstream lambdas see a cheap
+    * attribute. (Measured: the inlined form was ~100× slower at sf0.1.)
+    */
+  def shinglesFromWords(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(ws) - k),
+          i => concat_ws(" ", slice(ws, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word k-shingles of the normalized text (distinct). Convenience
+    * single-expression form — fine for ad-hoc use on short texts; bulk
+    * pipelines stage the words array first (see invariant above).
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    shinglesFromWords(TextAnalysis.words(TextAnalysis.normalizeText(text)), k)
+
+  /** (id, shingles) with the words array staged as its own projection. */
+  private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))).as("__ws"))
+      .withColumn("shingles", shinglesFromWords(col("__ws"), k))
+      .drop("__ws")
+      .filter(size(col("shingles")) > 0)
 
   /** Exact Jaccard of two shingle arrays (arrays already distinct). */
   def jaccard(a: Column, b: Column): Column =
@@ -57,13 +84,43 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash
 
-  /** MinHash signature: numPerm independent permutations approximated by
-    * seeded xxhash64; element j = min over shingles of h_j(shingle).
-    * Pure expression — no UDF, deterministic across cluster sizes.
+  /** MinHash signature: numPerm permutations, element j = min over
+    * shingles of h_j(shingle). Each shingle is string-hashed ONCE
+    * (xxhash64); the j-th permutation is an affine transform
+    * `(a_j·h + b_j) mod 2³¹` of that base hash — the standard universal-
+    * hash construction, ~numPerm× cheaper than re-hashing the string per
+    * permutation. 31-bit state keeps every product inside a long
+    * (ANSI-mode overflow safety). Pure expression, deterministic at any
+    * parallelism.
     */
-  def minHashSignature(shingles: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      j => array_min(transform(shingles, s => xxhash64(s, j))))
+  private val hashMask = (1L << 31) - 1L
+
+  /** All numPerm affine permutations `(a_j·h + b_j) mod 2³¹` of one
+    * 31-bit base hash (the universal-hash family; 31-bit state keeps
+    * every product inside a long under ANSI overflow checking). `h`
+    * must be an attribute-bound scalar — then the per-element work is
+    * pure arithmetic.
+    */
+  def permutationArray(h: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)), j => {
+      val a = (j.cast("long") * lit(0x9E3779B1L)).bitwiseAND(lit(hashMask)).bitwiseOR(lit(1L))
+      val b = (j.cast("long") * lit(0x85EBCA77L) + lit(0xC2B2AE3DL)).bitwiseAND(lit(hashMask))
+      (h * a + b).bitwiseAND(lit(hashMask))
+    })
+
+  /** Single-expression MinHash signature (element j = min over shingles
+    * of permutation j of the shingle hash). Convenience/test form —
+    * bulk pipelines use the explode→aggregate form in [[minHashPairs]]
+    * (see performance invariant on [[shinglesFromWords]]).
+    */
+  def minHashSignature(shingles: Column, numPerm: Int): Column = {
+    val base = transform(shingles, s => xxhash64(s).bitwiseAND(lit(hashMask)))
+    transform(sequence(lit(0), lit(numPerm - 1)), j => {
+      val a = (j.cast("long") * lit(0x9E3779B1L)).bitwiseAND(lit(hashMask)).bitwiseOR(lit(1L))
+      val b = (j.cast("long") * lit(0x85EBCA77L) + lit(0xC2B2AE3DL)).bitwiseAND(lit(hashMask))
+      array_min(transform(base, h => (h * a + b).bitwiseAND(lit(hashMask))))
+    })
+  }
 
   /** MinHash+LSH near-duplicate pairs.
     *
@@ -78,25 +135,47 @@ object Dedup {
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val numPerm = bands * rowsPerBand
-    val withSig = docs
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleK).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), numPerm))
+    // persisted: the shingle table feeds the signature pipeline AND both
+    // verify branches; banding feeds both sides of the self-join. Without
+    // persistence the whole regex/shingle pipeline re-executes once per
+    // branch (4x total — verified via .explain).
+    val sh = shingleTable(docs, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature via explode → hash-once per shingle → per-shingle
+    // permutation array (cheap affine on an attribute) → elementwise-min
+    // UDAF per doc. The aggregation is both the scale design (map-side
+    // combine ⇒ shuffle is one 64-long array per (partition, doc)) and a
+    // hard materialization barrier: downstream lambdas see a real
+    // attribute, never a re-evaluated expression tree (performance
+    // invariant on shinglesFromWords).
+    val withSig = sh
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"), xxhash64(col("s")).bitwiseAND(lit(hashMask)).as("h"))
+      .groupBy("id")
+      .agg(graft.recommender.MinHashAgg.minhash(numPerm)(col("h")).as("sig"))
+    // banding carries only (id, band, band_hash) — never the shingle
+    // arrays — so the self-join shuffles 24 bytes per row
     val banded = withSig.select(
-      col("id"), col("shingles"),
+      col("id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(to_json(struct(b, slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))))
         .as(Seq("band", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") &&
           col("l.band_hash") === col("r.band_hash") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.shingles").as("sh_a"), col("r.shingles").as("sh_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verify: join the shingle sets back by id (small per-id side)
+    val shOnly = sh.select(col("id"), col("shingles"))
     candidates
+      .join(shOnly.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("shingles", "sh_a"), "id_a")
+      .join(shOnly.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("shingles", "sh_b"), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -104,20 +183,28 @@ object Dedup {
 
   // ------------------------------------------------------------ SimHash
 
-  /** 64-bit SimHash over word unigrams: bit b of the signature is the
-    * sign of Σ_w (±1 per bit b of xxhash64(w)). Pure expression.
+  /** SimHash from an attribute-bound array of word hashes: bit b of the
+    * signature is the sign of Σ_w (±1 per bit b of the word hash).
     */
-  def simHash64(text: Column): Column = {
-    val ws = TextAnalysis.words(TextAnalysis.normalizeText(text))
+  def simHashFromHashes(wordHashes: Column): Column = {
     val bitSums = transform(sequence(lit(0), lit(63)),
-      b => aggregate(ws, lit(0L),
-        (acc, w) => acc + when(call_function("shiftright", xxhash64(w), b).bitwiseAND(1L) === 1L, 1L)
+      b => aggregate(wordHashes, lit(0L),
+        (acc, h) => acc + when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L)
           .otherwise(-1L)))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)),
         (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** 64-bit SimHash over word unigrams. Single-expression convenience
+    * form; bulk pipelines stage words + hashes first
+    * (performance invariant on [[shinglesFromWords]]).
+    */
+  def simHash64(text: Column): Column =
+    simHashFromHashes(
+      transform(TextAnalysis.words(TextAnalysis.normalizeText(text)),
+        w => xxhash64(w)))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, using
     * chunk banding (pigeonhole: distance ≤ 3 ⇒ at least one of 4
@@ -128,11 +215,29 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val sigs = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sig"))
+    // explode → per-word ±1 bit vector (cheap on an attribute hash) →
+    // elementwise-sum UDAF → sign-pack. Same barrier/scale rationale as
+    // the MinHash pipeline in minHashPairs.
+    val bitVec = transform(sequence(lit(0), lit(63)),
+      b => when(call_function("shiftright", col("h"), b).bitwiseAND(1L) === 1L, lit(1L))
+        .otherwise(lit(-1L)))
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol)))).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+      .select(col("id"), bitVec.as("bv"))
+      .groupBy("id")
+      .agg(graft.recommender.LongVectorReduce.vecSumLong(col("bv")).as("bits"))
+      .select(col("id"),
+        aggregate(
+          zip_with(col("bits"), sequence(lit(0), lit(63)),
+            (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc.bitwiseOR(x)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("sig"), c * lit(bitsPer))
           .bitwiseAND((1L << bitsPer) - 1L))).as(Seq("chunk", "chunk_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("l")
       .join(banded.as("r"),
         col("l.chunk") === col("r.chunk") &&
@@ -155,7 +260,10 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 3, threshold: Double = 0.15): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
-      wordShingles(col(textCol), n).as("sh"))
+      TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))).as("__ws"))
+      .withColumn("sh", shinglesFromWords(col("__ws"), n))
+      .drop("__ws")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("l").join(sh.as("r"),
       col("l.block") === col("r.block") && col("l.id") < col("r.id"))
       .withColumn("jaccard", jaccard(col("l.sh"), col("r.sh")))
@@ -184,6 +292,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val e = embs.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.as("l").join(e.as("r"), col("l.id") < col("r.id"))
       .withColumn("cos", cosine(col("l.v"), col("r.v")))
       .filter(col("cos") >= threshold)

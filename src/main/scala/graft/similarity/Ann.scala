@@ -94,6 +94,7 @@ object Ann {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, tables: Int = 8, planes: Int = 12, seed: Long = 42L): DataFrame = {
     val cb = lshBuckets(corpus, idCol, vecCol, tables, planes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qb = lshBuckets(queries, qIdCol, qVecCol, tables, planes, seed)
       .withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv")
     val candidates = cb.join(qb, Seq("table", "bucket"))
@@ -119,7 +120,9 @@ object Ann {
     * histories upstream at extreme scale).
     */
   def itemItemTopK(ratings: DataFrame, k: Int): DataFrame = {
+    // persisted: feeds the self-join (both sides) and the norms agg
     val r = ratings.select(col("user"), col("item"), col("rating"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = r.groupBy("item")
       .agg(sum(col("rating") * col("rating")).as("norm_sq"))
     val pairs = r.as("l").join(r.as("r"),
