@@ -112,6 +112,17 @@ object SparkEntry {
     RatingsIO.readReviewsJson(s, tmp)
   }
 
+  /** Full dictionary-encode join (SURVEY §2.4 row 1): ratings ⋈ userDim
+    * ⋈ itemDim on natural keys, projecting dense ids.
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val r = ratings(s, dir)
+    Encoding.encode(r,
+      Encoding.dimension(r, "user", "time", "u_id"),
+      Encoding.dimension(r, "item", "time", "i_id"))
+      .select("u_id", "i_id", "rating", "time")
+  }
+
   // ------------------------------------------------------- q1x agg/join/win
 
   private def q10(s: SparkSession, dir: String): DataFrame =
@@ -380,6 +391,13 @@ object SparkEntry {
   private def q49(s: SparkSession, dir: String): DataFrame =
     Ann.itemItemTopK(ratings(s, dir), k = 5)
 
+  /** Frame sampling over binary media payloads. */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text"), n = 4)
+      .select(col("media_id"), col("kind"), col("frame_no"),
+        length(col("frame_bytes")).as("frame_len"))
+
   /** Multimodal plumbing: binary media column + typed metadata + (stub)
     * feature extraction via typed mapPartitions.
     */
@@ -448,6 +466,7 @@ object SparkEntry {
     "q22_union_all" -> (q22 _),
     "q23_scalar_funcs" -> (q23 _),
     "q25_bias_serve_eval" -> (q25 _),
+    "q26_encode_join" -> (q26 _),
     "q30_mllib_als_eval" -> (q30 _),
     "q31_topn_recommend" -> (q31 _),
     "q32_funk_svd_train" -> (q32 _),
@@ -463,6 +482,7 @@ object SparkEntry {
     "q48_ann_lsh" -> (q48 _),
     "q49_item_item_sim" -> (q49 _),
     "q50_multimodal_features" -> (q50 _),
+    "q51_frame_sample" -> (q51 _),
     "q55_stream_window_agg" -> (q55 _),
     "q56_stream_dedup" -> (q56 _))
 
@@ -691,6 +711,28 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY item_a ORDER BY cs DESC, item_b) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "q26_encode_join" ->
+      s"""$ratingsCte,
+         |udim AS (
+         |  SELECT "user",
+         |         CAST(row_number() OVER (ORDER BY fs, "user") - 1 AS INT) AS u_id
+         |  FROM (SELECT "user", min("time") AS fs FROM ratings GROUP BY 1)),
+         |idim AS (
+         |  SELECT item,
+         |         CAST(row_number() OVER (ORDER BY fs, item) - 1 AS INT) AS i_id
+         |  FROM (SELECT item, min("time") AS fs FROM ratings GROUP BY 1))
+         |SELECT u.u_id, i.i_id, r.rating, r."time"
+         |FROM ratings r JOIN udim u ON r."user" = u."user"
+         |JOIN idim i ON r.item = i.item""".stripMargin,
+    "q51_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |         octet_length(encode(text)) // 4 AS fl
+        |  FROM documents)
+        |SELECT media_id, kind, f.frame_no, fl AS frame_len
+        |FROM m CROSS JOIN (SELECT unnest(range(4)) AS frame_no) f
+        |WHERE fl > 0""".stripMargin,
     "q55_stream_window_agg" ->
       """SELECT epoch(date_trunc('hour', ts)) AS window_start, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.encode.Encoding
+import graft.io.RatingsIO
+import graft.prep.Prep
+import graft.recommender.{AlsRecommender, Evaluator, GdMf, Metrics}
+
+/** The reference's three entry-point programs, end-to-end, as library
+  * calls — a user of the reference switches by replacing each script
+  * with one function (SURVEY §3).
+  */
+object Pipelines {
+
+  /** `json-to-csv.py` equivalent: NDJSON reviews → project 4 of N
+    * fields → rename → headerless CSV (reference `json-to-csv.py:5-12`).
+    * Fully distributed scan→sink; returns the row count written.
+    */
+  def jsonToCsv(spark: SparkSession, inPath: String, outPath: String): Long = {
+    val ratings = RatingsIO.readReviewsJson(spark, inPath)
+    RatingsIO.writeCsv(ratings, outPath)
+    spark.read.schema(graft.model.Schemas.rating).csv(outPath).count()
+  }
+
+  /** The shared ETL prefix of both runners (reference `run_als.py:8-14`,
+    * `run_funk_svd.py:6-12`): CSV scan with positional schema → full-row
+    * dedup → keep-last-per-(item,user) by time → drop time → seeded
+    * 70/30 split.
+    */
+  def prepare(ratings: DataFrame, trainFrac: Double = 0.7, seed: Long = 7L)
+      : (DataFrame, DataFrame) = {
+    val deduped = Prep.dedupKeepLast(
+      Prep.dedupExact(ratings),
+      keys = Seq("item", "user"),
+      orderBy = Seq(col("time")))
+    // `time` is dropped after dedup in the reference; kept logically
+    // equivalent here (Catalyst prunes it wherever unused)
+    val cleaned = Prep.dropColumns(deduped, "time")
+    Prep.randomSplit(cleaned, trainFrac, seed)
+  }
+
+  final case class RunResult(metrics: Metrics, predictions: DataFrame)
+
+  /** `run_als.py` equivalent on the MLlib scale path: ETL → fit →
+    * distributed predict (clip + cold-start mean fallback) → one-pass
+    * eval (reference `run_als.py:8-29`). The reference's `predict` is a
+    * driver-side Python row loop; here it is two broadcast joins.
+    */
+  def runAls(
+      csvPath: String, spark: SparkSession,
+      params: AlsRecommender.Params = AlsRecommender.Params(),
+      seed: Long = 7L): RunResult = {
+    val raw = RatingsIO.readRatingsCsv(spark, csvPath)
+    runAlsOn(raw, params, seed)
+  }
+
+  def runAlsOn(raw: DataFrame,
+      params: AlsRecommender.Params = AlsRecommender.Params(),
+      seed: Long = 7L): RunResult = {
+    val (train, test) = prepare(withTimeIfMissing(raw), seed = seed)
+    val model = AlsRecommender.fit(train, params)
+    val pred = model.predict(test)
+    RunResult(Evaluator.evaluate(pred, "rating", "prediction"), pred)
+  }
+
+  /** `run_funk_svd.py` equivalent on the reference-faithful GD path
+    * (reference `run_funk_svd.py:6-28`; unseeded there, seeded here per
+    * SURVEY §7.1.5). `alternating = true` gives the reference's "ALS"
+    * schedule instead.
+    */
+  def runFunkSvd(
+      csvPath: String, spark: SparkSession,
+      cfg: GdMf.Config = GdMf.Config(nFactors = 30, epochs = 50),
+      seed: Long = 7L): RunResult = {
+    val raw = RatingsIO.readRatingsCsv(spark, csvPath)
+    runFunkSvdOn(raw, cfg, seed)
+  }
+
+  def runFunkSvdOn(raw: DataFrame,
+      cfg: GdMf.Config = GdMf.Config(nFactors = 30, epochs = 50),
+      seed: Long = 7L): RunResult = {
+    val (train, test) = prepare(withTimeIfMissing(raw), seed = seed)
+    val model = GdMf.fit(train, cfg)
+    val pred = model.predict(test)
+    RunResult(Evaluator.evaluate(pred, "rating", "prediction"), pred)
+  }
+
+  private def withTimeIfMissing(df: DataFrame): DataFrame =
+    if (df.columns.contains("time")) df
+    else df.withColumn("time", monotonically_increasing_id())
+}

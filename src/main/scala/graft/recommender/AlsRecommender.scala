@@ -14,24 +14,26 @@ import graft.encode.{Encoding, RatingStats}
   * optimizes the same objective and is the design the reference's own
   * report benchmarked against (`report.pdf` §7.1.1 "MLlib ALS"). The
   * report's MLlib row lost (1.59 vs 0.92 RMSE) because it was untuned
-  * and lacked the mean/clip serving wrapper — we train on mean-centered
-  * ratings and serve through [[Serving.predict]] with the reference's
-  * exact clip + cold-start-mean semantics, never MLlib's
-  * `coldStartStrategy="drop"` (which silently changes eval denominators,
-  * SURVEY §7.4.5).
+  * and lacked the bias/mean/clip serving wrapper — we fit damped
+  * user/item biases, let ALS factorize the residuals, and serve through
+  * [[Serving.predict]] with the reference's exact clip +
+  * cold-start-mean semantics, never MLlib's `coldStartStrategy="drop"`
+  * (which silently changes eval denominators, SURVEY §7.4.5).
   */
 object AlsRecommender {
 
   final case class Params(
       rank: Int = 30,
       maxIter: Int = 10,
-      reg: Double = 0.1,
+      reg: Double = 0.3, // biases carry additive structure; factors model
+                         // interactions only, so shrink them harder
+
       seed: Long = 42L,
       numBlocks: Int = 32)
 
   final case class Model(
-      userState: DataFrame, // user, u_factors, u_bias(=0)
-      itemState: DataFrame, // item, i_factors, i_bias(=0)
+      userState: DataFrame, // user, u_factors, u_bias
+      itemState: DataFrame, // item, i_factors, i_bias
       stats: RatingStats,
       userDim: DataFrame,
       itemDim: DataFrame,
@@ -66,11 +68,24 @@ object AlsRecommender {
     val itemDim = Encoding.dimension(ratings, "item", orderCol, "i_id")
     val stats = Encoding.ratingStats(ratings)
 
-    // Mean-centering mirrors the reference's `mean + biases + P·Q`
-    // decomposition (models/als.py:79): ALS then factorizes deviations.
-    val encoded = Encoding.encode(ratings, userDim, itemDim)
+    // The reference's decomposition is `mean + u_bias + i_bias + P·Q`
+    // (models/als.py:79). Mirror it: damped user/item biases from the
+    // training deviations, then ALS factorizes the *residuals* — the
+    // published reason its tuned runs beat raw MLlib ALS (BASELINE.md).
+    val damping = 5.0
+    val ub = ratings.groupBy("user").agg(
+      (sum(col("rating") - stats.meanRating) /
+        (count(lit(1)) + damping)).as("u_bias"))
+    val ib = ratings.join(broadcast(ub), "user")
+      .groupBy("item").agg(
+        (sum(col("rating") - stats.meanRating - col("u_bias")) /
+          (count(lit(1)) + damping)).as("i_bias"))
+    val encoded = Encoding.encode(
+      ratings.join(broadcast(ub), "user").join(broadcast(ib), "item"),
+      userDim, itemDim)
       .select(col("u_id"), col("i_id"),
-        (col("rating") - stats.meanRating).cast("float").as("r_centered"))
+        (col("rating") - stats.meanRating - col("u_bias") - col("i_bias"))
+          .cast("float").as("r_centered"))
 
     val als = new ALS()
       .setUserCol("u_id").setItemCol("i_id").setRatingCol("r_centered")
@@ -84,12 +99,12 @@ object AlsRecommender {
       transform(col("features"), f => f.cast("double")).as(c)
     val userState = model.userFactors
       .select(col("id").as("u_id"), toDouble("u_factors"))
-      .join(userDim, "u_id")
-      .select(col("user"), col("u_factors"), lit(0.0).as("u_bias"))
+      .join(userDim, "u_id").join(ub, "user")
+      .select(col("user"), col("u_factors"), col("u_bias"))
     val itemState = model.itemFactors
       .select(col("id").as("i_id"), toDouble("i_factors"))
-      .join(itemDim, "i_id")
-      .select(col("item"), col("i_factors"), lit(0.0).as("i_bias"))
+      .join(itemDim, "i_id").join(ib, "item")
+      .select(col("item"), col("i_factors"), col("i_bias"))
 
     Model(userState, itemState, stats, userDim, itemDim, model)
   }

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.model.Rating
+import graft.recommender.{AlsRecommender, GdMf}
+
+/** End-to-end parity tests (FIXTURES.md F4 / SURVEY §5.5): the full
+  * runner pipelines on Amazon-shaped synthetic 5-core data; assert
+  * pipeline invariants and metric ranges, not exact floats.
+  */
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seeded ~6k-row, 300-user, 120-item set, ratings 1..5 skewed high,
+    * with ~1% duplicate and re-review rows injected.
+    */
+  private lazy val synthetic: Seq[Rating] = {
+    val rnd = new scala.util.Random(42)
+    val base = for {
+      u <- 0 until 300
+      i <- 0 until 120
+      if rnd.nextDouble() < 0.17
+    } yield {
+      val mean = 3.6 + 0.3 * (u % 3) - 0.4 * (i % 4)
+      val r = math.max(1.0, math.min(5.0, math.round(mean + rnd.nextGaussian()).toDouble))
+      Rating(s"u$u", s"i$i", r, 1000L + u * 500 + i)
+    }
+    val dups = base.take(30) // exact duplicates
+    val rereviews = base.take(30).map(r => r.copy(rating = 5.0, time = r.time + 99999))
+    rnd.shuffle(base ++ dups ++ rereviews)
+  }
+
+  test("jsonToCsv roundtrips the review ETL") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    synthetic.toDF
+      .select($"user".as("reviewerID"), $"item".as("asin"),
+        $"rating".as("overall"), $"time".as("unixReviewTime"))
+      .write.mode("overwrite").json(s"$tmp/reviews")
+    val n = Pipelines.jsonToCsv(spark, s"$tmp/reviews", s"$tmp/ratings_csv")
+    assert(n === synthetic.size)
+  }
+
+  test("prepare dedups and splits exhaustively") {
+    val (train, test) = Pipelines.prepare(synthetic.toDF, seed = 7L)
+    val total = train.count() + test.count()
+    // exact dups collapsed, re-reviews keep-last collapsed
+    val expected = synthetic.map(r => (r.user, r.item)).distinct.size
+    assert(total === expected)
+    assert(train.intersect(test).count() === 0)
+  }
+
+  test("runAls end-to-end beats the global-mean baseline on held-out data") {
+    val res = Pipelines.runAlsOn(synthetic.toDF,
+      AlsRecommender.Params(rank = 8, maxIter = 8, numBlocks = 4))
+    val ratings = synthetic.map(_.rating)
+    val mean = ratings.sum / ratings.size
+    val sd = math.sqrt(ratings.map(r => (r - mean) * (r - mean)).sum / ratings.size)
+    assert(res.metrics.rmse > 0 && res.metrics.rmse < sd,
+      s"ALS rmse ${res.metrics.rmse} vs baseline sd $sd")
+    assert(math.abs(res.metrics.rmse * res.metrics.rmse - res.metrics.mse) < 1e-9)
+  }
+
+  test("runFunkSvd end-to-end produces finite descending training error") {
+    val res = Pipelines.runFunkSvdOn(synthetic.toDF,
+      GdMf.Config(nFactors = 4, epochs = 3, lr = 0.002, reg = 0.001,
+        collectErrors = true))
+    assert(res.metrics.mae > 0 && !res.metrics.rmse.isNaN)
+    // predictions bounded by the serving contract: [min,max] ∪ {mean}
+    val (lo, hi) = (1.0, 5.0)
+    val bad = res.predictions
+      .filter(!($"prediction".between(lo, hi))).count()
+    assert(bad === 0)
+  }
+}
