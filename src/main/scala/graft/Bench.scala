@@ -25,6 +25,8 @@ object Bench {
     "q19_global_topk",
     "q25_bias_serve_eval",
     "q30_mllib_als_eval",
+    "q34_funk_svd_k30",
+    "q35_als_gd_k30",
     "q40_text_profile",
     "q43_minhash_neardup",
     "q47_ann_bruteforce",

@@ -310,6 +310,25 @@ object SparkEntry {
       GdMf.Config(nFactors = 4, epochs = 3, lr = 0.001, reg = 0.001,
         alternating = true, collectErrors = true)).trainErrorsDf
 
+  /** Reference-config FunkSVD epochs (k=30 as in `report.pdf` §7.1.1;
+    * 3 epochs here — per-epoch cost is constant, so sec/3 compares
+    * directly against BASELINE's 9.47 s/epoch).
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    GdMf.fit(
+      ratings(s, dir).select("user", "item", "rating", "time"),
+      GdMf.Config(nFactors = 30, epochs = 3, lr = 0.001, reg = 0.001,
+        collectErrors = true)).trainErrorsDf
+
+  /** Reference-config alternating ALS-GD epochs (vs BASELINE 14.39
+    * s/epoch; the reference's distributed run OOM'd outright).
+    */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    GdMf.fit(
+      ratings(s, dir).select("user", "item", "rating", "time"),
+      GdMf.Config(nFactors = 30, epochs = 3, lr = 0.001, reg = 0.001,
+        alternating = true, collectErrors = true)).trainErrorsDf
+
   // ------------------------------------------- q4x LLM-data-pipeline ops
 
   /** Text-analysis profile: token counts (whitespace + BPE-ish),
@@ -471,6 +490,8 @@ object SparkEntry {
     "q31_topn_recommend" -> (q31 _),
     "q32_funk_svd_train" -> (q32 _),
     "q33_als_gd_train" -> (q33 _),
+    "q34_funk_svd_k30" -> (q34 _),
+    "q35_als_gd_k30" -> (q35 _),
     "q40_text_profile" -> (q40 _),
     "q41_fingerprint" -> (q41 _),
     "q42_dedup_exact_docs" -> (q42 _),

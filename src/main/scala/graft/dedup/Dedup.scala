@@ -274,13 +274,11 @@ object Dedup {
 
   // -------------------------------------------- embedding near-dup
 
-  /** Cosine of two double arrays, computed as dot/sqrt(na·nb). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = aggregate(a, lit(0.0), (s, x) => s + x * x)
-    val nb = aggregate(b, lit(0.0), (s, x) => s + x * x)
-    dot / sqrt(na * nb)
-  }
+  /** Cosine of two double arrays, dot/sqrt(na·nb) — one codegen'd pass
+    * over both arrays (graft.functions.CosineSim).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
 
   /** Embedding-cosine near-duplicate pairs ≥ threshold. Brute-force
     * all-pairs — correct at verification scale; the 100 TB path buckets

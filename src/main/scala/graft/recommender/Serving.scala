@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Serving {
 
-  /** dot(u_factors, i_factors) as a codegen'd higher-order expression —
-    * no UDF, no driver loop (reference `models/als.py:211`).
+  /** dot(u_factors, i_factors) as a native codegen'd Catalyst
+    * expression (graft.functions.DotProduct) — no UDF, no interpreted
+    * higher-order function, no driver loop (reference
+    * `models/als.py:211`).
     */
   def dot(u: Column, i: Column): Column =
-    aggregate(zip_with(u, i, (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(u, i)
 
   def clip(c: Column, lo: Double, hi: Double): Column =
     least(greatest(c, lit(lo)), lit(hi))
