@@ -310,6 +310,20 @@ object SparkEntry {
       GdMf.Config(nFactors = 4, epochs = 3, lr = 0.001, reg = 0.001,
         alternating = true, collectErrors = true)).trainErrorsDf
 
+  /** Seeded random 70/30 split (reference `run_als.py:13-14`) — split
+    * sizes and disjointness are the checkable surface (a per-row seeded
+    * Bernoulli draw can never hash-match across engines, SURVEY §2.3);
+    * rows-only gate + PrepSpec invariants cover it.
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = Prep.randomSplit(
+      ratings(s, dir).select("user", "item", "rating", "time"), 0.7, seed = 7L)
+    train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(test.agg(count(lit(1)).as("n_test")))
+      .withColumn("disjoint",
+        lit(train.intersect(test).isEmpty))
+  }
+
   /** Reference-config FunkSVD epochs (k=30 as in `report.pdf` §7.1.1;
     * 3 epochs here — per-epoch cost is constant, so sec/3 compares
     * directly against BASELINE's 9.47 s/epoch).
@@ -486,6 +500,7 @@ object SparkEntry {
     "q23_scalar_funcs" -> (q23 _),
     "q25_bias_serve_eval" -> (q25 _),
     "q26_encode_join" -> (q26 _),
+    "q27_random_split" -> (q27 _),
     "q30_mllib_als_eval" -> (q30 _),
     "q31_topn_recommend" -> (q31 _),
     "q32_funk_svd_train" -> (q32 _),

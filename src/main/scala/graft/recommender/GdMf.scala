@@ -42,7 +42,13 @@ object GdMf {
       reg: Double = 0.001,
       seed: Long = 42L,
       alternating: Boolean = false, // false = FunkSVD, true = ALS-GD
-      collectErrors: Boolean = false)
+      collectErrors: Boolean = false,
+      // localCheckpoint cadence. 1 (default) = cut lineage every epoch:
+      // measured to dominate — Catalyst's analysis/optimization time on
+      // the epoch plan (nested joins + lambda-bearing aggregates) grows
+      // superlinearly with depth, so letting plans grow even 5 epochs
+      // deep costs far more driver time than the 2 cut jobs save.
+      checkpointInterval: Int = 1)
 
   /** Trained model: distributed per-id state, driver-side scalars, and
     * the optional per-epoch training-error history (reference
@@ -160,29 +166,47 @@ object GdMf {
 
     val history = scala.collection.mutable.ArrayBuffer.empty[(Int, Metrics)]
 
-    def checkpointSwap(old: DataFrame, next: DataFrame): DataFrame = {
-      val cp = next.localCheckpoint(true) // cut lineage (SURVEY §4.1)
-      old.unpersist()
-      cp
+    // Lineage management (SURVEY §4.1): localCheckpoint every
+    // checkpointInterval epochs (and on the final one); between cuts
+    // the states stay lazy plans over the last checkpoint. Persisted
+    // error relations are unpersisted only AT the next cut — the cut is
+    // the materialization barrier, and dropping a cache before its
+    // consumers materialize would silently void it and recompute.
+    val pendingErr = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var lastCpU: DataFrame = uState
+    var lastCpI: DataFrame = iState
+    def persistErr(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      pendingErr += p
+      p
     }
+    def maybeCheckpoint(epoch: Int, u: DataFrame, i: DataFrame): (DataFrame, DataFrame) =
+      if ((epoch + 1) % math.max(cfg.checkpointInterval, 1) == 0 ||
+        epoch == cfg.epochs - 1) {
+        val cu = u.localCheckpoint(true) // eager: materializes the chain
+        val ci = i.localCheckpoint(true)
+        lastCpU.unpersist(); lastCpI.unpersist()
+        lastCpU = cu; lastCpI = ci
+        pendingErr.foreach(_.unpersist())
+        pendingErr.clear()
+        (cu, ci)
+      } else (u, i)
 
     if (cfg.alternating) {
       // ALS-GD (reference models/als.py:158-174): error at epoch start is
       // the previous epoch's final error; metrics recorded pre-update.
-      var err = errRel(uState, iState).persist(StorageLevel.MEMORY_AND_DISK)
+      var err = persistErr(errRel(uState, iState))
       for (epoch <- 0 until cfg.epochs) {
         if (cfg.collectErrors) history += ((epoch, metricsOf(err)))
-        val newU = checkpointSwap(uState,
-          updated(uState, userGrad(err), "u_id", "u_factors", "u_bias", stats.nItems))
-        uState = newU
-        val err1 = errRel(uState, iState).persist(StorageLevel.MEMORY_AND_DISK)
-        err.unpersist()
-        val newI = checkpointSwap(iState,
-          updated(iState, itemGrad(err1), "i_id", "i_factors", "i_bias", stats.nUsers))
-        iState = newI
-        val err2 = errRel(uState, iState).persist(StorageLevel.MEMORY_AND_DISK)
-        err1.unpersist()
-        err = err2
+        val newU =
+          updated(uState, userGrad(err), "u_id", "u_factors", "u_bias", stats.nItems)
+        val err1 = persistErr(errRel(newU, iState))
+        val newI =
+          updated(iState, itemGrad(err1), "i_id", "i_factors", "i_bias", stats.nUsers)
+        val (cu, ci) = maybeCheckpoint(epoch, newU, newI)
+        uState = cu
+        iState = ci
+        err = persistErr(errRel(uState, iState))
       }
       err.unpersist()
     } else {
@@ -190,23 +214,25 @@ object GdMf {
       // epoch; item-side factor gradient uses the UPDATED user factors
       // (trap 2); biases both update from the shared epoch error.
       for (epoch <- 0 until cfg.epochs) {
-        val err = errRel(uState, iState).persist(StorageLevel.MEMORY_AND_DISK)
+        val err = persistErr(errRel(uState, iState))
         if (cfg.collectErrors) history += ((epoch, metricsOf(err)))
-        val newU = checkpointSwap(uState,
-          updated(uState, userGrad(err), "u_id", "u_factors", "u_bias", stats.nItems))
+        val newU =
+          updated(uState, userGrad(err), "u_id", "u_factors", "u_bias", stats.nItems)
         // item grad joins the epoch error against the NEW user factors
         val gradI = err.select("u_id", "i_id", "e")
           .join(newU.select("u_id", "u_factors"), "u_id")
           .withColumn("ep", transform(col("u_factors"), p => p * col("e")))
           .groupBy("i_id")
           .agg(vecSum(col("ep")).as("fgrad"), sum(col("e")).as("esum"))
-        val newI = checkpointSwap(iState,
-          updated(iState, gradI, "i_id", "i_factors", "i_bias", stats.nUsers))
-        uState = newU
-        iState = newI
-        err.unpersist()
+        val newI =
+          updated(iState, gradI, "i_id", "i_factors", "i_bias", stats.nUsers)
+        val (cu, ci) = maybeCheckpoint(epoch, newU, newI)
+        uState = cu
+        iState = ci
       }
     }
+    pendingErr.foreach(_.unpersist())
+    pendingErr.clear()
 
     facts.unpersist()
     Model(
