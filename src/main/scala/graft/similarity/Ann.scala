@@ -119,9 +119,26 @@ object Ann {
     * skew from power users is the known hazard (cap or sample per-user
     * histories upstream at extreme scale).
     */
-  def itemItemTopK(ratings: DataFrame, k: Int): DataFrame = {
+  def itemItemTopK(ratings: DataFrame, k: Int,
+      maxUserHistory: Int = Int.MaxValue): DataFrame = {
+    // Skew guard: the pair generation is quadratic in per-user degree,
+    // so one power user with 10⁶ ratings creates 10¹² pairs. Cap each
+    // user's history at the maxUserHistory most recent ratings
+    // (deterministic tie-break) before pairing — the standard mitigation
+    // (AQE skew-join splits the shuffle, but can't shrink the pair
+    // count itself).
+    val capped =
+      if (maxUserHistory == Int.MaxValue) ratings
+      else {
+        val order =
+          if (ratings.columns.contains("time")) Seq(col("time").desc, col("item"))
+          else Seq(col("item"))
+        val w = Window.partitionBy(col("user")).orderBy(order: _*)
+        ratings.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxUserHistory).drop("__rn")
+      }
     // persisted: feeds the self-join (both sides) and the norms agg
-    val r = ratings.select(col("user"), col("item"), col("rating"))
+    val r = capped.select(col("user"), col("item"), col("rating"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = r.groupBy("item")
       .agg(sum(col("rating") * col("rating")).as("norm_sq"))

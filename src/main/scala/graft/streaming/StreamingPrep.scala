@@ -103,6 +103,64 @@ object StreamingPrep {
     out.iterator
   }
 
+  /** Production sessionization: EventTimeTimeout — a session closes when
+    * the *watermark* passes its last event + gap, so emission is driven
+    * by event time, not by the next event of the same user (which may
+    * never come). State per active user only; watermark bounds it.
+    */
+  /** Event carrying its watermarked TimestampType column — a typed
+    * `.map` would drop the event-time attribute and Spark rejects
+    * EventTimeTimeout without it, so the timestamp stays a field.
+    */
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  def sessionizeEventTime(events: DataFrame, gap: String, gapUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", gap)
+      .as[TimedEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        eventTimeSessionFn(gapUs))
+      .toDF()
+  }
+
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  private def eventTimeSessionFn(gapUs: Long)(
+      userId: Long, events: Iterator[TimedEvent],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(Session(userId, s.start, s.last, s.n, s.sum))
+    } else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var cur = state.getOption
+      events.toSeq.map(e => (usOf(e.ts), e.value)).sortBy(_._1).foreach {
+        case (tUs, v) =>
+          cur match {
+            case Some(s) if tUs - s.last <= gapUs =>
+              cur = Some(SessionState(s.start, tUs, s.n + 1, s.sum + v))
+            case Some(s) =>
+              out += Session(userId, s.start, s.last, s.n, s.sum)
+              cur = Some(SessionState(tUs, tUs, 1, v))
+            case None =>
+              cur = Some(SessionState(tUs, tUs, 1, v))
+          }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close when the watermark passes last-event + gap
+        state.setTimeoutTimestamp(s.last / 1000 + gapUs / 1000)
+      }
+      out.iterator
+    }
+  }
+
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Drive a (bounded) streaming DataFrame to completion through a
