@@ -203,6 +203,22 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("running_value"))
   }
 
+  /** Hierarchical aggregation (beyond the reference, which has no
+    * grouping sets): ROLLUP over region→nation with grand total.
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+
+  /** CUBE over order status × priority. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -501,6 +517,8 @@ object SparkEntry {
     "q25_bias_serve_eval" -> (q25 _),
     "q26_encode_join" -> (q26 _),
     "q27_random_split" -> (q27 _),
+    "q28_rollup" -> (q28 _),
+    "q29_cube" -> (q29 _),
     "q30_mllib_als_eval" -> (q30 _),
     "q31_topn_recommend" -> (q31 _),
     "q32_funk_svd_train" -> (q32 _),
@@ -651,6 +669,18 @@ object SparkEntry {
         |       least(greatest(l_quantity, 5.0), 45.0) AS clipped_qty,
         |       CAST(l_quantity AS INT) AS qty_int
         |FROM lineitem""".stripMargin,
+    "q28_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q29_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q40_text_profile" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -65,6 +65,24 @@ object Prep {
     (parts(0), parts(1))
   }
 
+  /** Salted join for skewed keys: replicate each right-side row
+    * `saltFactor` times with a salt column, salt the left side randomly
+    * but deterministically (hash of all columns), join on (key, salt).
+    * Spreads one hot key over `saltFactor` shuffle partitions. AQE's
+    * skew-join split handles moderate skew automatically; explicit
+    * salting is for the pathological single-key case (one user/item
+    * holding a double-digit percentage of rows).
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val saltedRight = right.crossJoin(
+      right.sparkSession.range(saltFactor).select(col("id").cast("int").as("__salt")))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Deterministic, engine-independent split on a stable key expression:
     * row goes to train iff `key mod buckets < trainBuckets`. Used by the
     * oracle-differential tests (a seeded RNG can never hash-match across

@@ -60,6 +60,16 @@ class PrepSpec extends SparkSpec {
     assert(train.count() === 70 && test.count() === 30)
   }
 
+  test("saltedJoin equals the plain join result") {
+    val left = (1 to 500).map(i => (s"k${i % 3}", i)).toDF("k", "v")
+    val right = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("k3", "d")).toDF("k", "w")
+    val plain = left.join(right, "k")
+    val salted = Prep.saltedJoin(left, right, "k", saltFactor = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("projectRename keeps and renames") {
     val out = Prep.projectRename(fixture, Seq("user", "rating"), Seq("u", "r"))
     assert(out.columns.toSeq === Seq("u", "r"))
