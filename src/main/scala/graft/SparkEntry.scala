@@ -437,6 +437,23 @@ object SparkEntry {
       k = 10, tables = 16, planes = 6)
   }
 
+  /** IVF ANN (KMeans coarse quantizer + probed exact rank). */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.ivfTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 10, nlist = 16, nprobe = 4)
+  }
+
+  /** LSH-bucketed embedding near-dup (the scale path of q46). */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = e.unionAll(e.select(col("vec_id") + 100000,
+      transform(col("embedding"), x => x * 2.0)))
+    Dedup.embeddingPairsLsh(planted, "vec_id", "embedding", threshold = 0.45)
+  }
+
   private def q49(s: SparkSession, dir: String): DataFrame =
     Ann.itemItemTopK(ratings(s, dir), k = 5)
 
@@ -537,6 +554,8 @@ object SparkEntry {
     "q49_item_item_sim" -> (q49 _),
     "q50_multimodal_features" -> (q50 _),
     "q51_frame_sample" -> (q51 _),
+    "q52_ann_ivf" -> (q52 _),
+    "q53_embed_neardup_lsh" -> (q53 _),
     "q55_stream_window_agg" -> (q55 _),
     "q56_stream_dedup" -> (q56 _))
 

@@ -280,10 +280,32 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine(a, b)
 
+  /** Embedding near-dup, scale path: candidates share an LSH bucket in
+    * ≥1 table ([[graft.similarity.Ann.lshBuckets]]), exact-cosine verify
+    * on candidates only. Same output contract as [[embeddingPairs]] but
+    * shuffle keys are short bucket hashes, never the O(n²) pair space.
+    * Recall < 1 by construction (tunable via tables/planes).
+    */
+  def embeddingPairsLsh(
+      embs: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      tables: Int = 12, planes: Int = 6, seed: Long = 42L): DataFrame = {
+    val b = graft.similarity.Ann.lshBuckets(embs, idCol, vecCol, tables, planes, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.as("l").join(b.as("r"),
+      col("l.table") === col("r.table") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ threshold. Brute-force
-    * all-pairs — correct at verification scale; the 100 TB path buckets
-    * candidates with [[graft.similarity.Ann.lshBuckets]] first and runs
-    * this verify join per bucket.
+    * all-pairs — correct at verification scale; the 100 TB path is
+    * [[embeddingPairsLsh]].
     */
   def embeddingPairs(
       embs: DataFrame, idCol: String, vecCol: String,

@@ -119,6 +119,65 @@ object Ann {
     * skew from power users is the known hazard (cap or sample per-user
     * histories upstream at extreme scale).
     */
+  /** IVF (inverted-file) ANN: KMeans coarse quantizer → corpus assigned
+    * to its nearest centroid (the "inverted lists") → each query probes
+    * its `nprobe` nearest centroids and exact-ranks only those lists.
+    *
+    * The scale path when LSH recall is too parameter-sensitive:
+    * centroids train on a bounded sample (driver holds nlist·d floats,
+    * nothing else), list assignment is one broadcast-KMeans pass over
+    * the corpus scan, and the probe join touches ~nprobe/nlist of the
+    * corpus per query. Deterministic via the KMeans seed.
+    */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      trainSampleFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainSet =
+      if (trainSampleFraction >= 1.0) c
+      else c.sample(withReplacement = false, trainSampleFraction, seed)
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
+      .setPredictionCol("list_id").fit(trainSet)
+
+    // inverted lists: corpus row → its single nearest centroid
+    val lists = km.transform(c).select(col("neighbor_id"), col("v"), col("list_id"))
+
+    // centroids as a relation for the probe ranking
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = km.clusterCenters.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toArray) }.toSeq
+      .toDF("list_id", "centroid")
+
+    // each query probes its nprobe nearest centroids (tiny cross join:
+    // |queries| × nlist)
+    val q = queries.select(col(qIdCol).as("query_id"), asDouble(col(qVecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_dist").asc, col("list_id"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("c_dist", -cosine(col("qv"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("list_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    lists.join(broadcast(probed), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   def itemItemTopK(ratings: DataFrame, k: Int,
       maxUserHistory: Int = Int.MaxValue): DataFrame = {
     // Skew guard: the pair generation is quadratic in per-user degree,

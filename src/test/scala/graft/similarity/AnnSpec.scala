@@ -33,6 +33,28 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall@10 too low: $recall")
   }
 
+  test("ivfTopK achieves high recall@10 against brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      10, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall@10 too low: $recall")
+  }
+
+  test("embeddingPairsLsh finds planted colinear pairs") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(2.0f, 0.0f, 1.0f, 0.4f)), // colinear with 1
+      (3L, Array(0.0f, 1.0f, -0.5f, 0.7f))).toDF("vec_id", "embedding")
+    val pairs = graft.dedup.Dedup.embeddingPairsLsh(e, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("lsh signatures are deterministic across invocations") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
     val a = Ann.lshBuckets(e, "vec_id", "embedding", tables = 2, planes = 8)
