@@ -500,6 +500,38 @@ object SparkEntry {
       .select("user", "item")
   }
 
+  /** Stream-static enrichment join: the event stream joined against a
+    * batch-computed per-user dimension.
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val static = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("user_n"))
+    val st = StreamingPrep.streamEvents(s, dir).select("event_id", "user_id")
+    StreamingPrep.runToMemory(st.join(static, "user_id"))
+      .select("event_id", "user_id", "user_n")
+  }
+
+  /** Stream-stream interval join: purchases matched to error events of
+    * the same user within the following 10 minutes (both sides
+    * watermarked; state bounded by the interval).
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val purchases = StreamingPrep.streamEvents(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = StreamingPrep.streamEvents(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = purchases.join(errors,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+    StreamingPrep.runToMemory(joined).select("p_id", "e_id", "user_id")
+  }
+
   // --------------------------------------------------------------- registry
 
   /** Flagship: the full serving-eval pipeline on sf0.001. */
@@ -557,7 +589,9 @@ object SparkEntry {
     "q52_ann_ivf" -> (q52 _),
     "q53_embed_neardup_lsh" -> (q53 _),
     "q55_stream_window_agg" -> (q55 _),
-    "q56_stream_dedup" -> (q56 _))
+    "q56_stream_dedup" -> (q56 _),
+    "q57_stream_enrich" -> (q57 _),
+    "q58_stream_interval_join" -> (q58 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -825,6 +859,17 @@ object SparkEntry {
     "q56_stream_dedup" ->
       s"""$ratingsCte
          |SELECT DISTINCT "user", item FROM ratings""".stripMargin,
+    "q57_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.user_n
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS user_n FROM events GROUP BY 1) c
+        |USING (user_id)""".stripMargin,
+    "q58_stream_interval_join" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id
+        |FROM events p JOIN events e
+        |ON p.user_id = e.user_id
+        |AND p.event_type = 'purchase' AND e.event_type = 'error'
+        |AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL '10 minutes'""".stripMargin,
     "q25_bias_serve_eval" ->
       s"""$ratingsCte,
          |train AS (SELECT * FROM ratings WHERE event_id % 10 < 7),

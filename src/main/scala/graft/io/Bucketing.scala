@@ -1,0 +1,23 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table sinks (SCALE.md "Joins"): writing both sides of a
+  * recurring fact-fact join bucketed (+sorted) by the join key makes
+  * every later join shuffle-free — the sort-merge join reads
+  * co-bucketed files directly. The write pays one shuffle once;
+  * every downstream join of the two tables pays none.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, bucket-sorted table registered in the
+    * session catalog (parquet under the warehouse dir).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+}
