@@ -49,6 +49,27 @@ object Multimodal {
         (length(col("bytes")) * 20L).cast("long").as("duration_ms"),
         length(col("bytes")).cast("long").as("n_bytes")))
 
+  /** Ingest real files as media rows via Spark's `binaryFile` source
+    * (each row: path, modificationTime, length, content). Kind is
+    * derived from the extension; ids from a hash of the path
+    * (deterministic, cluster-size-independent).
+    */
+  def readBinaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        when(col("path").rlike("(?i)\\.(png|jpe?g|gif|bmp)$"), "image")
+          .when(col("path").rlike("(?i)\\.(wav|mp3|flac|ogg)$"), "audio")
+          .when(col("path").rlike("(?i)\\.(mp4|avi|mkv|webm)$"), "video")
+          .otherwise("binary").as("kind"),
+        col("content").as("bytes"))
+      .withColumn("meta", struct(
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("sample_rate"), lit(0L).as("duration_ms"),
+        length(col("bytes")).cast("long").as("n_bytes")))
+
   /** STUB decode: payload bytes → `dim` float features via a rolling
     * polynomial hash per band. Deterministic, partition-parallel, and
     * shaped exactly like a real embedding extractor's output

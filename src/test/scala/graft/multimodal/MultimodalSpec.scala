@@ -42,6 +42,21 @@ class MultimodalSpec extends SparkSpec {
     assert(topk.count() === 2)
   }
 
+  test("readBinaryFiles ingests real files into the media schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin")
+    java.nio.file.Files.write(tmp.resolve("a.png"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(tmp.resolve("b.wav"), Array[Byte](5, 6))
+    java.nio.file.Files.write(tmp.resolve("c.bin"), Array[Byte](7))
+    val m = Multimodal.readBinaryFiles(spark, tmp.toString)
+    assert(m.count() === 3)
+    val kinds = m.select("kind").as[String].collect().sorted.toSeq
+    assert(kinds === Seq("audio", "binary", "image"))
+    assert(m.select("meta.n_bytes").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    // ingested rows flow into the downstream operators unchanged
+    val feats = Multimodal.extractFeatures(m, dim = 4)
+    assert(feats.select(size($"features")).as[Int].collect().forall(_ === 4))
+  }
+
   test("sampleFrames splits payload into n ordered binary frames") {
     val m = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, n = 4)
