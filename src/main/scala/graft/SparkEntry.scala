@@ -474,6 +474,17 @@ object SparkEntry {
         round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
   }
 
+  /** Full near-dup pipeline: MinHash pairs → connected components →
+    * one survivor per cluster (what a training-data pipeline actually
+    * ships).
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(s, dir)
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      shingleK = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    Dedup.clusterSurvivors(docs, "doc_id", pairs).select("doc_id")
+  }
+
   // ------------------------------------------------------- q5x streaming
 
   /** Tumbling-window streaming aggregation driven to completion through
@@ -588,6 +599,7 @@ object SparkEntry {
     "q51_frame_sample" -> (q51 _),
     "q52_ann_ivf" -> (q52 _),
     "q53_embed_neardup_lsh" -> (q53 _),
+    "q54_dedup_pipeline" -> (q54 _),
     "q55_stream_window_agg" -> (q55 _),
     "q56_stream_dedup" -> (q56 _),
     "q57_stream_enrich" -> (q57 _),

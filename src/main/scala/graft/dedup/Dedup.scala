@@ -272,6 +272,62 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ------------------------------------------------- dup clustering
+
+  /** Connected components over near-dup pairs → (id, cluster_id) with
+    * cluster_id = min id of the component; the pipeline then keeps one
+    * doc per cluster (`cluster_id === id`).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors — converges in
+    * O(component diameter) rounds (near-dup components are shallow:
+    * mostly pairs/stars, so the default cap is generous). Each round is
+    * one join + one aggregation; labels localCheckpoint per round to
+    * cut lineage, same discipline as GdMf.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionAll(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), first(col("a"))).as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // every node adopts min(own label, neighbors' labels)
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "b")
+          .withColumnRenamed("cluster_id", "nb_label"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nb_label")).as("nb_min"))
+      val next = labels.join(neighborLabels, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** One surviving id per duplicate cluster (the min); docs not in any
+    * pair are implicitly their own survivors.
+    */
+  def clusterSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cl = clusters(pairs)
+    docs.join(cl.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+  }
+
   // -------------------------------------------- embedding near-dup
 
   /** Cosine of two double arrays, dot/sqrt(na·nb) — one codegen'd pass

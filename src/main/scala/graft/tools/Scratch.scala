@@ -26,16 +26,18 @@ object Scratch {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
 
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
-    time("q43 run 1 (64 perm)") {
-      Dedup.minHashPairs(docs, "doc_id", "text", 5, 16, 4, 0.5).count()
+    import graft.recommender.GdMf
+    val r = graft.io.Tables.ratingsFromEvents(spark, dir)
+    def fit(ep: Int, collect: Boolean) = {
+      val t0 = System.nanoTime()
+      GdMf.fit(r, GdMf.Config(nFactors = 30, epochs = ep, collectErrors = collect))
+      (System.nanoTime() - t0) / 1e9
     }
-    time("q43 run 2 (warm)") {
-      Dedup.minHashPairs(docs, "doc_id", "text", 5, 16, 4, 0.5).count()
-    }
-    time("q43 32 perm") {
-      Dedup.minHashPairs(docs, "doc_id", "text", 5, 16, 2, 0.5).count()
-    }
+    val w = fit(1, false) // warm
+    val e1 = fit(1, false)
+    val e5 = fit(5, false)
+    val e5c = fit(5, true)
+    println(f"warm=$w%.1f fit(1)=$e1%.1f fit(5)=$e5%.1f fit(5,collect)=$e5c%.1f marginal/epoch=${(e5 - e1) / 4}%.2f collectCost/epoch=${(e5c - e5) / 5}%.2f")
     spark.stop()
   }
 }

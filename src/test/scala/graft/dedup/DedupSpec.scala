@@ -76,6 +76,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("clusters finds connected components with min-id labels") {
+    // components: {1,2,3,4} (chain), {10,11}, singletons absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusterSurvivors keeps min id per cluster plus all unpaired docs") {
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val surv = Dedup.clusterSurvivors(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(surv === Seq(1L, 3L, 5L, 6L))
+  }
+
   test("ngramJaccardPairs respects blocking") {
     val docs = Seq(
       (1L, "srcA", "one two three four five six seven"),
