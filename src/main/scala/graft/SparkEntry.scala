@@ -340,6 +340,20 @@ object SparkEntry {
         lit(train.intersect(test).isEmpty))
   }
 
+  /** Sketch-based statistics — the 100 TB variant of q07, where exact
+    * countDistinct's shuffle of every distinct value is the bottleneck:
+    * HLL++ (approx_count_distinct) and t-digest percentiles
+    * (approx_percentile) aggregate in fixed memory. Rows-only check
+    * (approximate by construction); accuracy asserted in tests.
+    */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    ratings(s, dir).agg(
+      count(lit(1)).as("n_ratings"),
+      approx_count_distinct(col("user"), rsd = 0.01).as("approx_users"),
+      approx_count_distinct(col("item"), rsd = 0.01).as("approx_items"),
+      percentile_approx(col("rating"), lit(0.5), lit(10000)).as("p50_rating"),
+      percentile_approx(col("rating"), lit(0.95), lit(10000)).as("p95_rating"))
+
   /** Reference-config FunkSVD epochs (k=30 as in `report.pdf` §7.1.1;
     * 3 epochs here — per-epoch cost is constant, so sec/3 compares
     * directly against BASELINE's 9.47 s/epoch).
@@ -585,6 +599,7 @@ object SparkEntry {
     "q33_als_gd_train" -> (q33 _),
     "q34_funk_svd_k30" -> (q34 _),
     "q35_als_gd_k30" -> (q35 _),
+    "q36_approx_stats" -> (q36 _),
     "q40_text_profile" -> (q40 _),
     "q41_fingerprint" -> (q41 _),
     "q42_dedup_exact_docs" -> (q42 _),

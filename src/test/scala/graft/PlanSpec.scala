@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Plan-shape regression tests: the scale properties SCALE.md claims
+  * (pushdown, pruning, broadcast, top-k pushdown) asserted against the
+  * actual physical plans, so a refactor that silently loses one fails
+  * CI instead of only showing up at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter and projection reach the parquet scan") {
+    val p = plan("q01_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_quantity:double,l_extendedprice:double>"), s"columns not pruned:\n$p")
+  }
+
+  test("q13: dimension join broadcasts, fact side never shuffles pre-agg") {
+    val p = plan("q13_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q14: all four dimension joins broadcast") {
+    val p = plan("q14_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 4, s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
+  test("q17: per-key top-k applies WindowGroupLimit pushdown") {
+    val p = plan("q17_window_topk")
+    assert(p.contains("WindowGroupLimit"), s"rank-limit not pushed:\n$p")
+  }
+
+  test("q19: global top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q19_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
+  test("q25: serving pipeline keeps fact scans shuffle-free (broadcast state)") {
+    val df = SparkEntry.queries("q25_bias_serve_eval")(spark, dir)
+    df.collect()
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    // only the two bias aggregations shuffle; the predict joins are
+    // broadcasts and the final metric agg is a partial+final pair
+    assert(shuffles.size <= 3,
+      s"too many exchanges (${shuffles.size}) in serving plan")
+  }
+
+  test("q36: approximate stats plan at constant memory (single agg pair)") {
+    val p = plan("q36_approx_stats")
+    assert(!p.contains("Expand"), s"approx stats should not expand rows:\n$p")
+  }
+}
