@@ -383,6 +383,10 @@ object SparkEntry {
       .select("doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio",
         "stop_ratio", "quality", "lang_pred")
 
+  /** Corpus vocabulary (token counts + doc frequency, top 50). */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text", topK = 50)
+
   private def q41(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -618,7 +622,8 @@ object SparkEntry {
     "q55_stream_window_agg" -> (q55 _),
     "q56_stream_dedup" -> (q56 _),
     "q57_stream_enrich" -> (q57 _),
-    "q58_stream_interval_join" -> (q58 _))
+    "q58_stream_interval_join" -> (q58 _),
+    "q60_vocabulary" -> (q60 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -789,6 +794,16 @@ object SparkEntry {
         |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
         |       ELSE 'zh' END AS lang_pred
         |FROM r""".stripMargin,
+    "q60_vocabulary" ->
+      """SELECT t.token, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id,
+        |        unnest(regexp_split_to_array(
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+        |      FROM documents) t
+        |GROUP BY t.token
+        |ORDER BY n_occurrences DESC, t.token
+        |LIMIT 50""".stripMargin,
     "q41_fingerprint" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

@@ -91,6 +91,19 @@ object TextAnalysis {
       (acc, w) => (acc * lit(31L) + xxhash64(w).bitwiseAND(mask)).bitwiseAND(mask))
   }
 
+  /** Corpus vocabulary: token → (occurrences, doc frequency), top
+    * `topK` by count (vocab/tokenizer-building step). One explode + one
+    * partial+final aggregation; doc frequency via countDistinct on ids.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame =
+    docs.select(col(idCol).as("__id"),
+      explode(words(normalizeText(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__id")).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
+
   /** One-stop profile of a documents table. */
   def profile(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("n_tokens", tokenCount(col(textCol)))
