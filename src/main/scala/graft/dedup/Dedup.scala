@@ -263,6 +263,7 @@ object Dedup {
       TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))).as("__ws"))
       .withColumn("sh", shinglesFromWords(col("__ws"), n))
       .drop("__ws")
+      .filter(size(col("sh")) > 0) // 0/0 jaccard would throw under ANSI
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("l").join(sh.as("r"),
       col("l.block") === col("r.block") && col("l.id") < col("r.id"))
@@ -286,7 +287,7 @@ object Dedup {
     * cut lineage, same discipline as GdMf.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIterations: Int = 10): DataFrame = {
+      maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionAll(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -314,6 +315,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] Dedup.clusters: not converged after " +
+        s"$maxIterations rounds — components deeper than the cap exist; " +
+        "labels are an upper approximation (raise maxIterations)")
     edges.unpersist()
     labels
   }

@@ -46,7 +46,7 @@ object Tables {
   def ratingsFromEvents(spark: SparkSession, d: String): DataFrame =
     events(spark, d).select(
       col("user_id").cast("string").as("user"),
-      regexp_extract(col("props"), "[0-9]+", 0).cast("long").cast("string").as("item"),
+      get_json_object(col("props"), "$.k").cast("long").cast("string").as("item"),
       col("value").as("rating"),
       unix_micros(col("ts")).as("time"))
 }

@@ -31,10 +31,13 @@ object Pipelines {
     */
   def prepare(ratings: DataFrame, trainFrac: Double = 0.7, seed: Long = 7L)
       : (DataFrame, DataFrame) = {
+    // rating as tie-break: after dedupExact, equal (item,user,time) rows
+    // differ in rating, so the survivor is deterministic (Prep.dedupKeepLast
+    // requires a total order for that)
     val deduped = Prep.dedupKeepLast(
       Prep.dedupExact(ratings),
       keys = Seq("item", "user"),
-      orderBy = Seq(col("time")))
+      orderBy = Seq(col("time"), col("rating")))
     // `time` is dropped after dedup in the reference; kept logically
     // equivalent here (Catalyst prunes it wherever unused)
     val cleaned = Prep.dropColumns(deduped, "time")

@@ -46,19 +46,26 @@ object AlsRecommender {
       Evaluator.evaluate(predict(test), "rating", "prediction")
 
     /** Top-N serving (SURVEY §2.7: described in the reference's paper,
-      * never implemented there — `recommendForAllUsers` makes it a
-      * blocked distributed cross-score, then ids decode back to natural
-      * keys via the dimension tables).
+      * never implemented there). Ranks by the model's FULL per-item
+      * score `dot(P,Q) + i_bias` — MLlib's own `recommendForAllUsers`
+      * ranks by the residual dot alone, which contradicts `predict`'s
+      * semantics once item biases exist (mean and u_bias are constant
+      * per user and cannot change the order). Item state broadcasts
+      * (catalogs are the small side); rank-n filter benefits from
+      * WindowGroupLimit pushdown. For huge catalogs, shortlist with
+      * [[graft.similarity.Ann]] over the augmented vectors
+      * `[Q, i_bias] · [P, 1]` first.
       */
     def recommendForAllUsers(n: Int): DataFrame = {
-      val recs = mlModel.recommendForAllUsers(n)
-        .select(col("u_id"),
-          posexplode(col("recommendations")).as(Seq("rank", "rec")))
-        .select(col("u_id"), col("rec.i_id").as("i_id"),
-          (col("rank") + 1).as("rank"))
-      recs.join(broadcast(userDim), "u_id")
-        .join(broadcast(itemDim), "i_id")
-        .select("user", "item", "rank")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user"))
+        .orderBy(col("score").desc, col("item"))
+      userState.crossJoin(broadcast(itemState))
+        .withColumn("score",
+          Serving.dot(col("u_factors"), col("i_factors")) + col("i_bias"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= n)
+        .select(col("user"), col("item"), col("rank"))
     }
   }
 

@@ -26,6 +26,19 @@ object Ann {
 
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Replace column `v` with its L2-normalized form (zero vectors pass
+    * through). The norm is staged as its own projection so the
+    * per-element division sees an attribute (see the HOF performance
+    * invariant in graft.dedup.Dedup).
+    */
+  private def normalized(df: DataFrame): DataFrame =
+    df.withColumn("__nrm",
+      sqrt(graft.functions.VectorExpressions.dot(col("v"), col("v"))))
+      .withColumn("v",
+        when(col("__nrm") > 0, transform(col("v"), x => x / col("__nrm")))
+          .otherwise(col("v")))
+      .drop("__nrm")
+
   /** Exact cosine top-k for each query vector. Output:
     * (query_id, neighbor_id, rank, cos_sim) with rank 1..k.
     */
@@ -137,7 +150,13 @@ object Ann {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+    // L2-normalize before the quantizer: KMeans assigns by EUCLIDEAN
+    // distance while probing/ranking use cosine — on unit vectors the
+    // two orders agree (|a-b|² = 2-2cos), so a query probes the same
+    // list its exact neighbors were assigned to. Cosine is
+    // scale-invariant, so scores are unchanged.
+    val c = normalized(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("v")))
       .withColumn("fv", array_to_vector(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainSet =
@@ -158,7 +177,9 @@ object Ann {
 
     // each query probes its nprobe nearest centroids (tiny cross join:
     // |queries| × nlist)
-    val q = queries.select(col(qIdCol).as("query_id"), asDouble(col(qVecCol)).as("qv"))
+    val q = normalized(queries.select(col(qIdCol).as("query_id"),
+      asDouble(col(qVecCol)).as("v")))
+      .withColumnRenamed("v", "qv")
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("c_dist").asc, col("list_id"))
     val probed = q.crossJoin(broadcast(centroids))

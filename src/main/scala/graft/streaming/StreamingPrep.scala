@@ -46,10 +46,14 @@ object StreamingPrep {
 
   /** Streaming keyed dedup (the streaming analog of the reference's
     * keep-one-per-(item,user), `run_als.py:10`): first arrival per key
-    * wins; watermark bounds the dedup state.
+    * wins. Uses dropDuplicatesWithinWatermark — plain dropDuplicates on
+    * keys that exclude the event-time column never evicts its state, so
+    * only the within-watermark variant keeps state bounded on an
+    * unbounded source.
     */
   def dedupByKey(stream: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
-    stream.withWatermark("ts", watermark).dropDuplicates(keys)
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Tumbling-window aggregation per event_type. */
   def windowedAgg(stream: DataFrame, watermark: String, windowLen: String): DataFrame =

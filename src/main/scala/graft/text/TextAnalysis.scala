@@ -24,7 +24,9 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text)
+    when(length(text) === 0, lit(0.0)) // ANSI divide-by-zero guard
+      .otherwise(
+        length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text))
 
   val enStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
