@@ -22,6 +22,27 @@ import graft.text.TextAnalysis
   */
 object SparkEntry {
 
+  /** Order-independent float aggregation. Double addition is not
+    * associative, so `round(sum(doubleCol))` depends on partial-agg
+    * order — nondeterministic run-to-run under shuffle, which the
+    * driver's exact hash compare catches as a spurious mismatch (it
+    * did once, in round 1, on the streaming windowed sum). Fixed-point
+    * is the fix: `floor(x·10⁶)` is the identical IEEE multiply+floor
+    * in Spark and DuckDB, and integer sums are exact and associative.
+    * Accumulating the scaled longs as DECIMAL(38,0) keeps the sum
+    * overflow-safe at any row count (100 TB posture), with no decimal
+    * rounding involved anywhere (double→decimal CASTs are NOT safe:
+    * Spark rounds the shortest string repr HALF_UP, DuckDB truncates).
+    */
+  private val FpScale = 1e6
+  private def fsum(c: Column): Column =
+    sum(floor(c * lit(FpScale)).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast("double") / lit(FpScale)
+  private def favg(c: Column): Column = fsum(c) / count(lit(1))
+  private def fsumSql(x: String): String =
+    s"CAST(sum(CAST(floor(($x) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"
+  private def favgSql(x: String): String = s"${fsumSql(x)} / count(*)"
+
   /** Ratings relation (user,item,rating,time) + unique event_id for
     * deterministic tie-breaks; see Tables.ratingsFromEvents.
     */
@@ -79,7 +100,7 @@ object SparkEntry {
       countDistinct(col("item")).as("n_items"),
       min(col("rating")).as("min_rating"),
       max(col("rating")).as("max_rating"),
-      round(avg(col("rating")), 6).as("mean_rating"))
+      favg(col("rating")).as("mean_rating"))
 
   private def q08(s: SparkSession, dir: String): DataFrame = {
     val r = ratings(s, dir)
@@ -130,17 +151,17 @@ object SparkEntry {
       .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        fsum(col("l_quantity")).as("sum_qty"),
+        fsum(col("l_extendedprice")).as("sum_price"),
+        fsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        favg(col("l_quantity")).as("avg_qty"),
+        favg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   private def q11(s: SparkSession, dir: String): DataFrame = {
     val r = ratings(s, dir)
     r.groupBy(col("user"))
-      .agg(round(sum(col("rating")), 2).as("sum_rating"),
+      .agg(fsum(col("rating")).as("sum_rating"),
         count(lit(1)).as("n"),
         countDistinct(col("item")).as("n_items"))
   }
@@ -148,7 +169,7 @@ object SparkEntry {
   private def q12(s: SparkSession, dir: String): DataFrame = {
     val r = ratings(s, dir)
     r.groupBy(col("item"))
-      .agg(round(sum(col("rating")), 2).as("sum_rating"),
+      .agg(fsum(col("rating")).as("sum_rating"),
         count(lit(1)).as("n"))
   }
 
@@ -157,7 +178,7 @@ object SparkEntry {
       .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        fsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_lines"))
 
   private def q14(s: SparkSession, dir: String): DataFrame = {
@@ -171,7 +192,7 @@ object SparkEntry {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(fsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
   private def q15(s: SparkSession, dir: String): DataFrame =
@@ -199,7 +220,10 @@ object SparkEntry {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
-      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .withColumn("running_value",
+        sum(floor(col("value") * lit(FpScale))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(w)
+          .cast("double") / lit(FpScale))
       .select(col("event_id"), col("user_id"), col("running_value"))
   }
 
@@ -211,13 +235,13 @@ object SparkEntry {
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .agg(count(lit(1)).as("n_cust"), fsum(col("c_acctbal")).as("sum_bal"))
 
   /** CUBE over order status × priority. */
   private def q29(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n"), fsum(col("o_totalprice")).as("sum_price"))
 
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -267,13 +291,15 @@ object SparkEntry {
     */
   private def q25(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = Prep.modSplit(ratings(s, dir), col("event_id"), 10, 7)
+    // favg (not avg): meanR feeds every downstream prediction, so it
+    // must be bitwise-reproducible across runs and engines.
     val st = train.agg(
-      avg(col("rating")).as("mean_r"),
+      favg(col("rating")).as("mean_r"),
       min(col("rating")).as("min_r"),
       max(col("rating")).as("max_r")).head()
     val (meanR, minR, maxR) = (st.getDouble(0), st.getDouble(1), st.getDouble(2))
-    val ub = train.groupBy("user").agg(avg(col("rating") - meanR).as("u_bias"))
-    val ib = train.groupBy("item").agg(avg(col("rating") - meanR).as("i_bias"))
+    val ub = train.groupBy("user").agg(favg(col("rating") - meanR).as("u_bias"))
+    val ib = train.groupBy("item").agg(favg(col("rating") - meanR).as("i_bias"))
     val known = col("u_bias").isNotNull && col("i_bias").isNotNull
     val score = lit(meanR) + col("u_bias") + col("i_bias")
     val pred = test
@@ -283,9 +309,9 @@ object SparkEntry {
         when(known, Serving.clip(score, minR, maxR)).otherwise(lit(meanR)))
     val err = col("prediction") - col("rating")
     pred.agg(
-      round(avg(abs(err)), 6).as("mae"),
-      round(avg(err * err), 6).as("mse"),
-      round(sqrt(avg(err * err)), 6).as("rmse"))
+      favg(abs(err)).as("mae"),
+      favg(err * err).as("mse"),
+      sqrt(favg(err * err)).as("rmse"))
   }
 
   // --------------------------------------------------------- q3x recommenders
@@ -661,7 +687,7 @@ object SparkEntry {
          |       count(DISTINCT item) AS n_items,
          |       min(rating) AS min_rating,
          |       max(rating) AS max_rating,
-         |       round(avg(rating), 6) AS mean_rating
+         |       ${favgSql("rating")} AS mean_rating
          |FROM ratings""".stripMargin,
     "q08_json_extract" ->
       """SELECT event_id,
@@ -674,35 +700,35 @@ object SparkEntry {
       s"""$ratingsCte
          |SELECT "user", item, rating, "time" FROM ratings""".stripMargin,
     "q10_tpch_q1" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_quantity), 6) AS avg_qty,
-        |       round(avg(l_discount), 6) AS avg_disc,
-        |       count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate < TIMESTAMP '1998-09-01'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${fsumSql("l_quantity")} AS sum_qty,
+         |       ${fsumSql("l_extendedprice")} AS sum_price,
+         |       ${fsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |       ${favgSql("l_quantity")} AS avg_qty,
+         |       ${favgSql("l_discount")} AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q11_user_agg" ->
       s"""$ratingsCte
-         |SELECT "user", round(sum(rating), 2) AS sum_rating,
+         |SELECT "user", ${fsumSql("rating")} AS sum_rating,
          |       count(*) AS n, count(DISTINCT item) AS n_items
          |FROM ratings GROUP BY "user"""".stripMargin,
     "q12_item_agg" ->
       s"""$ratingsCte
-         |SELECT item, round(sum(rating), 2) AS sum_rating, count(*) AS n
+         |SELECT item, ${fsumSql("rating")} AS sum_rating, count(*) AS n
          |FROM ratings GROUP BY item""".stripMargin,
     "q13_join_broadcast" ->
-      """SELECT p_brand,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |       count(*) AS n_lines
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand""".stripMargin,
+      s"""SELECT p_brand,
+         |       ${fsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |       count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
     "q14_join_multiway" ->
-      """SELECT r_name, n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
+      s"""SELECT r_name, n_name,
+         |       ${fsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -724,9 +750,9 @@ object SparkEntry {
         |  FROM orders) WHERE rk <= 3""".stripMargin,
     "q18_window_running" ->
       """SELECT event_id, user_id,
-        |       round(sum(value) OVER (
+        |       CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) OVER (
         |         PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6
         |         AS running_value
         |FROM events""".stripMargin,
     "q19_global_topk" ->
@@ -755,16 +781,16 @@ object SparkEntry {
         |       CAST(l_quantity AS INT) AS qty_int
         |FROM lineitem""".stripMargin,
     "q28_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_cust,
-        |       round(sum(c_acctbal), 2) AS sum_bal
-        |FROM customer
+      s"""SELECT r_name, n_name, count(*) AS n_cust,
+         |       ${fsumSql("c_acctbal")} AS sum_bal
+         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "q29_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |       round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |       ${fsumSql("o_totalprice")} AS sum_price
+         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q40_text_profile" ->
       """WITH t AS (
@@ -854,9 +880,10 @@ object SparkEntry {
     "q49_item_item_sim" ->
       s"""$ratingsCte,
          |r AS (SELECT "user", item, rating FROM ratings),
-         |norms AS (SELECT item, sum(rating * rating) AS norm_sq FROM r GROUP BY item),
+         |norms AS (SELECT item, ${fsumSql("rating * rating")} AS norm_sq FROM r GROUP BY item),
          |pairs AS (
-         |  SELECT l.item AS item_a, r2.item AS item_b, sum(l.rating * r2.rating) AS dot
+         |  SELECT l.item AS item_a, r2.item AS item_b,
+         |         ${fsumSql("l.rating * r2.rating")} AS dot
          |  FROM r l JOIN r r2 ON l."user" = r2."user" AND l.item < r2.item
          |  GROUP BY 1, 2),
          |sym AS (SELECT item_a, item_b, dot FROM pairs
@@ -895,9 +922,9 @@ object SparkEntry {
         |FROM m CROSS JOIN (SELECT unnest(range(4)) AS frame_no) f
         |WHERE fl > 0""".stripMargin,
     "q55_stream_window_agg" ->
-      """SELECT epoch(date_trunc('hour', ts)) AS window_start, event_type,
-        |       count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+      s"""SELECT epoch(date_trunc('hour', ts)) AS window_start, event_type,
+         |       count(*) AS n, ${fsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
     "q56_stream_dedup" ->
       s"""$ratingsCte
          |SELECT DISTINCT "user", item FROM ratings""".stripMargin,
@@ -916,13 +943,13 @@ object SparkEntry {
       s"""$ratingsCte,
          |train AS (SELECT * FROM ratings WHERE event_id % 10 < 7),
          |test  AS (SELECT * FROM ratings WHERE event_id % 10 >= 7),
-         |stats AS (SELECT avg(rating) AS mean_r, min(rating) AS min_r,
+         |stats AS (SELECT ${favgSql("rating")} AS mean_r, min(rating) AS min_r,
          |                 max(rating) AS max_r FROM train),
          |ub AS (SELECT "user",
-         |              avg(rating - (SELECT mean_r FROM stats)) AS u_bias
+         |              ${favgSql("rating - (SELECT mean_r FROM stats)")} AS u_bias
          |       FROM train GROUP BY "user"),
          |ib AS (SELECT item,
-         |              avg(rating - (SELECT mean_r FROM stats)) AS i_bias
+         |              ${favgSql("rating - (SELECT mean_r FROM stats)")} AS i_bias
          |       FROM train GROUP BY item),
          |pred AS (
          |  SELECT t.rating,
@@ -933,8 +960,8 @@ object SparkEntry {
          |  FROM test t CROSS JOIN stats s
          |  LEFT JOIN ub ON t."user" = ub."user"
          |  LEFT JOIN ib ON t.item = ib.item)
-         |SELECT round(avg(abs(prediction - rating)), 6) AS mae,
-         |       round(avg((prediction - rating) * (prediction - rating)), 6) AS mse,
-         |       round(sqrt(avg((prediction - rating) * (prediction - rating))), 6) AS rmse
+         |SELECT ${favgSql("abs(prediction - rating)")} AS mae,
+         |       ${favgSql("(prediction - rating) * (prediction - rating)")} AS mse,
+         |       sqrt(${favgSql("(prediction - rating) * (prediction - rating)")}) AS rmse
          |FROM pred""".stripMargin)
 }

@@ -220,12 +220,19 @@ object Ann {
     // persisted: feeds the self-join (both sides) and the norms agg
     val r = capped.select(col("user"), col("item"), col("rating"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Fixed-point (floor·10⁶ → exact integer sum) dot products and
+    // norms: double sums are order-dependent under shuffle, so scores
+    // (and hence top-k ranks near ties) would vary run-to-run; this
+    // keeps them bitwise-reproducible at any parallelism.
+    def fsum(c: Column): Column =
+      sum(floor(c * lit(1e6)).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double") / lit(1e6)
     val norms = r.groupBy("item")
-      .agg(sum(col("rating") * col("rating")).as("norm_sq"))
+      .agg(fsum(col("rating") * col("rating")).as("norm_sq"))
     val pairs = r.as("l").join(r.as("r"),
       col("l.user") === col("r.user") && col("l.item") < col("r.item"))
       .groupBy(col("l.item").as("item_a"), col("r.item").as("item_b"))
-      .agg(sum(col("l.rating") * col("r.rating")).as("dot"))
+      .agg(fsum(col("l.rating") * col("r.rating")).as("dot"))
     val sym = pairs.unionAll(pairs.select(col("item_b").as("item_a"),
       col("item_a").as("item_b"), col("dot")))
     val w = Window.partitionBy(col("item_a"))

@@ -55,11 +55,20 @@ object StreamingPrep {
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
-  /** Tumbling-window aggregation per event_type. */
+  /** Tumbling-window aggregation per event_type. The sum is fixed-point
+    * (floor(value·10⁶) summed as DECIMAL(38,0), rescaled): double
+    * addition is order-dependent, and micro-batch boundaries make the
+    * accumulation order of a streaming sum even less reproducible than
+    * a batch shuffle's — this was the one driver-gate hash mismatch of
+    * round 1. Exact integer accumulation is deterministic at any
+    * parallelism/batching and can't overflow.
+    */
   def windowedAgg(stream: DataFrame, watermark: String, windowLen: String): DataFrame =
     stream.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * lit(1e6)).cast(DecimalType(38, 0)))
+          .cast("double") / lit(1e6)).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 

@@ -17,7 +17,10 @@ class StreamingPrepSpec extends SparkSpec {
     val batch = graft.io.Tables.events(spark, dir)
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("window_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * lit(1e6))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(1e6)).as("sum_value"))
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)

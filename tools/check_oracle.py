@@ -6,8 +6,9 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Expects <verifyOutDir> to contain <name>/ parquet dirs written by
 graft.Verify plus oracle_sql.json. Registers every parquet table of
 <sfDir> as a DuckDB view, runs each oracle, canonicalizes both sides
-(columns sorted by name, rows sorted, floats rounded to 9 sig places)
-and reports per-query match.
+(columns sorted by name, rows sorted) and compares EXACTLY — the
+driver's gate hashes raw values, so a 1-ulp float difference fails
+there; this replica must be at least as strict.
 """
 import sys, os, json, glob
 import duckdb
@@ -55,7 +56,7 @@ def main():
             continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
-                                          check_exact=False, rtol=0, atol=1e-9)
+                                          check_exact=True)
             print(f"PASS  {name} ({len(a)} rows)")
             n_pass += 1
         except AssertionError as e:
