@@ -16,9 +16,12 @@ import graft.encode.{Encoding, RatingStats}
   * which is why its distributed runs OOM'd (`report.pdf` §7.1.2). Here
   * the error is a *relation* on observed cells only (the inner join IS
   * the mask, SURVEY §1.3) and every update is join + groupBy +
-  * vector-sum — O(nnz·k) work, shuffle volume bounded by
-  * (n_users + n_items)·k per epoch thanks to map-side partial
-  * aggregation. This formulation scales to any nnz that fits a cluster.
+  * scaled-vector-sum — O(nnz·k) work. Factor states broadcast when
+  * they fit (exact size known from the stats pass), so the epoch loop
+  * shuffles only post-combine gradient vectors, (n_users + n_items)·k
+  * per epoch — never fact-sized rows; oversized dims degrade to
+  * shuffle joins. This formulation scales to any nnz that fits a
+  * cluster.
   *
   * Semantics traps preserved (SURVEY §7.1):
   *  1. the bias regularizer sums over the FULL dimension (reference
@@ -33,7 +36,6 @@ import graft.encode.{Encoding, RatingStats}
   *     (`models/als.py:160-174`).
   */
 object GdMf {
-  import VectorSum.vecSum
 
   final case class Config(
       nFactors: Int,
@@ -48,7 +50,14 @@ object GdMf {
       // the epoch plan (nested joins + lambda-bearing aggregates) grows
       // superlinearly with depth, so letting plans grow even 5 epochs
       // deep costs far more driver time than the 2 cut jobs save.
-      checkpointInterval: Int = 1)
+      checkpointInterval: Int = 1,
+      // Factor-state joins broadcast when the estimated state size
+      // (ids × (16 + 8k) bytes) fits under this cap, which removes every
+      // fact-sized shuffle from the epoch loop. Above the cap (dims too
+      // big for executor memory — the regime where MLlib ALS's block
+      // formulation is the right tool anyway) the joins fall back to
+      // shuffle hash/sort-merge automatically.
+      autoBroadcastDimBytes: Long = 64L << 20)
 
   /** Trained model: distributed per-id state, driver-side scalars, and
     * the optional per-epoch training-error history (reference
@@ -122,14 +131,28 @@ object GdMf {
       .withColumn("i_bias", lit(0.0))
       .localCheckpoint(true)
 
-    // err(u_id, i_id, e) + both factor vectors, observed cells only.
+    // Broadcast factor states when they fit (size known exactly from
+    // the stats pass — no reliance on planner estimates, which are
+    // unavailable for localCheckpoint'd frames): the epoch loop then
+    // never shuffles fact-sized data for its joins, only the tiny
+    // post-combine gradient vectors.
+    def stateBytes(ids: Long): Long = ids * (16L + 8L * cfg.nFactors)
+    val bcastU = stateBytes(stats.nUsers) <= cfg.autoBroadcastDimBytes
+    val bcastI = stateBytes(stats.nItems) <= cfg.autoBroadcastDimBytes
+    def bu(df: DataFrame): DataFrame = if (bcastU) broadcast(df) else df
+    def bi(df: DataFrame): DataFrame = if (bcastI) broadcast(df) else df
+
+    // err(u_id, i_id, e) on observed cells only — NARROW: the factor
+    // vectors are re-joined where a consumer needs them, so the
+    // per-epoch cache/shuffle rows are 24 bytes, not 2·k doubles wide.
     def errRel(u: DataFrame, i: DataFrame): DataFrame =
       facts
-        .join(u.select("u_id", "u_factors", "u_bias"), "u_id")
-        .join(i.select("i_id", "i_factors", "i_bias"), "i_id")
+        .join(bu(u.select("u_id", "u_factors", "u_bias")), "u_id")
+        .join(bi(i.select("i_id", "i_factors", "i_bias")), "i_id")
         .withColumn("e",
           col("rating") - (lit(stats.meanRating) + col("u_bias") +
             col("i_bias") + Serving.dot(col("u_factors"), col("i_factors"))))
+        .select("u_id", "i_id", "e")
 
     def metricsOf(err: DataFrame): Metrics = {
       val r = err.agg(
@@ -140,16 +163,21 @@ object GdMf {
       Metrics(mae, mse, math.sqrt(mse))
     }
 
-    // Σᵢ e·Qᵢ and Σᵢ e per user (vector-sum UDAF; map-side combine).
-    def userGrad(err: DataFrame): DataFrame =
-      err.withColumn("eq", transform(col("i_factors"), q => q * col("e")))
+    // Σᵢ e·Qᵢ and Σᵢ e per user (scaled-vector-sum UDAF: compiled
+    // multiply-accumulate, map-side combine — one k-vector per
+    // (partition, id) crosses the wire).
+    import ScaledVectorSum.scaledVecSum
+    def userGrad(err: DataFrame, i: DataFrame): DataFrame =
+      err.join(bi(i.select("i_id", "i_factors")), "i_id")
         .groupBy("u_id")
-        .agg(vecSum(col("eq")).as("fgrad"), sum(col("e")).as("esum"))
+        .agg(scaledVecSum(col("i_factors"), col("e")).as("fgrad"),
+          sum(col("e")).as("esum"))
 
-    def itemGrad(err: DataFrame): DataFrame =
-      err.withColumn("ep", transform(col("u_factors"), p => p * col("e")))
+    def itemGrad(err: DataFrame, u: DataFrame): DataFrame =
+      err.join(bu(u.select("u_id", "u_factors")), "u_id")
         .groupBy("i_id")
-        .agg(vecSum(col("ep")).as("fgrad"), sum(col("e")).as("esum"))
+        .agg(scaledVecSum(col("u_factors"), col("e")).as("fgrad"),
+          sum(col("e")).as("esum"))
 
     def updated(state: DataFrame, grad: DataFrame, idCol: String,
         factorsCol: String, biasCol: String, dimSize: Long): DataFrame =
@@ -199,10 +227,10 @@ object GdMf {
       for (epoch <- 0 until cfg.epochs) {
         if (cfg.collectErrors) history += ((epoch, metricsOf(err)))
         val newU =
-          updated(uState, userGrad(err), "u_id", "u_factors", "u_bias", stats.nItems)
+          updated(uState, userGrad(err, iState), "u_id", "u_factors", "u_bias", stats.nItems)
         val err1 = persistErr(errRel(newU, iState))
         val newI =
-          updated(iState, itemGrad(err1), "i_id", "i_factors", "i_bias", stats.nUsers)
+          updated(iState, itemGrad(err1, newU), "i_id", "i_factors", "i_bias", stats.nUsers)
         val (cu, ci) = maybeCheckpoint(epoch, newU, newI)
         uState = cu
         iState = ci
@@ -217,15 +245,11 @@ object GdMf {
         val err = persistErr(errRel(uState, iState))
         if (cfg.collectErrors) history += ((epoch, metricsOf(err)))
         val newU =
-          updated(uState, userGrad(err), "u_id", "u_factors", "u_bias", stats.nItems)
-        // item grad joins the epoch error against the NEW user factors
-        val gradI = err.select("u_id", "i_id", "e")
-          .join(newU.select("u_id", "u_factors"), "u_id")
-          .withColumn("ep", transform(col("u_factors"), p => p * col("e")))
-          .groupBy("i_id")
-          .agg(vecSum(col("ep")).as("fgrad"), sum(col("e")).as("esum"))
+          updated(uState, userGrad(err, iState), "u_id", "u_factors", "u_bias", stats.nItems)
+        // trap 2: item grad joins the epoch error against the NEW user
+        // factors
         val newI =
-          updated(iState, gradI, "i_id", "i_factors", "i_bias", stats.nUsers)
+          updated(iState, itemGrad(err, newU), "i_id", "i_factors", "i_bias", stats.nUsers)
         val (cu, ci) = maybeCheckpoint(epoch, newU, newI)
         uState = cu
         iState = ci

@@ -47,6 +47,59 @@ object VectorSum {
   def vecSum(c: Column): Column = fn(c)
 }
 
+/** Σᵢ sᵢ·vᵢ — scaled elementwise vector sum. Fuses the scalar multiply
+  * into the aggregation loop: the alternative (`transform(vec, x =>
+  * x * s)` then [[VectorSum]]) routes every rating row through an
+  * INTERPRETED higher-order function and allocates a k-array per row
+  * (the measured HOF trap); here the multiply-accumulate runs as one
+  * compiled JVM loop with map-side partial combine. This is the
+  * gradient kernel Σ e·Q per id (reference `models/funk_svd.py:166-167`
+  * `error @ i_factors`).
+  */
+class ScaledVectorSum
+    extends Aggregator[(Array[Double], Double), Array[Double], Array[Double]] {
+
+  override def zero: Array[Double] = Array.emptyDoubleArray
+
+  override def reduce(buf: Array[Double], in: (Array[Double], Double)): Array[Double] = {
+    val (v, s) = in
+    if (v == null) buf
+    else if (buf.isEmpty) {
+      val out = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = v(i) * s; i += 1 }
+      out
+    } else {
+      var i = 0
+      while (i < buf.length) { buf(i) += v(i) * s; i += 1 }
+      buf
+    }
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (b.isEmpty) a
+    else if (a.isEmpty) b
+    else {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def finish(r: Array[Double]): Array[Double] = r
+
+  private def enc[T: TypeTag]: Encoder[T] = ExpressionEncoder[T]()
+  override def bufferEncoder: Encoder[Array[Double]] = enc[Array[Double]]
+  override def outputEncoder: Encoder[Array[Double]] = enc[Array[Double]]
+}
+
+object ScaledVectorSum {
+  private lazy val fn =
+    udaf(new ScaledVectorSum, ExpressionEncoder[(Array[Double], Double)]())
+
+  /** `scaled_vec_sum(vec, s)` = Σ rows s·vec, elementwise. */
+  def scaledVecSum(vec: Column, s: Column): Column = fn(vec, s)
+}
+
 /** Elementwise long-vector reduce (min or sum) — same partial-combine
   * shape as [[VectorSum]]; powers MinHash signatures (elementwise min
   * over per-shingle permutation arrays) and SimHash bit sums.
