@@ -243,6 +243,40 @@ object SparkEntry {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), fsum(col("o_totalprice")).as("sum_price"))
 
+  /** Co-bucketed shuffle-free join (SCALE.md "Joins"): both sides are
+    * written bucketed+sorted by the join key once, then the sort-merge
+    * join reads co-bucketed files with NO exchange on either side
+    * (asserted in BucketingSpec) — the pre-pay-the-shuffle pattern for
+    * recurring fact-fact joins at scale.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    graft.io.Bucketing.writeBucketed(
+      Tables.orders(s, dir), "graft_orders_bkt", "o_custkey", 8)
+    graft.io.Bucketing.writeBucketed(
+      Tables.customer(s, dir), "graft_customer_bkt", "c_custkey", 8)
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), fsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** As-of join (graft.joins.AsofJoin): each error event enriched with
+    * the user's most recent purchase at-or-before the error. The right
+    * side is pre-aggregated to one row per (user, time) so the match is
+    * deterministic; oracle is DuckDB's native ASOF JOIN.
+    */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("pt"))
+      .agg(max(col("event_id")).as("p_id"))
+    graft.joins.AsofJoin.asOf(errors, purchases,
+      Seq("user_id"), "t", "pt", Seq("p_id"))
+      .select("event_id", "user_id", "t", "p_id")
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -501,6 +535,15 @@ object SparkEntry {
   private def q49(s: SparkSession, dir: String): DataFrame =
     Ann.itemItemTopK(ratings(s, dir), k = 5)
 
+  /** Overlapping audio analysis windows (window 256 B, hop 128 B ⇒ 50%
+    * overlap) over the binary audio payloads.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioWindows(
+      Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text"),
+      windowBytes = 256, hopBytes = 128)
+      .select("media_id", "win_no", "offset", "win_len")
+
   /** Frame sampling over binary media payloads. */
   private def q51(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -623,6 +666,9 @@ object SparkEntry {
     "q27_random_split" -> (q27 _),
     "q28_rollup" -> (q28 _),
     "q29_cube" -> (q29 _),
+    "q37_bucketed_join" -> (q37 _),
+    "q38_asof_join" -> (q38 _),
+    "q59_audio_windows" -> (q59 _),
     "q30_mllib_als_eval" -> (q30 _),
     "q31_topn_recommend" -> (q31 _),
     "q32_funk_svd_train" -> (q32 _),
@@ -792,6 +838,32 @@ object SparkEntry {
          |       ${fsumSql("o_totalprice")} AS sum_price
          |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q37_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |       ${fsumSql("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+    "q38_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'error'),
+        |     r AS (SELECT user_id, epoch_us(ts) AS pt,
+        |                  max(event_id) AS p_id
+        |           FROM events WHERE event_type = 'purchase'
+        |           GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.t, r.p_id
+        |FROM l ASOF JOIN r
+        |ON l.user_id = r.user_id AND l.t >= r.pt""".stripMargin,
+    "q59_audio_windows" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (
+        |  SELECT media_id, len,
+        |         unnest(range((len + 127) // 128)) AS win_no
+        |  FROM m WHERE len > 0)
+        |SELECT media_id, win_no, win_no * 128 AS "offset",
+        |       least(256, len - win_no * 128) AS win_len
+        |FROM w""".stripMargin,
     "q40_text_profile" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -104,6 +104,28 @@ object Multimodal {
     }.toDF("media_id", "kind", "features")
   }
 
+  /** Overlapping analysis windows over audio payloads (hop < window ⇒
+    * overlap — the STFT framing shape). Windows start at offsets
+    * 0, hop, 2·hop, … while offset < payload length; the final window
+    * may be partial (`win_len = min(window, L - offset)`). Pure
+    * expression, partition-parallel, no shuffle.
+    */
+  def audioWindows(media: DataFrame, windowBytes: Int, hopBytes: Int): DataFrame = {
+    require(windowBytes > 0 && hopBytes > 0, "window and hop must be positive")
+    val L = length(col("bytes"))
+    // ceil(L / hop) as exact integer math (values ≪ 2^53, so the
+    // double division is exact enough for floor to be correct)
+    val nWins = floor((L + lit(hopBytes - 1)) / lit(hopBytes)).cast("int")
+    media.filter(col("kind") === "audio")
+      .filter(L > 0)
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), nWins - 1),
+          i => col("bytes").substr(i * hopBytes + lit(1), lit(windowBytes))))
+          .as(Seq("win_no", "win_bytes")))
+      .withColumn("offset", col("win_no") * hopBytes)
+      .withColumn("win_len", length(col("win_bytes")))
+  }
+
   /** Frame sampling: split the payload into `n` evenly-sized binary
     * frames (video keyframe extraction shape). Pure expression.
     */

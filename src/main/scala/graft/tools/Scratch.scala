@@ -1,9 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import graft.dedup.Dedup
 
 /** Ad-hoc timing harness for operator stages (not part of the contract). */
 object Scratch {
@@ -15,29 +14,32 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-    val docs = d.unionAll(d.select(col("doc_id") + 100000,
-      concat(col("text"), lit(" near duplicate suffix marker"))))
-      .repartition(32)
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
     }
 
-    import graft.recommender.GdMf
-    val r = graft.io.Tables.ratingsFromEvents(spark, dir)
-    def fit(ep: Int, collect: Boolean) = {
-      val t0 = System.nanoTime()
-      GdMf.fit(r, GdMf.Config(nFactors = 30, epochs = ep, collectErrors = collect))
-      (System.nanoTime() - t0) / 1e9
+    def ratings = graft.io.Tables.ratingsFromEvents(spark, dir)
+      .withColumn("event_id", monotonically_increasing_id()) // stand-in
+
+    def q03(r: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("user", "item")
+        .orderBy(col("time").desc, col("event_id").desc)
+      r.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     }
-    val w = fit(1, false) // warm
-    val e1 = fit(1, false)
-    val e5 = fit(5, false)
-    val e5c = fit(5, true)
-    println(f"warm=$w%.1f fit(1)=$e1%.1f fit(5)=$e5%.1f fit(5,collect)=$e5c%.1f marginal/epoch=${(e5 - e1) / 4}%.2f collectCost/epoch=${(e5c - e5) / 5}%.2f")
+
+    // warm
+    time("warm scan")(graft.io.Tables.events(spark, dir).count())
+    time("warm q03")(q03(ratings).count())
+
+    time("scan only")(graft.io.Tables.events(spark, dir).count())
+    time("scan+parse (forced)")(
+      ratings.agg(sum(crc32(col("item")))).count())
+    time("q03 as-is")(q03(ratings).count())
+    val pre = ratings.repartition(32)
+    time("q03 pre-repartitioned")(q03(pre).count())
     spark.stop()
   }
 }
