@@ -32,16 +32,23 @@ object SparkEntry {
     * Accumulating the scaled longs as DECIMAL(38,0) keeps the sum
     * overflow-safe at any row count (100 TB posture), with no decimal
     * rounding involved anywhere (double→decimal CASTs are NOT safe:
-    * Spark rounds the shortest string repr HALF_UP, DuckDB truncates).
+    * Spark rounds the shortest string repr HALF_UP, DuckDB truncates;
+    * the same shortest-repr trap rules out `round()`, which is why we
+    * accept floor's downward bias of ≤ n·1e-6 per aggregate — the
+    * contract here is engine/oracle self-consistency at 1e-6 tolerance,
+    * not agreement with an infinitely-precise sum).
     */
   private val FpScale = 1e6
   private def fsum(c: Column): Column =
     sum(floor(c * lit(FpScale)).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
       .cast("double") / lit(FpScale)
-  private def favg(c: Column): Column = fsum(c) / count(lit(1))
+  /** SQL-AVG semantics: denominator is the NON-NULL count of `c`
+    * (matches `favgSql`'s `count(x)`); null-only groups yield null.
+    */
+  private def favg(c: Column): Column = fsum(c) / count(c)
   private def fsumSql(x: String): String =
     s"CAST(sum(CAST(floor(($x) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6"
-  private def favgSql(x: String): String = s"${fsumSql(x)} / count(*)"
+  private def favgSql(x: String): String = s"${fsumSql(x)} / count($x)"
 
   /** Ratings relation (user,item,rating,time) + unique event_id for
     * deterministic tie-breaks; see Tables.ratingsFromEvents.
@@ -250,12 +257,17 @@ object SparkEntry {
     * recurring fact-fact joins at scale.
     */
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    graft.io.Bucketing.writeBucketed(
-      Tables.orders(s, dir), "graft_orders_bkt", "o_custkey", 8)
-    graft.io.Bucketing.writeBucketed(
-      Tables.customer(s, dir), "graft_customer_bkt", "c_custkey", 8)
-    s.table("graft_orders_bkt")
-      .join(s.table("graft_customer_bkt"), col("o_custkey") === col("c_custkey"))
+    // Table names are scoped to the source dir and created-if-absent so
+    // a query run is side-effect-free after the first materialization
+    // (no overwrite race between concurrent runs in one session).
+    val scope = math.abs(dir.hashCode).toString
+    val (ordersT, custT) = (s"graft_orders_bkt_$scope", s"graft_customer_bkt_$scope")
+    graft.io.Bucketing.ensureBucketed(
+      Tables.orders(s, dir), ordersT, "o_custkey", 8)
+    graft.io.Bucketing.ensureBucketed(
+      Tables.customer(s, dir), custT, "c_custkey", 8)
+    s.table(ordersT)
+      .join(s.table(custT), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), fsum(col("o_totalprice")).as("sum_price"))
   }
@@ -994,7 +1006,7 @@ object SparkEntry {
         |FROM m CROSS JOIN (SELECT unnest(range(4)) AS frame_no) f
         |WHERE fl > 0""".stripMargin,
     "q55_stream_window_agg" ->
-      s"""SELECT epoch(date_trunc('hour', ts)) AS window_start, event_type,
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
          |       count(*) AS n, ${fsumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
     "q56_stream_dedup" ->

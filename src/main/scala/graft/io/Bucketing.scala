@@ -20,4 +20,13 @@ object Bucketing {
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(table)
+
+  /** Create-if-absent variant: reuse an already-materialized bucketed
+    * table so repeated query runs in one session neither race on the
+    * warehouse dir nor re-pay the write shuffle. The caller owns
+    * invalidation (drop the table) if the source data changes.
+    */
+  def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      writeBucketed(df, table, key, buckets)
 }

@@ -54,6 +54,14 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       rValueCols: Seq[String], strict: Boolean,
       maxAge: Option[Column]): DataFrame = {
+    val reserved = Set("__t", "__side", "__rrow")
+    val collisions = rValueCols.toSet
+      .intersect(left.columns.toSet -- keys)
+    require(collisions.isEmpty,
+      s"rValueCols collide with left columns ${collisions.mkString(", ")}; " +
+        "rename or drop them on one side first")
+    require(!(left.columns ++ right.columns ++ rValueCols)
+        .exists(reserved), s"column names ${reserved.mkString(", ")} are reserved")
     val lCarry =
       left.columns.filterNot(c => keys.contains(c) || c == leftTime).toSeq
 
