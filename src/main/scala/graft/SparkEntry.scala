@@ -289,6 +289,119 @@ object SparkEntry {
       .select("event_id", "user_id", "t", "p_id")
   }
 
+  // ----------------------------------------------- q6x relational extensions
+
+  /** Batch sessionization (gaps-and-islands): per-user sessions split at
+    * 30-minute inactivity gaps — lag to mark session starts, running sum
+    * to number them, one aggregate per session. Two window passes over
+    * ONE shuffle on user_id (both windows share the partitioning); the
+    * streaming twin is `StreamingPrep.sessionize`.
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("t"), 1).over(wOrd)
+    ev.withColumn("new_s",
+        when(prev.isNull || col("t") - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("t")) - min(col("t"))).as("duration_us"))
+  }
+
+  /** Window navigation feature-builder: per-user lag/lead features (the
+    * delta-to-previous-value and time-since-previous-event columns every
+    * event-sequence model trains on).
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("value"))
+      .withColumn("value_delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("gap_us", col("t") - lag(col("t"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select("event_id", "user_id", "value_delta", "gap_us", "next_type")
+  }
+
+  /** Pivot: per-user event-type counts as columns. The type domain is
+    * passed explicitly — at scale an implicit pivot would run a distinct
+    * job over the fact table just to discover column names.
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    // pivot yields null for absent (user, type) groups; the relational
+    // contract (and the oracle's conditional counts) is 0
+    types.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L)))
+    }
+  }
+
+  /** Exact per-group quantiles (median / p90) — sort-based `percentile`,
+    * the exact companion to q36's approx sketches. Interpolation is the
+    * standard (n-1)·p rule in both engines; per-group scalar math is
+    * deterministic so round() is safe (SKILL gotchas).
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5D)"), 6).as("median_value"),
+        round(expr("percentile(value, 0.9D)"), 6).as("p90_value"),
+        count(lit(1)).as("n"))
+
+  /** GROUPING SETS beyond rollup/cube: the two single-dimension
+    * marginals without the grand total or the full cross — the exact
+    * aggregation lattice a reporting layer asks for.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), fsum(col("o_totalprice")).as("sum_price"))
+
+  /** Skew-salted join at the gate: `Prep.saltedJoin` replicates the
+    * build side `saltFactor` ways so a hot key's probe rows spread over
+    * `saltFactor` tasks; the oracle is the PLAIN join — proving salting
+    * is a pure physical rewrite with unchanged semantics.
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    Prep.saltedJoin(
+      Tables.orders(s, dir),
+      Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
+      "o_custkey", 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), fsum(col("o_totalprice")).as("sum_price"))
+
+  /** Range (band) join: lineitem priced into static bands via a
+    * broadcast non-equi join — the banding pattern behind histogram
+    * features and price-tier rollups. The band table is tiny and
+    * broadcast, so the non-equi condition never becomes a shuffled
+    * nested loop.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0, 0.0, 10000.0), (1, 10000.0, 20000.0), (2, 20000.0, 40000.0),
+      (3, 40000.0, 70000.0), (4, 70000.0, 1.0e9))
+      .toDF("band_id", "lo", "hi")
+    Tables.lineitem(s, dir)
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_lines"), fsum(col("l_extendedprice")).as("sum_price"))
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -707,7 +820,14 @@ object SparkEntry {
     "q56_stream_dedup" -> (q56 _),
     "q57_stream_enrich" -> (q57 _),
     "q58_stream_interval_join" -> (q58 _),
-    "q60_vocabulary" -> (q60 _))
+    "q60_vocabulary" -> (q60 _),
+    "q61_sessionize" -> (q61 _),
+    "q62_lag_lead_features" -> (q62 _),
+    "q63_pivot" -> (q63 _),
+    "q64_percentile_group" -> (q64 _),
+    "q65_grouping_sets" -> (q65 _),
+    "q66_salted_join" -> (q66 _),
+    "q67_range_join" -> (q67 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -914,6 +1034,67 @@ object SparkEntry {
         |GROUP BY t.token
         |ORDER BY n_occurrences DESC, t.token
         |LIMIT 50""".stripMargin,
+    "q61_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, t, event_id,
+        |         CASE WHEN prev IS NULL OR t - prev > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, t,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events, max(t) - min(t) AS duration_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q62_lag_lead_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       value - lag(value) OVER w AS value_delta,
+        |       t - lag(t) OVER w AS gap_us,
+        |       lead(event_type) OVER w AS next_type
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)""".stripMargin,
+    "q63_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q64_percentile_group" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS median_value,
+        |       round(quantile_cont(value, 0.9), 6) AS p90_value,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q65_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |       ${fsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q66_salted_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |       ${fsumSql("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+    "q67_range_join" ->
+      s"""SELECT band_id, count(*) AS n_lines,
+         |       ${fsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem l
+         |JOIN (VALUES (0, 0.0, 10000.0), (1, 10000.0, 20000.0),
+         |             (2, 20000.0, 40000.0), (3, 40000.0, 70000.0),
+         |             (4, 70000.0, 1e9)) AS b(band_id, lo, hi)
+         |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+         |GROUP BY band_id""".stripMargin,
     "q41_fingerprint" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

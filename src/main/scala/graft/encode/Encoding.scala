@@ -35,6 +35,39 @@ object Encoding {
       .drop("__first_seen")
   }
 
+  /** `dimension` without the global window: dense ids from range
+    * partitioning + per-partition offsets (the `zipWithIndex` two-pass
+    * pattern). Produces the IDENTICAL mapping to `dimension` — the
+    * global order is the same total order (__first_seen, key), and
+    * `zipWithIndex` numbers rows in partition-concatenation order,
+    * which for range partitions IS that global order regardless of
+    * where the sampled range boundaries land — but no stage ever sorts
+    * all keys in one partition, so it holds at billions of keys
+    * (EncodingSpec asserts exact equality with `dimension`).
+    *
+    * Cost: one extra count-per-partition job (zipWithIndex's first
+    * pass) — the standard price of distributed dense numbering.
+    */
+  def dimensionAtScale(
+      df: DataFrame, keyCol: String, orderCol: String, idCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.IntegerType
+    val firstSeen = df.groupBy(col(keyCol))
+      .agg(min(col(orderCol)).as("__first_seen"))
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = firstSeen
+      .repartitionByRange(parts, col("__first_seen"), col(keyCol))
+      .sortWithinPartitions(col("__first_seen"), col(keyCol))
+    val schema = sorted.schema.add(idCol, IntegerType, nullable = false)
+    val withIds = sorted.rdd.zipWithIndex.map {
+      case (r, i) => Row.fromSeq(r.toSeq :+ i.toInt)
+    }
+    df.sparkSession.createDataFrame(withIds, schema).drop("__first_seen")
+  }
+
   /** Attach dense ids for user and item (reference
     * `models/als.py:31-32` `df[col].map(mapping)`): two equi-joins.
     * Dimensions are broadcast — they are |distinct users| / |distinct

@@ -34,6 +34,22 @@ class EncodingSpec extends SparkSpec {
     assert(decoded.except(fixture).count() === 0)
   }
 
+  test("dimensionAtScale produces the identical mapping to dimension") {
+    // larger key space than partitions so range partitioning is exercised
+    val rows = (1 to 500).map { i =>
+      Rating(s"u${i % 137}", s"i$i", 1.0, (1000 - i).toLong)
+    }
+    val df = rows.toDF
+    val viaWindow = Encoding.dimension(df, "user", "time", "u_id")
+      .orderBy("u_id").as[(String, Int)].collect().toSeq
+    val atScale = Encoding.dimensionAtScale(df, "user", "time", "u_id",
+      numPartitions = 7)
+      .orderBy("u_id").as[(String, Int)].collect().toSeq
+    assert(atScale === viaWindow)
+    // dense contiguous 0..n-1
+    assert(atScale.map(_._2) === (0 until 137))
+  }
+
   test("ratingStats computes all six statistics in one pass") {
     val st = Encoding.ratingStats(fixture)
     assert(st.nRatings === 4 && st.nUsers === 3 && st.nItems === 3)

@@ -44,6 +44,15 @@ class AsofJoinSpec extends SparkSpec {
     assert(out === Map(101 -> 1.0, 102 -> 2.0))
   }
 
+  test("carried right columns colliding with left columns are rejected") {
+    val q = Seq(("a", 10L, 1.0)).toDF("k", "qt", "px")
+    val t = Seq(("a", 15L, 9.9)).toDF("k", "tt", "px") // left also has px
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asOf(t, q, Seq("k"), "tt", "qt", Seq("px"))
+    }
+    assert(e.getMessage.contains("px"))
+  }
+
   test("legitimately-null right values don't break strict matching") {
     val q = Seq(("a", 10L, Option.empty[Double]), ("a", 20L, Some(2.0)))
       .toDF("k", "qt", "px")
