@@ -31,7 +31,9 @@ object Bench {
     "q43_minhash_neardup",
     "q47_ann_bruteforce",
     "q49_item_item_sim",
-    "q55_stream_window_agg")
+    "q55_stream_window_agg",
+    "q61_sessionize",
+    "q67_range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,6 +70,9 @@ object Bench {
     // heavier queries; min-of-N is the standard estimator)
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
+      // GC pressure left by the previous query is the main source of
+      // run-to-run variance at local[32]; start each query clean
+      System.gc()
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

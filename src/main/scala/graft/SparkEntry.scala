@@ -402,6 +402,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_lines"), fsum(col("l_extendedprice")).as("sum_price"))
   }
 
+  /** ORC roundtrip (sink + scan): the q09 contract on the second
+    * columnar lake format.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    RatingsIO.writeOrc(ratings(s, dir).select("user", "item", "rating", "time"), tmp)
+    RatingsIO.readRatingsOrc(s, tmp)
+  }
+
+  /** Streaming native session windows (`session_window`): the
+    * declarative twin of q61's batch gaps-and-islands — the oracle IS
+    * gaps-and-islands with the window-end convention (end = last event
+    * + gap; an exactly-gap-sized pause splits sessions).
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      StreamingPrep.sessionWindowAgg(
+        StreamingPrep.streamEvents(s, dir), "30 minutes"),
+      outputMode = "complete")
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -827,7 +847,9 @@ object SparkEntry {
     "q64_percentile_group" -> (q64 _),
     "q65_grouping_sets" -> (q65 _),
     "q66_salted_join" -> (q66 _),
-    "q67_range_join" -> (q67 _))
+    "q67_range_join" -> (q67 _),
+    "q68_orc_roundtrip" -> (q68 _),
+    "q69_stream_session" -> (q69 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -1095,6 +1117,28 @@ object SparkEntry {
          |             (4, 70000.0, 1e9)) AS b(band_id, lo, hi)
          |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
          |GROUP BY band_id""".stripMargin,
+    "q68_orc_roundtrip" ->
+      s"""$ratingsCte
+         |SELECT "user", item, rating, "time" FROM ratings""".stripMargin,
+    "q69_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, t,
+        |         CASE WHEN prev IS NULL OR t - prev >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, t,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM m)
+        |SELECT user_id, min(t) AS session_start,
+        |       max(t) + 1800000000 AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q41_fingerprint" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

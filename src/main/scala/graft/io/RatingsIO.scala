@@ -45,6 +45,15 @@ object RatingsIO {
   def readRatingsParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC sink/scan — the second columnar format a lakehouse ingests;
+    * same pushdown/pruning machinery as parquet in Spark's DSv2 path.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readRatingsOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.rating).orc(path)
+
   def asRatings(df: DataFrame): Dataset[Rating] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -72,6 +72,21 @@ object StreamingPrep {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Built-in session windows: gap-merged per-user sessions via
+    * `session_window` — Spark's native dynamic-gap state machine, the
+    * declarative sibling of `sessionize`'s hand-rolled
+    * flatMapGroupsWithState. Window end = last event + gap (so two
+    * events exactly `gap` apart land in different sessions).
+    */
+  def sessionWindowAgg(stream: DataFrame, gap: String): DataFrame =
+    stream
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
   final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: Long,

@@ -60,4 +60,35 @@ class PlanSpec extends SparkSpec {
     val p = plan("q36_approx_stats")
     assert(!p.contains("Expand"), s"approx stats should not expand rows:\n$p")
   }
+
+  // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf until executed),
+  // so exchanges are counted in the plan text, not via collect().
+  private def exchangeCount(name: String): Int =
+    "Exchange ".r.findAllIn(plan(name)).size
+
+  test("q61: both session windows + final agg share ONE shuffle on user_id") {
+    // lag-window, running-sum-window and the session aggregate all key
+    // on user_id; a second exchange would mean the shared partitioning
+    // was lost
+    val n = exchangeCount("q61_sessionize")
+    assert(n === 1, s"expected 1 exchange, got $n:\n${plan("q61_sessionize")}")
+  }
+
+  test("q63: explicit-domain pivot shuffles only pre-aggregated rows") {
+    // Spark plans pivot as two aggregations: count by (user, type),
+    // then pivotfirst by user. Both exchanges carry partial-aggregated
+    // rows (≤ users×types), never fact rows — that, plus no distinct
+    // domain-discovery job (the domain is explicit), is the scale claim.
+    val p = plan("q63_pivot")
+    val n = "Exchange ".r.findAllIn(p).size
+    assert(n <= 2, s"pivot should shuffle at most twice, got $n:\n$p")
+    assert("partial_count|partial_pivotfirst".r.findAllIn(p).size === 2,
+      s"exchanges must be map-side combined:\n$p")
+  }
+
+  test("q67: band join broadcasts the band table (no shuffled nested loop)") {
+    val p = plan("q67_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
 }
