@@ -86,7 +86,16 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // Derived sec/epoch figures (the BASELINE.md comparison units:
+    // reference FunkSVD 9.47 s/epoch, ALS 14.39 s/epoch) — extra keys
+    // inside the queries map per the driver contract; excluded from
+    // the total, which sums only measured queries.
+    val derived = Seq(
+      "x_funk_svd_sec_per_epoch" ->
+        results.toMap.getOrElse("q34_funk_svd_k30", -3.0) / 3,
+      "x_als_gd_sec_per_epoch" ->
+        results.toMap.getOrElse("q35_als_gd_k30", -3.0) / 3)
+    val qs = (results ++ derived).map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
