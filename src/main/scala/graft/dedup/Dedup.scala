@@ -141,18 +141,21 @@ object Dedup {
     // branch (4x total — verified via .explain).
     val sh = shingleTable(docs, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // signature via explode → hash-once per shingle → per-shingle
-    // permutation array (cheap affine on an attribute) → elementwise-min
-    // UDAF per doc. The aggregation is both the scale design (map-side
-    // combine ⇒ shuffle is one 64-long array per (partition, doc)) and a
-    // hard materialization barrier: downstream lambdas see a real
-    // attribute, never a re-evaluated expression tree (performance
-    // invariant on shinglesFromWords).
+    // signature via the codegen'd whole-signature expression
+    // (MinHashSig): all numPerm mins in one generated loop at the scan —
+    // no explode row blow-up, no aggregation, no shuffle (the previous
+    // explode→UDAF form is kept as MinHashAgg for the aggregation-shaped
+    // variant and parity tests). The persist is ESSENTIAL and not only
+    // for reuse: CollapseProject would otherwise substitute the
+    // expression into each of the 16 banding lambdas, re-evaluating the
+    // signature 16× per doc (round-1 performance invariant on
+    // shinglesFromWords); the cache boundary is the materialization
+    // barrier that keeps it evaluated once.
     val withSig = sh
-      .select(col("id"), explode(col("shingles")).as("s"))
-      .select(col("id"), xxhash64(col("s")).bitwiseAND(lit(hashMask)).as("h"))
-      .groupBy("id")
-      .agg(graft.recommender.MinHashAgg.minhash(numPerm)(col("h")).as("sig"))
+      .select(col("id"),
+        graft.functions.MinHashExpressions.minhashSig(col("shingles"), numPerm).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // banding carries only (id, band, band_hash) — never the shingle
     // arrays — so the self-join shuffles 24 bytes per row
     val banded = withSig.select(

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Whole-signature MinHash as ONE codegen'd expression.
+  *
+  * The relational formulation (explode shingles → xxhash64 → per-doc
+  * elementwise-min UDAF) is the right *distributed* shape when the
+  * signature must be an aggregation, but it pays explode row blow-up, a
+  * hash-aggregate probe per shingle, and a shuffle. A document's
+  * signature is really a scalar function of its shingle array —
+  * `sig[j] = min over shingles of ((xxh64(s) & M) · a_j + b_j) & M` —
+  * so this expression computes all `numPerm` mins in a tight generated
+  * loop at the scan, no explode, no aggregation, no shuffle at all.
+  *
+  * Exact-parity contract with [[graft.recommender.MinHashAgg]] /
+  * `Dedup.minHashSignature`: same 31-bit mask (ANSI-safe products),
+  * same affine constants, same xxhash64 seed (42, Spark's default).
+  * Empty shingle arrays yield NULL (the aggregate formulation simply
+  * has no row for them) so empty docs never band-collide with each
+  * other.
+  */
+case class MinHashSig(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private val mask = (1L << 31) - 1L
+  private lazy val as: Array[Long] =
+    Array.tabulate(numPerm)(j => ((j * 0x9E3779B1L) & mask) | 1L)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(numPerm)(j => (j * 0x85EBCA77L + 0xC2B2AE3DL) & mask)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L) & mask
+      var j = 0
+      while (j < numPerm) {
+        val x = (h * as(j) + bs(j)) & mask
+        if (x < mins(j)) mins(j) = x
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val x = ctx.freshName("x")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$numPerm];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($a.getUTF8String($i), 42L) & ${mask}L;
+         |    for (int $j = 0; $j < $numPerm; $j++) {
+         |      long $x = ($h * $aRef[$j] + $bRef[$j]) & ${mask}L;
+         |      if ($x < $mins[$j]) $mins[$j] = $x;
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashExpressions {
+
+  /** Codegen'd MinHash signature of an ARRAY<STRING> shingle column. */
+  def minhashSig(shingles: Column, numPerm: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numPerm))
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MinHashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val numPerm = 64
+
+  private def docs = Seq(
+    (1L, Seq("the quick", "quick brown", "brown fox")),
+    (2L, Seq("brown fox", "the quick", "jumps over")), // overlap with 1
+    (3L, Seq("совершенно", "другой", "текст")),
+    (4L, Seq.empty[String])).toDF("id", "shingles")
+
+  test("MinHashSig matches the explode+MinHashAgg aggregation exactly") {
+    val mask = (1L << 31) - 1L
+    val viaAgg = docs
+      .select($"id", explode($"shingles").as("s"))
+      .select($"id", xxhash64($"s").bitwiseAND(lit(mask)).as("h"))
+      .groupBy("id")
+      .agg(graft.recommender.MinHashAgg.minhash(numPerm)($"h").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaExpr = docs
+      .select($"id", MinHashExpressions.minhashSig($"shingles", numPerm).as("sig"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr.keySet === Set(1L, 2L, 3L)) // empty doc -> null, dropped
+    assert(viaExpr === viaAgg)
+  }
+
+  test("signature is a real MinHash: overlap lowers distance, empty is null") {
+    val sigs = docs
+      .select($"id", MinHashExpressions.minhashSig($"shingles", numPerm).as("sig"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(sigs(4L).isEmpty)
+    def agree(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).count { case (x, y) => x == y }
+    val overlapping = agree(sigs(1L).get, sigs(2L).get)
+    val disjoint = agree(sigs(1L).get, sigs(3L).get)
+    assert(overlapping > disjoint)
+  }
+}
