@@ -218,24 +218,17 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    // explode → per-word ±1 bit vector (cheap on an attribute hash) →
-    // elementwise-sum UDAF → sign-pack. Same barrier/scale rationale as
-    // the MinHash pipeline in minHashPairs.
-    val bitVec = transform(sequence(lit(0), lit(63)),
-      b => when(call_function("shiftright", col("h"), b).bitwiseAND(1L) === 1L, lit(1L))
-        .otherwise(lit(-1L)))
+    // whole-signature codegen'd expression (SimHashSig): words×64 bit
+    // tallies in one generated loop at the scan — no explode, no
+    // per-word 64-element arrays, no aggregation shuffle (the
+    // explode→LongVectorReduce form remains for the aggregation-shaped
+    // variant and parity tests). NULL = empty word array, dropped like
+    // the explode form drops rowless docs.
     val sigs = docs
       .select(col(idCol).as("id"),
-        explode(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol)))).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
-      .select(col("id"), bitVec.as("bv"))
-      .groupBy("id")
-      .agg(graft.recommender.LongVectorReduce.vecSumLong(col("bv")).as("bits"))
-      .select(col("id"),
-        aggregate(
-          zip_with(col("bits"), sequence(lit(0), lit(63)),
-            (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-          lit(0L), (acc, x) => acc.bitwiseOR(x)).as("sig"))
+        graft.functions.MinHashExpressions.simhashSig(
+          TextAnalysis.words(TextAnalysis.normalizeText(col(textCol)))).as("sig"))
+      .filter(col("sig").isNotNull)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("sig"), c * lit(bitsPer))

@@ -91,9 +91,81 @@ case class MinHashSig(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a word array as ONE codegen'd expression.
+  *
+  * Parity contract with `Dedup.simHashFromHashes`: bit b of the
+  * signature is set iff Σ_words (bit b of xxh64(word) ? +1 : -1) > 0.
+  * The HOF formulation builds a 64-element array per word and reduces
+  * interpreted; this is a words×64 tight loop at the scan. Empty word
+  * arrays yield NULL (the explode+aggregate form has no row for them).
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val bits = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        bits(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (bits(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val bits = ctx.freshName("bits")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $bits = new long[64];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($a.getUTF8String($i), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $bits[$b] += ((($h >>> $b) & 1L) == 1L) ? 1L : -1L;
+         |    }
+         |  }
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($bits[$b] > 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
 object MinHashExpressions {
 
   /** Codegen'd MinHash signature of an ARRAY<STRING> shingle column. */
   def minhashSig(shingles: Column, numPerm: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numPerm))
+
+  /** Codegen'd 64-bit SimHash of an ARRAY<STRING> word column. */
+  def simhashSig(words: Column): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(words)))
 }

@@ -223,10 +223,14 @@ object Ann {
     // Fixed-point (floor·10⁶ → exact integer sum) dot products and
     // norms: double sums are order-dependent under shuffle, so scores
     // (and hence top-k ranks near ties) would vary run-to-run; this
-    // keeps them bitwise-reproducible at any parallelism.
+    // keeps them bitwise-reproducible at any parallelism. Accumulation
+    // is a plain LONG (codegen'd adds, not Decimal objects): per-row
+    // scaled products are ≤ 25·10⁶ for 5-star ratings, so overflow
+    // needs > 3·10¹¹ co-rating rows on ONE item pair — beyond any real
+    // corpus (the global fsum keeps DECIMAL(38,0) where row values are
+    // unbounded).
     def fsum(c: Column): Column =
-      sum(floor(c * lit(1e6)).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-        .cast("double") / lit(1e6)
+      (sum(floor(c * lit(1e6)).cast("long")) / lit(1e6)).cast("double")
     val norms = r.groupBy("item")
       .agg(fsum(col("rating") * col("rating")).as("norm_sq"))
     val pairs = r.as("l").join(r.as("r"),
@@ -237,11 +241,13 @@ object Ann {
       col("item_a").as("item_b"), col("dot")))
     val w = Window.partitionBy(col("item_a"))
       .orderBy(col("cos_sim").desc, col("item_b"))
+    // norms is one row per item — broadcast so the (much larger) pair
+    // relation is never shuffled for these two joins
     sym
-      .join(norms.withColumnRenamed("item", "item_a")
-        .withColumnRenamed("norm_sq", "na"), "item_a")
-      .join(norms.withColumnRenamed("item", "item_b")
-        .withColumnRenamed("norm_sq", "nb"), "item_b")
+      .join(broadcast(norms.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("norm_sq", "na")), "item_a")
+      .join(broadcast(norms.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("norm_sq", "nb")), "item_b")
       .withColumn("cos_sim", col("dot") / sqrt(col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -31,6 +31,25 @@ class MinHashExpressionsSpec extends SparkSpec {
     assert(viaExpr === viaAgg)
   }
 
+  test("SimHashSig matches the HOF simHashFromHashes formulation exactly") {
+    val words = Seq(
+      (1L, Seq("the", "quick", "brown", "fox")),
+      (2L, Seq("the", "quick", "brown", "fax")),
+      (3L, Seq("völlig", "anderer", "text", "ここ")),
+      (4L, Seq("x"))).toDF("id", "words")
+    val viaHof = words.select($"id",
+      graft.dedup.Dedup.simHashFromHashes(
+        transform($"words", w => xxhash64(w))).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = words.select($"id",
+      MinHashExpressions.simhashSig($"words").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr === viaHof)
+    val empty = Seq((5L, Seq.empty[String])).toDF("id", "words")
+      .select(MinHashExpressions.simhashSig($"words")).collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("signature is a real MinHash: overlap lowers distance, empty is null") {
     val sigs = docs
       .select($"id", MinHashExpressions.minhashSig($"shingles", numPerm).as("sig"))
