@@ -108,18 +108,40 @@ object GdMf {
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
 
     val orderCol = if (ratings.columns.contains("time")) "time" else "rating"
-    val userDim = Encoding.dimension(ratings, "user", orderCol, "u_id")
-    val itemDim = Encoding.dimension(ratings, "item", orderCol, "i_id")
-    val stats = Encoding.ratingStats(ratings)
+    // ONE scan of the source: the raw ratings (often a parse-heavy scan)
+    // feed both dimension builds and the fact encode — persist the
+    // 4-column slice so the source is read once, not once per consumer.
+    val ratingsP = ratings
+      .select(Seq("user", "item", "rating", orderCol).distinct.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val userDim = Encoding.dimension(ratingsP, "user", orderCol, "u_id")
+    val itemDim = Encoding.dimension(ratingsP, "item", orderCol, "i_id")
 
     // The fact table: encoded observed cells, hash-partitioned by u_id so
     // every user-side join/groupBy in the epoch loop reuses the
     // partitioning without a new exchange (reference chunk grid → §1.3).
-    val facts = Encoding.encode(ratings, userDim, itemDim)
+    val facts = Encoding.encode(ratingsP, userDim, itemDim)
       .select(col("u_id"), col("i_id"), col("rating"))
       .repartition(shufflePartitions, col("u_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     facts.count() // materialize once
+    ratingsP.unpersist()
+
+    // Global statistics from the CACHED encoded facts — same six values
+    // as Encoding.ratingStats(ratings) (the encode joins are inner on
+    // dimension tables derived from the same relation, so no row is
+    // gained or lost) without another pass over the raw source.
+    val stats = {
+      val row = facts.agg(
+        count(lit(1)).as("n_ratings"),
+        countDistinct(col("u_id")).as("n_users"),
+        countDistinct(col("i_id")).as("n_items"),
+        min(col("rating")).as("min_rating"),
+        max(col("rating")).as("max_rating"),
+        avg(col("rating")).as("mean_rating")).head()
+      graft.encode.RatingStats(row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    }
 
     val init = if (cfg.alternating) uniformFactors _ else normalFactors _
     var uState = userDim
@@ -208,17 +230,31 @@ object GdMf {
       pendingErr += p
       p
     }
-    def maybeCheckpoint(epoch: Int, u: DataFrame, i: DataFrame): (DataFrame, DataFrame) =
-      if ((epoch + 1) % math.max(cfg.checkpointInterval, 1) == 0 ||
-        epoch == cfg.epochs - 1) {
+    def cutting(epoch: Int): Boolean =
+      (epoch + 1) % math.max(cfg.checkpointInterval, 1) == 0 ||
+        epoch == cfg.epochs - 1
+    // The ORDER of cuts matters: the item-side plan references the new
+    // user state, so the user side is checkpointed FIRST and the item
+    // side derived from the checkpointed frame — otherwise the item
+    // cut's job silently re-executes the whole user-side update
+    // (gradient aggregation + join) a second time (measured ~2× epoch
+    // cost before this ordering).
+    def cutU(epoch: Int, u: DataFrame): DataFrame =
+      if (cutting(epoch)) {
         val cu = u.localCheckpoint(true) // eager: materializes the chain
+        lastCpU.unpersist()
+        lastCpU = cu
+        cu
+      } else u
+    def cutI(epoch: Int, i: DataFrame): DataFrame =
+      if (cutting(epoch)) {
         val ci = i.localCheckpoint(true)
-        lastCpU.unpersist(); lastCpI.unpersist()
-        lastCpU = cu; lastCpI = ci
+        lastCpI.unpersist()
+        lastCpI = ci
         pendingErr.foreach(_.unpersist())
         pendingErr.clear()
-        (cu, ci)
-      } else (u, i)
+        ci
+      } else i
 
     if (cfg.alternating) {
       // ALS-GD (reference models/als.py:158-174): error at epoch start is
@@ -226,14 +262,11 @@ object GdMf {
       var err = persistErr(errRel(uState, iState))
       for (epoch <- 0 until cfg.epochs) {
         if (cfg.collectErrors) history += ((epoch, metricsOf(err)))
-        val newU =
-          updated(uState, userGrad(err, iState), "u_id", "u_factors", "u_bias", stats.nItems)
-        val err1 = persistErr(errRel(newU, iState))
-        val newI =
-          updated(iState, itemGrad(err1, newU), "i_id", "i_factors", "i_bias", stats.nUsers)
-        val (cu, ci) = maybeCheckpoint(epoch, newU, newI)
-        uState = cu
-        iState = ci
+        uState = cutU(epoch,
+          updated(uState, userGrad(err, iState), "u_id", "u_factors", "u_bias", stats.nItems))
+        val err1 = persistErr(errRel(uState, iState))
+        iState = cutI(epoch,
+          updated(iState, itemGrad(err1, uState), "i_id", "i_factors", "i_bias", stats.nUsers))
         err = persistErr(errRel(uState, iState))
       }
       err.unpersist()
@@ -244,15 +277,12 @@ object GdMf {
       for (epoch <- 0 until cfg.epochs) {
         val err = persistErr(errRel(uState, iState))
         if (cfg.collectErrors) history += ((epoch, metricsOf(err)))
-        val newU =
-          updated(uState, userGrad(err, iState), "u_id", "u_factors", "u_bias", stats.nItems)
+        uState = cutU(epoch,
+          updated(uState, userGrad(err, iState), "u_id", "u_factors", "u_bias", stats.nItems))
         // trap 2: item grad joins the epoch error against the NEW user
-        // factors
-        val newI =
-          updated(iState, itemGrad(err, newU), "i_id", "i_factors", "i_bias", stats.nUsers)
-        val (cu, ci) = maybeCheckpoint(epoch, newU, newI)
-        uState = cu
-        iState = ci
+        // factors (checkpointed, so this job doesn't redo the user side)
+        iState = cutI(epoch,
+          updated(iState, itemGrad(err, uState), "i_id", "i_factors", "i_bias", stats.nUsers))
       }
     }
     pendingErr.foreach(_.unpersist())

@@ -1,8 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+
+import graft.recommender.GdMf
 
 /** Ad-hoc timing harness for operator stages (not part of the contract). */
 object Scratch {
@@ -11,35 +11,65 @@ object Scratch {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
-    }
-
     def ratings = graft.io.Tables.ratingsFromEvents(spark, dir)
-      .withColumn("event_id", monotonically_increasing_id()) // stand-in
 
-    def q03(r: org.apache.spark.sql.DataFrame) = {
-      val w = Window.partitionBy("user", "item")
-        .orderBy(col("time").desc, col("event_id").desc)
-      r.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[scratch] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
-    // warm
-    time("warm scan")(graft.io.Tables.events(spark, dir).count())
-    time("warm q03")(q03(ratings).count())
+    // job-count instrumentation
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
 
-    time("scan only")(graft.io.Tables.events(spark, dir).count())
-    time("scan+parse (forced)")(
-      ratings.agg(sum(crc32(col("item")))).count())
-    time("q03 as-is")(q03(ratings).count())
-    val pre = ratings.repartition(32)
-    time("q03 pre-repartitioned")(q03(pre).count())
+    val r = ratings
+    // warm
+    time("warm: funk 1 epoch sf0.001") {
+      GdMf.fit(graft.io.Tables.ratingsFromEvents(spark, "/root/testdata/sf0.001"),
+        GdMf.Config(nFactors = 30, epochs = 1)).userState.count()
+    }
+
+    for (ep <- Seq(0, 1, 3, 6)) {
+      jobs.set(0)
+      time(s"funk k=30 epochs=$ep") {
+        GdMf.fit(r, GdMf.Config(nFactors = 30, epochs = ep)).userState.count()
+      }
+      println(s"[scratch]   jobs=${jobs.get()}")
+    }
+    // setup phases in isolation, mirroring fit's setup exactly
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    jobs.set(0)
+    time("phase: ratings scan+parse") { r.count(); () }
+    println(s"[scratch]   jobs=${jobs.get()}")
+    val uDim = graft.encode.Encoding.dimension(r, "user", "time", "u_id")
+    val iDim = graft.encode.Encoding.dimension(r, "item", "time", "i_id")
+    jobs.set(0)
+    time("phase: dimension(user)+dimension(item)") { uDim.count(); iDim.count(); () }
+    println(s"[scratch]   jobs=${jobs.get()}")
+    jobs.set(0)
+    time("phase: ratingStats") { graft.encode.Encoding.ratingStats(r); () }
+    println(s"[scratch]   jobs=${jobs.get()}")
+    jobs.set(0)
+    val facts = graft.encode.Encoding.encode(r, uDim, iDim)
+      .select(col("u_id"), col("i_id"), col("rating"))
+      .repartition(32, col("u_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    time("phase: facts encode+repartition+persist") { facts.count(); () }
+    println(s"[scratch]   jobs=${jobs.get()}")
+    facts.unpersist()
     spark.stop()
   }
 }
