@@ -422,6 +422,63 @@ object SparkEntry {
         StreamingPrep.streamEvents(s, dir), "30 minutes"),
       outputMode = "complete")
 
+  /** Quantile binning (feature discretization): NTILE deciles of value
+    * within each event type — the bucketizer every tabular feature
+    * pipeline ships. Deterministic via the total order (value, id).
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("decile", ntile(10).over(w))
+  }
+
+  /** Per-group z-score normalization with FIXED-POINT moments: stddev
+    * of doubles is order-dependent under shuffle, so mean and variance
+    * are derived from exact integer sums (fsum) — bitwise-reproducible
+    * at any parallelism, same formula on the oracle side.
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val moments = ev.groupBy(col("event_type"))
+      .agg(fsum(col("value")).as("s1"),
+        fsum(col("value") * col("value")).as("s2"),
+        count(lit(1)).as("n"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd",
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+      .select("event_type", "mean", "sd")
+    ev.join(broadcast(moments), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+  }
+
+  /** TF-IDF over the documents table: token counts per doc × inverse
+    * document frequency, top term per document. One explode + two
+    * partial+final aggregations; idf join broadcasts the vocabulary.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val tokens = docs.select(col("doc_id"),
+      explode(TextAnalysis.words(TextAnalysis.normalizeText(col("text")))).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tokens.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf", log(lit(nDocs.toDouble) / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(idf), "token")
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("token").as("top_term"), col("tfidf"))
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -849,7 +906,10 @@ object SparkEntry {
     "q66_salted_join" -> (q66 _),
     "q67_range_join" -> (q67 _),
     "q68_orc_roundtrip" -> (q68 _),
-    "q69_stream_session" -> (q69 _))
+    "q69_stream_session" -> (q69 _),
+    "q70_ntile_binning" -> (q70 _),
+    "q71_zscore" -> (q71 _),
+    "q72_tfidf" -> (q72 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -1139,6 +1199,43 @@ object SparkEntry {
         |SELECT user_id, min(t) AS session_start,
         |       max(t) + 1800000000 AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q70_ntile_binning" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(ntile(10) OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS INT) AS decile
+        |FROM events""".stripMargin,
+    "q71_zscore" ->
+      s"""WITH m AS (
+         |  SELECT event_type, ${fsumSql("value")} AS s1,
+         |         ${fsumSql("value * value")} AS s2, count(*) AS n
+         |  FROM events GROUP BY event_type),
+         |mm AS (
+         |  SELECT event_type, s1 / n AS mean,
+         |         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+         |  FROM m)
+         |SELECT e.event_id, e.event_type,
+         |       round((e.value - mm.mean) / mm.sd, 6) AS z
+         |FROM events e JOIN mm USING (event_type)""".stripMargin,
+    "q72_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT token,
+        |         ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+        |            / count(DISTINCT doc_id)) AS idf
+        |  FROM toks GROUP BY token),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 6) AS tfidf,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |                            ORDER BY round(tf.tf * idf.idf, 6) DESC,
+        |                                     tf.token) AS rk
+        |  FROM tf JOIN idf USING (token))
+        |SELECT doc_id, token AS top_term, tfidf
+        |FROM scored WHERE rk = 1""".stripMargin,
     "q41_fingerprint" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
