@@ -120,7 +120,9 @@ object SparkEntry {
     * ratings relation itself.
     */
   private def q09(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    // Scoped by source dir so runs against different scale factors never
+    // overwrite each other's roundtrip data mid-read.
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${math.abs(dir.hashCode)}"
     RatingsIO.writeCsv(ratings(s, dir).select("user", "item", "rating", "time"), tmp)
     RatingsIO.readRatingsCsv(s, tmp)
   }
@@ -129,7 +131,7 @@ object SparkEntry {
     * JSON-lines → project 4 of N fields → rename).
     */
   private def q24(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_reviews"
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_reviews_${math.abs(dir.hashCode)}"
     ratings(s, dir).select(
       col("user").as("reviewerID"),
       col("item").as("asin"),
@@ -406,7 +408,7 @@ object SparkEntry {
     * columnar lake format.
     */
   private def q68(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_${math.abs(dir.hashCode)}"
     RatingsIO.writeOrc(ratings(s, dir).select("user", "item", "rating", "time"), tmp)
     RatingsIO.readRatingsOrc(s, tmp)
   }

@@ -37,13 +37,16 @@ object Encoding {
 
   /** `dimension` without the global window: dense ids from range
     * partitioning + per-partition offsets (the `zipWithIndex` two-pass
-    * pattern). Produces the IDENTICAL mapping to `dimension` — the
-    * global order is the same total order (__first_seen, key), and
-    * `zipWithIndex` numbers rows in partition-concatenation order,
-    * which for range partitions IS that global order regardless of
-    * where the sampled range boundaries land — but no stage ever sorts
-    * all keys in one partition, so it holds at billions of keys
-    * (EncodingSpec asserts exact equality with `dimension`).
+    * pattern). Produces the IDENTICAL mapping to `dimension` (modulo id
+    * width) — the global order is the same total order
+    * (__first_seen, key), and `zipWithIndex` numbers rows in
+    * partition-concatenation order, which for range partitions IS that
+    * global order regardless of where the sampled range boundaries
+    * land — but no stage ever sorts all keys in one partition, so it
+    * holds at billions of keys (EncodingSpec asserts exact equality
+    * with `dimension`). The id column is LongType precisely because
+    * this is the >2^31-keys path; `dimension` keeps IntegerType since
+    * its single-partition window sort caps it well below that anyway.
     *
     * Cost: one extra count-per-partition job (zipWithIndex's first
     * pass) — the standard price of distributed dense numbering.
@@ -52,7 +55,7 @@ object Encoding {
       df: DataFrame, keyCol: String, orderCol: String, idCol: String,
       numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.IntegerType
+    import org.apache.spark.sql.types.LongType
     val firstSeen = df.groupBy(col(keyCol))
       .agg(min(col(orderCol)).as("__first_seen"))
     val parts =
@@ -61,9 +64,9 @@ object Encoding {
     val sorted = firstSeen
       .repartitionByRange(parts, col("__first_seen"), col(keyCol))
       .sortWithinPartitions(col("__first_seen"), col(keyCol))
-    val schema = sorted.schema.add(idCol, IntegerType, nullable = false)
+    val schema = sorted.schema.add(idCol, LongType, nullable = false)
     val withIds = sorted.rdd.zipWithIndex.map {
-      case (r, i) => Row.fromSeq(r.toSeq :+ i.toInt)
+      case (r, i) => Row.fromSeq(r.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(withIds, schema).drop("__first_seen")
   }

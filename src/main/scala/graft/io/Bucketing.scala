@@ -26,23 +26,20 @@ object Bucketing {
     * warehouse dir nor re-pay the write shuffle. The caller owns
     * invalidation (drop the table) if the source data changes.
     */
-  def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
-    val s = df.sparkSession
-    if (!s.catalog.tableExists(table)) {
-      // A prior session (fresh in-memory catalog) may have left the
-      // managed location behind without metadata; saveAsTable refuses to
-      // reuse it, so clear the orphaned directory first.
-      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
-      val path = if (wh.getScheme == null) wh.toString else wh.getPath
-      val orphan = new java.io.File(path, table.toLowerCase)
-      if (orphan.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(orphan)
+  def ensureBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    synchronized {
+      val s = df.sparkSession
+      if (!s.catalog.tableExists(table)) {
+        // A prior session (fresh in-memory catalog) may have left the
+        // managed location behind without metadata; saveAsTable refuses
+        // to reuse it, so clear the orphaned directory first — via the
+        // Hadoop FileSystem API so hdfs:/s3a: warehouse URIs work, not
+        // just the local filesystem.
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+        writeBucketed(df, table, key, buckets)
       }
-      writeBucketed(df, table, key, buckets)
     }
-  }
 }

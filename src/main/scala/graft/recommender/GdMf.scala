@@ -124,8 +124,9 @@ object GdMf {
       .select(col("u_id"), col("i_id"), col("rating"))
       .repartition(shufflePartitions, col("u_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    facts.count() // materialize once
-    ratingsP.unpersist()
+    facts.count() // materialize once; ratingsP stays cached until the
+    // factor-state init below — uState/iState checkpoint through the
+    // dimension lineage, which still reads ratingsP.
 
     // Global statistics from the CACHED encoded facts — same six values
     // as Encoding.ratingStats(ratings) (the encode joins are inner on
@@ -152,6 +153,7 @@ object GdMf {
       .withColumn("i_factors", init(col("i_id"), cfg.nFactors, cfg.seed + 1))
       .withColumn("i_bias", lit(0.0))
       .localCheckpoint(true)
+    ratingsP.unpersist()
 
     // Broadcast factor states when they fit (size known exactly from
     // the stats pass — no reliance on planner estimates, which are

@@ -42,12 +42,13 @@ class EncodingSpec extends SparkSpec {
     val df = rows.toDF
     val viaWindow = Encoding.dimension(df, "user", "time", "u_id")
       .orderBy("u_id").as[(String, Int)].collect().toSeq
+      .map { case (k, id) => (k, id.toLong) }
     val atScale = Encoding.dimensionAtScale(df, "user", "time", "u_id",
       numPartitions = 7)
-      .orderBy("u_id").as[(String, Int)].collect().toSeq
+      .orderBy("u_id").as[(String, Long)].collect().toSeq
     assert(atScale === viaWindow)
-    // dense contiguous 0..n-1
-    assert(atScale.map(_._2) === (0 until 137))
+    // dense contiguous 0..n-1 in the wide (Long) id space
+    assert(atScale.map(_._2) === (0L until 137L))
   }
 
   test("ratingStats computes all six statistics in one pass") {
