@@ -114,8 +114,14 @@ object GdMf {
     val ratingsP = ratings
       .select(Seq("user", "item", "rating", orderCol).distinct.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Checkpoint the DIMENSIONS, not the derived factor states: every
+    // broadcast of a dim (the fact encode below + each epoch's state
+    // broadcasts) would otherwise re-run the dimension's groupBy+window
+    // plan once per consumer — measured as the dominant setup cost.
     val userDim = Encoding.dimension(ratingsP, "user", orderCol, "u_id")
+      .localCheckpoint(true)
     val itemDim = Encoding.dimension(ratingsP, "item", orderCol, "i_id")
+      .localCheckpoint(true)
 
     // The fact table: encoded observed cells, hash-partitioned by u_id so
     // every user-side join/groupBy in the epoch loop reuses the
@@ -124,14 +130,12 @@ object GdMf {
       .select(col("u_id"), col("i_id"), col("rating"))
       .repartition(shufflePartitions, col("u_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    facts.count() // materialize once; ratingsP stays cached until the
-    // factor-state init below — uState/iState checkpoint through the
-    // dimension lineage, which still reads ratingsP.
 
-    // Global statistics from the CACHED encoded facts — same six values
-    // as Encoding.ratingStats(ratings) (the encode joins are inner on
+    // Global statistics — same six values as
+    // Encoding.ratingStats(ratings) (the encode joins are inner on
     // dimension tables derived from the same relation, so no row is
-    // gained or lost) without another pass over the raw source.
+    // gained or lost). This agg is ALSO the action that materializes the
+    // `facts` cache: one pass does both, no separate count() job.
     val stats = {
       val row = facts.agg(
         count(lit(1)).as("n_ratings"),
@@ -143,17 +147,19 @@ object GdMf {
       graft.encode.RatingStats(row.getLong(0), row.getLong(1), row.getLong(2),
         row.getDouble(3), row.getDouble(4), row.getDouble(5))
     }
+    ratingsP.unpersist()
 
+    // Initial states stay LAZY plans over the checkpointed dims: the
+    // init columns are pure per-id hash expressions (no shuffle, no
+    // scan), so epoch-0 consumers recompute them for pennies — cheaper
+    // than two more eager checkpoint jobs here.
     val init = if (cfg.alternating) uniformFactors _ else normalFactors _
     var uState = userDim
       .withColumn("u_factors", init(col("u_id"), cfg.nFactors, cfg.seed))
       .withColumn("u_bias", lit(0.0))
-      .localCheckpoint(true)
     var iState = itemDim
       .withColumn("i_factors", init(col("i_id"), cfg.nFactors, cfg.seed + 1))
       .withColumn("i_bias", lit(0.0))
-      .localCheckpoint(true)
-    ratingsP.unpersist()
 
     // Broadcast factor states when they fit (size known exactly from
     // the stats pass — no reliance on planner estimates, which are
@@ -203,9 +209,15 @@ object GdMf {
         .agg(scaledVecSum(col("u_factors"), col("e")).as("fgrad"),
           sum(col("e")).as("esum"))
 
+    // The gradient relation is at most dim-sized (one row per id with
+    // observations), so it broadcasts under the same policy as the
+    // factor states — turning the state⋈grad update into a shuffle-free
+    // broadcast join; above the cap both sides degrade to a shuffle
+    // join, which is the right plan for dims that big.
     def updated(state: DataFrame, grad: DataFrame, idCol: String,
-        factorsCol: String, biasCol: String, dimSize: Long): DataFrame =
-      state.join(grad, Seq(idCol), "left_outer")
+        factorsCol: String, biasCol: String, dimSize: Long,
+        bcast: Boolean): DataFrame =
+      state.join(if (bcast) broadcast(grad) else grad, Seq(idCol), "left_outer")
         .withColumn(factorsCol,
           zip_with(col(factorsCol),
             coalesce(col("fgrad"), array((0 until cfg.nFactors).map(_ => lit(0.0)): _*)),
@@ -265,10 +277,10 @@ object GdMf {
       for (epoch <- 0 until cfg.epochs) {
         if (cfg.collectErrors) history += ((epoch, metricsOf(err)))
         uState = cutU(epoch,
-          updated(uState, userGrad(err, iState), "u_id", "u_factors", "u_bias", stats.nItems))
+          updated(uState, userGrad(err, iState), "u_id", "u_factors", "u_bias", stats.nItems, bcastU))
         val err1 = persistErr(errRel(uState, iState))
         iState = cutI(epoch,
-          updated(iState, itemGrad(err1, uState), "i_id", "i_factors", "i_bias", stats.nUsers))
+          updated(iState, itemGrad(err1, uState), "i_id", "i_factors", "i_bias", stats.nUsers, bcastI))
         err = persistErr(errRel(uState, iState))
       }
       err.unpersist()
@@ -280,17 +292,24 @@ object GdMf {
         val err = persistErr(errRel(uState, iState))
         if (cfg.collectErrors) history += ((epoch, metricsOf(err)))
         uState = cutU(epoch,
-          updated(uState, userGrad(err, iState), "u_id", "u_factors", "u_bias", stats.nItems))
+          updated(uState, userGrad(err, iState), "u_id", "u_factors", "u_bias", stats.nItems, bcastU))
         // trap 2: item grad joins the epoch error against the NEW user
         // factors (checkpointed, so this job doesn't redo the user side)
         iState = cutI(epoch,
-          updated(iState, itemGrad(err, uState), "i_id", "i_factors", "i_bias", stats.nUsers))
+          updated(iState, itemGrad(err, uState), "i_id", "i_factors", "i_bias", stats.nUsers, bcastI))
       }
     }
     pendingErr.foreach(_.unpersist())
     pendingErr.clear()
 
     facts.unpersist()
+    if (cfg.epochs > 0) {
+      // the final states are checkpointed by the last epoch's cut and no
+      // longer reference the dims; with epochs=0 the lazy init states
+      // still do, so the dims must stay resident for the Model's life.
+      userDim.unpersist()
+      itemDim.unpersist()
+    }
     Model(
       userState = uState.select(col("user"),
         col("u_factors"), col("u_bias")),

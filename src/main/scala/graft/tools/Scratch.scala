@@ -24,14 +24,28 @@ object Scratch {
       println(f"[scratch] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
-    // job-count instrumentation
+    // job-count instrumentation (+ optional per-job trace)
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val trace = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobs.incrementAndGet(); ()
+          jobs.incrementAndGet()
+          if (trace.get()) {
+            val desc = Option(j.properties)
+              .map(_.getProperty("spark.job.description", "")).getOrElse("")
+            starts.put(j.jobId, (System.nanoTime(), desc.take(90)))
+          }
+          ()
         }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (trace.get()) Option(starts.remove(j.jobId)).foreach {
+            case (t0, desc) =>
+              println(f"[scratch]   job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.3f s  $desc")
+          }
       })
 
     val r = ratings
@@ -40,6 +54,13 @@ object Scratch {
       GdMf.fit(graft.io.Tables.ratingsFromEvents(spark, "/root/testdata/sf0.001"),
         GdMf.Config(nFactors = 30, epochs = 1)).userState.count()
     }
+
+    // traced single run: which jobs make up setup + 2 epochs
+    trace.set(true)
+    time("funk k=30 epochs=2 TRACED") {
+      GdMf.fit(r, GdMf.Config(nFactors = 30, epochs = 2)).userState.count()
+    }
+    trace.set(false)
 
     for (ep <- Seq(0, 1, 3, 6)) {
       jobs.set(0)
