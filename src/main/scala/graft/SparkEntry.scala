@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.encode.Encoding
-import graft.io.{RatingsIO, Tables}
+import graft.io.{Lake, RatingsIO, Tables}
+import graft.pipeline.Curation
 import graft.prep.Prep
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -481,6 +482,68 @@ object SparkEntry {
       .select(col("doc_id"), col("token").as("top_term"), col("tfidf"))
   }
 
+  /** Partitioned lake layout (write side of partition pruning): the
+    * corpus lands partitioned by language; the read-back filter on
+    * `lang` prunes directories before any I/O (`PartitionFilters` in
+    * the scan — LakeSpec asserts it). Oracle is the equivalent filter
+    * + agg over the unpartitioned source.
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_lake_docs_${math.abs(dir.hashCode)}"
+    Lake.writePartitioned(
+      Tables.documents(s, dir).select("doc_id", "text", "lang", "source", "n_chars"),
+      tmp, Seq("lang"))
+    Lake.read(s, tmp)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** Incremental corpus refresh (keyed upsert): v2 revisions of every
+    * third document plus a batch of brand-new ids merge into the v1
+    * snapshot; highest version per doc_id wins. The fingerprint column
+    * proves WHICH row survived, not just how many.
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val base = docs.withColumn("version", lit(1L))
+    val revisions = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .withColumn("version", lit(2L))
+    val fresh = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("version", lit(2L))
+    Curation.upsert(base, revisions.unionByName(fresh), Seq("doc_id"), col("version"))
+      .select(col("doc_id"), col("version"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+  }
+
+  /** Benchmark decontamination: every tenth document — whitespace-
+    * mangled, so only NORMALIZED fingerprints catch it — plays the
+    * held-out eval set; the corpus anti-joins it away. Broadcast
+    * anti-join: zero shuffle of corpus rows.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", regexp_replace(col("text"), " ", "  "))
+    Curation.decontaminate(docs, benchmark, "text")
+      .select("doc_id", "source")
+  }
+
+  /** Sequence packing: documents stream into fixed 2048-token training
+    * sequences per language shard, in doc_id order; each doc gets the
+    * sequence id + offset where it starts.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .drop("text")
+    Curation.packSequences(docs, "lang", "doc_id", col("n_tokens"), 2048)
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -911,7 +974,11 @@ object SparkEntry {
     "q69_stream_session" -> (q69 _),
     "q70_ntile_binning" -> (q70 _),
     "q71_zscore" -> (q71 _),
-    "q72_tfidf" -> (q72 _))
+    "q72_tfidf" -> (q72 _),
+    "q73_partitioned_lake" -> (q73 _),
+    "q74_upsert_merge" -> (q74 _),
+    "q75_decontaminate" -> (q75 _),
+    "q76_sequence_pack" -> (q76 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -1371,5 +1438,47 @@ object SparkEntry {
          |SELECT ${favgSql("abs(prediction - rating)")} AS mae,
          |       ${favgSql("(prediction - rating) * (prediction - rating)")} AS mse,
          |       sqrt(${favgSql("(prediction - rating) * (prediction - rating)")}) AS rmse
-         |FROM pred""".stripMargin)
+         |FROM pred""".stripMargin,
+    "q73_partitioned_lake" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang""".stripMargin,
+    "q74_upsert_merge" ->
+      """WITH merged AS (
+        |  SELECT doc_id, text, 1 AS version FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2', 2 FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 2 FROM documents WHERE doc_id % 7 = 0),
+        |ranked AS (
+        |  SELECT doc_id, version, text,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY version DESC) AS rk
+        |  FROM merged)
+        |SELECT doc_id, CAST(version AS BIGINT) AS version,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM ranked WHERE rk = 1""".stripMargin,
+    "q75_decontaminate" ->
+      """WITH bm AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(
+        |    lower(replace(text, ' ', '  ')), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id, source FROM documents d
+        |WHERE md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
+        |      NOT IN (SELECT fp FROM bm)""".stripMargin,
+    "q76_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY lang
+        |                                  ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |       (cum - n_tokens) // 2048 AS seq_id,
+        |       (cum - n_tokens) % 2048 AS seq_offset
+        |FROM c""".stripMargin)
 }

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert keeps the highest-version row per key; unseen keys insert") {
+    val base = Seq((1L, "one", 1L), (2L, "two", 1L), (3L, "three", 1L))
+      .toDF("id", "text", "version")
+    val updates = Seq((2L, "two-v2", 2L), (9L, "nine", 2L))
+      .toDF("id", "text", "version")
+    val got = Curation.upsert(base, updates, Seq("id"), col("version"))
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "one", 1L), (2L, "two-v2", 2L),
+      (3L, "three", 1L), (9L, "nine", 2L)))
+  }
+
+  test("decontaminate drops normalized-content matches only") {
+    val corpus = Seq((1L, "keep me"), (2L, "Remove   Me"), (3L, "also kept"))
+      .toDF("doc_id", "text")
+    // benchmark text differs in case and whitespace — only normalized
+    // fingerprints can catch it
+    val benchmark = Seq("remove me").toDF("text")
+    val got = Curation.decontaminate(corpus, benchmark, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("packSequences assigns start-position sequence ids per shard") {
+    val docs = Seq(
+      ("en", 1L, 600L), ("en", 2L, 500L), ("en", 3L, 100L), ("en", 4L, 900L),
+      ("de", 10L, 1500L), ("de", 11L, 700L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val got = Curation.packSequences(docs, "lang", "doc_id", col("n_tokens"), 1000)
+      .select("lang", "doc_id", "seq_id", "seq_offset")
+      .orderBy("lang", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // de: starts at 0 and 1500
+      ("de", 10L, 0L, 0L), ("de", 11L, 1L, 500L),
+      // en: starts at 0, 600, 1100, 1200
+      ("en", 1L, 0L, 0L), ("en", 2L, 0L, 600L),
+      ("en", 3L, 1L, 100L), ("en", 4L, 1L, 200L)))
+  }
+
+  test("packSequences offsets stay inside the sequence capacity") {
+    val docs = (1 to 200).map(i => ("s", i.toLong, (i % 37).toLong + 1L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val out = Curation.packSequences(docs, "lang", "doc_id", col("n_tokens"), 64)
+    assert(out.filter(col("seq_offset") < 0 || col("seq_offset") >= 64).count() === 0)
+    // seq ids are non-decreasing in pack order
+    val ids = out.orderBy("doc_id").select("seq_id").as[Long].collect().toSeq
+    assert(ids === ids.sorted)
+  }
+}
