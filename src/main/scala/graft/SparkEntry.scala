@@ -544,6 +544,20 @@ object SparkEntry {
     Curation.packSequences(docs, "lang", "doc_id", col("n_tokens"), 2048)
   }
 
+  /** Streaming decontamination: the q75 anti-join running on a document
+    * STREAM against the static benchmark fingerprints — stateless
+    * stream-static broadcast anti-join, so ingest-time filtering needs
+    * no watermark and no state store; the oracle is the batch
+    * equivalent.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val benchmark = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      .withColumn("text", regexp_replace(col("text"), " ", "  "))
+    val st = StreamingPrep.streamDocuments(s, dir)
+    StreamingPrep.runToMemory(
+      Curation.decontaminate(st, benchmark, "text").select("doc_id", "source"))
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -978,7 +992,8 @@ object SparkEntry {
     "q73_partitioned_lake" -> (q73 _),
     "q74_upsert_merge" -> (q74 _),
     "q75_decontaminate" -> (q75 _),
-    "q76_sequence_pack" -> (q76 _))
+    "q76_sequence_pack" -> (q76 _),
+    "q77_stream_decontaminate" -> (q77 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -1480,5 +1495,13 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens,
         |       (cum - n_tokens) // 2048 AS seq_id,
         |       (cum - n_tokens) % 2048 AS seq_offset
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    "q77_stream_decontaminate" ->
+      """WITH bm AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(
+        |    lower(replace(text, ' ', '  ')), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id, source FROM documents d
+        |WHERE md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
+        |      NOT IN (SELECT fp FROM bm)""".stripMargin)
 }

@@ -44,6 +44,23 @@ object StreamingPrep {
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
+  /** Streaming scan of the documents corpus (file source): the
+    * continuous-ingest half of the curation pipeline — new corpus
+    * batches arrive as files and flow through the same stateless
+    * curation expressions (profile, fingerprint, decontaminate) as
+    * batch.
+    */
+  def streamDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+
   /** Streaming keyed dedup (the streaming analog of the reference's
     * keep-one-per-(item,user), `run_als.py:10`): first arrival per key
     * wins. Uses dropDuplicatesWithinWatermark — plain dropDuplicates on
