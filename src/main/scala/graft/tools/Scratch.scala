@@ -69,6 +69,14 @@ object Scratch {
       }
       println(s"[scratch]   jobs=${jobs.get()}")
     }
+    for (ci <- Seq(1, 2, 3); rep <- 1 to 2) {
+      jobs.set(0)
+      time(s"funk k=30 epochs=6 ckptInterval=$ci rep$rep") {
+        GdMf.fit(r, GdMf.Config(nFactors = 30, epochs = 6,
+          checkpointInterval = ci)).userState.count()
+      }
+      println(s"[scratch]   jobs=${jobs.get()}")
+    }
     // setup phases in isolation, mirroring fit's setup exactly
     import org.apache.spark.sql.functions._
     import org.apache.spark.storage.StorageLevel

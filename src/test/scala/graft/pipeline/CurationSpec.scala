@@ -55,4 +55,62 @@ class CurationSpec extends SparkSpec {
     val ids = out.orderBy("doc_id").select("seq_id").as[Long].collect().toSeq
     assert(ids === ids.sorted)
   }
+
+  // --- property-based invariants (same minimal seeded-sample forAll as
+  // graft.prep.PropertiesSpec — the scalatestplus bridge isn't cached) --
+
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def forAllG[A](g: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(271L + i)).foreach(body)
+    }
+
+  private val snapshotGen: Gen[List[(Long, String, Long)]] =
+    Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n, for {
+      id <- Gen.chooseNum(0L, 30L)
+      txt <- Gen.identifier
+      v <- Gen.chooseNum(1L, 5L)
+    } yield (id, txt, v)))
+
+  test("property: upsert is idempotent and keeps max version per key") {
+    forAllG(snapshotGen) { rows =>
+      // make (key, version) unique so keep-last is well-defined
+      val uniq = rows.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+      val df = uniq.toDF("id", "text", "version")
+      val base = df.filter(col("version") <= 2)
+      val upd = df.filter(col("version") > 2)
+      val merged = Curation.upsert(base, upd, Seq("id"), col("version"))
+      // one row per key, carrying that key's max version
+      val expect = uniq.groupBy(_._1).map { case (k, g) =>
+        (k, g.map(_._3).max)
+      }.toSet
+      val got = merged.select("id", "version").as[(Long, Long)].collect().toSet
+      assert(got === expect)
+      // idempotent: upserting the merged result with no updates is a no-op
+      val again = Curation.upsert(merged, merged.limit(0), Seq("id"), col("version"))
+      assert(again.exceptAll(merged).count() === 0)
+    }
+  }
+
+  test("property: pack offsets+lengths tile each shard's token stream") {
+    val shardGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 500L)))
+    forAllG(shardGen) { toks =>
+      val docs = toks.zipWithIndex.map { case (t, i) => ("s", i.toLong, t) }
+        .toDF("lang", "doc_id", "n_tokens")
+      val out = Curation.packSequences(docs, "lang", "doc_id", col("n_tokens"), 1024)
+        .orderBy("doc_id")
+        .select("seq_id", "seq_offset", "n_tokens")
+        .as[(Long, Long, Long)].collect().toSeq
+      // reconstruct each doc's absolute start from (seq_id, seq_offset):
+      // they must exactly tile the cumulative token stream
+      var cum = 0L
+      out.foreach { case (seq, off, n) =>
+        assert(seq * 1024 + off === cum, s"gap/overlap at cum=$cum")
+        cum += n
+      }
+    }
+  }
 }

@@ -58,4 +58,28 @@ class StreamingPrepSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming decontamination filters across micro-batch boundaries") {
+    import graft.pipeline.Curation
+    // two files -> two micro-batches; contaminated docs appear in BOTH
+    // batches, so the anti-join must hold per batch, not just overall
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdoc").toString
+    def doc(id: Long, text: String) = (id, text, "en", "src", text.length.toLong)
+    Seq(doc(1, "clean one"), doc(2, "held out A"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/f1.parquet")
+    Seq(doc(3, "Held   OUT a"), doc(4, "clean two"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/f2.parquet")
+
+    val benchmark = Seq("held out a").toDF("text")
+    val stream = spark.readStream
+      .schema(Seq(doc(0, "x")).toDF("doc_id", "text", "lang", "source", "n_chars").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val survivors = StreamingPrep.runToMemory(
+      Curation.decontaminate(stream, benchmark, "text").select("doc_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(survivors === Seq(1L, 4L))
+  }
 }
