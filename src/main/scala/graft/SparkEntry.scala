@@ -804,6 +804,17 @@ object SparkEntry {
       k = 10, nlist = 16, nprobe = 4)
   }
 
+  /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
+    * the memory-compression scale path — the pass touching every
+    * corpus vector reads m codes per row, not the full float vector.
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.pqTopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 10, m = 8, ks = 16, overfetch = 4)
+  }
+
   /** LSH-bucketed embedding near-dup (the scale path of q46). */
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"),
@@ -993,7 +1004,8 @@ object SparkEntry {
     "q74_upsert_merge" -> (q74 _),
     "q75_decontaminate" -> (q75 _),
     "q76_sequence_pack" -> (q76 _),
-    "q77_stream_decontaminate" -> (q77 _))
+    "q77_stream_decontaminate" -> (q77 _),
+    "q78_ann_pq" -> (q78 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->

@@ -199,6 +199,83 @@ object Ann {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Product-quantization ANN: per-subspace KMeans codebooks compress
+    * each corpus vector to `m` small codes; queries score candidates by
+    * ADC table lookups (m array reads per candidate, no float math on
+    * corpus vectors); the ADC shortlist (`overfetch·k`) is re-ranked
+    * EXACTLY on the original vectors.
+    *
+    * This is the memory-compression scale path IVF doesn't cover: at
+    * production parameters (m=16, ks=256) a 768-dim float corpus
+    * shrinks 192× for the scoring pass — the scan that touches every
+    * vector reads 16 bytes/row instead of 3 KB — while the exact
+    * re-rank touches only `overfetch·k` full vectors per query.
+    * Codebooks train on a bounded sample (`trainSampleFraction`); the
+    * driver holds m·ks·dsub doubles, nothing else. All three kernels
+    * (encode / table build / score) are codegen'd expressions
+    * ([[graft.functions.PqExpressions]]) — no interpreted HOFs in the
+    * per-row path.
+    */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, m: Int = 8, ks: Int = 16, seed: Long = 42L,
+      trainSampleFraction: Double = 1.0, overfetch: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    import graft.functions.PqExpressions
+
+    // normalize first: ADC then approximates the dot product = cosine
+    val c = normalized(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+
+    // per-subspace codebooks; each fit sees only the dsub-dim slices of
+    // the (sampled) corpus. m sequential small fits — the classic PQ
+    // training cost, bounded by the sample.
+    val trainSet =
+      if (trainSampleFraction >= 1.0) c
+      else c.sample(withReplacement = false, trainSampleFraction, seed)
+    val flat = new Array[Double](m * ks * dsub)
+    for (j <- 0 until m) {
+      val km = new KMeans().setK(ks).setSeed(seed + j).setFeaturesCol("fv")
+        .fit(trainSet.select(
+          array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv")))
+      for ((ctr, ci) <- km.clusterCenters.zipWithIndex; d <- 0 until dsub)
+        flat((j * ks + ci) * dsub + d) = ctr(d)
+    }
+    val cent = typedLit(flat.toSeq)
+
+    // corpus → codes (the compressed representation; keep v only for
+    // the final exact re-rank of the shortlist)
+    val codes = c.withColumn("codes", PqExpressions.encode(col("v"), cent, m, ks))
+
+    val q = normalized(queries.select(col(qIdCol).as("query_id"),
+      asDouble(col(qVecCol)).as("v"))).withColumnRenamed("v", "qv")
+      .withColumn("qtable", PqExpressions.adcTable(col("qv"), cent, m, ks))
+
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = codes
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", PqExpressions.adcScore(col("codes"), col("qtable"), ks))
+      .withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= overfetch * k)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist
+      .withColumn("cos_sim", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   def itemItemTopK(ratings: DataFrame, k: Int,
       maxUserHistory: Int = Int.MaxValue): DataFrame = {
     // Skew guard: the pair generation is quadratic in per-user degree,

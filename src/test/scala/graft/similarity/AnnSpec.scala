@@ -45,6 +45,43 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@10 too low: $recall")
   }
 
+  test("pqTopK achieves high recall@10 against brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Ann.pqTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      10, m = 8, ks = 16, overfetch = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall@10 too low: $recall")
+  }
+
+  test("pq ADC score approximates the true dot product on the shortlist") {
+    // hand-check the kernels: identical vectors must ADC-score near the
+    // exact dot product when each subspace has a near-exact centroid
+    import graft.functions.PqExpressions
+    val vecs = Seq(
+      (1L, Array.fill(8)(1.0)), (2L, Array.fill(8)(-1.0)),
+      (3L, Array.tabulate(8)(i => if (i < 4) 1.0 else -1.0)))
+      .toDF("id", "v")
+    // codebook: 2 subspaces x 2 centroids x 4 dims (flat layout):
+    // subspace centroids are all-ones and all-minus-ones
+    val flat = (Seq.fill(4)(1.0) ++ Seq.fill(4)(-1.0)) ++
+      (Seq.fill(4)(1.0) ++ Seq.fill(4)(-1.0))
+    val cent = typedLit(flat)
+    val out = vecs
+      .withColumn("codes", PqExpressions.encode(col("v"), cent, 2, 2))
+      .withColumn("qtable", PqExpressions.adcTable(col("v"), cent, 2, 2))
+      .withColumn("self_adc", PqExpressions.adcScore(col("codes"), col("qtable"), 2))
+      .select("id", "codes", "self_adc")
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2) === Seq(Seq(0, 0), Seq(1, 1), Seq(0, 1)))
+    // centroids are exact copies of the subvectors → ADC self-score
+    // equals the exact self dot product (8.0)
+    assert(out.map(_._3).forall(s => math.abs(s - 8.0) < 1e-12))
+  }
+
   test("embeddingPairsLsh finds planted colinear pairs") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
