@@ -70,12 +70,33 @@ object Multimodal {
         lit(0).as("sample_rate"), lit(0L).as("duration_ms"),
         length(col("bytes")).cast("long").as("n_bytes")))
 
-  /** STUB decode: payload bytes → `dim` float features via a rolling
+  /** The pluggable codec boundary: everything Spark-side (partitioning,
+    * batch shape, schema) is fixed; productionizing = shipping a real
+    * implementation of this ONE interface (JNI/ONNX/javacv — whatever
+    * the deployment has). `open()` runs once per partition so codec and
+    * model state amortize across the partition's rows, mirroring a
+    * Pandas-UDF's per-batch init.
+    */
+  trait MediaDecoder extends Serializable {
+    /** Called once per partition before any decode; returns a
+      * per-partition context passed to every decode call (codec
+      * handles, model session, scratch buffers).
+      */
+    def open(): AnyRef = null
+    def decode(ctx: AnyRef, kind: String, bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB decoder: payload bytes → `dim` float features via a rolling
     * polynomial hash per band. Deterministic, partition-parallel, and
     * shaped exactly like a real embedding extractor's output
-    * (`ARRAY<FLOAT>` of fixed dim). Replace the body with a real codec +
-    * model call to productionize; the plan shape is already right.
+    * (`ARRAY<FLOAT>` of fixed dim). This container ships no media
+    * libraries, so the byte→pixel step is a pure hash.
     */
+  object HashStubDecoder extends MediaDecoder {
+    override def decode(ctx: AnyRef, kind: String, bytes: Array[Byte],
+        dim: Int): Array[Float] = fakeDecode(bytes, dim)
+  }
+
   def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -90,18 +111,40 @@ object Multimodal {
 
   /** Feature extraction over the media table: typed `mapPartitions` — the
     * Scala analog of a Pandas-UDF batch loop: one iterator per partition,
-    * codec state amortized across the partition, no per-row JNI churn.
+    * decoder state opened ONCE per partition, no per-row JNI churn.
     */
-  def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
+  def extractFeatures(media: DataFrame, dim: Int,
+      decoder: MediaDecoder = HashStubDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, String, Array[Byte])] = media
       .select(col("media_id"), col("kind"), col("bytes"))
       .as[(Long, String, Array[Byte])]
     ds.mapPartitions { it =>
-      // real impl: initialize codec/model ONCE here, then stream batches
-      it.map { case (id, kind, bytes) => (id, kind, fakeDecode(bytes, dim)) }
+      val ctx = decoder.open()
+      it.map { case (id, kind, bytes) =>
+        (id, kind, decoder.decode(ctx, kind, bytes, dim))
+      }
     }.toDF("media_id", "kind", "features")
+  }
+
+  /** Image resize planning: target dimensions under `maxDim` preserving
+    * aspect ratio, downscale-only (scale = min(1, maxDim/max(w,h))).
+    * Pure metadata expressions — the pixel resample itself is codec
+    * work and belongs inside a [[MediaDecoder]]; this computes the
+    * exact shape contract (what a `mapInPandas` resize batch would
+    * receive) so downstream layout/batching logic is testable without
+    * any codec.
+    */
+  def resizeDims(media: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(1.0), lit(maxDim.toDouble) / greatest(w, h))
+    media.filter(col("kind") === "image")
+      .withColumn("resized_w", round(w * scale).cast("int"))
+      .withColumn("resized_h", round(h * scale).cast("int"))
+      .select(col("media_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("resized_w"), col("resized_h"))
   }
 
   /** Overlapping analysis windows over audio payloads (hop < window ⇒

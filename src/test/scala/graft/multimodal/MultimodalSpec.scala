@@ -57,6 +57,35 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.select(size($"features")).as[Int].collect().forall(_ === 4))
   }
 
+  test("custom MediaDecoder plugs in with per-partition open()") {
+    val m = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    // a decoder whose context proves open() ran: features = [n_bytes, ctx]
+    object CountingDecoder extends Multimodal.MediaDecoder {
+      override def open(): AnyRef = java.lang.Double.valueOf(7.0)
+      override def decode(ctx: AnyRef, kind: String, bytes: Array[Byte],
+          dim: Int): Array[Float] =
+        Array(bytes.length.toFloat, ctx.asInstanceOf[java.lang.Double].floatValue)
+    }
+    val feats = Multimodal.extractFeatures(m, dim = 2, decoder = CountingDecoder)
+    val rows = feats.select($"features").as[Seq[Float]].collect()
+    assert(rows.nonEmpty && rows.forall(f => f.length === 2 && f(1) === 7.0f))
+  }
+
+  test("resizeDims preserves aspect ratio and never upscales") {
+    val m = Seq(
+      (1L, "image", Array[Byte](1), (2000, 1000, 0, 0L, 1L)),
+      (2L, "image", Array[Byte](1), (100, 50, 0, 0L, 1L)),
+      (3L, "audio", Array[Byte](1), (0, 0, 16000, 10L, 1L)))
+      .toDF("media_id", "kind", "bytes", "meta")
+      .withColumn("meta", $"meta".cast(
+        "struct<width:int,height:int,sample_rate:int,duration_ms:bigint,n_bytes:bigint>"))
+    val r = Multimodal.resizeDims(m, maxDim = 512)
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    // 2000x1000 -> 512x256 (downscale, aspect kept); 100x50 untouched;
+    // audio row filtered out
+    assert(r === Seq((1L, 2000, 1000, 512, 256), (2L, 100, 50, 100, 50)))
+  }
+
   test("sampleFrames splits payload into n ordered binary frames") {
     val m = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(m, n = 4)
