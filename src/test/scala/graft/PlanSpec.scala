@@ -91,4 +91,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
+
+  test("q74: upsert is one shuffle with WindowGroupLimit pushed below it") {
+    val p = plan("q74_upsert_merge")
+    val n = "Exchange ".r.findAllIn(p).size
+    assert(n === 1, s"upsert should shuffle exactly once, got $n:\n$p")
+    // the rank-1 filter prunes per-key rows BEFORE the exchange too
+    // (partial WindowGroupLimit), so duplicate-heavy batches shrink
+    // map-side
+    assert("WindowGroupLimit".r.findAllIn(p).size === 2,
+      s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
+  test("q75: decontamination is a broadcast anti-join, corpus unshuffled") {
+    val p = plan("q75_decontaminate")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined, s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle:\n$p")
+  }
+
+  test("q76: sequence packing shuffles once, keyed by shard") {
+    val n = exchangeCount("q76_sequence_pack")
+    assert(n === 1, s"expected 1 exchange, got $n:\n${plan("q76_sequence_pack")}")
+  }
 }
