@@ -52,6 +52,13 @@ object GdMf {
       // interval=1, 16 s at 2, 40 s at 3), so letting plans grow even
       // a little costs far more driver time than the cut jobs save.
       checkpointInterval: Int = 1,
+      // Fact-table partition count for the epoch loop. 0 (default) =
+      // auto: size by bytes (~24 B/row against 32 MB partitions,
+      // floored at 1) — local test scales get a handful of partitions
+      // instead of inheriting the global shuffle width (32 tasks over
+      // 2 MB is pure scheduler overhead), while 100 TB of facts gets
+      // thousands, same rule as files.maxPartitionBytes.
+      factsPartitions: Int = 0,
       // Factor-state joins broadcast when the estimated state size
       // (ids × (16 + 8k) bytes) fits under this cap, which removes every
       // fact-sized shuffle from the epoch loop. Above the cap (dims too
@@ -106,8 +113,6 @@ object GdMf {
 
   def fit(ratings: DataFrame, cfg: Config): Model = {
     val spark = ratings.sparkSession
-    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
-
     val orderCol = if (ratings.columns.contains("time")) "time" else "rating"
     // ONE scan of the source: the raw ratings (often a parse-heavy scan)
     // feed both dimension builds and the fact encode — persist the
@@ -115,6 +120,13 @@ object GdMf {
     val ratingsP = ratings
       .select(Seq("user", "item", "rating", orderCol).distinct.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materializes ratingsP and sizes the fact partitioning (24 B/row
+    // encoded facts vs 32 MB target) — the count is against the cache
+    // every later consumer reads anyway
+    val nnz = ratingsP.count()
+    val factParts =
+      if (cfg.factsPartitions > 0) cfg.factsPartitions
+      else math.max(1L, nnz * 24L / (32L << 20)).toInt
     // Checkpoint the DIMENSIONS, not the derived factor states: every
     // broadcast of a dim (the fact encode below + each epoch's state
     // broadcasts) would otherwise re-run the dimension's groupBy+window
@@ -129,7 +141,7 @@ object GdMf {
     // partitioning without a new exchange (reference chunk grid → §1.3).
     val facts = Encoding.encode(ratingsP, userDim, itemDim)
       .select(col("u_id"), col("i_id"), col("rating"))
-      .repartition(shufflePartitions, col("u_id"))
+      .repartition(factParts, col("u_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Global statistics — same six values as
