@@ -71,24 +71,34 @@ object AlsRecommender {
 
   def fit(ratings: DataFrame, params: Params = Params()): Model = {
     val orderCol = if (ratings.columns.contains("time")) "time" else "rating"
-    val userDim = Encoding.dimension(ratings, "user", orderCol, "u_id")
-    val itemDim = Encoding.dimension(ratings, "item", orderCol, "i_id")
-    val stats = Encoding.ratingStats(ratings)
+    // One scan of the source feeds the dims, stats, bias aggs, and the
+    // encode; dims checkpoint once so their groupBy+window plan doesn't
+    // re-run per broadcast consumer (same measured trap as GdMf.fit).
+    val r = ratings
+      .select(Seq("user", "item", "rating", orderCol).distinct.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val userDim = Encoding.dimension(r, "user", orderCol, "u_id")
+      .localCheckpoint(true)
+    val itemDim = Encoding.dimension(r, "item", orderCol, "i_id")
+      .localCheckpoint(true)
+    val stats = Encoding.ratingStats(r)
 
     // The reference's decomposition is `mean + u_bias + i_bias + P·Q`
     // (models/als.py:79). Mirror it: damped user/item biases from the
     // training deviations, then ALS factorizes the *residuals* — the
     // published reason its tuned runs beat raw MLlib ALS (BASELINE.md).
     val damping = 5.0
-    val ub = ratings.groupBy("user").agg(
+    val ub = r.groupBy("user").agg(
       (sum(col("rating") - stats.meanRating) /
         (count(lit(1)) + damping)).as("u_bias"))
-    val ib = ratings.join(broadcast(ub), "user")
+      .localCheckpoint(true)
+    val ib = r.join(broadcast(ub), "user")
       .groupBy("item").agg(
         (sum(col("rating") - stats.meanRating - col("u_bias")) /
           (count(lit(1)) + damping)).as("i_bias"))
+      .localCheckpoint(true)
     val encoded = Encoding.encode(
-      ratings.join(broadcast(ub), "user").join(broadcast(ib), "item"),
+      r.join(broadcast(ub), "user").join(broadcast(ib), "item"),
       userDim, itemDim)
       .select(col("u_id"), col("i_id"),
         (col("rating") - stats.meanRating - col("u_bias") - col("i_bias"))
@@ -100,7 +110,9 @@ object AlsRecommender {
       .setRegParam(params.reg).setSeed(params.seed)
       .setNumUserBlocks(params.numBlocks).setNumItemBlocks(params.numBlocks)
       .setColdStartStrategy("nan")
-    val model = als.fit(encoded)
+    val model = als.fit(encoded) // materializes `encoded`: ALS caches
+    // its internal block RDDs up front, so the source cache can go now
+    r.unpersist()
 
     val toDouble = (c: String) =>
       transform(col("features"), f => f.cast("double")).as(c)
