@@ -24,13 +24,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  /** PQ kernel shape parameters (m, ks) arrive as SQL literal
+    * arguments; they parameterize generated code, so they must fold at
+    * plan time.
+    */
+  private def intArg(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name: argument must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name: expected integer literal, got $other")
+    }
+  }
+
   private[functions] val specs: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    ("graft_pq_encode",
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (es: Seq[Expression]) => PqEncode(es(0), es(1),
+        intArg(es(2), "graft_pq_encode(m)"), intArg(es(3), "graft_pq_encode(ks)"))),
+    ("graft_pq_adc_table",
+      new ExpressionInfo(classOf[PqAdcTable].getName, "graft_pq_adc_table"),
+      (es: Seq[Expression]) => PqAdcTable(es(0), es(1),
+        intArg(es(2), "graft_pq_adc_table(m)"), intArg(es(3), "graft_pq_adc_table(ks)"))),
+    ("graft_pq_adc_score",
+      new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_adc_score"),
+      (es: Seq[Expression]) => PqAdcScore(es(0), es(1),
+        intArg(es(2), "graft_pq_adc_score(ks)"))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

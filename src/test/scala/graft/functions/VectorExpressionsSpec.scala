@@ -58,4 +58,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r(0)._1 === 32.0)
     assert(math.abs(r(2)._2 - 1.0) < 1e-12)
   }
+
+  test("graft_pq_* kernels register as SQL functions") {
+    GraftFunctions.register(spark)
+    // 2 subspaces x 2 centroids x 2 dims, centroids = (1,1) and (-1,-1)
+    // per subspace; vector (1,1,-1,-1) -> codes [0,1], self-ADC = 4
+    val r = spark.sql(
+      """SELECT
+        |  graft_pq_encode(v, c, 2, 2) AS codes,
+        |  graft_pq_adc_score(graft_pq_encode(v, c, 2, 2),
+        |                     graft_pq_adc_table(v, c, 2, 2), 2) AS adc
+        |FROM (SELECT array(1D, 1D, -1D, -1D) AS v,
+        |             array(1D, 1D, -1D, -1D, 1D, 1D, -1D, -1D) AS c)
+        |""".stripMargin).as[(Seq[Int], Double)].head()
+    assert(r._1 === Seq(0, 1))
+    assert(math.abs(r._2 - 4.0) < 1e-12)
+  }
 }
