@@ -243,15 +243,25 @@ object GdMf {
 
     val history = scala.collection.mutable.ArrayBuffer.empty[(Int, Metrics)]
 
-    // Lineage management (SURVEY §4.1): localCheckpoint every
+    // Lineage management (SURVEY §4.1): checkpoint every
     // checkpointInterval epochs (and on the final one); between cuts
-    // the states stay lazy plans over the last checkpoint. Persisted
-    // error relations are unpersisted only AT the next cut — the cut is
-    // the materialization barrier, and dropping a cache before its
-    // consumers materialize would silently void it and recompute.
+    // the states stay lazy plans over the last checkpoint. Cuts use
+    // DatasetBridge.localCheckpointFresh, NOT Dataset.localCheckpoint:
+    // Spark 4's localCheckpoint copies the cut plan's ESTIMATED
+    // STATISTICS into the replacement leaf, and in an iterative loop
+    // that estimate compounds geometrically epoch over epoch (each
+    // epoch's size estimate is a product involving the last epoch's) —
+    // by ~epoch 16 Catalyst spends minutes in BigInteger.multiply
+    // inside the stats visitor. Fresh leaves take default stats; every
+    // join in the loop is explicitly broadcast-hinted, so the planner
+    // loses nothing. Persisted error relations are unpersisted only AT
+    // the next cut — the cut is the materialization barrier, and
+    // dropping a cache before its consumers materialize would silently
+    // void it and recompute.
+    import org.apache.spark.sql.graftbridge.DatasetBridge
     val pendingErr = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var lastCpU: DataFrame = uState
-    var lastCpI: DataFrame = iState
+    var lastCpU: Option[DatasetBridge.FreshCheckpoint] = None
+    var lastCpI: Option[DatasetBridge.FreshCheckpoint] = None
     def persistErr(df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       pendingErr += p
@@ -268,19 +278,19 @@ object GdMf {
     // cost before this ordering).
     def cutU(epoch: Int, u: DataFrame): DataFrame =
       if (cutting(epoch)) {
-        val cu = u.localCheckpoint(true) // eager: materializes the chain
-        lastCpU.unpersist()
-        lastCpU = cu
-        cu
+        val cu = DatasetBridge.localCheckpointFresh(u) // eager cut
+        lastCpU.foreach(_.release())
+        lastCpU = Some(cu)
+        cu.df
       } else u
     def cutI(epoch: Int, i: DataFrame): DataFrame =
       if (cutting(epoch)) {
-        val ci = i.localCheckpoint(true)
-        lastCpI.unpersist()
-        lastCpI = ci
+        val ci = DatasetBridge.localCheckpointFresh(i)
+        lastCpI.foreach(_.release())
+        lastCpI = Some(ci)
         pendingErr.foreach(_.unpersist())
         pendingErr.clear()
-        ci
+        ci.df
       } else i
 
     if (cfg.alternating) {
