@@ -262,6 +262,7 @@ object GdMf {
     val pendingErr = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var lastCpU: Option[DatasetBridge.FreshCheckpoint] = None
     var lastCpI: Option[DatasetBridge.FreshCheckpoint] = None
+    var prevU: Option[DatasetBridge.FreshCheckpoint] = None
     def persistErr(df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       pendingErr += p
@@ -276,16 +277,27 @@ object GdMf {
     // cut's job silently re-executes the whole user-side update
     // (gradient aggregation + join) a second time (measured ~2× epoch
     // cost before this ordering).
+    //
+    // Releases are deferred to the END of cutI: until the item cut has
+    // materialized, the (possibly uncut, interval > 1) item-side chain
+    // and the persisted error relations can still recompute through the
+    // PREVIOUS generation's checkpoint RDDs, whose lineage is truncated
+    // — releasing them any earlier throws
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (hit at interval=2). After
+    // cutI, both live states and the next epoch's errors reference only
+    // the new generation.
     def cutU(epoch: Int, u: DataFrame): DataFrame =
       if (cutting(epoch)) {
         val cu = DatasetBridge.localCheckpointFresh(u) // eager cut
-        lastCpU.foreach(_.release())
+        prevU = lastCpU
         lastCpU = Some(cu)
         cu.df
       } else u
     def cutI(epoch: Int, i: DataFrame): DataFrame =
       if (cutting(epoch)) {
         val ci = DatasetBridge.localCheckpointFresh(i)
+        prevU.foreach(_.release())
+        prevU = None
         lastCpI.foreach(_.release())
         lastCpI = Some(ci)
         pendingErr.foreach(_.unpersist())
