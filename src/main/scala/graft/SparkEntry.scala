@@ -558,6 +558,29 @@ object SparkEntry {
       Curation.decontaminate(st, benchmark, "text").select("doc_id", "source"))
   }
 
+  /** Streaming ingest profiling: q40's text-quality expressions applied
+    * per micro-batch on the document stream — stateless (pure per-row
+    * expressions), so profiling keeps up with any ingest rate; oracle
+    * is the batch profile.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      TextAnalysis.profile(StreamingPrep.streamDocuments(s, dir), "text")
+        .select("doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio",
+          "stop_ratio", "quality", "lang_pred"))
+
+  /** Stratified eval-set carve-out: hold out hash-deterministic 10% of
+    * `en` docs and 50% of the low-resource strata. Rows-only (xxhash64
+    * has no DuckDB twin); split invariants proven in PrepSpec.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val (held, rest) = Prep.stratifiedSplit(
+      Tables.documents(s, dir), "lang", col("doc_id"),
+      Map("en" -> 0.1, "de" -> 0.3, "zh" -> 0.5), defaultFraction = 0.2)
+    held.groupBy("lang").agg(count(lit(1)).as("n_held"))
+      .join(rest.groupBy("lang").agg(count(lit(1)).as("n_rest")), Seq("lang"), "full_outer")
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1005,7 +1028,41 @@ object SparkEntry {
     "q75_decontaminate" -> (q75 _),
     "q76_sequence_pack" -> (q76 _),
     "q77_stream_decontaminate" -> (q77 _),
-    "q78_ann_pq" -> (q78 _))
+    "q78_ann_pq" -> (q78 _),
+    "q79_stream_profile" -> (q79 _),
+    "q80_stratified_split" -> (q80 _))
+
+  /** Shared by q40 (batch) and its streaming twin q79 — the streaming
+    * profile is the same pure-expression computation per micro-batch.
+    */
+  private val textProfileSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         regexp_split_to_array(trim(text), '\s+') AS ws,
+      |         regexp_split_to_array(trim(lower(text)), '\s+') AS wsl
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    len(ws) AS n_tokens,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+      |    len(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(len(text) AS DOUBLE) AS pr,
+      |    len(list_filter(wsl, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) / CAST(len(ws) AS DOUBLE) AS sr,
+      |    len(list_filter(wsl, w -> list_contains(['the','a','and','of','to','is'], w))) AS s_en,
+      |    len(list_filter(wsl, w -> list_contains(['der','die','das','und','ist','nicht'], w))) AS s_de,
+      |    len(list_filter(wsl, w -> list_contains(['el','la','los','y','es','que'], w))) AS s_es,
+      |    len(list_filter(wsl, w -> list_contains(['le','la','les','et','est','que'], w))) AS s_fr,
+      |    len(list_filter(wsl, w -> list_contains(['的','了','是','在','我','不'], w))) AS s_zh
+      |  FROM t)
+      |SELECT doc_id, n_tokens, n_bpe_tokens,
+      |  round(pr, 6) AS punct_ratio,
+      |  round(sr, 6) AS stop_ratio,
+      |  round(least(1.0, n_tokens / 100.0) * (1 - pr) * (0.5 + sr), 6) AS quality,
+      |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+      |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+      |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+      |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+      |       ELSE 'zh' END AS lang_pred
+      |FROM r""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -1174,34 +1231,7 @@ object SparkEntry {
         |SELECT media_id, win_no, win_no * 128 AS "offset",
         |       least(256, len - win_no * 128) AS win_len
         |FROM w""".stripMargin,
-    "q40_text_profile" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         regexp_split_to_array(trim(text), '\s+') AS ws,
-        |         regexp_split_to_array(trim(lower(text)), '\s+') AS wsl
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id,
-        |    len(ws) AS n_tokens,
-        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
-        |    len(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(len(text) AS DOUBLE) AS pr,
-        |    len(list_filter(wsl, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) / CAST(len(ws) AS DOUBLE) AS sr,
-        |    len(list_filter(wsl, w -> list_contains(['the','a','and','of','to','is'], w))) AS s_en,
-        |    len(list_filter(wsl, w -> list_contains(['der','die','das','und','ist','nicht'], w))) AS s_de,
-        |    len(list_filter(wsl, w -> list_contains(['el','la','los','y','es','que'], w))) AS s_es,
-        |    len(list_filter(wsl, w -> list_contains(['le','la','les','et','est','que'], w))) AS s_fr,
-        |    len(list_filter(wsl, w -> list_contains(['的','了','是','在','我','不'], w))) AS s_zh
-        |  FROM t)
-        |SELECT doc_id, n_tokens, n_bpe_tokens,
-        |  round(pr, 6) AS punct_ratio,
-        |  round(sr, 6) AS stop_ratio,
-        |  round(least(1.0, n_tokens / 100.0) * (1 - pr) * (0.5 + sr), 6) AS quality,
-        |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
-        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
-        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
-        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
-        |       ELSE 'zh' END AS lang_pred
-        |FROM r""".stripMargin,
+    "q40_text_profile" -> textProfileSql,
     "q60_vocabulary" ->
       """SELECT t.token, count(*) AS n_occurrences,
         |       count(DISTINCT doc_id) AS doc_freq
@@ -1515,5 +1545,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 10 = 0)
         |SELECT doc_id, source FROM documents d
         |WHERE md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
-        |      NOT IN (SELECT fp FROM bm)""".stripMargin)
+        |      NOT IN (SELECT fp FROM bm)""".stripMargin,
+    // the streaming profile computes exactly the batch profile (q40)
+    "q79_stream_profile" -> textProfileSql)
 }

@@ -93,4 +93,31 @@ object Prep {
     val bucket = pmod(key, lit(buckets))
     (df.filter(bucket < trainBuckets), df.filter(bucket >= trainBuckets))
   }
+
+  /** Stratified deterministic split: a per-stratum sampling fraction
+    * (e.g. hold out 10% of `en` docs but 50% of low-resource `zh`),
+    * decided by a hash of the row key so the assignment is reproducible
+    * at any parallelism and cluster size — the scale-safe analog of
+    * `DataFrameStatFunctions.sampleBy`, and like the other splits it is
+    * scan-local: zero shuffles, the strata fractions ride along as one
+    * broadcast join against a tiny fraction table when given as a
+    * DataFrame, or fold into a literal CASE expression as here.
+    * Returns (selected, rest); the two sides partition the input
+    * exactly.
+    */
+  def stratifiedSplit(
+      df: DataFrame, stratumCol: String, keyCol: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0)
+      : (DataFrame, DataFrame) = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    // u01 from the key hash: uniform in [0,1), pure per-row expression
+    val u = (xxhash64(keyCol, col(stratumCol)).cast("double")
+      / lit(1.8446744073709552e19)) + lit(0.5)
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
+    }
+    (df.filter(u < frac), df.filter(!(u < frac)))
+  }
 }

@@ -74,4 +74,22 @@ class PrepSpec extends SparkSpec {
     val out = Prep.projectRename(fixture, Seq("user", "rating"), Seq("u", "r"))
     assert(out.columns.toSeq === Seq("u", "r"))
   }
+
+  test("stratifiedSplit partitions exactly, reproducibly, at ~per-stratum rates") {
+    import spark.implicits._
+    val docs = (1 to 3000).map(i =>
+      (i.toLong, if (i % 3 == 0) "zh" else "en")).toDF("id", "lang")
+    val fractions = Map("en" -> 0.1, "zh" -> 0.5)
+    val (held, rest) = Prep.stratifiedSplit(docs, "lang", col("id"), fractions)
+    // exact partition of the input
+    assert(held.count() + rest.count() === 3000)
+    assert(held.intersect(rest).isEmpty)
+    // reproducible at different parallelism
+    val (held2, _) = Prep.stratifiedSplit(docs.repartition(7), "lang", col("id"), fractions)
+    assert(held.exceptAll(held2).count() === 0 && held2.exceptAll(held).count() === 0)
+    // per-stratum rates within sampling noise
+    val rates = held.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(rates("en") / 2000.0 - 0.1) < 0.04, s"en rate ${rates("en") / 2000.0}")
+    assert(math.abs(rates("zh") / 1000.0 - 0.5) < 0.07, s"zh rate ${rates("zh") / 1000.0}")
+  }
 }
