@@ -581,6 +581,18 @@ object SparkEntry {
       .join(rest.groupBy("lang").agg(count(lit(1)).as("n_rest")), Seq("lang"), "full_outer")
   }
 
+  /** Stateful streaming sequence packing: per-shard running token
+    * counter via flatMapGroupsWithState — one long of state per shard;
+    * oracle is the batch pack (q76).
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val st = StreamingPrep.streamDocuments(s, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .select("doc_id", "lang", "n_tokens")
+    StreamingPrep.runToMemory(StreamingPrep.packSequences(st, 2048))
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1030,7 +1042,8 @@ object SparkEntry {
     "q77_stream_decontaminate" -> (q77 _),
     "q78_ann_pq" -> (q78 _),
     "q79_stream_profile" -> (q79 _),
-    "q80_stratified_split" -> (q80 _))
+    "q80_stratified_split" -> (q80 _),
+    "q81_stream_pack" -> (q81 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -1063,6 +1076,23 @@ object SparkEntry {
       |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
       |       ELSE 'zh' END AS lang_pred
       |FROM r""".stripMargin
+
+  /** Shared by q76 (batch window) and q81 (stateful streaming twin). */
+  private val sequencePackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |           AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY lang
+      |                                  ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens,
+      |       (cum - n_tokens) // 2048 AS seq_id,
+      |       (cum - n_tokens) % 2048 AS seq_offset
+      |FROM c""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
@@ -1523,21 +1553,7 @@ object SparkEntry {
         |SELECT doc_id, source FROM documents d
         |WHERE md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
         |      NOT IN (SELECT fp FROM bm)""".stripMargin,
-    "q76_sequence_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |           AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |         CAST(sum(n_tokens) OVER (PARTITION BY lang
-        |                                  ORDER BY doc_id) AS BIGINT) AS cum
-        |  FROM t)
-        |SELECT doc_id, lang, n_tokens,
-        |       (cum - n_tokens) // 2048 AS seq_id,
-        |       (cum - n_tokens) % 2048 AS seq_offset
-        |FROM c""".stripMargin,
+    "q76_sequence_pack" -> sequencePackSql,
     "q77_stream_decontaminate" ->
       """WITH bm AS (
         |  SELECT DISTINCT md5(trim(regexp_replace(
@@ -1547,5 +1563,7 @@ object SparkEntry {
         |WHERE md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
         |      NOT IN (SELECT fp FROM bm)""".stripMargin,
     // the streaming profile computes exactly the batch profile (q40)
-    "q79_stream_profile" -> textProfileSql)
+    "q79_stream_profile" -> textProfileSql,
+    // the stateful streaming pack computes exactly the batch pack (q76)
+    "q81_stream_pack" -> sequencePackSql)
 }

@@ -61,6 +61,41 @@ object StreamingPrep {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
 
+  /** One packed document in the streaming sequence-pack output. */
+  final case class PackedDoc(doc_id: Long, lang: String, n_tokens: Long,
+      seq_id: Long, seq_offset: Long)
+
+  /** Streaming sequence packing: the stateful streaming twin of
+    * `Curation.packSequences` — per-shard state is ONE running token
+    * count, so a continuously-ingesting tokenizer feeder assigns every
+    * arriving document its (seq_id, seq_offset) without re-reading
+    * history. Documents are packed in `doc_id` order within each
+    * micro-batch (the file-source delivers batches in order for an
+    * ordered ingest); state never grows with stream length — one long
+    * per shard.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs.select(col("doc_id").cast("long"), col("lang"),
+      col("n_tokens").cast("long")).as[(Long, String, Long)]
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang: String, batch: Iterator[(Long, String, Long)],
+         state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.sortBy(_._1).map { case (id, _, n) =>
+            val start = cum
+            cum += n
+            PackedDoc(id, lang, n, start / seqLen, start % seqLen)
+          }
+          state.update(cum)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming keyed dedup (the streaming analog of the reference's
     * keep-one-per-(item,user), `run_als.py:10`): first arrival per key
     * wins. Uses dropDuplicatesWithinWatermark — plain dropDuplicates on

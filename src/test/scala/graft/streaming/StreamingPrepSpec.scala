@@ -59,6 +59,27 @@ class StreamingPrepSpec extends SparkSpec {
     }
   }
 
+  test("streaming packSequences carries the running token count across batches") {
+    // two files -> two micro-batches; batch 2's offsets must continue
+    // where batch 1's cumulative count left off (state = one long/shard)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spack").toString
+    Seq((1L, "en", 600L), (2L, "en", 500L))
+      .toDF("doc_id", "lang", "n_tokens")
+      .coalesce(1).write.parquet(s"$tmp/f1.parquet")
+    Seq((3L, "en", 100L), (4L, "en", 900L))
+      .toDF("doc_id", "lang", "n_tokens")
+      .coalesce(1).write.parquet(s"$tmp/f2.parquet")
+    val stream = spark.readStream
+      .schema(Seq((0L, "x", 0L)).toDF("doc_id", "lang", "n_tokens").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val got = StreamingPrep.runToMemory(
+      StreamingPrep.packSequences(stream, seqLen = 1000))
+      .select("doc_id", "seq_id", "seq_offset")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L, 0L), (2L, 0L, 600L), (3L, 1L, 100L), (4L, 1L, 200L)))
+  }
+
   test("streaming decontamination filters across micro-batch boundaries") {
     import graft.pipeline.Curation
     // two files -> two micro-batches; contaminated docs appear in BOTH
