@@ -240,13 +240,25 @@ object Ann {
     val trainSet =
       if (trainSampleFraction >= 1.0) c
       else c.sample(withReplacement = false, trainSampleFraction, seed)
+    // the m codebook fits are independent — submit them as concurrent
+    // jobs (driver threads; Spark schedules them in parallel) instead
+    // of m sequential barrier waits
     val flat = new Array[Double](m * ks * dsub)
-    for (j <- 0 until m) {
-      val km = new KMeans().setK(ks).setSeed(seed + j).setFeaturesCol("fv")
-        .fit(trainSet.select(
-          array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv")))
-      for ((ctr, ci) <- km.clusterCenters.zipWithIndex; d <- 0 until dsub)
-        flat((j * ks + ci) * dsub + d) = ctr(d)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fits = (0 until m).map { j =>
+      Future {
+        val km = new KMeans().setK(ks).setSeed(seed + j).setFeaturesCol("fv")
+          .fit(trainSet.select(
+            array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv")))
+        (j, km.clusterCenters)
+      }
+    }
+    Await.result(Future.sequence(fits), Duration.Inf).foreach {
+      case (j, centers) =>
+        for ((ctr, ci) <- centers.zipWithIndex; d <- 0 until dsub)
+          flat((j * ks + ci) * dsub + d) = ctr(d)
     }
     val cent = typedLit(flat.toSeq)
 
