@@ -511,8 +511,12 @@ object SparkEntry {
     val revisions = docs.filter(col("doc_id") % 3 === 0)
       .withColumn("text", concat(col("text"), lit(" v2")))
       .withColumn("version", lit(2L))
+    // fresh ids live in the negative range: natural doc_ids are
+    // non-negative at ANY scale factor, so the synthetic batch can
+    // never collide with a real id (an offset like +1e6 collides once
+    // the corpus outgrows it, making the keep-last tie nondeterministic)
     val fresh = docs.filter(col("doc_id") % 7 === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("doc_id", -(col("doc_id") + 1))
       .withColumn("version", lit(2L))
     Curation.upsert(base, revisions.unionByName(fresh), Seq("doc_id"), col("version"))
       .select(col("doc_id"), col("version"),
@@ -1094,6 +1098,21 @@ object SparkEntry {
       |       (cum - n_tokens) % 2048 AS seq_offset
       |FROM c""".stripMargin
 
+  /** Shared by q75 (batch) and q77 (streaming twin). NOT EXISTS, not
+    * NOT IN: a NULL fingerprint on either side of NOT IN collapses the
+    * predicate to UNKNOWN (three-valued logic) while Spark's left_anti
+    * keeps null-keyed rows — NOT EXISTS matches left_anti exactly.
+    */
+  private val decontaminateSql: String =
+    """WITH bm AS (
+      |  SELECT DISTINCT md5(trim(regexp_replace(
+      |    lower(replace(text, ' ', '  ')), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents WHERE doc_id % 10 = 0)
+      |SELECT doc_id, source FROM documents d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM bm
+      |  WHERE bm.fp = md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_project_filter" ->
       """SELECT l_orderkey AS okey, l_partkey AS pkey, l_quantity AS qty,
@@ -1527,7 +1546,8 @@ object SparkEntry {
          |       sqrt(${favgSql("(prediction - rating) * (prediction - rating)")}) AS rmse
          |FROM pred""".stripMargin,
     "q73_partitioned_lake" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY lang""".stripMargin,
     "q74_upsert_merge" ->
@@ -1536,7 +1556,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, text || ' v2', 2 FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text, 2 FROM documents WHERE doc_id % 7 = 0),
+        |  SELECT -(doc_id + 1), text, 2 FROM documents WHERE doc_id % 7 = 0),
         |ranked AS (
         |  SELECT doc_id, version, text,
         |         row_number() OVER (PARTITION BY doc_id
@@ -1545,23 +1565,9 @@ object SparkEntry {
         |SELECT doc_id, CAST(version AS BIGINT) AS version,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM ranked WHERE rk = 1""".stripMargin,
-    "q75_decontaminate" ->
-      """WITH bm AS (
-        |  SELECT DISTINCT md5(trim(regexp_replace(
-        |    lower(replace(text, ' ', '  ')), '\s+', ' ', 'g'))) AS fp
-        |  FROM documents WHERE doc_id % 10 = 0)
-        |SELECT doc_id, source FROM documents d
-        |WHERE md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
-        |      NOT IN (SELECT fp FROM bm)""".stripMargin,
+    "q75_decontaminate" -> decontaminateSql,
     "q76_sequence_pack" -> sequencePackSql,
-    "q77_stream_decontaminate" ->
-      """WITH bm AS (
-        |  SELECT DISTINCT md5(trim(regexp_replace(
-        |    lower(replace(text, ' ', '  ')), '\s+', ' ', 'g'))) AS fp
-        |  FROM documents WHERE doc_id % 10 = 0)
-        |SELECT doc_id, source FROM documents d
-        |WHERE md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
-        |      NOT IN (SELECT fp FROM bm)""".stripMargin,
+    "q77_stream_decontaminate" -> decontaminateSql,
     // the streaming profile computes exactly the batch profile (q40)
     "q79_stream_profile" -> textProfileSql,
     // the stateful streaming pack computes exactly the batch pack (q76)

@@ -32,10 +32,17 @@ object GraftFunctions {
     require(e.foldable, s"$name: argument must be a literal")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        require(l.isValidInt, s"$name: $l out of Int range")
+        l.toInt
       case other => throw new IllegalArgumentException(
         s"$name: expected integer literal, got $other")
     }
+  }
+
+  private def arity(es: Seq[Expression], n: Int, name: String): Seq[Expression] = {
+    require(es.length == n, s"$name expects $n arguments, got ${es.length}")
+    es
   }
 
   private[functions] val specs: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -47,16 +54,18 @@ object GraftFunctions {
       (es: Seq[Expression]) => CosineSim(es(0), es(1))),
     ("graft_pq_encode",
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
-      (es: Seq[Expression]) => PqEncode(es(0), es(1),
-        intArg(es(2), "graft_pq_encode(m)"), intArg(es(3), "graft_pq_encode(ks)"))),
+      (es0: Seq[Expression]) => { val es = arity(es0, 4, "graft_pq_encode")
+        PqEncode(es(0), es(1),
+          intArg(es(2), "graft_pq_encode(m)"), intArg(es(3), "graft_pq_encode(ks)")) }),
     ("graft_pq_adc_table",
       new ExpressionInfo(classOf[PqAdcTable].getName, "graft_pq_adc_table"),
-      (es: Seq[Expression]) => PqAdcTable(es(0), es(1),
-        intArg(es(2), "graft_pq_adc_table(m)"), intArg(es(3), "graft_pq_adc_table(ks)"))),
+      (es0: Seq[Expression]) => { val es = arity(es0, 4, "graft_pq_adc_table")
+        PqAdcTable(es(0), es(1),
+          intArg(es(2), "graft_pq_adc_table(m)"), intArg(es(3), "graft_pq_adc_table(ks)")) }),
     ("graft_pq_adc_score",
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_adc_score"),
-      (es: Seq[Expression]) => PqAdcScore(es(0), es(1),
-        intArg(es(2), "graft_pq_adc_score(ks)"))))
+      (es0: Seq[Expression]) => { val es = arity(es0, 3, "graft_pq_adc_score")
+        PqAdcScore(es(0), es(1), intArg(es(2), "graft_pq_adc_score(ks)")) }))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

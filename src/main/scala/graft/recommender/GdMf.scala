@@ -131,10 +131,16 @@ object GdMf {
     // broadcast of a dim (the fact encode below + each epoch's state
     // broadcasts) would otherwise re-run the dimension's groupBy+window
     // plan once per consumer — measured as the dominant setup cost.
-    val userDim = Encoding.dimension(ratingsP, "user", orderCol, "u_id")
-      .localCheckpoint(true)
-    val itemDim = Encoding.dimension(ratingsP, "item", orderCol, "i_id")
-      .localCheckpoint(true)
+    // Fresh checkpoints (not Dataset.localCheckpoint) so the blocks are
+    // explicitly releasable — DataFrame.unpersist is a no-op on
+    // checkpoint-backed frames.
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val userDimCp = DatasetBridge.localCheckpointFresh(
+      Encoding.dimension(ratingsP, "user", orderCol, "u_id"))
+    val itemDimCp = DatasetBridge.localCheckpointFresh(
+      Encoding.dimension(ratingsP, "item", orderCol, "i_id"))
+    val userDim = userDimCp.df
+    val itemDim = itemDimCp.df
 
     // The fact table: encoded observed cells, hash-partitioned by u_id so
     // every user-side join/groupBy in the epoch loop reuses the
@@ -342,8 +348,8 @@ object GdMf {
       // the final states are checkpointed by the last epoch's cut and no
       // longer reference the dims; with epochs=0 the lazy init states
       // still do, so the dims must stay resident for the Model's life.
-      userDim.unpersist()
-      itemDim.unpersist()
+      userDimCp.release()
+      itemDimCp.release()
     }
     Model(
       userState = uState.select(col("user"),

@@ -116,12 +116,16 @@ object Ann {
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    candidates
+    val out = candidates
       .withColumn("cos_sim", cosine(col("v"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos_sim"), 4).as("cos_sim"))
+      // eager so the bucket cache can be dropped instead of leaking
+      .localCheckpoint(true)
+    cb.unpersist()
+    out
   }
 
   /** Item-item cosine similarity top-k from a ratings relation (SURVEY
@@ -190,13 +194,18 @@ object Ann {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    lists.join(broadcast(probed), Seq("list_id"))
+    val out = lists.join(broadcast(probed), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim", cosine(col("v"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos_sim"), 4).as("cos_sim"))
+      // eager (the quantizer already ran jobs) so the corpus cache can
+      // be dropped instead of leaking per call
+      .localCheckpoint(true)
+    c.unpersist()
+    out
   }
 
   /** Product-quantization ANN: per-subspace KMeans codebooks compress
@@ -257,6 +266,12 @@ object Ann {
     }
     Await.result(Future.sequence(fits), Duration.Inf).foreach {
       case (j, centers) =>
+        // fewer-than-ks centers (low-entropy subspace) would leave
+        // zero-filled phantom centroids that silently corrupt encoding
+        // and ADC scores — fail loudly; callers lower ks instead
+        require(centers.length == ks,
+          s"subspace $j: KMeans returned ${centers.length} of $ks centers — " +
+            "reduce ks for this corpus")
         for ((ctr, ci) <- centers.zipWithIndex; d <- 0 until dsub)
           flat((j * ks + ci) * dsub + d) = ctr(d)
     }
@@ -280,12 +295,18 @@ object Ann {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    shortlist
+    val out = shortlist
       .withColumn("cos_sim", cosine(col("v"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos_sim"), 4).as("cos_sim"))
+      // the operator already runs eager codebook jobs; materializing the
+      // (query·k)-row result lets the corpus cache be dropped here
+      // instead of leaking one cached corpus copy per call
+      .localCheckpoint(true)
+    c.unpersist()
+    out
   }
 
   def itemItemTopK(ratings: DataFrame, k: Int,
