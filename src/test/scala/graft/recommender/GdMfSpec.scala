@@ -132,6 +132,32 @@ class GdMfSpec extends SparkSpec {
     parityCheck(alternating = true)
   }
 
+  test("checkpointInterval=2 yields the identical model to interval=1") {
+    // locks the deferred-release ordering: with interval > 1 the item
+    // side's uncut lazy chain still reads the previous generation's
+    // checkpoint blocks when the user cut runs (premature release threw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND); results must also be
+    // bit-identical since cadence only changes WHERE lineage is cut
+    val df = ratingsSeq.toDF
+    def fitWith(ci: Int) = {
+      val m = GdMf.fit(df, GdMf.Config(nFactors = 3, epochs = 4,
+        lr = 0.01, reg = 0.01, checkpointInterval = ci))
+      (state(m.userState, "user", "u_factors", "u_bias"),
+        state(m.itemState, "item", "i_factors", "i_bias"))
+    }
+    val (u1, i1) = fitWith(1)
+    val (u2, i2) = fitWith(2)
+    assert(u1.keySet === u2.keySet && i1.keySet === i2.keySet)
+    for (k <- u1.keySet) {
+      assert(u1(k)._1.zip(u2(k)._1).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+      assert(math.abs(u1(k)._2 - u2(k)._2) < 1e-12)
+    }
+    for (k <- i1.keySet) {
+      assert(i1(k)._1.zip(i2(k)._1).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+      assert(math.abs(i1(k)._2 - i2(k)._2) < 1e-12)
+    }
+  }
+
   test("FunkSVD converges on an exactly-factorizable rank-1 matrix") {
     // FIXTURES.md F3 rank-1: rating(u,i) = p(u)*q(i), all cells observed
     val p = Seq(1.0, 2.0, 3.0)
