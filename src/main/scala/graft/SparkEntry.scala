@@ -597,6 +597,34 @@ object SparkEntry {
     StreamingPrep.runToMemory(StreamingPrep.packSequences(st, 2048))
   }
 
+  /** End-to-end corpus curation in ONE declarative plan — the "whole
+    * point" query: language + quality filter → benchmark
+    * decontamination (broadcast anti-join) → exact content dedup
+    * (keep lowest id per normalized fingerprint) → sequence packing
+    * per source shard. Every step is a deterministic expression, so
+    * the entire DAG is oracle-checkable; Catalyst fuses the scan-side
+    * stages and corpus-sized data shuffles exactly twice (fingerprint
+    * dedup — with WindowGroupLimit pushed below the exchange — and the
+    * pack window); the only other exchange is the eval-set-sized
+    * benchmark distinct feeding the broadcast.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(s, dir)
+    val profiled = docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", round(TextAnalysis.qualityScore(col("text")), 6))
+      .filter(col("lang") === "en" && col("quality") > 0.3)
+    val benchmark = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("text", regexp_replace(col("text"), " ", "  "))
+    val cleaned = Curation.decontaminate(profiled, benchmark, "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val deduped = Prep.dedupKeepFirst(cleaned, Seq("fp"), Seq(col("doc_id")))
+      .select("doc_id", "source", "n_tokens")
+    Curation.packSequences(deduped, "source", "doc_id", col("n_tokens"), 1024)
+      .select("doc_id", "source", "n_tokens", "seq_id", "seq_offset")
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1047,7 +1075,8 @@ object SparkEntry {
     "q78_ann_pq" -> (q78 _),
     "q79_stream_profile" -> (q79 _),
     "q80_stratified_split" -> (q80 _),
-    "q81_stream_pack" -> (q81 _))
+    "q81_stream_pack" -> (q81 _),
+    "q82_curation_e2e" -> (q82 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -1571,5 +1600,43 @@ object SparkEntry {
     // the streaming profile computes exactly the batch profile (q40)
     "q79_stream_profile" -> textProfileSql,
     // the stateful streaming pack computes exactly the batch pack (q76)
-    "q81_stream_pack" -> sequencePackSql)
+    "q81_stream_pack" -> sequencePackSql,
+    "q82_curation_e2e" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    len(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(len(text) AS DOUBLE) AS pr,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w)))
+        |      / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS sr
+        |  FROM documents WHERE lang = 'en'),
+        |f AS (
+        |  SELECT doc_id, source, text, n_tokens
+        |  FROM p
+        |  WHERE round(least(1.0, n_tokens / 100.0) * (1 - pr) * (0.5 + sr), 6) > 0.3),
+        |bm AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(
+        |    lower(replace(text, ' ', '  ')), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |cleaned AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM f
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM bm
+        |    WHERE bm.fp = md5(trim(regexp_replace(lower(f.text), '\s+', ' ', 'g'))))),
+        |deduped AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        |  FROM cleaned),
+        |s AS (SELECT doc_id, source, n_tokens FROM deduped WHERE rk = 1),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source
+        |                                  ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM s)
+        |SELECT doc_id, source, n_tokens,
+        |       (cum - n_tokens) // 1024 AS seq_id,
+        |       (cum - n_tokens) % 1024 AS seq_offset
+        |FROM c""".stripMargin)
 }

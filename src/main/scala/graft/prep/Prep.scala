@@ -50,6 +50,17 @@ object Prep {
       .drop("__rn")
   }
 
+  /** Keep-FIRST-per-key twin of [[dedupKeepLast]] (ascending order —
+    * e.g. survivor = lowest doc id per content fingerprint). Same
+    * single-shuffle window shape.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(_.asc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Column drop (reference `run_als.py:11` `df.drop('time', axis=1)`). */
   def dropColumns(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
 
