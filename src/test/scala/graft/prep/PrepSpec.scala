@@ -38,6 +38,18 @@ class PrepSpec extends SparkSpec {
     assert(u3.rating === 4.0)
   }
 
+  test("dedupKeepFirst keeps one row per key, the earliest") {
+    val out = Prep.dedupKeepFirst(fixture, Seq("user", "item"),
+      Seq(col("time"), col("rating")))
+    assert(out.count() === 3)
+    val u1 = out.filter($"user" === "u1").as[Rating].head()
+    assert(u1.time === 100L)
+    // keep-first and keep-last partition the same key set
+    val lastKeys = Prep.dedupKeepLast(fixture, Seq("user", "item"),
+      Seq(col("time"), col("rating"))).select("user", "item")
+    assert(out.select("user", "item").exceptAll(lastKeys).count() === 0)
+  }
+
   test("randomSplit is an exact disjoint cover") {
     val df = (1 to 1000).map(i => Rating(s"u$i", s"i$i", 1.0, i.toLong)).toDF
     val (train, test) = Prep.randomSplit(df, 0.7, seed = 7L)
