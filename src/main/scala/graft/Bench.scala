@@ -67,10 +67,11 @@ object Bench {
 
     // steady-state throughput: min over repeated runs (run-to-run
     // variance from GC/cache pressure at local[32] is ±50% on the
-    // heavier queries; min-of-N is the standard estimator). Queries
-    // whose first two runs both exceed 1 s get a third rep — they carry
-    // the total, so tightening their estimate stabilizes the
-    // round-over-round number at ~15 s extra wall.
+    // heavier queries; min-of-N is the standard estimator). Uniform
+    // min-of-3 for EVERY query — a per-query adaptive rep count makes
+    // heavy and light queries use different estimators, so cross-query
+    // and round-over-round comparisons were slightly apples-to-oranges.
+    val reps = 3
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       // GC pressure left by the previous query is the main source of
@@ -87,8 +88,7 @@ object Bench {
             None // a failure must not masquerade as a fast run
         }
       }
-      val first = (1 to 2).flatMap(_ => once())
-      val times = if (first.nonEmpty && first.min > 1.0) first ++ once() else first
+      val times = (1 to reps).flatMap(_ => once())
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // Derived sec/epoch figures (the BASELINE.md comparison units:

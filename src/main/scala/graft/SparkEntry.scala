@@ -1489,7 +1489,13 @@ object SparkEntry {
         |  FROM scored) WHERE rank <= 10""".stripMargin,
     "q49_item_item_sim" ->
       s"""$ratingsCte,
-         |r AS (SELECT "user", item, rating FROM ratings),
+         |-- mirror the operator's default per-user history cap (recency
+         |-- order, item tie-break); it never binds at test scale (max 99
+         |-- ratings/user) but the oracle must encode the same semantics
+         |r AS (SELECT "user", item, rating FROM (
+         |  SELECT "user", item, rating,
+         |         row_number() OVER (PARTITION BY "user" ORDER BY "time" DESC, item) AS __rn
+         |  FROM ratings) WHERE __rn <= 1000),
          |norms AS (SELECT item, ${fsumSql("rating * rating")} AS norm_sq FROM r GROUP BY item),
          |pairs AS (
          |  SELECT l.item AS item_a, r2.item AS item_b,

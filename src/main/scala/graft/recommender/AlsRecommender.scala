@@ -37,13 +37,22 @@ object AlsRecommender {
       stats: RatingStats,
       userDim: DataFrame,
       itemDim: DataFrame,
-      mlModel: org.apache.spark.ml.recommendation.ALSModel) {
+      mlModel: org.apache.spark.ml.recommendation.ALSModel,
+      private val backing: Seq[
+        org.apache.spark.sql.graftbridge.DatasetBridge.FreshCheckpoint] = Nil) {
 
     def predict(test: DataFrame): DataFrame =
       Serving.predict(test, userState, itemState, stats)
 
     def evaluate(test: DataFrame): Metrics =
       Evaluator.evaluate(predict(test), "rating", "prediction")
+
+    /** Drop the checkpoint blocks backing the dims/bias tables this
+      * model's states reference (fit-many-models sessions accumulate
+      * one block set per retained Model otherwise). States are unusable
+      * afterwards.
+      */
+    def release(): Unit = backing.foreach(_.release())
 
     /** Top-N serving (SURVEY §2.7: described in the reference's paper,
       * never implemented there). Ranks by the model's FULL per-item
@@ -77,10 +86,15 @@ object AlsRecommender {
     val r = ratings
       .select(Seq("user", "item", "rating", orderCol).distinct.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val userDim = Encoding.dimension(r, "user", orderCol, "u_id")
-      .localCheckpoint(true)
-    val itemDim = Encoding.dimension(r, "item", orderCol, "i_id")
-      .localCheckpoint(true)
+    // fresh checkpoints (not Dataset.localCheckpoint): releasable via
+    // Model.release(), and immune to the Spark 4 stats-compounding trap
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val userDimCp = DatasetBridge.localCheckpointFresh(
+      Encoding.dimension(r, "user", orderCol, "u_id"))
+    val itemDimCp = DatasetBridge.localCheckpointFresh(
+      Encoding.dimension(r, "item", orderCol, "i_id"))
+    val userDim = userDimCp.df
+    val itemDim = itemDimCp.df
     val stats = Encoding.ratingStats(r)
 
     // The reference's decomposition is `mean + u_bias + i_bias + P·Q`
@@ -88,15 +102,17 @@ object AlsRecommender {
     // training deviations, then ALS factorizes the *residuals* — the
     // published reason its tuned runs beat raw MLlib ALS (BASELINE.md).
     val damping = 5.0
-    val ub = r.groupBy("user").agg(
-      (sum(col("rating") - stats.meanRating) /
-        (count(lit(1)) + damping)).as("u_bias"))
-      .localCheckpoint(true)
-    val ib = r.join(broadcast(ub), "user")
-      .groupBy("item").agg(
-        (sum(col("rating") - stats.meanRating - col("u_bias")) /
-          (count(lit(1)) + damping)).as("i_bias"))
-      .localCheckpoint(true)
+    val ubCp = DatasetBridge.localCheckpointFresh(
+      r.groupBy("user").agg(
+        (sum(col("rating") - stats.meanRating) /
+          (count(lit(1)) + damping)).as("u_bias")))
+    val ub = ubCp.df
+    val ibCp = DatasetBridge.localCheckpointFresh(
+      r.join(broadcast(ub), "user")
+        .groupBy("item").agg(
+          (sum(col("rating") - stats.meanRating - col("u_bias")) /
+            (count(lit(1)) + damping)).as("i_bias")))
+    val ib = ibCp.df
     val encoded = Encoding.encode(
       r.join(broadcast(ub), "user").join(broadcast(ib), "item"),
       userDim, itemDim)
@@ -125,6 +141,7 @@ object AlsRecommender {
       .join(itemDim, "i_id").join(ib, "item")
       .select(col("item"), col("i_factors"), col("i_bias"))
 
-    Model(userState, itemState, stats, userDim, itemDim, model)
+    Model(userState, itemState, stats, userDim, itemDim, model,
+      backing = Seq(userDimCp, itemDimCp, ubCp, ibCp))
   }
 }

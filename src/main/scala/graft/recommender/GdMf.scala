@@ -76,10 +76,23 @@ object GdMf {
       userState: DataFrame, // user, u_factors ARRAY<DOUBLE>, u_bias
       itemState: DataFrame, // item, i_factors ARRAY<DOUBLE>, i_bias
       stats: RatingStats,
-      trainErrors: Seq[(Int, Metrics)]) {
+      trainErrors: Seq[(Int, Metrics)],
+      // checkpoint handles backing userState/itemState (the final
+      // generation's cuts, or the dim checkpoints when epochs == 0) —
+      // private so release() is the only door
+      private val backing: Seq[
+        org.apache.spark.sql.graftbridge.DatasetBridge.FreshCheckpoint] = Nil) {
 
     def predict(test: DataFrame): DataFrame =
       Serving.predict(test, userState, itemState, stats)
+
+    /** Drop the checkpoint blocks backing this model's states. Call when
+      * the model is no longer needed — a session that fits many models
+      * would otherwise accumulate one unreleasable block set per
+      * retained Model (DataFrame.unpersist is a no-op on
+      * checkpoint-backed frames). The states are unusable afterwards.
+      */
+    def release(): Unit = backing.foreach(_.release())
 
     def trainErrorsDf: DataFrame = {
       val spark = userState.sparkSession
@@ -351,12 +364,18 @@ object GdMf {
       userDimCp.release()
       itemDimCp.release()
     }
+    // what the Model's release() must drop: the last generation's cuts
+    // when the loop ran, the dim checkpoints when it didn't
+    val backing =
+      if (cfg.epochs > 0) Seq(lastCpU, lastCpI).flatten
+      else Seq(userDimCp, itemDimCp)
     Model(
       userState = uState.select(col("user"),
         col("u_factors"), col("u_bias")),
       itemState = iState.select(col("item"),
         col("i_factors"), col("i_bias")),
       stats = stats,
-      trainErrors = history.toSeq)
+      trainErrors = history.toSeq,
+      backing = backing)
   }
 }

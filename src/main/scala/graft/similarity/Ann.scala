@@ -122,8 +122,15 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos_sim"), 4).as("cos_sim"))
-      // eager so the bucket cache can be dropped instead of leaking
-      .localCheckpoint(true)
+      // eager PERSIST (not localCheckpoint: checkpoint-backed frames can
+      // never release their blocks — unpersist is a no-op on them, so
+      // each call would leak a result-sized block set for the session's
+      // life). The count materializes the result so the bucket cache can
+      // be dropped now; callers release with out.unpersist(). A lost
+      // partition recomputes through the full (uncached) plan — slower,
+      // still correct.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     cb.unpersist()
     out
   }
@@ -201,9 +208,10 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos_sim"), 4).as("cos_sim"))
-      // eager (the quantizer already ran jobs) so the corpus cache can
-      // be dropped instead of leaking per call
-      .localCheckpoint(true)
+      // eager persist + count, NOT localCheckpoint — see lshTopK: the
+      // result must stay releasable via out.unpersist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     c.unpersist()
     out
   }
@@ -229,7 +237,8 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, m: Int = 8, ks: Int = 16, seed: Long = 42L,
-      trainSampleFraction: Double = 1.0, overfetch: Int = 4): DataFrame = {
+      trainSampleFraction: Double = 1.0, overfetch: Int = 4,
+      fitTimeoutSec: Long = 3600L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -256,15 +265,36 @@ object Ann {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
+    val sc = corpus.sparkSession.sparkContext
+    // every fit thread tags its jobs with one cancellable group, and the
+    // await is FINITE: an executor loss or a hung fit job must surface
+    // as an exception on the caller's thread, never a permanent hang
+    // (Await on Duration.Inf has no cancellation path at all)
+    val fitGroup = s"graft-pq-codebooks-$seed-${System.identityHashCode(flat)}"
     val fits = (0 until m).map { j =>
       Future {
-        val km = new KMeans().setK(ks).setSeed(seed + j).setFeaturesCol("fv")
-          .fit(trainSet.select(
-            array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv")))
-        (j, km.clusterCenters)
+        sc.setJobGroup(fitGroup, s"pq codebook fit subspace $j",
+          interruptOnCancel = true)
+        try {
+          val km = new KMeans().setK(ks).setSeed(seed + j).setFeaturesCol("fv")
+            .fit(trainSet.select(
+              array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv")))
+          (j, km.clusterCenters)
+        } finally sc.clearJobGroup()
       }
     }
-    Await.result(Future.sequence(fits), Duration.Inf).foreach {
+    val fitted =
+      try Await.result(Future.sequence(fits), Duration(fitTimeoutSec, "s"))
+      catch {
+        case e: Throwable =>
+          // a timed-out or failed fit leaves sibling jobs running — kill
+          // the whole group and drop the corpus cache before rethrowing
+          sc.cancelJobGroup(fitGroup)
+          c.unpersist()
+          throw new RuntimeException(
+            s"PQ codebook training failed or timed out (${fitTimeoutSec}s): $e", e)
+      }
+    fitted.foreach {
       case (j, centers) =>
         // fewer-than-ks centers (low-entropy subspace) would leave
         // zero-filled phantom centroids that silently corrupt encoding
@@ -301,22 +331,25 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos_sim"), 4).as("cos_sim"))
-      // the operator already runs eager codebook jobs; materializing the
-      // (query·k)-row result lets the corpus cache be dropped here
-      // instead of leaking one cached corpus copy per call
-      .localCheckpoint(true)
+      // eager persist + count, NOT localCheckpoint — see lshTopK: the
+      // result must stay releasable via out.unpersist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     c.unpersist()
     out
   }
 
   def itemItemTopK(ratings: DataFrame, k: Int,
-      maxUserHistory: Int = Int.MaxValue): DataFrame = {
-    // Skew guard: the pair generation is quadratic in per-user degree,
-    // so one power user with 10⁶ ratings creates 10¹² pairs. Cap each
-    // user's history at the maxUserHistory most recent ratings
-    // (deterministic tie-break) before pairing — the standard mitigation
-    // (AQE skew-join splits the shuffle, but can't shrink the pair
-    // count itself).
+      maxUserHistory: Int = 1000): DataFrame = {
+    // Skew guard — ON BY DEFAULT: the pair generation is quadratic in
+    // per-user degree, so one power user with 10⁶ ratings creates 10¹²
+    // pairs. Cap each user's history at the maxUserHistory most recent
+    // ratings (recency order when a `time` column exists, deterministic
+    // item tie-break) before pairing — the standard mitigation (AQE
+    // skew-join splits the shuffle, but can't shrink the pair count
+    // itself). 1000 caps any user at ~5·10⁵ pairs while keeping far
+    // more history than item-item cosine needs; pass Int.MaxValue for
+    // the exact uncapped verifier.
     val capped =
       if (maxUserHistory == Int.MaxValue) ratings
       else {

@@ -178,4 +178,17 @@ class GdMfSpec extends SparkSpec {
       !mm.mae.isNaN && mm.rmse * mm.rmse - mm.mse < 1e-9
     })
   }
+
+  test("Model.release drops the backing checkpoint blocks") {
+    val r = Seq(
+      Rating("u1", "i1", 2.0, 1L), Rating("u1", "i2", 3.0, 2L),
+      Rating("u2", "i1", 4.0, 3L), Rating("u2", "i2", 5.0, 4L)).toDF
+    val m = GdMf.fit(r, GdMf.Config(nFactors = 2, epochs = 2))
+    m.userState.count() // usable before release
+    val before = spark.sparkContext.getPersistentRDDs.size
+    m.release()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after < before,
+      s"release() freed no blocks: $before -> $after persistent RDDs")
+  }
 }

@@ -101,6 +101,63 @@ class AnnSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("pqTopK surfaces a failing codebook fit as an exception, not a hang") {
+    // 4-row corpus cannot yield ks=16 centers — the fit's center-count
+    // check must propagate through the concurrent-fit machinery
+    val tiny = Seq(
+      (1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(-1.0f)),
+      (3L, Array.tabulate(8)(_.toFloat)), (4L, Array.tabulate(8)(i => -i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.pqTopK(tiny, "vec_id", "embedding",
+        tiny.filter($"vec_id" === 1L), "vec_id", "embedding",
+        k = 2, m = 2, ks = 16)
+    }
+    assert(e.getMessage.contains("centers"), s"unexpected error: $e")
+  }
+
+  test("pqTopK fit timeout surfaces as an exception, not a hang") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val err = intercept[RuntimeException] {
+      Ann.pqTopK(e, "vec_id", "embedding",
+        e.filter($"vec_id" < 3), "vec_id", "embedding",
+        k = 2, m = 2, ks = 4, fitTimeoutSec = 0L)
+    }
+    assert(err.getMessage.contains("timed out"), s"unexpected error: $err")
+  }
+
+  test("approximate topK results are releasable (no permanent block leak)") {
+    import org.apache.spark.storage.StorageLevel
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val q = e.filter($"vec_id" < 3)
+    val out = Ann.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5, tables = 4, planes = 4)
+    assert(out.storageLevel != StorageLevel.NONE) // materialized + cached
+    out.unpersist(blocking = true)
+    assert(out.storageLevel == StorageLevel.NONE) // and fully releasable
+  }
+
+  test("default history cap does not change top-k of unrelated items") {
+    // base corpus: i1/i2 co-rated identically, i3 off to the side
+    val base = Seq(
+      Rating("u1", "i1", 2.0, 1L), Rating("u1", "i2", 2.0, 2L),
+      Rating("u2", "i1", 3.0, 3L), Rating("u2", "i2", 3.0, 4L),
+      Rating("u2", "i3", 1.0, 5L), Rating("u3", "i3", 5.0, 6L)).toDF
+    // planted power user: 2500 ratings (over the 1000 cap) on items
+    // disjoint from the base catalog, unique times
+    val power = spark.range(2500).select(
+      lit("power").as("user"),
+      concat(lit("p"), col("id")).as("item"),
+      lit(4.0).as("rating"),
+      (col("id") + 100L).as("time"))
+    def baseTopK(r: org.apache.spark.sql.DataFrame): Map[(String, String), Int] =
+      Ann.itemItemTopK(r, k = 2) // default cap engaged
+        .filter($"item_a".startsWith("i") && $"item_b".startsWith("i"))
+        .select("item_a", "item_b", "rank").as[(String, String, Int)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(baseTopK(base.unionAll(power)) === baseTopK(base))
+  }
+
   test("itemItemTopK computes cosine over co-rating vectors") {
     // i1 and i2 rated identically by u1,u2 → cosine 1; i3 orthogonal-ish
     val r = Seq(
