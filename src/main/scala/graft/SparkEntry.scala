@@ -710,12 +710,17 @@ object SparkEntry {
     Evaluator.evaluateDf(m.predict(test), "rating", "prediction")
   }
 
-  /** Top-N recommendation serving (decoded natural keys). */
+  /** Top-N recommendation serving (decoded natural keys) through the
+    * ANN-shortlist scale path: IVF over the MIPS-augmented vectors
+    * `[Q,b_i]·[P,1]`, exact re-rank of the shortlist — no users×items
+    * product in the plan (the cross-join verifier remains as
+    * `recommendForAllUsersExact`, recall-tested in AlsRecommenderSpec).
+    */
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val m = AlsRecommender.fit(
       ratings(s, dir).select("user", "item", "rating", "time"),
       AlsRecommender.Params(rank = 8, maxIter = 5, numBlocks = 8))
-    m.recommendForAllUsers(5)
+    m.recommendForAllUsersAnn(5, nlist = 16, nprobe = 8)
   }
 
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
@@ -910,11 +915,14 @@ object SparkEntry {
       .select(col("media_id"), col("kind"), col("frame_no"),
         length(col("frame_bytes")).as("frame_len"))
 
-  /** Multimodal plumbing: binary media column + typed metadata + (stub)
-    * feature extraction via typed mapPartitions.
+  /** Multimodal feature extraction: binary media column + typed
+    * metadata; image payloads are REAL PNGs decoded to pixels by the
+    * JDK ImageIO codec (luminance-histogram features), audio/video fall
+    * back to the hash stub — all via one typed mapPartitions.
     */
   private def q50(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+    val media = Multimodal.withRealImages(
+      Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text"))
     Multimodal.extractFeatures(media, dim = 16)
       .select(col("media_id"), col("kind"), size(col("features")).as("n_features"),
         round(element_at(col("features"), 1).cast("double"), 3).as("f0"))

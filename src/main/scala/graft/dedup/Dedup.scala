@@ -251,22 +251,90 @@ object Dedup {
 
   /** Exact n-gram-Jaccard near-dup within blocking groups (e.g. same
     * source): the all-pairs comparison is confined to each block.
+    *
+    * Skew guard — the within-block comparison is quadratic in block
+    * size, so one degenerate block (a source holding most of the
+    * corpus) degrades to O(n²) with full shingle arrays in the join.
+    * Blocks up to `maxBlockSize` keep the EXACT all-pairs semantics;
+    * larger blocks switch to MinHash-banded candidate generation
+    * (within the block, band count sized from `threshold` for ≥99.8%
+    * recall at the threshold itself, higher above it) followed by the
+    * same exact-Jaccard verify — results there are candidates-only
+    * (never false positives, the verify is exact), and a warning names
+    * the oversized blocks. The block-size probe is one aggregation
+    * over the persisted shingle table; when no block exceeds the cap
+    * the plan is identical to the exact form.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int = 3, threshold: Double = 0.15): DataFrame = {
+      n: Int = 3, threshold: Double = 0.15,
+      maxBlockSize: Int = 25000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
       TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))).as("__ws"))
       .withColumn("sh", shinglesFromWords(col("__ws"), n))
       .drop("__ws")
       .filter(size(col("sh")) > 0) // 0/0 jaccard would throw under ANSI
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.as("l").join(sh.as("r"),
-      col("l.block") === col("r.block") && col("l.id") < col("r.id"))
-      .withColumn("jaccard", jaccard(col("l.sh"), col("r.sh")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+
+    def exactPairs(part: DataFrame): DataFrame =
+      part.as("l").join(part.as("r"),
+        col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+        .withColumn("jaccard", jaccard(col("l.sh"), col("r.sh")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+
+    // one small agg over the cached shingle table decides the shape;
+    // distinct blocks are few, so this is a cheap probe
+    val sizes = sh.groupBy("block").agg(count(lit(1)).as("__bn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oversized = sizes.filter(col("__bn") > maxBlockSize)
+      .select("block").collect().map(_.get(0)).toSet
+    if (oversized.isEmpty) {
+      sizes.unpersist()
+      exactPairs(sh)
+    } else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ngramJaccardPairs: ${oversized.size} block(s) exceed " +
+          s"maxBlockSize=$maxBlockSize (${oversized.take(5).mkString(", ")}…); " +
+          "switching those blocks to MinHash-banded candidates + exact verify " +
+          "(recall ≥ ~99.8% at the threshold, exact verification, no false positives)")
+      val tagged = sh.join(broadcast(sizes), "block")
+      val small = tagged.filter(col("__bn") <= maxBlockSize).drop("__bn")
+      val big = tagged.filter(col("__bn") > maxBlockSize).drop("__bn")
+
+      // r=1 banding: candidate probability for a pair at jaccard j is
+      // 1-(1-j)^b; pick b so a pair AT the threshold is missed with
+      // probability ≤ 0.2% (pairs above it, the ones that matter, miss
+      // far less). Bounded to [16, 128] bands.
+      val bands = math.min(128, math.max(16,
+        math.ceil(math.log(0.002) / math.log(1.0 - threshold)).toInt))
+      val withSig = big
+        .select(col("id"), col("block"),
+          graft.functions.MinHashExpressions.minhashSig(col("sh"), bands).as("sig"))
+        .filter(col("sig").isNotNull)
+      // banding carries (id, block, band, band_hash) — never shingles
+      val banded = withSig.select(col("id"), col("block"),
+        posexplode(col("sig")).as(Seq("band", "band_hash")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candidates = banded.as("l").join(banded.as("r"),
+        col("l.block") === col("r.block") &&
+          col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val shOnly = sh.select(col("id"), col("sh"))
+      val bigPairs = candidates
+        .join(shOnly.withColumnRenamed("id", "id_a")
+          .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shOnly.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      exactPairs(small).unionAll(bigPairs)
+    }
   }
 
   // ------------------------------------------------- dup clustering

@@ -71,6 +71,30 @@ object Encoding {
     df.sparkSession.createDataFrame(withIds, schema).drop("__first_seen")
   }
 
+  /** How many distinct keys the single-partition window sort of
+    * [[dimension]] is allowed before [[dimensionAuto]] switches to the
+    * [[dimensionAtScale]] two-pass numbering: 50M keys ≈ 1.2 GB in one
+    * sort task — the edge of single-task comfort; beyond it the window
+    * plan concentrates the whole dimension on one core.
+    */
+  val DefaultMaxWindowKeys: Long = 50L * 1000 * 1000
+
+  /** [[dimension]] with an automatic scale switch: callers pass the
+    * (approximate is fine) distinct-key count they already know — e.g.
+    * from `approx_count_distinct` in a stats pass — and the dimension
+    * build picks the single-partition window form below
+    * `maxWindowKeys` (IntegerType ids) or the range-partition +
+    * zipWithIndex form above it (LongType ids; identical mapping,
+    * proven in EncodingSpec). Dispatch is driver-side on a known
+    * scalar — no extra job.
+    */
+  def dimensionAuto(
+      df: DataFrame, keyCol: String, orderCol: String, idCol: String,
+      approxKeys: Long,
+      maxWindowKeys: Long = DefaultMaxWindowKeys): DataFrame =
+    if (approxKeys <= maxWindowKeys) dimension(df, keyCol, orderCol, idCol)
+    else dimensionAtScale(df, keyCol, orderCol, idCol)
+
   /** Attach dense ids for user and item (reference
     * `models/als.py:31-32` `df[col].map(mapping)`): two equi-joins.
     * Dimensions are broadcast — they are |distinct users| / |distinct

@@ -89,12 +89,55 @@ object Multimodal {
   /** STUB decoder: payload bytes → `dim` float features via a rolling
     * polynomial hash per band. Deterministic, partition-parallel, and
     * shaped exactly like a real embedding extractor's output
-    * (`ARRAY<FLOAT>` of fixed dim). This container ships no media
-    * libraries, so the byte→pixel step is a pure hash.
+    * (`ARRAY<FLOAT>` of fixed dim). Kept as the fallback for kinds with
+    * no codec in this container (audio/video).
     */
   object HashStubDecoder extends MediaDecoder {
     override def decode(ctx: AnyRef, kind: String, bytes: Array[Byte],
         dim: Int): Array[Float] = fakeDecode(bytes, dim)
+  }
+
+  /** REAL image decoder via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP
+    * — no external dependency): image payloads decode to pixels and
+    * featurize as a luminance histogram over `dim` bins, normalized by
+    * pixel count — deterministic, resolution-robust, and directly
+    * usable by the ANN/near-dup operators downstream. Non-image kinds
+    * (and image bytes no ImageIO reader accepts) fall back to the hash
+    * stub, so a mixed corpus never throws mid-scan.
+    *
+    * `open()` returns a reusable scratch context; ImageIO reader lookup
+    * is per-call but JDK-cached. The decode runs inside the same
+    * `mapPartitions` batch loop as the stub — nothing about the
+    * distributed plan changes with the codec.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decode(ctx: AnyRef, kind: String, bytes: Array[Byte],
+        dim: Int): Array[Float] = {
+      if (kind != "image") return fakeDecode(bytes, dim)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return fakeDecode(bytes, dim) // not a decodable image
+      val out = new Array[Float](dim)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // ITU-R BT.601 integer luma from the sRGB channels
+          val lum = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          out(lum * dim / 256) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < dim) { out(i) /= n; i += 1 }
+      out
+    }
   }
 
   def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -114,7 +157,7 @@ object Multimodal {
     * decoder state opened ONCE per partition, no per-row JNI churn.
     */
   def extractFeatures(media: DataFrame, dim: Int,
-      decoder: MediaDecoder = HashStubDecoder): DataFrame = {
+      decoder: MediaDecoder = ImageIoDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, String, Array[Byte])] = media
@@ -126,6 +169,51 @@ object Multimodal {
         (id, kind, decoder.decode(ctx, kind, bytes, dim))
       }
     }.toDF("media_id", "kind", "features")
+  }
+
+  /** Deterministic real PNG: `w`×`h` RGB pixels from an LCG stream
+    * seeded by `seed`, encoded by the JDK's PNG writer. Used to
+    * exercise the [[ImageIoDecoder]] byte→pixel path end-to-end with
+    * no external fixture files.
+    */
+  def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 24) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Replace image-kind payloads with REAL PNG bytes (deterministic
+    * pixels seeded by media_id; meta width/height updated to match) so
+    * the ImageIO decode path runs end-to-end at test time. Fixture
+    * generator — production corpora arrive with real payloads via
+    * [[readBinaryFiles]]; the per-row UDF here is generation cost, not
+    * operator cost.
+    */
+  def withRealImages(media: DataFrame, w: Int = 16, h: Int = 16): DataFrame = {
+    val png = udf((id: Long) => pngBytes(id, w, h))
+    media
+      .withColumn("bytes",
+        when(col("kind") === "image", png(col("media_id")))
+          .otherwise(col("bytes")))
+      .withColumn("meta",
+        when(col("kind") === "image", struct(
+          lit(w).as("width"), lit(h).as("height"),
+          col("meta.sample_rate"), col("meta.duration_ms"),
+          (lit(w) * lit(h) * 3L).as("n_bytes")))
+          .otherwise(col("meta")))
   }
 
   /** Image resize planning: target dimensions under `maxDim` preserving

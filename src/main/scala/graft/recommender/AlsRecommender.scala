@@ -54,18 +54,17 @@ object AlsRecommender {
       */
     def release(): Unit = backing.foreach(_.release())
 
-    /** Top-N serving (SURVEY §2.7: described in the reference's paper,
-      * never implemented there). Ranks by the model's FULL per-item
-      * score `dot(P,Q) + i_bias` — MLlib's own `recommendForAllUsers`
-      * ranks by the residual dot alone, which contradicts `predict`'s
-      * semantics once item biases exist (mean and u_bias are constant
-      * per user and cannot change the order). Item state broadcasts
-      * (catalogs are the small side); rank-n filter benefits from
-      * WindowGroupLimit pushdown. For huge catalogs, shortlist with
-      * [[graft.similarity.Ann]] over the augmented vectors
-      * `[Q, i_bias] · [P, 1]` first.
+    /** EXACT top-N serving — the small-scale VERIFIER. Ranks by the
+      * model's FULL per-item score `dot(P,Q) + i_bias` — MLlib's own
+      * `recommendForAllUsers` ranks by the residual dot alone, which
+      * contradicts `predict`'s semantics once item biases exist (mean
+      * and u_bias are constant per user and cannot change the order).
+      * The users×items cross join scores EVERY pair: correct at any
+      * size that can afford it, quadratic at catalog scale — the
+      * production path is [[recommendForAllUsersAnn]]; this form exists
+      * to verify it (see the recall test in AlsRecommenderSpec).
       */
-    def recommendForAllUsers(n: Int): DataFrame = {
+    def recommendForAllUsersExact(n: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user"))
         .orderBy(col("score").desc, col("item"))
@@ -75,6 +74,65 @@ object AlsRecommender {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= n)
         .select(col("user"), col("item"), col("rank"))
+    }
+
+    /** Top-N serving through an ANN shortlist — the SCALE path (a 10⁷
+      * users × 10⁶ items catalog is 10¹³ scored pairs under the cross
+      * join; the shortlist scores ~nprobe/nlist of the catalog per
+      * user).
+      *
+      * MIPS→cosine reduction: score(u,i) = P_u·Q_i + b_i =
+      * [P_u,1]·[Q_i,b_i]. With a_i = [Q_i,b_i] and M = max‖a_i‖,
+      * augment items to the UNIT vectors ã_i = [a_i/M, √(1−‖a_i‖²/M²)]
+      * and users to ũ = [P_u, 1, 0]: cos(ũ,ã_i) = score(u,i)/(M·‖ũ‖)
+      * is monotone in the score for each fixed user, so a cosine-ANN
+      * shortlist over (ũ, ã) shortlists the inner-product ranking
+      * exactly. The `overfetch·n` IVF shortlist is then re-ranked on
+      * the TRUE score (joins against the factor states — broadcast
+      * item side, shuffle-by-user on the shortlist), which also erases
+      * any fp noise from the cosine mapping. No users×items product
+      * anywhere in the plan: users meet only centroids (|users|×nlist)
+      * and their probed lists.
+      */
+    def recommendForAllUsersAnn(
+        n: Int, nlist: Int = 64, nprobe: Int = 8,
+        overfetch: Int = 4, seed: Long = 42L): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorExpressions
+      import graft.similarity.Ann
+      // items augmented with their bias as an extra dimension
+      val itemsAug = itemState
+        .select(col("item"),
+          concat(col("i_factors"), array(col("i_bias"))).as("av"))
+        .withColumn("nrm2", VectorExpressions.dot(col("av"), col("av")))
+      val m2 = math.max(
+        itemsAug.agg(max(col("nrm2"))).head().getDouble(0), 1e-300)
+      val itemsTilde = itemsAug.select(col("item"),
+        concat(
+          transform(col("av"), x => x / lit(math.sqrt(m2))),
+          array(sqrt(greatest(lit(0.0), lit(1.0) - col("nrm2") / lit(m2)))))
+          .as("v"))
+      val usersTilde = userState.select(col("user"),
+        concat(col("u_factors"), array(lit(1.0), lit(0.0))).as("v"))
+      val shortlist = Ann.ivfTopK(
+        itemsTilde, "item", "v", usersTilde, "user", "v",
+        k = overfetch * n, nlist = nlist, nprobe = nprobe, seed = seed,
+        // user and item ids are different key spaces — never self-filter;
+        // the probe relation is user-sized, far too big to broadcast
+        excludeSelf = false, broadcastProbes = false)
+        .select(col("query_id").as("user"), col("neighbor_id").as("item"))
+      // exact re-rank of the shortlist on the true score
+      val w = Window.partitionBy(col("user"))
+        .orderBy(col("score").desc, col("item"))
+      val out = shortlist
+        .join(userState.select(col("user"), col("u_factors")), "user")
+        .join(broadcast(itemState), "item")
+        .withColumn("score",
+          Serving.dot(col("u_factors"), col("i_factors")) + col("i_bias"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= n)
+        .select(col("user"), col("item"), col("rank"))
+      out
     }
   }
 
@@ -86,16 +144,18 @@ object AlsRecommender {
     val r = ratings
       .select(Seq("user", "item", "rating", orderCol).distinct.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // fresh checkpoints (not Dataset.localCheckpoint): releasable via
-    // Model.release(), and immune to the Spark 4 stats-compounding trap
+    // stats first (one pass over the cache): the exact key counts feed
+    // the dimension-build scale switch. Fresh checkpoints (not
+    // Dataset.localCheckpoint): releasable via Model.release(), and
+    // immune to the Spark 4 stats-compounding trap.
     import org.apache.spark.sql.graftbridge.DatasetBridge
+    val stats = Encoding.ratingStats(r)
     val userDimCp = DatasetBridge.localCheckpointFresh(
-      Encoding.dimension(r, "user", orderCol, "u_id"))
+      Encoding.dimensionAuto(r, "user", orderCol, "u_id", stats.nUsers))
     val itemDimCp = DatasetBridge.localCheckpointFresh(
-      Encoding.dimension(r, "item", orderCol, "i_id"))
+      Encoding.dimensionAuto(r, "item", orderCol, "i_id", stats.nItems))
     val userDim = userDimCp.df
     val itemDim = itemDimCp.df
-    val stats = Encoding.ratingStats(r)
 
     // The reference's decomposition is `mean + u_bias + i_bias + P·Q`
     // (models/als.py:79). Mirror it: damped user/item biases from the

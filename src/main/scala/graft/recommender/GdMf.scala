@@ -134,9 +134,13 @@ object GdMf {
       .select(Seq("user", "item", "rating", orderCol).distinct.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materializes ratingsP and sizes the fact partitioning (24 B/row
-    // encoded facts vs 32 MB target) — the count is against the cache
-    // every later consumer reads anyway
-    val nnz = ratingsP.count()
+    // encoded facts vs 32 MB target); the approximate key counts in the
+    // same pass drive the dimension-build scale switch below
+    val probe = ratingsP.agg(
+      count(lit(1)).as("nnz"),
+      approx_count_distinct(col("user")).as("au"),
+      approx_count_distinct(col("item")).as("ai")).head()
+    val nnz = probe.getLong(0)
     val factParts =
       if (cfg.factsPartitions > 0) cfg.factsPartitions
       else math.max(1L, nnz * 24L / (32L << 20)).toInt
@@ -146,12 +150,14 @@ object GdMf {
     // plan once per consumer — measured as the dominant setup cost.
     // Fresh checkpoints (not Dataset.localCheckpoint) so the blocks are
     // explicitly releasable — DataFrame.unpersist is a no-op on
-    // checkpoint-backed frames.
+    // checkpoint-backed frames. dimensionAuto: above ~50M keys the
+    // single-partition window numbering would bottleneck on one core,
+    // so the build switches to the zipWithIndex form (same mapping).
     import org.apache.spark.sql.graftbridge.DatasetBridge
     val userDimCp = DatasetBridge.localCheckpointFresh(
-      Encoding.dimension(ratingsP, "user", orderCol, "u_id"))
+      Encoding.dimensionAuto(ratingsP, "user", orderCol, "u_id", probe.getLong(1)))
     val itemDimCp = DatasetBridge.localCheckpointFresh(
-      Encoding.dimension(ratingsP, "item", orderCol, "i_id"))
+      Encoding.dimensionAuto(ratingsP, "item", orderCol, "i_id", probe.getLong(2)))
     val userDim = userDimCp.df
     val itemDim = itemDimCp.df
 

@@ -157,7 +157,18 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      trainSampleFraction: Double = 1.0): DataFrame = {
+      trainSampleFraction: Double = 1.0,
+      // drop candidates whose id equals the query id (the usual "don't
+      // return the query itself" semantics); pass false when query and
+      // corpus ids live in DIFFERENT key spaces that may collide (e.g.
+      // users querying an item catalog)
+      excludeSelf: Boolean = true,
+      // broadcast the probed (query, list) relation into the list join —
+      // right for the small-query-set regime this method documents; pass
+      // false when the query side is itself corpus-sized (e.g. all-users
+      // recommendation) so the join shuffles by list_id instead of
+      // broadcasting millions of query vectors
+      broadcastProbes: Boolean = true): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -201,8 +212,10 @@ object Ann {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val out = lists.join(broadcast(probed), Seq("list_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val probedSide = if (broadcastProbes) broadcast(probed) else probed
+    val joined = lists.join(probedSide, Seq("list_id"))
+    val out = (if (excludeSelf)
+      joined.filter(col("neighbor_id") =!= col("query_id")) else joined)
       .withColumn("cos_sim", cosine(col("v"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -105,4 +105,36 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L))) // (1,3) blocked apart despite jaccard 1
   }
+
+  test("ngramJaccardPairs bounds a skewed block via banded candidates") {
+    // one degenerate block far over the cap, with planted near-dup pairs;
+    // a small block stays on the exact path alongside it
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    def doc(seed: Int): String =
+      (0 until 12).map(j => vocab((seed * 7 + j * 5 + j * j) % vocab.length))
+        .mkString(" ")
+    val bigBlock = (0 until 60).map(i => (i.toLong, "big", doc(i)))
+    // planted: 1000+i is a near-copy of doc i (one word appended)
+    val planted = (0 until 3).map(i => (1000L + i, "big", doc(i) + " omega"))
+    val smallBlock = Seq(
+      (2000L, "small", "one two three four five six seven"),
+      (2001L, "small", "one two three four five six seven eight"))
+    val docs = (bigBlock ++ planted ++ smallBlock).toDF("doc_id", "source", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.5, maxBlockSize = 100000)
+      .as[(Long, Long, Double)].collect().toSet
+    val guarded = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.5, maxBlockSize = 50) // big block (63) over cap
+      .as[(Long, Long, Double)].collect().toSet
+    // verify is exact → never false positives
+    assert(guarded.subsetOf(exact))
+    // planted high-jaccard pairs survive the banded path (recall at
+    // j≈0.77 with threshold-0.5 banding is ≈1)
+    for (i <- 0 until 3)
+      assert(guarded.exists(p => p._1 == i.toLong && p._2 == 1000L + i),
+        s"planted pair ($i, ${1000 + i}) missed by banded path")
+    // the small block still runs exact
+    assert(guarded.exists(p => p._1 == 2000L && p._2 == 2001L))
+  }
 }

@@ -51,6 +51,23 @@ class EncodingSpec extends SparkSpec {
     assert(atScale.map(_._2) === (0L until 137L))
   }
 
+  test("dimensionAuto switches implementation at the key-count threshold") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val rows = (1 to 100).map(i => Rating(s"u${i % 17}", s"i$i", 1.0, (200 - i).toLong))
+    val df = rows.toDF
+    val small = Encoding.dimensionAuto(df, "user", "time", "u_id",
+      approxKeys = 17, maxWindowKeys = 1000)
+    val big = Encoding.dimensionAuto(df, "user", "time", "u_id",
+      approxKeys = 17, maxWindowKeys = 5) // force the at-scale path
+    // the swap happened: window path numbers in Int, at-scale in Long
+    assert(small.schema("u_id").dataType === IntegerType)
+    assert(big.schema("u_id").dataType === LongType)
+    // and the mappings are identical
+    val a = small.as[(String, Int)].collect().map { case (k, v) => (k, v.toLong) }.sorted.toSeq
+    val b = big.as[(String, Long)].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("ratingStats computes all six statistics in one pass") {
     val st = Encoding.ratingStats(fixture)
     assert(st.nRatings === 4 && st.nUsers === 3 && st.nItems === 3)

@@ -71,6 +71,55 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(f => f.length === 2 && f(1) === 7.0f))
   }
 
+  test("ImageIoDecoder decodes a real PNG to pixel-derived features") {
+    def solidPng(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val dim = 16
+    val white = Multimodal.ImageIoDecoder.decode(null, "image", solidPng(0xffffff), dim)
+    val black = Multimodal.ImageIoDecoder.decode(null, "image", solidPng(0x000000), dim)
+    // luminance histograms: all mass in the top / bottom bin
+    assert(white(dim - 1) === 1.0f && white.sum === 1.0f)
+    assert(black(0) === 1.0f && black.sum === 1.0f)
+    // non-PNG bytes and non-image kinds fall back to the hash stub
+    val junk = Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.ImageIoDecoder.decode(null, "image", junk, dim).toSeq ===
+      Multimodal.fakeDecode(junk, dim).toSeq)
+    assert(Multimodal.ImageIoDecoder.decode(null, "audio", junk, dim).toSeq ===
+      Multimodal.fakeDecode(junk, dim).toSeq)
+  }
+
+  test("withRealImages routes image rows through the real codec end-to-end") {
+    val m = Multimodal.withRealImages(
+      Multimodal.syntheticMedia(docs, "doc_id", "text"))
+    // payloads are genuine PNGs: ImageIO parses them
+    val pngOk = m.filter($"kind" === "image").select("bytes").as[Array[Byte]]
+      .collect().forall { b =>
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)) != null
+      }
+    assert(pngOk)
+    val feats = Multimodal.extractFeatures(m, dim = 16)
+      .select("media_id", "kind", "features")
+      .as[(Long, String, Array[Float])].collect()
+    val img = feats.filter(_._2 == "image")
+    assert(img.nonEmpty)
+    img.foreach { case (id, _, f) =>
+      // pixel-derived: a normalized histogram (sums to ~1), NOT the
+      // unbounded hash-stub values
+      assert(math.abs(f.sum - 1.0f) < 1e-3, s"media $id not a histogram: ${f.toSeq}")
+      assert(f.forall(v => v >= 0.0f && v <= 1.0f))
+    }
+    // deterministic across invocations
+    val again = Multimodal.extractFeatures(m, dim = 16)
+      .select("media_id", "features").as[(Long, Array[Float])].collect().toMap
+    feats.foreach { case (id, _, f) => assert(f.toSeq === again(id).toSeq) }
+  }
+
   test("resizeDims preserves aspect ratio and never upscales") {
     val m = Seq(
       (1L, "image", Array[Byte](1), (2000, 1000, 0, 0L, 1L)),

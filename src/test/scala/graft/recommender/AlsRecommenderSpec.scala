@@ -50,11 +50,66 @@ class AlsRecommenderSpec extends SparkSpec {
     assert(known >= model.stats.minRating && known <= model.stats.maxRating)
   }
 
-  test("recommendForAllUsers returns n decoded recs per user") {
-    val recs = model.recommendForAllUsers(3)
+  test("recommendForAllUsersExact returns n decoded recs per user") {
+    val recs = model.recommendForAllUsersExact(3)
     assert(recs.columns.toSet === Set("user", "item", "rank"))
     val users = data.map(_.user).distinct.size
     assert(recs.count() === users * 3)
     assert(recs.filter($"rank" < 1 || $"rank" > 3).count() === 0)
+  }
+
+  test("ANN top-N achieves high recall against the exact cross join") {
+    val exact = model.recommendForAllUsersExact(5)
+      .select("user", "item").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = model.recommendForAllUsersAnn(5, nlist = 8, nprobe = 4)
+      .select("user", "item").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ann.keySet === exact.keySet, "ANN path lost users")
+    // every user gets exactly n recs back
+    assert(ann.values.forall(_.size === 5))
+    val recall = exact.map { case (u, ex) =>
+      (ex & ann(u)).size.toDouble / ex.size
+    }.sum / exact.size
+    // nprobe/nlist = half the catalog scanned → recall should be high
+    assert(recall >= 0.8, s"ANN top-N recall too low: $recall")
+  }
+
+  test("ANN top-N plan contains no users-by-items product") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE and caching both hide subtrees behind opaque nodes — recurse
+    // through them so the assertion sees every join in the DAG
+    def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+      val nodes = p.collect { case n => n }
+      nodes ++ nodes.flatMap {
+        case s: InMemoryTableScanExec => collectAll(s.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        case _ => Nil
+      }
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = model.recommendForAllUsersAnn(5, nlist = 8, nprobe = 4)
+        .queryExecution.executedPlan
+      // the only unconditioned join allowed is queries × centroids (a
+      // relation bounded by nlist); anything touching the factor columns
+      // would be the quadratic product this path exists to avoid
+      val products = collectAll(plan).collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }
+      assert(products.nonEmpty, "expected the bounded users×centroids probe join")
+      products.foreach { j =>
+        val outCols = j.output.map(_.name).toSet
+        assert(outCols.contains("centroid"),
+          s"unexpected unconditioned join over ${outCols.mkString(",")}")
+        assert(!outCols.contains("i_factors") && !outCols.contains("u_factors"),
+          s"users×items product found in ANN plan: ${outCols.mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
