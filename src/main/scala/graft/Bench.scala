@@ -97,9 +97,9 @@ object Bench {
     // the total, which sums only measured queries.
     val derived = Seq(
       "x_funk_svd_sec_per_epoch" ->
-        results.toMap.getOrElse("q34_funk_svd_k30", -3.0) / 3,
+        results.toMap.getOrElse("q34_funk_svd_k30", -6.0) / 6,
       "x_als_gd_sec_per_epoch" ->
-        results.toMap.getOrElse("q35_als_gd_k30", -3.0) / 3)
+        results.toMap.getOrElse("q35_als_gd_k30", -6.0) / 6)
     val qs = (results ++ derived).map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -768,22 +768,27 @@ object SparkEntry {
       percentile_approx(col("rating"), lit(0.95), lit(10000)).as("p95_rating"))
 
   /** Reference-config FunkSVD epochs (k=30 as in `report.pdf` §7.1.1;
-    * 3 epochs here — per-epoch cost is constant, so sec/3 compares
-    * directly against BASELINE's 9.47 s/epoch).
+    * 6 epochs here — BASELINE's 9.47 s/epoch is a 100-epoch total
+    * divided by 100, i.e. setup amortized away, so the comparable
+    * figure needs enough epochs that the one-time setup (scan/parse,
+    * dims, facts, template capture) stops dominating the division.
+    * Marginal epoch cost is constant (plan-template loop), so sec/6 is
+    * still a conservative stand-in for the reference's sec/100.
     */
   private def q34(s: SparkSession, dir: String): DataFrame =
     GdMf.fit(
       ratings(s, dir).select("user", "item", "rating", "time"),
-      GdMf.Config(nFactors = 30, epochs = 3, lr = 0.001, reg = 0.001,
+      GdMf.Config(nFactors = 30, epochs = 6, lr = 0.001, reg = 0.001,
         collectErrors = true)).trainErrorsDf
 
   /** Reference-config alternating ALS-GD epochs (vs BASELINE 14.39
-    * s/epoch; the reference's distributed run OOM'd outright).
+    * s/epoch; the reference's distributed run OOM'd outright). 6 epochs
+    * for the same amortization reason as q34.
     */
   private def q35(s: SparkSession, dir: String): DataFrame =
     GdMf.fit(
       ratings(s, dir).select("user", "item", "rating", "time"),
-      GdMf.Config(nFactors = 30, epochs = 3, lr = 0.001, reg = 0.001,
+      GdMf.Config(nFactors = 30, epochs = 6, lr = 0.001, reg = 0.001,
         alternating = true, collectErrors = true)).trainErrorsDf
 
   // ------------------------------------------- q4x LLM-data-pipeline ops

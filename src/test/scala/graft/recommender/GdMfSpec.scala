@@ -179,6 +179,27 @@ class GdMfSpec extends SparkSpec {
     })
   }
 
+  test("plan-template loop produces the identical model to the legacy loop") {
+    val rnd = new scala.util.Random(7)
+    val cells = for {
+      u <- 0 until 25; i <- 0 until 15 if rnd.nextDouble() < 0.4
+    } yield Rating(s"u$u", s"i$i", 1.0 + rnd.nextInt(5), (u * 100 + i).toLong)
+    for (alternating <- Seq(false, true)) {
+      val base = GdMf.Config(nFactors = 3, epochs = 4, lr = 0.01, reg = 0.01,
+        alternating = alternating, collectErrors = true)
+      val templ = GdMf.fit(cells.toDF, base.copy(planTemplates = true))
+      val legacy = GdMf.fit(cells.toDF, base.copy(planTemplates = false))
+      def states(m: GdMf.Model): (Seq[(String, Seq[Double], Double)], Seq[(String, Seq[Double], Double)]) = (
+        m.userState.as[(String, Seq[Double], Double)].collect().sortBy(_._1).toSeq,
+        m.itemState.as[(String, Seq[Double], Double)].collect().sortBy(_._1).toSeq)
+      assert(states(templ) === states(legacy),
+        s"state divergence (alternating=$alternating)")
+      assert(templ.trainErrors === legacy.trainErrors,
+        s"history divergence (alternating=$alternating)")
+      templ.release(); legacy.release()
+    }
+  }
+
   test("Model.release drops the backing checkpoint blocks") {
     val r = Seq(
       Rating("u1", "i1", 2.0, 1L), Rating("u1", "i2", 3.0, 2L),
