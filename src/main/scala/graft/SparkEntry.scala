@@ -597,6 +597,47 @@ object SparkEntry {
     StreamingPrep.runToMemory(StreamingPrep.packSequences(st, 2048))
   }
 
+  /** Event-time-ordered streaming sequence packing: the corpus arrives
+    * as three DELIBERATELY interleaved micro-batches (doc_id mod 3) —
+    * the arrival order q81's within-batch packer would get wrong — and
+    * the watermark-buffered packer still reproduces the batch packer's
+    * exact assignment (same oracle as q81, full hash match). A
+    * far-future sentinel doc advances the watermark past every real id
+    * so all shards drain; the sentinel itself stays unreleased in
+    * state and is filtered defensively.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .select("doc_id", "lang", "n_tokens")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q83").toString
+    for (r <- 0 until 3) {
+      docs.filter(pmod(col("doc_id"), lit(3)) === r)
+        .coalesce(1).write.parquet(s"$tmp/f$r.parquet")
+    }
+    import s.implicits._
+    Seq((10000000L, "zz-sentinel", 0L)).toDF("doc_id", "lang", "n_tokens")
+      .coalesce(1).write.parquet(s"$tmp/z_sentinel.parquet")
+    // file source orders by (modTime, path); pin both so the sentinel
+    // demonstrably arrives LAST (a first-arriving sentinel would fast-
+    // forward the watermark and drop every real doc)
+    val base = System.currentTimeMillis()
+    val dirs = Seq("f0.parquet", "f1.parquet", "f2.parquet", "z_sentinel.parquet")
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      val dd = new java.io.File(s"$tmp/$d")
+      (dd.listFiles() :+ dd).foreach(_.setLastModified(base + i * 2000L))
+    }
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    StreamingPrep.runToMemory(
+      StreamingPrep.packSequencesOrdered(stream, 2048, delay = "100000 seconds"))
+      .filter(col("lang") =!= "zz-sentinel")
+      .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+  }
+
   /** End-to-end corpus curation in ONE declarative plan — the "whole
     * point" query: language + quality filter → benchmark
     * decontamination (broadcast anti-join) → exact content dedup
@@ -1089,6 +1130,7 @@ object SparkEntry {
     "q79_stream_profile" -> (q79 _),
     "q80_stratified_split" -> (q80 _),
     "q81_stream_pack" -> (q81 _),
+    "q83_stream_pack_ordered" -> (q83 _),
     "q82_curation_e2e" -> (q82 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
@@ -1620,6 +1662,9 @@ object SparkEntry {
     "q79_stream_profile" -> textProfileSql,
     // the stateful streaming pack computes exactly the batch pack (q76)
     "q81_stream_pack" -> sequencePackSql,
+    // the ordered streaming packer must reproduce the BATCH assignment
+    // even under interleaved arrival — same oracle as q81
+    "q83_stream_pack_ordered" -> sequencePackSql,
     "q82_curation_e2e" ->
       """WITH p AS (
         |  SELECT doc_id, source, text,

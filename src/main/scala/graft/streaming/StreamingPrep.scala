@@ -69,10 +69,17 @@ object StreamingPrep {
     * `Curation.packSequences` — per-shard state is ONE running token
     * count, so a continuously-ingesting tokenizer feeder assigns every
     * arriving document its (seq_id, seq_offset) without re-reading
-    * history. Documents are packed in `doc_id` order within each
-    * micro-batch (the file-source delivers batches in order for an
-    * ordered ingest); state never grows with stream length — one long
-    * per shard.
+    * history.
+    *
+    * ORDERING CONTRACT (API-level, not an aside): documents are packed
+    * in `doc_id` order WITHIN each micro-batch only — parity with the
+    * batch packer requires ingest to deliver doc_ids in
+    * non-interleaved order across batches (one batch, or ordered file
+    * arrival). Out-of-order ingest must use [[packSequencesOrdered]],
+    * which buffers inside the watermark horizon and flushes in order.
+    * Each invocation also materializes its batch's group to sort it,
+    * so per-task memory is O(largest shard per micro-batch); state
+    * never grows with stream length — one long per shard.
     */
   def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -91,6 +98,73 @@ object StreamingPrep {
             PackedDoc(id, lang, n, start / seqLen, start % seqLen)
           }
           state.update(cum)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Per-shard state for [[packSequencesOrdered]]: running token count
+    * plus the docs still inside the watermark horizon (doc_id, n_tokens).
+    */
+  final case class OrderedPackState(cum: Long, buf: Seq[(Long, Long)])
+
+  /** Event-time-ordered streaming sequence packing: the out-of-order
+    * ingest variant of [[packSequences]].
+    *
+    * Each document carries an event time derived from its `doc_id`
+    * (one second per id — a monotone proxy for ingest time; a real
+    * deployment substitutes its ingest timestamp). Arrivals buffer in
+    * keyed state; once the WATERMARK passes a document's event time no
+    * earlier document can still arrive (Spark drops rows at or behind
+    * the watermark), so the buffered prefix at or behind the watermark
+    * is flushed in `doc_id` order with running offsets — yielding
+    * EXACTLY the batch packer's assignment on the delivered set, no
+    * matter how arrivals interleave across micro-batches. Flushes are
+    * driven both by new data and by EventTimeTimeout, so a shard with
+    * no further arrivals still drains once the watermark advances.
+    * State is O(docs inside the watermark horizon) per shard — bounded
+    * by the `delay` the ingest actually needs, never by stream length.
+    */
+  def packSequencesOrdered(docs: DataFrame, seqLen: Int,
+      delay: String = "60 seconds"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ds = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        // +1: rows AT the watermark are dropped (boundary inclusive),
+        // and the watermark starts at 0 — doc_id 0 must sit above it
+        timestamp_micros((col("doc_id") + 1) * lit(1000000L)).as("ts"))
+      .withWatermark("ts", delay)
+      .as[(Long, String, Long, java.sql.Timestamp)]
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (lang: String, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[OrderedPackState]) =>
+          val st = state.getOption.getOrElse(OrderedPackState(0L, Nil))
+          val arrivals = rows.map(r => (r._1, r._3)).toSeq
+          val wmMs = state.getCurrentWatermarkMs()
+          // ready = ids whose event time ((id+1) seconds) the watermark
+          // has passed; they can no longer be preceded, so their order
+          // is final
+          val (ready, hold) = (st.buf ++ arrivals).sortBy(_._1)
+            .partition { case (id, _) => (id + 1) * 1000L <= wmMs }
+          var cum = st.cum
+          val out = ready.map { case (id, n) =>
+            val start = cum
+            cum += n
+            PackedDoc(id, lang, n, start / seqLen, start % seqLen)
+          }
+          // the running count is the shard's permanent state (every
+          // future arrival packs after it) — never removed; the buffer
+          // drains to empty, so steady-state is one long per shard
+          state.update(OrderedPackState(cum, hold))
+          if (hold.nonEmpty)
+            // re-arm: fire as soon as the watermark can release the
+            // earliest held doc (must arm strictly past the current wm)
+            state.setTimeoutTimestamp(
+              math.max(wmMs + 1, (hold.head._1 + 1) * 1000L + 1))
           out.iterator
       }
       .toDF()

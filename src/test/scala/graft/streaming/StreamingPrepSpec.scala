@@ -80,6 +80,43 @@ class StreamingPrepSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, 0L), (2L, 0L, 600L), (3L, 1L, 100L), (4L, 1L, 200L)))
   }
 
+  test("packSequencesOrdered matches the batch packer under shuffled multi-batch arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.Curation
+    // 12 docs over two shards; event time = doc_id seconds
+    val all = (0L until 12L).map(i =>
+      (i, if (i % 3 == 0) "de" else "en", 100L + (i * 137) % 900))
+    val mem = MemoryStream[(Long, String, Long)](spark)
+    val stream = StreamingPrep.packSequencesOrdered(
+      mem.toDF().toDF("doc_id", "lang", "n_tokens"),
+      seqLen = 1000, delay = "1000 seconds")
+    val q = stream.writeStream.format("memory")
+      .queryName("graft_opack").outputMode("append").start()
+    try {
+      // arrivals shuffled ACROSS batches — the order packSequences (batch
+      // twin per micro-batch) would get wrong
+      Seq(
+        Seq(all(7), all(2), all(11), all(0)),
+        Seq(all(5), all(9), all(1), all(4)),
+        Seq(all(10), all(3), all(8), all(6)),
+        // sentinels push the watermark past every real doc; the second
+        // forces one more micro-batch so all timeouts demonstrably fire
+        Seq((1000000L, "zz", 0L)),
+        Seq((1000001L, "zz", 0L))
+      ).foreach { batch => mem.addData(batch); q.processAllAvailable() }
+      val got = spark.table("graft_opack")
+        .filter($"lang" =!= "zz")
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val expected = Curation.packSequences(
+        all.toDF("doc_id", "lang", "n_tokens"), "lang", "doc_id",
+        col("n_tokens"), seqLen = 1000)
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("streaming decontamination filters across micro-batch boundaries") {
     import graft.pipeline.Curation
     // two files -> two micro-batches; contaminated docs appear in BOTH
