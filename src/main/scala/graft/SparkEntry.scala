@@ -616,8 +616,14 @@ object SparkEntry {
       docs.filter(pmod(col("doc_id"), lit(3)) === r)
         .coalesce(1).write.parquet(s"$tmp/f$r.parquet")
     }
+    // horizon sized from the data: the watermark must not overtake any
+    // real id while earlier-id files are still arriving, at ANY scale
+    // factor; the sentinel must then clear the whole horizon
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val delaySec = maxId + 2
     import s.implicits._
-    Seq((10000000L, "zz-sentinel", 0L)).toDF("doc_id", "lang", "n_tokens")
+    Seq((maxId * 10 + delaySec + 10, "zz-sentinel", 0L))
+      .toDF("doc_id", "lang", "n_tokens")
       .coalesce(1).write.parquet(s"$tmp/z_sentinel.parquet")
     // file source orders by (modTime, path); pin both so the sentinel
     // demonstrably arrives LAST (a first-arriving sentinel would fast-
@@ -633,7 +639,7 @@ object SparkEntry {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$tmp/*")
     StreamingPrep.runToMemory(
-      StreamingPrep.packSequencesOrdered(stream, 2048, delay = "100000 seconds"))
+      StreamingPrep.packSequencesOrdered(stream, 2048, delay = s"$delaySec seconds"))
       .filter(col("lang") =!= "zz-sentinel")
       .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
   }
