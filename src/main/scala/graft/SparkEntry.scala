@@ -852,6 +852,20 @@ object SparkEntry {
   private def q60(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(Tables.documents(s, dir), "doc_id", "text", topK = 50)
 
+  /** Overlapping token-window chunking (embedding/RAG ingestion shape):
+    * 32-token windows every 24 tokens (8-token overlap).
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+      chunkLen = 32, overlap = 8)
+
+  /** Corpus-trained bigram fluency (CCNet-style quality signal, no
+    * external LM): add-one-smoothed P(w2|w1) summed per doc in fixed
+    * point — deterministic cross-engine, so a full hash oracle.
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramFluency(Tables.documents(s, dir), "doc_id", "text")
+
   private def q41(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -1115,6 +1129,8 @@ object SparkEntry {
     "q57_stream_enrich" -> (q57 _),
     "q58_stream_interval_join" -> (q58 _),
     "q60_vocabulary" -> (q60 _),
+    "q84_chunk_tokens" -> (q84 _),
+    "q85_bigram_fluency" -> (q85 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1381,6 +1397,47 @@ object SparkEntry {
         |GROUP BY t.token
         |ORDER BY n_occurrences DESC, t.token
         |LIMIT 50""".stripMargin,
+    "q84_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |         greatest(1, CAST(ceil(CAST(len(ws) - 8 AS DOUBLE) / 24) AS INT)) AS nchunks
+        |  FROM t WHERE len(ws) > 0),
+        |e AS (SELECT doc_id, ws, n, unnest(range(nchunks)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_no,
+        |       CAST(i * 24 AS INT) AS chunk_start,
+        |       CAST(least(32, n - i * 24) AS INT) AS n_chunk_tokens,
+        |       array_to_string(ws[CAST(i * 24 + 1 AS INT) : CAST(i * 24 + 32 AS INT)], ' ')
+        |         AS chunk_text
+        |FROM e""".stripMargin,
+    "q85_bigram_fluency" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
+        |b AS (SELECT doc_id,
+        |             unnest(list_transform(range(len(ws) - 1), i -> ws[i + 1])) AS w1,
+        |             unnest(list_transform(range(len(ws) - 1), i -> ws[i + 2])) AS w2
+        |      FROM w),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(ws) AS tok FROM t))
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(CAST(floor(1e9 * (CAST(c2.c2 + 1 AS DOUBLE) /
+        |                                  CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT))
+        |            AS BIGINT) AS fluency_fp
+        |FROM b
+        |JOIN c2 USING (w1, w2)
+        |JOIN c1 USING (w1)
+        |CROSS JOIN v
+        |GROUP BY b.doc_id""".stripMargin,
     "q61_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS t, event_id,

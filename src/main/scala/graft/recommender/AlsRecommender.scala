@@ -149,11 +149,19 @@ object AlsRecommender {
     // Dataset.localCheckpoint): releasable via Model.release(), and
     // immune to the Spark 4 stats-compounding trap.
     import org.apache.spark.sql.graftbridge.DatasetBridge
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val stats = Encoding.ratingStats(r)
-    val userDimCp = DatasetBridge.localCheckpointFresh(
-      Encoding.dimensionAuto(r, "user", orderCol, "u_id", stats.nUsers))
-    val itemDimCp = DatasetBridge.localCheckpointFresh(
-      Encoding.dimensionAuto(r, "item", orderCol, "i_id", stats.nItems))
+    // independent jobs over the shared cache — run concurrently
+    // (finite await so a hung job surfaces instead of wedging the fit)
+    val (userDimCp, itemDimCp) = {
+      val u = Future(DatasetBridge.localCheckpointFresh(
+        Encoding.dimensionAuto(r, "user", orderCol, "u_id", stats.nUsers)))
+      val i = Future(DatasetBridge.localCheckpointFresh(
+        Encoding.dimensionAuto(r, "item", orderCol, "i_id", stats.nItems)))
+      (Await.result(u, Duration(3600L, "s")), Await.result(i, Duration(3600L, "s")))
+    }
     val userDim = userDimCp.df
     val itemDim = itemDimCp.df
 

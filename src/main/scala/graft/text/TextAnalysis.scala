@@ -106,6 +106,98 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(topK)
 
+  /** Overlapping token-window chunking — the embedding/RAG ingestion
+    * shape: each document splits into windows of `chunkLen` tokens
+    * starting every `chunkLen - overlap` tokens, so consecutive chunks
+    * share `overlap` tokens of context. The final window may be
+    * shorter; a document shorter than one window yields one chunk.
+    * Chunk count = max(1, ⌈(n − overlap) / stride⌉) — a start is only
+    * taken while it contributes ≥ stride new tokens.
+    *
+    * Pure expressions over a staged words array (HOF invariant:
+    * [[graft.dedup.Dedup.shinglesFromWords]]) — scan-parallel, zero
+    * shuffle; at 100 TB this is a map-only pass feeding the embedding
+    * UDF / ANN index build downstream.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, overlap: Int): DataFrame = {
+    require(chunkLen > 0 && overlap >= 0 && overlap < chunkLen,
+      s"need 0 <= overlap < chunkLen, got chunkLen=$chunkLen overlap=$overlap")
+    val stride = chunkLen - overlap
+    docs
+      .select(col(idCol).as("doc_id"),
+        words(normalizeText(col(textCol))).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .filter(col("__n") > 0)
+      .withColumn("__nchunks",
+        greatest(lit(1),
+          ceil((col("__n") - lit(overlap)).cast("double") / stride).cast("int")))
+      .select(col("doc_id"), col("__ws"), col("__n"),
+        posexplode(transform(sequence(lit(0), col("__nchunks") - 1),
+          i => concat_ws(" ", slice(col("__ws"), i * stride + lit(1), lit(chunkLen)))))
+          .as(Seq("chunk_no", "chunk_text")))
+      .select(col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * stride).as("chunk_start"),
+        least(lit(chunkLen), col("__n") - col("chunk_no") * stride).as("n_chunk_tokens"),
+        col("chunk_text"))
+  }
+
+  /** Corpus-trained bigram fluency — a CCNet-style quality signal with
+    * no external language model: P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V)
+    * under add-one smoothing, counts and vocabulary from the corpus
+    * itself. Per-document score = Σ ⌊10⁹·P⌋ over its bigrams (returned
+    * with the bigram count so callers can normalize): each P is one
+    * exactly-rounded IEEE division/multiplication of exact integers,
+    * so the FIXED-POINT sum is order-independent — bit-reproducible at
+    * any parallelism and across engines (the DuckDB oracle hash-matches
+    * it), where a float log-likelihood sum would not be.
+    *
+    * Scale: two partial+final count aggregations over the exploded
+    * bigrams, one scalar vocabulary aggregate (broadcast, 1 row), and
+    * one shuffle join of the bigram stream against the count tables —
+    * all linear in corpus token count. Low scores flag boilerplate /
+    * noise / wrong-language text for the curation filter.
+    */
+  def bigramFluency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = docs
+      .select(col(idCol).as("doc_id"), words(normalizeText(col(textCol))).as("__ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the bigram stream feeds three consumers (c2, c1, the scoring
+    // join) and ws feeds two — persist both so the regex/words
+    // pipeline runs once, not once per consumer (branch-reexecution
+    // invariant, see Dedup)
+    val bigrams = ws
+      .filter(size(col("__ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__ws")) - 2),
+          i => struct(
+            element_at(col("__ws"), i + 1).as("w1"),
+            element_at(col("__ws"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = ws.select(explode(col("__ws")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val out = bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        // floor→long BEFORE the sum: the accumulation is integer, so
+        // it cannot depend on shuffle order
+        sum(floor(lit(1e9) * ((col("c2") + 1) / (col("c1") + col("v"))))
+          .cast("long")).as("fluency_fp"))
+      // eager persist (doc-count-sized result) so the working caches can
+      // be dropped now; callers release with out.unpersist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    bigrams.unpersist()
+    ws.unpersist()
+    out
+  }
+
   /** One-stop profile of a documents table. */
   def profile(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("n_tokens", tokenCount(col(textCol)))

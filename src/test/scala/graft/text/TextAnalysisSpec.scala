@@ -55,4 +55,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(0) > 0 && q(0) <= 1.0)
     assert(q(1) < q(0))
   }
+
+  test("chunkTokens windows overlap correctly and cover every token") {
+    // 10 tokens, chunkLen 5, overlap 2 → stride 3 → starts 0,3,6 (9 not
+    // taken: it would add < stride new tokens past the prior window)
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(df, "doc_id", "text", chunkLen = 5, overlap = 2)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (1L, 0, 0, 5, "t0 t1 t2 t3 t4"),
+      (1L, 1, 3, 5, "t3 t4 t5 t6 t7"),
+      (1L, 2, 6, 4, "t6 t7 t8 t9"),
+      (2L, 0, 0, 2, "a b"))) // short doc → single (short) chunk
+    // consecutive chunks share exactly `overlap` tokens
+    val w1 = got(0)._5.split(" ").toSeq
+    val w2 = got(1)._5.split(" ").toSeq
+    assert(w1.takeRight(2) === w2.take(2))
+  }
+
+  test("bigramFluency scores repeated patterns above unseen ones, reproducibly") {
+    // corpus: "a b" dominates, so docs made of (a,b) bigrams score higher
+    // than docs of rare bigrams. V = 4 distinct tokens {a,b,c,d}.
+    val df = Seq(
+      (1L, "a b a b a b"), // bigrams ab,ba,ab,ba,ab
+      (2L, "c d"),         // one rare bigram
+      (3L, "a")            // no bigrams → absent from output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L))
+    val byId = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(1L)._1 === 5) // 5 bigrams
+    // hand-check: c(ab)=3, c(ba)=2, c(a·)=3, c(b·)=2, c(cd)=1, c(c·)=1, V=4
+    // P(b|a)=(3+1)/(3+4)=4/7; P(a|b)=(2+1)/(2+4)=1/2; P(d|c)=(1+1)/(1+4)=2/5
+    val exp1 = 3L * math.floor(1e9 * (4.0 / 7.0)).toLong +
+      2L * math.floor(1e9 * 0.5).toLong
+    assert(byId(1L)._2 === exp1)
+    assert(byId(2L) === ((1L, math.floor(1e9 * 0.4).toLong)))
+    // per-bigram average: doc 1 is more "typical" than doc 2
+    assert(byId(1L)._2.toDouble / 5 > byId(2L)._2.toDouble)
+    // deterministic across invocations
+    val again = TextAnalysis.bigramFluency(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === got)
+  }
 }
