@@ -536,6 +536,19 @@ object SparkEntry {
       .select("doc_id", "source")
   }
 
+  /** N-gram-collision decontamination (GPT-3-style): every tenth doc
+    * plays the benchmark; any corpus doc sharing a 13-gram with it —
+    * including the benchmark docs themselves — is removed. The partial-
+    * inclusion case (a benchmark string QUOTED inside a larger doc) is
+    * unit-tested in CurationSpec.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.filter(col("doc_id") % 10 === 3)
+    Curation.ngramDecontaminate(docs, benchmark, "text", "doc_id", n = 13)
+      .select("doc_id", "source")
+  }
+
   /** Sequence packing: documents stream into fixed 2048-token training
     * sequences per language shard, in doc_id order; each doc gets the
     * sequence id + offset where it starts.
@@ -1146,6 +1159,7 @@ object SparkEntry {
     "q73_partitioned_lake" -> (q73 _),
     "q74_upsert_merge" -> (q74 _),
     "q75_decontaminate" -> (q75 _),
+    "q86_ngram_decontaminate" -> (q86 _),
     "q76_sequence_pack" -> (q76 _),
     "q77_stream_decontaminate" -> (q77 _),
     "q78_ann_pq" -> (q78 _),
@@ -1719,6 +1733,26 @@ object SparkEntry {
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM ranked WHERE rk = 1""".stripMargin,
     "q75_decontaminate" -> decontaminateSql,
+    // NOT EXISTS (not NOT IN) for the same three-valued-logic reason as
+    // q75; hit = any shared 13-gram of normalized words
+    "q86_ngram_decontaminate" ->
+      """WITH dw AS (
+        |  SELECT doc_id, source,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(ws) - 12),
+        |           i -> array_to_string(ws[i + 1 : i + 13], ' '))) AS g
+        |  FROM dw WHERE len(ws) >= 13),
+        |bg AS (
+        |  SELECT DISTINCT md5(g) AS gh
+        |  FROM dg WHERE doc_id % 10 = 3),
+        |hits AS (
+        |  SELECT DISTINCT doc_id FROM dg JOIN bg ON md5(dg.g) = bg.gh)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)""".stripMargin,
     "q76_sequence_pack" -> sequencePackSql,
     "q77_stream_decontaminate" -> decontaminateSql,
     // the streaming profile computes exactly the batch profile (q40)

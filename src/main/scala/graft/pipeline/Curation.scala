@@ -49,6 +49,35 @@ object Curation {
       .drop("__fp")
   }
 
+  /** N-gram-collision decontamination — the GPT-3/PaLM recipe: a corpus
+    * document is contaminated if it shares ANY word `n`-gram with the
+    * benchmark set. Catches PARTIAL inclusion (a benchmark question
+    * quoted inside a larger page) that the exact-fingerprint anti-join
+    * ([[decontaminate]]) cannot; run both in a real pipeline.
+    *
+    * Scale shape: benchmark n-grams md5-hash to 16 bytes each
+    * (independent of n) and BROADCAST — eval sets are small by
+    * construction. The corpus side is a map-only explode to
+    * (id, gram-hash) probing the broadcast; only the hit ids (rare)
+    * reach the distinct aggregation, and the final anti join removes
+    * them. Corpus documents themselves never shuffle.
+    */
+  def ngramDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    import graft.dedup.Dedup
+    def grams(df: DataFrame, cols: Column*): DataFrame = df
+      .select(cols :+
+        TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))).as("__ws"): _*)
+      .withColumn("__sh", Dedup.shinglesFromWords(col("__ws"), n))
+      .select(cols :+ explode(col("__sh")).as("__gram"): _*)
+      .select(cols :+ md5(col("__gram")).as("__gh"): _*)
+    val bmGrams = grams(benchmark).distinct()
+    val hits = grams(corpus, col(idCol))
+      .join(broadcast(bmGrams), Seq("__gh"))
+      .select(idCol).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Sequence packing: assign each document a `seq_id`/`seq_offset`
     * placing it in a stream of fixed-capacity `seqLen`-token training
     * sequences, packed in `orderCol` order within each `shardCol`

@@ -113,4 +113,17 @@ class PlanSpec extends SparkSpec {
     val n = exchangeCount("q76_sequence_pack")
     assert(n === 1, s"expected 1 exchange, got $n:\n${plan("q76_sequence_pack")}")
   }
+
+  test("q84: token chunking is map-only — zero exchanges") {
+    val n = exchangeCount("q84_chunk_tokens")
+    assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q84_chunk_tokens")}")
+  }
+
+  test("q86: n-gram decontamination broadcasts the benchmark grams, anti-joins hit ids") {
+    val p = plan("q86_ngram_decontaminate")
+    // the gram probe against the benchmark must be a broadcast join —
+    // corpus gram rows never shuffle for it
+    assert(p.contains("BroadcastHashJoin"), s"gram probe not broadcast:\n$p")
+    assert("Join .*LeftAnti".r.findFirstIn(p).isDefined, s"no anti join:\n$p")
+  }
 }

@@ -29,6 +29,26 @@ class CurationSpec extends SparkSpec {
     assert(got === Seq(1L, 3L))
   }
 
+  test("ngramDecontaminate catches benchmark text QUOTED inside larger docs") {
+    val quote = (1 to 13).map(i => s"bench$i").mkString(" ") // one full 13-gram
+    val corpus = Seq(
+      (1L, s"a clean page about something else entirely " +
+        (1 to 13).map(i => s"filler$i").mkString(" ")),
+      (2L, s"intro paragraph then $quote and a conclusion"), // partial inclusion
+      (3L, quote), // exact copy
+      (4L, (1 to 12).map(i => s"bench$i").mkString(" ")) // only 12 words — no 13-gram
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(quote).toDF("text")
+    val got = Curation.ngramDecontaminate(corpus, benchmark, "text", "doc_id", n = 13)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2 and 3 share the benchmark 13-gram; 1 and 4 survive — note the
+    // exact-fingerprint decontaminate would MISS doc 2
+    assert(got === Seq(1L, 4L))
+    val fpOnly = Curation.decontaminate(corpus, benchmark, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fpOnly === Seq(1L, 2L, 4L)) // the gap this operator closes
+  }
+
   test("packSequences assigns start-position sequence ids per shard") {
     val docs = Seq(
       ("en", 1L, 600L), ("en", 2L, 500L), ("en", 3L, 100L), ("en", 4L, 900L),
