@@ -879,6 +879,27 @@ object SparkEntry {
   private def q85(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramFluency(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Gopher/C4-style repetition gates (top-word share, duplicate-word
+    * mass, top-bigram share) — one codegen'd kernel pass, zero shuffle.
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Temperature-based mixture sampling (τ=2 multilingual rebalance,
+    * budget 200): tiny rate table broadcast, corpus sees one map-only
+    * hash-filter pass.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureSample(Tables.documents(s, dir), "lang", col("doc_id"),
+        budget = 200)
+      .select("doc_id", "lang")
+
+  /** PII redaction scrub (emails / IPv4 / phone shapes → placeholders
+    * + audit counts) — map-only regex pass on the ingest scan.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redactPii(Tables.documents(s, dir), "doc_id", "text")
+
   private def q41(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -1144,6 +1165,9 @@ object SparkEntry {
     "q60_vocabulary" -> (q60 _),
     "q84_chunk_tokens" -> (q84 _),
     "q85_bigram_fluency" -> (q85 _),
+    "q87_repetition" -> (q87 _),
+    "q88_mixture_sample" -> (q88 _),
+    "q89_redact_pii" -> (q89 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1452,6 +1476,62 @@ object SparkEntry {
         |JOIN c1 USING (w1)
         |CROSS JOIN v
         |GROUP BY b.doc_id""".stripMargin,
+    "q87_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+        |           x -> x <> '') AS ws
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+        |          x -> x <> '')) > 0),
+        |wc AS (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1, 2),
+        |wstat AS (SELECT doc_id, CAST(sum(c) AS INTEGER) AS n_words,
+        |                 CAST(count(*) AS INTEGER) AS n_distinct,
+        |                 CAST(max(c) AS INTEGER) AS top_word
+        |          FROM wc GROUP BY 1),
+        |bg AS (SELECT doc_id,
+        |              unnest(list_transform(range(len(ws) - 1),
+        |                i -> ws[i + 1] || ' ' || ws[i + 2])) AS b
+        |       FROM t WHERE len(ws) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, CAST(max(c) AS INTEGER) AS top_bigram
+        |          FROM bc GROUP BY 1)
+        |SELECT w.doc_id, n_words, n_distinct,
+        |       CAST(top_word AS DOUBLE) / n_words AS top_word_ratio,
+        |       CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+        |       CASE WHEN n_words < 2 THEN 0.0
+        |            ELSE CAST(coalesce(top_bigram, 0) AS DOUBLE) / (n_words - 1)
+        |       END AS top_bigram_ratio
+        |FROM wstat w LEFT JOIN bstat USING (doc_id)""".stripMargin,
+    "q88_mixture_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT sum(sqrt(n)) AS sw FROM c),
+        |r AS (SELECT lang,
+        |             least(CAST(1.0 AS DOUBLE),
+        |                   CAST(200.0 AS DOUBLE) * sqrt(n) / sw / n) AS rate
+        |      FROM c CROSS JOIN s)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |      < rate * 16777216.0""".stripMargin,
+    "q89_redact_pii" ->
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(text,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+        |       len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(text,
+        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |       len(regexp_extract_all(text,
+        |         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones
+        |FROM documents""".stripMargin,
     "q61_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS t, event_id,

@@ -102,4 +102,39 @@ object Curation {
       .withColumn("seq_offset", (col("__cum") - col("__tok")) % lit(seqLen.toLong))
       .drop("__tok", "__cum")
   }
+
+  /** Temperature-based mixture sampling — the standard LLM data-mixing
+    * step (multilingual / multi-source rebalancing, temperature τ = 2,
+    * i.e. α = 1/τ = 0.5): group g's share of the `budget` is
+    * `sqrt(n_g) / Σ sqrt(n_g')` (up-weighting low-resource groups,
+    * flattening the head), realized as a per-group Bernoulli rate
+    * `min(1, budget·share / n_g)` decided by a hash of the row key —
+    * deterministic at any parallelism, cluster size, and engine.
+    *
+    * α is fixed at 0.5 because `sqrt` is IEEE-exactly-rounded in every
+    * engine while `pow(x, α)` is libm-dependent — this keeps the rate
+    * table bit-identical cross-engine (the DuckDB oracle hash-matches).
+    * The inclusion hash is the first 24 bits of md5(key) compared to
+    * rate·2^24 — same md5-prefix trick as the decontamination
+    * fingerprints, portable everywhere.
+    *
+    * Scale shape: one tiny groupBy (|groups| rows) + one scalar agg,
+    * broadcast back; the corpus itself sees ONE map-only pass — no
+    * shuffle of data rows. At 100 TB the rate table is bytes.
+    */
+  def mixtureSample(docs: DataFrame, groupCol: String, keyCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val sumW = counts.agg(sum(sqrt(col("__n"))).as("__sw"))
+    val rates = counts.crossJoin(broadcast(sumW))
+      .select(col(groupCol),
+        least(lit(1.0),
+          lit(budget.toDouble) * sqrt(col("__n")) / col("__sw") / col("__n"))
+          .as("__rate"))
+    val h = conv(substring(md5(keyCol.cast("string")), 1, 6), 16, 10).cast("long")
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(h < col("__rate") * lit(16777216.0))
+      .drop("__rate")
+  }
 }

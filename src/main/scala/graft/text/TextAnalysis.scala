@@ -198,6 +198,72 @@ object TextAnalysis {
     out
   }
 
+  /** Gopher/C4-style repetition signals per document: share of the most
+    * frequent word, duplicate-word mass, share of the most frequent
+    * adjacent bigram — the standard "repetitious document" gates an LLM
+    * corpus applies before any expensive processing.
+    *
+    * All counters come from ONE codegen'd scan-side kernel
+    * ([[graft.functions.RepetitionCounts]]) — map-only, zero shuffle,
+    * where the relational formulation (explode → two groupBys per
+    * metric) would shuffle the corpus three times. Ratios are a single
+    * exactly-rounded division of exact integer counters, so results are
+    * bit-reproducible across engines (DuckDB oracle hash-matches).
+    * Empty documents (no words) are dropped, mirroring the MinHash
+    * empty-doc contract.
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // array_remove("") because split-of-empty yields [""], not [] — an
+    // all-whitespace doc must drop via the kernel's empty→NULL contract
+    val r = graft.functions.RepetitionExpressions
+      .repetitionCounts(array_remove(words(normalizeText(col(textCol))), ""))
+    docs
+      .select(col(idCol).as("doc_id"), r.as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col("doc_id"),
+        col("__r.n_words").as("n_words"),
+        col("__r.n_distinct").as("n_distinct"),
+        (col("__r.top_word").cast("double") / col("__r.n_words"))
+          .as("top_word_ratio"),
+        ((col("__r.n_words") - col("__r.n_distinct")).cast("double")
+          / col("__r.n_words")).as("dup_word_frac"),
+        when(col("__r.n_words") < 2, lit(0.0))
+          .otherwise(col("__r.top_bigram").cast("double")
+            / (col("__r.n_words") - 1)).as("top_bigram_ratio"))
+  }
+
+  /** PII patterns kept to constructs with identical semantics in Java
+    * regex and RE2 (character classes, bounded repetition, `\b`): no
+    * backreferences, no lookaround — so Spark and any RE2-based engine
+    * (DuckDB, Go, C++) redact identically.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII scrubbing — the redaction pass an LLM corpus runs before
+    * training (emails, IPv4 addresses, US-phone-shaped numbers →
+    * typed placeholder tokens, plus per-doc match counts for the
+    * curation audit trail). Pure `regexp_replace`/`regexp_extract_all`
+    * column expressions: map-only, codegen'd, zero shuffle — at 100 TB
+    * this rides the ingest scan for free. Counts are taken on the
+    * ORIGINAL text; replacement order (emails → IPs → phones) is fixed
+    * and the patterns cannot overlap after prior replacements, so the
+    * pass is deterministic.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailPattern, "<EMAIL>"),
+          ipv4Pattern, "<IP>"),
+        phonePattern, "<PHONE>").as("redacted"),
+      size(regexp_extract_all(t, lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(ipv4Pattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t, lit(phonePattern), lit(0))).as("n_phones"))
+  }
+
   /** One-stop profile of a documents table. */
   def profile(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("n_tokens", tokenCount(col(textCol)))

@@ -133,4 +133,35 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("mixtureSample flattens the head: low-resource groups keep a higher rate") {
+    // 900 "en" docs vs 100 "zh" docs, budget 300. Temperature-0.5 shares:
+    // sqrt(900)=30, sqrt(100)=10 → en gets 3/4 of budget (225 of 900 =
+    // 25%), zh gets 1/4 (75 of 100 = 75%) — zh's rate must be higher.
+    val docs = ((1 to 900).map(i => (i.toLong, "en")) ++
+      (1001 to 1100).map(i => (i.toLong, "zh"))).toDF("doc_id", "lang")
+    val got = Curation.mixtureSample(docs, "lang", col("doc_id"), budget = 300)
+    val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val enRate = byLang("en").toDouble / 900
+    val zhRate = byLang("zh").toDouble / 100
+    assert(zhRate > enRate * 2, s"zh=$zhRate en=$enRate")
+    // md5-uniformity keeps realized counts near expectation
+    assert(math.abs(byLang("en") - 225) < 60, s"en=${byLang("en")}")
+    assert(math.abs(byLang("zh") - 75) < 30, s"zh=${byLang("zh")}")
+    // deterministic: same inputs → identical sample
+    val again = Curation.mixtureSample(docs, "lang", col("doc_id"), budget = 300)
+    assert(again.orderBy("doc_id").collect().toSeq ===
+      got.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("mixtureSample keeps every row of a group whose share exceeds its size") {
+    // tiny group: budget share 10·sqrt(2)/(sqrt(2)+sqrt(98))... > 2 rows
+    // → rate clips at 1.0 and both rows survive
+    val docs = ((1 to 98).map(i => (i.toLong, "big")) ++
+      Seq((200L, "rare"), (201L, "rare"))).toDF("doc_id", "lang")
+    val got = Curation.mixtureSample(docs, "lang", col("doc_id"), budget = 50)
+    assert(got.filter(col("lang") === "rare").count() === 2L)
+    // sample is a subset of the input
+    assert(got.join(docs, Seq("doc_id", "lang"), "left_anti").count() === 0L)
+  }
 }

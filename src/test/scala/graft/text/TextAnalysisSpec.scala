@@ -100,4 +100,47 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(again === got)
   }
+
+  test("repetitionProfile: hand-checked counters and ratios") {
+    val df = Seq(
+      (1L, "a a b"),          // 3 words, 2 distinct, top word a=2; bigrams: "a a","a b" → top 1
+      (2L, "x y x y x y"),    // 6 words, 2 distinct, top 3; bigrams: xy,yx,xy,yx,xy → top 3 of 5
+      (3L, "solo"),           // 1 word: no bigrams, ratio 0 by definition
+      (4L, "")                // empty → dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(df, "doc_id", "text")
+      .as[(Long, Int, Int, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L))
+    assert(got(0) === ((1L, 3, 2, 2.0 / 3, 1.0 / 3, 1.0 / 2)))
+    assert(got(1) === ((2L, 6, 2, 0.5, 4.0 / 6, 3.0 / 5)))
+    assert(got(2) === ((3L, 1, 1, 1.0, 0.0, 0.0)))
+  }
+
+  test("repetitionProfile flags a repetitious doc over a diverse one") {
+    val rep = (1 to 50).map(_ => "spam spam").mkString(" ")
+    val div = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, rep), (2L, div)).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionProfile(df, "doc_id", "text")
+      .as[(Long, Int, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(1L)._4 === 1.0)      // every word is "spam"
+    assert(m(1L)._6 === 1.0)      // every bigram is "spam spam"
+    assert(m(2L)._4 === 1.0 / 100)
+    assert(m(2L)._5 === 0.0)      // all distinct
+  }
+
+  test("redactPii scrubs planted emails, IPs and phones with exact counts") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@ex-ample.org and 10.0.255.3 then 415-555-1234 ok"),
+      (2L, "no pii here, just text 12345"),
+      (3L, "two mails a@b.co c@d.io and 1.2.3.4 5.6.7.8")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "doc_id", "text")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(got(0)._2 === "mail <EMAIL> and <IP> then <PHONE> ok")
+    assert((got(0)._3, got(0)._4, got(0)._5) === ((1, 1, 1)))
+    assert(got(1)._2 === "no pii here, just text 12345")
+    assert((got(1)._3, got(1)._4, got(1)._5) === ((0, 0, 0)))
+    assert(got(2)._2 === "two mails <EMAIL> <EMAIL> and <IP> <IP>")
+    assert((got(2)._3, got(2)._4, got(2)._5) === ((2, 2, 0)))
+  }
 }
