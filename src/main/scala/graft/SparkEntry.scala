@@ -1021,8 +1021,10 @@ object SparkEntry {
     * back to the hash stub — all via one typed mapPartitions.
     */
   private def q50(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.withRealImages(
-      Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text"))
+    // real payloads for both decodable kinds: PNG pixels via ImageIO,
+    // PCM-16 WAV samples via the RIFF parser; video stays hash-stubbed
+    val media = Multimodal.withRealAudio(Multimodal.withRealImages(
+      Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")))
     Multimodal.extractFeatures(media, dim = 16)
       .select(col("media_id"), col("kind"), size(col("features")).as("n_features"),
         round(element_at(col("features"), 1).cast("double"), 3).as("f0"))

@@ -65,7 +65,19 @@ object GraftFunctions {
     ("graft_pq_adc_score",
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_adc_score"),
       (es0: Seq[Expression]) => { val es = arity(es0, 3, "graft_pq_adc_score")
-        PqAdcScore(es(0), es(1), intArg(es(2), "graft_pq_adc_score(ks)")) }))
+        PqAdcScore(es(0), es(1), intArg(es(2), "graft_pq_adc_score(ks)")) }),
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (es0: Seq[Expression]) => { val es = arity(es0, 2, "graft_minhash")
+        MinHashSig(es(0), intArg(es(1), "graft_minhash(numPerm)")) }),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash"),
+      (es0: Seq[Expression]) => { val es = arity(es0, 1, "graft_simhash")
+        SimHashSig(es(0)) }),
+    ("graft_repetition",
+      new ExpressionInfo(classOf[RepetitionCounts].getName, "graft_repetition"),
+      (es0: Seq[Expression]) => { val es = arity(es0, 1, "graft_repetition")
+        RepetitionCounts(es(0)) }))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

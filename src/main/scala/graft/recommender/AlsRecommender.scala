@@ -155,25 +155,30 @@ object AlsRecommender {
     val stats = Encoding.ratingStats(r)
     // independent jobs over the shared cache — run concurrently
     // (finite await so a hung job surfaces instead of wedging the fit)
-    val (userDimCp, itemDimCp) = {
-      val u = Future(DatasetBridge.localCheckpointFresh(
-        Encoding.dimensionAuto(r, "user", orderCol, "u_id", stats.nUsers)))
-      val i = Future(DatasetBridge.localCheckpointFresh(
-        Encoding.dimensionAuto(r, "item", orderCol, "i_id", stats.nItems)))
-      (Await.result(u, Duration(3600L, "s")), Await.result(i, Duration(3600L, "s")))
-    }
-    val userDim = userDimCp.df
-    val itemDim = itemDimCp.df
-
     // The reference's decomposition is `mean + u_bias + i_bias + P·Q`
     // (models/als.py:79). Mirror it: damped user/item biases from the
     // training deviations, then ALS factorizes the *residuals* — the
     // published reason its tuned runs beat raw MLlib ALS (BASELINE.md).
+    // The user-bias agg depends only on the shared cache (not on the
+    // dims), so it runs in the same concurrent batch as the two
+    // dimension builds; only the item bias is inherently sequential
+    // (it subtracts u_bias).
     val damping = 5.0
-    val ubCp = DatasetBridge.localCheckpointFresh(
-      r.groupBy("user").agg(
-        (sum(col("rating") - stats.meanRating) /
-          (count(lit(1)) + damping)).as("u_bias")))
+    val (userDimCp, itemDimCp, ubCp) = {
+      val u = Future(DatasetBridge.localCheckpointFresh(
+        Encoding.dimensionAuto(r, "user", orderCol, "u_id", stats.nUsers)))
+      val i = Future(DatasetBridge.localCheckpointFresh(
+        Encoding.dimensionAuto(r, "item", orderCol, "i_id", stats.nItems)))
+      val b = Future(DatasetBridge.localCheckpointFresh(
+        r.groupBy("user").agg(
+          (sum(col("rating") - stats.meanRating) /
+            (count(lit(1)) + damping)).as("u_bias"))))
+      (Await.result(u, Duration(3600L, "s")),
+        Await.result(i, Duration(3600L, "s")),
+        Await.result(b, Duration(3600L, "s")))
+    }
+    val userDim = userDimCp.df
+    val itemDim = itemDimCp.df
     val ub = ubCp.df
     val ibCp = DatasetBridge.localCheckpointFresh(
       r.join(broadcast(ub), "user")

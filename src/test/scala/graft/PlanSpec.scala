@@ -119,6 +119,25 @@ class PlanSpec extends SparkSpec {
     assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q84_chunk_tokens")}")
   }
 
+  test("q87: repetition profile is map-only — zero exchanges") {
+    val n = exchangeCount("q87_repetition")
+    assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q87_repetition")}")
+  }
+
+  test("q88: mixture sampling broadcasts the rate table; corpus rows never shuffle") {
+    val p = plan("q88_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    // the only exchanges allowed are the tiny |groups|-row aggregations
+    // feeding the rate table (and their broadcast), never a corpus-sized
+    // repartition: no SortMergeJoin or shuffled join of documents
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
+  test("q89: PII redaction is map-only — zero exchanges") {
+    val n = exchangeCount("q89_redact_pii")
+    assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q89_redact_pii")}")
+  }
+
   test("q86: n-gram decontamination broadcasts the benchmark grams, anti-joins hit ids") {
     val p = plan("q86_ngram_decontaminate")
     // the gram probe against the benchmark must be a broadcast join —

@@ -50,6 +50,24 @@ class RepetitionExpressionsSpec extends SparkSpec {
     assert(kernel === ref)
   }
 
+  test("graft_repetition / graft_minhash / graft_simhash register as SQL functions") {
+    GraftFunctions.register(spark)
+    Seq((1L, "a a b")).toDF("id", "text").createOrReplaceTempView("rep_docs")
+    val r = spark.sql(
+      """SELECT graft_repetition(split(text, ' ')) AS r,
+        |       graft_minhash(split(text, ' '), 4) AS mh,
+        |       graft_simhash(split(text, ' ')) AS sh
+        |FROM rep_docs""".stripMargin).head()
+    assert(r.getStruct(0).getInt(0) === 3) // n_words
+    assert(r.getStruct(0).getInt(2) === 2) // top_word
+    assert(r.getSeq[Long](1).length === 4)
+    // SQL surface must agree with the library surface
+    val lib = Seq("a a b").toDF("text")
+      .select(graft.functions.MinHashExpressions
+        .minhashSig(split($"text", " "), 4).as("mh")).head().getSeq[Long](0)
+    assert(r.getSeq[Long](1) === lib)
+  }
+
   test("RepetitionKernel interpreted path agrees with hand counts") {
     def arr(ws: String*) =
       new GenericArrayData(ws.map(UTF8String.fromString).toArray[Any])

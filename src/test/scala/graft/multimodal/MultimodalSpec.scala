@@ -144,4 +144,70 @@ class MultimodalSpec extends SparkSpec {
     assert(perDoc.forall(_ === 4))
     assert(frames.select(max($"frame_no")).as[Int].head() === 3)
   }
+
+  test("parseWavPcm16 roundtrips wavBytes; decoder computes the exact RMS envelope") {
+    // constant full-half-scale signal: every sample 16384 → RMS 0.5
+    val n = 1000
+    val flat = {
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(16000).putInt(32000).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+      (0 until n).foreach(_ => bb.putShort(16384))
+      bb.array()
+    }
+    val s = Multimodal.parseWavPcm16(flat)
+    assert(s.length === n && s.forall(_ === 16384))
+    val f = Multimodal.WavPcmDecoder.decode(null, "audio", flat, 8)
+    assert(f.length === 8)
+    f.foreach(v => assert(math.abs(v - 0.5f) < 1e-4f, s"rms $v"))
+    // generated fixture parses to its sample count and bounded features
+    val wav = Multimodal.wavBytes(seed = 7L, nSamples = 800)
+    assert(Multimodal.parseWavPcm16(wav).length === 800)
+    val g = Multimodal.WavPcmDecoder.decode(null, "audio", wav, 8)
+    assert(g.forall(v => v >= 0f && v <= 1f) && g.exists(_ > 0.05f))
+  }
+
+  test("parseWavPcm16 mono-mixes stereo and rejects junk safely") {
+    // stereo: L=1000, R=3000 → mix 2000
+    val n = 10
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 4)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(16000).putInt(64000).putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 4)
+    (0 until n).foreach { _ => bb.putShort(1000); bb.putShort(3000) }
+    val s = Multimodal.parseWavPcm16(bb.array())
+    assert(s.length === n && s.forall(_ === 2000))
+    // junk, truncation, and float-format WAVs fall back to null (→ stub)
+    assert(Multimodal.parseWavPcm16("not a wav at all".getBytes) === null)
+    assert(Multimodal.parseWavPcm16(Array[Byte](82, 73)) === null)
+    val wav = Multimodal.wavBytes(3L, 100)
+    assert(Multimodal.parseWavPcm16(wav.take(50)) === null) // truncated data
+    val junkAudio = Multimodal.WavPcmDecoder.decode(null, "audio", "xyz".getBytes, 4)
+    assert(junkAudio === Multimodal.fakeDecode("xyz".getBytes, 4))
+  }
+
+  test("withRealAudio routes audio rows through the RIFF/PCM codec end-to-end") {
+    val media = Multimodal.withRealAudio(Multimodal.withRealImages(
+      Multimodal.syntheticMedia(docs, "doc_id", "text")))
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+      .as[(Long, String, Array[Float])].collect()
+    val audio = feats.filter(_._2 == "audio")
+    assert(audio.nonEmpty)
+    audio.foreach { case (id, _, f) =>
+      // pixel/sample-derived features are bounded RMS values, and must
+      // equal a direct decode of the same fixture — proving the scan
+      // went through the real codec, not the hash stub
+      assert(f.forall(v => v >= 0f && v <= 1f))
+      val direct = Multimodal.WavPcmDecoder.decode(
+        null, "audio", Multimodal.wavBytes(id, 800), 8)
+      assert(f.toSeq === direct.toSeq)
+    }
+  }
 }
