@@ -1030,6 +1030,23 @@ object SparkEntry {
         round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
   }
 
+  /** Incremental near-dup refresh: LSH bucket index over the first
+    * half of the corpus, new-batch (second half) probed against it —
+    * the "dedup the new crawl against the existing corpus without
+    * re-reading history" shape. Emits every batch doc with its
+    * `dup_of` owner (NULL = survivor). Rows-only: the MinHash
+    * signature cannot be replicated in the oracle engine; semantics
+    * are pinned by DedupSpec's planted cross-batch fixtures.
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val half = 250L // sf-independent id split: testdata ids are dense from 0
+    val index = Dedup.bucketIndex(docs.filter(col("doc_id") < half), "doc_id", "text")
+    Dedup.dedupAgainstIndex(
+      docs.filter(col("doc_id") >= half), index, "doc_id", "text")
+      .select(col("doc_id"), col("dup_of"))
+  }
+
   /** Full near-dup pipeline: MinHash pairs → connected components →
     * one survivor per cluster (what a training-data pipeline actually
     * ships).
@@ -1170,6 +1187,7 @@ object SparkEntry {
     "q87_repetition" -> (q87 _),
     "q88_mixture_sample" -> (q88 _),
     "q89_redact_pii" -> (q89 _),
+    "q90_incremental_neardup" -> (q90 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),

@@ -160,10 +160,7 @@ object Dedup {
     // arrays — so the self-join shuffles 24 bytes per row
     val banded = withSig.select(
       col("id"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(to_json(struct(b, slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)))))))
-        .as(Seq("band", "band_hash")))
+      bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = banded.as("l")
       .join(banded.as("r"),
@@ -182,6 +179,128 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // --------------------------------------- incremental (indexed) near-dup
+
+  /** Canonical banding expression: one row per (band, band_hash) of a
+    * signature column, shared by [[minHashPairs]] and the incremental
+    * index so buckets collide identically everywhere. The hash is the
+    * STRUCTURAL xxhash64 of (band_no, band slice) — never `to_json`:
+    * JSON field names embed the lambda variable's auto-generated unique
+    * name (`x_1`, `x_2`, …) which differs per expression instantiation,
+    * silently making band hashes from two invocations disjoint (found
+    * by the indexed-dedup cross-invocation join returning zero rows).
+    */
+  private[dedup] def bandsOf(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    posexplode(transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)))))
+
+  /** MinHash Jaccard estimator from two signatures: the fraction of
+    * agreeing components — unbiased, error O(1/√numPerm). Used by the
+    * indexed dedup so the index never stores shingle sets (the exact
+    * verify of [[minHashPairs]] would make the index corpus-sized).
+    */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / size(sigA)
+
+  /** Build the persistent LSH bucket index of a corpus: one row per
+    * (band, band_hash) bucket with its OWNER — the smallest doc id that
+    * ever hashed there — and the owner's full signature for estimator
+    * verification at probe time. ~`bands` rows and
+    * `(3 + numPerm) × 8` bytes per document: compact enough to live as
+    * a bucketed table next to a 100 TB corpus (the corpus text itself
+    * is never in the index).
+    *
+    * This is the refresh half of incremental dedup: a crawl pipeline
+    * builds the index ONCE over the existing corpus, then each new
+    * batch probes it with [[dedupAgainstIndex]] and folds its survivors in
+    * with [[updateIndex]] — never re-reading corpus history.
+    */
+  def bucketIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    // persist = CollapseProject barrier: without it the whole-signature
+    // expression would substitute into all `bands` banding lambdas
+    // (same measured invariant as minHashPairs)
+    val sigs = shingleTable(docs, idCol, textCol, shingleK)
+      .select(col("id"),
+        graft.functions.MinHashExpressions.minhashSig(col("shingles"), numPerm).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(col("owner_id"))
+    val idx = sigs
+      .select(col("id").as("owner_id"), col("sig").as("owner_sig"),
+        bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count() // materialize so the sig cache can drop now
+    sigs.unpersist()
+    idx
+  }
+
+  /** Probe a new batch against an existing [[bucketIndex]]: a batch doc
+    * is a near-duplicate iff some band bucket is already owned by an
+    * EARLIER corpus doc AND the signature-agreement estimate against
+    * that owner clears `threshold`. Returns one row per batch doc with
+    * `dup_of` = the smallest such owner (NULL → survivor). Docs too
+    * short to shingle carry NULL signatures and always survive.
+    *
+    * Scale shape: the batch's band rows (24 B each) join the index on
+    * (band, band_hash) — broadcast when the index is small, sort-merge
+    * on bucketed storage when it is not; the corpus itself is never
+    * read. Batch-internal duplicates are deliberately out of scope
+    * (run [[minHashPairs]] within the batch for those — composing both
+    * is the standard two-phase refresh).
+    */
+  def dedupAgainstIndex(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    val sigs = shingleTable(batch, idCol, textCol, shingleK)
+      .select(col("id"),
+        graft.functions.MinHashExpressions.minhashSig(col("shingles"), numPerm).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = sigs
+      .select(col("id"), col("sig"),
+        bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
+      .join(index, Seq("band", "band_hash"))
+      .filter(estimatedJaccard(col("sig"), col("owner_sig")) >= threshold)
+      .groupBy("id").agg(min(col("owner_id")).as("dup_of"))
+    val out = batch.join(
+      hits.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    val outP = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    outP.count() // materialize so the sig cache can drop now
+    sigs.unpersist()
+    outP
+  }
+
+  /** Fold a deduplicated batch's survivors into the index: union the
+    * survivors' buckets with the existing index and keep ONE owner per
+    * bucket, existing owners winning (then smallest id) — so ownership
+    * is stable under refresh and independent of batch arrival order
+    * for the buckets both sides touch. One shuffle on the bucket key,
+    * sized by index + batch bands — corpus history is never re-read.
+    */
+  def updateIndex(index: DataFrame, survivors: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val fresh = bucketIndex(survivors, idCol, textCol, shingleK, bands, rowsPerBand)
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(col("__pri"), col("owner_id"))
+    val merged = index.withColumn("__pri", lit(0))
+      .unionByName(fresh.withColumn("__pri", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__pri")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count() // materialize before the caller drops its old index
+    fresh.unpersist()
+    merged
   }
 
   // ------------------------------------------------------------ SimHash

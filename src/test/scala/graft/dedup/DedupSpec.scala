@@ -137,4 +137,54 @@ class DedupSpec extends SparkSpec {
     // the small block still runs exact
     assert(guarded.exists(p => p._1 == 2000L && p._2 == 2001L))
   }
+
+  test("indexed near-dup: cross-batch dups drop, novel and short docs survive") {
+    def doc(i: Int): String =
+      (0 until 30).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+    val corpus = (0 until 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val index = Dedup.bucketIndex(corpus, "doc_id", "text")
+    // batch: 100 = near-copy of corpus doc 3 (one word appended),
+    // 101 = novel, 102 = too short to shingle (k=5)
+    val batch = Seq(
+      (100L, doc(3) + " omega"),
+      (101L, (0 until 30).map(j => s"z$j").mkString(" ")),
+      (102L, "tiny doc")).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstIndex(batch, index, "doc_id", "text")
+      .select("doc_id", "dup_of").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((100L, Some(3L)), (101L, None), (102L, None)))
+    // an impossible threshold lets even the near-copy through
+    val strict = Dedup.dedupAgainstIndex(batch, index, "doc_id", "text",
+      threshold = 1.01)
+    assert(strict.filter($"dup_of".isNotNull).count() === 0L)
+    index.unpersist(); got
+  }
+
+  test("indexed near-dup: updateIndex folds survivors in; owners are stable") {
+    def doc(i: Int): String =
+      (0 until 30).map(j => s"v${(i * 37 + j * 11) % 89}").mkString(" ")
+    val corpus = (0 until 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val idx0 = Dedup.bucketIndex(corpus, "doc_id", "text")
+    val batch1 = Seq((50L, (0 until 30).map(j => s"q$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val d1 = Dedup.dedupAgainstIndex(batch1, idx0, "doc_id", "text")
+    assert(d1.filter($"dup_of".isNotNull).count() === 0L)
+    val idx1 = Dedup.updateIndex(idx0, batch1, "doc_id", "text")
+    // batch2: near-copy of batch1's survivor → caught by the UPDATED
+    // index (not by idx0), proving the fold-in works
+    val batch2 = Seq((60L, (0 until 30).map(j => s"q$j").mkString(" ") + " omega"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstIndex(batch2, idx0, "doc_id", "text")
+      .filter($"dup_of".isNotNull).count() === 0L)
+    val d2 = Dedup.dedupAgainstIndex(batch2, idx1, "doc_id", "text")
+      .select("doc_id", "dup_of").as[(Long, Option[Long])].collect().toSeq
+    assert(d2 === Seq((60L, Some(50L))))
+    // existing owners keep their buckets after the merge: every idx0
+    // bucket key still maps to its idx0 owner
+    val moved = idx1.as("n").join(idx0.as("o"),
+      $"n.band" === $"o.band" && $"n.band_hash" === $"o.band_hash")
+      .filter($"n.owner_id" =!= $"o.owner_id").count()
+    assert(moved === 0L)
+    Seq(idx0, idx1).foreach(_.unpersist())
+  }
 }
