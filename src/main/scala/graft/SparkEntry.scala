@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.encode.Encoding
 import graft.io.{Lake, RatingsIO, Tables}
-import graft.pipeline.Curation
+import graft.pipeline.{Curation, Profiling}
 import graft.prep.Prep
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -585,6 +585,22 @@ object SparkEntry {
       TextAnalysis.profile(StreamingPrep.streamDocuments(s, dir), "text")
         .select("doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio",
           "stop_ratio", "quality", "lang_pred"))
+
+  /** Streaming twin of q89: the PII scrub is pure stateless column
+    * expressions, so it rides a continuous-ingest stream unchanged —
+    * same DuckDB oracle as the batch pass.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      TextAnalysis.redactPii(StreamingPrep.streamDocuments(s, dir), "doc_id", "text"))
+
+  /** Table profiling (ANALYZE-style per-column stats) over lineitem's
+    * numeric measures: all columns in one aggregation pass, fixed-point
+    * mean.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    Profiling.profileNumeric(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
 
   /** Stratified eval-set carve-out: hold out hash-deterministic 10% of
     * `en` docs and 50% of the low-resource strata. Rows-only (xxhash64
@@ -1188,6 +1204,8 @@ object SparkEntry {
     "q88_mixture_sample" -> (q88 _),
     "q89_redact_pii" -> (q89 _),
     "q90_incremental_neardup" -> (q90 _),
+    "q91_stream_redact" -> (q91 _),
+    "q92_table_profile" -> (q92 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1216,6 +1234,25 @@ object SparkEntry {
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
     */
+  /** Shared by q89 (batch) and its streaming twin q91 — the scrub is
+    * stateless, so both surfaces hash-match the same oracle.
+    */
+  private val redactPiiSql: String =
+    """SELECT doc_id,
+      |       regexp_replace(
+      |         regexp_replace(
+      |           regexp_replace(text,
+      |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+      |       len(regexp_extract_all(text,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |       len(regexp_extract_all(text,
+      |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+      |       len(regexp_extract_all(text,
+      |         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones
+      |FROM documents""".stripMargin
+
   private val textProfileSql: String =
     """WITH t AS (
       |  SELECT doc_id, text,
@@ -1537,21 +1574,41 @@ object SparkEntry {
         |FROM documents d JOIN r USING (lang)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
         |      < rate * 16777216.0""".stripMargin,
-    "q89_redact_pii" ->
-      """SELECT doc_id,
-        |       regexp_replace(
-        |         regexp_replace(
-        |           regexp_replace(text,
-        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted,
-        |       len(regexp_extract_all(text,
-        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |       len(regexp_extract_all(text,
-        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
-        |       len(regexp_extract_all(text,
-        |         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones
-        |FROM documents""".stripMargin,
+    "q89_redact_pii" -> redactPiiSql,
+    "q91_stream_redact" -> redactPiiSql,
+    "q92_table_profile" ->
+      """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
+        |       count(*) - count(l_quantity) AS n_null,
+        |       count(DISTINCT l_quantity) AS n_distinct,
+        |       CAST(min(l_quantity) AS DOUBLE) AS min_v,
+        |       CAST(max(l_quantity) AS DOUBLE) AS max_v,
+        |       CASE WHEN count(l_quantity) = 0 THEN 0.0
+        |            ELSE CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 1e6)
+        |                              AS BIGINT)) AS DOUBLE)
+        |                 / count(l_quantity) / 1e6 END AS mean_v
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice),
+        |       count(*) - count(l_extendedprice),
+        |       count(DISTINCT l_extendedprice),
+        |       CAST(min(l_extendedprice) AS DOUBLE),
+        |       CAST(max(l_extendedprice) AS DOUBLE),
+        |       CASE WHEN count(l_extendedprice) = 0 THEN 0.0
+        |            ELSE CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1e6)
+        |                              AS BIGINT)) AS DOUBLE)
+        |                 / count(l_extendedprice) / 1e6 END
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(l_discount),
+        |       count(*) - count(l_discount),
+        |       count(DISTINCT l_discount),
+        |       CAST(min(l_discount) AS DOUBLE),
+        |       CAST(max(l_discount) AS DOUBLE),
+        |       CASE WHEN count(l_discount) = 0 THEN 0.0
+        |            ELSE CAST(sum(CAST(floor(CAST(l_discount AS DOUBLE) * 1e6)
+        |                              AS BIGINT)) AS DOUBLE)
+        |                 / count(l_discount) / 1e6 END
+        |FROM lineitem""".stripMargin,
     "q61_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS t, event_id,
