@@ -586,6 +586,19 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio",
           "stop_ratio", "quality", "lang_pred"))
 
+  /** Streaming twin of q88: mixture-sampling rates trained on the
+    * corpus snapshot, broadcast into the ingest stream (stream-static
+    * join + the same md5 inclusion hash) — admits the identical doc
+    * set, so it shares q88's oracle.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val rates = Curation.mixtureRates(Tables.documents(s, dir), "lang", budget = 200)
+    StreamingPrep.runToMemory(
+      Curation.applyMixtureRates(
+        StreamingPrep.streamDocuments(s, dir), "lang", col("doc_id"), rates))
+      .select("doc_id", "lang")
+  }
+
   /** Streaming twin of q89: the PII scrub is pure stateless column
     * expressions, so it rides a continuous-ingest stream unchanged —
     * same DuckDB oracle as the batch pass.
@@ -1206,6 +1219,7 @@ object SparkEntry {
     "q90_incremental_neardup" -> (q90 _),
     "q91_stream_redact" -> (q91 _),
     "q92_table_profile" -> (q92 _),
+    "q93_stream_mixture" -> (q93 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1234,6 +1248,22 @@ object SparkEntry {
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
     */
+  /** Shared by q88 (batch) and its streaming twin q93 — the inclusion
+    * decision is a pure row hash against snapshot-trained rates, so
+    * both surfaces admit the identical doc set.
+    */
+  private val mixtureSampleSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |s AS (SELECT sum(sqrt(n)) AS sw FROM c),
+      |r AS (SELECT lang,
+      |             least(CAST(1.0 AS DOUBLE),
+      |                   CAST(200.0 AS DOUBLE) * sqrt(n) / sw / n) AS rate
+      |      FROM c CROSS JOIN s)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r USING (lang)
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+      |      < rate * 16777216.0""".stripMargin
+
   /** Shared by q89 (batch) and its streaming twin q91 — the scrub is
     * stateless, so both surfaces hash-match the same oracle.
     */
@@ -1563,17 +1593,8 @@ object SparkEntry {
         |            ELSE CAST(coalesce(top_bigram, 0) AS DOUBLE) / (n_words - 1)
         |       END AS top_bigram_ratio
         |FROM wstat w LEFT JOIN bstat USING (doc_id)""".stripMargin,
-    "q88_mixture_sample" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-        |s AS (SELECT sum(sqrt(n)) AS sw FROM c),
-        |r AS (SELECT lang,
-        |             least(CAST(1.0 AS DOUBLE),
-        |                   CAST(200.0 AS DOUBLE) * sqrt(n) / sw / n) AS rate
-        |      FROM c CROSS JOIN s)
-        |SELECT d.doc_id, d.lang
-        |FROM documents d JOIN r USING (lang)
-        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
-        |      < rate * 16777216.0""".stripMargin,
+    "q88_mixture_sample" -> mixtureSampleSql,
+    "q93_stream_mixture" -> mixtureSampleSql,
     "q89_redact_pii" -> redactPiiSql,
     "q91_stream_redact" -> redactPiiSql,
     "q92_table_profile" ->

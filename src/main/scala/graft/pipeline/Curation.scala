@@ -123,17 +123,35 @@ object Curation {
     * shuffle of data rows. At 100 TB the rate table is bytes.
     */
   def mixtureSample(docs: DataFrame, groupCol: String, keyCol: Column,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    applyMixtureRates(docs, groupCol, keyCol,
+      mixtureRates(docs, groupCol, budget))
+
+  /** The rate table of [[mixtureSample]], exposed so rates trained on a
+    * corpus snapshot can be applied elsewhere — most usefully to the
+    * continuous-ingest STREAM of the same corpus (stream-static
+    * broadcast join; the inclusion decision is a pure row hash, so
+    * batch and stream admit identical doc sets).
+    */
+  def mixtureRates(docs: DataFrame, groupCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val sumW = counts.agg(sum(sqrt(col("__n"))).as("__sw"))
-    val rates = counts.crossJoin(broadcast(sumW))
+    counts.crossJoin(broadcast(sumW))
       .select(col(groupCol),
         least(lit(1.0),
           lit(budget.toDouble) * sqrt(col("__n")) / col("__sw") / col("__n"))
           .as("__rate"))
+  }
+
+  /** Apply a [[mixtureRates]] table to a batch OR stream: broadcast
+    * join on the group column, keep rows whose 24-bit md5 prefix of
+    * the key clears the group's rate. Map-only on the data side.
+    */
+  def applyMixtureRates(df: DataFrame, groupCol: String, keyCol: Column,
+      rates: DataFrame): DataFrame = {
     val h = conv(substring(md5(keyCol.cast("string")), 1, 6), 16, 10).cast("long")
-    docs.join(broadcast(rates), Seq(groupCol))
+    df.join(broadcast(rates), Seq(groupCol))
       .filter(h < col("__rate") * lit(16777216.0))
       .drop("__rate")
   }
