@@ -592,11 +592,18 @@ object SparkEntry {
     * set, so it shares q88's oracle.
     */
   private def q93(s: SparkSession, dir: String): DataFrame = {
+    // persist + materialize the |groups|-row rate table: a stream-static
+    // join re-executes the static plan per micro-batch, which would
+    // re-aggregate the whole corpus snapshot each batch otherwise
     val rates = Curation.mixtureRates(Tables.documents(s, dir), "lang", budget = 200)
-    StreamingPrep.runToMemory(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rates.count()
+    val out = StreamingPrep.runToMemory(
       Curation.applyMixtureRates(
         StreamingPrep.streamDocuments(s, dir), "lang", col("doc_id"), rates))
       .select("doc_id", "lang")
+    rates.unpersist()
+    out
   }
 
   /** Streaming twin of q89: the PII scrub is pure stateless column

@@ -145,17 +145,20 @@ object Dedup {
     // (MinHashSig): all numPerm mins in one generated loop at the scan —
     // no explode row blow-up, no aggregation, no shuffle (the previous
     // explode→UDAF form is kept as MinHashAgg for the aggregation-shaped
-    // variant and parity tests). The persist is ESSENTIAL and not only
-    // for reuse: CollapseProject would otherwise substitute the
-    // expression into each of the 16 banding lambdas, re-evaluating the
-    // signature 16× per doc (round-1 performance invariant on
-    // shinglesFromWords); the cache boundary is the materialization
-    // barrier that keeps it evaluated once.
+    // variant and parity tests). Round-1 persisted this stage as a
+    // CollapseProject barrier; Spark 4.1's CollapseProject cost guard
+    // already refuses to inline non-cheap expressions into HOF lambdas
+    // (verified empirically: an eval-counting expression referenced
+    // inside the 16-band transform evaluates exactly once per row, and
+    // the optimized plan keeps the signature in its own Project), so
+    // the barrier persist only cost an extra cache write. Kept as a
+    // plain plan: one pass computes shingles→sig when `banded` below
+    // materializes. graft.plans.PlanBarrier exists for expressions
+    // that DO need a structural guarantee.
     val withSig = sh
       .select(col("id"),
         graft.functions.MinHashExpressions.minhashSig(col("shingles"), numPerm).as("sig"))
       .filter(col("sig").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // banding carries only (id, band, band_hash) — never the shingle
     // arrays — so the self-join shuffles 24 bytes per row
     val banded = withSig.select(
@@ -221,24 +224,21 @@ object Dedup {
   def bucketIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numPerm = bands * rowsPerBand
-    // persist = CollapseProject barrier: without it the whole-signature
-    // expression would substitute into all `bands` banding lambdas
-    // (same measured invariant as minHashPairs)
     val sigs = shingleTable(docs, idCol, textCol, shingleK)
       .select(col("id"),
         graft.functions.MinHashExpressions.minhashSig(col("shingles"), numPerm).as("sig"))
       .filter(col("sig").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(col("band"), col("band_hash"))
       .orderBy(col("owner_id"))
+    // eagerly persisted: the index is the reusable artifact — callers
+    // probe it many times (and updateIndex merges against it)
     val idx = sigs
       .select(col("id").as("owner_id"), col("sig").as("owner_sig"),
         bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    idx.count() // materialize so the sig cache can drop now
-    sigs.unpersist()
+    idx.count()
     idx
   }
 
@@ -265,19 +265,15 @@ object Dedup {
       .select(col("id"),
         graft.functions.MinHashExpressions.minhashSig(col("shingles"), numPerm).as("sig"))
       .filter(col("sig").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hits = sigs
       .select(col("id"), col("sig"),
         bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
       .join(index, Seq("band", "band_hash"))
       .filter(estimatedJaccard(col("sig"), col("owner_sig")) >= threshold)
       .groupBy("id").agg(min(col("owner_id")).as("dup_of"))
-    val out = batch.join(
-      hits.withColumnRenamed("id", idCol), Seq(idCol), "left")
-    val outP = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    outP.count() // materialize so the sig cache can drop now
-    sigs.unpersist()
-    outP
+    // lazy: one plan, one pass over the batch per action — callers that
+    // consume the verdicts repeatedly persist the result themselves
+    batch.join(hits.withColumnRenamed("id", idCol), Seq(idCol), "left")
   }
 
   /** Fold a deduplicated batch's survivors into the index: union the

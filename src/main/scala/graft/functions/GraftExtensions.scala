@@ -16,10 +16,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `graft_cosine(a, b)` plan to the codegen'd Catalyst expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.specs.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the collapse-barrier planner (graft.plans.ProjectBarrier)
+    ext.injectPlannerStrategy(_ => graft.plans.BarrierStrategy)
+  }
 }
 
 object GraftFunctions {

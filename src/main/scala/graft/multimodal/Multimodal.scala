@@ -194,7 +194,10 @@ object Multimodal {
     while (pos + 8 <= b.length) {
       val id = tag(pos)
       val size = le32(pos + 4)
-      if (size < 0 || pos + 8 + size > b.length) return samples // truncated
+      // Long math: a hostile 32-bit size would overflow `pos + 8 + size`
+      // into a negative Int, defeating the bounds check and driving an
+      // OOB read / absurd allocation below
+      if (size < 0 || pos.toLong + 8 + size > b.length) return samples // truncated
       if (id == "fmt " && size >= 16) {
         ok = le16(pos + 8) == 1 && le16(pos + 22) == 16 // PCM, 16-bit
         channels = le16(pos + 10)

@@ -138,6 +138,7 @@ class PlanSpec extends SparkSpec {
     assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q89_redact_pii")}")
   }
 
+
   test("q86: n-gram decontamination broadcasts the benchmark grams, anti-joins hit ids") {
     val p = plan("q86_ngram_decontaminate")
     // the gram probe against the benchmark must be a broadcast join —

@@ -189,6 +189,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWavPcm16(Array[Byte](82, 73)) === null)
     val wav = Multimodal.wavBytes(3L, 100)
     assert(Multimodal.parseWavPcm16(wav.take(50)) === null) // truncated data
+    // hostile size field that would overflow an Int bounds check
+    val evil = Multimodal.wavBytes(3L, 100)
+    val bbEvil = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbEvil.putInt(40, 0x7ffffff0) // data chunk size → near Int.MaxValue
+    assert(Multimodal.parseWavPcm16(evil) === null)
     val junkAudio = Multimodal.WavPcmDecoder.decode(null, "audio", "xyz".getBytes, 4)
     assert(junkAudio === Multimodal.fakeDecode("xyz".getBytes, 4))
   }
