@@ -93,4 +93,65 @@ object Pipelines {
   private def withTimeIfMissing(df: DataFrame): DataFrame =
     if (df.columns.contains("time")) df
     else df.withColumn("time", monotonically_increasing_id())
+
+  /** Knobs for [[curateCorpus]]. `budget = None` skips mixture
+    * sampling; `lang = None` keeps all languages.
+    */
+  final case class CurationConfig(
+      lang: Option[String] = None,
+      minQuality: Double = 0.3,
+      maxTopWordRatio: Double = 0.5,
+      budget: Option[Long] = None,
+      seqLen: Int = 1024,
+      shardCol: String = "source")
+
+  /** The full LLM training-data curation flow as ONE library call —
+    * what a user of the reference's script-per-step world replaces
+    * their corpus pipeline with:
+    *
+    *   PII scrub → quality + repetition gates → benchmark
+    *   decontamination → exact near-dup dedup (first occurrence wins)
+    *   → optional temperature mixture rebalance → sequence packing.
+    *
+    * Plan shape at 100 TB: the scrub and both gates are map-only
+    * column expressions riding the ingest scan (the repetition gate is
+    * the one-pass codegen kernel, not a shuffle); decontamination
+    * broadcasts md5'd benchmark fingerprints; dedup is one window
+    * shuffle on the content fingerprint; mixture sampling aggregates
+    * |groups| rows and broadcasts the rates; packing is one running
+    * window per shard. Two corpus-sized shuffles total (dedup key,
+    * pack shard) — everything else is scan-side or broadcast.
+    */
+  def curateCorpus(docs: DataFrame, benchmark: DataFrame,
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+    import graft.functions.RepetitionExpressions
+    import graft.text.TextAnalysis
+
+    val scrubbed = docs
+      .withColumn("text", regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"),
+            TextAnalysis.emailPattern, "<EMAIL>"),
+          TextAnalysis.ipv4Pattern, "<IP>"),
+        TextAnalysis.phonePattern, "<PHONE>"))
+    val langGated = cfg.lang.fold(scrubbed)(l => scrubbed.filter(col("lang") === l))
+    val gated = langGated
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("__rep", RepetitionExpressions.repetitionCounts(
+        array_remove(TextAnalysis.words(TextAnalysis.normalizeText(col("text"))), "")))
+      .filter(col("quality") > cfg.minQuality &&
+        col("__rep").isNotNull &&
+        col("__rep.top_word").cast("double") / col("__rep.n_words")
+          <= cfg.maxTopWordRatio)
+      .drop("__rep")
+    val cleaned = Curation.decontaminate(gated, benchmark, "text")
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+    val deduped = Prep.dedupKeepFirst(cleaned, Seq("__fp"), Seq(col("doc_id")))
+      .drop("__fp")
+    val sampled = cfg.budget.fold(deduped)(b =>
+      Curation.mixtureSample(deduped, "lang", col("doc_id"), b))
+    Curation.packSequences(
+      sampled, cfg.shardCol, "doc_id", col("n_tokens"), cfg.seqLen)
+  }
 }

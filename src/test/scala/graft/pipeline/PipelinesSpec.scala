@@ -71,4 +71,39 @@ class PipelinesSpec extends SparkSpec {
       .filter(!($"prediction".between(lo, hi))).count()
     assert(bad === 0)
   }
+
+  test("curateCorpus: one call gates, scrubs, decontaminates, dedups and packs") {
+    import org.apache.spark.sql.functions._
+    def goodText(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    val docs = Seq(
+      (1L, goodText(1), "en", "srcA"),
+      (2L, goodText(2), "en", "srcA"),
+      (3L, goodText(2), "en", "srcB"),            // exact dup of 2 → dropped
+      (4L, "spam " * 40, "en", "srcA"),            // repetitious → gated
+      (5L, "tiny", "en", "srcB"),                  // low quality → gated
+      (6L, goodText(6), "en", "srcB"),
+      (7L, goodText(7) + " mail me a@b.co now", "en", "srcB"), // PII → scrubbed
+      (8L, goodText(8), "en", "srcA")              // planted in benchmark
+    ).toDF("doc_id", "text", "lang", "source")
+    val benchmark = Seq(goodText(8)).toDF("text")
+
+    val packed = Pipelines.curateCorpus(docs, benchmark,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100))
+    val kept = packed.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 2L, 6L, 7L))
+    // PII is scrubbed in the surviving text
+    val t7 = packed.filter($"doc_id" === 7L).select("text").as[String].head()
+    assert(t7.contains("<EMAIL>") && !t7.contains("a@b.co"))
+    // packing tiles each shard's token stream exactly
+    val byShard = packed.select("source", "seq_id", "seq_offset", "n_tokens")
+      .as[(String, Long, Long, Long)].collect().groupBy(_._1)
+    byShard.values.foreach { rows =>
+      var cum = 0L
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, seq, off, n) =>
+        assert(seq * 100 + off === cum)
+        cum += n
+      }
+    }
+  }
 }

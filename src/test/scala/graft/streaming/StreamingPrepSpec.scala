@@ -140,4 +140,34 @@ class StreamingPrepSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(survivors === Seq(1L, 4L))
   }
+
+  test("streaming mixture sampling admits the batch sample across micro-batches") {
+    import graft.pipeline.Curation
+    // snapshot-trained rates applied to the same docs arriving as a
+    // 3-file stream: every micro-batch interleave must admit exactly
+    // the batch-computed sample (the inclusion decision is a pure row
+    // hash — no per-batch state to drift)
+    val docs = (1 to 90).map(i =>
+      (i.toLong, if (i % 9 == 0) "zh" else "en")).toDF("doc_id", "lang")
+    val rates = Curation.mixtureRates(docs, "lang", budget = 30)
+      .persist()
+    val expected = Curation.applyMixtureRates(docs, "lang", col("doc_id"), rates)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(expected.nonEmpty && expected.size < 90)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smix").toString
+    docs.filter($"doc_id" <= 30).coalesce(1).write.parquet(s"$tmp/f1.parquet")
+    docs.filter($"doc_id" > 30 && $"doc_id" <= 60).coalesce(1).write.parquet(s"$tmp/f2.parquet")
+    docs.filter($"doc_id" > 60).coalesce(1).write.parquet(s"$tmp/f3.parquet")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val got = StreamingPrep.runToMemory(
+      Curation.applyMixtureRates(stream, "lang", col("doc_id"), rates)
+        .select("doc_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(got === expected)
+    rates.unpersist()
+  }
 }
