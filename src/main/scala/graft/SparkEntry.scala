@@ -499,6 +499,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Small-files compaction: the documents table written fragmented
+    * (64 files), compacted back to target-sized files, then read and
+    * aggregated — the oracle proves the rewrite is content-identical;
+    * LakeSpec proves the file count actually shrinks.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${math.abs(dir.hashCode)}"
+    Tables.documents(s, dir).select("doc_id", "text", "lang", "n_chars")
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$base/frag")
+    Lake.compact(s, s"$base/frag", s"$base/out")
+    Lake.read(s, s"$base/out")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** Incremental corpus refresh (keyed upsert): v2 revisions of every
     * third document plus a batch of brand-new ids merge into the v1
     * snapshot; highest version per doc_id wins. The fingerprint column
@@ -1227,6 +1243,7 @@ object SparkEntry {
     "q91_stream_redact" -> (q91 _),
     "q92_table_profile" -> (q92 _),
     "q93_stream_mixture" -> (q93 _),
+    "q94_compaction" -> (q94 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1604,6 +1621,9 @@ object SparkEntry {
     "q93_stream_mixture" -> mixtureSampleSql,
     "q89_redact_pii" -> redactPiiSql,
     "q91_stream_redact" -> redactPiiSql,
+    "q94_compaction" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     "q92_table_profile" ->
       """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
         |       count(*) - count(l_quantity) AS n_null,

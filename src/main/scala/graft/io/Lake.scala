@@ -30,4 +30,58 @@ object Lake {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-files compaction — the maintenance job every continuously-
+    * ingested lake needs: streaming sinks and incremental upserts leave
+    * one file per micro-batch/task, and a 100 TB table fragmented into
+    * millions of small files pays per-file open/list/footer costs that
+    * dwarf the data read. Rewrites `srcPath` into `destPath` with file
+    * count chosen from the measured input bytes (`targetFileBytes` per
+    * output file, Hadoop FS metadata — no data pass), preserving the
+    * partition layout when `partitionCols` is given: one
+    * `repartition(n)` shuffle, then a partitioned write.
+    *
+    * Returns (input file count, output file count). Dest-then-swap is
+    * the caller's concern (atomic rename/catalog flip); compacting
+    * in place would race readers.
+    */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+      partitionCols: Seq[String] = Nil,
+      targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getLen
+      }
+      buf.toSeq
+    }
+    val nOut = math.max(1L, math.ceil(files.sum.toDouble / targetFileBytes).toLong)
+    val src = spark.read.parquet(srcPath)
+    if (partitionCols.isEmpty) {
+      src.repartition(nOut.toInt)
+        .write.mode("overwrite").parquet(destPath)
+    } else {
+      // cluster by the partition columns so each output directory is
+      // written by exactly ONE task (one file per partition dir) — a
+      // round-robin repartition would write a file per task×partition,
+      // re-fragmenting the very layout being compacted. File size then
+      // follows partition size; callers with huge single partitions
+      // compact those separately with partitionCols = Nil per subdir.
+      src.repartition(nOut.toInt,
+        partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(destPath)
+    }
+    val d = new org.apache.hadoop.fs.Path(destPath)
+    val outIt = fs.listFiles(d, true)
+    var nOutFiles = 0L
+    while (outIt.hasNext) {
+      if (outIt.next().getPath.getName.endsWith(".parquet")) nOutFiles += 1
+    }
+    (files.size.toLong, nOutFiles)
+  }
 }

@@ -22,4 +22,26 @@ class LakeSpec extends SparkSpec {
     val pf = plan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
     assert(pf.contains("lang"), s"lang filter not pushed to partitions:\n$plan")
   }
+
+  test("compact shrinks a fragmented table to target-sized files, content-identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 2000).map(i => (i.toLong, s"text $i" * 10, if (i % 3 == 0) "de" else "en"))
+      .toDF("id", "text", "lang")
+    df.repartition(40).write.parquet(s"$tmp/frag")
+    val (nIn, nOut) = Lake.compact(spark, s"$tmp/frag", s"$tmp/out",
+      targetFileBytes = 64L << 20)
+    assert(nIn === 40L && nOut === 1L, s"in=$nIn out=$nOut")
+    assert(Lake.read(spark, s"$tmp/out").orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+    // partition-preserving variant keeps directory pruning alive
+    Lake.writePartitioned(df.repartition(20), s"$tmp/pfrag", Seq("lang"))
+    val (_, nOutP) = Lake.compact(spark, s"$tmp/pfrag", s"$tmp/pout",
+      partitionCols = Seq("lang"), targetFileBytes = 64L << 20)
+    assert(nOutP === 2L, s"expected one file per lang partition, got $nOutP")
+    val pruned = Lake.read(spark, s"$tmp/pout").filter(col("lang") === "de")
+    assert(pruned.count() === df.filter($"lang" === "de").count())
+    val pplan = pruned.queryExecution.executedPlan.toString
+    assert(pplan.linesIterator.exists(l =>
+      l.contains("PartitionFilters:") && l.contains("lang")), pplan)
+  }
 }
