@@ -515,6 +515,39 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Continuous near-dup dedup: the documents corpus delivered as two
+    * micro-batches (split at the id midpoint), each probing the LSH
+    * index of everything admitted before it (StreamingDedup). Rows-only
+    * (MinHash has no oracle twin); cross-batch semantics pinned in
+    * StreamingDedupSpec.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
+    // collect = STREAM-SIMULATION plumbing only (MemoryStream feeds
+    // from the driver by design, like the specs); the operator's own
+    // dataflow — probe join, index build/merge — is fully distributed
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[(Long, String)](s)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val q = graft.streaming.StreamingDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text") { (v, _) =>
+      buf ++= v.select(col("doc_id"), col("dup_of"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    }
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "dup_of")
+  }
+
   /** Incremental corpus refresh (keyed upsert): v2 revisions of every
     * third document plus a batch of brand-new ids merge into the v1
     * snapshot; highest version per doc_id wins. The fingerprint column
@@ -1244,6 +1277,7 @@ object SparkEntry {
     "q92_table_profile" -> (q92 _),
     "q93_stream_mixture" -> (q93 _),
     "q94_compaction" -> (q94 _),
+    "q95_stream_neardup" -> (q95 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
