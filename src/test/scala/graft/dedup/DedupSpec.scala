@@ -138,6 +138,33 @@ class DedupSpec extends SparkSpec {
     assert(guarded.exists(p => p._1 == 2000L && p._2 == 2001L))
   }
 
+  test("property: signature-agreement estimator tracks exact Jaccard within 3σ") {
+    // σ = sqrt(j(1-j)/64) ≈ 0.06 worst case; 3σ = 0.19. Random doc
+    // pairs across the overlap spectrum (shared prefix of varying
+    // length + distinct tails).
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 20).map { i =>
+      val shared = (0 until rnd.nextInt(40)).map(j => s"s$j")
+      val own = (0 until 10 + rnd.nextInt(30)).map(j => s"d${i}x$j")
+      (i.toLong, (shared ++ own).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = docs.select($"doc_id",
+      Dedup.wordShingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val withSig = sh.select($"doc_id", $"sh",
+      graft.functions.MinHashExpressions.minhashSig($"sh", 64).as("sig"))
+    val pairs = withSig.as("l").join(withSig.as("r"), $"l.doc_id" < $"r.doc_id")
+      .select(
+        Dedup.jaccard($"l.sh", $"r.sh").as("exact"),
+        Dedup.estimatedJaccard($"l.sig", $"r.sig").as("est"))
+      .as[(Double, Double)].collect()
+    assert(pairs.length === 190)
+    pairs.foreach { case (exact, est) =>
+      assert(math.abs(exact - est) <= 0.19,
+        s"estimator off by ${math.abs(exact - est)} at j=$exact")
+    }
+  }
+
   test("indexed near-dup: cross-batch dups drop, novel and short docs survive") {
     def doc(i: Int): String =
       (0 until 30).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
