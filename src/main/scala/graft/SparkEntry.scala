@@ -1125,10 +1125,12 @@ object SparkEntry {
     */
   private def q90(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val half = 250L // sf-independent id split: testdata ids are dense from 0
-    val index = Dedup.bucketIndex(docs.filter(col("doc_id") < half), "doc_id", "text")
+    // parity split (even ids = existing corpus, odd = new batch): both
+    // halves populated at every scale factor, unlike a fixed id cut
+    val index = Dedup.bucketIndex(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
     Dedup.dedupAgainstIndex(
-      docs.filter(col("doc_id") >= half), index, "doc_id", "text")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), index, "doc_id", "text")
       .select(col("doc_id"), col("dup_of"))
   }
 
