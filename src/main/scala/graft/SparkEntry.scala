@@ -515,6 +515,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Z-order clustered rewrite of events by (user_id, value): the
+    * Morton-key sort + range-partitioned write, read back and
+    * aggregated — oracle proves content identity; LakeSpec proves the
+    * two-dimensional file-locality the layout exists for.
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${math.abs(dir.hashCode)}"
+    Lake.zorderWrite(
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
+      base, "user_id", "value", nFiles = 8)
+    Lake.read(s, base)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_id")).as("sum_users"),
+        fsum(col("value")).as("sum_value"))
+  }
+
   /** Continuous near-dup dedup: the documents corpus delivered as two
     * micro-batches (split at the id midpoint), each probing the LSH
     * index of everything admitted before it (StreamingDedup). Rows-only
@@ -1280,6 +1297,7 @@ object SparkEntry {
     "q93_stream_mixture" -> (q93 _),
     "q94_compaction" -> (q94 _),
     "q95_stream_neardup" -> (q95 _),
+    "q96_zorder" -> (q96 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1660,6 +1678,11 @@ object SparkEntry {
     "q94_compaction" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
         |FROM documents GROUP BY lang""".stripMargin,
+    "q96_zorder" ->
+      s"""SELECT event_type, count(*) AS n,
+         |       sum(user_id) AS sum_users,
+         |       ${fsumSql("value")} AS sum_value
+         |FROM events GROUP BY event_type""".stripMargin,
     "q92_table_profile" ->
       """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
         |       count(*) - count(l_quantity) AS n_null,

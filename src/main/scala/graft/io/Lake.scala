@@ -31,6 +31,44 @@ object Lake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Z-order clustered write: range-partition + sort by the 2-D Morton
+    * key of two bucketed dimensions, then write `nFiles` files. Rows
+    * close in EITHER dimension land in few files, so parquet min/max
+    * statistics (file- and row-group-level) skip most of the table for
+    * predicates on either column — a lexicographic sort gives that for
+    * the leading column only. Dimensions are first min/max-scaled into
+    * [0, 2¹⁶) (one scalar aggregate broadcast back; the linear map is
+    * monotone ⇒ clustering-preserving and SCAN-PARALLEL — a rank/ntile
+    * bucketing would be a single-partition global window, the exact
+    * scale-killer this engine bans; heavy skew costs some balance, the
+    * range partitioner below re-levels the file sizes regardless).
+    * One shuffle (the range partitioner) + local sorts — the same cost
+    * shape as a plain sorted write.
+    */
+  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nFiles > 0, "nFiles must be positive")
+    val buckets = (1L << 16) - 1L
+    val stats = df.agg(
+      min(col(colA).cast("double")).as("amin"),
+      max(col(colA).cast("double")).as("amax"),
+      min(col(colB).cast("double")).as("bmin"),
+      max(col(colB).cast("double")).as("bmax")).head()
+    def scaled(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      floor((col(c).cast("double") - lit(lo)) / lit(span) * buckets).cast("long")
+    }
+    val ra = scaled(colA, stats.getDouble(0), stats.getDouble(1))
+    val rb = scaled(colB, stats.getDouble(2), stats.getDouble(3))
+    df.withColumn("__zkey",
+      graft.functions.ZOrderExpressions.zorderKey(ra, rb))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-files compaction — the maintenance job every continuously-
     * ingested lake needs: streaming sinks and incremental upserts leave
     * one file per micro-batch/task, and a 100 TB table fragmented into

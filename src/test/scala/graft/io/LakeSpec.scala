@@ -44,4 +44,48 @@ class LakeSpec extends SparkSpec {
     assert(pplan.linesIterator.exists(l =>
       l.contains("PartitionFilters:") && l.contains("lang")), pplan)
   }
+
+  test("zorderKey interleaves bits; sort clusters both dimensions") {
+    import graft.functions.ZOrderKernel
+    // hand-checks: interleave(a, b) puts a's bits even, b's odd
+    assert(ZOrderKernel.interleave(0L, 0L) === 0L)
+    assert(ZOrderKernel.interleave(1L, 0L) === 1L)
+    assert(ZOrderKernel.interleave(0L, 1L) === 2L)
+    assert(ZOrderKernel.interleave(3L, 3L) === 15L)
+    assert(ZOrderKernel.interleave(0xffffffffL, 0L) === 0x5555555555555555L)
+    // locality: z-ordering a 2-D grid beats a lexicographic sort on
+    // how tightly EACH dimension clusters into file-sized chunks
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val chunks = 16
+    def spreadOf(sorted: Seq[(Long, Long)], dim: ((Long, Long)) => Long): Double =
+      sorted.grouped(sorted.size / chunks).map { chunk =>
+        val v = chunk.map(dim); (v.max - v.min).toDouble
+      }.sum / chunks
+    val byZ = grid.sortBy { case (x, y) => ZOrderKernel.interleave(x, y) }
+    val byLex = grid.sortBy(identity)
+    // lex sort: x clusters perfectly but y spans the full range in
+    // every chunk; z-order keeps BOTH spans small
+    assert(spreadOf(byZ, _._1) < 20 && spreadOf(byZ, _._2) < 20,
+      s"z spans: ${spreadOf(byZ, _._1)}, ${spreadOf(byZ, _._2)}")
+    assert(spreadOf(byLex, _._2) > 60)
+  }
+
+  test("zorderWrite preserves content and bounds per-file spans on both columns") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 4096).map { i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextDouble() * 100) }
+      .toDF("id", "u", "v")
+    Lake.zorderWrite(df, tmp, "u", "v", nFiles = 16)
+    val back = Lake.read(spark, tmp)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    // per-file min/max spans on BOTH dims must be well under the full
+    // range (this is exactly the property parquet stats skipping uses)
+    import org.apache.spark.sql.functions._
+    val spans = back.groupBy(input_file_name())
+      .agg((max($"u") - min($"u")).as("du"), (max($"v") - min($"v")).as("dv"))
+      .agg(avg($"du").as("adu"), avg($"dv").as("adv")).head()
+    assert(spans.getDouble(0) < 600, s"u span ${spans.getDouble(0)}")
+    assert(spans.getDouble(1) < 60, s"v span ${spans.getDouble(1)}")
+  }
 }
