@@ -55,6 +55,12 @@ object Lake {
       max(col(colA).cast("double")).as("amax"),
       min(col(colB).cast("double")).as("bmin"),
       max(col(colB).cast("double")).as("bmax")).head()
+    if (stats.isNullAt(0) || stats.isNullAt(2)) {
+      // empty input (or an all-null dimension): nothing to cluster —
+      // write the frame as-is rather than NPE on the null aggregates
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def scaled(c: String, lo: Double, hi: Double) = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
       floor((col(c).cast("double") - lit(lo)) / lit(span) * buckets).cast("long")

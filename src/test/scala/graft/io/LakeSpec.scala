@@ -87,5 +87,9 @@ class LakeSpec extends SparkSpec {
       .agg(avg($"du").as("adu"), avg($"dv").as("adv")).head()
     assert(spans.getDouble(0) < 600, s"u span ${spans.getDouble(0)}")
     assert(spans.getDouble(1) < 60, s"v span ${spans.getDouble(1)}")
+    // empty input writes an empty (readable) table instead of throwing
+    val empty = java.nio.file.Files.createTempDirectory("graft_zempty").toString
+    Lake.zorderWrite(df.filter($"id" < 0), empty, "u", "v")
+    assert(Lake.read(spark, empty).count() === 0L)
   }
 }
