@@ -276,6 +276,33 @@ object Dedup {
     batch.join(hits.withColumnRenamed("id", idCol), Seq(idCol), "left")
   }
 
+  /** The standard two-phase refresh in one call: collapse near-dups
+    * WITHIN the batch first (MinHash pairs → connected components →
+    * smallest id survives), then probe the remaining docs against the
+    * corpus index. Returns every batch row with `dup_of` — the
+    * batch-internal cluster owner, else the index owner, else NULL
+    * (survivor). A batch-internal owner may itself carry an index
+    * verdict; its dups are NOT re-pointed at the index owner (they
+    * drop either way, and verdict provenance stays 1-hop).
+    */
+  def dedupBatchThenIndex(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashPairs(batch, idCol, textCol,
+      shingleK, bands, rowsPerBand, threshold)
+    val owners = clusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol), col("cluster_id").as("__batch_owner"))
+    val tagged = batch.join(owners, Seq(idCol), "left")
+    val probed = dedupAgainstIndex(
+      tagged.filter(col("__batch_owner").isNull).drop("__batch_owner"),
+      index, idCol, textCol, shingleK, bands, rowsPerBand, threshold)
+    probed
+      .unionByName(tagged.filter(col("__batch_owner").isNotNull)
+        .withColumnRenamed("__batch_owner", "dup_of"))
+  }
+
   /** Fold a deduplicated batch's survivors into the index: union the
     * survivors' buckets with the existing index and keep ONE owner per
     * bucket, existing owners winning (then smallest id) — so ownership

@@ -187,6 +187,24 @@ class DedupSpec extends SparkSpec {
     index.unpersist(); got
   }
 
+  test("two-phase dedupBatchThenIndex: batch collapse first, then the index probe") {
+    def doc(i: Int): String = (0 until 30).map(j => s"d${i}w$j").mkString(" ")
+    val corpus = (0 until 5).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val index = Dedup.bucketIndex(corpus, "doc_id", "text")
+    val batch = Seq(
+      (100L, doc(100)),             // novel, batch owner of 101
+      (101L, doc(100) + " omega"),  // batch-internal dup of 100
+      (102L, doc(3) + " extra"),    // index dup of corpus doc 3
+      (103L, doc(103))              // novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupBatchThenIndex(batch, index, "doc_id", "text")
+      .select("doc_id", "dup_of").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((100L, None), (101L, Some(100L)),
+      (102L, Some(3L)), (103L, None)))
+    index.unpersist()
+  }
+
   test("indexed near-dup: updateIndex folds survivors in; owners are stable") {
     def doc(i: Int): String =
       (0 until 30).map(j => s"v${(i * 37 + j * 11) % 89}").mkString(" ")
