@@ -564,28 +564,43 @@ object SparkEntry {
     * StreamingDedupSpec.
     */
   private def q95(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING)
-    // collect = STREAM-SIMULATION plumbing only (MemoryStream feeds
-    // from the driver by design, like the specs); the operator's own
-    // dataflow — probe join, index build/merge — is fully distributed
+    import org.apache.spark.sql.types._
+    // The corpus never touches the driver: each half lands as one
+    // parquet file with staggered mtimes, and the file stream source
+    // (maxFilesPerTrigger=1, oldest-first) delivers them as two
+    // micro-batches — the same ingest shape a real continuously-
+    // written landing directory has. Only the dedup VERDICTS (one
+    // (id, dup_of) pair per doc) are collected, which is the query's
+    // output surface, not the corpus.
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val mem = MemoryStream[(Long, String)](s)
+    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val scratch = scratchDir("stream_neardup")
+    docs.filter(col("doc_id") < mid).coalesce(1)
+      .write.parquet(s"$scratch/b1")
+    docs.filter(col("doc_id") >= mid).coalesce(1)
+      .write.parquet(s"$scratch/b2")
+    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
+    val now = System.currentTimeMillis()
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$scratch/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(now - (1 - i) * 60000L)
+    }
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
     val q = graft.streaming.StreamingDedup.start(
-      mem.toDF().toDF("doc_id", "text"), "doc_id", "text") { (v, _) =>
+      stream, "doc_id", "text") { (v, _) =>
       buf ++= v.select(col("doc_id"), col("dup_of"))
         .collect().map(r => (r.getLong(0),
           if (r.isNullAt(1)) None else Some(r.getLong(1))))
     }
-    try {
-      val (h1, h2) = docs.splitAt(docs.length / 2)
-      mem.addData(h1.toSeq); q.processAllAvailable()
-      mem.addData(h2.toSeq); q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     import s.implicits._
     buf.toSeq.toDF("doc_id", "dup_of")
   }
@@ -1370,21 +1385,33 @@ object SparkEntry {
   /** Shared by q89 (batch) and its streaming twin q91 — the scrub is
     * stateless, so both surfaces hash-match the same oracle.
     */
+  // Counts mirror the replacement cascade: n_ips counts on the text
+  // AFTER email redaction, n_phones after email+IP — matching
+  // TextAnalysis.redactPii so counts always sum to the placeholder
+  // count in `redacted`.
   private val redactPiiSql: String =
-    """SELECT doc_id,
-      |       regexp_replace(
-      |         regexp_replace(
-      |           regexp_replace(text,
-      |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |         regexp_replace(text,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |           '<EMAIL>', 'g') AS after_email
+      |  FROM documents),
+      |c2 AS (
+      |  SELECT doc_id, text, after_email,
+      |         regexp_replace(after_email,
+      |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+      |           '<IP>', 'g') AS after_ip
+      |  FROM c)
+      |SELECT doc_id,
+      |       regexp_replace(after_ip,
       |         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted,
       |       len(regexp_extract_all(text,
       |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-      |       len(regexp_extract_all(text,
+      |       len(regexp_extract_all(after_email,
       |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
-      |       len(regexp_extract_all(text,
+      |       len(regexp_extract_all(after_ip,
       |         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones
-      |FROM documents""".stripMargin
+      |FROM c2""".stripMargin
 
   private val textProfileSql: String =
     """WITH t AS (

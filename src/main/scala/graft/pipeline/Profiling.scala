@@ -25,23 +25,41 @@ object Profiling {
     */
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val spark = df.sparkSession
-    import spark.implicits._
     val aggs = cols.flatMap { c =>
+      // Fixed-point sum accumulates as DECIMAL(38,0), not LONG — the
+      // micro-unit longs overflow int64 at ~9.2e12 summed units, which
+      // a 100 TB table reaches long before the scan ends (same reason
+      // SparkEntry.fsum is decimal). DuckDB's HUGEINT promotion covers
+      // the oracle side.
       Seq(count(col(c)).as(s"${c}__n"),
         (count(lit(1)) - count(col(c))).as(s"${c}__nn"),
         countDistinct(col(c)).as(s"${c}__nd"),
         min(col(c)).cast("double").as(s"${c}__mn"),
         max(col(c)).cast("double").as(s"${c}__mx"),
-        sum(floor(col(c).cast("double") * 1e6).cast("long")).as(s"${c}__s"))
+        sum(floor(col(c).cast("double") * 1e6).cast(DecimalType(38, 0))).as(s"${c}__s"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.zipWithIndex.map { case (c, i) =>
+    val out = cols.zipWithIndex.map { case (c, i) =>
       val b = i * 6
       val n = row.getLong(b)
-      (c, n, row.getLong(b + 1), row.getLong(b + 2),
-        row.getDouble(b + 3), row.getDouble(b + 4),
-        if (n == 0) 0.0 else row.getLong(b + 5).toDouble / n / 1e6)
-    }.toDF("column", "n", "n_null", "n_distinct", "min_v", "max_v", "mean_v")
+      // min/max/sum are NULL for an empty table or all-null column —
+      // propagate null (matching SQL MIN/MAX) instead of NPE'ing.
+      def optD(j: Int): Any = if (row.isNullAt(j)) null else row.getDouble(j)
+      Row(c, n, row.getLong(b + 1), row.getLong(b + 2), optD(b + 3), optD(b + 4),
+        if (n == 0) 0.0 else row.getDecimal(b + 5).doubleValue() / n / 1e6)
+    }
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("n_null", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("min_v", DoubleType, nullable = true),
+      StructField("max_v", DoubleType, nullable = true),
+      StructField("mean_v", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
   }
 }

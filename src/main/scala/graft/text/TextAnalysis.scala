@@ -246,22 +246,22 @@ object TextAnalysis {
     * typed placeholder tokens, plus per-doc match counts for the
     * curation audit trail). Pure `regexp_replace`/`regexp_extract_all`
     * column expressions: map-only, codegen'd, zero shuffle — at 100 TB
-    * this rides the ingest scan for free. Counts are taken on the
-    * ORIGINAL text; replacement order (emails → IPs → phones) is fixed
-    * and the patterns cannot overlap after prior replacements, so the
-    * pass is deterministic.
+    * this rides the ingest scan for free. Each audit count is taken on
+    * the text AFTER the preceding replacements (the same cascade the
+    * redaction applies), so the counts sum to exactly the number of
+    * placeholders in `redacted` — an IPv4 inside an email's domain is
+    * counted once as part of the <EMAIL>, never double-counted as an
+    * <IP> it didn't become.
     */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, emailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Pattern, "<IP>")
     docs.select(col(idCol).as("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, emailPattern, "<EMAIL>"),
-          ipv4Pattern, "<IP>"),
-        phonePattern, "<PHONE>").as("redacted"),
+      regexp_replace(afterIp, phonePattern, "<PHONE>").as("redacted"),
       size(regexp_extract_all(t, lit(emailPattern), lit(0))).as("n_emails"),
-      size(regexp_extract_all(t, lit(ipv4Pattern), lit(0))).as("n_ips"),
-      size(regexp_extract_all(t, lit(phonePattern), lit(0))).as("n_phones"))
+      size(regexp_extract_all(afterEmail, lit(ipv4Pattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(phonePattern), lit(0))).as("n_phones"))
   }
 
   /** One-stop profile of a documents table. */
