@@ -557,6 +557,26 @@ object SparkEntry {
         fsum(col("value")).as("sum_value"))
   }
 
+  /** Paragraph-level exact dedup (C4/CCNet-style): the corpus word
+    * stream chunked into deterministic 15-word "lines" (the synthetic
+    * docs are single-line, so the chunking manufactures the multi-
+    * paragraph structure real pages have — near-dup docs share whole
+    * unchanged chunks, which is exactly the boilerplate-line case the
+    * operator exists for), then every repeated normalized line across
+    * the corpus is dropped keep-first and the docs reassembled.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val chunked = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("__ws", split(col("text"), " "))
+      .withColumn("text", array_join(
+        transform(
+          sequence(lit(0), ((size(col("__ws")) - 1) / 15).cast("int")),
+          i => array_join(slice(col("__ws"), i * 15 + 1, lit(15)), " ")),
+        "\n"))
+      .drop("__ws")
+    Dedup.paragraphDedup(chunked, "doc_id", "text")
+  }
+
   /** Continuous near-dup dedup: the documents corpus delivered as two
     * micro-batches (split at the id midpoint), each probing the LSH
     * index of everything admitted before it (StreamingDedup). Rows-only
@@ -1338,6 +1358,7 @@ object SparkEntry {
     "q94_compaction" -> (q94 _),
     "q95_stream_neardup" -> (q95 _),
     "q96_zorder" -> (q96 _),
+    "q97_paragraph_dedup" -> (q97 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1741,6 +1762,38 @@ object SparkEntry {
          |       CAST(sum(user_id) AS BIGINT) AS sum_users,
          |       ${fsumSql("value")} AS sum_value
          |FROM events GROUP BY event_type""".stripMargin,
+    // Same 15-word chunking, normalization, keep-first owner election
+    // (row_number == Spark's min-struct — both are (doc_id, para_no)
+    // lexicographic) and string_agg reassembly as q97's Spark side.
+    "q97_paragraph_dedup" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, (len(ws)-1)//15 + 1),
+        |           i -> array_to_string(ws[i*15+1 : i*15+15], ' ')) AS paras
+        |  FROM w),
+        |p AS (
+        |  SELECT doc_id, u.i AS para_no, u.p AS para
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(paras, (x, i) -> {'i': i, 'p': x})) AS u
+        |        FROM ch)),
+        |t AS (
+        |  SELECT doc_id, para_no, para,
+        |         trim(para) = '' AS is_empty,
+        |         md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS k
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, para_no, para,
+        |         CASE WHEN is_empty THEN TRUE
+        |              ELSE row_number() OVER (PARTITION BY k
+        |                     ORDER BY doc_id, para_no) = 1 END AS keep
+        |  FROM t)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN keep THEN para END,
+        |                           chr(10) ORDER BY para_no), '') AS text,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM r GROUP BY doc_id""".stripMargin,
     "q92_table_profile" ->
       """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
         |       count(*) - count(l_quantity) AS n_null,

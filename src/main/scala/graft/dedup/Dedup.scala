@@ -41,6 +41,60 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** C4/CCNet-style paragraph-level exact dedup: drop every repeated
+    * normalized paragraph (line) ACROSS the corpus, keeping the first
+    * occurrence in (doc_id, para_no) order, and reassemble each
+    * document from its surviving paragraphs. This is the most common
+    * real curation op whole-doc dedup misses: boilerplate lines
+    * (navigation, license headers, "subscribe" footers) repeat across
+    * millions of otherwise-unique pages.
+    *
+    * Normalization for the match key: collapse whitespace runs, trim,
+    * lowercase — the key is the md5 of that, so the shuffle moves a
+    * 32-char key + ids, with the paragraph body riding along once.
+    * Whitespace-only/empty paragraphs are STRUCTURE, not content: they
+    * are always kept and never enter the key shuffle — at corpus scale
+    * the empty-line key is otherwise a guaranteed hot-partition bomb.
+    *
+    * Scale shape: owner election is a groupBy-min on the md5 key
+    * (partial-aggregatable map-side, so a paragraph duplicated 10⁹
+    * times combines before the shuffle — a window row_number over the
+    * same key would put all 10⁹ rows in one task), then one join of
+    * paragraphs to owners on the key (AQE skew-split handles hot
+    * boilerplate keys), then one doc_id shuffle to reassemble.
+    *
+    * Returns (doc_id, text, n_kept, n_dropped) — every input doc is
+    * present, with text = "" if every paragraph was a cross-corpus dup.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1)))
+      .withColumnsRenamed(Map("pos" -> "para_no", "col" -> "para"))
+      .withColumn("__empty", trim(col("para")) === "")
+      .withColumn("__k",
+        md5(lower(trim(regexp_replace(col("para"), "\\s+", " ")))))
+    val nonEmpty = paras.filter(!col("__empty"))
+    val owners = nonEmpty.groupBy("__k")
+      .agg(min(struct(col("doc_id"), col("para_no"))).as("__owner"))
+    val flagged = nonEmpty.join(owners, "__k")
+      .withColumn("__keep",
+        col("__owner.doc_id") === col("doc_id") &&
+          col("__owner.para_no") === col("para_no"))
+      .drop("__owner")
+      .unionByName(paras.filter(col("__empty")).withColumn("__keep", lit(true)))
+    flagged.groupBy("doc_id").agg(
+      array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("para_no"), col("para"))))),
+          _.getField("para")),
+        sep).as("text"),
+      sum(col("__keep").cast("long")).as("n_kept"),
+      sum((!col("__keep")).cast("long")).as("n_dropped"))
+  }
+
   // ----------------------------------------------------------- shingles
 
   /** Shingles from an already-materialized words array.

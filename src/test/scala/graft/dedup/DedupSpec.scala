@@ -27,6 +27,32 @@ class DedupSpec extends SparkSpec {
     assert(s.filter($"doc_id" === 2L).count() === 0)
   }
 
+  test("paragraphDedup drops cross-doc repeated lines keep-first, keeps structure") {
+    val docs = Seq(
+      (10L, "unique alpha line\nShared Boilerplate Footer\nunique beta line"),
+      // same footer modulo case/whitespace → dropped here (doc 10 owns it)
+      (20L, "another body line\nshared  BOILERPLATE   footer\n\nlast line"),
+      // a doc that is ENTIRELY cross-corpus dups → text becomes empty
+      (30L, "unique alpha line\nshared boilerplate footer"))
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got(0) === ((10L,
+      "unique alpha line\nShared Boilerplate Footer\nunique beta line", 3L, 0L)))
+    // doc 20 keeps its unique lines AND the empty structural line
+    assert(got(1) === ((20L, "another body line\n\nlast line", 3L, 1L)))
+    // doc 30: both lines owned by doc 10 → empty text, still present
+    assert(got(2) === ((30L, "", 0L, 2L)))
+  }
+
+  test("paragraphDedup dedups repeats WITHIN one doc too, keeps first occurrence") {
+    val docs = Seq((1L, "same line\nmiddle\nsame line")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().head
+    assert(got === ((1L, "same line\nmiddle", 2L, 1L)))
+  }
+
   test("jaccard of word shingles: identical=1, disjoint=0") {
     val df = Seq((
       Seq("a b c", "b c d"),
