@@ -614,13 +614,17 @@ object SparkEntry {
       .option("maxFilesPerTrigger", 1)
       .parquet(in.toString)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
-    val q = graft.streaming.StreamingDedup.start(
-      stream, "doc_id", "text") { (v, _) =>
+    // bucketed-table index (the scale path): per-batch shuffle is
+    // O(batch), survivors append as new bucket files only
+    val tbl = s"graft_sd_idx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val run = graft.streaming.StreamingDedup.start(
+      stream, "doc_id", "text", indexTable = Some(tbl)) { (v, _) =>
       buf ++= v.select(col("doc_id"), col("dup_of"))
         .collect().map(r => (r.getLong(0),
           if (r.isNullAt(1)) None else Some(r.getLong(1))))
     }
-    try q.processAllAvailable() finally q.stop()
+    try run.query.processAllAvailable()
+    finally { run.query.stop(); s.sql(s"DROP TABLE IF EXISTS $tbl") }
     import s.implicits._
     buf.toSeq.toDF("doc_id", "dup_of")
   }

@@ -277,6 +277,21 @@ object Dedup {
     */
   def bucketIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // eagerly persisted: the index is the reusable artifact — callers
+    // probe it many times (and updateIndex merges against it)
+    val idx = bucketOwners(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count()
+    idx
+  }
+
+  /** The un-persisted [[bucketIndex]] plan: one row per (band,
+    * band_hash) bucket with the smallest in-corpus owner id + its
+    * signature. Split out so per-batch folds ([[newIndexRows]]) can
+    * compute a batch's owners without caching an intermediate index.
+    */
+  private[graft] def bucketOwners(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val numPerm = bands * rowsPerBand
     val sigs = shingleTable(docs, idCol, textCol, shingleK)
       .select(col("id"),
@@ -284,17 +299,28 @@ object Dedup {
       .filter(col("sig").isNotNull)
     val w = Window.partitionBy(col("band"), col("band_hash"))
       .orderBy(col("owner_id"))
-    // eagerly persisted: the index is the reusable artifact — callers
-    // probe it many times (and updateIndex merges against it)
-    val idx = sigs
+    sigs
       .select(col("id").as("owner_id"), col("sig").as("owner_sig"),
         bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    idx.count()
-    idx
   }
+
+  /** The rows a survivor batch genuinely ADDS to the index — the
+    * append-only fold. [[updateIndex]]'s merge rule is existing-owner-
+    * wins, so an index row is immutable once written: the only effect
+    * a batch can have is claiming buckets nothing owned before, i.e.
+    * the batch's own bucket owners anti-joined against the index. With
+    * the index in storage bucketed on the bucket-hash key the
+    * anti-join's index side needs no exchange, so per-batch SHUFFLE
+    * volume is O(batch bands), independent of index size — the shape
+    * that keeps a continuously-refreshed 10⁹-bucket index viable.
+    */
+  def newIndexRows(index: DataFrame, survivors: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    bucketOwners(survivors, idCol, textCol, shingleK, bands, rowsPerBand)
+      .join(index, Seq("band", "band_hash"), "left_anti")
 
   /** Probe a new batch against an existing [[bucketIndex]]: a batch doc
     * is a near-duplicate iff some band bucket is already owned by an

@@ -1,13 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
 
 import graft.dedup.Dedup
 
 /** Continuous incremental near-dup dedup — the streaming face of
-  * [[graft.dedup.Dedup.bucketIndex]]/`dedupAgainstIndex`/`updateIndex`:
+  * [[graft.dedup.Dedup.bucketIndex]]/`dedupAgainstIndex`/`newIndexRows`:
   * each micro-batch probes the LSH bucket index of everything ADMITTED
   * so far, reports per-doc verdicts (`dup_of` = earlier owner, NULL =
   * survivor), and folds its survivors into the index for the next
@@ -18,59 +19,161 @@ import graft.dedup.Dedup
   * aggregates across its 16 band buckets — a second stateful hop that
   * Structured Streaming does not allow after an arbitrary-stateful
   * operator. The index-as-table formulation sidesteps that, keeps the
-  * probe a plain broadcast/sort-merge join (same 100 TB shape as
-  * batch), and is exactly how production lakehouse dedup maintains its
-  * identity index (Delta/Iceberg MERGE per ingest batch).
+  * probe a plain join (same 100 TB shape as batch), and is exactly how
+  * production lakehouse dedup maintains its identity index
+  * (Delta/Iceberg MERGE per ingest batch).
+  *
+  * Two index backings:
+  *
+  *  - `indexTable = Some(tbl)` — THE scale path. The index lives as a
+  *    parquet table bucketed by `band_hash`; because index ownership is
+  *    append-only (existing owners always win), each batch writes ONLY
+  *    its genuinely-new bucket rows (`Dedup.newIndexRows`) as a
+  *    bucketed APPEND. Per-batch shuffle volume is O(batch bands) —
+  *    the bucketed scan side of both the probe join and the anti-join
+  *    needs no exchange — and nothing index-sized is re-persisted or
+  *    re-shuffled, so a 10⁹-bucket index sustains a 30 s trigger.
+  *    Small appended files are ordinary lake maintenance
+  *    ([[graft.io.Lake.compact]] offline, between runs).
+  *
+  *  - `indexTable = None` — in-memory convenience for tests and small
+  *    bounded streams: `Dedup.updateIndex` re-merges and re-persists
+  *    the full index per batch, O(index) cache churn per trigger. Call
+  *    [[Run.release]] after stopping the query to drop the cached
+  *    index.
   *
   * Batch-internal duplicates are out of scope here, as in q90's batch
   * contract: compose `minHashPairs` within the batch when needed.
-  * State lives in persisted index blocks (released generation-over-
-  * generation), not in stream state — a restart resumes from any
-  * index snapshot the caller saved.
+  * A restart resumes from whatever index table / snapshot the caller
+  * kept.
   */
 object StreamingDedup {
 
+  /** A running dedup stream: the query plus access to (and release of)
+    * the index state the stream maintains.
+    */
+  final case class Run(
+      query: StreamingQuery,
+      finalIndex: () => Option[DataFrame],
+      release: () => Unit)
+
+  private val indexCols = Seq("owner_id", "owner_sig", "band", "band_hash")
+
+  private def writeIndex(df: DataFrame, table: String, buckets: Int,
+      overwrite: Boolean): Unit =
+    df.select(indexCols.map(col): _*)
+      .write
+      .bucketBy(buckets, "band_hash")
+      .sortBy("band_hash")
+      .format("parquet")
+      .mode(if (overwrite) "overwrite" else "append")
+      .saveAsTable(table)
+
+  private def emptyIndex(spark: SparkSession, idType: DataType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("owner_id", idType),
+        StructField("owner_sig", ArrayType(LongType)),
+        StructField("band", IntegerType),
+        StructField("band_hash", LongType))))
+
   /** Start the dedup stream. `onBatch(verdicts, batchId)` receives
     * every micro-batch's rows with their `dup_of` column (the caller
-    * routes survivors to the sink of record and may snapshot the
-    * index); verdicts arrive already materialized (persisted) and are
-    * released after the callback returns.
+    * routes survivors to the sink of record); verdicts arrive already
+    * materialized (persisted) and are released after the callback
+    * returns.
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7,
-      initialIndex: Option[DataFrame] = None)
-      (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
-    // one mutable reference, only touched inside foreachBatch (which
-    // Structured Streaming serializes batch-over-batch)
-    var index: DataFrame = initialIndex.orNull
-    docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val verdicts = (if (index == null) {
-          batch.withColumn("dup_of", lit(null).cast("long"))
-        } else {
-          Dedup.dedupAgainstIndex(batch, index, idCol, textCol,
+      initialIndex: Option[DataFrame] = None,
+      indexTable: Option[String] = None,
+      indexBuckets: Int = 32)
+      (onBatch: (DataFrame, Long) => Unit): Run = indexTable match {
+
+    case Some(tbl) =>
+      val spark = docs.sparkSession
+      if (!spark.catalog.tableExists(tbl))
+        writeIndex(
+          initialIndex.getOrElse(emptyIndex(spark, docs.schema(idCol).dataType)),
+          tbl, indexBuckets, overwrite = true)
+      val query = docs.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // the stream executes in a CLONED SparkSession whose table-
+          // relation cache is separate from the caller's: read AND
+          // write the index through the batch's own session, or the
+          // appends refresh the wrong cache and every later batch
+          // probes a stale (empty) file listing (found empirically)
+          val sess = batch.sparkSession
+          val index = sess.table(tbl)
+          // probing the EMPTY table is the uniform first-batch case:
+          // the left join simply finds no owners, every doc survives.
+          // localCheckpoint (eager), NOT persist: the plan reads the
+          // index TABLE, and the append below changes its file listing
+          // — a cached plan no longer canonically matches after that,
+          // so any later action on a merely-persisted frame would
+          // silently RE-PROBE the mutated table and self-match every
+          // survivor (found empirically: batch-0 verdicts [1→1]).
+          // Checkpointing pins the rows themselves.
+          val verdicts = Dedup.dedupAgainstIndex(batch, index, idCol, textCol,
             shingleK, bands, rowsPerBand, threshold)
-        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        verdicts.count() // materialize before mutating the index
-        try {
+            .localCheckpoint()
           val survivors = verdicts.filter(col("dup_of").isNull)
             .select(batch.columns.map(col): _*)
-          val next =
-            if (index == null)
-              Dedup.bucketIndex(survivors, idCol, textCol,
-                shingleK, bands, rowsPerBand)
-            else
-              Dedup.updateIndex(index, survivors, idCol, textCol,
-                shingleK, bands, rowsPerBand)
-          // updateIndex/bucketIndex are eager — the old generation's
-          // blocks can drop as soon as the new one is materialized
-          if (index != null) index.unpersist()
-          index = next
+          // same lineage truncation for the append input: Spark rejects
+          // insert-into-read-from plans, and the rows must be fixed
+          // before the table mutates
+          val newRows = Dedup.newIndexRows(index, survivors, idCol, textCol,
+            shingleK, bands, rowsPerBand)
+            .localCheckpoint()
+          writeIndex(newRows, tbl, indexBuckets, overwrite = false)
           onBatch(verdicts, batchId)
-        } finally verdicts.unpersist()
-      }
-      .start()
+        }
+        .start()
+      Run(query,
+        // refresh first: the appends happened in the stream's cloned
+        // session, and this session's relation cache is stale
+        finalIndex = () => {
+          spark.catalog.refreshTable(tbl); Some(spark.table(tbl))
+        },
+        release = () => ())
+
+    case None =>
+      // one mutable reference, only touched inside foreachBatch (which
+      // Structured Streaming serializes batch-over-batch)
+      var index: DataFrame = initialIndex.orNull
+      val query = docs.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val verdicts = (if (index == null) {
+            batch.withColumn("dup_of", lit(null).cast("long"))
+          } else {
+            Dedup.dedupAgainstIndex(batch, index, idCol, textCol,
+              shingleK, bands, rowsPerBand, threshold)
+          }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          verdicts.count() // materialize before mutating the index
+          try {
+            val survivors = verdicts.filter(col("dup_of").isNull)
+              .select(batch.columns.map(col): _*)
+            val next =
+              if (index == null)
+                Dedup.bucketIndex(survivors, idCol, textCol,
+                  shingleK, bands, rowsPerBand)
+              else
+                Dedup.updateIndex(index, survivors, idCol, textCol,
+                  shingleK, bands, rowsPerBand)
+            // updateIndex/bucketIndex are eager — the old generation's
+            // blocks can drop as soon as the new one is materialized
+            if (index != null) index.unpersist()
+            index = next
+            onBatch(verdicts, batchId)
+          } finally verdicts.unpersist()
+        }
+        .start()
+      Run(query,
+        finalIndex = () => Option(index),
+        release = () => Option(index).foreach(_.unpersist()))
   }
 }

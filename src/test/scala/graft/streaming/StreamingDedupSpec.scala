@@ -17,11 +17,12 @@ class StreamingDedupSpec extends SparkSpec {
       (0 until 30).map(j => s"d${i}w$j").mkString(" ")
     val mem = MemoryStream[(Long, String)](spark)
     val verdicts = mutable.ArrayBuffer.empty[(Long, Option[Long])]
-    val q = StreamingDedup.start(
+    val run = StreamingDedup.start(
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text") { (v, _) =>
       verdicts ++= v.select("doc_id", "dup_of")
         .as[(Long, Option[Long])].collect()
     }
+    val q = run.query
     try {
       // batch 1: two novel docs — both survive, seed the index
       mem.addData((1L, doc(1)), (2L, doc(2)))
@@ -34,7 +35,7 @@ class StreamingDedupSpec extends SparkSpec {
       // original (still owned by doc 1)
       mem.addData((20L, doc(3) + " extra"), (21L, doc(1) + " beta"))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); run.release() }
 
     val byId = verdicts.toMap
     assert(byId(1L).isEmpty && byId(2L).isEmpty)
@@ -43,5 +44,83 @@ class StreamingDedupSpec extends SparkSpec {
     assert(byId(20L) === Some(11L)) // caught by index updated with batch 2
     assert(byId(21L) === Some(1L))  // original owner, not the dropped 10
     assert(verdicts.size === 6)
+  }
+
+  test("bucketed-index mode: same cross-batch semantics, append-only table state") {
+    def doc(i: Int): String = (0 until 30).map(j => s"t${i}w$j").mkString(" ")
+    val tbl = s"graft_sd_spec_${System.nanoTime()}"
+    val mem = MemoryStream[(Long, String)](spark)
+    val verdicts = mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val run = StreamingDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexTable = Some(tbl)) { (v, _) =>
+      verdicts ++= v.select("doc_id", "dup_of")
+        .as[(Long, Option[Long])].collect()
+    }
+    try {
+      mem.addData((1L, doc(1)), (2L, doc(2)))
+      run.query.processAllAvailable()
+      mem.addData((10L, doc(1) + " omega"), (11L, doc(3)))
+      run.query.processAllAvailable()
+      mem.addData((20L, doc(3) + " extra"), (21L, doc(1) + " beta"))
+      run.query.processAllAvailable()
+      val byId = verdicts.toMap
+      assert(byId(1L).isEmpty && byId(2L).isEmpty)
+      assert(byId(10L) === Some(1L))
+      assert(byId(11L).isEmpty)
+      assert(byId(20L) === Some(11L))
+      assert(byId(21L) === Some(1L))
+      // index holds exactly the survivors' buckets (3 docs × 16 bands,
+      // minus any within-survivor bucket collisions)
+      val idx = run.finalIndex().get
+      assert(idx.select("owner_id").distinct().count() === 3)
+      assert(idx.count() <= 3 * 16)
+    } finally {
+      run.query.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  test("bucketed-index mode: per-batch shuffle volume scales with batch, not index") {
+    def doc(i: Int): String = (0 until 30).map(j => s"s${i}w$j").mkString(" ")
+    val tbl = s"graft_sd_vol_${System.nanoTime()}"
+    val mem = MemoryStream[(Long, String)](spark)
+    val run = StreamingDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexTable = Some(tbl)) { (_, _) => () }
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    try {
+      // seed a 400-doc index: ≈ 400 × 16 = 6400 bucket rows
+      mem.addData((1 to 400).map(i => (i.toLong, doc(i))): _*)
+      run.query.processAllAvailable()
+      val indexRows = run.finalIndex().get.count()
+      assert(indexRows > 6000L)
+      // measure a 10-doc batch: if the fold re-shuffled the index
+      // (round-5 updateIndex), shuffle records would exceed indexRows;
+      // the bucketed append-only fold moves only batch-derived rows
+      spark.sparkContext.addSparkListener(listener)
+      mem.addData((1001 to 1010).map(i => (i.toLong, doc(i))): _*)
+      run.query.processAllAvailable()
+      // drain the listener bus (poll until the counter stabilizes)
+      var last = -1L
+      var spins = 0
+      while (shuffleRecords.get != last && spins < 40) {
+        last = shuffleRecords.get; spins += 1; Thread.sleep(250)
+      }
+      assert(shuffleRecords.get < indexRows / 2,
+        s"batch shuffle ${shuffleRecords.get} records vs index $indexRows — " +
+          "index-sized re-shuffle regression")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      run.query.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
   }
 }
