@@ -110,15 +110,39 @@ object Lake {
       src.repartition(nOut.toInt)
         .write.mode("overwrite").parquet(destPath)
     } else {
-      // cluster by the partition columns so each output directory is
-      // written by exactly ONE task (one file per partition dir) — a
-      // round-robin repartition would write a file per task×partition,
-      // re-fragmenting the very layout being compacted. File size then
-      // follows partition size; callers with huge single partitions
-      // compact those separately with partitionCols = Nil per subdir.
-      src.repartition(nOut.toInt,
-        partitionCols.map(org.apache.spark.sql.functions.col): _*)
-        .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(destPath)
+      import org.apache.spark.sql.functions._
+      // Cluster by the partition columns so each output directory is
+      // written by few tasks (a round-robin repartition would write a
+      // file per task×partition, re-fragmenting the very layout being
+      // compacted) — but not by ONE task unconditionally: a skewed
+      // partition (one 5 TB language directory) must neither funnel
+      // through a single writer nor become a single file. Each
+      // partition gets a salt of ceil(rows·avgBytes/target) values —
+      // 1 for every small partition (exactly one file, the compaction
+      // contract), >1 only where splitting is needed — via a broadcast
+      // of the per-partition row counts (partition combos are low-
+      // cardinality by the layout contract). maxRecordsPerFile is the
+      // belt-and-braces cap for salt-hash imbalance.
+      val pcols = partitionCols.map(col)
+      val totalRecords = math.max(1L, src.count()) // parquet footer count
+      val avgBytes = math.max(1.0, files.sum.toDouble / totalRecords)
+      val maxRecs = math.max(1L, (targetFileBytes / avgBytes).toLong)
+      val splits = src.groupBy(pcols: _*).agg(count(lit(1)).as("__prows"))
+        .withColumn("__nsplit",
+          greatest(lit(1L), ceil(col("__prows") / lit(maxRecs))).cast("int"))
+        .drop("__prows")
+      src.join(broadcast(splits), partitionCols)
+        .withColumn("__salt",
+          pmod(xxhash64(src.columns.map(col): _*), col("__nsplit")).cast("int"))
+        .drop("__nsplit")
+        // 2× the byte-derived task count: (combo, salt) groups hash to
+        // tasks, and headroom halves the chance two split groups of the
+        // same hot partition collapse into one writer
+        .repartition(math.min(2L * nOut, Int.MaxValue.toLong).toInt,
+          (pcols :+ col("__salt")): _*)
+        .drop("__salt")
+        .write.option("maxRecordsPerFile", maxRecs)
+        .partitionBy(partitionCols: _*).mode("overwrite").parquet(destPath)
     }
     val d = new org.apache.hadoop.fs.Path(destPath)
     val outIt = fs.listFiles(d, true)

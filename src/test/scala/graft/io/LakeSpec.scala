@@ -45,6 +45,32 @@ class LakeSpec extends SparkSpec {
       l.contains("PartitionFilters:") && l.contains("lang")), pplan)
   }
 
+  test("compact splits a skewed partition into multiple files, small ones keep one") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_skew").toString
+    // planted skew: 'en' is 1000× 'de'
+    val df = ((1 to 100000).map(i => (i.toLong, s"payload $i", "en")) ++
+      (1 to 100).map(i => (i.toLong + 200000, s"payload $i", "de")))
+      .toDF("id", "text", "lang")
+    Lake.writePartitioned(df.repartition(8), s"$tmp/frag", Seq("lang"))
+    Lake.compact(spark, s"$tmp/frag", s"$tmp/out",
+      partitionCols = Seq("lang"), targetFileBytes = 32L << 10)
+    def filesIn(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val enFiles = filesIn(s"$tmp/out/lang=en")
+    val deFiles = filesIn(s"$tmp/out/lang=de")
+    assert(enFiles > 1L, s"skewed partition wrote $enFiles file(s) — not split")
+    assert(deFiles === 1L, s"small partition fragmented into $deFiles files")
+    // content survives the salted rewrite
+    assert(Lake.read(spark, s"$tmp/out").count() === 100100L)
+  }
+
   test("zorderKey interleaves bits; sort clusters both dimensions") {
     import graft.functions.ZOrderKernel
     // hand-checks: interleave(a, b) puts a's bits even, b's odd
