@@ -1131,7 +1131,7 @@ object SparkEntry {
     val e = Tables.embeddings(s, dir)
     Ann.lshTopK(e, "vec_id", "embedding",
       e.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 10, tables = 16, planes = 6)
+      k = 10, tables = 32, planes = 4)
   }
 
   /** IVF ANN (KMeans coarse quantizer + probed exact rank). */
@@ -1139,7 +1139,7 @@ object SparkEntry {
     val e = Tables.embeddings(s, dir)
     Ann.ivfTopK(e, "vec_id", "embedding",
       e.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 10, nlist = 16, nprobe = 4)
+      k = 10, nlist = 16, nprobe = 10)
   }
 
   /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
@@ -1150,7 +1150,7 @@ object SparkEntry {
     val e = Tables.embeddings(s, dir)
     Ann.pqTopK(e, "vec_id", "embedding",
       e.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 10, m = 8, ks = 16, overfetch = 4)
+      k = 10, m = 16, ks = 16, overfetch = 16)
   }
 
   /** LSH-bucketed embedding near-dup (the scale path of q46). */

@@ -75,6 +75,31 @@ class AlsRecommenderSpec extends SparkSpec {
     assert(recall >= 0.8, s"ANN top-N recall too low: $recall")
   }
 
+  test("ANN top-N recall >= 0.9 at sf0.1 with the registered q31 config") {
+    assume(new java.io.File("/root/testdata/sf0.1/events.parquet").exists())
+    import org.apache.spark.sql.functions._
+    val events = graft.io.Tables.events(spark, "/root/testdata/sf0.1")
+    val ratings = events.select(
+      col("user_id").cast("string").as("user"),
+      get_json_object(col("props"), "$.k").cast("long").cast("string").as("item"),
+      col("value").as("rating"),
+      unix_micros(col("ts")).as("time"))
+    val m = AlsRecommender.fit(ratings,
+      AlsRecommender.Params(rank = 8, maxIter = 5, numBlocks = 8))
+    try {
+      val exact = m.recommendForAllUsersExact(5)
+        .select("user", "item").as[(String, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val ann = m.recommendForAllUsersAnn(5, nlist = 16, nprobe = 8)
+        .select("user", "item").as[(String, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recall = exact.map { case (u, ex) =>
+        (ex & ann(u)).size.toDouble / ex.size
+      }.sum / exact.size
+      assert(recall >= 0.9, s"sf0.1 ANN top-N recall too low: $recall")
+    } finally m.release()
+  }
+
   test("ANN top-N plan contains no users-by-items product") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec

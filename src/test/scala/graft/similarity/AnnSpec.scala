@@ -57,6 +57,31 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall@10 too low: $recall")
   }
 
+  test("registered ANN configs reach recall@10 >= 0.9 at sf0.1") {
+    // the synthetic embeddings are near-uniform (weak neighbor
+    // structure — the hard case for ANN), so this validates the
+    // REGISTERED q48/q52/q78 parameters against the bigger corpus:
+    // measured 1.0 / 0.91 / 0.96 when the configs were chosen
+    assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet").exists())
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long)]) = (brute & s).size.toDouble / brute.size
+    val lsh = Ann.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      10, tables = 32, planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(recall(lsh) >= 0.9, s"LSH sf0.1 recall: ${recall(lsh)}")
+    val ivf = Ann.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      10, nlist = 16, nprobe = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(recall(ivf) >= 0.9, s"IVF sf0.1 recall: ${recall(ivf)}")
+    val pq = Ann.pqTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      10, m = 16, ks = 16, overfetch = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(recall(pq) >= 0.9, s"PQ sf0.1 recall: ${recall(pq)}")
+  }
+
   test("pq ADC score approximates the true dot product on the shortlist") {
     // hand-check the kernels: identical vectors must ADC-score near the
     // exact dot product when each subspace has a near-exact centroid
