@@ -577,6 +577,81 @@ object SparkEntry {
     Dedup.paragraphDedup(chunked, "doc_id", "text")
   }
 
+  /** BPE tokenizer training (Sennrich-style): 6 merge rounds over the
+    * frequency-capped corpus vocabulary. The oracle replays training in
+    * unrolled SQL — per round, the pair-count argmax plus a closed-form
+    * greedy merge (run-parity islands stand in for the sequential
+    * left-to-right fold, equivalent because overlapping-eligible
+    * positions only arise in equal-symbol runs).
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val (merges, vocab) = graft.text.Bpe.train(
+      Tables.documents(s, dir).select("text"), "text", rounds = 6, maxVocab = 100)
+    vocab.unpersist()
+    import s.implicits._
+    merges.map(m => (m.mergeNo, m.lhs, m.rhs, m.pairFreq))
+      .toDF("merge_no", "lhs", "rhs", "pair_freq")
+  }
+
+  /** The q98 oracle: BPE training unrolled round-by-round in DuckDB SQL
+    * (w = capped word frequencies; per round k: p=pair counts,
+    * m=argmax, e/g/d=eligibility + greedy run-parity merge decisions,
+    * rep=rebuilt symbol arrays). Validated against an independent
+    * sequential-fold reference implementation on the real corpus.
+    */
+  private def bpeMergesSql(rounds: Int, maxVocab: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      |        FROM documents)
+      |  WHERE word != ''
+      |  GROUP BY word ORDER BY freq DESC, word LIMIT $maxVocab),
+      |rep0 AS (
+      |  SELECT word, freq,
+      |         list_transform(range(1, len(word)+1), i -> word[i:i]) AS syms
+      |  FROM w)""".stripMargin
+    for (k <- 1 to rounds) {
+      val j = k - 1
+      sb ++= s""",
+      |p$k AS (
+      |  SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT freq,
+      |          unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS u
+      |        FROM rep$j)
+      |  GROUP BY 1, 2),
+      |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+      |e$k AS (
+      |  SELECT word, freq, u.i AS i, u.s AS s,
+      |         coalesce(u.i < len(syms) AND u.s = m.l AND syms[u.i+1] = m.r, false) AS elig
+      |  FROM (SELECT word, freq, syms,
+      |          unnest(list_transform(syms, (x, i) -> {'i': i, 's': x})) AS u
+      |        FROM rep$j)
+      |       LEFT JOIN m$k m ON true),
+      |g$k AS (
+      |  SELECT *, CASE WHEN elig THEN i - row_number()
+      |    OVER (PARTITION BY word, elig ORDER BY i) END AS grp
+      |  FROM e$k),
+      |d$k AS (
+      |  SELECT *, elig AND (row_number()
+      |    OVER (PARTITION BY word, elig, grp ORDER BY i) % 2 = 1) AS merged
+      |  FROM g$k),
+      |rep$k AS (
+      |  SELECT word, freq, list(sym ORDER BY i) AS syms
+      |  FROM (SELECT word, freq, i,
+      |          CASE WHEN merged THEN s || lead(s) OVER (PARTITION BY word ORDER BY i)
+      |               ELSE s END AS sym,
+      |          coalesce(lag(merged) OVER (PARTITION BY word ORDER BY i), false) AS absorbed
+      |        FROM d$k)
+      |  WHERE NOT absorbed
+      |  GROUP BY word, freq)""".stripMargin
+    }
+    sb ++= "\n" + (1 to rounds).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS merge_no, l AS lhs, r AS rhs, cnt AS pair_freq FROM m$k")
+      .mkString("\nUNION ALL\n")
+    sb.toString
+  }
+
   /** Continuous near-dup dedup: the documents corpus delivered as two
     * micro-batches (split at the id midpoint), each probing the LSH
     * index of everything admitted before it (StreamingDedup). Rows-only
@@ -1363,6 +1438,7 @@ object SparkEntry {
     "q95_stream_neardup" -> (q95 _),
     "q96_zorder" -> (q96 _),
     "q97_paragraph_dedup" -> (q97 _),
+    "q98_bpe_merges" -> (q98 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1798,6 +1874,7 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         |FROM r GROUP BY doc_id""".stripMargin,
+    "q98_bpe_merges" -> bpeMergesSql(rounds = 6, maxVocab = 100),
     "q92_table_profile" ->
       """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
         |       count(*) - count(l_quantity) AS n_null,

@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained byte-pair encoding — the token-budget currency of an
+  * LLM pipeline. Training follows Sennrich et al. (2016): start from
+  * characters, repeatedly merge the most frequent adjacent symbol pair,
+  * bounded rounds. Two aggregation jobs per round (pair counts → one
+  * collected argmax row; fold application is map-only), against the
+  * word-FREQUENCY table, never the corpus: the classic trick that makes
+  * BPE training corpus-size-independent — a 100 TB corpus and its 10⁷-
+  * word vocabulary train identically. The vocab is additionally capped
+  * (`maxVocab`, frequency-ranked) like every production tokenizer's
+  * trainer.
+  *
+  * Counting tokens of a corpus under the trained model is a broadcast
+  * lookup of each word's trained symbol count (out-of-vocab words fall
+  * back to character count — the no-merges upper bound), so the count
+  * pass is one scan + one broadcast join at any scale.
+  *
+  * Divergence from GPT-2 BPE, documented: merges stay within
+  * whitespace words (no end-of-word marker, no byte fallback) — the
+  * operator shape is identical, the alphabet simpler.
+  */
+object Bpe {
+
+  /** One trained merge: `lhs`+`rhs` fused at training round `mergeNo`
+    * with corpus pair frequency `pairFreq`.
+    */
+  final case class Merge(mergeNo: Int, lhs: String, rhs: String, pairFreq: Long)
+
+  /** The word-frequency relation BPE trains on: lowercased whitespace
+    * words of `textCol`, frequency-ranked, capped at `maxVocab`
+    * (deterministic tie-break on the word).
+    */
+  def wordFrequencies(docs: DataFrame, textCol: String, maxVocab: Int): DataFrame =
+    docs.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word"))
+      .limit(maxVocab)
+
+  /** Greedy left-to-right single-pass merge of adjacent (l, r) symbol
+    * pairs — BPE's application step: a merged pair is consumed and does
+    * not re-merge within the pass ("aaa" + (a,a) → ["aa","a"]). One
+    * fold expression, map-only: state is (emitted symbols, pending
+    * symbol).
+    */
+  def applyMerge(syms: Column, l: String, r: String): Column = {
+    val init = struct(
+      typedLit(Seq.empty[String]).as("out"),
+      lit(null).cast("string").as("pend"))
+    val folded = aggregate(syms, init,
+      (acc, s) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        when(pend.isNull, struct(out.as("out"), s.as("pend")))
+          .when(pend === lit(l) && s === lit(r),
+            struct(concat(out, array(lit(l + r))).as("out"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(struct(concat(out, array(pend)).as("out"), s.as("pend")))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+    folded
+  }
+
+  /** Train `rounds` merges over the corpus. Returns the merge table in
+    * training order plus the trained vocabulary (word, freq, syms) —
+    * each word's final symbol decomposition, the lookup table token
+    * counting uses. Stops early if no adjacent pair remains. Argmax
+    * tie-break is (count desc, lhs asc, rhs asc) — binary string order,
+    * identical in Spark and the DuckDB oracle.
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+      maxVocab: Int = 10000): (Seq[Merge], DataFrame) = {
+    require(rounds >= 0 && maxVocab > 0, "rounds/maxVocab must be positive")
+    var rep = wordFrequencies(docs, textCol, maxVocab)
+      .withColumn("syms", split(col("word"), ""))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rep.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    for (round <- 1 to rounds if !exhausted) {
+      val top = rep.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(round, l, r, c)
+        val next = rep.withColumn("syms", applyMerge(col("syms"), l, r))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent generation
+        rep.unpersist()
+        rep = next
+      }
+    }
+    (merges.toSeq, rep)
+  }
+
+  /** Real token counts under a trained vocabulary: per doc, the sum of
+    * each word's trained symbol count, out-of-vocab words at character
+    * count (the zero-merges upper bound). Docs with no words count 0.
+    */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val perWord = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(vocab.select(col("word"), size(col("syms")).as("__n"))),
+        Seq("word"), "left")
+      .withColumn("__n", coalesce(col("__n"), length(col("word")).cast("int")))
+      .groupBy("doc_id").agg(sum(col("__n")).as("n_bpe_tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perWord, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bpe_tokens"))
+  }
+}

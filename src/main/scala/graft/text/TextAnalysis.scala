@@ -19,6 +19,8 @@ object TextAnalysis {
     * single digits, punctuation) — the GPT-2-style pre-split that upper
     * bounds BPE merges. Regex engine differences across engines are
     * avoided by keeping the pattern to portable character classes.
+    * For counts under a CORPUS-TRAINED merge table, use
+    * [[graft.text.Bpe.train]] + [[graft.text.Bpe.tokenCount]].
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Sennrich et al.'s worked example shape: low×5 lower×2 newest×6
+  // widest×3 — merge sequence hand-computed (count desc, lhs asc,
+  // rhs asc tie-break)
+  private def corpus = Seq(
+    (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+    (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("train reproduces the hand-computed merge sequence") {
+    val (merges, vocab) = Bpe.train(corpus, "text", rounds = 6)
+    try {
+      assert(merges.map(m => (m.mergeNo, m.lhs, m.rhs, m.pairFreq)) === Seq(
+        (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
+        (4, "lo", "w", 7L), (5, "e", "w", 6L), (6, "ew", "est", 6L)))
+      val reps = vocab.select("word", "syms").as[(String, Seq[String])]
+        .collect().toMap
+      assert(reps("low") === Seq("low"))
+      assert(reps("lower") === Seq("low", "e", "r"))
+      assert(reps("newest") === Seq("n", "ewest"))
+      assert(reps("widest") === Seq("w", "i", "d", "est"))
+    } finally vocab.unpersist()
+  }
+
+  test("applyMerge is greedy left-to-right, non-overlapping") {
+    val df = Seq(Tuple1(Seq("a", "a", "a")), Tuple1(Seq("a", "a", "a", "a")),
+      Tuple1(Seq("b", "a", "a")), Tuple1(Seq("a", "b", "a")))
+      .toDF("syms")
+    val got = df.select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(got === Seq(
+      Seq("aa", "a"), Seq("aa", "aa"), Seq("b", "aa"), Seq("a", "b", "a")))
+  }
+
+  test("train stops early when no pairs remain") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(tiny, "text", rounds = 10)
+    try assert(merges.map(m => (m.lhs, m.rhs)) === Seq(("a", "b")))
+    finally vocab.unpersist()
+  }
+
+  test("tokenCount sums trained symbol counts, OOV at char count, empty doc 0") {
+    val (_, vocab) = Bpe.train(corpus, "text", rounds = 6)
+    try {
+      val docs = Seq(
+        (10L, "low lower"),       // 1 + 3 trained symbols
+        (11L, "unseen low"),      // 6 (OOV chars) + 1
+        (12L, "")).toDF("doc_id", "text")
+      val got = Bpe.tokenCount(docs, "doc_id", "text", vocab)
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(10L -> 4L, 11L -> 7L, 12L -> 0L))
+    } finally vocab.unpersist()
+  }
+
+  test("vocab cap keeps the most frequent words with deterministic ties") {
+    val docs = Seq((1L, "x x x y y z")).toDF("doc_id", "text")
+    val wf = Bpe.wordFrequencies(docs, "text", maxVocab = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(wf === Seq(("x", 3L), ("y", 2L)))
+  }
+}
