@@ -103,15 +103,20 @@ object Pipelines {
       maxTopWordRatio: Double = 0.5,
       budget: Option[Long] = None,
       seqLen: Int = 1024,
-      shardCol: String = "source")
+      shardCol: String = "source",
+      // drop repeated normalized lines across the corpus (C4/CCNet
+      // boilerplate removal) before whole-doc dedup; adds one md5-key
+      // owner-election agg + one doc_id reassembly shuffle
+      paragraphDedup: Boolean = false)
 
   /** The full LLM training-data curation flow as ONE library call —
     * what a user of the reference's script-per-step world replaces
     * their corpus pipeline with:
     *
-    *   PII scrub → quality + repetition gates → benchmark
-    *   decontamination → exact near-dup dedup (first occurrence wins)
-    *   → optional temperature mixture rebalance → sequence packing.
+    *   PII scrub → quality + repetition gates → optional paragraph-
+    *   level boilerplate dedup → benchmark decontamination → exact
+    *   near-dup dedup (first occurrence wins) → optional temperature
+    *   mixture rebalance → sequence packing.
     *
     * Plan shape at 100 TB: the scrub and both gates are map-only
     * column expressions riding the ingest scan (the repetition gate is
@@ -120,7 +125,9 @@ object Pipelines {
     * shuffle on the content fingerprint; mixture sampling aggregates
     * |groups| rows and broadcasts the rates; packing is one running
     * window per shard. Two corpus-sized shuffles total (dedup key,
-    * pack shard) — everything else is scan-side or broadcast.
+    * pack shard) — everything else is scan-side or broadcast; the
+    * opt-in paragraph stage adds its own two (line-key owner election,
+    * doc reassembly).
     */
   def curateCorpus(docs: DataFrame, benchmark: DataFrame,
       cfg: CurationConfig = CurationConfig()): DataFrame = {
@@ -145,7 +152,22 @@ object Pipelines {
         col("__rep.top_word").cast("double") / col("__rep.n_words")
           <= cfg.maxTopWordRatio)
       .drop("__rep")
-    val cleaned = Curation.decontaminate(gated, benchmark, "text")
+    val paraClean =
+      if (!cfg.paragraphDedup) gated
+      else {
+        // reassembled text replaces the original; token count and the
+        // downstream fingerprint follow the SURVIVING content — docs
+        // reduced to nothing ("" after losing every line) fall to the
+        // quality gate's floor and drop here
+        val slim = graft.dedup.Dedup.paragraphDedup(gated, "doc_id", "text")
+          .select(col("doc_id"), col("text").as("__pd_text"))
+        gated.drop("text")
+          .join(slim, Seq("doc_id"))
+          .withColumnRenamed("__pd_text", "text")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+          .filter(col("text") =!= "")
+      }
+    val cleaned = Curation.decontaminate(paraClean, benchmark, "text")
       .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
     val deduped = Prep.dedupKeepFirst(cleaned, Seq("__fp"), Seq(col("doc_id")))
       .drop("__fp")

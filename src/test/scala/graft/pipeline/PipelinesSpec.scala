@@ -106,4 +106,27 @@ class PipelinesSpec extends SparkSpec {
       }
     }
   }
+
+  test("curateCorpus paragraphDedup stage strips cross-doc boilerplate lines") {
+    import org.apache.spark.sql.functions._
+    def body(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    val footer = (0 until 40).map(j => s"the footer${j} of").mkString(" ")
+    val docs = Seq(
+      (1L, body(1) + "\n" + footer, "en", "srcA"),
+      (2L, body(2) + "\n" + footer, "en", "srcA"),  // loses the footer to doc 1
+      (3L, footer, "en", "srcB")                    // ONLY boilerplate → dropped
+    ).toDF("doc_id", "text", "lang", "source")
+    val benchmark = Seq("nothing matches this").toDF("text")
+    val packed = Pipelines.curateCorpus(docs, benchmark,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 1000,
+        paragraphDedup = true))
+    val byId = packed.select("doc_id", "text", "n_tokens")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId.keySet === Set(1L, 2L))
+    assert(byId(1L)._1.contains("footer0"))   // first owner keeps it
+    assert(!byId(2L)._1.contains("footer0"))  // later copy stripped
+    // token budget follows the SURVIVING content
+    assert(byId(2L)._2 === 120L && byId(1L)._2 === 240L)
+  }
 }
