@@ -577,6 +577,17 @@ object SparkEntry {
     Dedup.paragraphDedup(chunked, "doc_id", "text")
   }
 
+  /** Exact substring dedup (Lee et al. 2022): every duplicated 20-token
+    * span across the corpus is removed except its first occurrence —
+    * span-level dedup across line boundaries, the mode paragraph
+    * dedup can't express. 20 tokens (vs the paper's 50) because the
+    * synthetic docs are 40–100 words.
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+      windowTokens = 20)
+
   /** BPE tokenizer training (Sennrich-style): 6 merge rounds over the
     * frequency-capped corpus vocabulary. The oracle replays training in
     * unrolled SQL — per round, the pair-count argmax plus a closed-form
@@ -1439,6 +1450,7 @@ object SparkEntry {
     "q96_zorder" -> (q96 _),
     "q97_paragraph_dedup" -> (q97 _),
     "q98_bpe_merges" -> (q98 _),
+    "q99_substring_dedup" -> (q99 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1875,6 +1887,47 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         |FROM r GROUP BY doc_id""".stripMargin,
     "q98_bpe_merges" -> bpeMergesSql(rounds = 6, maxVocab = 100),
+    // w = 20: rolling-hash grams, keep-first owner election (window
+    // row_number == Spark's min-struct), non-owner occurrences cover
+    // their 20 positions, anti-join + ordered string_agg reassembly
+    "q99_substring_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |t AS (
+        |  SELECT doc_id, pos, tok FROM (
+        |    SELECT doc_id, u.i AS pos, u.t AS tok
+        |    FROM (SELECT doc_id, unnest(list_transform(ws, (x, i) -> {'i': i, 't': x})) AS u
+        |          FROM d))
+        |  WHERE tok != ''),
+        |g AS (
+        |  SELECT doc_id, u.p AS pos, u.h AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(ws) - 18),
+        |            i -> {'p': i, 'h': md5(array_to_string(ws[i : i+19], ' '))})) AS u
+        |        FROM d)),
+        |o AS (
+        |  SELECT h, doc_id AS od, pos AS op FROM (
+        |    SELECT h, doc_id, pos, count(*) OVER (PARTITION BY h) AS c,
+        |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM g) WHERE c > 1 AND rn = 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 20)) AS pos
+        |    FROM (SELECT g.doc_id, g.pos FROM g JOIN o ON g.h = o.h
+        |          WHERE NOT (g.doc_id = o.od AND g.pos = o.op)))),
+        |k AS (
+        |  SELECT doc_id, pos, tok FROM t ANTI JOIN cov USING (doc_id, pos)),
+        |r AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |         CAST(count(*) AS BIGINT) AS n_tokens_kept
+        |  FROM k GROUP BY doc_id)
+        |SELECT d2.doc_id,
+        |       coalesce(r.text, '') AS text,
+        |       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+        |       CAST(d2.total - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+        |FROM (SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x != '')) AS total FROM documents) d2
+        |LEFT JOIN r USING (doc_id)""".stripMargin,
     "q92_table_profile" ->
       """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
         |       count(*) - count(l_quantity) AS n_null,

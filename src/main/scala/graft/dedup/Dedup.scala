@@ -95,6 +95,82 @@ object Dedup {
       sum((!col("__keep")).cast("long")).as("n_dropped"))
   }
 
+  /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): remove every repeated
+    * `windowTokens`-token span across the corpus except its FIRST
+    * occurrence in (doc_id, position) order — the span-level dedup
+    * that catches duplication [[paragraphDedup]]'s line boundaries
+    * can't (quotes, templated passages, mid-paragraph boilerplate).
+    * The paper builds a suffix array; the relational equivalent is
+    * rolling window hashes: every token position contributes one
+    * md5'd w-gram (the same corpus-sized gram relation the n-gram
+    * decontaminator builds), duplicated grams elect a keep-first
+    * owner via a map-side-combinable min aggregate, and every
+    * NON-owner occurrence marks its w token positions for removal.
+    * Reassembly joins the surviving tokens per doc (single-space
+    * normalized — documented divergence: original inter-token
+    * whitespace is not preserved).
+    *
+    * Scale shape: the gram relation is one row per token position
+    * (identical to q86's probe side); its groupBy moves only (16-byte
+    * hash, id, pos) triples with map-side combine. The removal
+    * explosion is w× the count of ACTUAL duplicate occurrences, not
+    * the corpus. Three corpus-sized shuffles total (gram election,
+    * coverage anti-join, doc reassembly) — inherent to the operator.
+    *
+    * Returns (doc_id, text, n_tokens_kept, n_tokens_removed); every
+    * input doc is present, text = "" if fully covered by earlier
+    * duplicates.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val w = windowTokens
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col("doc_id"),
+        posexplode(col("__ws")).as(Seq("__p0", "tok")))
+      .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("tok"))
+      .filter(col("tok") =!= "")
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col("doc_id"), explode(
+        when(size(col("__ws")) >= w,
+          transform(sequence(lit(1), size(col("__ws")) - (w - 1)),
+            i => struct(i.as("pos"),
+              md5(concat_ws(" ", slice(col("__ws"), i, lit(w)))).as("h"))))
+          .otherwise(typedLit(Seq.empty[(Int, String)])
+            .cast("array<struct<pos:int,h:string>>"))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val owners = grams.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__owner"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("h"), col("__owner"))
+    val covered = grams.join(owners, Seq("h"))
+      .filter(col("__owner.doc_id") =!= col("doc_id") ||
+        col("__owner.pos") =!= col("pos"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val reassembled = kept.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        _.getField("tok")), " ").as("text"),
+      count(lit(1)).as("n_tokens_kept"))
+    docs.select(col(idCol).as("doc_id"),
+      size(array_remove(split(trim(col(textCol)), "\\s+"), "")).as("__total"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__total") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .cast("long").as("n_tokens_removed"))
+  }
+
   // ----------------------------------------------------------- shingles
 
   /** Shingles from an already-materialized words array.

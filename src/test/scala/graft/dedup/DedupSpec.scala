@@ -53,6 +53,42 @@ class DedupSpec extends SparkSpec {
     assert(got === ((1L, "same line\nmiddle", 2L, 1L)))
   }
 
+  test("substringDedup removes later copies of a shared span, keeps the first") {
+    val span = (1 to 6).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha one two $span tail1 tail2"),
+      // same 6-token span mid-document → those 6 tokens removed here
+      (2L, s"beta $span omega"),
+      (3L, "gamma entirely unrelated words only here")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", windowTokens = 6)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got(0) === ((1L, s"alpha one two $span tail1 tail2", 11L, 0L)))
+    assert(got(1) === ((2L, "beta omega", 2L, 6L)))
+    assert(got(2) === ((3L, "gamma entirely unrelated words only here", 6L, 0L)))
+  }
+
+  test("substringDedup covers overlapping duplicated windows as one span") {
+    // doc 2 repeats an 8-token run: three overlapping 6-grams all dup
+    // → the full 8 tokens are removed, not just one window
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run padding1 padding2"),
+      (2L, s"x1 x2 $run y1 y2")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", windowTokens = 6)
+      .filter($"doc_id" === 2L)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(got === ((2L, "x1 x2 y1 y2", 4L, 8L)))
+  }
+
+  test("substringDedup dedups self-repetition within one doc") {
+    val s6 = (1 to 6).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, s"$s6 middle $s6")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", windowTokens = 6)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(got === ((1L, s"$s6 middle", 7L, 6L)))
+  }
+
   test("jaccard of word shingles: identical=1, disjoint=0") {
     val df = Seq((
       Seq("a b c", "b c d"),
