@@ -588,6 +588,15 @@ object SparkEntry {
       Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
       windowTokens = 20)
 
+  /** CCNet-style head/middle/tail fluency tiers over the corpus-trained
+    * bigram LM (q85's score, integer-floored per bigram, global ntile
+    * with doc_id tie-break).
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.fluencyBuckets(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+      nBuckets = 3)
+
   /** BPE tokenizer training (Sennrich-style): 6 merge rounds over the
     * frequency-capped corpus vocabulary. The oracle replays training in
     * unrolled SQL — per round, the pair-count argmax plus a closed-form
@@ -1451,6 +1460,7 @@ object SparkEntry {
     "q97_paragraph_dedup" -> (q97 _),
     "q98_bpe_merges" -> (q98 _),
     "q99_substring_dedup" -> (q99 _),
+    "q100_fluency_buckets" -> (q100 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1928,6 +1938,40 @@ object SparkEntry {
         |FROM (SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |        x -> x != '')) AS total FROM documents) d2
         |LEFT JOIN r USING (doc_id)""".stripMargin,
+    // q85's fluency pipeline as a CTE, then the integer-floored
+    // per-bigram score and a deterministic global ntile (ties on
+    // doc_id); floor() before the BIGINT cast because DuckDB's
+    // double->int cast rounds while Spark's truncates
+    "q100_fluency_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
+        |b AS (SELECT doc_id,
+        |             unnest(list_transform(range(len(ws) - 1), i -> ws[i + 1])) AS w1,
+        |             unnest(list_transform(range(len(ws) - 1), i -> ws[i + 2])) AS w2
+        |      FROM w),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(ws) AS tok FROM t)),
+        |fl AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |         sum(CAST(floor(1e9 * (CAST(c2.c2 + 1 AS DOUBLE) /
+        |                                CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT)) AS fluency_fp
+        |  FROM b
+        |  JOIN c2 USING (w1, w2)
+        |  JOIN c1 USING (w1)
+        |  CROSS JOIN v
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id,
+        |       CAST(floor(fluency_fp / n_bigrams) AS BIGINT) AS score_fp,
+        |       CAST(ntile(3) OVER (
+        |         ORDER BY CAST(floor(fluency_fp / n_bigrams) AS BIGINT) DESC, doc_id)
+        |         AS INTEGER) AS bucket
+        |FROM fl""".stripMargin,
     "q92_table_profile" ->
       """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
         |       count(*) - count(l_quantity) AS n_null,

@@ -200,6 +200,41 @@ object TextAnalysis {
     out
   }
 
+  /** CCNet-style fluency bucketing: rank every document by its
+    * per-bigram [[bigramFluency]] score and split into `nBuckets`
+    * equal tiers (bucket 1 = most fluent — CCNet's "head"; for
+    * nBuckets = 3 the classic head/middle/tail). The per-doc score is
+    * the integer-floored average smoothed-bigram probability in 1e-9
+    * units, so ranking is exact-integer and engine-independent; ties
+    * break on doc_id.
+    *
+    * Scale note: ntile is a GLOBAL sort of doc-count rows (score +
+    * two longs per doc, not the corpus — the same accepted shape as
+    * the q70 binning). At extreme doc counts, swap the ntile for
+    * approximate score-quantile thresholds broadcast to a map-only
+    * bucket assignment; kept exact here so the result is
+    * oracle-checkable.
+    *
+    * Returns (doc_id, score_fp, bucket); docs with < 2 words carry no
+    * score and are excluded, as in [[bigramFluency]].
+    */
+  def fluencyBuckets(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val fl = bigramFluency(docs, idCol, textCol)
+    val out = fl
+      .withColumn("score_fp",
+        floor(col("fluency_fp") / col("n_bigrams")).cast("long"))
+      .withColumn("bucket", ntile(nBuckets).over(
+        Window.orderBy(col("score_fp").desc, col("doc_id"))))
+      .select("doc_id", "score_fp", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    fl.unpersist()
+    out
+  }
+
   /** Gopher/C4-style repetition signals per document: share of the most
     * frequent word, duplicate-word mass, share of the most frequent
     * adjacent bigram — the standard "repetitious document" gates an LLM

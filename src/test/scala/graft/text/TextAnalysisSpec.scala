@@ -101,6 +101,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("fluencyBuckets ranks fluent docs into head, rare into tail") {
+    // reuse the bigramFluency fixture: doc 1 (typical bigrams) must
+    // out-rank doc 2 (rare bigram); doc 3 has no bigrams → excluded
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "c d"),
+      (3L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.fluencyBuckets(df, "doc_id", "text", nBuckets = 2)
+    try {
+      val byId = got.as[(Long, Long, Int)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(byId.keySet === Set(1L, 2L))
+      assert(byId(1L)._2 === 1 && byId(2L)._2 === 2)
+      // score is the integer-floored per-bigram average
+      val exp1 = (3L * math.floor(1e9 * (4.0 / 7.0)).toLong +
+        2L * math.floor(1e9 * 0.5).toLong) / 5
+      assert(byId(1L)._1 === exp1)
+    } finally got.unpersist()
+  }
+
   test("repetitionProfile: hand-checked counters and ratios") {
     val df = Seq(
       (1L, "a a b"),          // 3 words, 2 distinct, top word a=2; bigrams: "a a","a b" → top 1
