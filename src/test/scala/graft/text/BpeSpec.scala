@@ -66,4 +66,55 @@ class BpeSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(wf === Seq(("x", 3L), ("y", 2L)))
   }
+
+  test("property: train matches a sequential reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small alphabet → dense pair collisions, the regime where greedy
+    // overlap rules and tie-breaks actually bite
+    val wordGen = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, wordGen))
+
+    def reference(words: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+      val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var reps: Map[String, Vector[String]] =
+        freq.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var done = false
+      for (k <- 1 to rounds if !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, f) <- freq; s = reps(w); i <- 0 until s.size - 1)
+          pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + f
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, r), c) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((k, l, r, c))
+          reps = reps.map { case (w, s) =>
+            val b = Vector.newBuilder[String]
+            var pend: String = null
+            for (x <- s) {
+              if (pend == null) pend = x
+              else if (pend == l && x == r) { b += (l + r); pend = null }
+              else { b += pend; pend = x }
+            }
+            if (pend != null) b += pend
+            w -> b.result()
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    (0 until 6).foreach { i =>
+      corpusGen(Gen.Parameters.default, Seed(1234L + i)).foreach { words =>
+        val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+        val (merges, vocab) = Bpe.train(docs, "text", rounds = 5)
+        try assert(
+          merges.map(m => (m.mergeNo, m.lhs, m.rhs, m.pairFreq)) ===
+            reference(words, 5), s"corpus: ${words.mkString(" ")}")
+        finally vocab.unpersist()
+      }
+    }
+  }
 }
