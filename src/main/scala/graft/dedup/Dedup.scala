@@ -459,26 +459,26 @@ object Dedup {
         .withColumnRenamed("__batch_owner", "dup_of"))
   }
 
-  /** Fold a deduplicated batch's survivors into the index: union the
-    * survivors' buckets with the existing index and keep ONE owner per
-    * bucket, existing owners winning (then smallest id) — so ownership
-    * is stable under refresh and independent of batch arrival order
-    * for the buckets both sides touch. One shuffle on the bucket key,
-    * sized by index + batch bands — corpus history is never re-read.
+  /** Fold a deduplicated batch's survivors into the index: existing
+    * owners win (then smallest id), so ownership is stable under
+    * refresh and independent of batch arrival order. Existing-owner-
+    * wins makes index rows immutable, so the merge IS
+    * index ∪ [[newIndexRows]] — the batch's claims on untouched
+    * buckets — with no re-window over the full union (the round-5
+    * formulation sorted index + batch per refresh). The result is
+    * re-persisted (O(index) cache write per refresh — the caller
+    * controls cadence); the continuously-triggered path is
+    * [[graft.streaming.StreamingDedup]]'s bucketed-table mode, which
+    * appends the same rows to storage instead.
     */
   def updateIndex(index: DataFrame, survivors: DataFrame,
       idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val fresh = bucketIndex(survivors, idCol, textCol, shingleK, bands, rowsPerBand)
-    val w = Window.partitionBy(col("band"), col("band_hash"))
-      .orderBy(col("__pri"), col("owner_id"))
-    val merged = index.withColumn("__pri", lit(0))
-      .unionByName(fresh.withColumn("__pri", lit(1)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "__pri")
+    val merged = index
+      .unionByName(newIndexRows(index, survivors, idCol, textCol,
+        shingleK, bands, rowsPerBand))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     merged.count() // materialize before the caller drops its old index
-    fresh.unpersist()
     merged
   }
 

@@ -89,6 +89,43 @@ class DedupSpec extends SparkSpec {
     assert(got === ((1L, s"$s6 middle", 7L, 6L)))
   }
 
+  test("property: substringDedup matches a sequential reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val w = 4
+    // tiny alphabet + short docs → dense window collisions, overlap
+    // runs, self-repetition: every edge of the coverage rules
+    val docGen = Gen.chooseNum(0, 25)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("p", "q", "r")).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, docGen))
+
+    def reference(docs: Seq[(Long, String)]): Seq[(Long, String, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").filter(_.nonEmpty).toVector }.toMap
+      val occ = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+      for ((id, ws) <- toks.toSeq.sortBy(_._1); i <- 1 to ws.size - w + 1)
+        occ.updateWith(ws.slice(i - 1, i - 1 + w).mkString(" "))(
+          o => Some(o.getOrElse(Nil) :+ ((id, i))))
+      val cov = scala.collection.mutable.Map.empty[Long, Set[Int]].withDefaultValue(Set.empty)
+      for ((_, os) <- occ if os.size > 1; owner = os.min; (id, p) <- os if (id, p) != owner)
+        cov(id) = cov(id) ++ (p until p + w)
+      docs.map { case (id, _) =>
+        val ws = toks(id)
+        val kept = ws.zipWithIndex.collect { case (t, j) if !cov(id).contains(j + 1) => t }
+        (id, kept.mkString(" "), kept.size.toLong, (ws.size - kept.size).toLong)
+      }
+    }
+
+    (0 until 6).foreach { i =>
+      corpusGen(Gen.Parameters.default, Seed(77L + i)).foreach { texts =>
+        val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        val got = Dedup.substringDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", windowTokens = w)
+          .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+        assert(got === reference(docs), s"corpus: $docs")
+      }
+    }
+  }
+
   test("jaccard of word shingles: identical=1, disjoint=0") {
     val df = Seq((
       Seq("a b c", "b c d"),
