@@ -235,6 +235,37 @@ object TextAnalysis {
     out
   }
 
+  /** The 100 TB-doc-count form of [[fluencyBuckets]]: bucket thresholds
+    * come from approximate score quantiles (one aggregate, driver
+    * holds nBuckets-1 doubles) and assignment is a map-only comparison
+    * chain — no global sort anywhere. Buckets agree with the exact
+    * ntile away from quantile-estimation boundaries (spec asserts
+    * ≥ 90% agreement on the real corpus); rows-only semantics (tie
+    * regions may differ run-to-run with the estimation error).
+    */
+  def fluencyBucketsAtScale(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 3, relativeError: Double = 0.001): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val fl = bigramFluency(docs, idCol, textCol)
+    val scored = fl.withColumn("score_fp",
+      floor(col("fluency_fp") / col("n_bigrams")).cast("long"))
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val thresholds =
+      if (probs.isEmpty) Array.empty[Double]
+      else scored.stat.approxQuantile("score_fp", probs.toArray, relativeError)
+    // bucket 1 = most fluent: 1 + number of ASCENDING quantile
+    // thresholds the score fails to reach
+    val bucket = thresholds.foldLeft(lit(1)) { (acc, t) =>
+      acc + when(col("score_fp") < lit(t), 1).otherwise(0)
+    }
+    val out = scored.select(col("doc_id"), col("score_fp"),
+      bucket.cast("int").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    fl.unpersist()
+    out
+  }
+
   /** Gopher/C4-style repetition signals per document: share of the most
     * frequent word, duplicate-word mass, share of the most frequent
     * adjacent bigram — the standard "repetitious document" gates an LLM

@@ -121,6 +121,24 @@ class TextAnalysisSpec extends SparkSpec {
     } finally got.unpersist()
   }
 
+  test("fluencyBucketsAtScale agrees with the exact ntile away from boundaries") {
+    assume(new java.io.File("/root/testdata/sf0.01/documents.parquet").exists())
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val exact = TextAnalysis.fluencyBuckets(docs, "doc_id", "text", 3)
+    val approx = TextAnalysis.fluencyBucketsAtScale(docs, "doc_id", "text", 3)
+    try {
+      val joined = exact.select($"doc_id", $"bucket".as("b_exact"))
+        .join(approx.select($"doc_id", $"bucket".as("b_approx")), "doc_id")
+      val n = joined.count()
+      val agree = joined.filter($"b_exact" === $"b_approx").count()
+      assert(n === 500L)
+      assert(agree.toDouble / n >= 0.9, s"agreement ${agree.toDouble / n}")
+      // all three tiers populated in both forms
+      assert(approx.select("bucket").distinct().count() === 3)
+    } finally { exact.unpersist(); approx.unpersist() }
+  }
+
   test("repetitionProfile: hand-checked counters and ratios") {
     val df = Seq(
       (1L, "a a b"),          // 3 words, 2 distinct, top word a=2; bigrams: "a a","a b" → top 1
