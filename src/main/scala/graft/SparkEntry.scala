@@ -565,8 +565,9 @@ object SparkEntry {
     * operator exists for), then every repeated normalized line across
     * the corpus is dropped keep-first and the docs reassembled.
     */
-  private def q97(s: SparkSession, dir: String): DataFrame = {
-    val chunked = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+  /** The q97/q101 corpus: docs chunked into 15-word lines. */
+  private def chunkedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .withColumn("__ws", split(col("text"), " "))
       .withColumn("text", array_join(
         transform(
@@ -574,7 +575,47 @@ object SparkEntry {
           i => array_join(slice(col("__ws"), i * 15 + 1, lit(15)), " ")),
         "\n"))
       .drop("__ws")
-    Dedup.paragraphDedup(chunked, "doc_id", "text")
+
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedup(chunkedDocs(s, dir), "doc_id", "text")
+
+  /** Streaming twin of q97: the chunked corpus lands as two file
+    * micro-batches (doc_id midpoint split, ordered arrival), each
+    * deduped within-batch then against the md5 line index of
+    * everything admitted before. Ordered ingest makes the result
+    * IDENTICAL to the batch operator, so this twin is hash-gated
+    * against the same oracle — the exactness MinHash twins can't have.
+    * Batch outputs land in a scratch parquet sink (never the driver).
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val docs = chunkedDocs(s, dir)
+    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val scratch = scratchDir("stream_paradedup")
+    docs.filter(col("doc_id") < mid).coalesce(1).write.parquet(s"$scratch/b1")
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.parquet(s"$scratch/b2")
+    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
+    val now = System.currentTimeMillis()
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$scratch/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(now - (1 - i) * 60000L)
+    }
+    import org.apache.spark.sql.types._
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val tbl = s"graft_pd_idx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = graft.streaming.StreamingParagraphDedup.start(
+      stream, "doc_id", "text", indexTable = tbl) { (out, _) =>
+      out.write.mode("append").parquet(s"$scratch/out")
+    }
+    try q.processAllAvailable()
+    finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $tbl") }
+    s.read.parquet(s"$scratch/out")
   }
 
   /** Exact substring dedup (Lee et al. 2022): every duplicated 20-token
@@ -612,6 +653,40 @@ object SparkEntry {
     merges.map(m => (m.mergeNo, m.lhs, m.rhs, m.pairFreq))
       .toDF("merge_no", "lhs", "rhs", "pair_freq")
   }
+
+  /** The q97/q101 oracle: the same 15-word chunking, normalization,
+    * keep-first owner election and string_agg reassembly as the Spark
+    * sides (batch operator and ordered-ingest streaming twin).
+    */
+  private val paragraphDedupSql: String =
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |ch AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, (len(ws)-1)//15 + 1),
+      |           i -> array_to_string(ws[i*15+1 : i*15+15], ' ')) AS paras
+      |  FROM w),
+      |p AS (
+      |  SELECT doc_id, u.i AS para_no, u.p AS para
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(paras, (x, i) -> {'i': i, 'p': x})) AS u
+      |        FROM ch)),
+      |t AS (
+      |  SELECT doc_id, para_no, para,
+      |         trim(para) = '' AS is_empty,
+      |         md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS k
+      |  FROM p),
+      |r AS (
+      |  SELECT doc_id, para_no, para,
+      |         CASE WHEN is_empty THEN TRUE
+      |              ELSE row_number() OVER (PARTITION BY k
+      |                     ORDER BY doc_id, para_no) = 1 END AS keep
+      |  FROM t)
+      |SELECT doc_id,
+      |       coalesce(string_agg(CASE WHEN keep THEN para END,
+      |                           chr(10) ORDER BY para_no), '') AS text,
+      |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+      |FROM r GROUP BY doc_id""".stripMargin
 
   /** The q98 oracle: BPE training unrolled round-by-round in DuckDB SQL
     * (w = capped word frequencies; per round k: p=pair counts,
@@ -1461,6 +1536,7 @@ object SparkEntry {
     "q98_bpe_merges" -> (q98 _),
     "q99_substring_dedup" -> (q99 _),
     "q100_fluency_buckets" -> (q100 _),
+    "q101_stream_paragraph_dedup" -> (q101 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1867,35 +1943,10 @@ object SparkEntry {
     // Same 15-word chunking, normalization, keep-first owner election
     // (row_number == Spark's min-struct — both are (doc_id, para_no)
     // lexicographic) and string_agg reassembly as q97's Spark side.
-    "q97_paragraph_dedup" ->
-      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
-        |ch AS (
-        |  SELECT doc_id,
-        |         list_transform(range(0, (len(ws)-1)//15 + 1),
-        |           i -> array_to_string(ws[i*15+1 : i*15+15], ' ')) AS paras
-        |  FROM w),
-        |p AS (
-        |  SELECT doc_id, u.i AS para_no, u.p AS para
-        |  FROM (SELECT doc_id,
-        |          unnest(list_transform(paras, (x, i) -> {'i': i, 'p': x})) AS u
-        |        FROM ch)),
-        |t AS (
-        |  SELECT doc_id, para_no, para,
-        |         trim(para) = '' AS is_empty,
-        |         md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS k
-        |  FROM p),
-        |r AS (
-        |  SELECT doc_id, para_no, para,
-        |         CASE WHEN is_empty THEN TRUE
-        |              ELSE row_number() OVER (PARTITION BY k
-        |                     ORDER BY doc_id, para_no) = 1 END AS keep
-        |  FROM t)
-        |SELECT doc_id,
-        |       coalesce(string_agg(CASE WHEN keep THEN para END,
-        |                           chr(10) ORDER BY para_no), '') AS text,
-        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-        |FROM r GROUP BY doc_id""".stripMargin,
+    "q97_paragraph_dedup" -> paragraphDedupSql,
+    // the streaming twin is exactness-preserving under ordered ingest
+    // (doc_id-midpoint file batches) — same oracle, hash-gated
+    "q101_stream_paragraph_dedup" -> paragraphDedupSql,
     "q98_bpe_merges" -> bpeMergesSql(rounds = 6, maxVocab = 100),
     // w = 20: rolling-hash grams, keep-first owner election (window
     // row_number == Spark's min-struct), non-owner occurrences cover

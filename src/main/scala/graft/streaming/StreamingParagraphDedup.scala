@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Continuous paragraph-level exact dedup — the streaming face of
+  * [[graft.dedup.Dedup.paragraphDedup]]: each micro-batch's lines are
+  * deduped within the batch (keep-first in (doc_id, para_no) order),
+  * probed against the md5 line-hash index of everything ADMITTED
+  * before, and the surviving lines reassemble the batch's documents;
+  * kept hashes fold into the index append-only. When ingest delivers
+  * doc_ids in order, the result is IDENTICAL to the batch operator
+  * over the full corpus — which is why the registered query (q101) is
+  * hash-gated against the same DuckDB oracle as q97, where every
+  * MinHash streaming twin can only be rows-only.
+  *
+  * Index = one md5 string per distinct non-empty normalized line, in
+  * a parquet table bucketed by hash: the probe anti-join needs no
+  * exchange on the index side and each batch appends only its new
+  * hashes — O(batch) shuffle per trigger, the same posture as
+  * [[StreamingDedup]]'s bucketed mode. Empty/whitespace lines are
+  * structural: always kept, never indexed (the corpus-wide empty-line
+  * hash would be a hot key AND a wrong dedup).
+  *
+  * Same foreachBatch discipline as [[StreamingDedup]] (learned
+  * empirically there): all reads/writes of the table go through the
+  * batch's cloned session, and every result that outlives the append
+  * is localCheckpoint'd first.
+  */
+object StreamingParagraphDedup {
+
+  /** Start the stream; `onBatch` receives each micro-batch's
+    * reassembled docs as (doc_id, text, n_kept, n_dropped).
+    */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+      indexTable: String, sep: String = "\n", indexBuckets: Int = 32)
+      (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val setup = docs.sparkSession
+    if (!setup.catalog.tableExists(indexTable))
+      setup.createDataFrame(
+        setup.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("h", StringType))))
+        .write.bucketBy(indexBuckets, "h").sortBy("h")
+        .format("parquet").mode("overwrite").saveAsTable(indexTable)
+
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val index = sess.table(indexTable)
+        val paras = batch
+          .select(col(idCol).as("doc_id"),
+            posexplode(split(col(textCol),
+              java.util.regex.Pattern.quote(sep), -1)))
+          .withColumnsRenamed(Map("pos" -> "para_no", "col" -> "para"))
+          .withColumn("__empty", trim(col("para")) === "")
+          .withColumn("__k",
+            md5(lower(trim(regexp_replace(col("para"), "\\s+", " ")))))
+        val nonEmpty = paras.filter(!col("__empty"))
+        // within-batch keep-first, then the cross-batch probe
+        val w = Window.partitionBy(col("__k"))
+          .orderBy(col("doc_id"), col("para_no"))
+        val batchOwners = nonEmpty
+          .withColumn("__rn", row_number().over(w))
+        val flagged = batchOwners
+          .join(index.withColumnRenamed("h", "__k").withColumn("__hit", lit(true)),
+            Seq("__k"), "left")
+          .withColumn("__keep", col("__rn") === 1 && col("__hit").isNull)
+          .drop("__rn", "__hit")
+          .unionByName(paras.filter(col("__empty")).withColumn("__keep", lit(true)))
+          .localCheckpoint()
+        val out = flagged.groupBy("doc_id").agg(
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("__keep"), struct(col("para_no"), col("para"))))),
+              _.getField("para")),
+            sep).as("text"),
+          sum(col("__keep").cast("long")).as("n_kept"),
+          sum((!col("__keep")).cast("long")).as("n_dropped"))
+          .localCheckpoint()
+        // admitted = this batch's kept non-empty hashes, appended once
+        val newHashes = flagged
+          .filter(col("__keep") && !col("__empty"))
+          .select(col("__k").as("h")).distinct()
+          .localCheckpoint()
+        newHashes.write.bucketBy(indexBuckets, "h").sortBy("h")
+          .format("parquet").mode("append").saveAsTable(indexTable)
+        onBatch(out, batchId)
+      }
+      .start()
+  }
+}

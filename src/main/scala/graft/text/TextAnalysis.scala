@@ -210,10 +210,10 @@ object TextAnalysis {
     *
     * Scale note: ntile is a GLOBAL sort of doc-count rows (score +
     * two longs per doc, not the corpus — the same accepted shape as
-    * the q70 binning). At extreme doc counts, swap the ntile for
-    * approximate score-quantile thresholds broadcast to a map-only
-    * bucket assignment; kept exact here so the result is
-    * oracle-checkable.
+    * the q70 binning); kept exact here so the result is
+    * oracle-checkable. At extreme doc counts use
+    * [[fluencyBucketsAtScale]] (quantile thresholds, map-only
+    * assignment, no global sort — proven ≥ 90%-agreeing in spec).
     *
     * Returns (doc_id, score_fp, bucket); docs with < 2 words carry no
     * score and are excluded, as in [[bigramFluency]].
