@@ -638,6 +638,43 @@ object SparkEntry {
       Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
       nBuckets = 3)
 
+  /** Streaming twin of q99: the raw corpus as two ordered file
+    * micro-batches, each batch's 20-gram hashes deduped within-batch
+    * then against the gram index of everything admitted before.
+    * Ordered ingest = exact batch semantics → shares q99's oracle,
+    * hash-gated.
+    */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val scratch = scratchDir("stream_ssdedup")
+    docs.filter(col("doc_id") < mid).coalesce(1).write.parquet(s"$scratch/b1")
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.parquet(s"$scratch/b2")
+    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
+    val now = System.currentTimeMillis()
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$scratch/$b").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(now - (1 - i) * 60000L)
+    }
+    import org.apache.spark.sql.types._
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val tbl = s"graft_ss_idx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = graft.streaming.StreamingSubstringDedup.start(
+      stream, "doc_id", "text", indexTable = tbl, windowTokens = 20) { (out, _) =>
+      out.write.mode("append").parquet(s"$scratch/out")
+    }
+    try q.processAllAvailable()
+    finally { q.stop(); s.sql(s"DROP TABLE IF EXISTS $tbl") }
+    s.read.parquet(s"$scratch/out")
+  }
+
   /** BPE tokenizer training (Sennrich-style): 6 merge rounds over the
     * frequency-capped corpus vocabulary. The oracle replays training in
     * unrolled SQL — per round, the pair-count argmax plus a closed-form
@@ -687,6 +724,50 @@ object SparkEntry {
       |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
       |FROM r GROUP BY doc_id""".stripMargin
+
+  /** The q99/q102 oracle: rolling 20-gram hashes, keep-first owner
+    * election, non-owner coverage, anti-join + ordered reassembly —
+    * shared by the batch operator and the ordered-ingest streaming
+    * twin.
+    */
+  private val substringDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |t AS (
+      |  SELECT doc_id, pos, tok FROM (
+      |    SELECT doc_id, u.i AS pos, u.t AS tok
+      |    FROM (SELECT doc_id, unnest(list_transform(ws, (x, i) -> {'i': i, 't': x})) AS u
+      |          FROM d))
+      |  WHERE tok != ''),
+      |g AS (
+      |  SELECT doc_id, u.p AS pos, u.h AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(ws) - 18),
+      |            i -> {'p': i, 'h': md5(array_to_string(ws[i : i+19], ' '))})) AS u
+      |        FROM d)),
+      |o AS (
+      |  SELECT h, doc_id AS od, pos AS op FROM (
+      |    SELECT h, doc_id, pos, count(*) OVER (PARTITION BY h) AS c,
+      |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |    FROM g) WHERE c > 1 AND rn = 1),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos FROM (
+      |    SELECT doc_id, unnest(range(pos, pos + 20)) AS pos
+      |    FROM (SELECT g.doc_id, g.pos FROM g JOIN o ON g.h = o.h
+      |          WHERE NOT (g.doc_id = o.od AND g.pos = o.op)))),
+      |k AS (
+      |  SELECT doc_id, pos, tok FROM t ANTI JOIN cov USING (doc_id, pos)),
+      |r AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+      |         CAST(count(*) AS BIGINT) AS n_tokens_kept
+      |  FROM k GROUP BY doc_id)
+      |SELECT d2.doc_id,
+      |       coalesce(r.text, '') AS text,
+      |       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+      |       CAST(d2.total - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+      |FROM (SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        x -> x != '')) AS total FROM documents) d2
+      |LEFT JOIN r USING (doc_id)""".stripMargin
 
   /** The q98 oracle: BPE training unrolled round-by-round in DuckDB SQL
     * (w = capped word frequencies; per round k: p=pair counts,
@@ -1537,6 +1618,7 @@ object SparkEntry {
     "q99_substring_dedup" -> (q99 _),
     "q100_fluency_buckets" -> (q100 _),
     "q101_stream_paragraph_dedup" -> (q101 _),
+    "q102_stream_substring_dedup" -> (q102 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -1951,44 +2033,9 @@ object SparkEntry {
     // w = 20: rolling-hash grams, keep-first owner election (window
     // row_number == Spark's min-struct), non-owner occurrences cover
     // their 20 positions, anti-join + ordered string_agg reassembly
-    "q99_substring_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |t AS (
-        |  SELECT doc_id, pos, tok FROM (
-        |    SELECT doc_id, u.i AS pos, u.t AS tok
-        |    FROM (SELECT doc_id, unnest(list_transform(ws, (x, i) -> {'i': i, 't': x})) AS u
-        |          FROM d))
-        |  WHERE tok != ''),
-        |g AS (
-        |  SELECT doc_id, u.p AS pos, u.h AS h
-        |  FROM (SELECT doc_id,
-        |          unnest(list_transform(range(1, len(ws) - 18),
-        |            i -> {'p': i, 'h': md5(array_to_string(ws[i : i+19], ' '))})) AS u
-        |        FROM d)),
-        |o AS (
-        |  SELECT h, doc_id AS od, pos AS op FROM (
-        |    SELECT h, doc_id, pos, count(*) OVER (PARTITION BY h) AS c,
-        |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-        |    FROM g) WHERE c > 1 AND rn = 1),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, pos FROM (
-        |    SELECT doc_id, unnest(range(pos, pos + 20)) AS pos
-        |    FROM (SELECT g.doc_id, g.pos FROM g JOIN o ON g.h = o.h
-        |          WHERE NOT (g.doc_id = o.od AND g.pos = o.op)))),
-        |k AS (
-        |  SELECT doc_id, pos, tok FROM t ANTI JOIN cov USING (doc_id, pos)),
-        |r AS (
-        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
-        |         CAST(count(*) AS BIGINT) AS n_tokens_kept
-        |  FROM k GROUP BY doc_id)
-        |SELECT d2.doc_id,
-        |       coalesce(r.text, '') AS text,
-        |       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
-        |       CAST(d2.total - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
-        |FROM (SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |        x -> x != '')) AS total FROM documents) d2
-        |LEFT JOIN r USING (doc_id)""".stripMargin,
+    "q99_substring_dedup" -> substringDedupSql,
+    // ordered-ingest streaming twin — same oracle, hash-gated
+    "q102_stream_substring_dedup" -> substringDedupSql,
     // q85's fluency pipeline as a CTE, then the integer-floored
     // per-bigram score and a deterministic global ntile (ties on
     // doc_id); floor() before the BIGINT cast because DuckDB's

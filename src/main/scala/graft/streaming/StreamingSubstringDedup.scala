@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Continuous exact substring dedup — the streaming face of
+  * [[graft.dedup.Dedup.substringDedup]] (Lee et al. 2022 span
+  * removal): each micro-batch's rolling w-gram hashes elect
+  * within-batch owners and probe the gram index of everything
+  * admitted before; every non-owner occurrence covers its w token
+  * positions, survivors reassemble, and the batch's OWNED gram
+  * hashes fold into the index append-only. Under ordered ingest the
+  * result is identical to the batch operator over the full corpus —
+  * q102 is hash-gated against q99's oracle.
+  *
+  * Index = one md5 string per distinct gram ever admitted, in a
+  * bucketed parquet table: probe and fold shuffle O(batch grams) per
+  * trigger. Same foreachBatch discipline as [[StreamingDedup]]
+  * (cloned-session reads/writes, localCheckpoint before the table
+  * mutates).
+  */
+object StreamingSubstringDedup {
+
+  def start(docs: DataFrame, idCol: String, textCol: String,
+      indexTable: String, windowTokens: Int = 50, indexBuckets: Int = 32)
+      (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(windowTokens >= 2, "windowTokens must be >= 2")
+    val w = windowTokens
+    val setup = docs.sparkSession
+    if (!setup.catalog.tableExists(indexTable))
+      setup.createDataFrame(
+        setup.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("h", StringType))))
+        .write.bucketBy(indexBuckets, "h").sortBy("h")
+        .format("parquet").mode("overwrite").saveAsTable(indexTable)
+
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val index = sess.table(indexTable)
+        val ws = batch.select(col(idCol).as("doc_id"),
+          split(trim(col(textCol)), "\\s+").as("__ws"))
+        val toks = ws
+          .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
+          .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("tok"))
+          .filter(col("tok") =!= "")
+        val grams = ws
+          .select(col("doc_id"), explode(
+            when(size(col("__ws")) >= w,
+              transform(sequence(lit(1), size(col("__ws")) - (w - 1)),
+                i => struct(i.as("pos"),
+                  md5(concat_ws(" ", slice(col("__ws"), i, lit(w)))).as("h"))))
+              .otherwise(typedLit(Seq.empty[(Int, String)])
+                .cast("array<struct<pos:int,h:string>>"))).as("g"))
+          .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+        val probed = grams
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+          .join(index.withColumn("__hit", lit(true)), Seq("h"), "left")
+          .localCheckpoint()
+        val covered = probed
+          .filter(col("__rn") > 1 || col("__hit").isNotNull)
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
+          .distinct()
+        val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        val reassembled = kept.groupBy("doc_id").agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            _.getField("tok")), " ").as("text"),
+          count(lit(1)).as("n_tokens_kept"))
+        val out = batch.select(col(idCol).as("doc_id"),
+          size(array_remove(split(trim(col(textCol)), "\\s+"), ""))
+            .as("__total"))
+          .join(reassembled, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("text"), lit("")).as("text"),
+            coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+            (col("__total") - coalesce(col("n_tokens_kept"), lit(0L)))
+              .cast("long").as("n_tokens_removed"))
+          .localCheckpoint()
+        // grams first OWNED in this batch enter the index
+        val newHashes = probed
+          .filter(col("__rn") === 1 && col("__hit").isNull)
+          .select(col("h")).distinct()
+          .localCheckpoint()
+        newHashes.write.bucketBy(indexBuckets, "h").sortBy("h")
+          .format("parquet").mode("append").saveAsTable(indexTable)
+        onBatch(out, batchId)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class StreamingSubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cross-batch repeated spans drop against the evolving gram index") {
+    val span = (1 to 6).map(i => s"sp$i").mkString(" ")
+    val tbl = s"graft_ss_spec_${System.nanoTime()}"
+    val mem = MemoryStream[(Long, String)](spark)
+    val got = mutable.Map.empty[Long, (String, Long, Long)]
+    val q = StreamingSubstringDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexTable = tbl, windowTokens = 6) { (out, _) =>
+      got ++= out.as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4)))
+    }
+    try {
+      // batch 1: doc 1 owns the span; doc 2's copy drops WITHIN batch
+      mem.addData(
+        (1L, s"alpha one $span"),
+        (2L, s"beta $span tail"))
+      q.processAllAvailable()
+      // batch 2: the span recurs (cross-batch) + a novel doc
+      mem.addData(
+        (10L, s"x1 x2 $span y1"),
+        (11L, "entirely novel words without any repeats at all"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+    assert(got(1L) === ((s"alpha one $span", 8L, 0L)))
+    assert(got(2L) === (("beta tail", 2L, 6L)))
+    assert(got(10L) === (("x1 x2 y1", 3L, 6L)))
+    assert(got(11L) === (("entirely novel words without any repeats at all", 8L, 0L)))
+  }
+}
