@@ -769,13 +769,57 @@ object SparkEntry {
       |        x -> x != '')) AS total FROM documents) d2
       |LEFT JOIN r USING (doc_id)""".stripMargin
 
+  /** Real token counts under the q98-trained vocabulary: train 6
+    * rounds (vocab cap 100), then count every doc's tokens via the
+    * trained word→symbols lookup (OOV at character count). Train AND
+    * count both hash-gated — the full tokenizer lifecycle at the
+    * oracle gate.
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val (_, vocab) = graft.text.Bpe.train(docs, "text", rounds = 6, maxVocab = 100)
+    try graft.text.Bpe.tokenCount(docs, "doc_id", "text", vocab)
+      .localCheckpoint()
+    finally vocab.unpersist()
+  }
+
   /** The q98 oracle: BPE training unrolled round-by-round in DuckDB SQL
     * (w = capped word frequencies; per round k: p=pair counts,
     * m=argmax, e/g/d=eligibility + greedy run-parity merge decisions,
     * rep=rebuilt symbol arrays). Validated against an independent
     * sequential-fold reference implementation on the real corpus.
     */
-  private def bpeMergesSql(rounds: Int, maxVocab: Int): String = {
+  private def bpeMergesSql(rounds: Int, maxVocab: Int): String =
+    bpeCtes(rounds, maxVocab) + "\n" + (1 to rounds).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS merge_no, l AS lhs, r AS rhs, cnt AS pair_freq FROM m$k")
+      .mkString("\nUNION ALL\n")
+
+  /** The q103 oracle: the same training replay, then every word of
+    * every doc looks up its trained symbol count (rep$rounds), OOV
+    * words fall back to character count, wordless docs count 0 —
+    * mirroring Bpe.tokenCount.
+    */
+  private def bpeTokenCountSql(rounds: Int, maxVocab: Int): String =
+    bpeCtes(rounds, maxVocab) + s""",
+      |wct AS (SELECT word, len(syms) AS n FROM rep$rounds),
+      |dw AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id,
+      |           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      |    FROM documents)
+      |  WHERE word != ''),
+      |ct AS (
+      |  SELECT dw.doc_id,
+      |         CAST(sum(coalesce(wct.n, len(dw.word))) AS BIGINT) AS n_bpe_tokens
+      |  FROM dw LEFT JOIN wct USING (word)
+      |  GROUP BY dw.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(ct.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+      |FROM (SELECT doc_id FROM documents) d LEFT JOIN ct USING (doc_id)""".stripMargin
+
+  /** Shared WITH-chain of the BPE training replay (w/rep0, then
+    * p/m/e/g/d/rep per round) — terminal SELECTs differ per query.
+    */
+  private def bpeCtes(rounds: Int, maxVocab: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w AS (
       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
@@ -822,9 +866,6 @@ object SparkEntry {
       |  WHERE NOT absorbed
       |  GROUP BY word, freq)""".stripMargin
     }
-    sb ++= "\n" + (1 to rounds).map(k =>
-      s"SELECT CAST($k AS INTEGER) AS merge_no, l AS lhs, r AS rhs, cnt AS pair_freq FROM m$k")
-      .mkString("\nUNION ALL\n")
     sb.toString
   }
 
@@ -1619,6 +1660,7 @@ object SparkEntry {
     "q100_fluency_buckets" -> (q100 _),
     "q101_stream_paragraph_dedup" -> (q101 _),
     "q102_stream_substring_dedup" -> (q102 _),
+    "q103_bpe_token_count" -> (q103 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2030,6 +2072,7 @@ object SparkEntry {
     // (doc_id-midpoint file batches) — same oracle, hash-gated
     "q101_stream_paragraph_dedup" -> paragraphDedupSql,
     "q98_bpe_merges" -> bpeMergesSql(rounds = 6, maxVocab = 100),
+    "q103_bpe_token_count" -> bpeTokenCountSql(rounds = 6, maxVocab = 100),
     // w = 20: rolling-hash grams, keep-first owner election (window
     // row_number == Spark's min-struct), non-owner occurrences cover
     // their 20 positions, anti-join + ordered string_agg reassembly

@@ -89,6 +89,40 @@ class DedupSpec extends SparkSpec {
     assert(got === ((1L, s"$s6 middle", 7L, 6L)))
   }
 
+  test("property: paragraphDedup matches a sequential reference on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // few distinct lines (plus empties and case/whitespace variants) →
+    // dense cross- and within-doc collisions
+    val lineGen = Gen.oneOf(
+      "alpha beta", "ALPHA  beta", "gamma", " ", "", "delta eps", "gamma ")
+    val docGen = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val corpusGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, docGen))
+
+    def reference(docs: Seq[(Long, String)]): Seq[(Long, String, Long, Long)] = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      docs.sortBy(_._1).map { case (id, t) =>
+        val lines = t.split(java.util.regex.Pattern.quote("\n"), -1)
+        val kept = lines.filter { l =>
+          val norm = l.replaceAll("\\s+", " ").trim.toLowerCase
+          norm.isEmpty || seen.add(norm)
+        }
+        (id, kept.mkString("\n"), kept.length.toLong,
+          (lines.length - kept.length).toLong)
+      }
+    }
+
+    (0 until 6).foreach { i =>
+      corpusGen(Gen.Parameters.default, Seed(55L + i)).foreach { texts =>
+        val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        val got = Dedup.paragraphDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+          .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+        assert(got === reference(docs), s"corpus: $docs")
+      }
+    }
+  }
+
   test("property: substringDedup matches a sequential reference on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
