@@ -769,6 +769,17 @@ object SparkEntry {
       |        x -> x != '')) AS total FROM documents) d2
       |LEFT JOIN r USING (doc_id)""".stripMargin
 
+  /** Surgical decontamination (q86's scenario, span-level remedy):
+    * every tenth doc plays the benchmark; corpus docs KEEP everything
+    * except verbatim 20-token benchmark spans — quoted passages are
+    * excised, the quoting page survives (q86 drops it whole).
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    Curation.spanDecontaminate(
+      docs, docs.filter(col("doc_id") % 10 === 3), "text", "doc_id", n = 20)
+  }
+
   /** Real token counts under the q98-trained vocabulary: train 6
     * rounds (vocab cap 100), then count every doc's tokens via the
     * trained word→symbols lookup (OOV at character count). Train AND
@@ -1661,6 +1672,7 @@ object SparkEntry {
     "q101_stream_paragraph_dedup" -> (q101 _),
     "q102_stream_substring_dedup" -> (q102 _),
     "q103_bpe_token_count" -> (q103 _),
+    "q104_span_decontaminate" -> (q104 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2073,6 +2085,46 @@ object SparkEntry {
     "q101_stream_paragraph_dedup" -> paragraphDedupSql,
     "q98_bpe_merges" -> bpeMergesSql(rounds = 6, maxVocab = 100),
     "q103_bpe_token_count" -> bpeTokenCountSql(rounds = 6, maxVocab = 100),
+    // benchmark = doc_id % 10 = 3; ALL corpus occurrences of a
+    // benchmark 20-gram are covered (no keep-first — benchmark text
+    // must not survive anywhere), then the q99 reassembly tail
+    "q104_span_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT u.h AS h
+        |  FROM (SELECT unnest(list_transform(range(1, len(ws) - 18),
+        |          i -> {'h': md5(array_to_string(ws[i : i+19], ' '))})) AS u
+        |        FROM d WHERE doc_id % 10 = 3)),
+        |g AS (
+        |  SELECT doc_id, u.p AS pos, u.h AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(ws) - 18),
+        |            i -> {'p': i, 'h': md5(array_to_string(ws[i : i+19], ' '))})) AS u
+        |        FROM d)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 20)) AS pos
+        |    FROM g JOIN bg ON g.h = bg.h)),
+        |t AS (
+        |  SELECT doc_id, pos, tok FROM (
+        |    SELECT doc_id, u.i AS pos, u.t AS tok
+        |    FROM (SELECT doc_id, unnest(list_transform(ws, (x, i) -> {'i': i, 't': x})) AS u
+        |          FROM d))
+        |  WHERE tok != ''),
+        |k AS (
+        |  SELECT doc_id, pos, tok FROM t ANTI JOIN cov USING (doc_id, pos)),
+        |r AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |         CAST(count(*) AS BIGINT) AS n_tokens_kept
+        |  FROM k GROUP BY doc_id)
+        |SELECT d2.doc_id,
+        |       coalesce(r.text, '') AS text,
+        |       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+        |       CAST(d2.total - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+        |FROM (SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x != '')) AS total FROM documents) d2
+        |LEFT JOIN r USING (doc_id)""".stripMargin,
     // w = 20: rolling-hash grams, keep-first owner election (window
     // row_number == Spark's min-struct), non-owner occurrences cover
     // their 20 positions, anti-join + ordered string_agg reassembly

@@ -78,6 +78,65 @@ object Curation {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Surgical (span-level) decontamination: remove from each corpus
+    * document every `n`-token span that appears VERBATIM in the
+    * benchmark — all occurrences, no keep-first — and reassemble the
+    * document from its surviving tokens. Where [[ngramDecontaminate]]
+    * drops whole colliding documents (GPT-3-style), this keeps the
+    * document and excises only the quoted benchmark passage — the
+    * right tool when a long page merely quotes an eval question.
+    *
+    * Scale shape: the benchmark's distinct rolling-gram hashes
+    * broadcast (eval sets are small by definition); the corpus side is
+    * a map-only gram probe — corpus text never shuffles for the match.
+    * Only the (rare) hit positions explode to coverage, then one
+    * anti-join + one doc reassembly shuffle, both corpus-row-sized.
+    *
+    * Returns (doc_id, text, n_tokens_kept, n_tokens_removed) for every
+    * corpus doc; a doc that IS benchmark text reduces to "".
+    * Reassembly is single-space normalized, as in
+    * [[graft.dedup.Dedup.substringDedup]].
+    */
+  def spanDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 50): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    def ws(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ split(trim(col(textCol)), "\\s+").as("__ws"): _*)
+    def grams(df: DataFrame, cols: Column*): DataFrame = ws(df, cols: _*)
+      .select(cols :+ explode(
+        when(size(col("__ws")) >= n,
+          transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
+            i => struct(i.as("pos"),
+              md5(concat_ws(" ", slice(col("__ws"), i, lit(n)))).as("h"))))
+          .otherwise(typedLit(Seq.empty[(Int, String)])
+            .cast("array<struct<pos:int,h:string>>"))).as("g"): _*)
+      .select(cols ++ Seq(col("g.pos").as("pos"), col("g.h").as("h")): _*)
+    val bmGrams = grams(benchmark).select("h").distinct()
+    val covered = grams(corpus, col(idCol).as("doc_id"))
+      .join(broadcast(bmGrams), Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = ws(corpus, col(idCol).as("doc_id"))
+      .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
+      .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("tok"))
+      .filter(col("tok") =!= "")
+    val reassembled = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok")), " ").as("text"),
+        count(lit(1)).as("n_tokens_kept"))
+    corpus.select(col(idCol).as("doc_id"),
+      size(array_remove(split(trim(col(textCol)), "\\s+"), "")).as("__total"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__total") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .cast("long").as("n_tokens_removed"))
+  }
+
   /** Sequence packing: assign each document a `seq_id`/`seq_offset`
     * placing it in a stream of fixed-capacity `seqLen`-token training
     * sequences, packed in `orderCol` order within each `shardCol`

@@ -49,6 +49,25 @@ class CurationSpec extends SparkSpec {
     assert(fpOnly === Seq(1L, 2L, 4L)) // the gap this operator closes
   }
 
+  test("spanDecontaminate excises quoted benchmark passages, keeps the page") {
+    val quote = (1 to 6).map(i => s"bench$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "a clean page about something else entirely here now"),
+      (2L, s"intro words then $quote and a conclusion"), // quoting page
+      (3L, quote),                                       // IS benchmark text
+      (4L, (1 to 5).map(i => s"bench$i").mkString(" "))  // 5 words — no 6-gram
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(quote).toDF("text")
+    val got = Curation.spanDecontaminate(corpus, benchmark, "text", "doc_id", n = 6)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got(0) === ((1L, "a clean page about something else entirely here now", 9L, 0L)))
+    // the quote is excised, the page survives — q86's whole-doc drop
+    // would have lost the 7 surrounding words
+    assert(got(1) === ((2L, "intro words then and a conclusion", 6L, 6L)))
+    assert(got(2) === ((3L, "", 0L, 6L)))
+    assert(got(3) === ((4L, "bench1 bench2 bench3 bench4 bench5", 5L, 0L)))
+  }
+
   test("packSequences assigns start-position sequence ids per shard") {
     val docs = Seq(
       ("en", 1L, 600L), ("en", 2L, 500L), ("en", 3L, 100L), ("en", 4L, 900L),
