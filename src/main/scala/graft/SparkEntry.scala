@@ -780,6 +780,33 @@ object SparkEntry {
       docs, docs.filter(col("doc_id") % 10 === 3), "text", "doc_id", n = 20)
   }
 
+  /** Streaming twin of q104: span excision against a STATIC benchmark
+    * is per-document independent, so it runs exactly per micro-batch
+    * (foreachBatch — the reassembly groupBy and coverage anti-join are
+    * stream-derived self-joins Structured Streaming's append mode
+    * can't express natively). Same oracle, hash-gated.
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val benchmark = docs.filter(col("doc_id") % 10 === 3)
+    val scratch = scratchDir("stream_spandecon")
+    docs.coalesce(2).write.parquet(s"$scratch/in")
+    import org.apache.spark.sql.types._
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$scratch/in")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Curation.spanDecontaminate(batch, benchmark, "text", "doc_id", n = 20)
+          .write.mode("append").parquet(s"$scratch/out")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$scratch/out")
+  }
+
   /** Real token counts under the q98-trained vocabulary: train 6
     * rounds (vocab cap 100), then count every doc's tokens via the
     * trained word→symbols lookup (OOV at character count). Train AND
@@ -793,6 +820,48 @@ object SparkEntry {
       .localCheckpoint()
     finally vocab.unpersist()
   }
+
+  /** The q104/q105 oracle: benchmark 20-gram hashes (doc_id %% 10 = 3),
+    * ALL corpus occurrences covered, q99 reassembly tail — shared by
+    * the batch operator and the per-batch-exact streaming twin.
+    */
+  private val spanDecontaminateSql: String =
+    """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT u.h AS h
+        |  FROM (SELECT unnest(list_transform(range(1, len(ws) - 18),
+        |          i -> {'h': md5(array_to_string(ws[i : i+19], ' '))})) AS u
+        |        FROM d WHERE doc_id % 10 = 3)),
+        |g AS (
+        |  SELECT doc_id, u.p AS pos, u.h AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(ws) - 18),
+        |            i -> {'p': i, 'h': md5(array_to_string(ws[i : i+19], ' '))})) AS u
+        |        FROM d)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 20)) AS pos
+        |    FROM g JOIN bg ON g.h = bg.h)),
+        |t AS (
+        |  SELECT doc_id, pos, tok FROM (
+        |    SELECT doc_id, u.i AS pos, u.t AS tok
+        |    FROM (SELECT doc_id, unnest(list_transform(ws, (x, i) -> {'i': i, 't': x})) AS u
+        |          FROM d))
+        |  WHERE tok != ''),
+        |k AS (
+        |  SELECT doc_id, pos, tok FROM t ANTI JOIN cov USING (doc_id, pos)),
+        |r AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |         CAST(count(*) AS BIGINT) AS n_tokens_kept
+        |  FROM k GROUP BY doc_id)
+        |SELECT d2.doc_id,
+        |       coalesce(r.text, '') AS text,
+        |       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+        |       CAST(d2.total - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+        |FROM (SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        x -> x != '')) AS total FROM documents) d2
+        |LEFT JOIN r USING (doc_id)""".stripMargin
 
   /** The q98 oracle: BPE training unrolled round-by-round in DuckDB SQL
     * (w = capped word frequencies; per round k: p=pair counts,
@@ -1673,6 +1742,7 @@ object SparkEntry {
     "q102_stream_substring_dedup" -> (q102 _),
     "q103_bpe_token_count" -> (q103 _),
     "q104_span_decontaminate" -> (q104 _),
+    "q105_stream_span_decontaminate" -> (q105 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2088,43 +2158,8 @@ object SparkEntry {
     // benchmark = doc_id % 10 = 3; ALL corpus occurrences of a
     // benchmark 20-gram are covered (no keep-first — benchmark text
     // must not survive anywhere), then the q99 reassembly tail
-    "q104_span_decontaminate" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |bg AS (
-        |  SELECT DISTINCT u.h AS h
-        |  FROM (SELECT unnest(list_transform(range(1, len(ws) - 18),
-        |          i -> {'h': md5(array_to_string(ws[i : i+19], ' '))})) AS u
-        |        FROM d WHERE doc_id % 10 = 3)),
-        |g AS (
-        |  SELECT doc_id, u.p AS pos, u.h AS h
-        |  FROM (SELECT doc_id,
-        |          unnest(list_transform(range(1, len(ws) - 18),
-        |            i -> {'p': i, 'h': md5(array_to_string(ws[i : i+19], ' '))})) AS u
-        |        FROM d)),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, pos FROM (
-        |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 20)) AS pos
-        |    FROM g JOIN bg ON g.h = bg.h)),
-        |t AS (
-        |  SELECT doc_id, pos, tok FROM (
-        |    SELECT doc_id, u.i AS pos, u.t AS tok
-        |    FROM (SELECT doc_id, unnest(list_transform(ws, (x, i) -> {'i': i, 't': x})) AS u
-        |          FROM d))
-        |  WHERE tok != ''),
-        |k AS (
-        |  SELECT doc_id, pos, tok FROM t ANTI JOIN cov USING (doc_id, pos)),
-        |r AS (
-        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
-        |         CAST(count(*) AS BIGINT) AS n_tokens_kept
-        |  FROM k GROUP BY doc_id)
-        |SELECT d2.doc_id,
-        |       coalesce(r.text, '') AS text,
-        |       CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
-        |       CAST(d2.total - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
-        |FROM (SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |        x -> x != '')) AS total FROM documents) d2
-        |LEFT JOIN r USING (doc_id)""".stripMargin,
+    "q104_span_decontaminate" -> spanDecontaminateSql,
+    "q105_stream_span_decontaminate" -> spanDecontaminateSql,
     // w = 20: rolling-hash grams, keep-first owner election (window
     // row_number == Spark's min-struct), non-owner occurrences cover
     // their 20 positions, anti-join + ordered string_agg reassembly
