@@ -63,17 +63,26 @@ object SparkEntry {
     */
   private def scratchDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_")
-    scratchDirs.synchronized { scratchDirs += d }
+    scratchDirs.synchronized {
+      // bound in-process accumulation: by the time a query acquires a
+      // NEW dir for the same prefix, the previous invocation's result
+      // has been consumed (queries run sequentially in Verify/Bench) —
+      // drop the old copy instead of keeping one per invocation
+      scratchDirs.remove(prefix).foreach(deleteRecursively)
+      scratchDirs(prefix) = d
+    }
     d.toString
   }
-  private val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private val scratchDirs = scala.collection.mutable.Map.empty[String, java.nio.file.Path]
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    scratchDirs.synchronized { scratchDirs.foreach(deleteRecursively) }))
+    scratchDirs.synchronized { scratchDirs.values.foreach(deleteRecursively) }))
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     try {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(c => deleteRecursively(c))
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(c => deleteRecursively(c)) finally s.close()
+      }
       Files.deleteIfExists(p)
     } catch { case _: java.io.IOException => () }
   }

@@ -70,7 +70,8 @@ object Dedup {
       sep: String = "\n"): DataFrame = {
     val paras = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1)))
+        // null text = empty doc (contract: every input doc is present)
+        posexplode(split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(sep), -1)))
       .withColumnsRenamed(Map("pos" -> "para_no", "col" -> "para"))
       .withColumn("__empty", trim(col("para")) === "")
       .withColumn("__k",
@@ -128,14 +129,14 @@ object Dedup {
     val w = windowTokens
     val toks = docs
       .select(col(idCol).as("doc_id"),
-        split(trim(col(textCol)), "\\s+").as("__ws"))
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"))
       .select(col("doc_id"),
         posexplode(col("__ws")).as(Seq("__p0", "tok")))
       .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("tok"))
       .filter(col("tok") =!= "")
     val grams = docs
       .select(col(idCol).as("doc_id"),
-        split(trim(col(textCol)), "\\s+").as("__ws"))
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"))
       .select(col("doc_id"), explode(
         when(size(col("__ws")) >= w,
           transform(sequence(lit(1), size(col("__ws")) - (w - 1)),
@@ -162,7 +163,8 @@ object Dedup {
         _.getField("tok")), " ").as("text"),
       count(lit(1)).as("n_tokens_kept"))
     docs.select(col(idCol).as("doc_id"),
-      size(array_remove(split(trim(col(textCol)), "\\s+"), "")).as("__total"))
+      size(array_remove(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), ""))
+        .as("__total"))
       .join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text"), lit("")).as("text"),

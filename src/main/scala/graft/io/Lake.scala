@@ -131,9 +131,25 @@ object Lake {
         .withColumn("__nsplit",
           greatest(lit(1L), ceil(col("__prows") / lit(maxRecs))).cast("int"))
         .drop("__prows")
-      src.join(broadcast(splits), partitionCols)
+        .withColumnsRenamed(partitionCols.map(c => c -> s"__p_$c").toMap)
+      // null-safe join keys: a null partition value (the
+      // __HIVE_DEFAULT_PARTITION__ directory) must match its own
+      // splits row — a plain equi-join drops every null-keyed row
+      val joinCond = partitionCols
+        .map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _)
+      // salt hashes only hash-capable columns (maps aren't); identical
+      // duplicate rows share a salt by construction — maxRecordsPerFile
+      // still bounds their files, but a hot partition of pure copies
+      // keeps one writer (document over guess: nondeterministic salts
+      // corrupt data under task retry)
+      val hashable = src.schema.fields.filterNot(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(f => col(f.name))
+      val saltSrc = if (hashable.nonEmpty) hashable.toSeq else Seq(lit(0L))
+      src.join(broadcast(splits), joinCond)
+        .drop(partitionCols.map(c => s"__p_$c"): _*)
         .withColumn("__salt",
-          pmod(xxhash64(src.columns.map(col): _*), col("__nsplit")).cast("int"))
+          pmod(xxhash64(saltSrc: _*), col("__nsplit")).cast("int"))
         .drop("__nsplit")
         // 2× the byte-derived task count: (combo, salt) groups hash to
         // tasks, and headroom halves the chance two split groups of the

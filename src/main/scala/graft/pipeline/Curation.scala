@@ -101,7 +101,7 @@ object Curation {
       textCol: String, idCol: String, n: Int = 50): DataFrame = {
     require(n >= 2, "n must be >= 2")
     def ws(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ split(trim(col(textCol)), "\\s+").as("__ws"): _*)
+      df.select(cols :+ split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"): _*)
     def grams(df: DataFrame, cols: Column*): DataFrame = ws(df, cols: _*)
       .select(cols :+ explode(
         when(size(col("__ws")) >= n,
@@ -128,7 +128,8 @@ object Curation {
           _.getField("tok")), " ").as("text"),
         count(lit(1)).as("n_tokens_kept"))
     corpus.select(col(idCol).as("doc_id"),
-      size(array_remove(split(trim(col(textCol)), "\\s+"), "")).as("__total"))
+      size(array_remove(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), ""))
+        .as("__total"))
       .join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text"), lit("")).as("text"),

@@ -158,10 +158,17 @@ object Pipelines {
         // reassembled text replaces the original; token count and the
         // downstream fingerprint follow the SURVIVING content — docs
         // reduced to nothing ("" after losing every line) fall to the
-        // quality gate's floor and drop here
-        val slim = graft.dedup.Dedup.paragraphDedup(gated, "doc_id", "text")
+        // quality gate's floor and drop here. `gated` feeds FOUR
+        // branches from here (paragraphDedup's owner agg + probe join
+        // + empty-line union, plus this join's left side) — persist it
+        // so the scrub/gate scan runs once, not four times
+        // (branch-reexecution invariant; blocks evict LRU with the
+        // returned plan)
+        val gatedP = gated.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val slim = graft.dedup.Dedup.paragraphDedup(gatedP, "doc_id", "text")
           .select(col("doc_id"), col("text").as("__pd_text"))
-        gated.drop("text")
+        gatedP.drop("text")
           .join(slim, Seq("doc_id"))
           .withColumnRenamed("__pd_text", "text")
           .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))

@@ -98,6 +98,10 @@ object StreamingDedup {
         writeIndex(
           initialIndex.getOrElse(emptyIndex(spark, docs.schema(idCol).dataType)),
           tbl, indexBuckets, overwrite = true)
+      else require(initialIndex.isEmpty,
+        s"index table '$tbl' already exists; refusing to silently ignore " +
+          "initialIndex — drop the table to seed from the snapshot, or " +
+          "omit initialIndex to resume from the table")
       val query = docs.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -53,7 +53,7 @@ object StreamingParagraphDedup {
         val index = sess.table(indexTable)
         val paras = batch
           .select(col(idCol).as("doc_id"),
-            posexplode(split(col(textCol),
+            posexplode(split(coalesce(col(textCol), lit("")),
               java.util.regex.Pattern.quote(sep), -1)))
           .withColumnsRenamed(Map("pos" -> "para_no", "col" -> "para"))
           .withColumn("__empty", trim(col("para")) === "")

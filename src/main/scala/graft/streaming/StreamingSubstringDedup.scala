@@ -43,7 +43,7 @@ object StreamingSubstringDedup {
         val sess = batch.sparkSession
         val index = sess.table(indexTable)
         val ws = batch.select(col(idCol).as("doc_id"),
-          split(trim(col(textCol)), "\\s+").as("__ws"))
+          split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"))
         val toks = ws
           .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
           .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("tok"))
@@ -74,7 +74,7 @@ object StreamingSubstringDedup {
             _.getField("tok")), " ").as("text"),
           count(lit(1)).as("n_tokens_kept"))
         val out = batch.select(col(idCol).as("doc_id"),
-          size(array_remove(split(trim(col(textCol)), "\\s+"), ""))
+          size(array_remove(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), ""))
             .as("__total"))
           .join(reassembled, Seq("doc_id"), "left")
           .select(col("doc_id"),

@@ -89,6 +89,17 @@ class DedupSpec extends SparkSpec {
     assert(got === ((1L, s"$s6 middle", 7L, 6L)))
   }
 
+  test("null-text docs stay present: paragraphDedup and substringDedup") {
+    val docs = Seq[(java.lang.Long, String)]((1L, "real line"), (2L, null))
+      .toDF("doc_id", "text")
+    val para = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(para === Seq((1L, "real line", 1L, 0L), (2L, "", 1L, 0L)))
+    val sub = Dedup.substringDedup(docs, "doc_id", "text", windowTokens = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(sub === Seq((1L, "real line", 2L, 0L), (2L, "", 0L, 0L)))
+  }
+
   test("property: paragraphDedup matches a sequential reference on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -71,6 +71,20 @@ class LakeSpec extends SparkSpec {
     assert(Lake.read(spark, s"$tmp/out").count() === 100100L)
   }
 
+  test("compact preserves rows whose partition value is NULL") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_null").toString
+    val df = Seq[(java.lang.Long, String, String)](
+      (1L, "a", "en"), (2L, "b", null), (3L, "c", "en"), (4L, "d", null))
+      .toDF("id", "text", "lang")
+    Lake.writePartitioned(df.repartition(4), s"$tmp/frag", Seq("lang"))
+    Lake.compact(spark, s"$tmp/frag", s"$tmp/out",
+      partitionCols = Seq("lang"), targetFileBytes = 64L << 20)
+    val back = Lake.read(spark, s"$tmp/out")
+    assert(back.count() === 4L)
+    assert(back.filter($"lang".isNull).select("id").as[Long]
+      .collect().sorted.toSeq === Seq(2L, 4L))
+  }
+
   test("zorderKey interleaves bits; sort clusters both dimensions") {
     import graft.functions.ZOrderKernel
     // hand-checks: interleave(a, b) puts a's bits even, b's odd
