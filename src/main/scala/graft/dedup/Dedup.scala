@@ -68,14 +68,7 @@ object Dedup {
     */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
-    val paras = docs
-      .select(col(idCol).as("doc_id"),
-        // null text = empty doc (contract: every input doc is present)
-        posexplode(split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(sep), -1)))
-      .withColumnsRenamed(Map("pos" -> "para_no", "col" -> "para"))
-      .withColumn("__empty", trim(col("para")) === "")
-      .withColumn("__k",
-        md5(lower(trim(regexp_replace(col("para"), "\\s+", " ")))))
+    val paras = explodedParas(docs, idCol, textCol, sep)
     val nonEmpty = paras.filter(!col("__empty"))
     val owners = nonEmpty.groupBy("__k")
       .agg(min(struct(col("doc_id"), col("para_no"))).as("__owner"))
@@ -85,6 +78,31 @@ object Dedup {
           col("__owner.para_no") === col("para_no"))
       .drop("__owner")
       .unionByName(paras.filter(col("__empty")).withColumn("__keep", lit(true)))
+    reassembleParas(flagged, sep)
+  }
+
+  // --- shared line/span plumbing: ONE implementation behind
+  // paragraphDedup, substringDedup, Curation.spanDecontaminate and
+  // both streaming twins — every consumer is hash-gated against a
+  // shared DuckDB oracle, so a tokenization/normalization change here
+  // is caught by the gate; a change to one of five copies would
+  // silently desynchronize the twins from their oracles.
+
+  /** Exploded normalized lines: (doc_id, para_no, para, __empty, __k).
+    * Null text = empty doc (one empty structural line).
+    */
+  private[graft] def explodedParas(docs: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame = docs
+    .select(col(idCol).as("doc_id"),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep), -1)))
+    .withColumnsRenamed(Map("pos" -> "para_no", "col" -> "para"))
+    .withColumn("__empty", trim(col("para")) === "")
+    .withColumn("__k",
+      md5(lower(trim(regexp_replace(col("para"), "\\s+", " ")))))
+
+  /** Reassemble keep-flagged lines: (doc_id, text, n_kept, n_dropped). */
+  private[graft] def reassembleParas(flagged: DataFrame, sep: String): DataFrame =
     flagged.groupBy("doc_id").agg(
       array_join(
         transform(
@@ -94,6 +112,56 @@ object Dedup {
         sep).as("text"),
       sum(col("__keep").cast("long")).as("n_kept"),
       sum((!col("__keep")).cast("long")).as("n_dropped"))
+
+  /** 1-based whitespace token positions: (doc_id, pos, tok); null text
+    * = empty doc (zero rows).
+    */
+  private[graft] def tokenPositions(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = docs
+    .select(col(idCol).as("doc_id"),
+      split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"))
+    .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
+    .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("tok"))
+    .filter(col("tok") =!= "")
+
+  /** md5 rolling `w`-gram hashes at each 1-based start position:
+    * (doc_id, pos, h). Docs shorter than `w` contribute no grams.
+    */
+  private[graft] def rollingGrams(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = docs
+    .select(col(idCol).as("doc_id"),
+      split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"))
+    .select(col("doc_id"), explode(
+      when(size(col("__ws")) >= w,
+        transform(sequence(lit(1), size(col("__ws")) - (w - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("__ws"), i, lit(w)))).as("h"))))
+        .otherwise(typedLit(Seq.empty[(Int, String)])
+          .cast("array<struct<pos:int,h:string>>"))).as("g"))
+    .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+
+  /** Anti-join tokens against covered positions, reassemble per doc,
+    * and join token totals back: every input doc present as
+    * (doc_id, text, n_tokens_kept, n_tokens_removed).
+    */
+  private[graft] def reassembleTokens(docs: DataFrame, idCol: String,
+      textCol: String, covered: DataFrame): DataFrame = {
+    val kept = tokenPositions(docs, idCol, textCol)
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val reassembled = kept.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        _.getField("tok")), " ").as("text"),
+      count(lit(1)).as("n_tokens_kept"))
+    docs.select(col(idCol).as("doc_id"),
+      size(array_remove(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), ""))
+        .as("__total"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__total") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .cast("long").as("n_tokens_removed"))
   }
 
   /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training
@@ -127,24 +195,7 @@ object Dedup {
       windowTokens: Int = 50): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
     val w = windowTokens
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"))
-      .select(col("doc_id"),
-        posexplode(col("__ws")).as(Seq("__p0", "tok")))
-      .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("tok"))
-      .filter(col("tok") =!= "")
-    val grams = docs
-      .select(col(idCol).as("doc_id"),
-        split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"))
-      .select(col("doc_id"), explode(
-        when(size(col("__ws")) >= w,
-          transform(sequence(lit(1), size(col("__ws")) - (w - 1)),
-            i => struct(i.as("pos"),
-              md5(concat_ws(" ", slice(col("__ws"), i, lit(w)))).as("h"))))
-          .otherwise(typedLit(Seq.empty[(Int, String)])
-            .cast("array<struct<pos:int,h:string>>"))).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val grams = rollingGrams(docs, idCol, textCol, w)
     val owners = grams.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("__owner"),
         count(lit(1)).as("__n"))
@@ -156,21 +207,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
       .distinct()
-    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-    val reassembled = kept.groupBy("doc_id").agg(
-      array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("tok")))),
-        _.getField("tok")), " ").as("text"),
-      count(lit(1)).as("n_tokens_kept"))
-    docs.select(col(idCol).as("doc_id"),
-      size(array_remove(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), ""))
-        .as("__total"))
-      .join(reassembled, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("text"), lit("")).as("text"),
-        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-        (col("__total") - coalesce(col("n_tokens_kept"), lit(0L)))
-          .cast("long").as("n_tokens_removed"))
+    reassembleTokens(docs, idCol, textCol, covered)
   }
 
   // ----------------------------------------------------------- shingles

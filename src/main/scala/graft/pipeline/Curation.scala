@@ -99,43 +99,17 @@ object Curation {
     */
   def spanDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 50): DataFrame = {
+    import graft.dedup.Dedup
     require(n >= 2, "n must be >= 2")
-    def ws(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"): _*)
-    def grams(df: DataFrame, cols: Column*): DataFrame = ws(df, cols: _*)
-      .select(cols :+ explode(
-        when(size(col("__ws")) >= n,
-          transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
-            i => struct(i.as("pos"),
-              md5(concat_ws(" ", slice(col("__ws"), i, lit(n)))).as("h"))))
-          .otherwise(typedLit(Seq.empty[(Int, String)])
-            .cast("array<struct<pos:int,h:string>>"))).as("g"): _*)
-      .select(cols ++ Seq(col("g.pos").as("pos"), col("g.h").as("h")): _*)
-    val bmGrams = grams(benchmark).select("h").distinct()
-    val covered = grams(corpus, col(idCol).as("doc_id"))
+    val bmGrams = Dedup.rollingGrams(
+      benchmark.withColumn("__bid", lit(0L)), "__bid", textCol, n)
+      .select("h").distinct()
+    val covered = Dedup.rollingGrams(corpus, idCol, textCol, n)
       .join(broadcast(bmGrams), Seq("h"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
-    val toks = ws(corpus, col(idCol).as("doc_id"))
-      .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
-      .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("tok"))
-      .filter(col("tok") =!= "")
-    val reassembled = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id").agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          _.getField("tok")), " ").as("text"),
-        count(lit(1)).as("n_tokens_kept"))
-    corpus.select(col(idCol).as("doc_id"),
-      size(array_remove(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), ""))
-        .as("__total"))
-      .join(reassembled, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("text"), lit("")).as("text"),
-        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-        (col("__total") - coalesce(col("n_tokens_kept"), lit(0L)))
-          .cast("long").as("n_tokens_removed"))
+    Dedup.reassembleTokens(corpus, idCol, textCol, covered)
   }
 
   /** Sequence packing: assign each document a `seq_id`/`seq_offset`

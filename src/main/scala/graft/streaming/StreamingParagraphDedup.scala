@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
+import graft.dedup.Dedup
+
 /** Continuous paragraph-level exact dedup — the streaming face of
   * [[graft.dedup.Dedup.paragraphDedup]]: each micro-batch's lines are
   * deduped within the batch (keep-first in (doc_id, para_no) order),
@@ -51,14 +53,7 @@ object StreamingParagraphDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
         val index = sess.table(indexTable)
-        val paras = batch
-          .select(col(idCol).as("doc_id"),
-            posexplode(split(coalesce(col(textCol), lit("")),
-              java.util.regex.Pattern.quote(sep), -1)))
-          .withColumnsRenamed(Map("pos" -> "para_no", "col" -> "para"))
-          .withColumn("__empty", trim(col("para")) === "")
-          .withColumn("__k",
-            md5(lower(trim(regexp_replace(col("para"), "\\s+", " ")))))
+        val paras = Dedup.explodedParas(batch, idCol, textCol, sep)
         val nonEmpty = paras.filter(!col("__empty"))
         // within-batch keep-first, then the cross-batch probe
         val w = Window.partitionBy(col("__k"))
@@ -72,15 +67,7 @@ object StreamingParagraphDedup {
           .drop("__rn", "__hit")
           .unionByName(paras.filter(col("__empty")).withColumn("__keep", lit(true)))
           .localCheckpoint()
-        val out = flagged.groupBy("doc_id").agg(
-          array_join(
-            transform(
-              array_sort(collect_list(
-                when(col("__keep"), struct(col("para_no"), col("para"))))),
-              _.getField("para")),
-            sep).as("text"),
-          sum(col("__keep").cast("long")).as("n_kept"),
-          sum((!col("__keep")).cast("long")).as("n_dropped"))
+        val out = Dedup.reassembleParas(flagged, sep)
           .localCheckpoint()
         // admitted = this batch's kept non-empty hashes, appended once
         val newHashes = flagged

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
+import graft.dedup.Dedup
+
 /** Continuous exact substring dedup — the streaming face of
   * [[graft.dedup.Dedup.substringDedup]] (Lee et al. 2022 span
   * removal): each micro-batch's rolling w-gram hashes elect
@@ -42,22 +44,7 @@ object StreamingSubstringDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
         val index = sess.table(indexTable)
-        val ws = batch.select(col(idCol).as("doc_id"),
-          split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"))
-        val toks = ws
-          .select(col("doc_id"), posexplode(col("__ws")).as(Seq("__p0", "tok")))
-          .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("tok"))
-          .filter(col("tok") =!= "")
-        val grams = ws
-          .select(col("doc_id"), explode(
-            when(size(col("__ws")) >= w,
-              transform(sequence(lit(1), size(col("__ws")) - (w - 1)),
-                i => struct(i.as("pos"),
-                  md5(concat_ws(" ", slice(col("__ws"), i, lit(w)))).as("h"))))
-              .otherwise(typedLit(Seq.empty[(Int, String)])
-                .cast("array<struct<pos:int,h:string>>"))).as("g"))
-          .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-        val probed = grams
+        val probed = Dedup.rollingGrams(batch, idCol, textCol, w)
           .withColumn("__rn", row_number().over(
             Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
           .join(index.withColumn("__hit", lit(true)), Seq("h"), "left")
@@ -67,21 +54,7 @@ object StreamingSubstringDedup {
           .select(col("doc_id"),
             explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
           .distinct()
-        val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-        val reassembled = kept.groupBy("doc_id").agg(
-          array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("tok")))),
-            _.getField("tok")), " ").as("text"),
-          count(lit(1)).as("n_tokens_kept"))
-        val out = batch.select(col(idCol).as("doc_id"),
-          size(array_remove(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), ""))
-            .as("__total"))
-          .join(reassembled, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("text"), lit("")).as("text"),
-            coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
-            (col("__total") - coalesce(col("n_tokens_kept"), lit(0L)))
-              .cast("long").as("n_tokens_removed"))
+        val out = Dedup.reassembleTokens(batch, idCol, textCol, covered)
           .localCheckpoint()
         // grams first OWNED in this batch enter the index
         val newHashes = probed
