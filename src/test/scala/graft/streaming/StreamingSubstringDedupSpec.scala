@@ -40,4 +40,41 @@ class StreamingSubstringDedupSpec extends SparkSpec {
     assert(got(10L) === (("x1 x2 y1", 3L, 6L)))
     assert(got(11L) === (("entirely novel words without any repeats at all", 8L, 0L)))
   }
+
+  test("per-batch shuffle volume scales with batch, not index") {
+    def doc(i: Int): String = (0 until 16).map(j => s"ss${i}w$j").mkString(" ")
+    val tbl = s"graft_ss_vol_${System.nanoTime()}"
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = StreamingSubstringDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexTable = tbl, windowTokens = 6) { (_, _) => () }
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    try {
+      // seed: 400 docs × 11 gram positions = 4400 indexed hashes
+      mem.addData((1 to 400).map(i => (i.toLong, doc(i))): _*)
+      q.processAllAvailable()
+      spark.sparkContext.addSparkListener(listener)
+      mem.addData((1001 to 1010).map(i => (i.toLong, doc(i))): _*)
+      q.processAllAvailable()
+      var last = -1L
+      var spins = 0
+      while (shuffleRecords.get != last && spins < 40) {
+        last = shuffleRecords.get; spins += 1; Thread.sleep(250)
+      }
+      assert(shuffleRecords.get < 2200,
+        s"batch shuffle ${shuffleRecords.get} records vs 4400-gram index — " +
+          "index-sized re-shuffle regression")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
 }
