@@ -109,16 +109,44 @@ object Bpe {
   /** Real token counts under a trained vocabulary: per doc, the sum of
     * each word's trained symbol count, out-of-vocab words at character
     * count (the zero-merges upper bound). Docs with no words count 0.
+    * For true tokenizer semantics on unseen corpora (OOV words REPLAY
+    * the merges instead of falling back) use [[tokenCountWithMerges]].
     */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String,
-      vocab: DataFrame): DataFrame = {
+      vocab: DataFrame): DataFrame =
+    tokenCountImpl(docs, idCol, textCol, vocab,
+      oovCount = word => length(word).cast("int"))
+
+  /** Replay a trained merge list over a symbol array, in training
+    * order — how a real tokenizer encodes a word it never saw during
+    * training. One fold expression per merge, chained: interpreted-HOF
+    * cost × |merges| per evaluated row, which is why counting keeps
+    * the broadcast vocab lookup for known words and pays this only on
+    * the OOV minority.
+    */
+  def applyMerges(syms: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.mergeNo)
+      .foldLeft(syms)((s, m) => applyMerge(s, m.lhs, m.rhs))
+
+  /** [[tokenCount]] with exact OOV handling: words outside the trained
+    * vocabulary replay the merge list from characters (`when`
+    * short-circuits, so the chained folds evaluate only on OOV rows).
+    */
+  def tokenCountWithMerges(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, merges: Seq[Merge]): DataFrame =
+    tokenCountImpl(docs, idCol, textCol, vocab,
+      oovCount = word => size(applyMerges(split(word, ""), merges)))
+
+  private def tokenCountImpl(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, oovCount: Column => Column): DataFrame = {
     val perWord = docs
       .select(col(idCol).as("doc_id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .join(broadcast(vocab.select(col("word"), size(col("syms")).as("__n"))),
         Seq("word"), "left")
-      .withColumn("__n", coalesce(col("__n"), length(col("word")).cast("int")))
+      .withColumn("__n",
+        when(col("__n").isNotNull, col("__n")).otherwise(oovCount(col("word"))))
       .groupBy("doc_id").agg(sum(col("__n")).as("n_bpe_tokens"))
     docs.select(col(idCol).as("doc_id"))
       .join(perWord, Seq("doc_id"), "left")

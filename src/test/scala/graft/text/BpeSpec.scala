@@ -67,6 +67,38 @@ class BpeSpec extends SparkSpec {
     assert(wf === Seq(("x", 3L), ("y", 2L)))
   }
 
+  test("tokenCountWithMerges replays merges on unseen words exactly") {
+    val (merges, vocab) = Bpe.train(corpus, "text", rounds = 6)
+    try {
+      // "slowest": unseen word. Replaying the trained merges
+      // (e,s → es,t → l,o → lo,w → e,w → ew,est) on its characters:
+      // s l o w e s t → es→[s,l,o,w,es,t]? No — left-to-right per
+      // merge: hand-compute via the reference rules below.
+      def replay(word: String): Int = {
+        var s = word.map(_.toString).toVector
+        for (m <- merges.sortBy(_.mergeNo)) {
+          val b = Vector.newBuilder[String]
+          var pend: String = null
+          for (x <- s) {
+            if (pend == null) pend = x
+            else if (pend == m.lhs && x == m.rhs) { b += (m.lhs + m.rhs); pend = null }
+            else { b += pend; pend = x }
+          }
+          if (pend != null) b += pend
+          s = b.result()
+        }
+        s.size
+      }
+      val docs = Seq((1L, "slowest low"), (2L, "newestest")).toDF("doc_id", "text")
+      val got = Bpe.tokenCountWithMerges(docs, "doc_id", "text", vocab, merges)
+        .as[(Long, Long)].collect().toMap
+      assert(got(1L) === replay("slowest") + 1L) // "low" in-vocab → 1 symbol
+      assert(got(2L) === replay("newestest").toLong)
+      // and the replay count is never worse than the char-count fallback
+      assert(got(2L) < "newestest".length.toLong)
+    } finally vocab.unpersist()
+  }
+
   test("property: train matches a sequential reference on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
