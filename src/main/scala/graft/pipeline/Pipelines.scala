@@ -107,7 +107,12 @@ object Pipelines {
       // drop repeated normalized lines across the corpus (C4/CCNet
       // boilerplate removal) before whole-doc dedup; adds one md5-key
       // owner-election agg + one doc_id reassembly shuffle
-      paragraphDedup: Boolean = false)
+      paragraphDedup: Boolean = false,
+      // CCNet-style LM gate: bucket docs into `n` fluency tiers by the
+      // corpus-trained bigram LM and DROP the last (least fluent)
+      // tier. Uses the quantile-threshold form — no global sort. Docs
+      // too short to score (< 2 words) pass through unjudged.
+      fluencyTiers: Option[Int] = None)
 
   /** The full LLM training-data curation flow as ONE library call —
     * what a user of the reference's script-per-step world replaces
@@ -174,7 +179,19 @@ object Pipelines {
           .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
           .filter(col("text") =!= "")
       }
-    val cleaned = Curation.decontaminate(paraClean, benchmark, "text")
+    val fluent = cfg.fluencyTiers.fold(paraClean) { tiers =>
+      // buckets stays cached (doc-count-sized, materialized inside
+      // fluencyBucketsAtScale): releasing it here would make the
+      // returned lazy plan retrain the bigram LM on first action;
+      // blocks evict LRU with the plan
+      val buckets = TextAnalysis.fluencyBucketsAtScale(
+        paraClean, "doc_id", "text", tiers)
+      paraClean
+        .join(buckets.select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
+        .filter(col("bucket").isNull || col("bucket") < tiers)
+        .drop("bucket")
+    }
+    val cleaned = Curation.decontaminate(fluent, benchmark, "text")
       .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
     val deduped = Prep.dedupKeepFirst(cleaned, Seq("__fp"), Seq(col("doc_id")))
       .drop("__fp")

@@ -107,6 +107,31 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("curateCorpus fluency gate drops the least-fluent tier, keeps the rest") {
+    import org.apache.spark.sql.functions._
+    // fluent docs share the dominant "the wN of" bigram pattern;
+    // gibberish docs are unique-bigram soup → lowest tier
+    def fluent(i: Int): String =
+      (0 until 40).map(j => s"the w${j % 9} of").mkString(" ")
+    def gibber(i: Int): String =
+      (0 until 40).map(j => s"zz${i}x$j qq${i}y$j").mkString(" ")
+    val docs = ((1 to 6).map(i => (i.toLong, fluent(i), "en", "srcA")) ++
+      (7 to 9).map(i => (i.toLong, gibber(i), "en", "srcA")))
+      .toDF("doc_id", "text", "lang", "source")
+    val benchmark = Seq("nothing matches").toDF("text")
+    // two tiers: the quantile threshold lands inside the (identical-
+    // score) fluent block, so the gibberish half-tier drops cleanly —
+    // a 3-tier split over only two distinct score values is degenerate
+    // (the tail threshold EQUALS the gibberish score, bucket 2)
+    val kept = Pipelines.curateCorpus(docs, benchmark,
+      Pipelines.CurationConfig(minQuality = 0.1, maxTopWordRatio = 0.9,
+        seqLen = 1000, fluencyTiers = Some(2)))
+      .select("doc_id").as[Long].collect().toSet
+    // identical fluent docs dedup to the first; gibberish tier dropped
+    assert(kept.contains(1L))
+    assert((7 to 9).forall(i => !kept.contains(i.toLong)), s"kept: $kept")
+  }
+
   test("curateCorpus paragraphDedup stage strips cross-doc boilerplate lines") {
     import org.apache.spark.sql.functions._
     def body(i: Int): String =
