@@ -140,6 +140,40 @@ object Dedup {
           .cast("array<struct<pos:int,h:string>>"))).as("g"))
     .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
 
+  /** Distinct covered token positions from coverage SPANS — one row
+    * per duplicate occurrence `(doc_id, start, end)`, NOT one row per
+    * covered position. Overlapping spans within a doc coalesce into
+    * disjoint intervals first (classic interval merge: running
+    * max-of-end window per doc, a new group opens when `start` clears
+    * every previous end), and only the MERGED intervals explode to
+    * positions — each covered position is emitted exactly once, so no
+    * `distinct` is needed and the shuffle this stage pays is
+    * O(occurrences) span rows (window on doc_id), not
+    * O(occurrences × w) position rows. On the corpora the substring
+    * family exists for — 30%+ duplicated (Lee et al. 2022's own
+    * motivation) — the per-position form shuffled ~w× the duplicate
+    * token mass before its distinct; this shape drops that factor
+    * entirely. The groupBy after the window re-uses the window's
+    * hash-partitioning on doc_id (subset of the grouping key → no
+    * extra exchange).
+    *
+    * `start` values are unique per doc in every consumer (one span per
+    * gram position), so the window order is deterministic.
+    */
+  private[graft] def coveredPositions(spans: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    spans
+      .withColumn("__pmax", max(col("end")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        (col("__pmax").isNull || col("start") > col("__pmax")).cast("long"))
+      .withColumn("__grp", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("end"))).as("pos"))
+  }
+
   /** Anti-join tokens against covered positions, reassemble per doc,
     * and join token totals back: every input doc present as
     * (doc_id, text, n_tokens_kept, n_tokens_removed).
@@ -182,10 +216,12 @@ object Dedup {
     *
     * Scale shape: the gram relation is one row per token position
     * (identical to q86's probe side); its groupBy moves only (16-byte
-    * hash, id, pos) triples with map-side combine. The removal
-    * explosion is w× the count of ACTUAL duplicate occurrences, not
-    * the corpus. Three corpus-sized shuffles total (gram election,
-    * coverage anti-join, doc reassembly) — inherent to the operator.
+    * hash, id, pos) triples with map-side combine. Coverage moves ONE
+    * span row per duplicate occurrence, interval-coalesced per doc
+    * before exploding to positions ([[coveredPositions]]) — never the
+    * old w-rows-per-occurrence form. Three corpus-sized shuffles total
+    * (gram election, coverage anti-join, doc reassembly) — inherent to
+    * the operator.
     *
     * Returns (doc_id, text, n_tokens_kept, n_tokens_removed); every
     * input doc is present, text = "" if fully covered by earlier
@@ -201,12 +237,11 @@ object Dedup {
         count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .select(col("h"), col("__owner"))
-    val covered = grams.join(owners, Seq("h"))
+    val covered = coveredPositions(grams.join(owners, Seq("h"))
       .filter(col("__owner.doc_id") =!= col("doc_id") ||
         col("__owner.pos") =!= col("pos"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
-      .distinct()
+      .select(col("doc_id"), col("pos").as("start"),
+        (col("pos") + (w - 1)).as("end")))
     reassembleTokens(docs, idCol, textCol, covered)
   }
 

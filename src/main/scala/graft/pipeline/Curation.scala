@@ -89,8 +89,10 @@ object Curation {
     * Scale shape: the benchmark's distinct rolling-gram hashes
     * broadcast (eval sets are small by definition); the corpus side is
     * a map-only gram probe — corpus text never shuffles for the match.
-    * Only the (rare) hit positions explode to coverage, then one
-    * anti-join + one doc reassembly shuffle, both corpus-row-sized.
+    * Coverage moves one span row per (rare) hit, interval-coalesced
+    * per doc before exploding ([[graft.dedup.Dedup.coveredPositions]]),
+    * then one anti-join + one doc reassembly shuffle, both
+    * corpus-row-sized.
     *
     * Returns (doc_id, text, n_tokens_kept, n_tokens_removed) for every
     * corpus doc; a doc that IS benchmark text reduces to "".
@@ -104,11 +106,11 @@ object Curation {
     val bmGrams = Dedup.rollingGrams(
       benchmark.withColumn("__bid", lit(0L)), "__bid", textCol, n)
       .select("h").distinct()
-    val covered = Dedup.rollingGrams(corpus, idCol, textCol, n)
-      .join(broadcast(bmGrams), Seq("h"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
-      .distinct()
+    val covered = Dedup.coveredPositions(
+      Dedup.rollingGrams(corpus, idCol, textCol, n)
+        .join(broadcast(bmGrams), Seq("h"))
+        .select(col("doc_id"), col("pos").as("start"),
+          (col("pos") + (n - 1)).as("end")))
     Dedup.reassembleTokens(corpus, idCol, textCol, covered)
   }
 

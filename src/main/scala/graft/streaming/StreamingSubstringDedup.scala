@@ -49,11 +49,10 @@ object StreamingSubstringDedup {
             Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
           .join(index.withColumn("__hit", lit(true)), Seq("h"), "left")
           .localCheckpoint()
-        val covered = probed
+        val covered = Dedup.coveredPositions(probed
           .filter(col("__rn") > 1 || col("__hit").isNotNull)
-          .select(col("doc_id"),
-            explode(sequence(col("pos"), col("pos") + (w - 1))).as("pos"))
-          .distinct()
+          .select(col("doc_id"), col("pos").as("start"),
+            (col("pos") + (w - 1)).as("end")))
         val out = Dedup.reassembleTokens(batch, idCol, textCol, covered)
           .localCheckpoint()
         // grams first OWNED in this batch enter the index

@@ -171,6 +171,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substringDedup coverage shuffle scales with duplicate occurrences, not ×w") {
+    val w = 40
+    // 30 identical 120-token docs: 29 non-owner docs × 81 gram
+    // positions = 2349 duplicate occurrences. The per-position explode
+    // this spec guards against shuffled 2349 × 40 = 93,960 coverage
+    // rows into its distinct; interval-coalesced spans shuffle 2349
+    // span rows + one merged interval per doc. Assert the ENTIRE job's
+    // shuffle writes stay under half the old coverage stage alone —
+    // a ratio against the explosion factor, not a plan-shape absolute.
+    val text = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val docs = (1 to 30).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = try {
+      val out = Dedup.substringDedup(docs, "doc_id", "text", windowTokens = w)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      out
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // correctness unchanged: doc 1 owns everything, docs 2..30 empty
+    assert(got.head === ((1L, text, 120L, 0L)))
+    assert(got.tail.forall { case (_, t, k, d) => t == "" && k == 0L && d == 120L })
+    val dupOccurrences = 29L * (120 - (w - 1))
+    assert(shuffleRecords.get < dupOccurrences * w / 2,
+      s"job shuffled ${shuffleRecords.get} records — ×w coverage " +
+        s"explosion regression (old shape: >${dupOccurrences * w} in " +
+        "the coverage distinct alone)")
+  }
+
   test("jaccard of word shingles: identical=1, disjoint=0") {
     val df = Seq((
       Seq("a b c", "b c d"),

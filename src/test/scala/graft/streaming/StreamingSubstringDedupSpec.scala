@@ -56,21 +56,26 @@ class StreamingSubstringDedupSpec extends SparkSpec {
         if (m != null) shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
     }
+    def drain(): Unit = org.apache.spark.sql.graftbridge.ListenerBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext)
     try {
-      // seed: 400 docs × 11 gram positions = 4400 indexed hashes
+      spark.sparkContext.addSparkListener(listener)
+      // seed: 400 docs × 11 gram positions = 4400 indexed hashes; its
+      // own shuffle volume IS the measured index-sized baseline
       mem.addData((1 to 400).map(i => (i.toLong, doc(i))): _*)
       q.processAllAvailable()
-      spark.sparkContext.addSparkListener(listener)
+      drain()
+      val indexSizedBaseline = shuffleRecords.getAndSet(0L)
+      // a 10-doc batch (2.5% of the index) must shuffle a small
+      // FRACTION of the baseline — ratio assertion, so plan-shape
+      // changes that move both numbers together don't flake it
       mem.addData((1001 to 1010).map(i => (i.toLong, doc(i))): _*)
       q.processAllAvailable()
-      var last = -1L
-      var spins = 0
-      while (shuffleRecords.get != last && spins < 40) {
-        last = shuffleRecords.get; spins += 1; Thread.sleep(250)
-      }
-      assert(shuffleRecords.get < 2200,
-        s"batch shuffle ${shuffleRecords.get} records vs 4400-gram index — " +
-          "index-sized re-shuffle regression")
+      drain()
+      val batchRecords = shuffleRecords.get
+      assert(batchRecords * 4 < indexSizedBaseline,
+        s"batch shuffled $batchRecords records vs index-sized baseline " +
+          s"$indexSizedBaseline — index-sized re-shuffle regression")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       q.stop()
