@@ -830,6 +830,30 @@ object SparkEntry {
     finally vocab.unpersist()
   }
 
+  /** The full tokenizer-REUSE lifecycle at 64 merge rounds: train on
+    * half the corpus (doc_id % 2 = 0), persist the merge table as the
+    * reloadable artifact, reload it, and tokenize a DISJOINT second
+    * corpus (doc_id % 10 = 1) with exact OOV handling — unseen words
+    * replay the loaded merges through the flat codegen kernel
+    * ([[graft.functions.BpeReplay]]). 64 rounds is an order of
+    * magnitude past where the old chained-fold form stalled Catalyst
+    * analysis; the kernel's cost is O(1) in |merges| at plan time.
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 2 === 0).select("text")
+    val test = docs.filter(col("doc_id") % 10 === 1).select("doc_id", "text")
+    val scratch = scratchDir("bpe_artifact")
+    val (trained, vocab) = graft.text.Bpe.train(
+      train, "text", rounds = 64, maxVocab = 100)
+    try {
+      graft.text.Bpe.saveMerges(s, trained, s"$scratch/merges")
+      val merges = graft.text.Bpe.loadMerges(s, s"$scratch/merges")
+      graft.text.Bpe.tokenCountWithMerges(test, "doc_id", "text", vocab, merges)
+        .localCheckpoint()
+    } finally vocab.unpersist()
+  }
+
   /** The q104/q105 oracle: benchmark 20-gram hashes (doc_id %% 10 = 3),
     * ALL corpus occurrences covered, q99 reassembly tail — shared by
     * the batch operator and the per-batch-exact streaming twin.
@@ -907,16 +931,22 @@ object SparkEntry {
 
   /** Shared WITH-chain of the BPE training replay (w/rep0, then
     * p/m/e/g/d/rep per round) — terminal SELECTs differ per query.
+    * `where` filters the training corpus (q106 trains on half the
+    * docs); empty = whole table (q98/q103). Round boundaries (w, m$k,
+    * rep$k) are MATERIALIZED: rep$j is referenced twice per round, and
+    * DuckDB 1.0 inlines non-materialized CTEs — at 64 rounds that
+    * inlining is exponential (observed as a file-handle explosion on
+    * the documents scan long before memory).
     */
-  private def bpeCtes(rounds: Int, maxVocab: Int): String = {
+  private def bpeCtes(rounds: Int, maxVocab: Int, where: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH w AS (
+    sb ++= s"""WITH w AS MATERIALIZED (
       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
       |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
-      |        FROM documents)
+      |        FROM documents$where)
       |  WHERE word != ''
       |  GROUP BY word ORDER BY freq DESC, word LIMIT $maxVocab),
-      |rep0 AS (
+      |rep0 AS MATERIALIZED (
       |  SELECT word, freq,
       |         list_transform(range(1, len(word)+1), i -> word[i:i]) AS syms
       |  FROM w)""".stripMargin
@@ -929,32 +959,84 @@ object SparkEntry {
       |          unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS u
       |        FROM rep$j)
       |  GROUP BY 1, 2),
-      |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-      |e$k AS (
+      |m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      sb ++= bpeApplyCtes(k, "")
+    }
+    sb.toString
+  }
+
+  /** One round of greedy merge APPLICATION (e/g/d/rep CTEs) against
+    * the round's argmax m$k: eligibility + run-parity merge decisions
+    * + rebuilt symbol arrays. `pfx` distinguishes the chain being
+    * merged — "" = the training vocabulary, "b" = the second-corpus
+    * replay chain of [[bpeSecondCorpusSql]] (same merges m$k, applied
+    * to repb$j instead of rep$j).
+    */
+  private def bpeApplyCtes(k: Int, pfx: String): String = {
+    val j = k - 1
+    s""",
+      |e$pfx$k AS (
       |  SELECT word, freq, u.i AS i, u.s AS s,
       |         coalesce(u.i < len(syms) AND u.s = m.l AND syms[u.i+1] = m.r, false) AS elig
       |  FROM (SELECT word, freq, syms,
       |          unnest(list_transform(syms, (x, i) -> {'i': i, 's': x})) AS u
-      |        FROM rep$j)
+      |        FROM rep$pfx$j)
       |       LEFT JOIN m$k m ON true),
-      |g$k AS (
+      |g$pfx$k AS (
       |  SELECT *, CASE WHEN elig THEN i - row_number()
       |    OVER (PARTITION BY word, elig ORDER BY i) END AS grp
-      |  FROM e$k),
-      |d$k AS (
+      |  FROM e$pfx$k),
+      |d$pfx$k AS (
       |  SELECT *, elig AND (row_number()
       |    OVER (PARTITION BY word, elig, grp ORDER BY i) % 2 = 1) AS merged
-      |  FROM g$k),
-      |rep$k AS (
+      |  FROM g$pfx$k),
+      |rep$pfx$k AS MATERIALIZED (
       |  SELECT word, freq, list(sym ORDER BY i) AS syms
       |  FROM (SELECT word, freq, i,
       |          CASE WHEN merged THEN s || lead(s) OVER (PARTITION BY word ORDER BY i)
       |               ELSE s END AS sym,
       |          coalesce(lag(merged) OVER (PARTITION BY word ORDER BY i), false) AS absorbed
-      |        FROM d$k)
+      |        FROM d$pfx$k)
       |  WHERE NOT absorbed
       |  GROUP BY word, freq)""".stripMargin
-    }
+  }
+
+  /** The q106 oracle: train $rounds merges on HALF the corpus
+    * (doc_id %% 2 = 0), then tokenize a disjoint SECOND corpus
+    * (doc_id %% 10 = 1 — all odd ids) by replaying the trained merges
+    * over EVERY test word from characters (repb chain). Replay of a
+    * trained word reproduces its vocabulary decomposition (same
+    * composition of greedy passes), so the uniform replay here equals
+    * Spark's vocab-lookup-plus-OOV-replay split exactly — the real
+    * tokenizer-reuse lifecycle, hash-gated at 64 rounds.
+    */
+  private def bpeSecondCorpusSql(rounds: Int, maxVocab: Int): String = {
+    val testWhere = " WHERE doc_id % 10 = 1"
+    val sb = new StringBuilder
+    sb ++= bpeCtes(rounds, maxVocab, where = " WHERE doc_id % 2 = 0")
+    sb ++= s""",
+      |repb0 AS MATERIALIZED (
+      |  SELECT word, CAST(1 AS BIGINT) AS freq,
+      |         list_transform(range(1, len(word)+1), i -> word[i:i]) AS syms
+      |  FROM (SELECT DISTINCT word FROM (
+      |          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      |          FROM documents$testWhere)
+      |        WHERE word != ''))""".stripMargin
+    for (k <- 1 to rounds) sb ++= bpeApplyCtes(k, "b")
+    sb ++= s""",
+      |wctb AS (SELECT word, len(syms) AS n FROM repb$rounds),
+      |dwb AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id,
+      |           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      |    FROM documents$testWhere)
+      |  WHERE word != ''),
+      |ctb AS (
+      |  SELECT dwb.doc_id, CAST(sum(wctb.n) AS BIGINT) AS n_bpe_tokens
+      |  FROM dwb JOIN wctb USING (word)
+      |  GROUP BY dwb.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(ctb.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+      |FROM (SELECT doc_id FROM documents$testWhere) d LEFT JOIN ctb USING (doc_id)""".stripMargin
     sb.toString
   }
 
@@ -1752,6 +1834,7 @@ object SparkEntry {
     "q103_bpe_token_count" -> (q103 _),
     "q104_span_decontaminate" -> (q104 _),
     "q105_stream_span_decontaminate" -> (q105 _),
+    "q106_bpe_second_corpus" -> (q106 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2164,6 +2247,11 @@ object SparkEntry {
     "q101_stream_paragraph_dedup" -> paragraphDedupSql,
     "q98_bpe_merges" -> bpeMergesSql(rounds = 6, maxVocab = 100),
     "q103_bpe_token_count" -> bpeTokenCountSql(rounds = 6, maxVocab = 100),
+    // train on doc_id%2=0, tokenize the disjoint doc_id%10=1 corpus
+    // under the saved/reloaded merge artifact; every test word replays
+    // the 64 trained merges from characters (replay == vocab lookup
+    // for trained words, exact OOV encoding for the rest)
+    "q106_bpe_second_corpus" -> bpeSecondCorpusSql(rounds = 64, maxVocab = 100),
     // benchmark = doc_id % 10 = 3; ALL corpus occurrences of a
     // benchmark 20-gram are covered (no keep-first — benchmark text
     // must not survive anywhere), then the q99 reassembly tail

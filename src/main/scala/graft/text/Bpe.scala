@@ -76,10 +76,16 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, rounds: Int,
       maxVocab: Int = 10000): (Seq[Merge], DataFrame) = {
     require(rounds >= 0 && maxVocab > 0, "rounds/maxVocab must be positive")
+    // localCheckpoint (not persist): each round builds on the previous
+    // generation, and a cache alone leaves the LINEAGE growing one
+    // chained `aggregate`-fold projection per round — at 64+ rounds
+    // re-analysis of that chain (and optimizer substitution into it)
+    // dominates, then OOMs the driver. Checkpointing truncates the
+    // plan to the materialized table, so every round analyzes exactly
+    // one merge application over a |vocab|-row scan.
     var rep = wordFrequencies(docs, textCol, maxVocab)
       .withColumn("syms", split(col("word"), ""))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rep.count()
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     for (round <- 1 to rounds if !exhausted) {
@@ -96,11 +102,10 @@ object Bpe {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(round, l, r, c)
-        val next = rep.withColumn("syms", applyMerge(col("syms"), l, r))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parent generation
-        rep.unpersist()
-        rep = next
+        // eager localCheckpoint materializes before the parent's blocks
+        // are released (ContextCleaner GCs prior generations)
+        rep = rep.withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint()
       }
     }
     (merges.toSeq, rep)
@@ -117,25 +122,63 @@ object Bpe {
     tokenCountImpl(docs, idCol, textCol, vocab,
       oovCount = word => length(word).cast("int"))
 
-  /** Replay a trained merge list over a symbol array, in training
-    * order — how a real tokenizer encodes a word it never saw during
-    * training. One fold expression per merge, chained: interpreted-HOF
-    * cost × |merges| per evaluated row, which is why counting keeps
-    * the broadcast vocab lookup for known words and pays this only on
-    * the OOV minority.
+  /** REFERENCE form of merge-list replay over a symbol array: one fold
+    * expression per merge, chained — an expression tree O(|merges|)
+    * deep, so Catalyst analysis alone chokes at real-tokenizer merge
+    * counts. Kept as the executable spec the production kernel is
+    * property-tested against (BpeSpec); every query path uses
+    * [[replaySymbols]] instead.
     */
   def applyMerges(syms: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.mergeNo)
       .foldLeft(syms)((s, m) => applyMerge(s, m.lhs, m.rhs))
 
+  /** Production merge replay: encode a WORD under the trained merges
+    * via the flat-loop codegen kernel
+    * ([[graft.functions.BpeReplay]]) — analysis cost O(1) in
+    * |merges|, replay O(|merges| × |word|) straight-line JVM code,
+    * inside WholeStageCodegen. This is how a real tokenizer encodes
+    * unseen words; for trained words it reproduces their vocabulary
+    * decomposition exactly (same composition of passes).
+    */
+  def replaySymbols(word: Column, merges: Seq[Merge]): Column = {
+    val sorted = merges.sortBy(_.mergeNo)
+    graft.functions.BpeReplay.replaySymbols(
+      word, sorted.map(_.lhs), sorted.map(_.rhs))
+  }
+
   /** [[tokenCount]] with exact OOV handling: words outside the trained
-    * vocabulary replay the merge list from characters (`when`
-    * short-circuits, so the chained folds evaluate only on OOV rows).
+    * vocabulary replay the merge list from characters through the
+    * codegen kernel (`when` short-circuits, so replay evaluates only
+    * on OOV rows).
     */
   def tokenCountWithMerges(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, merges: Seq[Merge]): DataFrame =
     tokenCountImpl(docs, idCol, textCol, vocab,
-      oovCount = word => size(applyMerges(split(word, ""), merges)))
+      oovCount = word => size(replaySymbols(word, merges)))
+
+  /** Persist a trained merge list as the reloadable tokenizer
+    * artifact — the real lifecycle: train once, save, tokenize any
+    * later corpus under the loaded merges ([[loadMerges]] →
+    * [[tokenCountWithMerges]]/[[replaySymbols]]). Parquet
+    * (merge_no, lhs, rhs, pair_freq), one file: the table is
+    * |merges| rows by construction, artifact-sized at any corpus
+    * scale.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveMerges]] artifact in training order. The collect
+    * is artifact-sized (|merges| rows), never corpus-sized.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Merge].collect().sortBy(_.mergeNo).toSeq
+  }
 
   private def tokenCountImpl(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, oovCount: Column => Column): DataFrame = {

@@ -99,6 +99,61 @@ class BpeSpec extends SparkSpec {
     } finally vocab.unpersist()
   }
 
+  test("replaySymbols (codegen kernel) == applyMerges reference fold") {
+    val (merges, vocab) = Bpe.train(corpus, "text", rounds = 6)
+    try {
+      val words = Seq("slowest", "newestest", "a", "low", "wwww",
+        "estestest", "lowestlow", "zzz")
+      val got = words.toDF("word").select(
+        Bpe.replaySymbols(col("word"), merges).as("kernel"),
+        Bpe.applyMerges(split(col("word"), ""), merges).as("fold"))
+        .as[(Seq[String], Seq[String])].collect()
+      got.foreach { case (k, f) => assert(k === f) }
+    } finally vocab.unpersist()
+  }
+
+  test("property: kernel replay == reference fold on random merges and words") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val symGen = Gen.oneOf("a", "b", "c", "ab", "bc")
+    val mergesGen = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(symGen, symGen)))
+    val wordGen = Gen.chooseNum(1, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    (0 until 8).foreach { i =>
+      val params = Gen.Parameters.default
+      val ms = mergesGen(params, Seed(9000L + i)).get
+        .zipWithIndex.map { case ((l, r), k) => Bpe.Merge(k + 1, l, r, 1L) }
+      val words = Gen.listOfN(12, wordGen)(params, Seed(9100L + i)).get
+      val got = words.toDF("word").select(
+        Bpe.replaySymbols(col("word"), ms).as("kernel"),
+        Bpe.applyMerges(split(col("word"), ""), ms).as("fold"))
+        .as[(Seq[String], Seq[String])].collect()
+      got.foreach { case (k, f) => assert(k === f, s"merges: $ms words: $words") }
+    }
+  }
+
+  test("kernel replay handles merge lists far past the fold's analysis depth") {
+    // 600 no-op merges + one live (a,a) merge LAST: the chained-fold
+    // form builds a 601-deep expression tree (Catalyst analysis
+    // stalls); the kernel is a flat loop over plan metadata.
+    val ms = (1 to 600).map(k => Bpe.Merge(k, s"x$k", s"y$k", 1L)) :+
+      Bpe.Merge(601, "a", "a", 1L)
+    val got = Seq("aaaa", "aaa", "b").toDF("word")
+      .select(Bpe.replaySymbols(col("word"), ms).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(got === Seq(Seq("aa", "aa"), Seq("aa", "a"), Seq("b")))
+  }
+
+  test("saveMerges/loadMerges round-trips the artifact in training order") {
+    val (merges, vocab) = Bpe.train(corpus, "text", rounds = 6)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+      Bpe.saveMerges(spark, merges, dir)
+      assert(Bpe.loadMerges(spark, dir) === merges)
+    } finally vocab.unpersist()
+  }
+
   test("property: train matches a sequential reference on random corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
