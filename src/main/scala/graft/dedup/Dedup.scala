@@ -499,6 +499,14 @@ object Dedup {
       .select(col("id"), col("sig"),
         bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
       .join(index, Seq("band", "band_hash"))
+      // a doc never duplicates ITSELF: an index entry under the probing
+      // doc's own id means "already admitted" — either a caller-seeded
+      // snapshot of the same corpus or an at-least-once foreachBatch
+      // REPLAY whose failed attempt already folded this batch's
+      // survivors in. Excluding self-matches makes the replay
+      // idempotent end-to-end: survivors keep their verdicts, and
+      // [[newIndexRows]]'s anti-join then appends nothing new.
+      .filter(col("owner_id") =!= col("id"))
       .filter(estimatedJaccard(col("sig"), col("owner_sig")) >= threshold)
       .groupBy("id").agg(min(col("owner_id")).as("dup_of"))
     // lazy: one plan, one pass over the batch per action — callers that

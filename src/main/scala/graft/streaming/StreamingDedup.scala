@@ -44,8 +44,18 @@ import graft.dedup.Dedup
   *
   * Batch-internal duplicates are out of scope here, as in q90's batch
   * contract: compose `minHashPairs` within the batch when needed.
-  * A restart resumes from whatever index table / snapshot the caller
-  * kept.
+  *
+  * Replay safety (bucketed-table mode): foreachBatch is AT-LEAST-ONCE
+  * — a failure between the index append and the caller's sink commit
+  * replays the batch against an index that already holds its own
+  * survivors. That replay is idempotent end-to-end: a doc never
+  * matches its OWN index entry (`dedupAgainstIndex` excludes
+  * owner_id == id — an entry under the probing id means "already
+  * admitted"), so survivors keep their verdicts, and `newIndexRows`'
+  * anti-join then appends nothing new. A restart resumes from
+  * whatever index table the caller kept under the same rule. The
+  * in-memory mode's index dies with the JVM, so replay-into-own-state
+  * cannot arise there.
   */
 object StreamingDedup {
 

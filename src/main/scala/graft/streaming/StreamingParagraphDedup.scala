@@ -31,6 +31,16 @@ import graft.dedup.Dedup
   * empirically there): all reads/writes of the table go through the
   * batch's cloned session, and every result that outlives the append
   * is localCheckpoint'd first.
+  *
+  * Replay safety: foreachBatch is AT-LEAST-ONCE — a failure between
+  * the index append and the caller's sink commit replays the batch
+  * against an index that already contains its own hashes. Index rows
+  * therefore carry the batchId that wrote them, and the probe reads
+  * only rows with `batch_id < currentBatchId` — a replayed batch
+  * probes exactly the pre-batch index and reproduces its original
+  * verdicts. The replay's re-append duplicates (h, batchId) rows in
+  * storage; the probe's `distinct` (exchange-free on the h-bucketed
+  * table) absorbs them for all later batches.
   */
 object StreamingParagraphDedup {
 
@@ -44,7 +54,8 @@ object StreamingParagraphDedup {
     if (!setup.catalog.tableExists(indexTable))
       setup.createDataFrame(
         setup.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("h", StringType))))
+        StructType(Seq(StructField("h", StringType),
+          StructField("batch_id", LongType))))
         .write.bucketBy(indexBuckets, "h").sortBy("h")
         .format("parquet").mode("overwrite").saveAsTable(indexTable)
 
@@ -52,7 +63,13 @@ object StreamingParagraphDedup {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
+        // replay guard: only hashes admitted by EARLIER batches probe;
+        // a failed attempt's own rows (batch_id == batchId) are
+        // invisible, so the replay reproduces the original verdicts.
+        // distinct absorbs re-append duplicates; both it and the probe
+        // join are exchange-free on the h-bucketed scan.
         val index = sess.table(indexTable)
+          .filter(col("batch_id") < batchId).select("h").distinct()
         val paras = Dedup.explodedParas(batch, idCol, textCol, sep)
         val nonEmpty = paras.filter(!col("__empty"))
         // within-batch keep-first, then the cross-batch probe
@@ -73,6 +90,7 @@ object StreamingParagraphDedup {
         val newHashes = flagged
           .filter(col("__keep") && !col("__empty"))
           .select(col("__k").as("h")).distinct()
+          .withColumn("batch_id", lit(batchId))
           .localCheckpoint()
         newHashes.write.bucketBy(indexBuckets, "h").sortBy("h")
           .format("parquet").mode("append").saveAsTable(indexTable)

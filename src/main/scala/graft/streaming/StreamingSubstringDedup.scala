@@ -22,7 +22,12 @@ import graft.dedup.Dedup
   * bucketed parquet table: probe and fold shuffle O(batch grams) per
   * trigger. Same foreachBatch discipline as [[StreamingDedup]]
   * (cloned-session reads/writes, localCheckpoint before the table
-  * mutates).
+  * mutates), and the same replay guard as
+  * [[StreamingParagraphDedup]]: index rows carry their writing
+  * batchId, the probe reads only `batch_id < currentBatchId`, so an
+  * at-least-once REPLAY probes the exact pre-batch index instead of
+  * self-matching its own failed attempt's grams; `distinct` (no
+  * exchange on the h-bucketed scan) absorbs re-append duplicates.
   */
 object StreamingSubstringDedup {
 
@@ -35,7 +40,8 @@ object StreamingSubstringDedup {
     if (!setup.catalog.tableExists(indexTable))
       setup.createDataFrame(
         setup.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("h", StringType))))
+        StructType(Seq(StructField("h", StringType),
+          StructField("batch_id", LongType))))
         .write.bucketBy(indexBuckets, "h").sortBy("h")
         .format("parquet").mode("overwrite").saveAsTable(indexTable)
 
@@ -43,7 +49,10 @@ object StreamingSubstringDedup {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
+        // replay guard: see StreamingParagraphDedup — earlier batches
+        // only, distinct absorbs a failed attempt's re-appends
         val index = sess.table(indexTable)
+          .filter(col("batch_id") < batchId).select("h").distinct()
         val probed = Dedup.rollingGrams(batch, idCol, textCol, w)
           .withColumn("__rn", row_number().over(
             Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
@@ -59,6 +68,7 @@ object StreamingSubstringDedup {
         val newHashes = probed
           .filter(col("__rn") === 1 && col("__hit").isNull)
           .select(col("h")).distinct()
+          .withColumn("batch_id", lit(batchId))
           .localCheckpoint()
         newHashes.write.bucketBy(indexBuckets, "h").sortBy("h")
           .format("parquet").mode("append").saveAsTable(indexTable)

@@ -81,6 +81,43 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("replayed batch is idempotent: no self-match, no duplicate index rows") {
+    // simulate an at-least-once replay of batch 0: the index table is
+    // seeded with batch 0's OWN survivors (what a failed attempt left
+    // behind after its append). The replay must report them as
+    // survivors — a doc never duplicates itself — and newIndexRows
+    // must append nothing (anti-join finds every bucket owned).
+    def doc(i: Int): String = (0 until 30).map(j => s"r${i}w$j").mkString(" ")
+    val tbl = s"graft_sd_replay_${System.nanoTime()}"
+    val docs = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val seed = graft.dedup.Dedup.bucketIndex(docs, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)](spark)
+    val verdicts = mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val run = StreamingDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      initialIndex = Some(seed), indexTable = Some(tbl)) { (v, _) =>
+      verdicts ++= v.select("doc_id", "dup_of")
+        .as[(Long, Option[Long])].collect()
+    }
+    try {
+      val rowsBefore = run.finalIndex().get.count()
+      mem.addData((1L, doc(1)), (2L, doc(2)))
+      run.query.processAllAvailable()
+      assert(verdicts.toMap === Map(1L -> None, 2L -> None),
+        "replayed batch self-matched its own failed attempt's index rows")
+      assert(run.finalIndex().get.count() === rowsBefore,
+        "replay duplicated index rows")
+      // cross-doc near-dup detection still fires after the replay
+      mem.addData((10L, doc(1) + " omega"))
+      run.query.processAllAvailable()
+      assert(verdicts.toMap.apply(10L) === Some(1L))
+    } finally {
+      run.query.stop(); run.release()
+      seed.unpersist()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("bucketed-index mode: per-batch shuffle volume scales with batch, not index") {
     def doc(i: Int): String = (0 until 30).map(j => s"s${i}w$j").mkString(" ")
     val tbl = s"graft_sd_vol_${System.nanoTime()}"
@@ -108,12 +145,8 @@ class StreamingDedupSpec extends SparkSpec {
       spark.sparkContext.addSparkListener(listener)
       mem.addData((1001 to 1010).map(i => (i.toLong, doc(i))): _*)
       run.query.processAllAvailable()
-      // drain the listener bus (poll until the counter stabilizes)
-      var last = -1L
-      var spins = 0
-      while (shuffleRecords.get != last && spins < 40) {
-        last = shuffleRecords.get; spins += 1; Thread.sleep(250)
-      }
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
       assert(shuffleRecords.get < indexRows / 2,
         s"batch shuffle ${shuffleRecords.get} records vs index $indexRows — " +
           "index-sized re-shuffle regression")

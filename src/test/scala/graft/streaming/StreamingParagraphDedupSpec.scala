@@ -58,25 +58,61 @@ class StreamingParagraphDedupSpec extends SparkSpec {
         if (m != null) shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
     }
+    def drain(): Unit = org.apache.spark.sql.graftbridge.ListenerBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext)
     try {
-      // seed: 500 docs × 4 unique lines = 2000 indexed hashes
+      spark.sparkContext.addSparkListener(listener)
+      // seed: 500 docs × 4 unique lines = 2000 indexed hashes; its own
+      // shuffle volume is the measured index-sized baseline
       mem.addData((1 to 500).map(i => (i.toLong, doc(i))): _*)
       q.processAllAvailable()
-      spark.sparkContext.addSparkListener(listener)
+      drain()
+      val indexSizedBaseline = shuffleRecords.getAndSet(0L)
       mem.addData((1001 to 1010).map(i => (i.toLong, doc(i))): _*)
       q.processAllAvailable()
-      var last = -1L
-      var spins = 0
-      while (shuffleRecords.get != last && spins < 40) {
-        last = shuffleRecords.get; spins += 1; Thread.sleep(250)
-      }
-      assert(shuffleRecords.get < 1000,
-        s"batch shuffle ${shuffleRecords.get} records vs 2000-line index — " +
-          "index-sized re-shuffle regression")
+      drain()
+      val batchRecords = shuffleRecords.get
+      assert(batchRecords * 4 < indexSizedBaseline,
+        s"batch shuffled $batchRecords records vs index-sized baseline " +
+          s"$indexSizedBaseline — index-sized re-shuffle regression")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       q.stop()
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
+  }
+
+  test("replayed batch probes the pre-batch index (at-least-once safety)") {
+    // simulate a failed attempt of batch 0 that already appended its
+    // hashes: pre-create the index table holding THIS batch's line
+    // hash tagged batch_id = 0. The replay must not self-match — the
+    // line survives, exactly as the original attempt reported it.
+    val tbl = s"graft_pd_replay_${System.nanoTime()}"
+    spark.sql(
+      s"SELECT md5(lower(trim(regexp_replace('only line', '\\\\s+', ' ')))) AS h, " +
+        "CAST(0 AS BIGINT) AS batch_id")
+      .write.bucketBy(32, "h").sortBy("h")
+      .format("parquet").saveAsTable(tbl)
+    val mem = MemoryStream[(Long, String)](spark)
+    val got = mutable.Map.empty[Long, (String, Long, Long)]
+    val q = StreamingParagraphDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", indexTable = tbl) {
+      (out, _) =>
+        got ++= out.as[(Long, String, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4)))
+    }
+    try {
+      mem.addData((1L, "only line"))
+      q.processAllAvailable()
+      // batch 1 sees batch 0's hash (batch_id 0 < 1) — duplicate drops
+      mem.addData((2L, "ONLY  line\nfresh line"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+    assert(got(1L) === (("only line", 1L, 0L)),
+      "replayed batch 0 self-matched its own failed attempt's index rows")
+    assert(got(2L) === (("fresh line", 1L, 1L)))
   }
 }

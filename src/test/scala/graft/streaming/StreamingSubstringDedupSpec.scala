@@ -41,6 +41,37 @@ class StreamingSubstringDedupSpec extends SparkSpec {
     assert(got(11L) === (("entirely novel words without any repeats at all", 8L, 0L)))
   }
 
+  test("replayed batch probes the pre-batch index (at-least-once safety)") {
+    // simulate a failed attempt of batch 0 that already appended its
+    // gram hash: pre-seed the table with md5 of THIS batch's only
+    // 3-gram, tagged batch_id = 0. The replay must not self-match.
+    val tbl = s"graft_ss_replay_${System.nanoTime()}"
+    spark.sql("SELECT md5('g1 g2 g3') AS h, CAST(0 AS BIGINT) AS batch_id")
+      .write.bucketBy(32, "h").sortBy("h")
+      .format("parquet").saveAsTable(tbl)
+    val mem = MemoryStream[(Long, String)](spark)
+    val got = mutable.Map.empty[Long, (String, Long, Long)]
+    val q = StreamingSubstringDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexTable = tbl, windowTokens = 3) { (out, _) =>
+      got ++= out.as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4)))
+    }
+    try {
+      mem.addData((1L, "g1 g2 g3"))
+      q.processAllAvailable()
+      // batch 1 sees batch 0's gram (batch_id 0 < 1) — span drops
+      mem.addData((2L, "g1 g2 g3 novel"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+    assert(got(1L) === (("g1 g2 g3", 3L, 0L)),
+      "replayed batch 0 self-matched its own failed attempt's index rows")
+    assert(got(2L) === (("novel", 1L, 3L)))
+  }
+
   test("per-batch shuffle volume scales with batch, not index") {
     def doc(i: Int): String = (0 until 16).map(j => s"ss${i}w$j").mkString(" ")
     val tbl = s"graft_ss_vol_${System.nanoTime()}"
