@@ -33,7 +33,15 @@ object Bench {
     "q49_item_item_sim",
     "q55_stream_window_agg",
     "q61_sessionize",
-    "q67_range_join")
+    "q67_range_join",
+    // round-6 surface, heaviest first: substring dedup (3 corpus
+    // shuffles), paragraph dedup (2 + reassembly), trained-BPE counts
+    // (2 jobs/round × 6 training rounds + the count scan), and the
+    // bucketed-table streaming near-dup (per-trigger O(batch) probes)
+    "q97_paragraph_dedup",
+    "q99_substring_dedup",
+    "q103_bpe_token_count",
+    "q95_stream_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -647,6 +647,19 @@ object SparkEntry {
       Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
       nBuckets = 3)
 
+  /** The PRODUCTION fluency-tier path (what `curateCorpus`'s gate
+    * uses): quantile thresholds + map-only assignment, no global sort
+    * anywhere — q100's scale twin, registered so the driver exercises
+    * it, not just the spec. Rows-only by construction (tie regions
+    * shift with quantile estimation error); ≥ 90% agreement with
+    * q100's oracle-green exact ntile is spec-enforced on this same
+    * registry path (TextAnalysisSpec).
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.fluencyBucketsAtScale(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+      nBuckets = 3)
+
   /** Streaming twin of q99: the raw corpus as two ordered file
     * micro-batches, each batch's 20-gram hashes deduped within-batch
     * then against the gram index of everything admitted before.
@@ -1835,6 +1848,7 @@ object SparkEntry {
     "q104_span_decontaminate" -> (q104 _),
     "q105_stream_span_decontaminate" -> (q105 _),
     "q106_bpe_second_corpus" -> (q106 _),
+    "q107_fluency_buckets_scale" -> (q107 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),

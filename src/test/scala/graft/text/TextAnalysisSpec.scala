@@ -121,12 +121,14 @@ class TextAnalysisSpec extends SparkSpec {
     } finally got.unpersist()
   }
 
-  test("fluencyBucketsAtScale agrees with the exact ntile away from boundaries") {
+  test("q107 (at-scale) agrees ≥90% with q100's oracle-green exact buckets") {
     assume(new java.io.File("/root/testdata/sf0.01/documents.parquet").exists())
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-      .select("doc_id", "text")
-    val exact = TextAnalysis.fluencyBuckets(docs, "doc_id", "text", 3)
-    val approx = TextAnalysis.fluencyBucketsAtScale(docs, "doc_id", "text", 3)
+    // through the registry, so this asserts about the exact frames the
+    // driver records: q100's hash-gated ntile vs q107's production path
+    val exact = graft.SparkEntry.queries("q100_fluency_buckets")(
+      spark, "/root/testdata/sf0.01")
+    val approx = graft.SparkEntry.queries("q107_fluency_buckets_scale")(
+      spark, "/root/testdata/sf0.01")
     try {
       val joined = exact.select($"doc_id", $"bucket".as("b_exact"))
         .join(approx.select($"doc_id", $"bucket".as("b_approx")), "doc_id")
