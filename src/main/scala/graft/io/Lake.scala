@@ -137,20 +137,23 @@ object Lake {
       // splits row — a plain equi-join drops every null-keyed row
       val joinCond = partitionCols
         .map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _)
-      // salt hashes only hash-capable columns (maps aren't); identical
-      // duplicate rows share a salt by construction — maxRecordsPerFile
-      // still bounds their files, but a hot partition of pure copies
-      // keeps one writer (document over guess: nondeterministic salts
-      // corrupt data under task retry)
-      val hashable = src.schema.fields.filterNot(
-        _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-        .map(f => col(f.name))
-      val saltSrc = if (hashable.nonEmpty) hashable.toSeq else Seq(lit(0L))
-      src.join(broadcast(splits), joinCond)
+      // salt = hash of the row's PHYSICAL identity — source file path +
+      // row index from the scan's `_metadata` column — not of the row
+      // values: value-hash salts send identical duplicate rows to ONE
+      // writer (a hot partition of pure copies — the boilerplate-dup
+      // case compaction exists for — funnels through a single task),
+      // and anything nondeterministic (rand/monotonic ids) corrupts
+      // data under task retry. File+offset is unique per row, uniform
+      // under any duplication, and a retried task recomputes the exact
+      // same salt from the immutable input files.
+      val srcWithId = src
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__ridx", col("_metadata.row_index"))
+      srcWithId.join(broadcast(splits), joinCond)
         .drop(partitionCols.map(c => s"__p_$c"): _*)
         .withColumn("__salt",
-          pmod(xxhash64(saltSrc: _*), col("__nsplit")).cast("int"))
-        .drop("__nsplit")
+          pmod(xxhash64(col("__file"), col("__ridx")), col("__nsplit")).cast("int"))
+        .drop("__nsplit", "__file", "__ridx")
         // 2× the byte-derived task count: (combo, salt) groups hash to
         // tasks, and headroom halves the chance two split groups of the
         // same hot partition collapse into one writer

@@ -71,6 +71,44 @@ class LakeSpec extends SparkSpec {
     assert(Lake.read(spark, s"$tmp/out").count() === 100100L)
   }
 
+  test("compact splits a partition of PURE duplicate rows, deterministically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    // every 'en' row is byte-identical: a value-derived salt maps them
+    // all to ONE salt (one writer task for the whole hot partition);
+    // the _metadata (file_path, row_index) salt is unique per physical
+    // row, so the partition splits regardless of duplication — and a
+    // retried task recomputes the same salt from the immutable input.
+    val df = ((1 to 50000).map(_ => (1L, "same boilerplate payload", "en")) ++
+      (1 to 50).map(i => (i.toLong, s"small $i", "de")))
+      .toDF("id", "text", "lang")
+    Lake.writePartitioned(df.repartition(4), s"$tmp/dupfrag", Seq("lang"))
+    def filesIn(dir: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getLen
+      }
+      buf.toSeq
+    }
+    // duplicates dictionary-compress to ~nothing, so drive the split
+    // off a small byte target (avgBytes floors at 1 ⇒ maxRecs = 1024)
+    Lake.compact(spark, s"$tmp/dupfrag", s"$tmp/dupout",
+      partitionCols = Seq("lang"), targetFileBytes = 1L << 10)
+    assert(filesIn(s"$tmp/dupout/lang=en").size > 1,
+      "pure-duplicate hot partition funneled through one writer")
+    assert(filesIn(s"$tmp/dupout/lang=de").size === 1)
+    assert(Lake.read(spark, s"$tmp/dupout").count() === 50050L)
+    // determinism: same immutable input ⇒ same salts ⇒ the same file
+    // layout (multiset of file sizes), which is what retry safety means
+    Lake.compact(spark, s"$tmp/dupfrag", s"$tmp/dupout2",
+      partitionCols = Seq("lang"), targetFileBytes = 1L << 10)
+    assert(filesIn(s"$tmp/dupout2/lang=en").sorted ===
+      filesIn(s"$tmp/dupout/lang=en").sorted)
+  }
+
   test("compact preserves rows whose partition value is NULL") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact_null").toString
     val df = Seq[(java.lang.Long, String, String)](
