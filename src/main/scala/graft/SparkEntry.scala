@@ -1240,6 +1240,20 @@ object SparkEntry {
       .join(rest.groupBy("lang").agg(count(lit(1)).as("n_rest")), Seq("lang"), "full_outer")
   }
 
+  /** q80's ORACLE-CHECKABLE twin: the portable md5-prefix stratified
+    * split, gated at row level — every (doc_id, lang) with its held
+    * verdict hash-compares against DuckDB computing the identical
+    * md5-prefix decision. The strongest possible check for a split:
+    * not the sizes, the ASSIGNMENT.
+    */
+  private def q80b(s: SparkSession, dir: String): DataFrame = {
+    val (held, rest) = Prep.stratifiedSplitPortable(
+      Tables.documents(s, dir).select("doc_id", "lang"), "lang", col("doc_id"),
+      Map("en" -> 0.1, "de" -> 0.3, "zh" -> 0.5), defaultFraction = 0.2)
+    held.withColumn("held", lit(true))
+      .unionByName(rest.withColumn("held", lit(false)))
+  }
+
   /** Stateful streaming sequence packing: per-shard running token
     * counter via flatMapGroupsWithState — one long of state per shard;
     * oracle is the batch pack (q76).
@@ -1870,6 +1884,7 @@ object SparkEntry {
     "q78_ann_pq" -> (q78 _),
     "q79_stream_profile" -> (q79 _),
     "q80_stratified_split" -> (q80 _),
+    "q80b_stratified_split_portable" -> (q80b _),
     "q81_stream_pack" -> (q81 _),
     "q83_stream_pack_ordered" -> (q83 _),
     "q82_curation_e2e" -> (q82 _))
@@ -2236,6 +2251,16 @@ object SparkEntry {
         |FROM wstat w LEFT JOIN bstat USING (doc_id)""".stripMargin,
     "q88_mixture_sample" -> mixtureSampleSql,
     "q93_stream_mixture" -> mixtureSampleSql,
+    // row-level split-assignment gate: same md5-prefix decision, any
+    // engine; null langs hash as '' and take the default fraction
+    "q80b_stratified_split_portable" ->
+      """SELECT doc_id, lang,
+        |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |                           coalesce(lang, '')), 1, 6))::BIGINT
+        |       < (CASE lang WHEN 'en' THEN 0.1 WHEN 'de' THEN 0.3
+        |                    WHEN 'zh' THEN 0.5 ELSE 0.2 END) * 16777216.0
+        |         AS held
+        |FROM documents""".stripMargin,
     "q89_redact_pii" -> redactPiiSql,
     "q91_stream_redact" -> redactPiiSql,
     // CAST(sum(BIGINT) AS BIGINT) is load-bearing: DuckDB promotes

@@ -131,4 +131,31 @@ object Prep {
     }
     (df.filter(u < frac), df.filter(!(u < frac)))
   }
+
+  /** [[stratifiedSplit]] with an ENGINE-PORTABLE inclusion decision: a
+    * row is held out iff the first 24 bits of
+    * md5(key || '|' || stratum) clear the stratum's fraction — the
+    * same md5-prefix machinery as
+    * [[graft.pipeline.Curation.applyMixtureRates]], reproducible in
+    * any engine with md5 (which is what lets q80b hash-gate the split
+    * assignment row-by-row against DuckDB). xxhash64
+    * ([[stratifiedSplit]]) remains the scan-cheapest default; this
+    * form pays one md5 per row and buys cross-engine verifiability.
+    * Null strata take `defaultFraction` and hash as the empty string.
+    */
+  def stratifiedSplitPortable(
+      df: DataFrame, stratumCol: String, keyCol: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0)
+      : (DataFrame, DataFrame) = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val h = conv(substring(md5(concat(keyCol.cast("string"), lit("|"),
+      coalesce(col(stratumCol), lit("")))), 1, 6), 16, 10).cast("long")
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
+    }
+    val sel = h < frac * lit(16777216.0)
+    (df.filter(sel), df.filter(!sel))
+  }
 }

@@ -104,4 +104,28 @@ class PrepSpec extends SparkSpec {
     assert(math.abs(rates("en") / 2000.0 - 0.1) < 0.04, s"en rate ${rates("en") / 2000.0}")
     assert(math.abs(rates("zh") / 1000.0 - 0.5) < 0.07, s"zh rate ${rates("zh") / 1000.0}")
   }
+
+  test("stratifiedSplitPortable: same invariants, md5-prefix decision") {
+    import spark.implicits._
+    val docs = (1 to 3000).map(i =>
+      (i.toLong, if (i % 3 == 0) "zh" else "en")).toDF("id", "lang")
+    val fractions = Map("en" -> 0.1, "zh" -> 0.5)
+    val (held, rest) =
+      Prep.stratifiedSplitPortable(docs, "lang", col("id"), fractions)
+    assert(held.count() + rest.count() === 3000)
+    assert(held.intersect(rest).isEmpty)
+    val (held2, _) = Prep.stratifiedSplitPortable(
+      docs.repartition(7), "lang", col("id"), fractions)
+    assert(held.exceptAll(held2).count() === 0 && held2.exceptAll(held).count() === 0)
+    val rates = held.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(rates("en") / 2000.0 - 0.1) < 0.04, s"en rate ${rates("en") / 2000.0}")
+    assert(math.abs(rates("zh") / 1000.0 - 0.5) < 0.07, s"zh rate ${rates("zh") / 1000.0}")
+    // the decision matches the documented md5-prefix rule exactly
+    val manual = docs.filter(
+      conv(substring(md5(concat(col("id").cast("string"), lit("|"),
+        col("lang"))), 1, 6), 16, 10).cast("long")
+        < when(col("lang") === "en", 0.1).otherwise(0.5) * lit(16777216.0))
+    assert(held.exceptAll(manual).count() === 0 &&
+      manual.exceptAll(held).count() === 0)
+  }
 }
