@@ -1632,6 +1632,25 @@ object SparkEntry {
       k = 10, nlist = 16, nprobe = 10)
   }
 
+  /** The persistent-IVF lifecycle (q52's artifact form): build the
+    * index on half the embeddings, fold the other half in append-only
+    * (no retrain — FAISS add-after-train), probe the reloaded tables
+    * at the registered config. Rows-only (KMeans has no SQL oracle);
+    * probe-vs-ivfTopK equality, refresh-assignment parity, and sf0.1
+    * recall ≥ 0.9 are spec-enforced (AnnSpec).
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.IvfIndex
+    val e = Tables.embeddings(s, dir)
+    val name = s"graft_ivf_idx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    IvfIndex.build(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      name, nlist = 16)
+    IvfIndex.refresh(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name)
+    try IvfIndex.probe(s, name, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10, nprobe = 10).localCheckpoint()
+    finally IvfIndex.drop(s, name)
+  }
+
   /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
     * the memory-compression scale path — the pass touching every
     * corpus vector reads m codes per row, not the full float vector.
@@ -1863,6 +1882,7 @@ object SparkEntry {
     "q105_stream_span_decontaminate" -> (q105 _),
     "q106_bpe_second_corpus" -> (q106 _),
     "q107_fluency_buckets_scale" -> (q107 _),
+    "q108_ann_ivf_index" -> (q108 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),

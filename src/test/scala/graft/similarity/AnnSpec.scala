@@ -57,6 +57,70 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall@10 too low: $recall")
   }
 
+  test("IvfIndex: probe-after-build matches ivfTopK exactly (same seed)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val name = s"graft_ivf_${System.nanoTime()}"
+    try {
+      IvfIndex.build(e, "vec_id", "embedding", name, nlist = 8)
+      val got = IvfIndex.probe(spark, name, q, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val direct = Ann.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+        10, nlist = 8, nprobe = 4)
+      val want = direct.select("query_id", "neighbor_id", "rank", "cos_sim")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      direct.unpersist()
+      assert(got === want)
+    } finally IvfIndex.drop(spark, name)
+  }
+
+  test("IvfIndex: append-only refresh assigns like the quantizer; probe sees both halves") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val name = s"graft_ivf_r_${System.nanoTime()}"
+    try {
+      IvfIndex.build(e.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+        name, nlist = 8)
+      IvfIndex.refresh(e.filter($"vec_id" % 2 === 1), "vec_id", "embedding", name)
+      // every corpus row indexed exactly once
+      assert(spark.table(s"${name}_lists").count() === e.count())
+      // refresh used the SAME assignment rule as the built lists: a
+      // refreshed row's list equals what km-style argmin gives — check
+      // by re-refreshing the even half into a scratch index and
+      // comparing against the built assignments
+      val built = spark.table(s"${name}_lists")
+        .filter($"neighbor_id" % 2 === 0)
+        .select("neighbor_id", "list_id").as[(Long, Int)].collect().toMap
+      val name2 = name + "b"
+      try {
+        spark.sql(s"CREATE TABLE ${name2}_centroids AS SELECT * FROM ${name}_centroids")
+        spark.table(s"${name}_lists").limit(0)
+          .write.bucketBy(16, "list_id").sortBy("list_id")
+          .format("parquet").saveAsTable(s"${name2}_lists")
+        IvfIndex.refresh(e.filter($"vec_id" % 2 === 0), "vec_id", "embedding", name2)
+        val refreshed = spark.table(s"${name2}_lists")
+          .select("neighbor_id", "list_id").as[(Long, Int)].collect().toMap
+        assert(refreshed === built,
+          "refresh assignment diverges from the quantizer's list assignment")
+      } finally IvfIndex.drop(spark, name2)
+      // probing the refreshed artifact reaches neighbors from BOTH halves
+      val got = IvfIndex.probe(spark, name, q, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(got.exists(_ % 2 == 0) && got.exists(_ % 2 == 1))
+      val brute = Ann.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val probed = IvfIndex.probe(spark, name, q, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (brute & probed).size.toDouble / brute.size
+      assert(recall >= 0.6, s"refreshed-index recall@10 too low: $recall")
+    } finally IvfIndex.drop(spark, name)
+  }
+
   test("registered ANN configs reach recall@10 >= 0.9 at sf0.1") {
     // the synthetic embeddings are near-uniform (weak neighbor
     // structure — the hard case for ANN), so this validates the
@@ -80,6 +144,18 @@ class AnnSpec extends SparkSpec {
       10, m = 16, ks = 16, overfetch = 16)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(recall(pq) >= 0.9, s"PQ sf0.1 recall: ${recall(pq)}")
+    // probe-after-reload of the PERSISTED index at the same registered
+    // config (build half + refresh half = the q108 lifecycle)
+    val name = s"graft_ivf_sf01_${System.nanoTime()}"
+    try {
+      IvfIndex.build(e.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+        name, nlist = 16)
+      IvfIndex.refresh(e.filter($"vec_id" % 2 === 1), "vec_id", "embedding", name)
+      val idx = IvfIndex.probe(spark, name, q, "vec_id", "embedding",
+        k = 10, nprobe = 10)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(recall(idx) >= 0.9, s"IVF index sf0.1 recall: ${recall(idx)}")
+    } finally IvfIndex.drop(spark, name)
   }
 
   test("pq ADC score approximates the true dot product on the shortlist") {
