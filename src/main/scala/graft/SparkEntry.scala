@@ -64,18 +64,20 @@ object SparkEntry {
   private def scratchDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_")
     scratchDirs.synchronized {
-      // bound in-process accumulation: by the time a query acquires a
-      // NEW dir for the same prefix, the previous invocation's result
-      // has been consumed (queries run sequentially in Verify/Bench) —
-      // drop the old copy instead of keeping one per invocation
-      scratchDirs.remove(prefix).foreach(deleteRecursively)
-      scratchDirs(prefix) = d
+      // append-only: NO eager eviction of the previous dir under the
+      // same prefix — that was only safe under strictly-sequential
+      // query execution, and a concurrent invocation of the same query
+      // (a parallel bench driver) would have its live dir deleted
+      // mid-read, the round-5 class of nondeterministic roundtrip
+      // failures. Dirs are roundtrip-result-sized (MBs at gate scale);
+      // the shutdown hook reclaims everything at JVM exit.
+      scratchDirs += d
     }
     d.toString
   }
-  private val scratchDirs = scala.collection.mutable.Map.empty[String, java.nio.file.Path]
+  private val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    scratchDirs.synchronized { scratchDirs.values.foreach(deleteRecursively) }))
+    scratchDirs.synchronized { scratchDirs.foreach(deleteRecursively) }))
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     try {

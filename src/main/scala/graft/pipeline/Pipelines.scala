@@ -112,6 +112,9 @@ object Pipelines {
       // corpus-trained bigram LM and DROP the last (least fluent)
       // tier. Uses the quantile-threshold form — no global sort. Docs
       // too short to score (< 2 words) pass through unjudged.
+      // Must be >= 2: with one tier every scored doc is in the dropped
+      // bucket while unscorable docs pass — a config that silently
+      // INVERTS the gate (curateCorpus rejects it loudly instead).
       fluencyTiers: Option[Int] = None)
 
   /** The full LLM training-data curation flow as ONE library call —
@@ -135,9 +138,27 @@ object Pipelines {
     * doc reassembly).
     */
   def curateCorpus(docs: DataFrame, benchmark: DataFrame,
-      cfg: CurationConfig = CurationConfig()): DataFrame = {
+      cfg: CurationConfig = CurationConfig()): DataFrame =
+    curateCorpusManaged(docs, benchmark, cfg)._1
+
+  /** [[curateCorpus]] with a RELEASE HANDLE for the intermediates the
+    * plan keeps cached (the gated scan feeding four branches, the
+    * fluency buckets): call it once the returned plan has been
+    * materialized (written / collected), the same discipline as
+    * [[graft.streaming.StreamingDedup.Run.release]]. The plain
+    * overload leaves the blocks to LRU eviction — fine for one-shot
+    * jobs, a slow leak in a long-lived session that curates
+    * repeatedly.
+    */
+  def curateCorpusManaged(docs: DataFrame, benchmark: DataFrame,
+      cfg: CurationConfig = CurationConfig()): (DataFrame, () => Unit) = {
     import graft.functions.RepetitionExpressions
     import graft.text.TextAnalysis
+
+    cfg.fluencyTiers.foreach(t => require(t >= 2,
+      s"fluencyTiers must be >= 2 (got $t): with one tier every scored " +
+        "document lands in the dropped bucket and the gate inverts"))
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     val scrubbed = docs
       .withColumn("text", regexp_replace(
@@ -167,10 +188,11 @@ object Pipelines {
         // branches from here (paragraphDedup's owner agg + probe join
         // + empty-line union, plus this join's left side) — persist it
         // so the scrub/gate scan runs once, not four times
-        // (branch-reexecution invariant; blocks evict LRU with the
-        // returned plan)
+        // (branch-reexecution invariant; released via the returned
+        // handle, or LRU-evicted under the plain overload)
         val gatedP = gated.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += gatedP
         val slim = graft.dedup.Dedup.paragraphDedup(gatedP, "doc_id", "text")
           .select(col("doc_id"), col("text").as("__pd_text"))
         gatedP.drop("text")
@@ -181,11 +203,12 @@ object Pipelines {
       }
     val fluent = cfg.fluencyTiers.fold(paraClean) { tiers =>
       // buckets stays cached (doc-count-sized, materialized inside
-      // fluencyBucketsAtScale): releasing it here would make the
-      // returned lazy plan retrain the bigram LM on first action;
-      // blocks evict LRU with the plan
+      // fluencyBucketsAtScale): releasing it before the returned plan
+      // is materialized would retrain the bigram LM on first action —
+      // hence the handle, not an eager unpersist here
       val buckets = TextAnalysis.fluencyBucketsAtScale(
         paraClean, "doc_id", "text", tiers)
+      cached += buckets
       paraClean
         .join(buckets.select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
         .filter(col("bucket").isNull || col("bucket") < tiers)
@@ -197,7 +220,8 @@ object Pipelines {
       .drop("__fp")
     val sampled = cfg.budget.fold(deduped)(b =>
       Curation.mixtureSample(deduped, "lang", col("doc_id"), b))
-    Curation.packSequences(
+    val packed = Curation.packSequences(
       sampled, cfg.shardCol, "doc_id", col("n_tokens"), cfg.seqLen)
+    (packed, () => cached.foreach(_.unpersist()))
   }
 }

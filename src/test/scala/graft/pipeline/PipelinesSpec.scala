@@ -154,4 +154,33 @@ class PipelinesSpec extends SparkSpec {
     // token budget follows the SURVIVING content
     assert(byId(2L)._2 === 120L && byId(1L)._2 === 240L)
   }
+
+  test("curateCorpus rejects the degenerate fluencyTiers=1 config loudly") {
+    val docs = Seq((1L, "a perfectly ordinary document", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val benchmark = Seq("nothing").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.curateCorpus(docs, benchmark,
+        Pipelines.CurationConfig(fluencyTiers = Some(1)))
+    }
+    assert(e.getMessage.contains("fluencyTiers"))
+  }
+
+  test("curateCorpusManaged releases the cached intermediates on demand") {
+    def body(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    val docs = (1 to 8).map(i => (i.toLong, body(i), "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val benchmark = Seq("nothing matches this").toDF("text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (packed, release) = Pipelines.curateCorpusManaged(docs, benchmark,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 1000,
+        paragraphDedup = true, fluencyTiers = Some(2)))
+    assert(packed.count() > 0) // materialize, then release
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "expected cached intermediates while live")
+    release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"blocks leaked after release(): $after")
+  }
 }
