@@ -1653,6 +1653,23 @@ object SparkEntry {
     finally IvfIndex.drop(s, name)
   }
 
+  /** The persistent-PQ lifecycle (q78's artifact form): codebooks +
+    * encoded corpus as tables, build half / refresh half under the
+    * frozen codebooks, probe the reloaded artifact. Rows-only;
+    * probe-vs-pqTopK equality and refresh specs in AnnSpec.
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.PqIndex
+    val e = Tables.embeddings(s, dir)
+    val name = s"graft_pq_idx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    PqIndex.build(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      name, m = 16, ks = 16)
+    PqIndex.refresh(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name)
+    try PqIndex.probe(s, name, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10, overfetch = 16).localCheckpoint()
+    finally PqIndex.drop(s, name)
+  }
+
   /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
     * the memory-compression scale path — the pass touching every
     * corpus vector reads m codes per row, not the full float vector.
@@ -1885,6 +1902,7 @@ object SparkEntry {
     "q106_bpe_second_corpus" -> (q106 _),
     "q107_fluency_buckets_scale" -> (q107 _),
     "q108_ann_ivf_index" -> (q108 _),
+    "q109_ann_pq_index" -> (q109 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),

@@ -271,53 +271,8 @@ object Ann {
     val trainSet =
       if (trainSampleFraction >= 1.0) c
       else c.sample(withReplacement = false, trainSampleFraction, seed)
-    // the m codebook fits are independent — submit them as concurrent
-    // jobs (driver threads; Spark schedules them in parallel) instead
-    // of m sequential barrier waits
-    val flat = new Array[Double](m * ks * dsub)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val sc = corpus.sparkSession.sparkContext
-    // every fit thread tags its jobs with one cancellable group, and the
-    // await is FINITE: an executor loss or a hung fit job must surface
-    // as an exception on the caller's thread, never a permanent hang
-    // (Await on Duration.Inf has no cancellation path at all)
-    val fitGroup = s"graft-pq-codebooks-$seed-${System.identityHashCode(flat)}"
-    val fits = (0 until m).map { j =>
-      Future {
-        sc.setJobGroup(fitGroup, s"pq codebook fit subspace $j",
-          interruptOnCancel = true)
-        try {
-          val km = new KMeans().setK(ks).setSeed(seed + j).setFeaturesCol("fv")
-            .fit(trainSet.select(
-              array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv")))
-          (j, km.clusterCenters)
-        } finally sc.clearJobGroup()
-      }
-    }
-    val fitted =
-      try Await.result(Future.sequence(fits), Duration(fitTimeoutSec, "s"))
-      catch {
-        case e: Throwable =>
-          // a timed-out or failed fit leaves sibling jobs running — kill
-          // the whole group and drop the corpus cache before rethrowing
-          sc.cancelJobGroup(fitGroup)
-          c.unpersist()
-          throw new RuntimeException(
-            s"PQ codebook training failed or timed out (${fitTimeoutSec}s): $e", e)
-      }
-    fitted.foreach {
-      case (j, centers) =>
-        // fewer-than-ks centers (low-entropy subspace) would leave
-        // zero-filled phantom centroids that silently corrupt encoding
-        // and ADC scores — fail loudly; callers lower ks instead
-        require(centers.length == ks,
-          s"subspace $j: KMeans returned ${centers.length} of $ks centers — " +
-            "reduce ks for this corpus")
-        for ((ctr, ci) <- centers.zipWithIndex; d <- 0 until dsub)
-          flat((j * ks + ci) * dsub + d) = ctr(d)
-    }
+    val flat = trainPqCodebooks(trainSet, m, ks, dsub, seed, fitTimeoutSec,
+      onFailure = () => c.unpersist())
     val cent = typedLit(flat.toSeq)
 
     // corpus → codes (the compressed representation; keep v only for
@@ -350,6 +305,64 @@ object Ann {
     out.count()
     c.unpersist()
     out
+  }
+
+  /** Fit the m per-subspace PQ codebooks over `trainSet` (a normalized
+    * (…, v) relation) and return them flattened
+    * ((j·ks + ci)·dsub + d indexing). The m fits are independent —
+    * submitted as concurrent driver-thread jobs under one cancellable
+    * group with a FINITE await: an executor loss or hung fit surfaces
+    * as an exception on the caller's thread, never a permanent hang.
+    * `onFailure` runs before the rethrow (callers release their
+    * caches there). Shared by [[pqTopK]] and
+    * [[PqIndex.build]].
+    */
+  private[similarity] def trainPqCodebooks(trainSet: DataFrame, m: Int,
+      ks: Int, dsub: Int, seed: Long, fitTimeoutSec: Long,
+      onFailure: () => Unit): Array[Double] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val flat = new Array[Double](m * ks * dsub)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val sc = trainSet.sparkSession.sparkContext
+    val fitGroup = s"graft-pq-codebooks-$seed-${System.identityHashCode(flat)}"
+    val fits = (0 until m).map { j =>
+      Future {
+        sc.setJobGroup(fitGroup, s"pq codebook fit subspace $j",
+          interruptOnCancel = true)
+        try {
+          val km = new KMeans().setK(ks).setSeed(seed + j).setFeaturesCol("fv")
+            .fit(trainSet.select(
+              array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("fv")))
+          (j, km.clusterCenters)
+        } finally sc.clearJobGroup()
+      }
+    }
+    val fitted =
+      try Await.result(Future.sequence(fits), Duration(fitTimeoutSec, "s"))
+      catch {
+        case e: Throwable =>
+          // a timed-out or failed fit leaves sibling jobs running — kill
+          // the whole group and release caller state before rethrowing
+          sc.cancelJobGroup(fitGroup)
+          onFailure()
+          throw new RuntimeException(
+            s"PQ codebook training failed or timed out (${fitTimeoutSec}s): $e", e)
+      }
+    fitted.foreach {
+      case (j, centers) =>
+        // fewer-than-ks centers (low-entropy subspace) would leave
+        // zero-filled phantom centroids that silently corrupt encoding
+        // and ADC scores — fail loudly; callers lower ks instead
+        require(centers.length == ks,
+          s"subspace $j: KMeans returned ${centers.length} of $ks centers — " +
+            "reduce ks for this corpus")
+        for ((ctr, ci) <- centers.zipWithIndex; d <- 0 until dsub)
+          flat((j * ks + ci) * dsub + d) = ctr(d)
+    }
+    flat
   }
 
   def itemItemTopK(ratings: DataFrame, k: Int,
