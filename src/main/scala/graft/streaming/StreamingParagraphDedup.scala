@@ -41,6 +41,15 @@ import graft.dedup.Dedup
   * verdicts. The replay's re-append duplicates (h, batchId) rows in
   * storage; the probe's `distinct` (exchange-free on the h-bucketed
   * table) absorbs them for all later batches.
+  *
+  * The guard assumes batchIds from ONE checkpoint lineage (Structured
+  * Streaming keeps them monotonic across restarts of the same
+  * checkpoint) — so resuming this stream MUST reuse its checkpoint,
+  * the standard restart story. Seeding a NEW stream (fresh
+  * checkpoint, batchIds restart at 0) from an existing index table
+  * requires re-tagging its rows first so batch 0 can see them:
+  * `INSERT OVERWRITE idx SELECT h, -1 FROM idx` (or start with a
+  * fresh table).
   */
 object StreamingParagraphDedup {
 

@@ -28,6 +28,9 @@ import graft.dedup.Dedup
   * at-least-once REPLAY probes the exact pre-batch index instead of
   * self-matching its own failed attempt's grams; `distinct` (no
   * exchange on the h-bucketed scan) absorbs re-append duplicates.
+  * As there, the guard assumes one checkpoint lineage — resume with
+  * the stream's checkpoint; a NEW stream over an old index needs its
+  * rows re-tagged to batch_id = -1 first.
   */
 object StreamingSubstringDedup {
 

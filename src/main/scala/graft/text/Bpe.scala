@@ -72,6 +72,12 @@ object Bpe {
     * counting uses. Stops early if no adjacent pair remains. Argmax
     * tie-break is (count desc, lhs asc, rhs asc) — binary string order,
     * identical in Spark and the DuckDB oracle.
+    *
+    * The returned vocab is localCheckpoint-BACKED (see the loop note
+    * below): consume or re-materialize it BEFORE calling
+    * `vocab.unpersist()` — unpersisting a checkpointed frame drops its
+    * blocks and the truncated plan cannot recompute them (Spark logs
+    * the warning). Every caller in this repo materializes first.
     */
   def train(docs: DataFrame, textCol: String, rounds: Int,
       maxVocab: Int = 10000): (Seq[Merge], DataFrame) = {
