@@ -139,6 +139,27 @@ object IvfIndex {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Offline REBUILD: retrain the quantizer on the current corpus into
+    * fresh tables, then swap them in under `name` (drop + rename —
+    * Spark's catalog has no multi-table atomic swap, so schedule
+    * rebuilds in maintenance windows, the same dest-then-swap contract
+    * as [[graft.io.Lake.compact]]). This is the periodic counterpart
+    * to [[refresh]]: refresh keeps ingest O(batch) under frozen
+    * centroids, rebuild re-levels the lists once drift accumulates.
+    */
+  def rebuild(corpus: DataFrame, idCol: String, vecCol: String, name: String,
+      nlist: Int = 16, seed: Long = 42L,
+      trainSampleFraction: Double = 1.0, listBuckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val tmp = name + "__rebuild"
+    drop(spark, tmp)
+    build(corpus, idCol, vecCol, tmp, nlist, seed, trainSampleFraction,
+      listBuckets)
+    drop(spark, name)
+    spark.sql(s"ALTER TABLE ${centroidsTable(tmp)} RENAME TO ${centroidsTable(name)}")
+    spark.sql(s"ALTER TABLE ${listsTable(tmp)} RENAME TO ${listsTable(name)}")
+  }
+
   /** Drop both tables (test/maintenance convenience). */
   def drop(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${centroidsTable(name)}")

@@ -143,6 +143,24 @@ object PqIndex {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Offline REBUILD: retrain codebooks + re-encode into fresh tables,
+    * swap in under `name` — see [[IvfIndex.rebuild]] for the contract
+    * (drop + rename; schedule in maintenance windows).
+    */
+  def rebuild(corpus: DataFrame, idCol: String, vecCol: String, name: String,
+      m: Int = 8, ks: Int = 16, seed: Long = 42L,
+      trainSampleFraction: Double = 1.0, fitTimeoutSec: Long = 3600L,
+      codeBuckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val tmp = name + "__rebuild"
+    drop(spark, tmp)
+    build(corpus, idCol, vecCol, tmp, m, ks, seed, trainSampleFraction,
+      fitTimeoutSec, codeBuckets)
+    drop(spark, name)
+    spark.sql(s"ALTER TABLE ${codebooksTable(tmp)} RENAME TO ${codebooksTable(name)}")
+    spark.sql(s"ALTER TABLE ${codesTable(tmp)} RENAME TO ${codesTable(name)}")
+  }
+
   /** Drop both tables (test/maintenance convenience). */
   def drop(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${codebooksTable(name)}")

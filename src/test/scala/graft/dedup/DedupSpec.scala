@@ -171,6 +171,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("property: coveredPositions == brute-force union on random span sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the substring family only feeds fixed-length unique-start spans;
+    // this pins the helper's FULL contract — variable lengths,
+    // duplicates, same-start ties, overlaps, adjacency — for any
+    // future consumer
+    val spanGen = for {
+      doc <- Gen.chooseNum(1L, 4L)
+      start <- Gen.chooseNum(1, 30)
+      len <- Gen.chooseNum(1, 8)
+    } yield (doc, start, start + len - 1)
+    val setGen = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, spanGen))
+    (0 until 8).foreach { i =>
+      setGen(Gen.Parameters.default, Seed(4242L + i)).foreach { spans =>
+        val want = spans.flatMap { case (d, a, b) => (a to b).map(d -> _) }.toSet
+        val got = Dedup.coveredPositions(spans.toDF("doc_id", "start", "end"))
+          .as[(Long, Int)].collect()
+        assert(got.length === got.toSet.size, s"duplicate positions: $spans")
+        assert(got.toSet === want, s"spans: $spans")
+      }
+    }
+  }
+
   test("substringDedup coverage shuffle scales with duplicate occurrences, not ×w") {
     val w = 40
     // 30 identical 120-token docs: 29 non-owner docs × 81 gram

@@ -121,6 +121,24 @@ class AnnSpec extends SparkSpec {
     } finally IvfIndex.drop(spark, name)
   }
 
+  test("IvfIndex.rebuild retrains and swaps; probe reflects the new corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val name = s"graft_ivf_rb_${System.nanoTime()}"
+    try {
+      IvfIndex.build(e.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+        name, nlist = 8)
+      assert(spark.table(s"${name}_lists")
+        .filter($"neighbor_id" % 2 === 1).count() === 0)
+      IvfIndex.rebuild(e, "vec_id", "embedding", name, nlist = 8)
+      // swapped artifact covers the FULL corpus, temp tables are gone
+      assert(spark.table(s"${name}_lists").count() === e.count())
+      assert(!spark.catalog.tableExists(s"${name}__rebuild_lists"))
+      val got = IvfIndex.probe(spark, name, e.filter($"vec_id" < 3),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      assert(got.count() > 0)
+    } finally IvfIndex.drop(spark, name)
+  }
+
   test("PqIndex: probe-after-build matches pqTopK exactly (same seed)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)
