@@ -21,6 +21,75 @@ object Bucketing {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Bucket-PRESERVING compaction for the append-only index tables
+    * the streaming dedup/ANN folds maintain (each micro-batch appends
+    * one small file set per bucket; thousands of triggers fragment the
+    * table the same way any continuously-ingested lake path
+    * fragments). [[Lake.compact]] must NOT be used on these — a plain
+    * rewrite drops the bucket spec and every probe join regains its
+    * index-side exchange. This rewrites THROUGH the same
+    * bucketBy(+sortBy) into a fresh table and swaps it in under the
+    * original name (drop + rename — Spark's catalog has no atomic
+    * swap, so run between streaming runs, never under a live query;
+    * same dest-then-swap contract as Lake.compact / IvfIndex.rebuild).
+    *
+    * `key`/`buckets` must match the table's creation spec (the
+    * catalog's bucket metadata is not exposed through the public API;
+    * index creators in this repo fix both by construction). Returns
+    * (rows, files before, files after).
+    */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String, key: String, buckets: Int): (Long, Long, Long) = {
+    def location(t: String): org.apache.hadoop.fs.Path = {
+      val loc = spark.sql(s"DESCRIBE FORMATTED $t")
+        .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+        .head().getString(1)
+      new org.apache.hadoop.fs.Path(loc)
+    }
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = parquetFiles(location(table))
+    val tmp = table + "__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // File count = writing tasks × buckets-per-task, so the write must
+    // arrive with task ↔ bucket 1:1. repartition(buckets, key) uses the
+    // same pmod(murmur3) assignment as the bucket-id function — but two
+    // optimizer behaviors silently break the alignment (both observed,
+    // 46-47 files for 8 buckets):
+    //  - AQE re-splits/coalesces the repartition's shuffle read, mixing
+    //    buckets within tasks;
+    //  - with AQE off, EnsureRequirements drops the repartition as
+    //    redundant against the bucketed scan's claimed partitioning,
+    //    and DisableUnnecessaryBucketedScan then reverts the scan to
+    //    FILE-based splits — removing both sources of alignment.
+    // Pin both off for this one maintenance write: the plan is then
+    // scan → exchange(buckets) → per-task sort+write, exactly one file
+    // per non-empty bucket.
+    val rows = spark.table(table)
+    val nRows = rows.count()
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val absWas = spark.conf.get(abs, "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(abs, "false")
+      writeBucketed(rows.repartition(buckets,
+        org.apache.spark.sql.functions.col(key)), tmp, key, buckets)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set(abs, absWas)
+    }
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    (nRows, before, parquetFiles(location(table)))
+  }
+
   /** Create-if-absent variant: reuse an already-materialized bucketed
     * table so repeated query runs in one session neither race on the
     * warehouse dir nor re-pay the write shuffle. The caller owns

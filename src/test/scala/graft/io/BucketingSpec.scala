@@ -38,4 +38,44 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_lines")
     }
   }
+
+  test("compactBucketed shrinks an appended index table, bucketing preserved") {
+    val tbl = s"graft_bkt_cmp_${System.nanoTime()}"
+    val other = s"graft_bkt_cmp_o_${System.nanoTime()}"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // simulate the streaming-index lifecycle: one create + 5 appends
+      // (each append = one small file set, like one micro-batch fold)
+      Bucketing.writeBucketed(
+        (1L to 100L).map(k => (k, s"v$k")).toDF("key", "v"), tbl, "key", 8)
+      (1 to 5).foreach { b =>
+        (1L to 100L).map(k => (b * 1000L + k, s"v$b$k")).toDF("key", "v")
+          .write.bucketBy(8, "key").sortBy("key")
+          .format("parquet").mode("append").saveAsTable(tbl)
+      }
+      val (rows, before, after) =
+        Bucketing.compactBucketed(spark, tbl, "key", 8)
+      assert(rows === 600L)
+      assert(after < before, s"no shrink: $before -> $after")
+      assert(after <= 8L, s"more files than buckets: $after")
+      assert(spark.table(tbl).count() === 600L)
+      // the property the whole exercise exists for: the compacted
+      // table still joins bucket-to-bucket with NO index-side exchange
+      Bucketing.writeBucketed(
+        (1L to 600L).map(k => (k, k)).toDF("key", "x"), other, "key", 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(tbl).join(spark.table(other), "key")
+      joined.collect()
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty,
+        s"compaction dropped the bucket spec: ${shuffles.size} exchanges")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}__compact")
+      spark.sql(s"DROP TABLE IF EXISTS $other")
+    }
+  }
 }
