@@ -33,8 +33,10 @@ import graft.dedup.Dedup
   *    the bucketed scan side of both the probe join and the anti-join
   *    needs no exchange — and nothing index-sized is re-persisted or
   *    re-shuffled, so a 10⁹-bucket index sustains a 30 s trigger.
-  *    Small appended files are ordinary lake maintenance
-  *    ([[graft.io.Lake.compact]] offline, between runs).
+  *    Small appended files are ordinary maintenance — but use
+  *    [[graft.io.Bucketing.compactBucketed]] (offline, between runs),
+  *    NOT `Lake.compact`: a plain rewrite drops the bucket spec and
+  *    the probe join regains its index-side exchange.
   *
   *  - `indexTable = None` — in-memory convenience for tests and small
   *    bounded streams: `Dedup.updateIndex` re-merges and re-persists
