@@ -41,7 +41,11 @@ object Bench {
     "q97_paragraph_dedup",
     "q99_substring_dedup",
     "q103_bpe_token_count",
-    "q95_stream_neardup")
+    "q95_stream_neardup",
+    // round-7 surface: the quality gate is the round's heaviest new
+    // map pass (4 regex/HOF features per doc) and stands in for the
+    // whole map-only family (q110/q115 share the shape)
+    "q113_quality_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

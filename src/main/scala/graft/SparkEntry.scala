@@ -13,7 +13,7 @@ import graft.multimodal.Multimodal
 import graft.recommender.{AlsRecommender, Evaluator, GdMf, Serving}
 import graft.similarity.Ann
 import graft.streaming.StreamingPrep
-import graft.text.TextAnalysis
+import graft.text.{Quality, TextAnalysis, Urls}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` where
   * SQL-expressible) per implemented operator of SURVEY.md §2.
@@ -1670,6 +1670,113 @@ object SparkEntry {
     finally PqIndex.drop(s, name)
   }
 
+  // -------- q110–q115: crawl-intake URL ops, quality gate, shuffle-shards
+
+  /** Deterministic synthetic raw crawl URLs (the documents table has
+    * no URL column): four variants exercising every canonicalization
+    * rule — scheme case, `www.`, default ports, trailing slash,
+    * fragment, tracking params, ccSLD domains. Replayed verbatim in
+    * the DuckDB oracle.
+    */
+  private def rawUrl(idCol: Column, sourceCol: Column): Column = {
+    val id = idCol.cast("string")
+    when(idCol % 4 === 0,
+      concat(lit("HTTPS://WWW."), sourceCol, lit(".Example.COM/docs/"), id,
+        lit("/?utm_source=feed&id="), id, lit("#top")))
+      .when(idCol % 4 === 1,
+        concat(lit("http://"), sourceCol, lit(".example.com:80/docs/"), id,
+          lit("?id="), id, lit("&fbclid=abc123")))
+      .when(idCol % 4 === 2,
+        concat(lit("https://"), sourceCol, lit(".example.com:443/docs/"), id,
+          lit("/")))
+      .otherwise(
+        concat(sourceCol, lit(".Example.CO.UK/Docs/"), id,
+          lit("?ref=rss&z=1&a=2")))
+  }
+
+  /** URL canonicalization + registrable domain — map-only on the scan. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Urls.canonicalizeUrl(rawUrl(col("doc_id"), col("source"))).as("url_canon"))
+      .withColumn("domain", Urls.registrableDomain(Urls.hostOf(col("url_canon"))))
+
+  /** URL keep-first dedup with planted recrawls: every doc appears as
+    * two raw crawl records whose canonical forms collide (https+www+
+    * tracking vs http+:80+fbclid) — each group must elect the earlier
+    * crawl and count 2.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val id = col("doc_id").cast("string")
+    val crawlA = d.select(col("doc_id").as("crawl_id"),
+      concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/docs/"), id,
+        lit("/?utm_source=feed&id="), id, lit("#top")).as("url"))
+    val crawlB = d.select((col("doc_id") + 100000).as("crawl_id"),
+      concat(lit("http://"), col("source"), lit(".example.com:80/docs/"), id,
+        lit("?id="), id, lit("&fbclid=abc123")).as("url"))
+    Urls.urlDedup(crawlA.unionAll(crawlB), "crawl_id", "url")
+  }
+
+  /** Per-domain stats over the canonicalized corpus (blocklist/cap
+    * primitive): two-level agg, second shuffle moves distinct URLs.
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    Urls.domainStats(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rawUrl(col("doc_id"), col("source")).as("url")),
+      "url")
+
+  /** Gate weights TUNED FOR THE SYNTHETIC CORPUS so keep splits near
+    * the median (the principled default in [[Quality.defaultWeights]]
+    * would keep ~nothing here: the generator never emits punctuation
+    * and stopword mass is thin). The oracle replays these exact
+    * constants.
+    */
+  private val q113Weights = Quality.Weights(bias = -0.9, lenSat = 5.0,
+    punct = -4.0, stop = 10.0, cpt = -0.05, lenCap = 500.0)
+
+  /** Model-based quality gate: fixed-weight linear scorer, map-only. */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    Quality.scoreDocs(Tables.documents(s, dir), "doc_id", "text", q113Weights)
+      .select(col("doc_id"), col("score"), col("keep").cast("int").as("keep"))
+
+  /** Quality-classifier TRAINING lifecycle (rows-only: LBFGS): plant
+    * labels (odd docs get a punctuation-walled, stopword-poisoned
+    * mangle), fit logistic weights on the labeled sample, score it
+    * with the frozen weights, report resubstitution accuracy — the
+    * spec asserts the planted classes separate.
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 2 === 1,
+        concat(lit("!!! ,,, ;;; "),
+          regexp_replace(col("text"), "the|a|of|to|in|is|it", "qq"),
+          lit(" ::: ??? !!!")))
+        .otherwise(col("text")).as("text"),
+      (col("doc_id") % 2 === 0).cast("double").as("label"))
+      .localCheckpoint()
+    val w = Quality.trainWeights(labeled, "text", "label")
+    Quality.scoreDocs(labeled, "doc_id", "text", w)
+      .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .agg(avg(when(col("keep") === (col("label") === 1.0), 1.0)
+        .otherwise(0.0)).as("accuracy"))
+      .select(round(col("accuracy"), 4).as("accuracy"),
+        lit(w.bias).as("w_bias"), lit(w.lenSat).as("w_len"),
+        lit(w.punct).as("w_punct"), lit(w.stop).as("w_stop"),
+        lit(w.cpt).as("w_cpt"))
+  }
+
+  /** Seeded deterministic shuffle-shard assignment (training-data
+    * loader prep) — map-only; within-shard order is the sort_key, a
+    * per-shard position window is deliberately absent (see
+    * Curation.shuffleShards).
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    Curation.shuffleShards(Tables.documents(s, dir).select(col("doc_id")),
+      col("doc_id"), numShards = 8, seed = 42L)
+      .select(col("doc_id"), col("shard"), col("sort_key"))
+
   /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
     * the memory-compression scale path — the pass touching every
     * corpus vector reads m codes per row, not the full float vector.
@@ -1903,6 +2010,12 @@ object SparkEntry {
     "q107_fluency_buckets_scale" -> (q107 _),
     "q108_ann_ivf_index" -> (q108 _),
     "q109_ann_pq_index" -> (q109 _),
+    "q110_url_canonicalize" -> (q110 _),
+    "q111_url_dedup" -> (q111 _),
+    "q112_domain_stats" -> (q112 _),
+    "q113_quality_score" -> (q113 _),
+    "q114_quality_train" -> (q114 _),
+    "q115_shuffle_shards" -> (q115 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2007,6 +2120,92 @@ object SparkEntry {
       |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
       |       ELSE 'zh' END AS lang_pred
       |FROM r""".stripMargin
+
+  /** The q110/q112 synthetic raw-URL corpus (one crawl per doc, four
+    * rule-exercising variants) — DuckDB twin of `rawUrl`.
+    */
+  private val urlMixedSql: String =
+    """SELECT doc_id AS crawl_id,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/docs/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#top'
+      |    WHEN 1 THEN 'http://' || source || '.example.com:80/docs/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc123'
+      |    WHEN 2 THEN 'https://' || source || '.example.com:443/docs/' || CAST(doc_id AS VARCHAR) || '/'
+      |    ELSE source || '.Example.CO.UK/Docs/' || CAST(doc_id AS VARCHAR) || '?ref=rss&z=1&a=2'
+      |  END AS url FROM documents""".stripMargin
+
+  /** q111's colliding recrawl pair (canonical forms identical). */
+  private val urlCrawlASql: String =
+    "SELECT doc_id AS crawl_id, 'HTTPS://WWW.' || source || '.Example.COM/docs/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#top' AS url FROM documents"
+  private val urlCrawlBSql: String =
+    "SELECT doc_id + 100000 AS crawl_id, 'http://' || source || '.example.com:80/docs/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc123' AS url FROM documents"
+
+  /** DuckDB replay of [[graft.text.Urls.canonicalizeUrl]] +
+    * `registrableDomain`: fragment → scheme → host/rest split →
+    * lower/www/port → path slash strip → tracking-param filter + sort.
+    * `src` must yield (crawl_id, url); ends in CTE `canon`
+    * (crawl_id, url_canon, domain).
+    */
+  private def urlCanonSql(src: String): String =
+    s"""WITH u AS ($src),
+       |c AS (
+       |  SELECT crawl_id,
+       |    regexp_replace(regexp_replace(trim(url), '#.*$$', ''),
+       |                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS ns
+       |  FROM u),
+       |h AS (
+       |  SELECT crawl_id, regexp_extract(ns, '^[^/?]*') AS raw_host,
+       |    substr(ns, len(regexp_extract(ns, '^[^/?]*')) + 1) AS rest
+       |  FROM c),
+       |p AS (
+       |  SELECT crawl_id,
+       |    regexp_replace(regexp_replace(lower(raw_host), '^www\\.', ''),
+       |                   ':(80|443)$$', '') AS host,
+       |    regexp_replace(regexp_extract(rest, '^[^?]*'), '/+$$', '') AS path,
+       |    CASE WHEN strpos(rest, '?') > 0
+       |         THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS qs
+       |  FROM h),
+       |f AS (
+       |  SELECT crawl_id, host, path,
+       |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+       |      x -> NOT (x = '' OR regexp_matches(x,
+       |        '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$$)')))), '&') AS sq
+       |  FROM p),
+       |canon AS (
+       |  SELECT crawl_id,
+       |    host || path || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS url_canon,
+       |    CASE WHEN regexp_extract(host,
+       |           '[^.]+\\.(co|com|net|org|gov|ac|edu)\\.[^.]+$$|[^.]+\\.[^.]+$$') = ''
+       |         THEN host
+       |         ELSE regexp_extract(host,
+       |           '[^.]+\\.(co|com|net|org|gov|ac|edu)\\.[^.]+$$|[^.]+\\.[^.]+$$') END AS domain
+       |  FROM f)""".stripMargin
+
+  /** DuckDB replay of [[graft.text.Quality.scoreDocs]] under explicit
+    * weights — q40's feature fragments, every constant CAST to DOUBLE
+    * so no decimal-literal arithmetic sneaks in.
+    */
+  private def qualityScoreSql(w: Quality.Weights): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wsl
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, len(ws) AS n,
+       |    len(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(len(text) AS DOUBLE) AS pr,
+       |    len(list_filter(wsl, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) / CAST(len(ws) AS DOUBLE) AS sr,
+       |    CAST(len(text) AS DOUBLE) / len(ws) AS cpt
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(${w.bias} AS DOUBLE)
+       |      + CAST(${w.lenSat} AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n / CAST(${w.lenCap} AS DOUBLE))
+       |      + CAST(${w.punct} AS DOUBLE) * pr
+       |      + CAST(${w.stop} AS DOUBLE) * sr
+       |      + CAST(${w.cpt} AS DOUBLE) * cpt AS s
+       |  FROM r)
+       |SELECT doc_id, round(s, 6) AS score, CAST(s > 0 AS INT) AS keep
+       |FROM sc""".stripMargin
 
   /** Shared by q76 (batch window) and q81 (stateful streaming twin). */
   private val sequencePackSql: String =
@@ -2331,6 +2530,30 @@ object SparkEntry {
     // the 64 trained merges from characters (replay == vocab lookup
     // for trained words, exact OOV encoding for the rest)
     "q106_bpe_second_corpus" -> bpeSecondCorpusSql(rounds = 64, maxVocab = 100),
+    // DuckDB replay of Urls.canonicalizeUrl over the synthetic raw
+    // URLs (same CTE chain for all three; q111 plants colliding
+    // recrawl pairs, q112 rolls up to registrable domains)
+    "q110_url_canonicalize" ->
+      s"""${urlCanonSql(urlMixedSql)}
+         |SELECT crawl_id AS doc_id, url_canon, domain FROM canon""".stripMargin,
+    "q111_url_dedup" ->
+      s"""${urlCanonSql(s"$urlCrawlASql UNION ALL $urlCrawlBSql")}
+         |SELECT url_canon, min(crawl_id) AS owner_id, count(*) AS n_crawls
+         |FROM canon GROUP BY url_canon""".stripMargin,
+    "q112_domain_stats" ->
+      s"""${urlCanonSql(urlMixedSql)}
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls
+         |FROM canon GROUP BY domain""".stripMargin,
+    // fixed-weight linear quality gate: q40's feature fragments + an
+    // all-DOUBLE-cast dot product (decimal literals would otherwise
+    // route through DuckDB decimal arithmetic and drift a ulp)
+    "q113_quality_score" -> qualityScoreSql(q113Weights),
+    "q115_shuffle_shards" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8 AS BIGINT) AS shard,
+        |  md5('42|' || CAST(doc_id AS VARCHAR)) AS sort_key
+        |FROM documents""".stripMargin,
     // benchmark = doc_id % 10 = 3; ALL corpus occurrences of a
     // benchmark 20-gram are covered (no keep-first — benchmark text
     // must not survive anywhere), then the q99 reassembly tail

@@ -191,4 +191,51 @@ object Curation {
       .filter(h < col("__rate") * lit(16777216.0))
       .drop("__rate")
   }
+
+  /** Deterministic seeded corpus shuffle → fixed training shards, the
+    * step between curation and the training data loader: every row
+    * gets a `shard` in [0, numShards) and a `sort_key` whose
+    * within-shard order IS the shuffled read order. Both derive from
+    * md5(seed | key) — the corpus-order correlation a crawl has
+    * (domain runs, time runs) is destroyed, any engine reproduces the
+    * assignment bit-for-bit from (seed, key), and adding shards later
+    * never requires a global pass.
+    *
+    * Deliberately NO global sort and NO per-shard window: a position
+    * column via `row_number() over (partition by shard)` would funnel
+    * corpus/numShards rows through one task each — at 100 TB that is
+    * the q100-ntile trap. Position is instead IMPLICIT in sort order:
+    * [[writeShuffledShards]] clusters by shard and sorts files by
+    * `sort_key`, so the loader reads each shard's files in order and
+    * gets the shuffled sequence with zero windows. The shard id is the
+    * top 24 bits of the md5 mod numShards (bias ≤ numShards/2²⁴ —
+    * negligible for any sane shard count).
+    */
+  def shuffleShards(df: DataFrame, keyCol: Column, numShards: Int,
+      seed: Long): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val sortKey = md5(concat(lit(seed.toString), lit("|"), keyCol.cast("string")))
+    df.withColumn("sort_key", sortKey)
+      .withColumn("shard",
+        conv(substring(col("sort_key"), 1, 6), 16, 10).cast("long")
+          % numShards)
+  }
+
+  /** Materialize a [[shuffleShards]] corpus for the data loader: one
+    * directory per shard (`shard=K/`), rows within each file in
+    * `sort_key` order. One clustering shuffle total;
+    * `maxRecordsPerFile` bounds file size at scale while preserving
+    * the in-file order (Spark splits a sorted task output into
+    * consecutive sorted files).
+    */
+  def writeShuffledShards(df: DataFrame, keyCol: Column, numShards: Int,
+      seed: Long, path: String, maxRecordsPerFile: Long = 0L): Unit =
+    shuffleShards(df, keyCol, numShards, seed)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("sort_key"))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(path)
 }

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document-quality filtering — the "quality classifier"
+  * stage of GPT-3/LLaMA-style curation: a linear model over cheap
+  * text statistics scores every document in one map-only pass, and the
+  * keep decision is a threshold on the score. Two halves:
+  *
+  *  - [[scoreQuality]]: apply a FIXED weight vector — pure codegen'd
+  *    column arithmetic on the scan, zero shuffle, oracle-portable
+  *    (every feature and the dot product are IEEE-exact ops; no
+  *    exp/log, so no libm divergence cross-engine).
+  *  - [[trainWeights]]: fit the weights with MLlib logistic regression
+  *    against a labeled sample (the real-world lifecycle: label a few
+  *    thousand docs "reference-like vs crawl", train, then apply the
+  *    frozen weights to the full corpus). Training touches only the
+  *    labeled SAMPLE; the 100 TB corpus only ever sees the scorer.
+  *
+  * The sigmoid is deliberately NOT applied in [[scoreQuality]]: the
+  * keep decision `σ(s) > σ(0) = 0.5` is equivalent to `s > 0`, and the
+  * raw logit avoids `exp` (whose last-ulp behavior is libm-dependent —
+  * the same reason the mixture sampler fixes α at 0.5).
+  */
+object Quality {
+
+  /** Linear model over the four standard cheap features. `lenSat` is
+    * the token count saturated at `lenCap` (a ramp, not log — IEEE
+    * exact), `punct`/`stop` are the [[TextAnalysis]] ratios, `cpt`
+    * is characters-per-token (verbosity/garbage signal).
+    */
+  final case class Weights(bias: Double, lenSat: Double, punct: Double,
+      stop: Double, cpt: Double, lenCap: Double = 500.0)
+
+  /** Hand-set default in the spirit of the C4/Gopher rules: favor
+    * longer documents with natural stopword density, penalize
+    * punctuation walls and very long pseudo-words.
+    */
+  val defaultWeights: Weights =
+    Weights(bias = -1.0, lenSat = 2.0, punct = -4.0, stop = 3.0, cpt = -0.1)
+
+  /** The four features as columns, shared by the scorer and the
+    * trainer so trained weights mean exactly what the scorer applies.
+    */
+  def features(text: Column, lenCap: Double): Seq[Column] = Seq(
+    least(lit(1.0), TextAnalysis.tokenCount(text).cast("double") / lit(lenCap)),
+    TextAnalysis.punctRatio(text),
+    TextAnalysis.stopwordRatio(text),
+    length(text).cast("double") / TextAnalysis.tokenCount(text))
+
+  /** Raw logit score under `w` — one codegen'd expression, map-only. */
+  def scoreQuality(text: Column, w: Weights = defaultWeights): Column = {
+    val Seq(l, p, s, c) = features(text, w.lenCap)
+    lit(w.bias) + lit(w.lenSat) * l + lit(w.punct) * p +
+      lit(w.stop) * s + lit(w.cpt) * c
+  }
+
+  /** (doc_id, score, keep) for every document — `keep = score > 0`,
+    * score rounded to 6 dp (per-row scalar math: deterministic, safe
+    * to round — see the fixed-point note in SparkEntry).
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      w: Weights = defaultWeights): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      round(scoreQuality(col(textCol), w), 6).as("score"),
+      (scoreQuality(col(textCol), w) > 0).as("keep"))
+
+  /** Fit [[Weights]] by logistic regression on a LABELED sample
+    * (`labelCol`: 1.0 = high-quality). Standard lifecycle: the sample
+    * is small (it was labeled by hand or by membership in a reference
+    * corpus), so the iterative fit never touches corpus-scale data;
+    * the returned frozen weights drive [[scoreQuality]] over the full
+    * corpus as a map-only pass.
+    */
+  def trainWeights(labeled: DataFrame, textCol: String, labelCol: String,
+      lenCap: Double = 500.0, maxIter: Int = 50, regParam: Double = 0.0)
+      : Weights = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val fs = features(col(textCol), lenCap)
+    val prepped = labeled.select(
+      array_to_vector(array(fs: _*)).as("features"),
+      col(labelCol).cast("double").as("label"))
+    val m = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam).fit(prepped)
+    val c = m.coefficients.toArray
+    Weights(bias = m.intercept, lenSat = c(0), punct = c(1), stop = c(2),
+      cpt = c(3), lenCap = lenCap)
+  }
+}

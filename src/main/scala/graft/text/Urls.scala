@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL operators for web-crawl curation (the RefinedWeb/CCNet intake
+  * steps the reference's recommender pipeline never needed but any
+  * 100 TB crawl corpus does): canonicalization, registrable-domain
+  * extraction, URL-level keep-first dedup, and per-domain stats for
+  * blocklist/allowlist construction.
+  *
+  * Everything here is pure `Column` expression work — canonicalization
+  * is a map-only pass over the scan (zero shuffle), and the two
+  * DataFrame ops shuffle only map-side-combinable aggregates (never
+  * document bodies). All regex syntax is the Java∩RE2 portable subset
+  * (no backreferences, no lookaround) so the DuckDB oracle replays the
+  * identical semantics.
+  */
+object Urls {
+
+  /** Canonical form of a raw crawl URL. Rules (each standard in crawl
+    * dedup — see e.g. the RefinedWeb paper's URL dedup stage):
+    *
+    *  1. fragment stripped (`#...` never reaches the server);
+    *  2. scheme stripped (http/https duplicates collapse);
+    *  3. host lowercased, leading `www.` and default ports `:80`/`:443`
+    *     stripped;
+    *  4. path: trailing slashes stripped (path case is PRESERVED —
+    *     paths are case-sensitive per RFC 3986);
+    *  5. query: tracking parameters dropped (`utm_*`, `fbclid`,
+    *     `gclid`, `msclkid`, `ref`), the rest sorted byte-wise so
+    *     param order never splits a URL group, empty query dropped.
+    *
+    * Output has no scheme: `host[/path][?k=v&...]`. Idempotent
+    * (canonicalize∘canonicalize = canonicalize) — property-tested.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val rawHost = regexp_extract(noScheme, "^[^/?]*", 0)
+    val rest = noScheme.substr(length(rawHost) + 1, length(noScheme))
+    val host = regexp_replace(
+      regexp_replace(lower(rawHost), "^www\\.", ""), ":(80|443)$", "")
+    val path = regexp_replace(regexp_extract(rest, "^[^?]*", 0), "/+$", "")
+    val query = when(instr(rest, "?") > 0,
+      rest.substr(instr(rest, "?") + 1, length(rest))).otherwise(lit(""))
+    val kept = array_sort(filter(split(query, "&"), p =>
+      !(p === "" ||
+        p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"))))
+    val sortedQ = array_join(kept, "&")
+    concat(host, path,
+      when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** Host part of a [[canonicalizeUrl]] output (everything before the
+    * first `/` or `?`).
+    */
+  def hostOf(canonical: Column): Column =
+    regexp_extract(canonical, "^[^/?]*", 0)
+
+  /** Registrable domain of a host — public-suffix-LITE heuristic: the
+    * last two labels, or the last three when the second-level label is
+    * a common country-code SLD (`co|com|net|org|gov|ac|edu`, as in
+    * `bbc.co.uk`). A production system would broadcast the full Public
+    * Suffix List as a lookup table (same plan shape: map-only); the
+    * heuristic keeps the operator self-contained and oracle-portable.
+    * Hosts with no dot (or empty) pass through unchanged.
+    */
+  def registrableDomain(host: Column): Column = {
+    val d = regexp_extract(host,
+      "[^.]+\\.(co|com|net|org|gov|ac|edu)\\.[^.]+$|[^.]+\\.[^.]+$", 0)
+    when(d === "", host).otherwise(d)
+  }
+
+  /** URL-level keep-first dedup: one row per canonical URL with the
+    * minimum-id owner and the recrawl count. The canonical key is
+    * computed scan-side; the only shuffle moves (url_canon, id) pairs
+    * through a map-side-combinable min/count aggregate — document
+    * bodies never shuffle, so the op is O(corpus) scan + O(distinct
+    * URLs) shuffle at any scale. Join the result back on `owner_id`
+    * (or semi-join) to materialize the surviving documents.
+    */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("__id"),
+        canonicalizeUrl(col(urlCol)).as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(min(col("__id")).as("owner_id"), count(lit(1)).as("n_crawls"))
+
+  /** Per-registrable-domain corpus stats — the primitive behind
+    * domain blocklists/allowlists and per-domain caps (C4 and
+    * RefinedWeb both gate on them). Two-level aggregation: URLs
+    * dedup first (map-side combinable on url_canon), then roll up to
+    * the domain — the second shuffle moves one row per DISTINCT URL,
+    * never per document.
+    */
+  def domainStats(docs: DataFrame, urlCol: String): DataFrame =
+    docs
+      .select(canonicalizeUrl(col(urlCol)).as("url_canon"))
+      .withColumn("domain", registrableDomain(hostOf(col("url_canon"))))
+      .groupBy(col("domain"), col("url_canon"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("domain"))
+      .agg(sum(col("__n")).as("n_docs"), count(lit(1)).as("n_urls"))
+}

@@ -139,6 +139,29 @@ class PlanSpec extends SparkSpec {
   }
 
 
+  test("q110: URL canonicalization is map-only — zero exchanges") {
+    val n = exchangeCount("q110_url_canonicalize")
+    assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q110_url_canonicalize")}")
+  }
+
+  test("q111: URL dedup is one map-side-combinable shuffle of (url, id) pairs") {
+    val p = plan("q111_url_dedup")
+    val n = exchangeCount("q111_url_dedup")
+    assert(n === 1, s"expected 1 exchange, got $n:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"owner election must partial-aggregate map-side:\n$p")
+  }
+
+  test("q113: quality scoring is map-only — zero exchanges") {
+    val n = exchangeCount("q113_quality_score")
+    assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q113_quality_score")}")
+  }
+
+  test("q115: shuffle-shard assignment is map-only — zero exchanges") {
+    val n = exchangeCount("q115_shuffle_shards")
+    assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q115_shuffle_shards")}")
+  }
+
   test("q86: n-gram decontamination broadcasts the benchmark grams, anti-joins hit ids") {
     val p = plan("q86_ngram_decontaminate")
     // the gram probe against the benchmark must be a broadcast join —

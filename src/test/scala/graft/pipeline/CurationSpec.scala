@@ -183,4 +183,51 @@ class CurationSpec extends SparkSpec {
     // sample is a subset of the input
     assert(got.join(docs, Seq("doc_id", "lang"), "left_anti").count() === 0L)
   }
+
+  test("shuffleShards is a deterministic total assignment that breaks input order") {
+    val docs = (0L until 512L).toDF("doc_id")
+    val a = Curation.shuffleShards(docs, col("doc_id"), numShards = 8, seed = 7L)
+    val b = Curation.shuffleShards(docs, col("doc_id"), numShards = 8, seed = 7L)
+    assert(a.collect().toSeq === b.collect().toSeq) // same seed → same shards
+    val shards = a.groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(shards.keySet.subsetOf((0L until 8L).toSet) && shards.size === 8)
+    // roughly balanced (md5 uniformity): no shard more than 2x the mean
+    assert(shards.values.max <= 2 * 512 / 8)
+    // a different seed reshuffles: assignments must not all coincide
+    val c = Curation.shuffleShards(docs, col("doc_id"), numShards = 8, seed = 8L)
+    val sameCount = a.select("doc_id", "shard")
+      .join(c.select(col("doc_id"), col("shard").as("s2")), "doc_id")
+      .filter(col("shard") === col("s2")).count()
+    assert(sameCount < 512)
+    // sort_key order within a shard is unrelated to doc_id order
+    val firstShard = a.filter(col("shard") === 0)
+      .orderBy("sort_key").select("doc_id").as[Long].collect().toSeq
+    assert(firstShard !== firstShard.sorted)
+  }
+
+  test("writeShuffledShards lays out shard=K dirs with rows in sort_key order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    val docs = (0L until 256L).toDF("doc_id")
+    Curation.writeShuffledShards(docs, col("doc_id"), numShards = 4,
+      seed = 42L, path = dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs === (0 until 4).map(i => s"shard=$i").toArray.sorted)
+    // every row lands in the shard its hash dictates, in sorted order
+    // (the partition-dir column reads back as int — align types)
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("sort_key"), col("shard").cast("long").as("shard"))
+    val expect = Curation.shuffleShards(docs, col("doc_id"), 4, 42L)
+    assert(back.except(expect.select("doc_id", "sort_key", "shard")).count() === 0L)
+    assert(expect.select("doc_id", "sort_key", "shard").except(back).count() === 0L)
+    import org.apache.spark.sql.functions.{input_file_name, lag}
+    import org.apache.spark.sql.expressions.Window
+    // read each file in physical order: sort_key must be nondecreasing
+    val viol = spark.read.parquet(dir).withColumn("__f", input_file_name())
+      .withColumn("__prev", lag(col("sort_key"), 1).over(
+        Window.partitionBy(col("__f")).orderBy(monotonically_increasing_id())))
+      .filter(col("__prev").isNotNull && col("__prev") > col("sort_key"))
+      .count()
+    assert(viol === 0L, "rows within a shard file are not in sort_key order")
+  }
 }
