@@ -115,13 +115,19 @@ object Pipelines {
       // Must be >= 2: with one tier every scored doc is in the dropped
       // bucket while unscorable docs pass — a config that silently
       // INVERTS the gate (curateCorpus rejects it loudly instead).
-      fluencyTiers: Option[Int] = None)
+      fluencyTiers: Option[Int] = None,
+      // model-based quality gate (GPT-3-style classifier filter): keep
+      // docs whose linear logit under these frozen weights is positive
+      // (train them on a labeled sample via Quality.trainWeights).
+      // Map-only — rides the same scan as the heuristic gates.
+      classifierWeights: Option[graft.text.Quality.Weights] = None)
 
   /** The full LLM training-data curation flow as ONE library call —
     * what a user of the reference's script-per-step world replaces
     * their corpus pipeline with:
     *
-    *   PII scrub → quality + repetition gates → optional paragraph-
+    *   PII scrub → quality + repetition gates (+ optional trained
+    *   classifier gate, [[graft.text.Quality]]) → optional paragraph-
     *   level boilerplate dedup → benchmark decontamination → exact
     *   near-dup dedup (first occurrence wins) → optional temperature
     *   mixture rebalance → sequence packing.
@@ -176,7 +182,9 @@ object Pipelines {
       .filter(col("quality") > cfg.minQuality &&
         col("__rep").isNotNull &&
         col("__rep.top_word").cast("double") / col("__rep.n_words")
-          <= cfg.maxTopWordRatio)
+          <= cfg.maxTopWordRatio &&
+        cfg.classifierWeights.fold(lit(true))(w =>
+          graft.text.Quality.scoreQuality(col("text"), w) > 0))
       .drop("__rep")
     val paraClean =
       if (!cfg.paragraphDedup) gated

@@ -107,6 +107,30 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("curateCorpus classifier gate drops docs the trained weights reject") {
+    import org.apache.spark.sql.functions._
+    def goodText(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    val wall = (0 until 40).map(_ => "!!! ,,, ;;; spamword").mkString(" ")
+    val docs = Seq(
+      (1L, goodText(1), "en", "srcA"),
+      (2L, wall, "en", "srcA"), // punctuation wall: heuristic minQuality=0
+      (3L, goodText(3), "en", "srcB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val none = Seq.empty[String].toDF("text")
+    // defaultWeights punish punctuation density hard (w_punct = -4)
+    val cfg = Pipelines.CurationConfig(minQuality = 0.0, seqLen = 100,
+      classifierWeights = Some(graft.text.Quality.defaultWeights))
+    val kept = Pipelines.curateCorpus(docs, none, cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+    // without the classifier the wall doc survives the zeroed heuristic
+    val keptNoClf = Pipelines.curateCorpus(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.0, seqLen = 100))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptNoClf === Seq(1L, 2L, 3L))
+  }
+
   test("curateCorpus fluency gate drops the least-fluent tier, keeps the rest") {
     import org.apache.spark.sql.functions._
     // fluent docs share the dominant "the wN of" bigram pattern;
