@@ -120,13 +120,18 @@ object Pipelines {
       // docs whose linear logit under these frozen weights is positive
       // (train them on a labeled sample via Quality.trainWeights).
       // Map-only — rides the same scan as the heuristic gates.
-      classifierWeights: Option[graft.text.Quality.Weights] = None)
+      classifierWeights: Option[graft.text.Quality.Weights] = None,
+      // crawl-intake URL dedup: collapse recrawls of one canonical URL
+      // to the min-doc_id copy before any content processing (column
+      // holding the raw URL; Urls.canonicalizeUrl keys the groups)
+      urlCol: Option[String] = None)
 
   /** The full LLM training-data curation flow as ONE library call —
     * what a user of the reference's script-per-step world replaces
     * their corpus pipeline with:
     *
-    *   PII scrub → quality + repetition gates (+ optional trained
+    *   optional URL-dedup intake ([[graft.text.Urls]]) → PII scrub →
+    *   quality + repetition gates (+ optional trained
     *   classifier gate, [[graft.text.Quality]]) → optional paragraph-
     *   level boilerplate dedup → benchmark decontamination → exact
     *   near-dup dedup (first occurrence wins) → optional temperature
@@ -166,7 +171,25 @@ object Pipelines {
         "document lands in the dropped bucket and the gate inverts"))
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-    val scrubbed = docs
+    // crawl intake: URL-level keep-first dedup BEFORE any content
+    // work — recrawls of one canonical URL never reach the scrub/gate
+    // scan. One (url, id) agg + one id semi-join; bodies only move in
+    // the semi-join's probe side (the standard place to spend the
+    // first shuffle of a crawl pipeline). Docs with NO url (null or
+    // empty after canonicalization) get a per-row sentinel key so they
+    // pass through as singletons instead of collapsing into one
+    // null-group survivor (the Urls.urlDedup caller contract).
+    val intake = cfg.urlCol.fold(docs) { uc =>
+      val k = graft.text.Urls.canonicalizeUrl(col(uc))
+      val owners = docs.select(col("doc_id"),
+        when(k.isNull || k === "",
+          concat(lit(" noUrl "), col("doc_id").cast("string")))
+          .otherwise(k).as("__uk"))
+        .groupBy(col("__uk")).agg(min(col("doc_id")).as("doc_id"))
+      docs.join(owners.select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+
+    val scrubbed = intake
       .withColumn("text", regexp_replace(
         regexp_replace(
           regexp_replace(col("text"),

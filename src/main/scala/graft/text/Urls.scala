@@ -79,6 +79,11 @@ object Urls {
     * bodies never shuffle, so the op is O(corpus) scan + O(distinct
     * URLs) shuffle at any scale. Join the result back on `owner_id`
     * (or semi-join) to materialize the surviving documents.
+    *
+    * Caller contract: rows whose URL is null (or canonicalizes to "")
+    * all share one group here — if URL-less docs must survive
+    * individually, key them with a per-row sentinel first (see the
+    * `curateCorpus` intake stage for the pattern).
     */
   def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
     docs

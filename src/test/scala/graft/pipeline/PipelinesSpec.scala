@@ -131,6 +131,35 @@ class PipelinesSpec extends SparkSpec {
     assert(keptNoClf === Seq(1L, 2L, 3L))
   }
 
+  test("curateCorpus urlCol intake collapses recrawls of one canonical URL") {
+    import org.apache.spark.sql.functions._
+    def goodText(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    // docs 1 and 2 are DIFFERENT content crawled from the same page
+    // (tracking-param recrawl) — content dedup would keep both, URL
+    // dedup keeps the earlier crawl only
+    val docs = Seq(
+      (1L, goodText(1), "en", "srcA", "https://www.site.com/page?utm_source=x"),
+      (2L, goodText(2), "en", "srcA", "http://site.com/page/"),
+      (3L, goodText(3), "en", "srcB", "https://site.com/other"),
+      // URL-less docs must survive as singletons, not collapse into
+      // one null-group survivor
+      (4L, goodText(4), "en", "srcB", null),
+      (5L, goodText(5), "en", "srcB", null)
+    ).toDF("doc_id", "text", "lang", "source", "url")
+    val none = Seq.empty[String].toDF("text")
+    val kept = Pipelines.curateCorpus(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100,
+        urlCol = Some("url")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 3L, 4L, 5L))
+    // without the intake stage both crawls survive (distinct content)
+    val keptNoUrl = Pipelines.curateCorpus(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptNoUrl === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("curateCorpus fluency gate drops the least-fluent tier, keeps the rest") {
     import org.apache.spark.sql.functions._
     // fluent docs share the dominant "the wN of" bigram pattern;
