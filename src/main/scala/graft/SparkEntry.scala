@@ -1777,6 +1777,22 @@ object SparkEntry {
       col("doc_id"), numShards = 8, seed = 42L)
       .select(col("doc_id"), col("shard"), col("sort_key"))
 
+  /** Per-domain cap over the synthetic crawl (RefinedWeb-style domain
+    * balancing): at most 3 docs per registrable domain, survivors the
+    * 3 smallest md5(42|doc_id) — deterministic, so the oracle replays
+    * the exact set. The window filter gets the WindowGroupLimit
+    * map-side rewrite (spec-asserted), so a hot domain never funnels
+    * its mass into one task.
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame =
+    Urls.domainCap(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rawUrl(col("doc_id"), col("source")).as("url")),
+      "doc_id", "url", cap = 3, seed = 42L)
+      .select(col("doc_id"),
+        Urls.registrableDomain(Urls.hostOf(
+          Urls.canonicalizeUrl(col("url")))).as("domain"))
+
   /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
     * the memory-compression scale path — the pass touching every
     * corpus vector reads m codes per row, not the full float vector.
@@ -2016,6 +2032,7 @@ object SparkEntry {
     "q113_quality_score" -> (q113 _),
     "q114_quality_train" -> (q114 _),
     "q115_shuffle_shards" -> (q115 _),
+    "q116_domain_cap" -> (q116 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2554,6 +2571,17 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8 AS BIGINT) AS shard,
         |  md5('42|' || CAST(doc_id AS VARCHAR)) AS sort_key
         |FROM documents""".stripMargin,
+    // deterministic per-domain cap: survivors are the 3 smallest
+    // md5(42|doc_id) per registrable domain (same canon CTE chain,
+    // same md5 text-prefix machinery as q115/q80b)
+    "q116_domain_cap" ->
+      s"""${urlCanonSql(urlMixedSql)},
+         |capped AS (
+         |  SELECT crawl_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY md5('42|' || CAST(crawl_id AS VARCHAR)), crawl_id) AS rn
+         |  FROM canon)
+         |SELECT crawl_id AS doc_id, domain FROM capped WHERE rn <= 3""".stripMargin,
     // benchmark = doc_id % 10 = 3; ALL corpus occurrences of a
     // benchmark 20-gram are covered (no keep-first — benchmark text
     // must not survive anywhere), then the q99 reassembly tail

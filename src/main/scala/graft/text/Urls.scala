@@ -92,6 +92,38 @@ object Urls {
       .groupBy(col("url_canon"))
       .agg(min(col("__id")).as("owner_id"), count(lit(1)).as("n_crawls"))
 
+  /** Per-domain document cap (the RefinedWeb/C4 domain-balancing
+    * stage): keep at most `cap` documents per registrable domain,
+    * selection DETERMINISTIC and uniform — the kept docs are the `cap`
+    * smallest by md5(seed | id) (ties by id), so any engine reproduces
+    * the exact survivor set from (seed, cap) and re-running never
+    * churns it (unlike a rand() sample).
+    *
+    * Scale shape: the selection is `row_number() <= cap` over a
+    * domain-partitioned window — which Spark 3.5+'s
+    * `InferWindowGroupLimit` rewrites into a WindowGroupLimit pair
+    * (Partial BEFORE the exchange, Final after), so every map task
+    * forwards at most `cap` rows per domain: a hot domain
+    * (10⁹ docs of blogspot.com) ships cap × map-tasks rows through
+    * the shuffle, never its corpus mass. The spec asserts the
+    * rewrite fires (a plain window here would be the q100-ntile trap
+    * per domain). Docs with null URLs canonicalize to "" and form
+    * their own capped group — pre-filter or sentinel-key them if they
+    * must all survive.
+    */
+  def domainCap(docs: DataFrame, idCol: String, urlCol: String, cap: Int,
+      seed: Long = 42L): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val domain = registrableDomain(hostOf(canonicalizeUrl(col(urlCol))))
+    val ord = md5(concat(lit(seed.toString), lit("|"),
+      col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domain).orderBy(ord.asc, col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Per-registrable-domain corpus stats — the primitive behind
     * domain blocklists/allowlists and per-domain caps (C4 and
     * RefinedWeb both gate on them). Two-level aggregation: URLs

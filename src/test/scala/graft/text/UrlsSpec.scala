@@ -65,6 +65,39 @@ class UrlsSpec extends SparkSpec {
     assert(got("other.com/q") === ((5L, 1L)))
   }
 
+  test("domainCap keeps at most cap docs per domain, deterministically") {
+    val docs = (1L to 20L).map { i =>
+      val host = if (i <= 12) "hot.com" else s"cold$i.org"
+      (i, s"https://$host/p/$i")
+    }.toDF("doc_id", "url")
+    val kept = Urls.domainCap(docs, "doc_id", "url", cap = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // hot.com capped at 3; each coldN.org is its own domain, all survive
+    assert(kept.length === 3 + 8)
+    assert((13L to 20L).forall(kept.contains))
+    // deterministic: same seed → same survivors; different seed → same
+    // counts (selection changes, the cap does not)
+    val again = Urls.domainCap(docs, "doc_id", "url", cap = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === kept)
+    val other = Urls.domainCap(docs, "doc_id", "url", cap = 3, seed = 7L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(other.length === kept.length)
+  }
+
+  test("domainCap plan gets the WindowGroupLimit map-side rewrite") {
+    val docs = (1L to 100L).map(i => (i, s"https://hot.com/p/$i"))
+      .toDF("doc_id", "url")
+    val capped = Urls.domainCap(docs, "doc_id", "url", cap = 5)
+    capped.collect()
+    val plan = capped.queryExecution.executedPlan.toString
+    // the hot-domain scale posture rests on this rewrite (partial
+    // group-limit BEFORE the exchange) — fail loudly if a planner
+    // change ever drops it
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected InferWindowGroupLimit to fire, plan was:\n$plan")
+  }
+
   test("domainStats rolls up docs and distinct URLs per registrable domain") {
     val docs = Seq(
       "https://a.e.com/1", "https://b.e.com/1", "https://a.e.com/1?utm_x=2",
