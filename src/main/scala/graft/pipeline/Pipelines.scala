@@ -124,13 +124,18 @@ object Pipelines {
       // crawl-intake URL dedup: collapse recrawls of one canonical URL
       // to the min-doc_id copy before any content processing (column
       // holding the raw URL; Urls.canonicalizeUrl keys the groups)
-      urlCol: Option[String] = None)
+      urlCol: Option[String] = None,
+      // domain balancing (RefinedWeb/C4): after URL dedup, keep at
+      // most this many docs per registrable domain (deterministic
+      // min-by-md5 survivors, Urls.domainCap). Requires urlCol.
+      domainCapN: Option[Int] = None)
 
   /** The full LLM training-data curation flow as ONE library call —
     * what a user of the reference's script-per-step world replaces
     * their corpus pipeline with:
     *
-    *   optional URL-dedup intake ([[graft.text.Urls]]) → PII scrub →
+    *   optional URL-dedup + domain-cap intake ([[graft.text.Urls]]) →
+    *   PII scrub →
     *   quality + repetition gates (+ optional trained
     *   classifier gate, [[graft.text.Quality]]) → optional paragraph-
     *   level boilerplate dedup → benchmark decontamination → exact
@@ -169,6 +174,10 @@ object Pipelines {
     cfg.fluencyTiers.foreach(t => require(t >= 2,
       s"fluencyTiers must be >= 2 (got $t): with one tier every scored " +
         "document lands in the dropped bucket and the gate inverts"))
+    require(cfg.domainCapN.isEmpty || cfg.urlCol.isDefined,
+      "domainCapN requires urlCol (the cap is keyed on the URL's domain)")
+    cfg.domainCapN.foreach(n => require(n > 0,
+      s"domainCapN must be positive, got $n"))
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     // crawl intake: URL-level keep-first dedup BEFORE any content
@@ -186,7 +195,15 @@ object Pipelines {
           concat(lit(" noUrl "), col("doc_id").cast("string")))
           .otherwise(k).as("__uk"))
         .groupBy(col("__uk")).agg(min(col("doc_id")).as("doc_id"))
-      docs.join(owners.select("doc_id"), Seq("doc_id"), "left_semi")
+      val deduped =
+        docs.join(owners.select("doc_id"), Seq("doc_id"), "left_semi")
+      // domain balancing rides the deduped intake: cap survivors per
+      // registrable domain (deterministic min-by-md5, WindowGroupLimit
+      // map-side partial — see Urls.domainCap). Null-URL docs form
+      // their own capped "" group — callers with many URL-less docs
+      // should assign synthetic hosts first, or skip the cap.
+      cfg.domainCapN.fold(deduped)(n =>
+        graft.text.Urls.domainCap(deduped, "doc_id", uc, n))
     }
 
     val scrubbed = intake

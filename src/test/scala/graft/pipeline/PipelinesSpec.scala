@@ -160,6 +160,29 @@ class PipelinesSpec extends SparkSpec {
     assert(keptNoUrl === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("curateCorpus domainCapN bounds survivors per domain after URL dedup") {
+    import org.apache.spark.sql.functions._
+    def goodText(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    // six distinct pages on one hot domain, one page elsewhere
+    val docs = (1L to 6L).map(i =>
+      (i, goodText(i.toInt), "en", "srcA", s"https://hot.com/p/$i")) :+
+      ((7L, goodText(7), "en", "srcB", "https://cold.org/q"))
+    val df = docs.toDF("doc_id", "text", "lang", "source", "url")
+    val none = Seq.empty[String].toDF("text")
+    val kept = Pipelines.curateCorpus(df, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100,
+        urlCol = Some("url"), domainCapN = Some(2)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.count(_ <= 6L) === 2, s"hot.com must cap at 2, kept $kept")
+    assert(kept.contains(7L))
+    // misconfiguration fails loudly, not silently uncapped
+    assertThrows[IllegalArgumentException] {
+      Pipelines.curateCorpus(df, none,
+        Pipelines.CurationConfig(domainCapN = Some(2)))
+    }
+  }
+
   test("curateCorpus fluency gate drops the least-fluent tier, keeps the rest") {
     import org.apache.spark.sql.functions._
     // fluent docs share the dominant "the wN of" bigram pattern;
