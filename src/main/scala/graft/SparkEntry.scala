@@ -1793,6 +1793,18 @@ object SparkEntry {
         Urls.registrableDomain(Urls.hostOf(
           Urls.canonicalizeUrl(col("url")))).as("domain"))
 
+  /** DSIR-style importance weighting: target = the doc_id%10==3 slice,
+    * raw = the whole corpus; every scoreable doc gets its fixed-point
+    * bigram-bucket affinity. Both count tables are bucket-bounded and
+    * broadcast — the corpus pays one gram scan + one combinable
+    * per-doc sum.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Curation.importanceWeights(d, "doc_id", "text",
+      d.filter(col("doc_id") % 10 === 3), "text", buckets = 1 << 16)
+  }
+
   /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
     * the memory-compression scale path — the pass touching every
     * corpus vector reads m codes per row, not the full float vector.
@@ -2033,6 +2045,7 @@ object SparkEntry {
     "q114_quality_train" -> (q114 _),
     "q115_shuffle_shards" -> (q115 _),
     "q116_domain_cap" -> (q116 _),
+    "q117_importance_resample" -> (q117 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2582,6 +2595,42 @@ object SparkEntry {
          |      ORDER BY md5('42|' || CAST(crawl_id AS VARCHAR)), crawl_id) AS rn
          |  FROM canon)
          |SELECT crawl_id AS doc_id, domain FROM capped WHERE rn <= 3""".stripMargin,
+    // DSIR-style hashed-bigram affinity: q100's tokenization fragment,
+    // md5-prefix buckets (q115's machinery), add-one-smoothed
+    // target/raw ratio as a fixed tree of DOUBLE-cast ops, HUGEINT sum
+    // → DOUBLE mean (mirrors Spark's decimal(38,0) accumulation)
+    "q117_importance_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(len(ws) - 1),
+        |          i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+        |      FROM w),
+        |b AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(gram), 1, 6))::BIGINT % 65536 AS BIGINT) AS bucket
+        |      FROM g),
+        |tb AS (SELECT bucket, count(*) AS t_cnt FROM b WHERE doc_id % 10 = 3 GROUP BY 1),
+        |tt AS (SELECT count(*) AS t_total FROM b WHERE doc_id % 10 = 3),
+        |rb AS (SELECT bucket, count(*) AS r_cnt FROM b GROUP BY 1),
+        |rt AS (SELECT count(*) AS r_total FROM b),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CAST(floor(1e9
+        |      * (CAST(COALESCE(tb.t_cnt, 0) + 1 AS DOUBLE)
+        |         * CAST(rt.r_total + 65536 AS DOUBLE))
+        |      / (CAST(tt.t_total + 65536 AS DOUBLE)
+        |         * CAST(rb.r_cnt + 1 AS DOUBLE))) AS BIGINT) AS r
+        |  FROM b
+        |  LEFT JOIN tb USING (bucket)
+        |  JOIN rb USING (bucket)
+        |  CROSS JOIN tt CROSS JOIN rt)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       CAST(floor(CAST(sum(r) AS DOUBLE) / count(*)) AS BIGINT) AS affinity_fp
+        |FROM sc GROUP BY doc_id""".stripMargin,
     // benchmark = doc_id % 10 = 3; ALL corpus occurrences of a
     // benchmark 20-gram are covered (no keep-first — benchmark text
     // must not survive anywhere), then the q99 reassembly tail

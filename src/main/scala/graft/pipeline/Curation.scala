@@ -192,6 +192,117 @@ object Curation {
       .drop("__rate")
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much more likely its hashed-bigram profile is
+    * under a TARGET distribution (the high-quality reference corpus
+    * you want more of — Wikipedia, books) than under the raw corpus
+    * itself, then keep the high-affinity docs. Features are the
+    * paper's hashed n-grams: each bigram maps to one of `buckets`
+    * hash buckets (md5-prefix mod — engine-portable), and both
+    * distributions are add-one-smoothed bucket frequencies.
+    *
+    * Scoring DIVERGES from the paper in one documented way: the
+    * per-doc score is the fixed-point MEAN of per-gram probability
+    * ratios ⌊10⁹·p̂_target(b)/p̂_raw(b)⌋, not the sum of log-ratios —
+    * `log` is libm-dependent cross-engine (the reason Quality and the
+    * mixture sampler avoid exp/log), while each ratio here is a fixed
+    * tree of correctly-rounded IEEE ops on exact integers and the sum
+    * is integer, so the result is bit-reproducible at any parallelism
+    * and hash-gates against DuckDB. Affinity 10⁹ = "equally likely
+    * under target and raw"; the monotone ranking the resample needs
+    * is preserved.
+    *
+    * Scale shape: both count tables are BOUNDED BY `buckets` (≤2²⁴)
+    * regardless of corpus size — their aggs are map-side combinable
+    * over a tiny key domain and both broadcast into the scoring join,
+    * so the corpus pays one gram-explode scan plus ONE map-combinable
+    * per-doc sum; no corpus-sized join shuffle anywhere. The gram
+    * stream feeds two consumers (raw counts, scoring) and is persisted
+    * for the branch-reexecution invariant — at corpus scales beyond
+    * cluster storage, trade the persist for a second scan.
+    *
+    * Returns (doc_id, n_grams, affinity_fp) for every doc with ≥2
+    * words ([[bigramFluency]]'s scoreability rule). Compose with a
+    * threshold ([[importanceResample]]) or a per-batch quantile.
+    */
+  def importanceWeights(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1 << 18): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 24),
+      s"buckets must be in [1, 2^24] (md5-prefix domain), got $buckets")
+    def grams(df: DataFrame, tc: String, keep: Seq[Column]): DataFrame = {
+      val ws = TextAnalysis.words(TextAnalysis.normalizeText(col(tc)))
+      df.select(keep :+ ws.as("__ws"): _*)
+        .filter(size(col("__ws")) >= 2)
+        .select(keep :+ explode(transform(
+          sequence(lit(0), size(col("__ws")) - 2),
+          i => concat(element_at(col("__ws"), i + 1), lit(" "),
+            element_at(col("__ws"), i + 2)))).as("__g"): _*)
+        .withColumn("bucket",
+          conv(substring(md5(col("__g")), 1, 6), 16, 10).cast("long")
+            % buckets)
+        .drop("__g")
+    }
+    val tg = grams(target, targetTextCol, Seq.empty)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tCounts = tg.groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
+    val tTotal = tg.agg(count(lit(1)).as("t_total"))
+    val cg = grams(corpus, textCol, Seq(col(idCol).as("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rCounts = cg.groupBy("bucket").agg(count(lit(1)).as("r_cnt"))
+    val rTotal = cg.agg(count(lit(1)).as("r_total"))
+    // ratio of add-one-smoothed bucket probabilities, fixed-point.
+    // Every operand is CAST TO DOUBLE before multiplying (the integer
+    // products can pass 2⁶³ at corpus scale; the double tree is the
+    // same correctly-rounded shape in any engine — mirrored verbatim
+    // in the oracle SQL)
+    val ratioFp = floor(lit(1e9)
+      * ((coalesce(col("t_cnt"), lit(0L)) + 1).cast("double")
+        * (col("r_total") + buckets).cast("double"))
+      / ((col("t_total") + buckets).cast("double")
+        * (col("r_cnt") + 1).cast("double"))).cast("long")
+    val out = cg
+      .join(broadcast(tCounts), Seq("bucket"), "left")
+      .join(broadcast(rCounts), Seq("bucket"))
+      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
+      .withColumn("__r", ratioFp)
+      .groupBy("doc_id")
+      // decimal(38,0) accumulation (Profiling's overflow-hardening
+      // pattern): a single gram's ratio_fp is bounded by
+      // ~10⁹·(corpus grams/buckets), so a long sum can pass 2⁶³ at
+      // corpus scale (ANSI Spark would throw). The exact decimal sum
+      // then converts once to double for the mean — DuckDB's HUGEINT
+      // sum makes the identical conversion.
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__r").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("__sum_fp"))
+      .select(col("doc_id"), col("n_grams"),
+        floor(col("__sum_fp").cast("double") / col("n_grams")).cast("long")
+          .as("affinity_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cg.unpersist(); tg.unpersist()
+    out
+  }
+
+  /** Keep the corpus docs whose [[importanceWeights]] affinity clears
+    * `minAffinityFp` (default 10⁹ = at-least-as-target-like-as-raw).
+    * Docs too short to score (< 2 words) are dropped — they carry no
+    * bigram evidence either way; pass them around the resample if they
+    * must survive. One id semi-join; bodies move only on the probe
+    * side.
+    */
+  def importanceResample(corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      minAffinityFp: Long = 1000000000L, buckets: Int = 1 << 18): DataFrame = {
+    val keep = importanceWeights(corpus, idCol, textCol, target,
+      targetTextCol, buckets)
+      .filter(col("affinity_fp") >= minAffinityFp)
+      .select(col("doc_id").as(idCol))
+    corpus.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Deterministic seeded corpus shuffle → fixed training shards, the
     * step between curation and the training data loader: every row
     * gets a `shard` in [0, numShards) and a `sort_key` whose

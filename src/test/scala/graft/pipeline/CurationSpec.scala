@@ -205,6 +205,36 @@ class CurationSpec extends SparkSpec {
     assert(firstShard !== firstShard.sorted)
   }
 
+  test("importanceWeights ranks target-like docs above off-distribution ones") {
+    // style A shares its bigrams with the target; style B is disjoint
+    def styleA(i: Int): String =
+      (0 until 30).map(j => Seq("the", "cat", "sat", "on", "a", "mat")(
+        (i + j) % 6)).mkString(" ")
+    def styleB(i: Int): String =
+      (0 until 30).map(j => s"zz${(i * 13 + j * 5) % 11}").mkString(" ")
+    val corpus = ((1L to 5L).map(i => (i, styleA(i.toInt))) ++
+      (6L to 10L).map(i => (i, styleB(i.toInt)))).toDF("doc_id", "text")
+    val target = (100 to 120).map(i => styleA(i)).toDF("text")
+    val w = Curation.importanceWeights(corpus, "doc_id", "text", target, "text",
+      buckets = 1 << 12)
+    val byDoc = w.select("doc_id", "affinity_fp").as[(Long, Long)]
+      .collect().toMap
+    val aMin = (1L to 5L).map(byDoc).min
+    val bMax = (6L to 10L).map(byDoc).max
+    assert(aMin > bMax,
+      s"target-like docs must outscore off-distribution ones: $byDoc")
+    // target-like docs clear the neutral 1e9 line; disjoint ones don't
+    assert(aMin > 1000000000L && bMax < 1000000000L)
+    w.unpersist()
+    // the resample keeps exactly the target-like half at the default
+    // threshold; a doc too short to score is dropped, not kept blindly
+    val withShort = corpus.unionAll(Seq((11L, "solo")).toDF("doc_id", "text"))
+    val kept = Curation.importanceResample(withShort, "doc_id", "text",
+      target, "text", buckets = 1 << 12)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === (1L to 5L).toSeq)
+  }
+
   test("writeShuffledShards lays out shard=K dirs with rows in sort_key order") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
     val docs = (0L until 256L).toDF("doc_id")
