@@ -1805,6 +1805,26 @@ object SparkEntry {
       d.filter(col("doc_id") % 10 === 3), "text", buckets = 1 << 16)
   }
 
+  /** Streaming twin of q117: the importance model trained on the
+    * corpus SNAPSHOT and frozen into literal count arrays
+    * ([[Curation.trainImportanceModel]]), then the ingest stream is
+    * scored map-only — no state store, no watermark, no shuffle (the
+    * q93 snapshot-trained pattern). Emits the identical rows, so it
+    * shares q117's oracle.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val m = Curation.trainImportanceModel(d, "text",
+      d.filter(col("doc_id") % 10 === 3), "text", buckets = 1 << 16)
+    StreamingPrep.runToMemory(
+      StreamingPrep.streamDocuments(s, dir)
+        .select(col("doc_id"),
+          (size(TextAnalysis.words(TextAnalysis.normalizeText(col("text")))) - 1)
+            .cast("long").as("n_grams"),
+          Curation.importanceAffinity(col("text"), m).as("affinity_fp"))
+        .filter(col("affinity_fp").isNotNull))
+  }
+
   /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
     * the memory-compression scale path — the pass touching every
     * corpus vector reads m codes per row, not the full float vector.
@@ -2046,6 +2066,7 @@ object SparkEntry {
     "q115_shuffle_shards" -> (q115 _),
     "q116_domain_cap" -> (q116 _),
     "q117_importance_resample" -> (q117 _),
+    "q118_stream_importance" -> (q118 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2209,6 +2230,45 @@ object SparkEntry {
        |         ELSE regexp_extract(host,
        |           '[^.]+\\.(co|com|net|org|gov|ac|edu)\\.[^.]+$$|[^.]+\\.[^.]+$$') END AS domain
        |  FROM f)""".stripMargin
+
+  /** DSIR-style hashed-bigram affinity (q117 batch + q118 streaming
+    * twin): q100's tokenization fragment, md5-prefix buckets (q115's
+    * machinery), add-one-smoothed target/raw ratio as a fixed tree of
+    * DOUBLE-cast ops, HUGEINT sum → DOUBLE mean (mirrors Spark's
+    * decimal(38,0) accumulation).
+    */
+  private val importanceSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         regexp_split_to_array(
+      |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
+      |  FROM documents),
+      |w AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
+      |g AS (SELECT doc_id,
+      |        unnest(list_transform(range(len(ws) - 1),
+      |          i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+      |      FROM w),
+      |b AS (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(gram), 1, 6))::BIGINT % 65536 AS BIGINT) AS bucket
+      |      FROM g),
+      |tb AS (SELECT bucket, count(*) AS t_cnt FROM b WHERE doc_id % 10 = 3 GROUP BY 1),
+      |tt AS (SELECT count(*) AS t_total FROM b WHERE doc_id % 10 = 3),
+      |rb AS (SELECT bucket, count(*) AS r_cnt FROM b GROUP BY 1),
+      |rt AS (SELECT count(*) AS r_total FROM b),
+      |sc AS (
+      |  SELECT b.doc_id,
+      |    CAST(floor(1e9
+      |      * (CAST(COALESCE(tb.t_cnt, 0) + 1 AS DOUBLE)
+      |         * CAST(rt.r_total + 65536 AS DOUBLE))
+      |      / (CAST(tt.t_total + 65536 AS DOUBLE)
+      |         * CAST(rb.r_cnt + 1 AS DOUBLE))) AS BIGINT) AS r
+      |  FROM b
+      |  LEFT JOIN tb USING (bucket)
+      |  JOIN rb USING (bucket)
+      |  CROSS JOIN tt CROSS JOIN rt)
+      |SELECT doc_id, count(*) AS n_grams,
+      |       CAST(floor(CAST(sum(r) AS DOUBLE) / count(*)) AS BIGINT) AS affinity_fp
+      |FROM sc GROUP BY doc_id""".stripMargin
 
   /** DuckDB replay of [[graft.text.Quality.scoreDocs]] under explicit
     * weights — q40's feature fragments, every constant CAST to DOUBLE
@@ -2599,38 +2659,10 @@ object SparkEntry {
     // md5-prefix buckets (q115's machinery), add-one-smoothed
     // target/raw ratio as a fixed tree of DOUBLE-cast ops, HUGEINT sum
     // → DOUBLE mean (mirrors Spark's decimal(38,0) accumulation)
-    "q117_importance_resample" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         regexp_split_to_array(
-        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
-        |  FROM documents),
-        |w AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
-        |g AS (SELECT doc_id,
-        |        unnest(list_transform(range(len(ws) - 1),
-        |          i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
-        |      FROM w),
-        |b AS (SELECT doc_id,
-        |        CAST(('0x' || substr(md5(gram), 1, 6))::BIGINT % 65536 AS BIGINT) AS bucket
-        |      FROM g),
-        |tb AS (SELECT bucket, count(*) AS t_cnt FROM b WHERE doc_id % 10 = 3 GROUP BY 1),
-        |tt AS (SELECT count(*) AS t_total FROM b WHERE doc_id % 10 = 3),
-        |rb AS (SELECT bucket, count(*) AS r_cnt FROM b GROUP BY 1),
-        |rt AS (SELECT count(*) AS r_total FROM b),
-        |sc AS (
-        |  SELECT b.doc_id,
-        |    CAST(floor(1e9
-        |      * (CAST(COALESCE(tb.t_cnt, 0) + 1 AS DOUBLE)
-        |         * CAST(rt.r_total + 65536 AS DOUBLE))
-        |      / (CAST(tt.t_total + 65536 AS DOUBLE)
-        |         * CAST(rb.r_cnt + 1 AS DOUBLE))) AS BIGINT) AS r
-        |  FROM b
-        |  LEFT JOIN tb USING (bucket)
-        |  JOIN rb USING (bucket)
-        |  CROSS JOIN tt CROSS JOIN rt)
-        |SELECT doc_id, count(*) AS n_grams,
-        |       CAST(floor(CAST(sum(r) AS DOUBLE) / count(*)) AS BIGINT) AS affinity_fp
-        |FROM sc GROUP BY doc_id""".stripMargin,
+    "q117_importance_resample" -> importanceSql,
+    // frozen-model streaming twin scores the identical rows — same
+    // oracle, hash-gated
+    "q118_stream_importance" -> importanceSql,
     // benchmark = doc_id % 10 = 3; ALL corpus occurrences of a
     // benchmark 20-gram are covered (no keep-first — benchmark text
     // must not survive anywhere), then the q99 reassembly tail

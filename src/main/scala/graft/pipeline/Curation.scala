@@ -231,19 +231,8 @@ object Curation {
       buckets: Int = 1 << 18): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 24),
       s"buckets must be in [1, 2^24] (md5-prefix domain), got $buckets")
-    def grams(df: DataFrame, tc: String, keep: Seq[Column]): DataFrame = {
-      val ws = TextAnalysis.words(TextAnalysis.normalizeText(col(tc)))
-      df.select(keep :+ ws.as("__ws"): _*)
-        .filter(size(col("__ws")) >= 2)
-        .select(keep :+ explode(transform(
-          sequence(lit(0), size(col("__ws")) - 2),
-          i => concat(element_at(col("__ws"), i + 1), lit(" "),
-            element_at(col("__ws"), i + 2)))).as("__g"): _*)
-        .withColumn("bucket",
-          conv(substring(md5(col("__g")), 1, 6), 16, 10).cast("long")
-            % buckets)
-        .drop("__g")
-    }
+    def grams(df: DataFrame, tc: String, keep: Seq[Column]) =
+      gramBuckets(df, tc, keep, buckets)
     val tg = grams(target, targetTextCol, Seq.empty)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tCounts = tg.groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
@@ -284,6 +273,87 @@ object Curation {
     out.count()
     cg.unpersist(); tg.unpersist()
     out
+  }
+
+  /** Hashed-bigram bucket stream shared by the batch scorer and the
+    * frozen-model trainer: (keep…, bucket), one row per bigram.
+    */
+  private def gramBuckets(df: DataFrame, tc: String, keep: Seq[Column],
+      buckets: Int): DataFrame = {
+    val ws = TextAnalysis.words(TextAnalysis.normalizeText(col(tc)))
+    df.select(keep :+ ws.as("__ws"): _*)
+      .filter(size(col("__ws")) >= 2)
+      .select(keep :+ explode(transform(
+        sequence(lit(0), size(col("__ws")) - 2),
+        i => concat(element_at(col("__ws"), i + 1), lit(" "),
+          element_at(col("__ws"), i + 2)))).as("__g"): _*)
+      .withColumn("bucket",
+        conv(substring(md5(col("__g")), 1, 6), 16, 10).cast("long")
+          % buckets)
+      .drop("__g")
+  }
+
+  /** FROZEN importance model: the two bucket-count tables collected to
+    * driver arrays. `buckets`·8 bytes each — an ARTIFACT, independent
+    * of corpus size (the collect moves ≤buckets count rows, never
+    * corpus data). This is the serving/streaming form of
+    * [[importanceWeights]]' distributed model: freeze once, then score
+    * any stream or later batch map-only via [[importanceAffinity]].
+    */
+  final case class ImportanceModel(tCnt: Array[Long], rCnt: Array[Long],
+      tTotal: Long, rTotal: Long, buckets: Int)
+
+  /** Train an [[ImportanceModel]] over (corpus=raw, target) — two
+    * bucket-bounded count aggs, collected. Capped at 2²² buckets so
+    * the literal arrays stay plan-embeddable (32 MiB of longs at the
+    * cap; the default 2¹⁸ is 2 MiB).
+    */
+  def trainImportanceModel(corpus: DataFrame, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 1 << 18): ImportanceModel = {
+    require(buckets > 0 && buckets <= (1 << 22),
+      s"buckets must be in [1, 2^22] for the frozen-model form, got $buckets")
+    def countsOf(g: DataFrame): (Array[Long], Long) = {
+      val arr = new Array[Long](buckets)
+      var tot = 0L
+      g.groupBy("bucket").agg(count(lit(1)).as("c")).collect().foreach { r =>
+        val c = r.getLong(1); arr(r.getLong(0).toInt) = c; tot += c
+      }
+      (arr, tot)
+    }
+    val (t, tTot) = countsOf(gramBuckets(target, targetTextCol, Seq.empty, buckets))
+    val (rr, rTot) = countsOf(gramBuckets(corpus, textCol, Seq.empty, buckets))
+    ImportanceModel(t, rr, tTot, rTot, buckets)
+  }
+
+  /** Per-row affinity under a frozen model — ONE stateless column
+    * expression (the count arrays ride the plan as literals), so it
+    * scores a continuous ingest STREAM map-only with no state store,
+    * no watermark and no shuffle, and reproduces
+    * [[importanceWeights]]' fixed-point arithmetic bit-for-bit on any
+    * doc whose grams the raw model has seen (a NEW gram — impossible
+    * in the batch form, where raw = the scored corpus itself — scores
+    * with r_cnt = 0 under the same add-one smoothing). Returns NULL
+    * for docs too short to score (< 2 words).
+    */
+  def importanceAffinity(text: Column, m: ImportanceModel): Column = {
+    val t = typedLit(m.tCnt.toSeq)
+    val r = typedLit(m.rCnt.toSeq)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ws = TextAnalysis.words(TextAnalysis.normalizeText(text))
+    val ratios = transform(sequence(lit(0), size(ws) - 2), i => {
+      val g = concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))
+      val b = (conv(substring(md5(g), 1, 6), 16, 10).cast("long")
+        % m.buckets).cast("int")
+      floor(lit(1e9)
+        * ((element_at(t, b + 1) + 1).cast("double")
+          * lit((m.rTotal + m.buckets).toDouble))
+        / (lit((m.tTotal + m.buckets).toDouble)
+          * (element_at(r, b + 1) + 1).cast("double"))).cast("long")
+    })
+    when(size(ws) >= 2,
+      floor(aggregate(ratios, lit(0L).cast(dec), (acc, x) => acc + x.cast(dec))
+        .cast("double") / (size(ws) - 1)).cast("long"))
   }
 
   /** Keep the corpus docs whose [[importanceWeights]] affinity clears

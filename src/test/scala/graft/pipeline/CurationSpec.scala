@@ -235,6 +235,31 @@ class CurationSpec extends SparkSpec {
     assert(kept === (1L to 5L).toSeq)
   }
 
+  test("frozen ImportanceModel reproduces the batch scorer bit-for-bit") {
+    def styleA(i: Int): String =
+      (0 until 30).map(j => Seq("the", "cat", "sat", "on", "a", "mat")(
+        (i + j) % 6)).mkString(" ")
+    def styleB(i: Int): String =
+      (0 until 30).map(j => s"zz${(i * 13 + j * 5) % 11}").mkString(" ")
+    val corpus = ((1L to 5L).map(i => (i, styleA(i.toInt))) ++
+      (6L to 10L).map(i => (i, styleB(i.toInt)))).toDF("doc_id", "text")
+    val target = (100 to 120).map(i => styleA(i)).toDF("text")
+    val batch = Curation.importanceWeights(corpus, "doc_id", "text",
+      target, "text", buckets = 1 << 12)
+      .select("doc_id", "affinity_fp").as[(Long, Long)].collect().toMap
+    val m = Curation.trainImportanceModel(corpus, "text", target, "text",
+      buckets = 1 << 12)
+    val frozen = corpus.select(col("doc_id"),
+      Curation.importanceAffinity(col("text"), m).as("affinity_fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(frozen === batch)
+    // short docs score NULL under the frozen model (batch: absent)
+    val short = Seq((1L, "solo"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(Curation.importanceAffinity(col("text"), m)).collect()
+    assert(short.forall(_.isNullAt(0)))
+  }
+
   test("writeShuffledShards lays out shard=K dirs with rows in sort_key order") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
     val docs = (0L until 256L).toDF("doc_id")
