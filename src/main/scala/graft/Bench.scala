@@ -44,8 +44,11 @@ object Bench {
     "q95_stream_neardup",
     // round-7 surface: the quality gate is the round's heaviest new
     // map pass (4 regex/HOF features per doc) and stands in for the
-    // whole map-only family (q110/q115 share the shape)
-    "q113_quality_score")
+    // whole map-only family (q110/q115 share the shape); importance
+    // resampling is the round's heaviest new SHUFFLE op (gram explode
+    // + two bucket aggs + per-doc sum)
+    "q113_quality_score",
+    "q117_importance_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
