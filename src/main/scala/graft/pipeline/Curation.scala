@@ -223,8 +223,11 @@ object Curation {
     * cluster storage, trade the persist for a second scan.
     *
     * Returns (doc_id, n_grams, affinity_fp) for every doc with ≥2
-    * words ([[bigramFluency]]'s scoreability rule). Compose with a
-    * threshold ([[importanceResample]]) or a per-batch quantile.
+    * words ([[bigramFluency]]'s scoreability rule), eagerly persisted
+    * (doc-count-sized) — release with `.unpersist()` once consumed
+    * (the [[bigramFluency]] caller contract). Compose with a
+    * threshold ([[importanceResample]], which releases internally) or
+    * a per-batch quantile.
     */
   def importanceWeights(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
@@ -326,6 +329,40 @@ object Curation {
     ImportanceModel(t, rr, tTot, rTot, buckets)
   }
 
+  /** Persist a frozen [[ImportanceModel]] as the reloadable selection
+    * artifact (the [[graft.text.Bpe.saveMerges]] lifecycle: train
+    * once, save, score any later corpus or stream under the loaded
+    * model). One parquet of non-zero buckets plus a 1-row totals
+    * sidecar inside the same directory — |model| rows at any corpus
+    * scale.
+    */
+  def saveImportanceModel(spark: org.apache.spark.sql.SparkSession,
+      m: ImportanceModel, path: String): Unit = {
+    import spark.implicits._
+    m.tCnt.indices.collect {
+      case b if m.tCnt(b) != 0L || m.rCnt(b) != 0L =>
+        (b, m.tCnt(b), m.rCnt(b))
+    }.toDF("bucket", "t_cnt", "r_cnt")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/counts")
+    Seq((m.tTotal, m.rTotal, m.buckets)).toDF("t_total", "r_total", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/totals")
+  }
+
+  /** Reload a [[saveImportanceModel]] artifact. Collects |non-zero
+    * buckets| rows — artifact-sized, never corpus-sized.
+    */
+  def loadImportanceModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): ImportanceModel = {
+    val tot = spark.read.parquet(path + "/totals").head()
+    val buckets = tot.getInt(2)
+    val t = new Array[Long](buckets)
+    val r = new Array[Long](buckets)
+    spark.read.parquet(path + "/counts").collect().foreach { row =>
+      val b = row.getInt(0); t(b) = row.getLong(1); r(b) = row.getLong(2)
+    }
+    ImportanceModel(t, r, tot.getLong(0), tot.getLong(1), buckets)
+  }
+
   /** Per-row affinity under a frozen model — ONE stateless column
     * expression (the count arrays ride the plan as literals), so it
     * scores a continuous ingest STREAM map-only with no state store,
@@ -366,10 +403,16 @@ object Curation {
   def importanceResample(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
       minAffinityFp: Long = 1000000000L, buckets: Int = 1 << 18): DataFrame = {
-    val keep = importanceWeights(corpus, idCol, textCol, target,
+    val w = importanceWeights(corpus, idCol, textCol, target,
       targetTextCol, buckets)
-      .filter(col("affinity_fp") >= minAffinityFp)
+    // pin the (id-only, doc-count-sized) survivor set, then release
+    // the scored frame — the returned plan must not re-trigger the
+    // model aggs, and the weights cache must not outlive this call
+    // (the curateCorpus-cache-release discipline)
+    val keep = w.filter(col("affinity_fp") >= minAffinityFp)
       .select(col("doc_id").as(idCol))
+      .localCheckpoint()
+    w.unpersist()
     corpus.join(keep, Seq(idCol), "left_semi")
   }
 

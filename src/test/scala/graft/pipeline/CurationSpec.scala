@@ -260,6 +260,27 @@ class CurationSpec extends SparkSpec {
     assert(short.forall(_.isNullAt(0)))
   }
 
+  test("ImportanceModel save/load roundtrips and scores identically") {
+    def styleA(i: Int): String =
+      (0 until 30).map(j => Seq("the", "cat", "sat", "on", "a", "mat")(
+        (i + j) % 6)).mkString(" ")
+    val corpus = (1L to 8L).map(i => (i, styleA(i.toInt))).toDF("doc_id", "text")
+    val target = (100 to 110).map(i => styleA(i)).toDF("text")
+    val m = Curation.trainImportanceModel(corpus, "text", target, "text",
+      buckets = 1 << 12)
+    val dir = java.nio.file.Files.createTempDirectory("graft_impmodel_").toString
+    Curation.saveImportanceModel(spark, m, dir)
+    val back = Curation.loadImportanceModel(spark, dir)
+    assert(back.buckets === m.buckets && back.tTotal === m.tTotal &&
+      back.rTotal === m.rTotal)
+    assert(back.tCnt.toSeq === m.tCnt.toSeq && back.rCnt.toSeq === m.rCnt.toSeq)
+    val a = corpus.select(Curation.importanceAffinity(col("text"), m))
+      .as[Long].collect().toSeq
+    val b = corpus.select(Curation.importanceAffinity(col("text"), back))
+      .as[Long].collect().toSeq
+    assert(a === b)
+  }
+
   test("writeShuffledShards lays out shard=K dirs with rows in sort_key order") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
     val docs = (0L until 256L).toDF("doc_id")
