@@ -1825,6 +1825,19 @@ object SparkEntry {
         .filter(col("affinity_fp").isNotNull))
   }
 
+  /** Contamination audit over the q86 setup: benchmark = the
+    * doc_id%10==3 slice, corpus = everything; per benchmark doc, its
+    * total 13-grams, how many occur in the corpus, and how many corpus
+    * docs share one. Only hit rows shuffle.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Curation.contaminationReport(docs,
+      docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id").as("bench_id"), col("text")),
+      "text", "doc_id", "bench_id", n = 13)
+  }
+
   /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
     * the memory-compression scale path — the pass touching every
     * corpus vector reads m codes per row, not the full float vector.
@@ -2067,6 +2080,7 @@ object SparkEntry {
     "q116_domain_cap" -> (q116 _),
     "q117_importance_resample" -> (q117 _),
     "q118_stream_importance" -> (q118 _),
+    "q119_contamination_report" -> (q119 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2663,6 +2677,34 @@ object SparkEntry {
     // frozen-model streaming twin scores the identical rows — same
     // oracle, hash-gated
     "q118_stream_importance" -> importanceSql,
+    // q86's gram chain, kept as an audit: per benchmark doc, distinct
+    // gram totals, corpus-dirty grams, distinct hit docs (zeros kept)
+    "q119_contamination_report" ->
+      """WITH dw AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(
+        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(ws) - 12),
+        |           i -> array_to_string(ws[i + 1 : i + 13], ' '))) AS g
+        |  FROM dw WHERE len(ws) >= 13),
+        |bg AS (
+        |  SELECT DISTINCT doc_id AS bench_id, md5(g) AS gh
+        |  FROM dg WHERE doc_id % 10 = 3),
+        |tot AS (SELECT bench_id, count(*) AS n_grams FROM bg GROUP BY 1),
+        |hits AS (
+        |  SELECT DISTINCT bg.bench_id, dg.doc_id, bg.gh
+        |  FROM dg JOIN bg ON md5(dg.g) = bg.gh),
+        |agg AS (
+        |  SELECT bench_id, count(DISTINCT gh) AS dirty,
+        |         count(DISTINCT doc_id) AS docs
+        |  FROM hits GROUP BY 1)
+        |SELECT t.bench_id, t.n_grams,
+        |       CAST(COALESCE(a.dirty, 0) AS BIGINT) AS n_dirty_grams,
+        |       CAST(COALESCE(a.docs, 0) AS BIGINT) AS n_docs_hit
+        |FROM tot t LEFT JOIN agg a USING (bench_id)""".stripMargin,
     // benchmark = doc_id % 10 = 3; ALL corpus occurrences of a
     // benchmark 20-gram are covered (no keep-first — benchmark text
     // must not survive anywhere), then the q99 reassembly tail

@@ -78,6 +78,48 @@ object Curation {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Contamination AUDIT — the reporting counterpart of
+    * [[ngramDecontaminate]] (the overlap-statistics tables every
+    * serious eval section publishes, GPT-3 appendix C style): for each
+    * benchmark document, how many of its `n`-grams occur anywhere in
+    * the corpus and how many corpus documents share at least one.
+    * Returns (bench_id, n_grams, n_dirty_grams, n_docs_hit) for every
+    * benchmark doc — zeros when clean, so the report is a complete
+    * audit table, not just the offenders.
+    *
+    * Scale shape: identical probe to [[ngramDecontaminate]] — the
+    * benchmark's distinct (bench_id, gram-hash) pairs broadcast, the
+    * corpus side is a map-only explode probing them, and only HIT
+    * rows (rare by construction) reach the distinct + two
+    * count-distinct aggregations. Corpus documents never shuffle.
+    * Note a benchmark doc that also lives in the corpus reports
+    * itself as a hit — filter by id afterwards to audit external
+    * contamination only.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, corpusIdCol: String, benchIdCol: String,
+      n: Int = 13): DataFrame = {
+    import graft.dedup.Dedup
+    def grams(df: DataFrame, cols: Column*): DataFrame = df
+      .select(cols :+
+        TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))).as("__ws"): _*)
+      .withColumn("__sh", Dedup.shinglesFromWords(col("__ws"), n))
+      .select(cols :+ explode(col("__sh")).as("__gram"): _*)
+      .select(cols :+ md5(col("__gram")).as("__gh"): _*)
+    val bg = grams(benchmark, col(benchIdCol).as("bench_id")).distinct()
+    val totals = bg.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+    val hits = grams(corpus, col(corpusIdCol).as("doc_id"))
+      .join(broadcast(bg), Seq("__gh"))
+      .select("bench_id", "doc_id", "__gh").distinct()
+    val agg = hits.groupBy("bench_id")
+      .agg(countDistinct(col("__gh")).as("__dirty"),
+        countDistinct(col("doc_id")).as("__docs"))
+    totals.join(agg, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("__dirty"), lit(0L)).as("n_dirty_grams"),
+        coalesce(col("__docs"), lit(0L)).as("n_docs_hit"))
+  }
+
   /** Surgical (span-level) decontamination: remove from each corpus
     * document every `n`-token span that appears VERBATIM in the
     * benchmark — all occurrences, no keep-first — and reassemble the

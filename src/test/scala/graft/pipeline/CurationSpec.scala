@@ -260,6 +260,34 @@ class CurationSpec extends SparkSpec {
     assert(short.forall(_.isNullAt(0)))
   }
 
+  test("contaminationReport counts dirty grams and hit docs per benchmark doc") {
+    val words = (0 until 40).map(i => s"w$i")
+    val benchText = words.mkString(" ") // 40 words → 28 distinct 13-grams
+    val cleanText = (0 until 40).map(i => s"x$i").mkString(" ")
+    // corpus doc 1 quotes the benchmark's first 15 words (3 13-grams),
+    // doc 2 quotes words 5-25 (8 13-grams + overlap), doc 3 is clean
+    val corpus = Seq(
+      (1L, ("intro " * 3) + words.take(15).mkString(" ")),
+      (2L, words.slice(5, 25).mkString(" ") + (" outro" * 3)),
+      (3L, cleanText)).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText), (200L, cleanText + " extra tail"))
+      .toDF("bench_id", "text")
+    val got = Curation.contaminationReport(corpus, bench, "text",
+      "doc_id", "bench_id", n = 13)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // bench 100: 28 grams total. doc1 = [intro×3, w0..w14] (18 toks):
+    // its pure-w grams are w0..w12, w1..w13, w2..w14 → bench grams
+    // 1..3. doc2 = [w5..w24, outro×3] (23 toks): pure-w grams
+    // w5..w17 … w12..w24 → bench grams 6..13 (8 of them). Disjoint
+    // sets → dirty = 3 + 8 = 11, docs hit = 2.
+    assert(got(100L) === ((28L, 11L, 2L)))
+    // bench 200 = [x0..x39, extra, tail] (42 toks → 30 grams); corpus
+    // doc 3 = x0..x39 contributes its 28 grams, all of which are bench
+    // 200 grams 1..28 → dirty = 28, docs hit = 1
+    assert(got(200L) === ((30L, 28L, 1L)))
+  }
+
   test("ImportanceModel save/load roundtrips and scores identically") {
     def styleA(i: Int): String =
       (0 until 30).map(j => Seq("the", "cat", "sat", "on", "a", "mat")(
