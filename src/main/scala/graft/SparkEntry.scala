@@ -1825,6 +1825,18 @@ object SparkEntry {
         .filter(col("affinity_fp").isNotNull))
   }
 
+  /** q117 under the DSIR paper's full n ∈ {1,2} feature union —
+    * unigrams join the bigrams in one bucket space (no collisions:
+    * bigram strings contain a space), single-word docs become
+    * scoreable.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    Curation.importanceWeights(d, "doc_id", "text",
+      d.filter(col("doc_id") % 10 === 3), "text", buckets = 1 << 16,
+      unigrams = true)
+  }
+
   /** Contamination audit over the q86 setup: benchmark = the
     * doc_id%10==3 slice, corpus = everything; per benchmark doc, its
     * total 13-grams, how many occur in the corpus, and how many corpus
@@ -2081,6 +2093,7 @@ object SparkEntry {
     "q117_importance_resample" -> (q117 _),
     "q118_stream_importance" -> (q118 _),
     "q119_contamination_report" -> (q119 _),
+    "q120_importance_unigram" -> (q120 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2251,17 +2264,13 @@ object SparkEntry {
     * DOUBLE-cast ops, HUGEINT sum → DOUBLE mean (mirrors Spark's
     * decimal(38,0) accumulation).
     */
-  private val importanceSql: String =
-    """WITH t AS (
+  private def importanceSqlWith(gramSrc: String): String =
+    s"""WITH t AS (
       |  SELECT doc_id,
       |         regexp_split_to_array(
-      |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
+      |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS ws
       |  FROM documents),
-      |w AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
-      |g AS (SELECT doc_id,
-      |        unnest(list_transform(range(len(ws) - 1),
-      |          i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
-      |      FROM w),
+      |g AS ($gramSrc),
       |b AS (SELECT doc_id,
       |        CAST(('0x' || substr(md5(gram), 1, 6))::BIGINT % 65536 AS BIGINT) AS bucket
       |      FROM g),
@@ -2283,6 +2292,22 @@ object SparkEntry {
       |SELECT doc_id, count(*) AS n_grams,
       |       CAST(floor(CAST(sum(r) AS DOUBLE) / count(*)) AS BIGINT) AS affinity_fp
       |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Bigram-only gram stream (q117/q118). */
+  private val importanceSql: String = importanceSqlWith(
+    """SELECT doc_id,
+      |        unnest(list_transform(range(len(ws) - 1),
+      |          i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+      |      FROM t WHERE len(ws) >= 2""".stripMargin)
+
+  /** Unigram∪bigram stream (q120, the DSIR-paper n ∈ {1,2} form). */
+  private val importanceUniSql: String = importanceSqlWith(
+    """SELECT doc_id, unnest(ws) AS gram FROM t WHERE len(ws) >= 1
+      |      UNION ALL
+      |      SELECT doc_id,
+      |        unnest(list_transform(range(len(ws) - 1),
+      |          i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+      |      FROM t WHERE len(ws) >= 2""".stripMargin)
 
   /** DuckDB replay of [[graft.text.Quality.scoreDocs]] under explicit
     * weights — q40's feature fragments, every constant CAST to DOUBLE
@@ -2677,6 +2702,8 @@ object SparkEntry {
     // frozen-model streaming twin scores the identical rows — same
     // oracle, hash-gated
     "q118_stream_importance" -> importanceSql,
+    // the paper-form feature union — same scoring tail over uni∪bi
+    "q120_importance_unigram" -> importanceUniSql,
     // q86's gram chain, kept as an audit: per benchmark doc, distinct
     // gram totals, corpus-dirty grams, distinct hit docs (zeros kept)
     "q119_contamination_report" ->

@@ -264,8 +264,14 @@ object Curation {
     * for the branch-reexecution invariant — at corpus scales beyond
     * cluster storage, trade the persist for a second scan.
     *
+    * `unigrams = true` unions unigram features into the same bucket
+    * space (the paper's n ∈ {1,2} form — the keyspaces cannot
+    * collide, bigram strings contain a space) and makes single-word
+    * docs scoreable.
+    *
     * Returns (doc_id, n_grams, affinity_fp) for every doc with ≥2
-    * words ([[bigramFluency]]'s scoreability rule), eagerly persisted
+    * words (≥1 under `unigrams` — [[bigramFluency]]'s scoreability
+    * rule otherwise), eagerly persisted
     * (doc-count-sized) — release with `.unpersist()` once consumed
     * (the [[bigramFluency]] caller contract). Compose with a
     * threshold ([[importanceResample]], which releases internally) or
@@ -273,11 +279,11 @@ object Curation {
     */
   def importanceWeights(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
-      buckets: Int = 1 << 18): DataFrame = {
+      buckets: Int = 1 << 18, unigrams: Boolean = false): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 24),
       s"buckets must be in [1, 2^24] (md5-prefix domain), got $buckets")
     def grams(df: DataFrame, tc: String, keep: Seq[Column]) =
-      gramBuckets(df, tc, keep, buckets)
+      gramBuckets(df, tc, keep, buckets, unigrams)
     val tg = grams(target, targetTextCol, Seq.empty)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tCounts = tg.groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
@@ -320,18 +326,31 @@ object Curation {
     out
   }
 
-  /** Hashed-bigram bucket stream shared by the batch scorer and the
-    * frozen-model trainer: (keep…, bucket), one row per bigram.
+  /** The hashed-feature array of one document: bigrams always,
+    * unigrams optionally prepended (the DSIR paper's n ∈ {1,2} union).
+    * One hash keyspace is safe — unigram strings contain no space,
+    * bigram strings do, so the families cannot collide. Null words
+    * arrays propagate to null (callers filter on `size(...) >= 1`).
+    */
+  private def allGrams(ws: Column, unigrams: Boolean): Column = {
+    val bi = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat(element_at(ws, i + 1), lit(" "),
+          element_at(ws, i + 2))))
+      .otherwise(typedLit(Seq.empty[String]))
+    if (unigrams) concat(ws, bi) else bi
+  }
+
+  /** Hashed-gram bucket stream shared by the batch scorer and the
+    * frozen-model trainer: (keep…, bucket), one row per gram.
     */
   private def gramBuckets(df: DataFrame, tc: String, keep: Seq[Column],
-      buckets: Int): DataFrame = {
+      buckets: Int, unigrams: Boolean = false): DataFrame = {
     val ws = TextAnalysis.words(TextAnalysis.normalizeText(col(tc)))
+    val all = allGrams(col("__ws"), unigrams)
     df.select(keep :+ ws.as("__ws"): _*)
-      .filter(size(col("__ws")) >= 2)
-      .select(keep :+ explode(transform(
-        sequence(lit(0), size(col("__ws")) - 2),
-        i => concat(element_at(col("__ws"), i + 1), lit(" "),
-          element_at(col("__ws"), i + 2)))).as("__g"): _*)
+      .filter(size(all) >= 1)
+      .select(keep :+ explode(all).as("__g"): _*)
       .withColumn("bucket",
         conv(substring(md5(col("__g")), 1, 6), 16, 10).cast("long")
           % buckets)
@@ -355,7 +374,7 @@ object Curation {
     */
   def trainImportanceModel(corpus: DataFrame, textCol: String,
       target: DataFrame, targetTextCol: String,
-      buckets: Int = 1 << 18): ImportanceModel = {
+      buckets: Int = 1 << 18, unigrams: Boolean = false): ImportanceModel = {
     require(buckets > 0 && buckets <= (1 << 22),
       s"buckets must be in [1, 2^22] for the frozen-model form, got $buckets")
     def countsOf(g: DataFrame): (Array[Long], Long) = {
@@ -366,8 +385,10 @@ object Curation {
       }
       (arr, tot)
     }
-    val (t, tTot) = countsOf(gramBuckets(target, targetTextCol, Seq.empty, buckets))
-    val (rr, rTot) = countsOf(gramBuckets(corpus, textCol, Seq.empty, buckets))
+    val (t, tTot) =
+      countsOf(gramBuckets(target, targetTextCol, Seq.empty, buckets, unigrams))
+    val (rr, rTot) =
+      countsOf(gramBuckets(corpus, textCol, Seq.empty, buckets, unigrams))
     ImportanceModel(t, rr, tTot, rTot, buckets)
   }
 
@@ -413,15 +434,17 @@ object Curation {
     * doc whose grams the raw model has seen (a NEW gram — impossible
     * in the batch form, where raw = the scored corpus itself — scores
     * with r_cnt = 0 under the same add-one smoothing). Returns NULL
-    * for docs too short to score (< 2 words).
+    * for docs too short to score (< 2 words; < 1 under `unigrams` —
+    * pass the flag the model was trained with).
     */
-  def importanceAffinity(text: Column, m: ImportanceModel): Column = {
+  def importanceAffinity(text: Column, m: ImportanceModel,
+      unigrams: Boolean = false): Column = {
     val t = typedLit(m.tCnt.toSeq)
     val r = typedLit(m.rCnt.toSeq)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val ws = TextAnalysis.words(TextAnalysis.normalizeText(text))
-    val ratios = transform(sequence(lit(0), size(ws) - 2), i => {
-      val g = concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))
+    val all = allGrams(ws, unigrams)
+    val ratios = transform(all, g => {
       val b = (conv(substring(md5(g), 1, 6), 16, 10).cast("long")
         % m.buckets).cast("int")
       floor(lit(1e9)
@@ -430,9 +453,9 @@ object Curation {
         / (lit((m.tTotal + m.buckets).toDouble)
           * (element_at(r, b + 1) + 1).cast("double"))).cast("long")
     })
-    when(size(ws) >= 2,
+    when(size(all) >= 1,
       floor(aggregate(ratios, lit(0L).cast(dec), (acc, x) => acc + x.cast(dec))
-        .cast("double") / (size(ws) - 1)).cast("long"))
+        .cast("double") / size(all)).cast("long"))
   }
 
   /** Keep the corpus docs whose [[importanceWeights]] affinity clears

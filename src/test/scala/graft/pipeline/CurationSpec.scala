@@ -258,6 +258,22 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text")
       .select(Curation.importanceAffinity(col("text"), m)).collect()
     assert(short.forall(_.isNullAt(0)))
+    // paper-form n ∈ {1,2} union: frozen still reproduces batch, and
+    // a single-word doc becomes scoreable
+    val batchU = Curation.importanceWeights(corpus, "doc_id", "text",
+      target, "text", buckets = 1 << 12, unigrams = true)
+      .select("doc_id", "affinity_fp").as[(Long, Long)].collect().toMap
+    val mu = Curation.trainImportanceModel(corpus, "text", target, "text",
+      buckets = 1 << 12, unigrams = true)
+    val frozenU = corpus.select(col("doc_id"),
+      Curation.importanceAffinity(col("text"), mu, unigrams = true)
+        .as("affinity_fp")).as[(Long, Long)].collect().toMap
+    assert(frozenU === batchU)
+    assert(batchU !== batch) // unigram evidence changes the scores
+    val solo = Seq((1L, "the")).toDF("doc_id", "text")
+      .select(Curation.importanceAffinity(col("text"), mu, unigrams = true))
+      .collect()
+    assert(!solo(0).isNullAt(0))
   }
 
   test("contaminationReport counts dirty grams and hit docs per benchmark doc") {
