@@ -467,9 +467,10 @@ object Curation {
     */
   def importanceResample(corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
-      minAffinityFp: Long = 1000000000L, buckets: Int = 1 << 18): DataFrame = {
+      minAffinityFp: Long = 1000000000L, buckets: Int = 1 << 18,
+      unigrams: Boolean = false): DataFrame = {
     val w = importanceWeights(corpus, idCol, textCol, target,
-      targetTextCol, buckets)
+      targetTextCol, buckets, unigrams)
     // pin the (id-only, doc-count-sized) survivor set, then release
     // the scored frame — the returned plan must not re-trigger the
     // model aggs, and the weights cache must not outlive this call

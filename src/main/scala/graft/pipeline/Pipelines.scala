@@ -128,7 +128,15 @@ object Pipelines {
       // domain balancing (RefinedWeb/C4): after URL dedup, keep at
       // most this many docs per registrable domain (deterministic
       // min-by-md5 survivors, Urls.domainCap). Requires urlCol.
-      domainCapN: Option[Int] = None)
+      domainCapN: Option[Int] = None,
+      // DSIR importance-resample gate thresholds (used only when an
+      // importanceTarget is passed to curateCorpus): keep docs whose
+      // fixed-point target/raw affinity clears this floor (1e9 =
+      // at-least-as-target-like-as-raw); hashed-gram bucket count;
+      // the paper's n ∈ {1,2} union when importanceUnigrams
+      importanceMinAffinityFp: Long = 1000000000L,
+      importanceBuckets: Int = 1 << 18,
+      importanceUnigrams: Boolean = false)
 
   /** The full LLM training-data curation flow as ONE library call —
     * what a user of the reference's script-per-step world replaces
@@ -138,9 +146,11 @@ object Pipelines {
     *   PII scrub →
     *   quality + repetition gates (+ optional trained
     *   classifier gate, [[graft.text.Quality]]) → optional paragraph-
-    *   level boilerplate dedup → benchmark decontamination → exact
-    *   near-dup dedup (first occurrence wins) → optional temperature
-    *   mixture rebalance → sequence packing.
+    *   level boilerplate dedup → optional fluency-tier gate →
+    *   optional DSIR importance resample against `importanceTarget`
+    *   ([[Curation.importanceResample]]) → benchmark decontamination →
+    *   exact near-dup dedup (first occurrence wins) → optional
+    *   temperature mixture rebalance → sequence packing.
     *
     * Plan shape at 100 TB: the scrub and both gates are map-only
     * column expressions riding the ingest scan (the repetition gate is
@@ -154,8 +164,9 @@ object Pipelines {
     * doc reassembly).
     */
   def curateCorpus(docs: DataFrame, benchmark: DataFrame,
-      cfg: CurationConfig = CurationConfig()): DataFrame =
-    curateCorpusManaged(docs, benchmark, cfg)._1
+      cfg: CurationConfig = CurationConfig(),
+      importanceTarget: Option[DataFrame] = None): DataFrame =
+    curateCorpusManaged(docs, benchmark, cfg, importanceTarget)._1
 
   /** [[curateCorpus]] with a RELEASE HANDLE for the intermediates the
     * plan keeps cached (the gated scan feeding four branches, the
@@ -167,7 +178,8 @@ object Pipelines {
     * repeatedly.
     */
   def curateCorpusManaged(docs: DataFrame, benchmark: DataFrame,
-      cfg: CurationConfig = CurationConfig()): (DataFrame, () => Unit) = {
+      cfg: CurationConfig = CurationConfig(),
+      importanceTarget: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     import graft.functions.RepetitionExpressions
     import graft.text.TextAnalysis
 
@@ -262,7 +274,15 @@ object Pipelines {
         .filter(col("bucket").isNull || col("bucket") < tiers)
         .drop("bucket")
     }
-    val cleaned = Curation.decontaminate(fluent, benchmark, "text")
+    // data SELECTION rides after the cleaning gates: score what
+    // survived, not what dedup/decontamination will drop anyway is
+    // deliberate — the resample's model aggs are bucket-bounded, so
+    // running them on the gated corpus costs one extra gram scan
+    val selected = importanceTarget.fold(fluent)(t =>
+      Curation.importanceResample(fluent, "doc_id", "text", t, "text",
+        cfg.importanceMinAffinityFp, cfg.importanceBuckets,
+        cfg.importanceUnigrams))
+    val cleaned = Curation.decontaminate(selected, benchmark, "text")
       .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
     val deduped = Prep.dedupKeepFirst(cleaned, Seq("__fp"), Seq(col("doc_id")))
       .drop("__fp")

@@ -183,6 +183,32 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("curateCorpus importanceTarget gate keeps target-like docs only") {
+    import org.apache.spark.sql.functions._
+    // both styles pass the heuristic gates (stopword-rich); only A
+    // matches the target's bigram profile
+    def styleA(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    def styleB(i: Int): String =
+      (0 until 40).map(j => s"a q${(i * 13 + j * 5) % 89} in").mkString(" ")
+    val docs = ((1L to 5L).map(i => (i, styleA(i.toInt), "en", "srcA")) ++
+      (6L to 10L).map(i => (i, styleB(i.toInt), "en", "srcB")))
+      .toDF("doc_id", "text", "lang", "source")
+    val target = (50 to 70).map(i => styleA(i)).toDF("text")
+    val none = Seq.empty[String].toDF("text")
+    val kept = Pipelines.curateCorpus(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 200,
+        importanceBuckets = 1 << 12),
+      importanceTarget = Some(target))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === (1L to 5L).toSeq)
+    // without the gate all ten survive
+    val keptAll = Pipelines.curateCorpus(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 200))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptAll === (1L to 10L).toSeq)
+  }
+
   test("curateCorpus fluency gate drops the least-fluent tier, keeps the rest") {
     import org.apache.spark.sql.functions._
     // fluent docs share the dominant "the wN of" bigram pattern;
