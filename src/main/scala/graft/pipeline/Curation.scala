@@ -9,9 +9,13 @@ import graft.text.TextAnalysis
 
 /** Corpus-curation operators a production training-data pipeline runs
   * between raw ingest and tokenization: incremental refresh (upsert),
-  * benchmark decontamination, and sequence packing. The reference has
-  * no corpus layer (its ETL is `json-to-csv.py:4-12`); these extend the
-  * same relational machinery (window dedup, broadcast anti-join,
+  * benchmark decontamination (whole-doc, n-gram, span) + the
+  * contamination audit report, DSIR-style importance resampling
+  * (batch, frozen-model, artifact save/load), temperature mixture
+  * sampling, seeded shuffle-shards, and sequence packing. The
+  * reference has no corpus layer (its ETL is `json-to-csv.py:4-12`);
+  * these extend the same relational machinery (window dedup,
+  * broadcast anti-join, broadcast probes, bounded-domain aggs,
   * running windows) to the LLM-pipeline surface the BASELINE
   * north-star names.
   */
