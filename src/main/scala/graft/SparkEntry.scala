@@ -1850,6 +1850,16 @@ object SparkEntry {
       "text", "doc_id", "bench_id", n = 13)
   }
 
+  /** Embedding-space diversity balancing over the embeddings table:
+    * seeded KMeans clusters + √n temperature rebalance — dominant
+    * semantic neighborhoods downsample toward the budget. Rows-only
+    * (KMeans float centroids); planted-cluster behavior in
+    * CurationSpec.
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    Curation.clusterBalancedSample(Tables.embeddings(s, dir),
+      "vec_id", "embedding", budget = 200, nClusters = 8)
+
   /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
     * the memory-compression scale path — the pass touching every
     * corpus vector reads m codes per row, not the full float vector.
@@ -2094,6 +2104,7 @@ object SparkEntry {
     "q118_stream_importance" -> (q118 _),
     "q119_contamination_report" -> (q119 _),
     "q120_importance_unigram" -> (q120 _),
+    "q121_cluster_balance" -> (q121 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),

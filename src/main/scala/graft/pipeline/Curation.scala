@@ -238,6 +238,56 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Embedding-space diversity balancing (the SemDeDup-adjacent
+    * selection step; cf. Abbas et al. 2023 and cluster-balanced data
+    * selection generally): cluster the corpus in embedding space with
+    * a seeded, sample-trained KMeans, then TEMPERATURE-REBALANCE the
+    * cluster sizes with the same √n mixture machinery languages use
+    * ([[mixtureSample]]) — over-represented semantic neighborhoods
+    * (boilerplate clouds, template clusters) are downsampled toward
+    * the budget while sparse neighborhoods keep a higher rate, so the
+    * selected set is semantically diverse rather than
+    * frequency-shaped.
+    *
+    * Scale shape: the KMeans fit touches only the
+    * `trainSampleFraction` sample; assignment is one map pass under
+    * the broadcast model; the rate table is nClusters rows; the
+    * inclusion decision is the md5 row hash — deterministic for fixed
+    * (seed, centroids), no corpus-sized shuffle anywhere beyond the
+    * nClusters-keyed count agg. Returns (id, cluster) for the
+    * selected rows — semi-join back on the id to materialize
+    * documents. Rows-only checkable (KMeans centroids are float
+    * iterates — no cross-engine oracle), spec-tested on planted
+    * clusters.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, idCol: String,
+      vecCol: String, budget: Long, nClusters: Int = 16, seed: Long = 42L,
+      trainSampleFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nClusters > 0, s"nClusters must be positive, got $nClusters")
+    val c = embeddings
+      .select(col(idCol).as("__id"),
+        array_to_vector(transform(col(vecCol), x => x.cast("double")))
+          .as("__fv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val trainSet =
+        if (trainSampleFraction >= 1.0) c
+        else c.sample(withReplacement = false, trainSampleFraction, seed)
+      val km = new KMeans().setK(nClusters).setSeed(seed)
+        .setFeaturesCol("__fv").setPredictionCol("__cluster").fit(trainSet)
+      val assigned = km.transform(c)
+        .select(col("__id").as(idCol),
+          col("__cluster").cast("long").as("cluster"))
+      // eager: the sample must materialize before the embedding cache
+      // is dropped in the finally (mixtureSample's rate agg + the
+      // filter both re-read the assignment otherwise)
+      mixtureSample(assigned, "cluster", col(idCol), budget)
+        .localCheckpoint()
+    } finally c.unpersist()
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every corpus
     * document by how much more likely its hashed-bigram profile is

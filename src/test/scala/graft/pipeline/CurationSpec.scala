@@ -276,6 +276,30 @@ class CurationSpec extends SparkSpec {
     assert(!solo(0).isNullAt(0))
   }
 
+  test("clusterBalancedSample flattens dominant embedding clusters") {
+    def jitter(i: Int): Double = (i % 7) * 0.01
+    // one dominant semantic neighborhood (200 points), two sparse ones
+    val pts =
+      (1L to 200L).map(i => (i, Seq(10.0 + jitter(i.toInt), 0.0))) ++
+      (201L to 210L).map(i => (i, Seq(0.0, 10.0 + jitter(i.toInt)))) ++
+      (211L to 220L).map(i => (i, Seq(-10.0 - jitter(i.toInt), -10.0)))
+    val df = pts.toDF("vec_id", "embedding")
+    val kept = Curation.clusterBalancedSample(df, "vec_id", "embedding",
+      budget = 25, nClusters = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val bigKept = kept.count(_ <= 200L) / 200.0
+    val sparseKept = kept.count(_ > 200L) / 20.0
+    // the dominant cluster is downsampled far below the sparse ones
+    assert(bigKept < sparseKept,
+      s"dominant kept $bigKept, sparse kept $sparseKept")
+    assert(kept.count(_ <= 200L) > 0 && kept.count(_ > 200L) > 0)
+    // deterministic under fixed (seed, budget)
+    val again = Curation.clusterBalancedSample(df, "vec_id", "embedding",
+      budget = 25, nClusters = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
   test("contaminationReport counts dirty grams and hit docs per benchmark doc") {
     val words = (0 until 40).map(i => s"w$i")
     val benchText = words.mkString(" ") // 40 words → 28 distinct 13-grams
