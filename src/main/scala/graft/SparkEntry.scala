@@ -1860,6 +1860,19 @@ object SparkEntry {
     Curation.clusterBalancedSample(Tables.embeddings(s, dir),
       "vec_id", "embedding", budget = 200, nClusters = 8)
 
+  /** Domain-aware temperature mixture over the synthetic crawl URLs:
+    * the C4/RefinedWeb proportional domain rebalance — head domains
+    * flatten toward the budget, decision is the md5 row hash, corpus
+    * pays one map pass (no window, no data-row shuffle — the
+    * cheaper-than-domainCap policy form).
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    Curation.domainMixtureSample(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rawUrl(col("doc_id"), col("source")).as("url")),
+      "doc_id", "url", budget = 150)
+      .select(col("doc_id"), col("domain"))
+
   /** PQ ANN (per-subspace codebooks + ADC shortlist + exact re-rank):
     * the memory-compression scale path — the pass touching every
     * corpus vector reads m codes per row, not the full float vector.
@@ -2105,6 +2118,7 @@ object SparkEntry {
     "q119_contamination_report" -> (q119 _),
     "q120_importance_unigram" -> (q120 _),
     "q121_cluster_balance" -> (q121 _),
+    "q122_domain_mixture" -> (q122 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
     "q63_pivot" -> (q63 _),
@@ -2705,6 +2719,21 @@ object SparkEntry {
          |      ORDER BY md5('42|' || CAST(crawl_id AS VARCHAR)), crawl_id) AS rn
          |  FROM canon)
          |SELECT crawl_id AS doc_id, domain FROM capped WHERE rn <= 3""".stripMargin,
+    // domain-aware temperature mixture: q116's canon CTE chain feeds
+    // q88's sqrt-rebalance rate table, keyed on registrable domain;
+    // inclusion is the same md5 24-bit-prefix row hash
+    "q122_domain_mixture" ->
+      s"""${urlCanonSql(urlMixedSql)},
+         |cnt AS (SELECT domain, count(*) AS n FROM canon GROUP BY 1),
+         |s AS (SELECT sum(sqrt(n)) AS sw FROM cnt),
+         |r AS (SELECT domain,
+         |             least(CAST(1.0 AS DOUBLE),
+         |                   CAST(150.0 AS DOUBLE) * sqrt(n) / sw / n) AS rate
+         |      FROM cnt CROSS JOIN s)
+         |SELECT c.crawl_id AS doc_id, c.domain
+         |FROM canon c JOIN r USING (domain)
+         |WHERE ('0x' || substr(md5(CAST(c.crawl_id AS VARCHAR)), 1, 6))::BIGINT
+         |      < rate * 16777216.0""".stripMargin,
     // DSIR-style hashed-bigram affinity: q100's tokenization fragment,
     // md5-prefix buckets (q115's machinery), add-one-smoothed
     // target/raw ratio as a fixed tree of DOUBLE-cast ops, HUGEINT sum

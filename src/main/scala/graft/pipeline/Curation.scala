@@ -238,6 +238,34 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Domain-aware temperature mixture (the C4/RefinedWeb domain
+    * REBALANCE, as opposed to [[graft.text.Urls.domainCap]]'s hard
+    * cap): derive each document's registrable domain from its URL,
+    * then apply the √n mixture machinery over domains — head domains
+    * (the 10⁹-doc blog host) are flattened toward the budget while
+    * tail domains keep a near-1 rate, and the decision stays the
+    * deterministic md5 row hash, so any engine reproduces the exact
+    * survivor set.
+    *
+    * Scale shape inherits both parents: domain derivation is map-only
+    * scan-side column math ([[graft.text.Urls.canonicalizeUrl]] chain);
+    * the rate table is |domains| rows built from one map-side
+    * combinable count agg; the corpus pays ONE map pass and zero
+    * data-row shuffles. Contrast with `domainCap`, which needs a
+    * domain-partitioned window (group-limit rewritten, but still a
+    * shuffle): when the policy is proportional rebalance rather than
+    * a hard ceiling, this form is strictly cheaper at 100 TB.
+    */
+  def domainMixtureSample(docs: DataFrame, idCol: String, urlCol: String,
+      budget: Long): DataFrame = {
+    import graft.text.Urls
+    mixtureSample(
+      docs.withColumn("domain",
+        Urls.registrableDomain(Urls.hostOf(
+          Urls.canonicalizeUrl(col(urlCol))))),
+      "domain", col(idCol), budget)
+  }
+
   /** Embedding-space diversity balancing (the SemDeDup-adjacent
     * selection step; cf. Abbas et al. 2023 and cluster-balanced data
     * selection generally): cluster the corpus in embedding space with

@@ -173,6 +173,27 @@ class CurationSpec extends SparkSpec {
       got.orderBy("doc_id").collect().toSeq)
   }
 
+  test("domainMixtureSample rebalances by registrable domain from raw URLs") {
+    // 800 docs on one hot blog host (two literal spellings that
+    // canonicalize to the same registrable domain) vs 40 on a tail
+    // domain; the hot domain must be flattened, the tail kept high.
+    val docs = ((1 to 400).map(i =>
+        (i.toLong, s"HTTPS://WWW.Hot.Example.COM/p/$i?utm_source=x")) ++
+      (401 to 800).map(i => (i.toLong, s"http://hot.example.com:80/p/$i")) ++
+      (1001 to 1040).map(i => (i.toLong, s"https://tail.example.co.uk/p/$i")))
+      .toDF("doc_id", "url")
+    val got = Curation.domainMixtureSample(docs, "doc_id", "url", budget = 200)
+    val byDom = got.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(byDom.keySet === Set("example.com", "example.co.uk"))
+    val hotRate = byDom("example.com").toDouble / 800
+    val tailRate = byDom("example.co.uk").toDouble / 40
+    assert(tailRate > hotRate * 2, s"tail=$tailRate hot=$hotRate")
+    // deterministic under the md5 row hash
+    val again = Curation.domainMixtureSample(docs, "doc_id", "url", budget = 200)
+    assert(again.orderBy("doc_id").collect().toSeq ===
+      got.orderBy("doc_id").collect().toSeq)
+  }
+
   test("mixtureSample keeps every row of a group whose share exceeds its size") {
     // tiny group: budget share 10·sqrt(2)/(sqrt(2)+sqrt(98))... > 2 rows
     // → rate clips at 1.0 and both rows survive
