@@ -63,21 +63,32 @@ object SparkEntry {
     */
   private def scratchDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_")
-    scratchDirs.synchronized {
-      // append-only: NO eager eviction of the previous dir under the
-      // same prefix — that was only safe under strictly-sequential
-      // query execution, and a concurrent invocation of the same query
-      // (a parallel bench driver) would have its live dir deleted
-      // mid-read, the round-5 class of nondeterministic roundtrip
-      // failures. Dirs are roundtrip-result-sized (MBs at gate scale);
-      // the shutdown hook reclaims everything at JVM exit.
-      scratchDirs += d
+    // bounded, NOT eager-evicted: deleting the PREVIOUS dir at the next
+    // invocation (round 5) raced a concurrent invocation of the same
+    // query mid-read — the round-5 class of nondeterministic roundtrip
+    // failures. Keeping the last N per prefix bounds a long-lived
+    // session's disk (the unbounded append-only leak, round-7 ADVICE)
+    // while a reader would have to lag N whole same-prefix invocations
+    // behind the newest to lose its dir — drivers here run at most a
+    // handful of invocations of one query concurrently (bench
+    // min-of-3). Dirs are roundtrip-result-sized (MBs at gate scale);
+    // the shutdown hook reclaims whatever remains at JVM exit.
+    val evicted = scratchDirs.synchronized {
+      val q = scratchDirs.getOrElseUpdate(
+        prefix, scala.collection.mutable.Queue.empty[java.nio.file.Path])
+      q.enqueue(d)
+      if (q.size > ScratchRetainPerPrefix) Some(q.dequeue()) else None
     }
+    evicted.foreach(deleteRecursively) // I/O outside the lock
     d.toString
   }
-  private val scratchDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private val ScratchRetainPerPrefix = 8
+  private val scratchDirs = scala.collection.mutable.Map
+    .empty[String, scala.collection.mutable.Queue[java.nio.file.Path]]
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    scratchDirs.synchronized { scratchDirs.foreach(deleteRecursively) }))
+    scratchDirs.synchronized {
+      scratchDirs.valuesIterator.foreach(_.foreach(deleteRecursively))
+    }))
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     try {

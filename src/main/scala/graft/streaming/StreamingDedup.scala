@@ -50,12 +50,25 @@ import graft.dedup.Dedup
   * Replay safety (bucketed-table mode): foreachBatch is AT-LEAST-ONCE
   * — a failure between the index append and the caller's sink commit
   * replays the batch against an index that already holds its own
-  * survivors. That replay is idempotent end-to-end: a doc never
-  * matches its OWN index entry (`dedupAgainstIndex` excludes
-  * owner_id == id — an entry under the probing id means "already
-  * admitted"), so survivors keep their verdicts, and `newIndexRows`'
-  * anti-join then appends nothing new. A restart resumes from
-  * whatever index table the caller kept under the same rule. The
+  * survivors. Index rows therefore carry the batchId that wrote them
+  * and the probe reads only `batch_id < currentBatchId` — a replayed
+  * batch probes exactly the pre-batch index and reproduces its
+  * original verdicts, INCLUDING for two near-duplicate docs admitted
+  * in the same batch (batch-internal dedup is out of scope, so both
+  * were survivors; without the guard each would match the other's
+  * failed-attempt index row and flip to dup_of its sibling). The
+  * fold's anti-join runs against the FULL table (every batch_id), so
+  * a replay re-appends only rows the failed attempt did not land —
+  * never duplicates. `dedupAgainstIndex` additionally never matches a
+  * doc to its OWN entry (owner_id == id means "already admitted"),
+  * which covers caller-seeded snapshots of the same corpus.
+  *
+  * The guard assumes batchIds from ONE checkpoint lineage (monotonic
+  * across restarts of the same checkpoint) — resume this stream with
+  * its checkpoint. Seeding a NEW stream (batchIds restart at 0) from
+  * an existing index requires its rows re-tagged to batch_id = -1
+  * first ([[IndexTables.migrateLegacy]] does this for pre-batch_id
+  * tables; `initialIndex` snapshots are tagged -1 automatically). The
   * in-memory mode's index dies with the JVM, so replay-into-own-state
   * cannot arise there.
   */
@@ -69,7 +82,8 @@ object StreamingDedup {
       finalIndex: () => Option[DataFrame],
       release: () => Unit)
 
-  private val indexCols = Seq("owner_id", "owner_sig", "band", "band_hash")
+  private val indexCols =
+    Seq("owner_id", "owner_sig", "band", "band_hash", "batch_id")
 
   private def writeIndex(df: DataFrame, table: String, buckets: Int,
       overwrite: Boolean): Unit =
@@ -88,7 +102,8 @@ object StreamingDedup {
         StructField("owner_id", idType),
         StructField("owner_sig", ArrayType(LongType)),
         StructField("band", IntegerType),
-        StructField("band_hash", LongType))))
+        StructField("band_hash", LongType),
+        StructField("batch_id", LongType))))
 
   /** Start the dedup stream. `onBatch(verdicts, batchId)` receives
     * every micro-batch's rows with their `dup_of` column (the caller
@@ -106,14 +121,21 @@ object StreamingDedup {
 
     case Some(tbl) =>
       val spark = docs.sparkSession
-      if (!spark.catalog.tableExists(tbl))
-        writeIndex(
-          initialIndex.getOrElse(emptyIndex(spark, docs.schema(idCol).dataType)),
-          tbl, indexBuckets, overwrite = true)
-      else require(initialIndex.isEmpty,
-        s"index table '$tbl' already exists; refusing to silently ignore " +
-          "initialIndex — drop the table to seed from the snapshot, or " +
-          "omit initialIndex to resume from the table")
+      if (!spark.catalog.tableExists(tbl)) {
+        // seed rows are pre-history: batch_id = -1 makes them visible
+        // to batch 0's probe
+        val seed = initialIndex
+          .map(df => if (df.columns.contains("batch_id")) df
+                     else df.withColumn("batch_id", lit(-1L)))
+          .getOrElse(emptyIndex(spark, docs.schema(idCol).dataType))
+        writeIndex(seed, tbl, indexBuckets, overwrite = true)
+      } else {
+        require(initialIndex.isEmpty,
+          s"index table '$tbl' already exists; refusing to silently ignore " +
+            "initialIndex — drop the table to seed from the snapshot, or " +
+            "omit initialIndex to resume from the table")
+        IndexTables.requireBatchIdColumn(spark, tbl)
+      }
       val query = docs.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -123,7 +145,12 @@ object StreamingDedup {
           // appends refresh the wrong cache and every later batch
           // probes a stale (empty) file listing (found empirically)
           val sess = batch.sparkSession
-          val index = sess.table(tbl)
+          val fullIndex = sess.table(tbl)
+          // replay guard: probe only rows admitted by EARLIER batches —
+          // a failed attempt's own rows (batch_id == batchId) are
+          // invisible, so the replay reproduces the original verdicts
+          val probeIndex = fullIndex
+            .filter(col("batch_id") < batchId).drop("batch_id")
           // probing the EMPTY table is the uniform first-batch case:
           // the left join simply finds no owners, every doc survives.
           // localCheckpoint (eager), NOT persist: the plan reads the
@@ -133,16 +160,19 @@ object StreamingDedup {
           // silently RE-PROBE the mutated table and self-match every
           // survivor (found empirically: batch-0 verdicts [1→1]).
           // Checkpointing pins the rows themselves.
-          val verdicts = Dedup.dedupAgainstIndex(batch, index, idCol, textCol,
-            shingleK, bands, rowsPerBand, threshold)
+          val verdicts = Dedup.dedupAgainstIndex(batch, probeIndex, idCol,
+            textCol, shingleK, bands, rowsPerBand, threshold)
             .localCheckpoint()
           val survivors = verdicts.filter(col("dup_of").isNull)
             .select(batch.columns.map(col): _*)
-          // same lineage truncation for the append input: Spark rejects
+          // fold anti-joins the FULL table (all batch_ids): a replay
+          // re-appends only rows its failed attempt did not land.
+          // Same lineage truncation for the append input: Spark rejects
           // insert-into-read-from plans, and the rows must be fixed
           // before the table mutates
-          val newRows = Dedup.newIndexRows(index, survivors, idCol, textCol,
-            shingleK, bands, rowsPerBand)
+          val newRows = Dedup.newIndexRows(fullIndex, survivors, idCol,
+            textCol, shingleK, bands, rowsPerBand)
+            .withColumn("batch_id", lit(batchId))
             .localCheckpoint()
           writeIndex(newRows, tbl, indexBuckets, overwrite = false)
           onBatch(verdicts, batchId)

@@ -47,9 +47,10 @@ import graft.dedup.Dedup
   * checkpoint) — so resuming this stream MUST reuse its checkpoint,
   * the standard restart story. Seeding a NEW stream (fresh
   * checkpoint, batchIds restart at 0) from an existing index table
-  * requires re-tagging its rows first so batch 0 can see them:
-  * `INSERT OVERWRITE idx SELECT h, -1 FROM idx` (or start with a
-  * fresh table).
+  * requires re-tagging its rows to batch_id = -1 first so batch 0 can
+  * see them — `IndexTables.migrateLegacy` is that rewrite (or start
+  * with a fresh table). Tables created before the batch_id column
+  * existed are rejected at start with the same migration pointer.
   */
 object StreamingParagraphDedup {
 
@@ -67,6 +68,11 @@ object StreamingParagraphDedup {
           StructField("batch_id", LongType))))
         .write.bucketBy(indexBuckets, "h").sortBy("h")
         .format("parquet").mode("overwrite").saveAsTable(indexTable)
+    else
+      // a pre-batch_id table would fail the probe's filter mid-stream
+      // with an opaque missing-column error; fail at start instead,
+      // naming the migration step (IndexTables.migrateLegacy)
+      IndexTables.requireBatchIdColumn(setup, indexTable)
 
     docs.writeStream
       .outputMode("append")

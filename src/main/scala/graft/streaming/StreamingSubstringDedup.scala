@@ -30,7 +30,9 @@ import graft.dedup.Dedup
   * exchange on the h-bucketed scan) absorbs re-append duplicates.
   * As there, the guard assumes one checkpoint lineage — resume with
   * the stream's checkpoint; a NEW stream over an old index needs its
-  * rows re-tagged to batch_id = -1 first.
+  * rows re-tagged to batch_id = -1 first
+  * ([[IndexTables.migrateLegacy]]), and pre-batch_id tables are
+  * rejected at start with the same migration pointer.
   */
 object StreamingSubstringDedup {
 
@@ -47,6 +49,10 @@ object StreamingSubstringDedup {
           StructField("batch_id", LongType))))
         .write.bucketBy(indexBuckets, "h").sortBy("h")
         .format("parquet").mode("overwrite").saveAsTable(indexTable)
+    else
+      // fail at start with the migration step, not mid-stream with a
+      // missing-column error (see StreamingParagraphDedup)
+      IndexTables.requireBatchIdColumn(setup, indexTable)
 
     docs.writeStream
       .outputMode("append")

@@ -42,12 +42,26 @@ object Quality {
 
   /** The four features as columns, shared by the scorer and the
     * trainer so trained weights mean exactly what the scorer applies.
+    *
+    * Blank-text contract: for any NON-NULL text — including empty and
+    * whitespace-only — `tokenCount` is ≥ 1 in BOTH engines (Spark's
+    * `split(trim(''), '\s+')` and DuckDB's `regexp_split_to_array`
+    * each yield [''], verified empirically and pinned by spec), so
+    * blank docs get a DEFINED score (bias + lenSat/lenCap +
+    * cpt·rawLength from the one pseudo-token), not a null that a
+    * downstream null-filter would silently drop — and the same value
+    * in both engines. The cpt division is guarded anyway so the
+    * contract survives any future tokenizer that returns 0; NULL text
+    * still scores NULL (no document to judge — callers decide).
     */
-  def features(text: Column, lenCap: Double): Seq[Column] = Seq(
-    least(lit(1.0), TextAnalysis.tokenCount(text).cast("double") / lit(lenCap)),
-    TextAnalysis.punctRatio(text),
-    TextAnalysis.stopwordRatio(text),
-    length(text).cast("double") / TextAnalysis.tokenCount(text))
+  def features(text: Column, lenCap: Double): Seq[Column] = {
+    val tc = TextAnalysis.tokenCount(text).cast("double")
+    Seq(
+      least(lit(1.0), tc / lit(lenCap)),
+      TextAnalysis.punctRatio(text),
+      TextAnalysis.stopwordRatio(text),
+      when(tc > 0, length(text).cast("double") / tc).otherwise(lit(0.0)))
+  }
 
   /** Raw logit score under `w` — one codegen'd expression, map-only. */
   def scoreQuality(text: Column, w: Weights = defaultWeights): Column = {

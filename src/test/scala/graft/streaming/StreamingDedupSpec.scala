@@ -3,6 +3,7 @@ package graft.streaming
 import scala.collection.mutable
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
@@ -116,6 +117,91 @@ class StreamingDedupSpec extends SparkSpec {
       seed.unpersist()
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
+  }
+
+  test("replay with same-batch near-dup SIBLINGS keeps both survivors (batchId guard)") {
+    // the round-7 ADVICE scenario: batch 0 contains two near-duplicate
+    // docs A and B — batch-internal dedup is out of scope, so the
+    // original attempt admitted BOTH and folded their buckets in
+    // (owned by min id = A). Self-match exclusion alone cannot save
+    // the replay: B is not matching its OWN entry, it matches A's, and
+    // would flip from survivor to dup_of(A). The batch_id probe guard
+    // (batch_id < currentBatchId) hides the failed attempt's rows, so
+    // the replay reproduces the original verdicts exactly.
+    def doc(i: Int): String = (0 until 30).map(j => s"p${i}w$j").mkString(" ")
+    val tbl = s"graft_sd_sibling_${System.nanoTime()}"
+    val docs = Seq((1L, doc(1)), (2L, doc(1) + " tail")).toDF("doc_id", "text")
+    // what batch 0's failed attempt left behind: its survivors' bucket
+    // rows, tagged with the writing batchId (MemoryStream batch = 0)
+    val attempt = graft.dedup.Dedup.bucketIndex(docs, "doc_id", "text")
+      .withColumn("batch_id", lit(0L))
+    attempt
+      .select("owner_id", "owner_sig", "band", "band_hash", "batch_id")
+      .write.bucketBy(32, "band_hash").sortBy("band_hash")
+      .format("parquet").mode("overwrite").saveAsTable(tbl)
+    attempt.unpersist()
+    val mem = MemoryStream[(Long, String)](spark)
+    val verdicts = mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val run = StreamingDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      indexTable = Some(tbl)) { (v, _) =>
+      verdicts ++= v.select("doc_id", "dup_of")
+        .as[(Long, Option[Long])].collect()
+    }
+    try {
+      val rowsBefore = run.finalIndex().get.count()
+      mem.addData((1L, doc(1)), (2L, doc(1) + " tail"))
+      run.query.processAllAvailable()
+      assert(verdicts.toMap === Map(1L -> None, 2L -> None),
+        "replay flipped a same-batch sibling to dup_of")
+      assert(run.finalIndex().get.count() === rowsBefore,
+        "replay duplicated index rows")
+      // the guard does not blind LATER batches: batch 1 probes
+      // batch_id < 1 and catches a near-copy of doc 1
+      mem.addData((10L, doc(1) + " omega"))
+      run.query.processAllAvailable()
+      assert(verdicts.toMap.apply(10L) === Some(1L))
+    } finally {
+      run.query.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  test("pre-batch_id index table is rejected at start; migrateLegacy unblocks it") {
+    def doc(i: Int): String = (0 until 30).map(j => s"m${i}w$j").mkString(" ")
+    val tbl = s"graft_sd_legacy_${System.nanoTime()}"
+    val seed = graft.dedup.Dedup.bucketIndex(
+      Seq((1L, doc(1))).toDF("doc_id", "text"), "doc_id", "text")
+    // a round-7 table: no batch_id column
+    seed.select("owner_id", "owner_sig", "band", "band_hash")
+      .write.bucketBy(32, "band_hash").sortBy("band_hash")
+      .format("parquet").mode("overwrite").saveAsTable(tbl)
+    seed.unpersist()
+    val mem = MemoryStream[(Long, String)](spark)
+    try {
+      val ex = intercept[IllegalStateException] {
+        StreamingDedup.start(mem.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", indexTable = Some(tbl)) { (_, _) => () }
+      }
+      assert(ex.getMessage.contains("migrateLegacy"))
+      IndexTables.migrateLegacy(spark, tbl, "band_hash", 32)
+      // idempotent: a second call is a no-op, not a second rewrite
+      IndexTables.migrateLegacy(spark, tbl, "band_hash", 32)
+      assert(spark.table(tbl).filter(col("batch_id") =!= -1L).count() === 0)
+      val verdicts = mutable.ArrayBuffer.empty[(Long, Option[Long])]
+      val run = StreamingDedup.start(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        indexTable = Some(tbl)) { (v, _) =>
+        verdicts ++= v.select("doc_id", "dup_of")
+          .as[(Long, Option[Long])].collect()
+      }
+      try {
+        // migrated rows are pre-history (-1): visible to batch 0
+        mem.addData((10L, doc(1) + " omega"), (11L, doc(2)))
+        run.query.processAllAvailable()
+        assert(verdicts.toMap === Map(10L -> Some(1L), 11L -> None))
+      } finally run.query.stop()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("bucketed-index mode: per-batch shuffle volume scales with batch, not index") {

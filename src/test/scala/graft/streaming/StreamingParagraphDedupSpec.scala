@@ -9,6 +9,24 @@ import graft.SparkSpec
 class StreamingParagraphDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pre-batch_id line-index table is rejected at start, naming the migration") {
+    val tbl = s"graft_pd_legacy_${System.nanoTime()}"
+    // a round-6-era table: h only, no batch_id
+    Seq("deadbeef").toDF("h")
+      .write.bucketBy(32, "h").sortBy("h")
+      .format("parquet").mode("overwrite").saveAsTable(tbl)
+    val mem = MemoryStream[(Long, String)](spark)
+    try {
+      val ex = intercept[IllegalStateException] {
+        StreamingParagraphDedup.start(mem.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", indexTable = tbl) { (_, _) => () }
+      }
+      assert(ex.getMessage.contains("migrateLegacy"))
+      IndexTables.migrateLegacy(spark, tbl, "h", 32)
+      assert(spark.table(tbl).columns.contains("batch_id"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("cross-batch repeated lines drop against the evolving line index") {
     val tbl = s"graft_pd_spec_${System.nanoTime()}"
     val mem = MemoryStream[(Long, String)](spark)

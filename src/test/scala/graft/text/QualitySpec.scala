@@ -51,6 +51,37 @@ class QualitySpec extends SparkSpec {
     assert(acc >= 0.95, s"resubstitution accuracy $acc below 0.95")
   }
 
+  test("blank and whitespace-only docs get a DEFINED score (bias), never null") {
+    // pins the cross-engine blank-text contract (see Quality.features):
+    // split(trim(''), '\s+') yields [''] in Spark AND DuckDB, so
+    // tokenCount = 1, every ratio feature is 0, and the score is
+    // exactly the bias — a null here would be silently dropped by
+    // curateCorpus's keep filter while DuckDB kept the doc
+    val w = Quality.defaultWeights
+    val texts = Map(1L -> "", 2L -> "   ", 3L -> "\n\t")
+    val df = (texts.toSeq :+ (4L -> "real text here")).toDF("doc_id", "text")
+    val out = Quality.scoreDocs(df, "doc_id", "text", w)
+    assert(out.filter($"score".isNull || $"keep".isNull).count() === 0)
+    // pseudo-token counts under BOTH engines' shared semantics (trim
+    // strips SPACES only; splitting a residual string yields empty
+    // pseudo-tokens, verified in Spark and DuckDB): '' → [''] = 1,
+    // '   ' → trim → '' → 1, '\n\t' → survives trim → ['',''] = 2.
+    // punct = stop = 0; cpt = raw length / tc.
+    val tc = Map(1L -> 1, 2L -> 1, 3L -> 2)
+    val blanks = out.filter($"doc_id" <= 3).select($"doc_id", $"score")
+      .as[(Long, Double)].collect()
+    blanks.foreach { case (id, s) =>
+      val expected = w.bias + w.lenSat * (tc(id) / w.lenCap) +
+        w.cpt * (texts(id).length.toDouble / tc(id))
+      assert(math.abs(s - expected) < 1e-6,
+        s"blank doc $id scored $s, expected $expected")
+    }
+    // NULL text stays NULL: no document to judge, callers decide
+    val nulls = Seq((5L, null: String)).toDF("doc_id", "text")
+    assert(Quality.scoreDocs(nulls, "doc_id", "text", w)
+      .filter($"score".isNull).count() === 1)
+  }
+
   test("scoreDocs keep is exactly score > 0 on the raw (unrounded) logit") {
     val df = Seq((1L, "a b c"), (2L, "the of to in is it the of to in"))
       .toDF("doc_id", "text")
