@@ -79,10 +79,21 @@ object SparkEntry {
       q.enqueue(d)
       if (q.size > ScratchRetainPerPrefix) Some(q.dequeue()) else None
     }
-    evicted.foreach(deleteRecursively) // I/O outside the lock
+    // log eviction: a driver running MORE than the retention bound of
+    // concurrent same-prefix invocations would otherwise silently
+    // reintroduce the delete-under-reader race the bound exists to
+    // prevent — make heavier concurrency detectable, and tunable via
+    // -Dgraft.scratchRetainPerPrefix=N
+    evicted.foreach { p =>
+      System.err.println(s"[graft] scratch eviction for prefix '$prefix' " +
+        s"(retain=$ScratchRetainPerPrefix; raise -Dgraft.scratchRetainPerPrefix " +
+        "if invocations of this query overlap more deeply): deleting " + p)
+      deleteRecursively(p) // I/O outside the lock
+    }
     d.toString
   }
-  private val ScratchRetainPerPrefix = 8
+  private val ScratchRetainPerPrefix =
+    sys.props.get("graft.scratchRetainPerPrefix").map(_.toInt).getOrElse(8)
   private val scratchDirs = scala.collection.mutable.Map
     .empty[String, scala.collection.mutable.Queue[java.nio.file.Path]]
   Runtime.getRuntime.addShutdownHook(new Thread(() =>

@@ -21,15 +21,35 @@ object Verify {
     // optional third arg: comma-separated query-name filter (local
     // iteration only; the driver always passes exactly two args)
     val only = if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // A thrown query must leave LOUD evidence, not silent absence: a
+    // `_failed/<name>.txt` with the full stack so both the driver's gate
+    // and tools/check_oracle.py can count it as a failure instead of a
+    // missing key (the round-8 events-reader regression hid 33 crashed
+    // queries exactly this way).
+    val failedDir = Paths.get(outDir, "_failed")
+    // clear stale markers from a previous run so every marker present
+    // after exit belongs to THIS run
+    if (Files.isDirectory(failedDir)) {
+      val s = Files.list(failedDir)
+      try s.forEach(p => Files.deleteIfExists(p)) finally s.close()
+    }
+    var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        nFailed += 1
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        Files.createDirectories(failedDir)
+        val sw = new java.io.StringWriter()
+        e.printStackTrace(new java.io.PrintWriter(sw))
+        Files.writeString(failedDir.resolve(s"$name.txt"), sw.toString)
       }
     }
+    if (nFailed > 0)
+      System.err.println(s"[verify] $nFailed queries FAILED — see $failedDir")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

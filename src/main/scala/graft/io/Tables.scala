@@ -19,18 +19,52 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  /** `events` carries a nanosecond parquet timestamp, which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as a
-    * long (legacy conf) and surface BOTH `ts_ns` (exact) and a derived
-    * microsecond `ts` TimestampType column. Truncation ns→us matches
-    * what any us-resolution engine (DuckDB included) does on read.
+  /** `events` normalized to the engine's canonical shape — `ts` as a
+    * microsecond TimestampType plus exact `ts_ns` nanoseconds — no
+    * matter which of the fixture's historical encodings the parquet
+    * carries. The upstream producer has shipped `ts` as BOTH a
+    * nanosecond INT64 (Spark reads it as long only under the legacy
+    * conf; vectorized reader otherwise rejects ns timestamps with
+    * [PARQUET_TYPE_ILLEGAL]) and a proper MICROS timestamp (read as
+    * TIMESTAMP_NTZ when `isAdjustedToUTC=false`). An ingest layer that
+    * assumes one physical encoding breaks the day a producer upgrades
+    * its writer — so branch on the OBSERVED schema, never on an
+    * assumption. Truncation ns→us matches what any us-resolution
+    * engine (DuckDB included) does on read; the session timezone is
+    * UTC everywhere in this engine, so the NTZ→TZ cast preserves the
+    * stored micros exactly.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    normalizeEventsTs(load(spark, d, "events"))
   }
+
+  /** Rewrite a raw events relation (batch or streaming — pure column
+    * algebra, no actions) to the canonical column order
+    * `(…, ts_ns, …, ts)`: `ts_ns` sits where the raw `ts` was, the
+    * derived TimestampType `ts` is appended last. Keeping one order
+    * across BOTH physical encodings means downstream `select("*")` /
+    * sink schemas don't shift when the producer changes its writer.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // legacy fixture: INT64 nanoseconds read as long
+        val cols = raw.columns.map {
+          case "ts" => col("ts").as("ts_ns")
+          case c    => col(c)
+        } :+ timestamp_micros(expr("ts div 1000")).as("ts")
+        raw.select(cols.toIndexedSeq: _*)
+      case _ =>
+        // typed MICROS timestamp (TIMESTAMP or TIMESTAMP_NTZ); with the
+        // UTC session timezone the cast is value-preserving
+        val t = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        val cols = raw.columns.map {
+          case "ts" => (unix_micros(t) * lit(1000L)).as("ts_ns")
+          case c    => col(c)
+        } :+ t.as("ts")
+        raw.select(cols.toIndexedSeq: _*)
+    }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 

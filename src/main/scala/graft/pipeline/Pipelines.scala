@@ -204,7 +204,7 @@ object Pipelines {
       val k = graft.text.Urls.canonicalizeUrl(col(uc))
       val owners = docs.select(col("doc_id"),
         when(k.isNull || k === "",
-          concat(lit(" noUrl "), col("doc_id").cast("string")))
+          concat(lit("\u0000noUrl\u0000"), col("doc_id").cast("string")))
           .otherwise(k).as("__uk"))
         .groupBy(col("__uk")).agg(min(col("doc_id")).as("doc_id"))
       val deduped =

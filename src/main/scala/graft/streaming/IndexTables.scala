@@ -38,13 +38,23 @@ object IndexTables {
   def migrateLegacy(spark: SparkSession, table: String,
       bucketCol: String, buckets: Int): Unit = {
     if (spark.table(table).schema.fieldNames.contains("batch_id")) return
-    // localCheckpoint pins the rows: Spark rejects plans that insert
-    // into a table they read from, and the rows must be fixed before
-    // the overwrite drops the old files
-    val rows = spark.table(table)
+    // Stage the rewrite: write the tagged copy to a sibling table FIRST,
+    // so the original — possibly the sole copy of a full-scale index —
+    // survives any executor loss or write failure mid-rewrite. Only
+    // after the staged copy is fully committed does the original get
+    // replaced, and the final rewrite reads from the DURABLE staged
+    // table (not from non-fault-tolerant checkpoint blocks).
+    val staged = table + "__migrated"
+    spark.sql(s"DROP TABLE IF EXISTS $staged")
+    spark.table(table)
       .withColumn("batch_id", lit(-1L))
-      .localCheckpoint()
-    rows.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(staged)
+    // overwrite from the durable staged copy (reads staged, writes
+    // original — no read-from-write-target conflict), then drop staging
+    spark.table(staged)
+      .write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").mode("overwrite").saveAsTable(table)
+    spark.sql(s"DROP TABLE $staged")
   }
 }

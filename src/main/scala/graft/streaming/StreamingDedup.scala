@@ -123,10 +123,16 @@ object StreamingDedup {
       val spark = docs.sparkSession
       if (!spark.catalog.tableExists(tbl)) {
         // seed rows are pre-history: batch_id = -1 makes them visible
-        // to batch 0's probe
+        // to batch 0's probe. UNCONDITIONALLY retag — a snapshot from
+        // Run.finalIndex() carries the OLD lineage's batchIds, and this
+        // stream's batchIds restart at 0, so keeping them would hide
+        // every snapshot row with batch_id >= 0 from batch 0's
+        // `batch_id < 0` probe (missed duplicates). Lineage-carrying
+        // batchIds are only meaningful when resuming the SAME
+        // checkpoint, and that path goes through the tableExists branch
+        // below, never through seeding.
         val seed = initialIndex
-          .map(df => if (df.columns.contains("batch_id")) df
-                     else df.withColumn("batch_id", lit(-1L)))
+          .map(_.drop("batch_id").withColumn("batch_id", lit(-1L)))
           .getOrElse(emptyIndex(spark, docs.schema(idCol).dataType))
         writeIndex(seed, tbl, indexBuckets, overwrite = true)
       } else {

@@ -18,30 +18,29 @@ import org.apache.spark.sql.types._
   */
 object StreamingPrep {
 
-  /** Read-schema for the events stream. `ts` arrives as nanosecond
-    * parquet INT64 (read as long via the same legacy conf as the batch
-    * reader, graft.io.Tables.events) and is surfaced as a microsecond
-    * TimestampType `ts` + exact `ts_ns`.
-    */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming scan of the events table (file source; on a cluster this
     * would be a kafka/file-watch source — same downstream plan).
+    *
+    * A streaming file source needs a caller-supplied schema, and the
+    * fixture has shipped `ts` as both nanosecond INT64 and MICROS
+    * timestamp across rounds — so probe the footer of the files we are
+    * about to stream with ONE batch-side schema read (metadata only, no
+    * data scan) and declare exactly what the footer says. Hardcoding
+    * either encoding silently corrupts timestamps when the producer
+    * changes its writer (a micros value divided by 1000 shrinks time
+    * 1000×: 30 days of events collapse into ~43 minutes). The shared
+    * [[graft.io.Tables.normalizeEventsTs]] then yields the same
+    * canonical `(…, ts_ns, …, ts)` shape as the batch reader.
     */
   def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val observed = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    graft.io.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(observed)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Streaming scan of the documents corpus (file source): the

@@ -56,11 +56,18 @@ object Quality {
     */
   def features(text: Column, lenCap: Double): Seq[Column] = {
     val tc = TextAnalysis.tokenCount(text).cast("double")
+    // NULL text is guarded EXPLICITLY on every feature: without it the
+    // `when(tc > 0, …).otherwise(0.0)` arm maps a NULL token count to
+    // 0.0 (a NULL condition falls through to otherwise) and `least`
+    // skips NULL operands — the documented "NULL text scores NULL"
+    // contract would then depend on OTHER features happening to
+    // propagate NULL, not on this one's own definition.
+    def onText(c: Column): Column = when(text.isNull, lit(null)).otherwise(c)
     Seq(
-      least(lit(1.0), tc / lit(lenCap)),
+      onText(least(lit(1.0), tc / lit(lenCap))),
       TextAnalysis.punctRatio(text),
       TextAnalysis.stopwordRatio(text),
-      when(tc > 0, length(text).cast("double") / tc).otherwise(lit(0.0)))
+      onText(when(tc > 0, length(text).cast("double") / tc).otherwise(lit(0.0))))
   }
 
   /** Raw logit score under `w` — one codegen'd expression, map-only. */

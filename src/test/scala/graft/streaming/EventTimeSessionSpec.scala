@@ -35,12 +35,18 @@ class EventTimeSessionSpec extends SparkSpec {
       .coalesce(1).write.parquet(s"$tmp/f3.parquet")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(StreamingPrep.eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$tmp/*")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    // legacy ns-INT64 shape, normalized through the same shared helper
+    // as the production readers
+    import org.apache.spark.sql.types._
+    val nsSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = graft.io.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(nsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/*"))
 
     val sessions = StreamingPrep.runToMemory(
       StreamingPrep.sessionizeEventTime(stream, "0 seconds", gapUs))

@@ -30,7 +30,18 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # graft.Verify leaves a _failed/<name>.txt for every query that threw
+    # — count each as a hard failure, never silent absence
+    failed_dir = os.path.join(out_dir, "_failed")
+    if os.path.isdir(failed_dir):
+        for f in sorted(os.listdir(failed_dir)):
+            qname = f[:-len(".txt")]
+            first = open(os.path.join(failed_dir, f)).readline().strip()
+            print(f"FAIL  {qname}: query threw: {first[:200]}")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
+        if name == "_failed":
+            continue
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
