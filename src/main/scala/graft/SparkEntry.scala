@@ -1723,6 +1723,39 @@ object SparkEntry {
         Urls.canonicalizeUrl(rawUrl(col("doc_id"), col("source"))).as("url_canon"))
       .withColumn("domain", Urls.registrableDomain(Urls.hostOf(col("url_canon"))))
 
+  /** Synthetic crawl exercising the Public Suffix List rule forms the
+    * heuristic can't express: private hosted-platform suffixes
+    * (github.io/blogspot.com — per-site groups), a ccSLD, a 2-label
+    * wildcard with its exception (city.kawasaki.jp), a TLD wildcard
+    * (*.ck), and a default-rule host. Replayed verbatim in the oracle.
+    */
+  private def rawUrlPsl(idCol: Column, sourceCol: Column): Column = {
+    val id = idCol.cast("string")
+    when(idCol % 6 === 0,
+      concat(lit("https://"), sourceCol, lit(".github.io/p/"), id))
+      .when(idCol % 6 === 1,
+        concat(lit("HTTP://WWW."), sourceCol, lit(".BLOGSPOT.com/"), id, lit("/")))
+      .when(idCol % 6 === 2,
+        concat(lit("https://news."), sourceCol, lit(".co.uk:443/"), id))
+      .when(idCol % 6 === 3,
+        concat(lit("http://x."), sourceCol, lit(".city.kawasaki.jp/"), id))
+      .when(idCol % 6 === 4,
+        concat(lit("https://a.b."), sourceCol, lit(".ck/"), id))
+      .otherwise(
+        concat(lit("http://sub."), sourceCol, lit(".example.com/"), id,
+          lit("?utm_source=x&q=1")))
+  }
+
+  /** PSL-mode twin of q110: same canonicalization, registrable domain
+    * from the real Public Suffix List algorithm over the checked-in
+    * snapshot ([[Urls.registrableDomainPsl]]) — still map-only.
+    */
+  private def q110b(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Urls.canonicalizeUrl(rawUrlPsl(col("doc_id"), col("source"))).as("url_canon"))
+      .withColumn("domain", Urls.registrableDomainPsl(Urls.hostOf(col("url_canon"))))
+
   /** URL keep-first dedup with planted recrawls: every doc appears as
     * two raw crawl records whose canonical forms collide (https+www+
     * tracking vs http+:80+fbclid) — each group must elect the earlier
@@ -1748,6 +1781,16 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), rawUrl(col("doc_id"), col("source")).as("url")),
       "url")
+
+  /** PSL-mode domain stats: the roll-up target is the PSL registrable
+    * domain, so hosted-platform sites aggregate per-site, not
+    * per-hoster — same two-level agg shape.
+    */
+  private def q112b(s: SparkSession, dir: String): DataFrame =
+    Urls.domainStats(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rawUrlPsl(col("doc_id"), col("source")).as("url")),
+      "url", Urls.registrableDomainPsl)
 
   /** Gate weights TUNED FOR THE SYNTHETIC CORPUS so keep splits near
     * the median (the principled default in [[Quality.defaultWeights]]
@@ -1813,6 +1856,20 @@ object SparkEntry {
       "doc_id", "url", cap = 3, seed = 42L)
       .select(col("doc_id"),
         Urls.registrableDomain(Urls.hostOf(
+          Urls.canonicalizeUrl(col("url")))).as("domain"))
+
+  /** PSL-mode domain cap: capping keys on the PSL registrable domain,
+    * so `alice.github.io` and `bob.github.io` get their own caps
+    * instead of sharing one `github.io` budget — same WindowGroupLimit
+    * plan shape as q116.
+    */
+  private def q116b(s: SparkSession, dir: String): DataFrame =
+    Urls.domainCap(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rawUrlPsl(col("doc_id"), col("source")).as("url")),
+      "doc_id", "url", cap = 3, seed = 42L, Urls.registrableDomainPsl)
+      .select(col("doc_id"),
+        Urls.registrableDomainPsl(Urls.hostOf(
           Urls.canonicalizeUrl(col("url")))).as("domain"))
 
   /** DSIR-style importance weighting: target = the doc_id%10==3 slice,
@@ -2129,12 +2186,15 @@ object SparkEntry {
     "q108_ann_ivf_index" -> (q108 _),
     "q109_ann_pq_index" -> (q109 _),
     "q110_url_canonicalize" -> (q110 _),
+    "q110b_url_canonicalize_psl" -> (q110b _),
     "q111_url_dedup" -> (q111 _),
     "q112_domain_stats" -> (q112 _),
+    "q112b_domain_stats_psl" -> (q112b _),
     "q113_quality_score" -> (q113 _),
     "q114_quality_train" -> (q114 _),
     "q115_shuffle_shards" -> (q115 _),
     "q116_domain_cap" -> (q116 _),
+    "q116b_domain_cap_psl" -> (q116b _),
     "q117_importance_resample" -> (q117 _),
     "q118_stream_importance" -> (q118 _),
     "q119_contamination_report" -> (q119 _),
@@ -2258,6 +2318,18 @@ object SparkEntry {
       |    ELSE source || '.Example.CO.UK/Docs/' || CAST(doc_id AS VARCHAR) || '?ref=rss&z=1&a=2'
       |  END AS url FROM documents""".stripMargin
 
+  /** DuckDB twin of `rawUrlPsl` (the PSL-rule-exercising crawl). */
+  private val urlPslSql: String =
+    """SELECT doc_id AS crawl_id,
+      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 'https://' || source || '.github.io/p/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 1 THEN 'HTTP://WWW.' || source || '.BLOGSPOT.com/' || CAST(doc_id AS VARCHAR) || '/'
+      |    WHEN 2 THEN 'https://news.' || source || '.co.uk:443/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 3 THEN 'http://x.' || source || '.city.kawasaki.jp/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 4 THEN 'https://a.b.' || source || '.ck/' || CAST(doc_id AS VARCHAR)
+      |    ELSE 'http://sub.' || source || '.example.com/' || CAST(doc_id AS VARCHAR) || '?utm_source=x&q=1'
+      |  END AS url FROM documents""".stripMargin
+
   /** q111's colliding recrawl pair (canonical forms identical). */
   private val urlCrawlASql: String =
     "SELECT doc_id AS crawl_id, 'HTTPS://WWW.' || source || '.Example.COM/docs/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#top' AS url FROM documents"
@@ -2270,7 +2342,7 @@ object SparkEntry {
     * `src` must yield (crawl_id, url); ends in CTE `canon`
     * (crawl_id, url_canon, domain).
     */
-  private def urlCanonSql(src: String): String =
+  private def urlCoreSql(src: String): String =
     s"""WITH u AS ($src),
        |c AS (
        |  SELECT crawl_id,
@@ -2294,7 +2366,10 @@ object SparkEntry {
        |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
        |      x -> NOT (x = '' OR regexp_matches(x,
        |        '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$$)')))), '&') AS sq
-       |  FROM p),
+       |  FROM p)""".stripMargin
+
+  private def urlCanonSql(src: String): String =
+    s"""${urlCoreSql(src)},
        |canon AS (
        |  SELECT crawl_id,
        |    host || path || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS url_canon,
@@ -2304,6 +2379,23 @@ object SparkEntry {
        |         ELSE regexp_extract(host,
        |           '[^.]+\\.(co|com|net|org|gov|ac|edu)\\.[^.]+$$|[^.]+\\.[^.]+$$') END AS domain
        |  FROM f)""".stripMargin
+
+  /** PSL-mode finisher of the same chain: the domain comes from the
+    * generated [[graft.text.PublicSuffix.duckDbCase]] — the oracle
+    * replays the engine's EXACT rule snapshot, so the two can never
+    * drift. `hs` pre-splits the host once.
+    */
+  private def urlCanonPslSql(src: String): String =
+    s"""${urlCoreSql(src)},
+       |hs AS (
+       |  SELECT crawl_id, host, path, sq,
+       |    string_split(host, '.') AS hp, len(string_split(host, '.')) AS hn
+       |  FROM f),
+       |canon AS (
+       |  SELECT crawl_id,
+       |    host || path || CASE WHEN sq <> '' THEN '?' || sq ELSE '' END AS url_canon,
+       |    ${graft.text.PublicSuffix.duckDbCase("host", "hp", "hn")} AS domain
+       |  FROM hs)""".stripMargin
 
   /** DSIR-style hashed-bigram affinity (q117 batch + q118 streaming
     * twin): q100's tokenization fragment, md5-prefix buckets (q115's
@@ -2712,12 +2804,22 @@ object SparkEntry {
     "q110_url_canonicalize" ->
       s"""${urlCanonSql(urlMixedSql)}
          |SELECT crawl_id AS doc_id, url_canon, domain FROM canon""".stripMargin,
+    // PSL-mode twin: domain from the generated PublicSuffix CASE (same
+    // rule snapshot as the engine)
+    "q110b_url_canonicalize_psl" ->
+      s"""${urlCanonPslSql(urlPslSql)}
+         |SELECT crawl_id AS doc_id, url_canon, domain FROM canon""".stripMargin,
     "q111_url_dedup" ->
       s"""${urlCanonSql(s"$urlCrawlASql UNION ALL $urlCrawlBSql")}
          |SELECT url_canon, min(crawl_id) AS owner_id, count(*) AS n_crawls
          |FROM canon GROUP BY url_canon""".stripMargin,
     "q112_domain_stats" ->
       s"""${urlCanonSql(urlMixedSql)}
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls
+         |FROM canon GROUP BY domain""".stripMargin,
+    "q112b_domain_stats_psl" ->
+      s"""${urlCanonPslSql(urlPslSql)}
          |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls
          |FROM canon GROUP BY domain""".stripMargin,
@@ -2735,6 +2837,14 @@ object SparkEntry {
     // same md5 text-prefix machinery as q115/q80b)
     "q116_domain_cap" ->
       s"""${urlCanonSql(urlMixedSql)},
+         |capped AS (
+         |  SELECT crawl_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY md5('42|' || CAST(crawl_id AS VARCHAR)), crawl_id) AS rn
+         |  FROM canon)
+         |SELECT crawl_id AS doc_id, domain FROM capped WHERE rn <= 3""".stripMargin,
+    "q116b_domain_cap_psl" ->
+      s"""${urlCanonPslSql(urlPslSql)},
          |capped AS (
          |  SELECT crawl_id, domain,
          |    row_number() OVER (PARTITION BY domain

@@ -1,0 +1,205 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Public-Suffix-List-backed registrable-domain extraction.
+  *
+  * [[Urls.registrableDomain]] is a last-two-labels heuristic (plus a
+  * small ccSLD allowance) — adequate for TLD-ish hosts but wrong for
+  * the *private* suffix class: every `user.github.io` site collapses
+  * into one `github.io` group, so a domain cap or per-domain stats
+  * would treat a million independent sites as one publisher. This
+  * object implements the real PSL algorithm (publicsuffix.org/list —
+  * longest matching rule wins; `*.x` wildcard rules; `!y.x` exception
+  * rules; registrable domain = public suffix + one label) over a
+  * CHECKED-IN snapshot of the list.
+  *
+  * The snapshot below is a curated SUBSET of the published list (the
+  * full file is ~9k rules): all the high-traffic ICANN ccSLD families
+  * plus the major private-suffix hosters. Swapping in the complete
+  * list is a data change only — paste the rules into [[rules]] (same
+  * syntax as the published file) and every consumer picks it up; the
+  * matching algorithm already handles all three rule forms. Rules
+  * with 4+ labels (`*.compute.amazonaws.com`-class) are out of scope
+  * for the subset and documented as such.
+  *
+  * Scale shape: the rule sets become codegen'd `InSet` hash lookups
+  * inside ONE map-only expression — no join, no shuffle, no UDF; a
+  * full-list swap (~9k strings) stays a broadcast-free plan because
+  * literal InSet membership ships with the plan itself.
+  *
+  * Matching is longest-rule-first over the host's trailing labels:
+  *   1. 3-label exception  → registrable = those 3 labels
+  *   2. 2-label exception  → registrable = those 2 labels
+  *   3. 3-label exact rule OR 2-label wildcard base → public suffix is
+  *      3 labels; registrable = 4 trailing labels (host itself if it
+  *      IS the suffix — pass-through, mirroring the heuristic)
+  *   4. 2-label exact rule OR 1-label wildcard base → public suffix is
+  *      2 labels; registrable = 3 trailing labels
+  *   5. default rule `*` → public suffix is the TLD; registrable =
+  *      last 2 labels
+  * Hosts with no dot (or empty) pass through unchanged.
+  */
+object PublicSuffix {
+
+  /** Snapshot rules, in the published list's own syntax. Sources: the
+    * ICANN section's ccSLD families and the private section's hosted-
+    * platform entries (publicsuffix.org/list/public_suffix_list.dat).
+    */
+  val rules: Seq[String] = Seq(
+    // ---- ICANN ccSLDs (exact 2-label) ----
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "go.jp", "ac.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "gen.nz", "geek.nz", "maori.nz",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "blog.br", "eco.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in", "res.in", "edu.in",
+    "firm.in", "gen.in", "ind.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar", "mil.ar",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr",
+    "web.tr", "bel.tr", "biz.tr", "info.tr",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il", "idf.il",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my", "name.my",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "int.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn", "ac.vn",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "eun.eg", "sci.eg",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "biz.pk",
+    "web.pk", "fam.pk",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "sch.ng",
+    "name.ng", "mobi.ng",
+    "co.id", "or.id", "go.id", "ac.id", "sch.id", "web.id", "my.id",
+    "biz.id", "net.id", "mil.id", "desa.id", "ponpes.id",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co", "mil.co",
+    "nom.co", "info.co", "web.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe", "mil.pe", "nom.pe",
+    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve", "mil.ve",
+    "web.ve", "info.ve", "co.ve",
+    "co.th", "in.th", "or.th", "go.th", "ac.th", "net.th", "mi.th",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl", "biz.pl",
+    "co.at", "or.at", "ac.at", "gv.at", "priv.at",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt", "publ.pt",
+    "int.pt", "nome.pt",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "co.ke", "ne.ke", "or.ke", "go.ke", "ac.ke", "sc.ke", "info.ke",
+    "me.ke", "mobi.ke",
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca", "gc.ca",
+    "gov.ie",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro",
+    "rec.ro", "arts.ro", "firm.ro", "store.ro", "www.ro",
+    // ---- ICANN wildcard TLDs ----
+    "*.bd", "*.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.mm", "*.np", "*.pg",
+    "!www.ck",
+    // ---- ICANN 2-label wildcards (Japanese city domains) ----
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
+    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
+    "!city.yokohama.jp",
+    // ---- private section (hosted platforms — the class the heuristic
+    //      merges into one group) ----
+    "github.io", "githubusercontent.com", "gitlab.io", "bitbucket.io",
+    "blogspot.com", "appspot.com", "herokuapp.com", "netlify.app",
+    "vercel.app", "web.app", "firebaseapp.com", "wordpress.com",
+    "pages.dev", "workers.dev", "fly.dev", "onrender.com",
+    "readthedocs.io", "neocities.org", "azurewebsites.net",
+    "cloudfront.net", "glitch.me", "repl.co", "surge.sh",
+    "pythonanywhere.com", "sourceforge.io", "wixsite.com",
+    "ngrok.io", "shinyapps.io", "hf.space", "deno.dev", "supabase.co",
+    "streamlit.app",
+    "s3.amazonaws.com")
+
+  private def labelCount(r: String): Int = r.count(_ == '.') + 1
+
+  /** exact rules by label count */
+  private[text] val exact2: Seq[String] =
+    rules.filter(r => !r.startsWith("*") && !r.startsWith("!") && labelCount(r) == 2)
+  private[text] val exact3: Seq[String] =
+    rules.filter(r => !r.startsWith("*") && !r.startsWith("!") && labelCount(r) == 3)
+  /** wildcard bases: `*.bd` → "bd" (1 label), `*.kawasaki.jp` →
+    * "kawasaki.jp" (2 labels) */
+  private[text] val wild1: Seq[String] =
+    rules.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 1)
+  private[text] val wild2: Seq[String] =
+    rules.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 2)
+  /** exception rules: `!www.ck` → "www.ck" */
+  private[text] val exc2: Seq[String] =
+    rules.filter(_.startsWith("!")).map(_.drop(1)).filter(labelCount(_) == 2)
+  private[text] val exc3: Seq[String] =
+    rules.filter(_.startsWith("!")).map(_.drop(1)).filter(labelCount(_) == 3)
+
+  require(rules.filter(_.startsWith("*.")).forall(r => labelCount(r.drop(2)) <= 2),
+    "snapshot parser handles wildcard bases of at most 2 labels")
+  require(rules.filter(_.startsWith("!")).forall(r => labelCount(r.drop(1)) <= 3),
+    "snapshot parser handles exceptions of at most 3 labels")
+
+  /** PSL registrable domain of a lowercased host, as one map-only
+    * codegen'd expression. See the object doc for the branch order.
+    */
+  def registrableDomain(host: Column): Column = {
+    val n = size(split(host, "\\."))
+    // substring_index(host, ".", -k): the last k labels; when the host
+    // has FEWER than k labels it returns the whole host — harmless in
+    // the membership tests below because a rule set of m labels can
+    // never contain a string of fewer labels
+    def lastK(k: Int): Column = substring_index(host, ".", -k)
+    def in(set: Seq[String], c: Column): Column =
+      if (set.isEmpty) lit(false) else c.isin(set: _*)
+    val l1 = lastK(1); val l2 = lastK(2); val l3 = lastK(3); val l4 = lastK(4)
+    when(host.isNull, lit(null))
+      .when(n <= 1, host)
+      .when(in(exc3, l3), l3)
+      .when(in(exc2, l2), l2)
+      .when(in(exact3, l3) || (n >= 3 && in(wild2, l2)),
+        when(n >= 4, l4).otherwise(host))
+      .when(in(exact2, l2) || in(wild1, l1),
+        when(n >= 3, l3).otherwise(host))
+      .otherwise(l2)
+  }
+
+  private def sqlList(set: Seq[String]): String =
+    set.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** DuckDB replay of [[registrableDomain]] — generated from the SAME
+    * rule sets so the oracle can never drift from the engine. The
+    * caller provides expressions for the host, its label array, and
+    * the label count (precompute the array in a CTE so DuckDB
+    * evaluates `string_split` once).
+    */
+  def duckDbCase(host: String, parts: String, n: String): String = {
+    // last k labels: slice the list from index len-k+1 (1-based,
+    // clamped) to the end
+    def lastK(k: Int): String =
+      s"array_to_string(list_slice($parts, greatest($n - ${k - 1}, 1), $n), '.')"
+    val l1 = lastK(1); val l2 = lastK(2); val l3 = lastK(3); val l4 = lastK(4)
+    s"""CASE
+       |  WHEN $n <= 1 THEN $host
+       |  WHEN $l3 IN ${sqlList(exc3)} THEN $l3
+       |  WHEN $l2 IN ${sqlList(exc2)} THEN $l2
+       |  WHEN $l3 IN ${sqlList(exact3)}
+       |       OR ($n >= 3 AND $l2 IN ${sqlList(wild2)})
+       |    THEN CASE WHEN $n >= 4 THEN $l4 ELSE $host END
+       |  WHEN $l2 IN ${sqlList(exact2)} OR $l1 IN ${sqlList(wild1)}
+       |    THEN CASE WHEN $n >= 3 THEN $l3 ELSE $host END
+       |  ELSE $l2
+       |END""".stripMargin
+  }
+}

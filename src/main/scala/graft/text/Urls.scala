@@ -72,6 +72,16 @@ object Urls {
     when(d === "", host).otherwise(d)
   }
 
+  /** PSL-backed registrable domain — the production-grade form of
+    * [[registrableDomain]]: real Public Suffix List semantics
+    * (longest rule, wildcards, exceptions) over a checked-in snapshot,
+    * so `user.github.io`-class private-suffix sites keep their own
+    * domain groups instead of merging into the hoster's. Same plan
+    * shape (map-only codegen'd expression); see [[PublicSuffix]].
+    */
+  def registrableDomainPsl(host: Column): Column =
+    PublicSuffix.registrableDomain(host)
+
   /** URL-level keep-first dedup: one row per canonical URL with the
     * minimum-id owner and the recrawl count. The canonical key is
     * computed scan-side; the only shuffle moves (url_canon, id) pairs
@@ -112,9 +122,10 @@ object Urls {
     * must all survive.
     */
   def domainCap(docs: DataFrame, idCol: String, urlCol: String, cap: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      domainOf: Column => Column = registrableDomain): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    val domain = registrableDomain(hostOf(canonicalizeUrl(col(urlCol))))
+    val domain = domainOf(hostOf(canonicalizeUrl(col(urlCol))))
     val ord = md5(concat(lit(seed.toString), lit("|"),
       col(idCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
@@ -131,10 +142,11 @@ object Urls {
     * the domain — the second shuffle moves one row per DISTINCT URL,
     * never per document.
     */
-  def domainStats(docs: DataFrame, urlCol: String): DataFrame =
+  def domainStats(docs: DataFrame, urlCol: String,
+      domainOf: Column => Column = registrableDomain): DataFrame =
     docs
       .select(canonicalizeUrl(col(urlCol)).as("url_canon"))
-      .withColumn("domain", registrableDomain(hostOf(col("url_canon"))))
+      .withColumn("domain", domainOf(hostOf(col("url_canon"))))
       .groupBy(col("domain"), col("url_canon"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("domain"))

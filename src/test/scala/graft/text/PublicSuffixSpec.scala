@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PSL algorithm over the checked-in snapshot: every rule form (exact
+  * 2/3-label, TLD and 2-label wildcards, both exception classes,
+  * default rule), the pass-through edges, and the private-suffix class
+  * the heuristic gets wrong.
+  */
+class PublicSuffixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dom(hosts: String*): Seq[String] =
+    hosts.toDF("h")
+      .select(PublicSuffix.registrableDomain(col("h")))
+      .as[String].collect().toSeq
+
+  test("exact 2-label rules (ccSLDs)") {
+    assert(dom("news.bbc.co.uk", "bbc.co.uk", "a.b.example.com.au") ==
+      Seq("bbc.co.uk", "bbc.co.uk", "example.com.au"))
+  }
+
+  test("private hosted-platform suffixes keep per-site groups") {
+    assert(dom("alice.github.io", "bob.github.io", "deep.alice.github.io",
+      "myblog.blogspot.com") ==
+      Seq("alice.github.io", "bob.github.io", "alice.github.io",
+        "myblog.blogspot.com"))
+    // the heuristic merges these — the exact failure PSL mode fixes
+    assert(Seq("alice.github.io", "bob.github.io").toDF("h")
+      .select(Urls.registrableDomain(col("h"))).as[String].collect().toSet ==
+      Set("github.io"))
+  }
+
+  test("exact 3-label rule (s3.amazonaws.com)") {
+    assert(dom("bucket.s3.amazonaws.com", "s3.amazonaws.com") ==
+      Seq("bucket.s3.amazonaws.com", "s3.amazonaws.com"))
+  }
+
+  test("TLD wildcard *.ck with !www.ck exception") {
+    assert(dom("x.shop.ck", "shop.ck", "www.ck", "a.www.ck") ==
+      Seq("x.shop.ck", "shop.ck", "www.ck", "www.ck"))
+  }
+
+  test("2-label wildcard *.kawasaki.jp with !city.kawasaki.jp exception") {
+    assert(dom("a.b.kawasaki.jp", "b.kawasaki.jp",
+      "city.kawasaki.jp", "x.city.kawasaki.jp") ==
+      Seq("a.b.kawasaki.jp", "b.kawasaki.jp",
+        "city.kawasaki.jp", "city.kawasaki.jp"))
+  }
+
+  test("default rule and pass-through edges") {
+    assert(dom("deep.sub.example.com", "example.com", "localhost", "") ==
+      Seq("example.com", "example.com", "localhost", ""))
+  }
+
+  test("DuckDB CASE generator uses the same rule sets") {
+    val sql = PublicSuffix.duckDbCase("h", "hp", "hn")
+    // every parsed set is represented
+    assert(sql.contains("'co.uk'"))
+    assert(sql.contains("'s3.amazonaws.com'"))
+    assert(sql.contains("'kawasaki.jp'"))
+    assert(sql.contains("'city.kawasaki.jp'"))
+    assert(sql.contains("'www.ck'"))
+    assert(sql.contains("'ck'"))
+    assert(sql.contains("'github.io'"))
+  }
+}
