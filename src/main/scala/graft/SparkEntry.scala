@@ -1939,6 +1939,22 @@ object SparkEntry {
     Curation.clusterBalancedSample(Tables.embeddings(s, dir),
       "vec_id", "embedding", budget = 200, nClusters = 8)
 
+  /** Fixed-centroid twin of q121 — the family's hash gate: centroids
+    * are the first 8 embeddings (vec_id < 8, an 8-row driver collect —
+    * codebook-sized, same class as the PQ centroids), so assignment +
+    * √n rebalance are pure functions both engines replay exactly.
+    * The trained-KMeans form above stays rows-only.
+    */
+  private def q121b(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    Curation.clusterBalancedSampleFixed(emb, "vec_id", "embedding",
+      centroids, budget = 200)
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Domain-aware temperature mixture over the synthetic crawl URLs:
     * the C4/RefinedWeb proportional domain rebalance — head domains
     * flatten toward the budget, decision is the md5 row hash, corpus
@@ -2200,6 +2216,7 @@ object SparkEntry {
     "q119_contamination_report" -> (q119 _),
     "q120_importance_unigram" -> (q120 _),
     "q121_cluster_balance" -> (q121 _),
+    "q121b_cluster_balance_fixed" -> (q121b _),
     "q122_domain_mixture" -> (q122 _),
     "q61_sessionize" -> (q61 _),
     "q62_lag_lead_features" -> (q62 _),
@@ -2317,6 +2334,38 @@ object SparkEntry {
       |    WHEN 2 THEN 'https://' || source || '.example.com:443/docs/' || CAST(doc_id AS VARCHAR) || '/'
       |    ELSE source || '.Example.CO.UK/Docs/' || CAST(doc_id AS VARCHAR) || '?ref=rss&z=1&a=2'
       |  END AS url FROM documents""".stripMargin
+
+  /** q121b oracle: nearest-of-8-fixed-centroids assignment + √n
+    * temperature rebalance. The squared distance is generated as the
+    * SAME left-associative 64-term chain the Spark fold builds
+    * (`t1 + t2 + …` parses left-assoc; the fold's leading `0.0 + t1`
+    * is exact), so both engines round identically at every step.
+    */
+  private def q121bSql: String = {
+    val chain = (1 to 64).map { i =>
+      s"(CAST(e.embedding[$i] AS DOUBLE) - CAST(c.ce[$i] AS DOUBLE)) * " +
+        s"(CAST(e.embedding[$i] AS DOUBLE) - CAST(c.ce[$i] AS DOUBLE))"
+    }.mkString(" + ")
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |dist AS (
+       |  SELECT e.vec_id, c.cid, $chain AS d
+       |  FROM embeddings e CROSS JOIN cent c),
+       |best AS (SELECT vec_id, min(d) AS md FROM dist GROUP BY 1),
+       |asg AS (
+       |  SELECT d.vec_id, CAST(min(d.cid) AS BIGINT) AS cluster
+       |  FROM dist d JOIN best b ON d.vec_id = b.vec_id AND d.d = b.md
+       |  GROUP BY 1),
+       |cnt AS (SELECT cluster, count(*) AS n FROM asg GROUP BY 1),
+       |s AS (SELECT sum(sqrt(n)) AS sw FROM cnt),
+       |r AS (SELECT cluster,
+       |             least(CAST(1.0 AS DOUBLE),
+       |                   CAST(200.0 AS DOUBLE) * sqrt(n) / sw / n) AS rate
+       |      FROM cnt CROSS JOIN s)
+       |SELECT a.vec_id, a.cluster FROM asg a JOIN r USING (cluster)
+       |WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 6))::BIGINT
+       |      < rate * 16777216.0""".stripMargin
+  }
 
   /** DuckDB twin of `rawUrlPsl` (the PSL-rule-exercising crawl). */
   private val urlPslSql: String =
@@ -2851,6 +2900,12 @@ object SparkEntry {
          |      ORDER BY md5('42|' || CAST(crawl_id AS VARCHAR)), crawl_id) AS rn
          |  FROM canon)
          |SELECT crawl_id AS doc_id, domain FROM capped WHERE rn <= 3""".stripMargin,
+    // fixed-centroid cluster balance: centroids = embeddings of
+    // vec_id<8 (both engines derive them from the data); distance is
+    // the same left-associative 64-term double chain as the Spark
+    // fold; argmin tie-break = smallest centroid id; then q122's
+    // sqrt-rebalance + md5 row-hash machinery over cluster ids
+    "q121b_cluster_balance_fixed" -> q121bSql,
     // domain-aware temperature mixture: q116's canon CTE chain feeds
     // q88's sqrt-rebalance rate table, keyed on registrable domain;
     // inclusion is the same md5 24-bit-prefix row hash

@@ -288,6 +288,50 @@ object Curation {
     * iterates — no cross-engine oracle), spec-tested on planted
     * clusters.
     */
+  /** Fixed-centroid form of [[clusterBalancedSample]] — the
+    * hash-gateable half of the operator family: the caller supplies
+    * the centroids (a prior KMeans fit, a coreset, or any frozen
+    * codebook), so assignment is a PURE function of (centroids, row)
+    * with no float training iterates — every engine reproduces the
+    * exact survivor set, giving the cluster-balance family a real
+    * oracle while the trained form stays rows-only.
+    *
+    * Assignment is map-only: one codegen'd expression computes all
+    * |centroids| squared distances as LEFT-ASSOCIATIVE double chains
+    * (fixed operation order — correctly-rounded IEEE ops replay
+    * bit-identically cross-engine; same determinism argument as the
+    * DSIR fixed-point tree) and takes the first index attaining the
+    * minimum. No join, no shuffle; the only shuffle in the whole
+    * operator is the |clusters|-key count agg behind the √n rate
+    * table. Scale: O(dim·|centroids|) work per row shipped with the
+    * plan — the broadcast-free analog of KMeans.transform.
+    */
+  def clusterBalancedSampleFixed(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], budget: Long): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val assigned = embeddings.select(col(idCol),
+      assignFixedCentroids(col(vecCol), centroids).as("cluster"))
+    mixtureSample(assigned, "cluster", col(idCol), budget)
+  }
+
+  /** Nearest-centroid index (0-based, first-minimum tie-break) of a
+    * float/double array column under literal `centroids` — one
+    * map-only expression; see [[clusterBalancedSampleFixed]].
+    */
+  def assignFixedCentroids(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = centroids.map { c =>
+      c.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
+        val d = element_at(vec, i + 1).cast("double") - lit(cv)
+        acc + d * d
+      }
+    }
+    val m = if (dists.size == 1) dists.head else least(dists: _*)
+    val first = when(dists.head === m, lit(0L))
+    dists.zipWithIndex.tail
+      .foldLeft(first) { case (w, (d, j)) => w.when(d === m, lit(j.toLong)) }
+      .otherwise(lit((centroids.size - 1).toLong))
+  }
+
   def clusterBalancedSample(embeddings: DataFrame, idCol: String,
       vecCol: String, budget: Long, nClusters: Int = 16, seed: Long = 42L,
       trainSampleFraction: Double = 1.0): DataFrame = {

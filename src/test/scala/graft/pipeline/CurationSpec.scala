@@ -321,6 +321,33 @@ class CurationSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("assignFixedCentroids: nearest centroid, first-minimum tie-break") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0))
+    val rows = Seq(
+      (1L, Seq(0.1, 0.2)),   // nearest c0
+      (2L, Seq(9.0, 1.0)),   // nearest c1
+      (3L, Seq(1.0, 9.0)),   // nearest c2
+      (4L, Seq(5.0, 0.0)))   // EXACT tie c0/c1 → first wins (c0)
+    val got = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Curation.assignFixedCentroids(col("embedding"), cents).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
+
+  test("clusterBalancedSampleFixed flattens the dominant fixed cluster") {
+    def jitter(i: Int): Double = (i % 7) * 0.01
+    val pts =
+      (1L to 200L).map(i => (i, Seq(10.0 + jitter(i.toInt), 0.0))) ++
+      (201L to 210L).map(i => (i, Seq(0.0, 10.0 + jitter(i.toInt))))
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Seq(Seq(10.0, 0.0), Seq(0.0, 10.0))
+    val kept = Curation.clusterBalancedSampleFixed(df, "vec_id", "embedding",
+      cents, budget = 25)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.count(_ <= 200L) / 200.0 < kept.count(_ > 200L) / 10.0)
+  }
+
   test("contaminationReport counts dirty grams and hit docs per benchmark doc") {
     val words = (0 until 40).map(i => s"w$i")
     val benchText = words.mkString(" ") // 40 words → 28 distinct 13-grams
