@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.encode.Encoding
 import graft.io.{Lake, RatingsIO, Tables}
-import graft.pipeline.{Curation, Profiling}
+import graft.pipeline.{Curation, Pipelines, Profiling}
 import graft.prep.Prep
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -1365,6 +1365,55 @@ object SparkEntry {
       .select("doc_id", "source", "n_tokens", "seq_id", "seq_offset")
   }
 
+  /** FULL-COMPOSITION curation gate: every opt-in `curateCorpus` stage
+    * on at once — URL-dedup intake (planted recrawl pairs) → domain cap
+    * → PII scrub → lang gate → quality + repetition + classifier gates
+    * → paragraph dedup → exact fluency tiers → DSIR importance
+    * resample → decontamination → exact dedup → lang-budget mixture →
+    * sequence packing. The individual stages are each gated elsewhere;
+    * THIS query gates their interaction (gate-order effects, column
+    * threading, recomputed token counts) — where composition bugs
+    * actually live. Fluency runs in exact-ntile form
+    * (`fluencyExact = true`) so the whole chain stays hash-comparable;
+    * the scale path keeps its rows-only twin in q107.
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("url", concat(lit("http://"), col("source"),
+        expr("(doc_id div 2) % 5").cast("string"), lit(".com/d/"),
+        expr("doc_id div 2").cast("string")))
+    val benchmark = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(regexp_replace(col("text"), " ", "  ").as("text"))
+    val target = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
+      .select(col("text"))
+    val (out, release) = Pipelines.curateCorpusManaged(docs, benchmark,
+      Pipelines.CurationConfig(
+        lang = Some("en"),
+        minQuality = 0.3,
+        maxTopWordRatio = 0.5,
+        budget = Some(150L),
+        seqLen = 1024,
+        shardCol = "source",
+        paragraphDedup = true,
+        fluencyTiers = Some(3),
+        fluencyExact = true,
+        classifierWeights = Some(q113Weights),
+        urlCol = Some("url"),
+        domainCapN = Some(30),
+        // 0.7e9 = "at least 70% as target-like as raw": the %10==3
+        // target slice is small relative to the bucket smoothing
+        // constant, so absolute affinities sit below 1e9 — the ratio
+        // distribution is scale-invariant, making 0.7 a stable median
+        // split at every sf
+        importanceMinAffinityFp = 700000000L,
+        importanceBuckets = 1 << 16),
+      importanceTarget = Some(target))
+    val res = out.select(col("doc_id"), col("source"), col("lang"),
+      col("n_tokens"), col("seq_id"), col("seq_offset")).localCheckpoint()
+    release()
+    res
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -2242,7 +2291,8 @@ object SparkEntry {
     "q80b_stratified_split_portable" -> (q80b _),
     "q81_stream_pack" -> (q81 _),
     "q83_stream_pack_ordered" -> (q83 _),
-    "q82_curation_e2e" -> (q82 _))
+    "q82_curation_e2e" -> (q82 _),
+    "q123_curation_full" -> (q123 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -2523,6 +2573,244 @@ object SparkEntry {
        |  FROM r)
        |SELECT doc_id, round(s, 6) AS score, CAST(s > 0 AS INT) AS keep
        |FROM sc""".stripMargin
+
+  /** q123 oracle: the FULL curateCorpus composition in one DuckDB
+    * chain, assembled from the per-stage fragments that are already
+    * individually hash-gated (q110/q116 intake, q89 scrub, q82 gates,
+    * q97 paragraph dedup, q100 fluency, q117 DSIR, q75 decontaminate,
+    * q82 dedup+pack, q88 mixture). Stage order and every expression
+    * tree mirror `Pipelines.curateCorpus` exactly.
+    */
+  private def q123Sql: String = {
+    val w = q113Weights
+    s"""WITH du AS (
+       |  SELECT doc_id, text, lang, source,
+       |         'http://' || source || CAST((doc_id // 2) % 5 AS VARCHAR)
+       |           || '.com/d/' || CAST(doc_id // 2 AS VARCHAR) AS url
+       |  FROM documents),
+       |-- URL keep-first dedup: canonical = url minus scheme (host is
+       |-- already lowercase, no www/port/query/trailing-slash)
+       |own AS (
+       |  SELECT substr(url, 8) AS ukey, min(doc_id) AS doc_id
+       |  FROM du GROUP BY 1),
+       |dedup0 AS (
+       |  SELECT du.* FROM du JOIN own USING (doc_id)),
+       |-- domain cap: registrable domain of the 2-label host = host
+       |capd AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY regexp_extract(substr(url, 8), '^[^/?]*')
+       |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM dedup0),
+       |intake AS (SELECT doc_id, text, lang, source FROM capd WHERE rn <= 30),
+       |-- PII scrub cascade (q89) + lang gate
+       |sc1 AS (
+       |  SELECT doc_id, lang, source,
+       |    regexp_replace(text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+       |      '<EMAIL>', 'g') AS t1
+       |  FROM intake WHERE lang = 'en'),
+       |sc2 AS (
+       |  SELECT doc_id, lang, source,
+       |    regexp_replace(regexp_replace(t1,
+       |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+       |      '<IP>', 'g'),
+       |      '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS text
+       |  FROM sc1),
+       |-- quality + repetition + classifier gates (q82/q87/q113 trees)
+       |pr0 AS (
+       |  SELECT doc_id, lang, source, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wsl,
+       |    list_filter(regexp_split_to_array(
+       |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |      x -> x <> '') AS wn
+       |  FROM sc2),
+       |wc AS (SELECT doc_id, w, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(wn) AS w FROM pr0) GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, max(c) AS top_word, sum(c) AS n_words
+       |        FROM wc GROUP BY 1),
+       |feat AS (
+       |  SELECT p.doc_id, p.lang, p.source, p.text,
+       |    CAST(len(p.ws) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(p.text) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE len(regexp_replace(p.text, '[^.!?,;:]', '', 'g'))
+       |              / CAST(len(p.text) AS DOUBLE) END AS pr,
+       |    len(list_filter(p.wsl, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |      / CAST(len(p.ws) AS DOUBLE) AS sr,
+       |    r.top_word, r.n_words
+       |  FROM pr0 p LEFT JOIN rep r USING (doc_id)),
+       |gated AS (
+       |  SELECT doc_id, lang, source, text, n_tokens
+       |  FROM feat
+       |  WHERE least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+       |          * (CAST(1.0 AS DOUBLE) - pr) * (CAST(0.5 AS DOUBLE) + sr) > 0.3
+       |    AND n_words > 0
+       |    AND CAST(top_word AS DOUBLE) / n_words <= 0.5
+       |    AND CAST(${w.bias} AS DOUBLE)
+       |        + CAST(${w.lenSat} AS DOUBLE)
+       |          * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(${w.lenCap} AS DOUBLE))
+       |        + CAST(${w.punct} AS DOUBLE) * pr
+       |        + CAST(${w.stop} AS DOUBLE) * sr
+       |        + CAST(${w.cpt} AS DOUBLE) * (CAST(len(text) AS DOUBLE) / n_tokens)
+       |        > 0),
+       |-- paragraph dedup: curateCorpus calls Dedup.paragraphDedup on
+       |-- the REAL line structure (newline separator; q97's 15-word
+       |-- chunking is that query's own pre-step, not the operator's).
+       |-- Single-line fixture docs therefore dedup as whole lines.
+       |pp AS (
+       |  SELECT doc_id, u.i AS para_no, u.p AS para
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(str_split(text, chr(10)),
+       |            (x, i) -> {'i': i, 'p': x})) AS u
+       |        FROM gated)),
+       |pt AS (
+       |  SELECT doc_id, para_no, para,
+       |         trim(para) = '' AS is_empty,
+       |         md5(lower(trim(regexp_replace(para, '\\s+', ' ', 'g')))) AS k
+       |  FROM pp),
+       |pk AS (
+       |  SELECT doc_id, para_no, para,
+       |         CASE WHEN is_empty THEN TRUE
+       |              ELSE row_number() OVER (PARTITION BY k
+       |                     ORDER BY doc_id, para_no) = 1 END AS keep
+       |  FROM pt),
+       |pd AS (
+       |  SELECT doc_id,
+       |         coalesce(string_agg(CASE WHEN keep THEN para END,
+       |                             chr(10) ORDER BY para_no), '') AS text
+       |  FROM pk GROUP BY doc_id),
+       |paraclean AS (
+       |  SELECT g.doc_id, g.lang, g.source, pd.text,
+       |    CAST(len(regexp_split_to_array(trim(pd.text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM gated g JOIN pd USING (doc_id)
+       |  WHERE pd.text <> ''),
+       |-- exact fluency tiers (q100) trained ON paraclean; keep tiers
+       |-- 1..2 plus unscorable (< 2 normalized words)
+       |ft AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(
+       |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |           x -> x <> '') AS ws
+       |  FROM paraclean),
+       |fw AS (SELECT doc_id, ws FROM ft WHERE len(ws) >= 2),
+       |fb AS (SELECT doc_id,
+       |              unnest(list_transform(range(len(ws) - 1), i -> ws[i + 1])) AS w1,
+       |              unnest(list_transform(range(len(ws) - 1), i -> ws[i + 2])) AS w2
+       |       FROM fw),
+       |fc2 AS (SELECT w1, w2, count(*) AS c2 FROM fb GROUP BY 1, 2),
+       |fc1 AS (SELECT w1, count(*) AS c1 FROM fb GROUP BY 1),
+       |fv AS (SELECT count(DISTINCT tok) AS v
+       |       FROM (SELECT unnest(ws) AS tok FROM ft)),
+       |fl AS (
+       |  SELECT fb.doc_id, count(*) AS n_bigrams,
+       |         sum(CAST(floor(1e9 * (CAST(fc2.c2 + 1 AS DOUBLE) /
+       |                                CAST(fc1.c1 + fv.v AS DOUBLE))) AS BIGINT))
+       |           AS fluency_fp
+       |  FROM fb JOIN fc2 USING (w1, w2) JOIN fc1 USING (w1) CROSS JOIN fv
+       |  GROUP BY fb.doc_id),
+       |fbk AS (
+       |  SELECT doc_id,
+       |         ntile(3) OVER (
+       |           ORDER BY CAST(floor(fluency_fp / n_bigrams) AS BIGINT) DESC,
+       |                    doc_id) AS bucket
+       |  FROM fl),
+       |fluent AS (
+       |  SELECT p.* FROM paraclean p LEFT JOIN fbk USING (doc_id)
+       |  WHERE fbk.bucket IS NULL OR fbk.bucket < 3),
+       |-- DSIR importance resample (q117): raw = fluent corpus grams,
+       |-- target = RAW documents doc_id%10=3; keep affinity >= 1e9
+       |it AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(
+       |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |           x -> x <> '') AS ws
+       |  FROM fluent),
+       |tt0 AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(
+       |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |           x -> x <> '') AS ws
+       |  FROM documents WHERE doc_id % 10 = 3),
+       |ig AS (SELECT doc_id,
+       |         unnest(list_transform(range(len(ws) - 1),
+       |           i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+       |       FROM it WHERE len(ws) >= 2),
+       |tg AS (SELECT doc_id,
+       |         unnest(list_transform(range(len(ws) - 1),
+       |           i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+       |       FROM tt0 WHERE len(ws) >= 2),
+       |ib AS (SELECT doc_id,
+       |         CAST(('0x' || substr(md5(gram), 1, 6))::BIGINT % 65536 AS BIGINT)
+       |           AS bucket
+       |       FROM ig),
+       |tb AS (SELECT CAST(('0x' || substr(md5(gram), 1, 6))::BIGINT % 65536
+       |                AS BIGINT) AS bucket, count(*) AS t_cnt
+       |       FROM tg GROUP BY 1),
+       |tt AS (SELECT count(*) AS t_total FROM tg),
+       |rb AS (SELECT bucket, count(*) AS r_cnt FROM ib GROUP BY 1),
+       |rt AS (SELECT count(*) AS r_total FROM ib),
+       |isc AS (
+       |  SELECT ib.doc_id,
+       |    CAST(floor(1e9
+       |      * (CAST(COALESCE(tb.t_cnt, 0) + 1 AS DOUBLE)
+       |         * CAST(rt.r_total + 65536 AS DOUBLE))
+       |      / (CAST(tt.t_total + 65536 AS DOUBLE)
+       |         * CAST(rb.r_cnt + 1 AS DOUBLE))) AS BIGINT) AS r
+       |  FROM ib
+       |  LEFT JOIN tb USING (bucket)
+       |  JOIN rb USING (bucket)
+       |  CROSS JOIN tt CROSS JOIN rt),
+       |iaff AS (
+       |  SELECT doc_id,
+       |         CAST(floor(CAST(sum(r) AS DOUBLE) / count(*)) AS BIGINT)
+       |           AS affinity_fp
+       |  FROM isc GROUP BY doc_id),
+       |selected AS (
+       |  SELECT f.* FROM fluent f JOIN iaff USING (doc_id)
+       |  WHERE iaff.affinity_fp >= 700000000),
+       |-- decontamination (q75/q82): benchmark = doc_id%10=0 docs with
+       |-- doubled spaces; fingerprints collide with unmangled text
+       |bm AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(
+       |    lower(replace(text, ' ', '  ')), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |cleaned AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM selected s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bm
+       |    WHERE bm.fp = md5(trim(regexp_replace(lower(s.text), '\\s+', ' ', 'g'))))),
+       |-- exact keep-first dedup on the fingerprint
+       |dd AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM cleaned),
+       |survivors AS (SELECT doc_id, lang, source, n_tokens FROM dd WHERE rk = 1),
+       |-- lang-budget temperature mixture (q88), budget 150
+       |mc AS (SELECT lang, count(*) AS n FROM survivors GROUP BY 1),
+       |ms AS (SELECT sum(sqrt(n)) AS sw FROM mc),
+       |mr AS (SELECT lang,
+       |              least(CAST(1.0 AS DOUBLE),
+       |                    CAST(150.0 AS DOUBLE) * sqrt(n) / sw / n) AS rate
+       |       FROM mc CROSS JOIN ms),
+       |sampled AS (
+       |  SELECT s.* FROM survivors s JOIN mr USING (lang)
+       |  WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 6))::BIGINT
+       |        < rate * 16777216.0),
+       |-- sequence packing by source (q82)
+       |pc AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source
+       |                                  ORDER BY doc_id) AS BIGINT) AS cum
+       |  FROM sampled)
+       |SELECT doc_id, source, lang, n_tokens,
+       |       (cum - n_tokens) // 1024 AS seq_id,
+       |       (cum - n_tokens) % 1024 AS seq_offset
+       |FROM pc""".stripMargin
+  }
 
   /** Shared by q76 (batch window) and q81 (stateful streaming twin). */
   private val sequencePackSql: String =
@@ -2900,6 +3188,8 @@ object SparkEntry {
          |      ORDER BY md5('42|' || CAST(crawl_id AS VARCHAR)), crawl_id) AS rn
          |  FROM canon)
          |SELECT crawl_id AS doc_id, domain FROM capped WHERE rn <= 3""".stripMargin,
+    // the full-composition curation chain — see q123Sql
+    "q123_curation_full" -> q123Sql,
     // fixed-centroid cluster balance: centroids = embeddings of
     // vec_id<8 (both engines derive them from the data); distance is
     // the same left-associative 64-term double chain as the Spark

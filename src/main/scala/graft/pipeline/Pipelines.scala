@@ -116,6 +116,12 @@ object Pipelines {
       // bucket while unscorable docs pass — a config that silently
       // INVERTS the gate (curateCorpus rejects it loudly instead).
       fluencyTiers: Option[Int] = None,
+      // tier assignment form: false (default) = quantile-threshold
+      // map-only path (no global sort — the 100 TB shape; tie regions
+      // carry estimation error, so rows-only semantics); true = exact
+      // ntile (global sort of doc-count score rows — bit-reproducible
+      // cross-engine, the form oracle-gated runs use)
+      fluencyExact: Boolean = false,
       // model-based quality gate (GPT-3-style classifier filter): keep
       // docs whose linear logit under these frozen weights is positive
       // (train them on a labeled sample via Quality.trainWeights).
@@ -266,8 +272,11 @@ object Pipelines {
       // fluencyBucketsAtScale): releasing it before the returned plan
       // is materialized would retrain the bigram LM on first action —
       // hence the handle, not an eager unpersist here
-      val buckets = TextAnalysis.fluencyBucketsAtScale(
-        paraClean, "doc_id", "text", tiers)
+      val buckets =
+        if (cfg.fluencyExact)
+          TextAnalysis.fluencyBuckets(paraClean, "doc_id", "text", tiers)
+        else TextAnalysis.fluencyBucketsAtScale(
+          paraClean, "doc_id", "text", tiers)
       cached += buckets
       paraClean
         .join(buckets.select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
