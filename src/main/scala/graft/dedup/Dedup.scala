@@ -228,9 +228,40 @@ object Dedup {
     * duplicates.
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int = 50): DataFrame = {
+      windowTokens: Int = 50, maxDocTokens: Int = 1 << 20): DataFrame = {
     require(windowTokens >= 2, "windowTokens must be >= 2")
+    require(maxDocTokens >= windowTokens,
+      s"maxDocTokens ($maxDocTokens) must be >= windowTokens ($windowTokens)")
     val w = windowTokens
+    // Oversized-document guard: rollingGrams materializes one
+    // (pos, md5) struct per token IN A SINGLE ROW'S ARRAY before the
+    // explode, and reassembly collects a doc's surviving tokens into
+    // one aggregation buffer — both are O(doc tokens) in ONE task's
+    // memory, so a pathological document (a 10M-token concatenation
+    // artifact in a web crawl) would stall or OOM its executor while
+    // every normal partition finishes. Documents above `maxDocTokens`
+    // therefore BYPASS dedup: they pass through unchanged
+    // (n_tokens_removed = 0) rather than degrade the whole stage —
+    // predictable, bounded degradation. Their grams also leave the
+    // owner election, so they neither claim spans of normal docs nor
+    // lose spans themselves; at the default 2^20 bound the per-task
+    // array tops out near ~50 MB. Callers wanting them deduped should
+    // pre-split giant docs into bounded chunks upstream.
+    val nTok = size(split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
+    val small = docs.filter(nTok <= maxDocTokens)
+    val oversized = docs
+      .filter(nTok > maxDocTokens)
+      .select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"),
+        size(array_remove(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), ""))
+          .cast("long").as("n_tokens_kept"),
+        lit(0L).as("n_tokens_removed"))
+    substringDedupUnguarded(small, idCol, textCol, w)
+      .unionByName(oversized)
+  }
+
+  private def substringDedupUnguarded(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
     val grams = rollingGrams(docs, idCol, textCol, w)
     val owners = grams.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("__owner"),

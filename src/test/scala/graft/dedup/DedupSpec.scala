@@ -89,6 +89,27 @@ class DedupSpec extends SparkSpec {
     assert(got === ((1L, s"$s6 middle", 7L, 6L)))
   }
 
+  test("substringDedup: oversized docs bypass dedup, bounded and flagless") {
+    val span = (1 to 6).map(i => s"shared$i").mkString(" ")
+    // a doc over the token bound shares a span with doc 1 — it must
+    // pass through UNCHANGED (no dedup, no owner claims) while the
+    // normal pair still dedups exactly as without the giant
+    val giant = ((1 to 3000).map(i => s"g$i") :+ span).mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha one two $span tail1 tail2"),
+      (2L, s"beta $span omega"),
+      (3L, giant)).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text",
+      windowTokens = 6, maxDocTokens = 1000)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got(0) === ((1L, s"alpha one two $span tail1 tail2", 11L, 0L)))
+    assert(got(1) === ((2L, "beta omega", 2L, 6L)))
+    // giant passes through verbatim, zero removed — predictable
+    // degradation, never an OOM'd stage
+    assert(got(2) === ((3L, giant, 3006L, 0L)))
+  }
+
   test("null-text docs stay present: paragraphDedup and substringDedup") {
     val docs = Seq[(java.lang.Long, String)]((1L, "real line"), (2L, null))
       .toDF("doc_id", "text")
