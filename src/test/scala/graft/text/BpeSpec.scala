@@ -145,6 +145,36 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq(Seq("aa", "aa"), Seq("aa", "a"), Seq("b")))
   }
 
+  test("skip-jump replay: 32k-merge table, duplicate-pair lists, tokenizer-scale cost") {
+    // 32k filler merges (never applicable) around a few live ones: the
+    // skip-jump must (a) produce the sequential result and (b) finish
+    // in time proportional to APPLIED merges, not table size — the
+    // naive per-pass loop at 32k merges is ~32k array passes per word
+    val live = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"))
+    val filler = (1 to 32000).map(k => (s"zz$k", s"qq$k"))
+    val ms = (live ++ filler).zipWithIndex
+      .map { case ((l, r), k) => Bpe.Merge(k + 1, l, r, 1L) }
+    val t0 = System.nanoTime()
+    val got = Seq("the", "and", "than", "xyz").toDF("word")
+      .select(Bpe.replaySymbols(col("word"), ms).as("s"))
+      .as[Seq[String]].collect().toSeq
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got === Seq(Seq("the"), Seq("and"), Seq("th", "an"), Seq("x", "y", "z")))
+    assert(sec < 30.0, s"32k-merge replay took $sec s — skip-jump regressed")
+
+    // duplicate pair entries: the SECOND (a,b) entry must fire when
+    // later merges re-create adjacency the first pass could not see
+    val dup = Seq(
+      Bpe.Merge(1, "a", "b", 1L),   // no (a,b) adjacency yet in "acb"...
+      Bpe.Merge(2, "x", "y", 1L),
+      Bpe.Merge(3, "a", "b", 1L))
+    val r = Seq("ab").toDF("word")
+      .select(Bpe.replaySymbols(col("word"), dup).as("k"),
+        Bpe.applyMerges(split(col("word"), ""), dup).as("f"))
+      .as[(Seq[String], Seq[String])].collect().head
+    assert(r._1 === r._2)
+  }
+
   test("saveMerges/loadMerges round-trips the artifact in training order") {
     val (merges, vocab) = Bpe.train(corpus, "text", rounds = 6)
     try {
