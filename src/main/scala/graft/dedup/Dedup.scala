@@ -472,12 +472,28 @@ object Dedup {
     * compute a batch's owners without caching an intermediate index.
     */
   private[graft] def bucketOwners(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val numPerm = bands * rowsPerBand
-    val sigs = shingleTable(docs, idCol, textCol, shingleK)
+      shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    bucketOwnersFromSigs(
+      sigTable(docs, idCol, textCol, shingleK, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** (id, sig) MinHash signature table of a corpus — the expensive
+    * numPerm-permutation pass, split out so a caller that needs BOTH
+    * the probe and the index fold of one batch (the streaming twin)
+    * computes signatures ONCE and shares the frame instead of paying
+    * the minhash pass twice. Docs too short to shingle are absent
+    * (null signatures filtered).
+    */
+  private[graft] def sigTable(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numPerm: Int): DataFrame =
+    shingleTable(docs, idCol, textCol, shingleK)
       .select(col("id"),
         graft.functions.MinHashExpressions.minhashSig(col("shingles"), numPerm).as("sig"))
       .filter(col("sig").isNotNull)
+
+  /** [[bucketOwners]] over a precomputed [[sigTable]]. */
+  private[graft] def bucketOwnersFromSigs(sigs: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val w = Window.partitionBy(col("band"), col("band_hash"))
       .orderBy(col("owner_id"))
     sigs
@@ -503,6 +519,15 @@ object Dedup {
     bucketOwners(survivors, idCol, textCol, shingleK, bands, rowsPerBand)
       .join(index, Seq("band", "band_hash"), "left_anti")
 
+  /** [[newIndexRows]] over a precomputed [[sigTable]] restricted to
+    * the surviving docs — the shared-signature fold the streaming twin
+    * uses to avoid recomputing the batch's minhash pass.
+    */
+  private[graft] def newIndexRowsFromSigs(index: DataFrame,
+      survivorSigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    bucketOwnersFromSigs(survivorSigs, bands, rowsPerBand)
+      .join(index, Seq("band", "band_hash"), "left_anti")
+
   /** Probe a new batch against an existing [[bucketIndex]]: a batch doc
     * is a near-duplicate iff some band bucket is already owned by an
     * EARLIER corpus doc AND the signature-agreement estimate against
@@ -520,12 +545,17 @@ object Dedup {
   def dedupAgainstIndex(batch: DataFrame, index: DataFrame,
       idCol: String, textCol: String,
       shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    val numPerm = bands * rowsPerBand
-    val sigs = shingleTable(batch, idCol, textCol, shingleK)
-      .select(col("id"),
-        graft.functions.MinHashExpressions.minhashSig(col("shingles"), numPerm).as("sig"))
-      .filter(col("sig").isNotNull)
+      threshold: Double = 0.7): DataFrame =
+    dedupAgainstIndexWithSigs(batch,
+      sigTable(batch, idCol, textCol, shingleK, bands * rowsPerBand),
+      index, idCol, bands, rowsPerBand, threshold)
+
+  /** [[dedupAgainstIndex]] over a precomputed [[sigTable]] of the
+    * batch — the probe half of the shared-signature pair.
+    */
+  private[graft] def dedupAgainstIndexWithSigs(batch: DataFrame,
+      sigs: DataFrame, index: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val hits = sigs
       .select(col("id"), col("sig"),
         bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
