@@ -157,6 +157,34 @@ class PlanSpec extends SparkSpec {
     assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q113_quality_score")}")
   }
 
+  test("q110b: PSL domain extraction stays map-only — zero exchanges") {
+    // the whole PSL rule snapshot rides the plan as InSet literals;
+    // a refactor that turns it into a lookup JOIN would show up here
+    val n = exchangeCount("q110b_url_canonicalize_psl")
+    assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q110b_url_canonicalize_psl")}")
+  }
+
+  test("q116b: PSL-mode domain cap keeps the WindowGroupLimit rewrite") {
+    val p = plan("q116b_domain_cap_psl")
+    assert(p.contains("WindowGroupLimit"), s"cap-limit not pushed:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
+  test("q121b: fixed-centroid assignment is map-side; no data-row shuffle joins") {
+    // assignment is one expression on the scan; the only exchanges
+    // belong to the |clusters|-key count agg + the singleton sqrt-sum
+    // behind the rate table, and the rate join back is a broadcast
+    val df = SparkEntry.queries("q121b_cluster_balance_fixed")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.size <= 3,
+      s"too many exchanges (${shuffles.size}):\n$p")
+  }
+
   test("q115: shuffle-shard assignment is map-only — zero exchanges") {
     val n = exchangeCount("q115_shuffle_shards")
     assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q115_shuffle_shards")}")
