@@ -1414,6 +1414,90 @@ object SparkEntry {
     res
   }
 
+  /** CONTINUOUS curation composition — the streaming face of q123's
+    * chain under the frozen-model serving discipline: every per-doc
+    * policy (classifier weights, DSIR counts, mixture rates,
+    * benchmark fingerprints) is snapshot-trained batch-side, then the
+    * document stream flows through scrub → lang/quality/repetition/
+    * classifier gates → frozen importance gate → decontamination →
+    * index-table exact dedup → frozen mixture → stateful packing, two
+    * ordered micro-batches (doc_id-midpoint files, the q95 staging).
+    * Ordered ingest makes the result IDENTICAL to the batch chain, so
+    * the query hash-gates against a composed DuckDB oracle.
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = Tables.documents(s, dir)
+    val benchmark = raw.filter(col("doc_id") % 10 === 0)
+      .select(regexp_replace(col("text"), " ", "  ").as("text"))
+      .localCheckpoint()
+    val model = Curation.trainImportanceModel(raw, "text",
+      raw.filter(col("doc_id") % 10 === 3).select(col("text")), "text",
+      buckets = 1 << 16)
+    val rates = Curation.mixtureRates(raw, "lang", budget = 150)
+      .localCheckpoint()
+    // two ordered micro-batches split at the doc_id midpoint
+    val docs = raw.select("doc_id", "text", "lang", "source")
+    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val scratch = scratchDir("stream_curation")
+    docs.filter(col("doc_id") < mid).coalesce(1)
+      .write.parquet(s"$scratch/b1")
+    docs.filter(col("doc_id") >= mid).coalesce(1)
+      .write.parquet(s"$scratch/b2")
+    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
+    val now = System.currentTimeMillis()
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$scratch/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(now - (1 - i) * 60000L)
+    }
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val buf = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, Long, Long, Long)]
+    val q = graft.streaming.StreamingCuration.start(
+      stream, "doc_id", benchmark,
+      graft.streaming.StreamingCuration.FrozenConfig(
+        lang = Some("en"),
+        minQuality = 0.3,
+        maxTopWordRatio = 0.5,
+        classifierWeights = Some(q113Weights),
+        // the frozen raw-corpus model centers differently from q123's
+        // fluent-corpus one: target = a 10% slice of a 5-language
+        // corpus, so the neutral affinity sits near (R+B)/(10·(T+B))
+        // ≈ 0.17e9, not 1e9 — 0.175e9 is the observed median split
+        // and, like q123's, the ratio distribution is scale-invariant
+        importance = Some((model, 175000000L)),
+        seqLen = 1024,
+        shardCol = "source"),
+      Some(rates),
+      fpIndexTable = s"graft_sc_fp_$sfx",
+      packStateTable = s"graft_sc_pack_$sfx") { (batch, _) =>
+      buf ++= batch
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens"), col("seq_id"), col("seq_offset"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.sql(s"DROP TABLE IF EXISTS graft_sc_fp_$sfx")
+      s.sql(s"DROP TABLE IF EXISTS graft_sc_pack_$sfx")
+    }
+    import s.implicits._
+    buf.toSeq
+      .toDF("doc_id", "source", "lang", "n_tokens", "seq_id", "seq_offset")
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -2292,7 +2376,8 @@ object SparkEntry {
     "q81_stream_pack" -> (q81 _),
     "q83_stream_pack_ordered" -> (q83 _),
     "q82_curation_e2e" -> (q82 _),
-    "q123_curation_full" -> (q123 _))
+    "q123_curation_full" -> (q123 _),
+    "q124_stream_curation" -> (q124 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -2812,6 +2897,156 @@ object SparkEntry {
        |FROM pc""".stripMargin
   }
 
+  /** q124 oracle: the frozen-model streaming curation chain's batch
+    * equivalent (ordered ingest ⇒ identical results). Shares q123's
+    * gate fragments; differs in the model sourcing — DSIR counts come
+    * from the RAW corpus snapshot (the frozen model), mixture rates
+    * from raw lang counts, and there is no URL intake (that family
+    * composes via its own index twin).
+    */
+  private def q124Sql: String = {
+    val w = q113Weights
+    s"""WITH sc1 AS (
+       |  SELECT doc_id, lang, source,
+       |    regexp_replace(text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+       |      '<EMAIL>', 'g') AS t1
+       |  FROM documents WHERE lang = 'en'),
+       |sc2 AS (
+       |  SELECT doc_id, lang, source,
+       |    regexp_replace(regexp_replace(t1,
+       |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+       |      '<IP>', 'g'),
+       |      '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS text
+       |  FROM sc1),
+       |pr0 AS (
+       |  SELECT doc_id, lang, source, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wsl,
+       |    list_filter(regexp_split_to_array(
+       |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |      x -> x <> '') AS wn
+       |  FROM sc2),
+       |wc AS (SELECT doc_id, w, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(wn) AS w FROM pr0) GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, max(c) AS top_word, sum(c) AS n_words
+       |        FROM wc GROUP BY 1),
+       |feat AS (
+       |  SELECT p.doc_id, p.lang, p.source, p.text,
+       |    CAST(len(p.ws) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(p.text) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE len(regexp_replace(p.text, '[^.!?,;:]', '', 'g'))
+       |              / CAST(len(p.text) AS DOUBLE) END AS pr,
+       |    len(list_filter(p.wsl, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |      / CAST(len(p.ws) AS DOUBLE) AS sr,
+       |    r.top_word, r.n_words
+       |  FROM pr0 p LEFT JOIN rep r USING (doc_id)),
+       |gated AS (
+       |  SELECT doc_id, lang, source, text, n_tokens
+       |  FROM feat
+       |  WHERE least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+       |          * (CAST(1.0 AS DOUBLE) - pr) * (CAST(0.5 AS DOUBLE) + sr) > 0.3
+       |    AND n_words > 0
+       |    AND CAST(top_word AS DOUBLE) / n_words <= 0.5
+       |    AND CAST(${w.bias} AS DOUBLE)
+       |        + CAST(${w.lenSat} AS DOUBLE)
+       |          * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(${w.lenCap} AS DOUBLE))
+       |        + CAST(${w.punct} AS DOUBLE) * pr
+       |        + CAST(${w.stop} AS DOUBLE) * sr
+       |        + CAST(${w.cpt} AS DOUBLE) * (CAST(len(text) AS DOUBLE) / n_tokens)
+       |        > 0),
+       |-- frozen DSIR model: counts from the RAW corpus snapshot
+       |rtok AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(
+       |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |           x -> x <> '') AS ws
+       |  FROM documents),
+       |rg AS (SELECT doc_id,
+       |         unnest(list_transform(range(len(ws) - 1),
+       |           i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+       |       FROM rtok WHERE len(ws) >= 2),
+       |rb2 AS (SELECT CAST(('0x' || substr(md5(gram), 1, 6))::BIGINT % 65536
+       |                 AS BIGINT) AS bucket, count(*) AS r_cnt
+       |        FROM rg GROUP BY 1),
+       |rt2 AS (SELECT count(*) AS r_total FROM rg),
+       |tb2 AS (SELECT CAST(('0x' || substr(md5(gram), 1, 6))::BIGINT % 65536
+       |                 AS BIGINT) AS bucket, count(*) AS t_cnt
+       |        FROM rg g JOIN documents d USING (doc_id)
+       |        WHERE d.doc_id % 10 = 3 GROUP BY 1),
+       |tt2 AS (SELECT count(*) AS t_total FROM rg g
+       |        JOIN documents d USING (doc_id) WHERE d.doc_id % 10 = 3),
+       |-- score the GATED (scrubbed) text under the frozen counts
+       |gtok AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(
+       |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |           x -> x <> '') AS ws
+       |  FROM gated),
+       |gg AS (SELECT doc_id,
+       |         unnest(list_transform(range(len(ws) - 1),
+       |           i -> ws[i + 1] || ' ' || ws[i + 2])) AS gram
+       |       FROM gtok WHERE len(ws) >= 2),
+       |gsc AS (
+       |  SELECT gg.doc_id,
+       |    CAST(floor(1e9
+       |      * (CAST(COALESCE(tb2.t_cnt, 0) + 1 AS DOUBLE)
+       |         * CAST(rt2.r_total + 65536 AS DOUBLE))
+       |      / (CAST(tt2.t_total + 65536 AS DOUBLE)
+       |         * CAST(COALESCE(rb2.r_cnt, 0) + 1 AS DOUBLE))) AS BIGINT) AS r
+       |  FROM gg
+       |  LEFT JOIN tb2 ON tb2.bucket =
+       |    CAST(('0x' || substr(md5(gg.gram), 1, 6))::BIGINT % 65536 AS BIGINT)
+       |  LEFT JOIN rb2 ON rb2.bucket =
+       |    CAST(('0x' || substr(md5(gg.gram), 1, 6))::BIGINT % 65536 AS BIGINT)
+       |  CROSS JOIN tt2 CROSS JOIN rt2),
+       |gaff AS (
+       |  SELECT doc_id,
+       |         CAST(floor(CAST(sum(r) AS DOUBLE) / count(*)) AS BIGINT)
+       |           AS affinity_fp
+       |  FROM gsc GROUP BY doc_id),
+       |selected AS (
+       |  SELECT g.* FROM gated g JOIN gaff USING (doc_id)
+       |  WHERE gaff.affinity_fp >= 175000000),
+       |bm AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(
+       |    lower(replace(text, ' ', '  ')), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |cleaned AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM selected s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bm
+       |    WHERE bm.fp = md5(trim(regexp_replace(lower(s.text), '\\s+', ' ', 'g'))))),
+       |dd AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM cleaned),
+       |survivors AS (SELECT doc_id, lang, source, n_tokens FROM dd WHERE rk = 1),
+       |-- frozen mixture: rates from the RAW corpus lang counts
+       |mc AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |ms AS (SELECT sum(sqrt(n)) AS sw FROM mc),
+       |mr AS (SELECT lang,
+       |              least(CAST(1.0 AS DOUBLE),
+       |                    CAST(150.0 AS DOUBLE) * sqrt(n) / sw / n) AS rate
+       |       FROM mc CROSS JOIN ms),
+       |sampled AS (
+       |  SELECT s.* FROM survivors s JOIN mr USING (lang)
+       |  WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 6))::BIGINT
+       |        < rate * 16777216.0),
+       |pc AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source
+       |                                  ORDER BY doc_id) AS BIGINT) AS cum
+       |  FROM sampled)
+       |SELECT doc_id, source, lang, n_tokens,
+       |       (cum - n_tokens) // 1024 AS seq_id,
+       |       (cum - n_tokens) % 1024 AS seq_offset
+       |FROM pc""".stripMargin
+  }
+
   /** Shared by q76 (batch window) and q81 (stateful streaming twin). */
   private val sequencePackSql: String =
     """WITH t AS (
@@ -3190,6 +3425,8 @@ object SparkEntry {
          |SELECT crawl_id AS doc_id, domain FROM capped WHERE rn <= 3""".stripMargin,
     // the full-composition curation chain — see q123Sql
     "q123_curation_full" -> q123Sql,
+    // the frozen-model streaming curation twin — see q124Sql
+    "q124_stream_curation" -> q124Sql,
     // fixed-centroid cluster balance: centroids = embeddings of
     // vec_id<8 (both engines derive them from the data); distance is
     // the same left-associative 64-term double chain as the Spark

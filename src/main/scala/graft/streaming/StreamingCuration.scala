@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Curation
+import graft.text.{Quality, TextAnalysis}
+
+/** Continuous corpus curation — the streaming face of
+  * [[graft.pipeline.Pipelines.curateCorpus]] under the FROZEN-MODEL
+  * serving discipline: models and policies are trained on a corpus
+  * SNAPSHOT (quality-classifier weights, DSIR importance counts,
+  * mixture rates, the decontamination benchmark), then applied to the
+  * ingest stream; only the two inherently cross-batch stages carry
+  * state, both in bounded storage:
+  *
+  *   - exact keep-first dedup → md5 fingerprint index table (bucketed,
+  *     append-only, batchId replay guard — the
+  *     [[StreamingParagraphDedup]] machinery at document granularity);
+  *   - sequence packing → one running token total per shard
+  *     (|shards| rows, monotone, replay-absorbed by max()).
+  *
+  * Stages with snapshot-scoped statistics that can't freeze to an
+  * artifact-sized model are deliberately absent and keep their own
+  * surfaces: corpus-trained fluency tiers (the bigram LM is
+  * vocab²-sized — q100/q107), paragraph/substring dedup (own index
+  * twins, q101/q102), URL intake (q111's index form would compose the
+  * same way). Everything here is the per-batch plan a 1000-executor
+  * cluster would run on each trigger: map-only gates riding the batch
+  * scan, broadcast policy joins, one O(batch) index probe/append.
+  *
+  * When ingest delivers doc_ids in order, the admitted set and every
+  * (seq_id, seq_offset) are IDENTICAL to the batch pipeline over the
+  * full corpus — the registered query (q124) is hash-gated against a
+  * composed DuckDB oracle, like q101/q102 and unlike any MinHash twin.
+  */
+object StreamingCuration {
+
+  /** Frozen per-document policies (everything trained off-stream). */
+  final case class FrozenConfig(
+      lang: Option[String] = None,
+      minQuality: Double = 0.3,
+      maxTopWordRatio: Double = 0.5,
+      classifierWeights: Option[Quality.Weights] = None,
+      // (model, min affinity): importanceAffinity(text) >= min keeps
+      // the doc; unscoreable docs (< 2 words) drop, matching the
+      // batch resample's semi-join semantics
+      importance: Option[(Curation.ImportanceModel, Long)] = None,
+      seqLen: Int = 1024,
+      shardCol: String = "source")
+
+  /** Start the stream. `benchmark` (decontamination corpus) and
+    * `mixtureRates` (a [[Curation.mixtureRates]] snapshot keyed on
+    * `lang`) must be materialized caller-side (persist or
+    * localCheckpoint) — a lazy static plan would re-execute per
+    * micro-batch. `onBatch` receives each batch's packed survivors
+    * as (all doc columns, n_tokens, seq_id, seq_offset).
+    */
+  def start(docs: DataFrame, idCol: String, benchmark: DataFrame,
+      cfg: FrozenConfig, mixtureRates: Option[DataFrame],
+      fpIndexTable: String, packStateTable: String,
+      indexBuckets: Int = 32)
+      (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val setup = docs.sparkSession
+    if (!setup.catalog.tableExists(fpIndexTable))
+      setup.createDataFrame(
+        setup.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("h", StringType),
+          StructField("batch_id", LongType))))
+        .write.bucketBy(indexBuckets, "h").sortBy("h")
+        .format("parquet").mode("overwrite").saveAsTable(fpIndexTable)
+    else
+      IndexTables.requireBatchIdColumn(setup, fpIndexTable)
+    if (!setup.catalog.tableExists(packStateTable))
+      setup.createDataFrame(
+        setup.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("shard", StringType),
+          StructField("cum", LongType), StructField("batch_id", LongType))))
+        .write.format("parquet").mode("overwrite").saveAsTable(packStateTable)
+
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        // ---- stateless snapshot-frozen gates (exact curateCorpus exprs)
+        val scrubbed = batch.withColumn("text", regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"),
+              TextAnalysis.emailPattern, "<EMAIL>"),
+            TextAnalysis.ipv4Pattern, "<IP>"),
+          TextAnalysis.phonePattern, "<PHONE>"))
+        val langGated = cfg.lang.fold(scrubbed)(l =>
+          scrubbed.filter(col("lang") === l))
+        val gated = langGated
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+          .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+          .withColumn("__rep", graft.functions.RepetitionExpressions.repetitionCounts(
+            array_remove(TextAnalysis.words(TextAnalysis.normalizeText(col("text"))), "")))
+          .filter(col("quality") > cfg.minQuality &&
+            col("__rep").isNotNull &&
+            col("__rep.top_word").cast("double") / col("__rep.n_words")
+              <= cfg.maxTopWordRatio &&
+            cfg.classifierWeights.fold(lit(true))(w =>
+              Quality.scoreQuality(col("text"), w) > 0))
+          .drop("__rep", "quality")
+        val selected = cfg.importance.fold(gated) { case (m, minAff) =>
+          gated.filter(
+            Curation.importanceAffinity(col("text"), m) >= lit(minAff))
+        }
+        val cleaned = Curation.decontaminate(selected, benchmark, "text")
+
+        // ---- cross-batch exact keep-first dedup (fingerprint index)
+        val index = sess.table(fpIndexTable)
+          .filter(col("batch_id") < batchId).select("h").distinct()
+        val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+        val deduped = cleaned
+          .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+          .withColumn("__rn", row_number().over(w))
+          .join(index.withColumnRenamed("h", "__fp").withColumn("__hit", lit(true)),
+            Seq("__fp"), "left")
+          .filter(col("__rn") === 1 && col("__hit").isNull)
+          .drop("__rn", "__hit")
+          .localCheckpoint()
+        val newFps = deduped.select(col("__fp").as("h")).distinct()
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint()
+        newFps.write.bucketBy(indexBuckets, "h").sortBy("h")
+          .format("parquet").mode("append").saveAsTable(fpIndexTable)
+
+        // ---- frozen mixture rebalance
+        val sampled = mixtureRates.fold(deduped.drop("__fp"))(r =>
+          Curation.applyMixtureRates(deduped.drop("__fp"), "lang",
+            col(idCol), r))
+
+        // ---- sequence packing with per-shard running state. cum is
+        // monotone per shard, so the latest committed total is max(cum)
+        // over batch_id < current — a replay's duplicate appends carry
+        // identical values and max() absorbs them.
+        val base = sess.table(packStateTable)
+          .filter(col("batch_id") < batchId)
+          .groupBy(col("shard")).agg(max(col("cum")).as("__base"))
+        val wp = Window.partitionBy(col(cfg.shardCol)).orderBy(col(idCol))
+        val packed = sampled
+          .withColumn("__cum_in", sum(col("n_tokens")).over(wp))
+          .join(broadcast(base.withColumnRenamed("shard", cfg.shardCol)),
+            Seq(cfg.shardCol), "left")
+          .withColumn("__total",
+            coalesce(col("__base"), lit(0L)) + col("__cum_in"))
+          // same arithmetic as Curation.packSequences (floor of an
+          // exact double division; `%` on longs)
+          .withColumn("seq_id",
+            floor((col("__total") - col("n_tokens")) / lit(cfg.seqLen.toLong))
+              .cast("long"))
+          .withColumn("seq_offset",
+            (col("__total") - col("n_tokens")) % lit(cfg.seqLen.toLong))
+          .localCheckpoint()
+        val newState = packed
+          .groupBy(col(cfg.shardCol).as("shard"))
+          .agg(max(col("__total")).as("cum"))
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint()
+        newState.write.format("parquet").mode("append")
+          .saveAsTable(packStateTable)
+        onBatch(packed.drop("__cum_in", "__base", "__total"), batchId)
+      }
+      .start()
+  }
+}
