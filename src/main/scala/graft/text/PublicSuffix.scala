@@ -129,6 +129,32 @@ object PublicSuffix {
 
   private def labelCount(r: String): Int = r.count(_ == '.') + 1
 
+  /** Parse rules from the published file format
+    * (publicsuffix.org/list/public_suffix_list.dat): one rule per
+    * line; `//` comment lines and blank lines ignored; everything
+    * after the first whitespace on a rule line dropped (the published
+    * file has none, but the spec allows it); rules lowercased. Rules
+    * beyond this implementation's matcher — wildcard bases of 3+
+    * labels (`*.compute.amazonaws.com`-class) or exceptions of 4+
+    * labels — are REJECTED loudly rather than silently mis-matched;
+    * extend the matcher's branch chain before ingesting a list that
+    * carries them. This is what makes the full-file swap a data
+    * change: paste the file into a resource and feed its lines here.
+    */
+  def parse(lines: IterableOnce[String]): Seq[String] = {
+    val rules = lines.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(l => l.split("\\s+")(0).toLowerCase(java.util.Locale.ROOT))
+      .toSeq
+    val badWild = rules.filter(r => r.startsWith("*.") && labelCount(r.drop(2)) > 2)
+    val badExc = rules.filter(r => r.startsWith("!") && labelCount(r.drop(1)) > 3)
+    require(badWild.isEmpty && badExc.isEmpty,
+      s"unsupported PSL rules (extend the matcher first): " +
+        s"wildcards ${badWild.take(5)} exceptions ${badExc.take(5)}")
+    rules
+  }
+
   /** exact rules by label count */
   private[text] val exact2: Seq[String] =
     rules.filter(r => !r.startsWith("*") && !r.startsWith("!") && labelCount(r) == 2)

@@ -55,6 +55,21 @@ class PublicSuffixSpec extends SparkSpec {
       Seq("example.com", "example.com", "localhost", ""))
   }
 
+  test("parse: published file format — comments, blanks, case, rejects") {
+    val parsed = PublicSuffix.parse(Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "",
+      "com", "CO.UK  trailing junk", "*.ck", "!www.ck",
+      "// a comment"))
+    assert(parsed === Seq("com", "co.uk", "*.ck", "!www.ck"))
+    intercept[IllegalArgumentException] {
+      PublicSuffix.parse(Seq("*.compute.amazonaws.com"))
+    }
+    intercept[IllegalArgumentException] {
+      PublicSuffix.parse(Seq("!a.b.c.d"))
+    }
+  }
+
   test("DuckDB CASE generator uses the same rule sets") {
     val sql = PublicSuffix.duckDbCase("h", "hp", "hn")
     // every parsed set is represented
