@@ -100,24 +100,43 @@ object Bench {
     * full skip-jump replay per occurrence) — the rehearsal for real
     * tokenizer merge-table scale.
     */
-  private def bpe32kTokenize(spark: SparkSession, sfDir: String): Unit = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
+  private def bpe32kMerges: Seq[graft.text.Bpe.Merge] = {
     val live = Seq(
       ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
       ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
       ("a", "t"), ("e", "s"), ("o", "u"), ("in", "g"), ("t", "o"),
       ("i", "s"), ("o", "f"), ("i", "t"), ("a", "l"), ("a", "s"))
     val filler = (1 to (32768 - live.size)).map(k => (s"zz$k", s"qq$k"))
-    val merges = (live ++ filler).zipWithIndex
+    (live ++ filler).zipWithIndex
       .map { case ((l, r), k) => graft.text.Bpe.Merge(k + 1, l, r, 1L) }
-    val emptyVocab = spark.createDataFrame(
+  }
+
+  private def emptyVocab(spark: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("word", StringType),
         StructField("syms", ArrayType(StringType)))))
+  }
+
+  private def bpe32kTokenize(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
     graft.text.Bpe.tokenCountWithMerges(
       graft.io.Tables.documents(spark, sfDir), "doc_id", "text",
-      emptyVocab, merges)
+      emptyVocab(spark), bpe32kMerges)
+      .agg(sum(col("n_bpe_tokens"))).collect()
+    ()
+  }
+
+  /** Dictionary-encoded A/B twin of [[bpe32kTokenize]]: replay per
+    * distinct (doc, word) instead of per occurrence.
+    */
+  private def bpe32kTokenizeDict(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.text.Bpe.tokenCountWithMergesDict(
+      graft.io.Tables.documents(spark, sfDir), "doc_id", "text",
+      emptyVocab(spark), bpe32kMerges)
       .agg(sum(col("n_bpe_tokens"))).collect()
     ()
   }
@@ -208,19 +227,25 @@ object Bench {
     // to 32k — the skip-jump kernel's cost is O(applied) per word, so
     // filler exercises exactly the table-size-independence claim;
     // analysis cost is O(1) in |merges| by construction).
-    val bpe32k = {
+    def probe(label: String)(body: => Unit): Double = {
       System.gc()
       val t0 = System.nanoTime()
-      try { bpe32kTokenize(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
+      try { body; (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] bpe32k rehearsal failed: $e"); -1.0 }
+        System.err.println(s"[bench] $label failed: $e"); -1.0 }
     }
+    val bpe32k = probe("bpe32k")(bpe32kTokenize(spark, sfDir))
+    // dictionary-encoded A/B: replay per distinct (doc, word) — the
+    // zipfian-corpus form; the pair of numbers records which shape
+    // wins at this corpus
+    val bpe32kDict = probe("bpe32k_dict")(bpe32kTokenizeDict(spark, sfDir))
     val derived = Seq(
       "x_funk_svd_sec_per_epoch" -> perEpoch("q34_funk_svd_k30", 6),
       "x_als_gd_sec_per_epoch" -> perEpoch("q35_als_gd_k30", 6),
       "x_q95_harness_sec" -> q95Harness,
       "x_q95_operator_sec" -> q95Operator,
-      "x_bpe32k_tokenize_sec" -> bpe32k)
+      "x_bpe32k_tokenize_sec" -> bpe32k,
+      "x_bpe32k_dict_sec" -> bpe32kDict)
     val qs = (results ++ derived).map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

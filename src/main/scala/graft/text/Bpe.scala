@@ -186,6 +186,39 @@ object Bpe {
     spark.read.parquet(path).as[Merge].collect().sortBy(_.mergeNo).toSeq
   }
 
+  /** [[tokenCountWithMerges]] with DICTIONARY-ENCODED replay: word
+    * occurrences pre-aggregate to (doc, word, occurrences) — a
+    * map-side-combinable count — before the replay expression runs, so
+    * each distinct word per document replays ONCE and its symbol count
+    * multiplies by the occurrence count. On zipfian corpora (every
+    * real one) the repeat factor makes this the 100 TB shape for
+    * OOV-heavy tokenization: replay CPU drops by the average word
+    * repeat rate at the cost of the pre-agg's combiner pass (the
+    * doc-level agg it feeds was already a shuffle). Counts are
+    * IDENTICAL to [[tokenCountWithMerges]] (spec-asserted) — choose by
+    * corpus shape: per-occurrence replay keeps the zero-extra-pass
+    * plan when the vocabulary covers most words; this form wins when
+    * many repeated words replay.
+    */
+  def tokenCountWithMergesDict(docs: DataFrame, idCol: String,
+      textCol: String, vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val perWord = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("__occ"))
+      .join(broadcast(vocab.select(col("word"), size(col("syms")).as("__n"))),
+        Seq("word"), "left")
+      .withColumn("__n",
+        when(col("__n").isNotNull, col("__n"))
+          .otherwise(size(replaySymbols(col("word"), merges))))
+      .groupBy("doc_id").agg(sum(col("__occ") * col("__n")).as("n_bpe_tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perWord, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bpe_tokens"))
+  }
+
   private def tokenCountImpl(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, oovCount: Column => Column): DataFrame = {
     val perWord = docs

@@ -175,6 +175,24 @@ class BpeSpec extends SparkSpec {
     assert(r._1 === r._2)
   }
 
+  test("tokenCountWithMergesDict == tokenCountWithMerges (per-occurrence)") {
+    val docs = Seq(
+      (1L, "the the cat cat cat sat"),
+      (2L, "unique words only here now"),
+      (3L, ""),
+      (4L, "repeat repeat repeat repeat")).toDF("doc_id", "text")
+    val ms = Seq(Bpe.Merge(1, "t", "h", 1L), Bpe.Merge(2, "th", "e", 1L),
+      Bpe.Merge(3, "c", "a", 1L), Bpe.Merge(4, "ca", "t", 1L))
+    val vocab = Seq(("sat", Seq("s", "at"))).toDF("word", "syms")
+    val a = Bpe.tokenCountWithMerges(docs, "doc_id", "text", vocab, ms)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val b = Bpe.tokenCountWithMergesDict(docs, "doc_id", "text", vocab, ms)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(a === b)
+    // "the"→1 sym ×2 occ; "cat"→1 sym ×3; "sat" in-vocab 2 syms ×1
+    assert(a.head === ((1L, 2L + 3L + 2L)))
+  }
+
   test("saveMerges/loadMerges round-trips the artifact in training order") {
     val (merges, vocab) = Bpe.train(corpus, "text", rounds = 6)
     try {
