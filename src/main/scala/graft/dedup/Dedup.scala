@@ -481,14 +481,19 @@ object Dedup {
     * numPerm-permutation pass, split out so a caller that needs BOTH
     * the probe and the index fold of one batch (the streaming twin)
     * computes signatures ONCE and shares the frame instead of paying
-    * the minhash pass twice. Docs too short to shingle are absent
-    * (null signatures filtered).
+    * the minhash pass twice. Uses the FUSED words→signature kernel
+    * ([[graft.functions.MinHashWords]]): no shingle strings are
+    * materialized as column values — signatures are bit-identical to
+    * the staged `shingleTable` + `minhashSig` pipeline (parity
+    * property in MinHashSpec) at a fraction of the allocation cost.
+    * Docs too short to shingle are absent (null signatures filtered).
     */
   private[graft] def sigTable(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numPerm: Int): DataFrame =
-    shingleTable(docs, idCol, textCol, shingleK)
-      .select(col("id"),
-        graft.functions.MinHashExpressions.minhashSig(col("shingles"), numPerm).as("sig"))
+    docs.select(col(idCol).as("id"),
+      graft.functions.MinHashExpressions.minhashWords(
+        TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))),
+        shingleK, numPerm).as("sig"))
       .filter(col("sig").isNotNull)
 
   /** [[bucketOwners]] over a precomputed [[sigTable]]. */

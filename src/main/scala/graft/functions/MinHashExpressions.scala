@@ -91,6 +91,107 @@ case class MinHashSig(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Fused words→MinHash-signature expression: computes the signature of
+  * a document's k-word shingles DIRECTLY from the words array — no
+  * shingle strings are ever materialized as column values. The HOF
+  * pipeline (`transform`+`slice`+`concat_ws`+`array_distinct` → kernel)
+  * allocates one string and several arrays per shingle per row before
+  * hashing; this kernel joins each window's word bytes into one
+  * REUSABLE buffer and hashes it in place. Signatures are
+  * BIT-IDENTICAL to the staged pipeline (same " "-joined bytes, same
+  * xxh64 seed, same affine permutations — parity property in
+  * MinHashSpec; `array_distinct` is dropped because duplicate shingles
+  * cannot change a minimum). NULL when the doc has fewer than k words
+  * (the staged pipeline's empty-shingles filter).
+  */
+case class MinHashWords(child: Expression, k: Int, numPerm: Int)
+    extends UnaryExpression {
+  require(k >= 1 && numPerm >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private val mask = (1L << 31) - 1L
+  private lazy val as: Array[Long] =
+    Array.tabulate(numPerm)(j => ((j * 0x9E3779B1L) & mask) | 1L)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(numPerm)(j => (j * 0x85EBCA77L + 0xC2B2AE3DL) & mask)
+
+  @transient private lazy val kernel = new MinHashWordsKernel(k, as, bs)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.sig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("minhashWordsKernel", kernel,
+        classOf[MinHashWordsKernel].getName)
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.sig($a);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    (org.apache.spark.sql.catalyst.util.GenericArrayData) $r;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashWords =
+    copy(child = newChild)
+}
+
+/** Interpreted/codegen-shared fused minhash kernel. */
+final class MinHashWordsKernel(k: Int, as: Array[Long], bs: Array[Long])
+    extends Serializable {
+  private val mask = (1L << 31) - 1L
+
+  def sig(words: ArrayData): GenericArrayData = {
+    val n = words.numElements()
+    if (n < k) return null
+    val numPerm = as.length
+    // word byte snapshots (UTF8String.getBytes may return the backing
+    // array — read-only here) + the widest window for the join buffer
+    val wb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { wb(i) = words.getUTF8String(i).getBytes; i += 1 }
+    var maxLen = 0
+    i = 0
+    while (i <= n - k) {
+      var len = k - 1
+      var j = i
+      while (j < i + k) { len += wb(j).length; j += 1 }
+      if (len > maxLen) maxLen = len
+      i += 1
+    }
+    val buf = new Array[Byte](maxLen)
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    i = 0
+    while (i <= n - k) {
+      var off = 0
+      var j = i
+      while (j < i + k) {
+        if (j > i) { buf(off) = ' '; off += 1 }
+        val b = wb(j)
+        System.arraycopy(b, 0, buf, off, b.length)
+        off += b.length
+        j += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, off, 42L) & mask
+      var p = 0
+      while (p < numPerm) {
+        val x = (h * as(p) + bs(p)) & mask
+        if (x < mins(p)) mins(p) = x
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
 /** 64-bit SimHash of a word array as ONE codegen'd expression.
   *
   * Parity contract with `Dedup.simHashFromHashes`: bit b of the
@@ -164,6 +265,11 @@ object MinHashExpressions {
   /** Codegen'd MinHash signature of an ARRAY<STRING> shingle column. */
   def minhashSig(shingles: Column, numPerm: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numPerm))
+
+  /** Fused words→signature form (no shingle materialization). */
+  def minhashWords(words: Column, k: Int, numPerm: Int): Column =
+    ColumnBridge.column(
+      MinHashWords(ColumnBridge.expression(words), k, numPerm))
 
   /** Codegen'd 64-bit SimHash of an ARRAY<STRING> word column. */
   def simhashSig(words: Column): Column =

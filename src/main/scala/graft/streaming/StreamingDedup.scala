@@ -151,6 +151,22 @@ object StreamingDedup {
           // appends refresh the wrong cache and every later batch
           // probes a stale (empty) file listing (found empirically)
           val sess = batch.sparkSession
+          // opt-in stage timing (-Dgraft.streamingDedup.timing=true or
+          // GRAFT_SD_TIMING=true — sbt's forked `run` drops sysprops,
+          // env survives): stderr per-stage seconds, for attributing
+          // the per-batch cost between signature pass, probe, fold and
+          // table append
+          val timing = sys.props.get("graft.streamingDedup.timing")
+            .orElse(sys.env.get("GRAFT_SD_TIMING")).contains("true")
+          def timed[A](label: String)(body: => A): A =
+            if (!timing) body
+            else {
+              val t0 = System.nanoTime()
+              val r = body
+              System.err.println(f"[sd-timing] batch=$batchId $label%-12s " +
+                f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+              r
+            }
           val fullIndex = sess.table(tbl)
           // replay guard: probe only rows admitted by EARLIER batches —
           // a failed attempt's own rows (batch_id == batchId) are
@@ -163,8 +179,10 @@ object StreamingDedup {
           // (previously both recomputed it: ~2× the minhash cost per
           // batch). localCheckpoint pins the signatures so both
           // consumers read the materialized rows.
-          val sigs = Dedup.sigTable(batch, idCol, textCol, shingleK,
-            bands * rowsPerBand).localCheckpoint()
+          val sigs = timed("sigs") {
+            Dedup.sigTable(batch, idCol, textCol, shingleK,
+              bands * rowsPerBand).localCheckpoint()
+          }
           // probing the EMPTY table is the uniform first-batch case:
           // the left join simply finds no owners, every doc survives.
           // localCheckpoint (eager), NOT persist: the plan reads the
@@ -174,9 +192,11 @@ object StreamingDedup {
           // silently RE-PROBE the mutated table and self-match every
           // survivor (found empirically: batch-0 verdicts [1→1]).
           // Checkpointing pins the rows themselves.
-          val verdicts = Dedup.dedupAgainstIndexWithSigs(batch, sigs,
-            probeIndex, idCol, bands, rowsPerBand, threshold)
-            .localCheckpoint()
+          val verdicts = timed("probe") {
+            Dedup.dedupAgainstIndexWithSigs(batch, sigs,
+              probeIndex, idCol, bands, rowsPerBand, threshold)
+              .localCheckpoint()
+          }
           val survivorSigs = sigs.join(
             verdicts.filter(col("dup_of").isNull)
               .select(col(idCol).as("id")),
@@ -186,12 +206,14 @@ object StreamingDedup {
           // Same lineage truncation for the append input: Spark rejects
           // insert-into-read-from plans, and the rows must be fixed
           // before the table mutates
-          val newRows = Dedup.newIndexRowsFromSigs(fullIndex, survivorSigs,
-            bands, rowsPerBand)
-            .withColumn("batch_id", lit(batchId))
-            .localCheckpoint()
-          writeIndex(newRows, tbl, indexBuckets, overwrite = false)
-          onBatch(verdicts, batchId)
+          val newRows = timed("fold") {
+            Dedup.newIndexRowsFromSigs(fullIndex, survivorSigs,
+              bands, rowsPerBand)
+              .withColumn("batch_id", lit(batchId))
+              .localCheckpoint()
+          }
+          timed("append")(writeIndex(newRows, tbl, indexBuckets, overwrite = false))
+          timed("onBatch")(onBatch(verdicts, batchId))
         }
         .start()
       Run(query,

@@ -31,6 +31,34 @@ class MinHashExpressionsSpec extends SparkSpec {
     assert(viaExpr === viaAgg)
   }
 
+  test("MinHashWords (fused kernel) == staged shingle pipeline, bit for bit") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "δ", "e")
+    val textGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val texts = (0 until 4).flatMap(i =>
+      Gen.listOfN(25, textGen)(Gen.Parameters.default, Seed(4200L + i)).get)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val k = 3
+    val staged = df.select($"id",
+        graft.dedup.Dedup.shinglesFromWords(
+          graft.text.TextAnalysis.words(
+            graft.text.TextAnalysis.normalizeText($"text")), k).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"id", MinHashExpressions.minhashSig($"sh", numPerm).as("sig"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    val fused = df.select($"id",
+        MinHashExpressions.minhashWords(
+          graft.text.TextAnalysis.words(
+            graft.text.TextAnalysis.normalizeText($"text")), k, numPerm).as("sig"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused === staged)
+  }
+
   test("SimHashSig matches the HOF simHashFromHashes formulation exactly") {
     val words = Seq(
       (1L, Seq("the", "quick", "brown", "fox")),
