@@ -212,7 +212,13 @@ object StreamingDedup {
               .withColumn("batch_id", lit(batchId))
               .localCheckpoint()
           }
-          timed("append")(writeIndex(newRows, tbl, indexBuckets, overwrite = false))
+          // measured: coalescing the append to one writer task is a
+          // net LOSS (single-task sort+write serializes ~0.5 s over
+          // the parallel multi-file write) — small appended files are
+          // ordinary maintenance, compacted offline via
+          // Bucketing.compactBucketed
+          timed("append")(writeIndex(newRows, tbl, indexBuckets,
+            overwrite = false))
           timed("onBatch")(onBatch(verdicts, batchId))
         }
         .start()
