@@ -18,6 +18,53 @@ class StreamingCurationSpec extends SparkSpec {
   private def text(tag: String): String =
     (1 to 50).map(i => s"the ${tag}_$i").mkString(" ")
 
+  test("replayed batch probes pre-batch state only (at-least-once safety)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // simulate a failed attempt of batch 0 that already committed its
+    // side effects: the doc's fingerprint (batch_id = 0) in the fp
+    // index AND the shard's running total (batch_id = 0) in the pack
+    // state. The replay must neither self-match the fingerprint (the
+    // doc survives, as originally reported) nor read its own pack
+    // total (offsets restart from the pre-batch base of 0).
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val fpTbl = s"graft_scr_fp_$sfx"; val stTbl = s"graft_scr_pack_$sfx"
+    val a = text("a")
+    spark.sql(
+      s"SELECT md5(trim(regexp_replace(lower('${a}'), '\\\\s+', ' '))) AS h, " +
+        "CAST(0 AS BIGINT) AS batch_id")
+      .write.bucketBy(32, "h").sortBy("h")
+      .format("parquet").saveAsTable(fpTbl)
+    Seq(("s", 100L, 0L)).toDF("shard", "cum", "batch_id")
+      .write.format("parquet").saveAsTable(stTbl)
+    val mem = MemoryStream[(Long, String, String, String)](spark)
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val q = StreamingCuration.start(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"), "doc_id",
+      Seq.empty[String].toDF("text").localCheckpoint(),
+      StreamingCuration.FrozenConfig(seqLen = 64),
+      mixtureRates = None, fpIndexTable = fpTbl, packStateTable = stTbl) {
+      (batch, _) =>
+        got ++= batch.select("doc_id", "seq_id", "seq_offset")
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+    }
+    try {
+      mem.addData((1L, a, "en", "s")) // the replayed batch 0
+      q.processAllAvailable()
+      mem.addData((2L, text("b"), "en", "s")) // batch 1 continues after it
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $fpTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $stTbl")
+    }
+    // replay: survives (no self-match), packs from base 0 (no
+    // double-count of its own failed attempt's total)
+    assert(got(1L) === ((0L, 0L)),
+      "replayed batch 0 read its own failed attempt's state")
+    // batch 1: base = the 100 tokens batch 0 committed → 100/64 = 1 r36
+    assert(got(2L) === ((1L, 36L)))
+  }
+
   test("cross-batch dedup drops the recurrence; pack offsets continue") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sc_spec").toString
     Seq((1L, text("a"), "en", "s"), (2L, text("b"), "en", "s"))
