@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   * full file is ~9k rules): all the high-traffic ICANN ccSLD families
   * plus the major private-suffix hosters. Swapping in the complete
   * list is a data change only — paste the rules into [[rules]] (same
-  * syntax as the published file) and every consumer picks it up; the
-  * matching algorithm already handles all three rule forms. Rules
-  * with 4+ labels (`*.compute.amazonaws.com`-class) are out of scope
-  * for the subset and documented as such.
+  * syntax as the published file, or feed the file's lines to
+  * [[parse]]) and every consumer picks it up; the matching algorithm
+  * handles exact rules of 2–3 labels, wildcard bases of 1–3 labels
+  * (`*.compute.amazonaws.com` included) and exceptions of 2–3 labels
+  * — anything beyond is rejected loudly at parse time.
   *
   * Scale shape: the rule sets become codegen'd `InSet` hash lookups
   * inside ONE map-only expression — no join, no shuffle, no UDF; a
@@ -125,7 +126,11 @@ object PublicSuffix {
     "pythonanywhere.com", "sourceforge.io", "wixsite.com",
     "ngrok.io", "shinyapps.io", "hf.space", "deno.dev", "supabase.co",
     "streamlit.app",
-    "s3.amazonaws.com")
+    "s3.amazonaws.com",
+    // 3-label wildcard bases (each EC2-region host is its own public
+    // suffix: customer VMs under one region must not share a domain
+    // group)
+    "*.compute.amazonaws.com", "*.compute-1.amazonaws.com")
 
   private def labelCount(r: String): Int = r.count(_ == '.') + 1
 
@@ -134,9 +139,9 @@ object PublicSuffix {
     * line; `//` comment lines and blank lines ignored; everything
     * after the first whitespace on a rule line dropped (the published
     * file has none, but the spec allows it); rules lowercased. Rules
-    * beyond this implementation's matcher — wildcard bases of 3+
-    * labels (`*.compute.amazonaws.com`-class) or exceptions of 4+
-    * labels — are REJECTED loudly rather than silently mis-matched;
+    * beyond this implementation's matcher — wildcard bases of 4+
+    * labels or exceptions of 4+ labels — are REJECTED loudly rather
+    * than silently mis-matched;
     * extend the matcher's branch chain before ingesting a list that
     * carries them. This is what makes the full-file swap a data
     * change: paste the file into a resource and feed its lines here.
@@ -147,7 +152,7 @@ object PublicSuffix {
       .filter(l => l.nonEmpty && !l.startsWith("//"))
       .map(l => l.split("\\s+")(0).toLowerCase(java.util.Locale.ROOT))
       .toSeq
-    val badWild = rules.filter(r => r.startsWith("*.") && labelCount(r.drop(2)) > 2)
+    val badWild = rules.filter(r => r.startsWith("*.") && labelCount(r.drop(2)) > 3)
     val badExc = rules.filter(r => r.startsWith("!") && labelCount(r.drop(1)) > 3)
     require(badWild.isEmpty && badExc.isEmpty,
       s"unsupported PSL rules (extend the matcher first): " +
@@ -166,14 +171,16 @@ object PublicSuffix {
     rules.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 1)
   private[text] val wild2: Seq[String] =
     rules.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 2)
+  private[text] val wild3: Seq[String] =
+    rules.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 3)
   /** exception rules: `!www.ck` → "www.ck" */
   private[text] val exc2: Seq[String] =
     rules.filter(_.startsWith("!")).map(_.drop(1)).filter(labelCount(_) == 2)
   private[text] val exc3: Seq[String] =
     rules.filter(_.startsWith("!")).map(_.drop(1)).filter(labelCount(_) == 3)
 
-  require(rules.filter(_.startsWith("*.")).forall(r => labelCount(r.drop(2)) <= 2),
-    "snapshot parser handles wildcard bases of at most 2 labels")
+  require(rules.filter(_.startsWith("*.")).forall(r => labelCount(r.drop(2)) <= 3),
+    "snapshot parser handles wildcard bases of at most 3 labels")
   require(rules.filter(_.startsWith("!")).forall(r => labelCount(r.drop(1)) <= 3),
     "snapshot parser handles exceptions of at most 3 labels")
 
@@ -189,11 +196,13 @@ object PublicSuffix {
     def lastK(k: Int): Column = substring_index(host, ".", -k)
     def in(set: Seq[String], c: Column): Column =
       if (set.isEmpty) lit(false) else c.isin(set: _*)
-    val l1 = lastK(1); val l2 = lastK(2); val l3 = lastK(3); val l4 = lastK(4)
+    val l1 = lastK(1); val l2 = lastK(2); val l3 = lastK(3)
+    val l4 = lastK(4); val l5 = lastK(5)
     when(host.isNull, lit(null))
       .when(n <= 1, host)
       .when(in(exc3, l3), l3)
       .when(in(exc2, l2), l2)
+      .when(n >= 4 && in(wild3, l3), when(n >= 5, l5).otherwise(host))
       .when(in(exact3, l3) || (n >= 3 && in(wild2, l2)),
         when(n >= 4, l4).otherwise(host))
       .when(in(exact2, l2) || in(wild1, l1),
@@ -215,11 +224,14 @@ object PublicSuffix {
     // clamped) to the end
     def lastK(k: Int): String =
       s"array_to_string(list_slice($parts, greatest($n - ${k - 1}, 1), $n), '.')"
-    val l1 = lastK(1); val l2 = lastK(2); val l3 = lastK(3); val l4 = lastK(4)
+    val l1 = lastK(1); val l2 = lastK(2); val l3 = lastK(3)
+    val l4 = lastK(4); val l5 = lastK(5)
     s"""CASE
        |  WHEN $n <= 1 THEN $host
        |  WHEN $l3 IN ${sqlList(exc3)} THEN $l3
        |  WHEN $l2 IN ${sqlList(exc2)} THEN $l2
+       |  WHEN $n >= 4 AND $l3 IN ${sqlList(wild3)}
+       |    THEN CASE WHEN $n >= 5 THEN $l5 ELSE $host END
        |  WHEN $l3 IN ${sqlList(exact3)}
        |       OR ($n >= 3 AND $l2 IN ${sqlList(wild2)})
        |    THEN CASE WHEN $n >= 4 THEN $l4 ELSE $host END

@@ -62,12 +62,29 @@ class PublicSuffixSpec extends SparkSpec {
       "com", "CO.UK  trailing junk", "*.ck", "!www.ck",
       "// a comment"))
     assert(parsed === Seq("com", "co.uk", "*.ck", "!www.ck"))
+    // 3-label wildcard bases are in scope; 4+ rejected
+    assert(PublicSuffix.parse(Seq("*.compute.amazonaws.com")) ===
+      Seq("*.compute.amazonaws.com"))
     intercept[IllegalArgumentException] {
-      PublicSuffix.parse(Seq("*.compute.amazonaws.com"))
+      PublicSuffix.parse(Seq("*.a.b.c.d"))
     }
     intercept[IllegalArgumentException] {
       PublicSuffix.parse(Seq("!a.b.c.d"))
     }
+  }
+
+  test("3-label wildcard *.compute.amazonaws.com: per-region suffixes") {
+    assert(dom(
+      "vm1.eu-west-1.compute.amazonaws.com",
+      "a.vm1.eu-west-1.compute.amazonaws.com",
+      "eu-west-1.compute.amazonaws.com",   // IS a public suffix → pass-through
+      "compute.amazonaws.com",             // no * label → only the default rule
+      "bucket.s3.amazonaws.com") ==
+      Seq("vm1.eu-west-1.compute.amazonaws.com",
+        "vm1.eu-west-1.compute.amazonaws.com",
+        "eu-west-1.compute.amazonaws.com",
+        "amazonaws.com",
+        "bucket.s3.amazonaws.com"))
   }
 
   test("DuckDB CASE generator uses the same rule sets") {
