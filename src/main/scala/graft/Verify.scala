@@ -42,6 +42,16 @@ object Verify {
       catch { case e: Throwable =>
         nFailed += 1
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        // drop any stale <outDir>/<name> parquet from a previous run of
+        // the same outDir — leaving it would let the comparer print a
+        // bogus PASS for a query that just threw
+        val stale = Paths.get(outDir, name)
+        if (Files.isDirectory(stale)) {
+          val s = Files.walk(stale)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally s.close()
+        }
         Files.createDirectories(failedDir)
         val sw = new java.io.StringWriter()
         e.printStackTrace(new java.io.PrintWriter(sw))

@@ -319,17 +319,24 @@ object Curation {
     * map-only expression; see [[clusterBalancedSampleFixed]].
     */
   def assignFixedCentroids(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dim = centroids.head.size
     val dists = centroids.map { c =>
       c.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
         val d = element_at(vec, i + 1).cast("double") - lit(cv)
         acc + d * d
       }
     }
-    val m = if (dists.size == 1) dists.head else least(dists: _*)
-    val first = when(dists.head === m, lit(0L))
-    dists.zipWithIndex.tail
-      .foldLeft(first) { case (w, (d, j)) => w.when(d === m, lit(j.toLong)) }
-      .otherwise(lit((centroids.size - 1).toLong))
+    // Each distance chain appears exactly ONCE, in an array literal;
+    // the argmin is array_position(.., array_min(..)) (first occurrence
+    // = first-minimum tie-break, matching the oracle's min(cid)). The
+    // earlier when(d === m)-chain form inlined every chain ~2x per
+    // branch (O(k²·dim) tree) and adding a guard branch on top of it
+    // defeated conditional CSE — measured OOM/4x-slowdown on 500 rows.
+    // A null or too-short vector would otherwise silently land in a
+    // real cluster; surface it as the reserved cluster -1 instead.
+    val darr = array(dists: _*)
+    when(vec.isNull || size(vec) < dim, lit(-1L))
+      .otherwise((array_position(darr, array_min(darr)) - 1L).cast("long"))
   }
 
   def clusterBalancedSample(embeddings: DataFrame, idCol: String,

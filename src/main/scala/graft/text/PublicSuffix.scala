@@ -213,6 +213,14 @@ object PublicSuffix {
   private def sqlList(set: Seq[String]): String =
     set.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** `expr IN (…)`, or literal `FALSE` for an empty rule class —
+    * mirrors the Spark side's `lit(false)` guard; `IN ()` is invalid
+    * SQL, and a swapped-in snapshot may legitimately leave a class
+    * (e.g. exc3/wild3) empty.
+    */
+  private def sqlIn(expr: String, set: Seq[String]): String =
+    if (set.isEmpty) "FALSE" else s"$expr IN ${sqlList(set)}"
+
   /** DuckDB replay of [[registrableDomain]] — generated from the SAME
     * rule sets so the oracle can never drift from the engine. The
     * caller provides expressions for the host, its label array, and
@@ -228,14 +236,14 @@ object PublicSuffix {
     val l4 = lastK(4); val l5 = lastK(5)
     s"""CASE
        |  WHEN $n <= 1 THEN $host
-       |  WHEN $l3 IN ${sqlList(exc3)} THEN $l3
-       |  WHEN $l2 IN ${sqlList(exc2)} THEN $l2
-       |  WHEN $n >= 4 AND $l3 IN ${sqlList(wild3)}
+       |  WHEN ${sqlIn(l3, exc3)} THEN $l3
+       |  WHEN ${sqlIn(l2, exc2)} THEN $l2
+       |  WHEN $n >= 4 AND ${sqlIn(l3, wild3)}
        |    THEN CASE WHEN $n >= 5 THEN $l5 ELSE $host END
-       |  WHEN $l3 IN ${sqlList(exact3)}
-       |       OR ($n >= 3 AND $l2 IN ${sqlList(wild2)})
+       |  WHEN ${sqlIn(l3, exact3)}
+       |       OR ($n >= 3 AND ${sqlIn(l2, wild2)})
        |    THEN CASE WHEN $n >= 4 THEN $l4 ELSE $host END
-       |  WHEN $l2 IN ${sqlList(exact2)} OR $l1 IN ${sqlList(wild1)}
+       |  WHEN ${sqlIn(l2, exact2)} OR ${sqlIn(l1, wild1)}
        |    THEN CASE WHEN $n >= 3 THEN $l3 ELSE $host END
        |  ELSE $l2
        |END""".stripMargin

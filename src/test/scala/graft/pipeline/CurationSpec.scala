@@ -335,6 +335,19 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
   }
 
+  test("assignFixedCentroids: malformed vectors surface as cluster -1") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0))
+    val rows = Seq(
+      (1L, Seq(0.1, 0.2)),        // well-formed → c0
+      (2L, null: Seq[Double]),    // null vector
+      (3L, Seq(5.0)))             // shorter than centroid dim
+    val got = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Curation.assignFixedCentroids(col("embedding"), cents).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> -1L, 3L -> -1L))
+  }
+
   test("clusterBalancedSampleFixed flattens the dominant fixed cluster") {
     def jitter(i: Int): Double = (i % 7) * 0.01
     val pts =

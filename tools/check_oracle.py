@@ -33,14 +33,21 @@ def main():
     # graft.Verify leaves a _failed/<name>.txt for every query that threw
     # — count each as a hard failure, never silent absence
     failed_dir = os.path.join(out_dir, "_failed")
+    failed_names = set()
     if os.path.isdir(failed_dir):
         for f in sorted(os.listdir(failed_dir)):
             qname = f[:-len(".txt")]
+            failed_names.add(qname)
             first = open(os.path.join(failed_dir, f)).readline().strip()
             print(f"FAIL  {qname}: query threw: {first[:200]}")
             n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         if name == "_failed":
+            continue
+        # a query that threw THIS run may still have a stale <name>/
+        # parquet dir from a previous run of the same outDir — comparing
+        # it would print a bogus PASS alongside the FAIL above
+        if name in failed_names:
             continue
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
