@@ -2159,9 +2159,10 @@ object SparkEntry {
     * half of the corpus, new-batch (second half) probed against it —
     * the "dedup the new crawl against the existing corpus without
     * re-reading history" shape. Emits every batch doc with its
-    * `dup_of` owner (NULL = survivor). Rows-only: the MinHash
-    * signature cannot be replicated in the oracle engine; semantics
-    * are pinned by DedupSpec's planted cross-batch fixtures.
+    * `dup_of` owner (NULL = survivor). Hash-gated: the oracle replays
+    * xxhash64 + the shared permutation constants in DuckDB
+    * ([[graft.oracle.MinHashOracles.q90Sql]]) and reproduces the
+    * index-owner + estimator verdicts exactly.
     */
   private def q90(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -3696,6 +3697,13 @@ object SparkEntry {
         |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |       count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM all_docs GROUP BY 1""".stripMargin,
+    // MinHash/SimHash family: generated oracles that replay Spark's
+    // xxhash64 inside DuckDB (graft.oracle.DuckDbXxHash) and share the
+    // engine's permutation constants (Dedup.permA/permB).
+    "q43_minhash_neardup" -> graft.oracle.MinHashOracles.q43Sql(),
+    "q44_simhash_neardup" -> graft.oracle.MinHashOracles.q44Sql(),
+    "q54_dedup_pipeline" -> graft.oracle.MinHashOracles.q54Sql(),
+    "q90_incremental_neardup" -> graft.oracle.MinHashOracles.q90Sql(),
     "q45_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, source,

@@ -330,6 +330,18 @@ object Dedup {
     */
   private val hashMask = (1L << 31) - 1L
 
+  /** Scala closed forms of the affine-permutation constants used by
+    * [[permutationArray]] / [[minHashSignature]] / the codegen kernels
+    * — the SINGLE source the generated DuckDB oracles for the MinHash
+    * family draw from (MinHashSpec pins expression↔closed-form parity,
+    * the driver's hash gate pins Scala↔DuckDB parity).
+    */
+  private[graft] def permA(j: Int): Long =
+    ((j.toLong * 0x9E3779B1L) & hashMask) | 1L
+  private[graft] def permB(j: Int): Long =
+    (j.toLong * 0x85EBCA77L + 0xC2B2AE3DL) & hashMask
+  private[graft] def hashMask31: Long = hashMask
+
   /** All numPerm affine permutations `(a_j·h + b_j) mod 2³¹` of one
     * 31-bit base hash (the universal-hash family; 31-bit state keeps
     * every product inside a long under ANSI overflow checking). `h`

@@ -59,6 +59,21 @@ class MinHashExpressionsSpec extends SparkSpec {
     assert(fused === staged)
   }
 
+  test("permA/permB closed forms match the permutationArray expression") {
+    // the generated DuckDB oracles (graft.oracle.MinHashOracles) inline
+    // Dedup.permA/permB as literals; this pins them to the engine's
+    // expression-side constants so oracle and engine cannot drift
+    val mask = (1L << 31) - 1L
+    val hs = Seq(0L, 1L, 12345L, mask, 987654321L)
+    val viaExpr = hs.toDF("h")
+      .select($"h", graft.dedup.Dedup.permutationArray($"h", numPerm).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for (h <- hs; j <- 0 until numPerm) {
+      val expect = (h * graft.dedup.Dedup.permA(j) + graft.dedup.Dedup.permB(j)) & mask
+      assert(viaExpr(h)(j) === expect, s"h=$h j=$j")
+    }
+  }
+
   test("SimHashSig matches the HOF simHashFromHashes formulation exactly") {
     val words = Seq(
       (1L, Seq("the", "quick", "brown", "fox")),
