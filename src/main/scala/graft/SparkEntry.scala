@@ -1596,6 +1596,29 @@ object SparkEntry {
     m.recommendForAllUsersAnn(5, nlist = 16, nprobe = 8)
   }
 
+  /** Fixed-state twin of q31 — hash-gates the top-N serving operator
+    * itself (`AlsRecommender.topNExact`: exact cross-join scoring +
+    * per-user window rank, the paper's §2 headline concept). Factor
+    * states are deterministic FIXED-POINT aggregates of the ratings
+    * (training is float/RNG and stays rows-only — the q121b
+    * fixed-centroid precedent): u = i = [n, Σr/10⁶, Σr²/10⁶] per key,
+    * i_bias the fixed-point mean, so every score is a replayable IEEE
+    * chain in both engines.
+    */
+  private def q31b(s: SparkSession, dir: String): DataFrame = {
+    val r = ratings(s, dir)
+    def state(key: String) = r.groupBy(key).agg(
+      count(lit(1)).cast("double").as("c"),
+      fsum(col("rating")).as("s1"),
+      fsum(col("rating") * col("rating")).as("s2"))
+    val users = state("user")
+      .select(col("user"), array(col("c"), col("s1"), col("s2")).as("u_factors"))
+    val items = state("item")
+      .select(col("item"), array(col("c"), col("s1"), col("s2")).as("i_factors"),
+        (col("s1") / col("c")).as("i_bias"))
+    AlsRecommender.topNExact(users, items, 5)
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -2285,6 +2308,7 @@ object SparkEntry {
     "q59_audio_windows" -> (q59 _),
     "q30_mllib_als_eval" -> (q30 _),
     "q31_topn_recommend" -> (q31 _),
+    "q31b_topn_fixed_state" -> (q31b _),
     "q32_funk_svd_train" -> (q32 _),
     "q33_als_gd_train" -> (q33 _),
     "q34_funk_svd_k30" -> (q34 _),
@@ -3700,6 +3724,23 @@ object SparkEntry {
     // MinHash/SimHash family: generated oracles that replay Spark's
     // xxhash64 inside DuckDB (graft.oracle.DuckDbXxHash) and share the
     // engine's permutation constants (Dedup.permA/permB).
+    "q31b_topn_fixed_state" ->
+      s"""$ratingsCte,
+         |us AS (SELECT "user", CAST(count(*) AS DOUBLE) AS c,
+         |              ${fsumSql("rating")} AS s1, ${fsumSql("rating*rating")} AS s2
+         |       FROM ratings GROUP BY 1),
+         |it AS (SELECT item, CAST(count(*) AS DOUBLE) AS c,
+         |              ${fsumSql("rating")} AS s1, ${fsumSql("rating*rating")} AS s2
+         |       FROM ratings GROUP BY 1),
+         |itb AS (SELECT item, c, s1, s2, s1 / c AS i_bias FROM it),
+         |sc AS (SELECT u."user", i.item,
+         |              (u.c * i.c + u.s1 * i.s1 + u.s2 * i.s2) + i.i_bias AS score
+         |       FROM us u CROSS JOIN itb i),
+         |rk AS (SELECT "user", item,
+         |              CAST(row_number() OVER (PARTITION BY "user"
+         |                ORDER BY score DESC, item) AS INT) AS "rank"
+         |       FROM sc)
+         |SELECT "user", item, "rank" FROM rk WHERE "rank" <= 5""".stripMargin,
     "q43_minhash_neardup" -> graft.oracle.MinHashOracles.q43Sql(),
     "q44_simhash_neardup" -> graft.oracle.MinHashOracles.q44Sql(),
     "q54_dedup_pipeline" -> graft.oracle.MinHashOracles.q54Sql(),

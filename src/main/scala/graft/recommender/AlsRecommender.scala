@@ -64,17 +64,8 @@ object AlsRecommender {
       * production path is [[recommendForAllUsersAnn]]; this form exists
       * to verify it (see the recall test in AlsRecommenderSpec).
       */
-    def recommendForAllUsersExact(n: Int): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user"))
-        .orderBy(col("score").desc, col("item"))
-      userState.crossJoin(broadcast(itemState))
-        .withColumn("score",
-          Serving.dot(col("u_factors"), col("i_factors")) + col("i_bias"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= n)
-        .select(col("user"), col("item"), col("rank"))
-    }
+    def recommendForAllUsersExact(n: Int): DataFrame =
+      topNExact(userState, itemState, n)
 
     /** Top-N serving through an ANN shortlist — the SCALE path (a 10⁷
       * users × 10⁶ items catalog is 10¹³ scored pairs under the cross
@@ -134,6 +125,30 @@ object AlsRecommender {
         .select(col("user"), col("item"), col("rank"))
       out
     }
+  }
+
+  /** Exact cross-join top-N over explicit factor states — the serving
+    * core of [[Model.recommendForAllUsersExact]], standalone so
+    * DETERMINISTIC states can hash-gate the operator (q31b, the q121b
+    * fixed-centroid precedent: training is float/RNG and stays
+    * rows-only; the ranking operator itself is a pure function of its
+    * state inputs). Scores by the full `dot(P,Q) + i_bias` (left-assoc
+    * IEEE chain, replayable cross-engine) with `(score desc, item)`
+    * tie-break.
+    *
+    * @param userState (user, u_factors ARRAY<DOUBLE>)
+    * @param itemState (item, i_factors ARRAY<DOUBLE>, i_bias DOUBLE)
+    */
+  def topNExact(userState: DataFrame, itemState: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user"))
+      .orderBy(col("score").desc, col("item"))
+    userState.crossJoin(broadcast(itemState))
+      .withColumn("score",
+        Serving.dot(col("u_factors"), col("i_factors")) + col("i_bias"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("user"), col("item"), col("rank"))
   }
 
   def fit(ratings: DataFrame, params: Params = Params()): Model = {
