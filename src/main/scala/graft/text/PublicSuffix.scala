@@ -47,8 +47,51 @@ object PublicSuffix {
   /** Snapshot rules, in the published list's own syntax. Sources: the
     * ICANN section's ccSLD families and the private section's hosted-
     * platform entries (publicsuffix.org/list/public_suffix_list.dat).
+    *
+    * This build runs with zero egress, so the snapshot is a curated
+    * high-confidence subset rather than the verbatim ~9k-line file:
+    * every high-traffic ccSLD family, all 47 Japanese prefecture
+    * domains + the city wildcards, the US state / k12 / lib hierarchy,
+    * the .bg single-character rules, and the major private-suffix
+    * hosters (pages/apps/dyn-DNS). [[parse]] + the matcher accept the
+    * complete published file unchanged — pasting it in is a data-only
+    * swap (1-label exact rules like `com` are equivalent to the
+    * default `*` rule and are harmlessly subsumed by it).
     */
-  val rules: Seq[String] = Seq(
+  /** All 47 Japanese prefectures — each `<pref>.jp` is an exact
+    * 2-label public suffix in the ICANN section.
+    */
+  private val jpPrefectures: Seq[String] = Seq(
+    "hokkaido", "aomori", "iwate", "miyagi", "akita", "yamagata",
+    "fukushima", "ibaraki", "tochigi", "gunma", "saitama", "chiba",
+    "tokyo", "kanagawa", "niigata", "toyama", "ishikawa", "fukui",
+    "yamanashi", "nagano", "gifu", "shizuoka", "aichi", "mie", "shiga",
+    "kyoto", "osaka", "hyogo", "nara", "wakayama", "tottori", "shimane",
+    "okayama", "hiroshima", "yamaguchi", "tokushima", "kagawa", "ehime",
+    "kochi", "fukuoka", "saga", "nagasaki", "kumamoto", "oita",
+    "miyazaki", "kagoshima", "okinawa").map(_ + ".jp")
+
+  /** US locality hierarchy: every state code is a public suffix, and
+    * the k12/cc/lib networks under the large states are their own
+    * 3-label suffixes.
+    */
+  private val usStates: Seq[String] = Seq(
+    "al", "ak", "az", "ar", "ca", "co", "ct", "de", "dc", "fl", "ga",
+    "hi", "id", "il", "in", "ia", "ks", "ky", "la", "me", "md", "ma",
+    "mi", "mn", "ms", "mo", "mt", "ne", "nv", "nh", "nj", "nm", "ny",
+    "nc", "nd", "oh", "ok", "or", "pa", "ri", "sc", "sd", "tn", "tx",
+    "ut", "vt", "va", "wa", "wv", "wi", "wy")
+  private val usLocality: Seq[String] =
+    usStates.map(_ + ".us") ++
+      Seq("ca", "ny", "tx", "fl", "il", "pa", "oh", "ga", "nc", "mi",
+        "wa", "ma", "va", "nj", "az").map(s => s"k12.$s.us") ++
+      Seq("ca", "ny", "tx").flatMap(s => Seq(s"cc.$s.us", s"lib.$s.us"))
+
+  /** .bg registers single ASCII letters/digits as public suffixes. */
+  private val bgSingles: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(c => s"$c.bg")
+
+  val rules: Seq[String] = jpPrefectures ++ usLocality ++ bgSingles ++ Seq(
     // ---- ICANN ccSLDs (exact 2-label) ----
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
     "ac.uk", "gov.uk", "nhs.uk", "police.uk",
@@ -106,6 +149,69 @@ object PublicSuffix {
     "gov.ie",
     "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro",
     "rec.ro", "arts.ro", "firm.ro", "store.ro", "www.ro",
+    "ac.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru", "test.ru",
+    "priv.no", "mil.no", "stat.no", "dep.no", "kommune.no", "herad.no",
+    "idrett.no", "museum.no", "vgs.no", "fhs.no", "folkebibl.no",
+    "fylkesbibl.no",
+    "co.hu", "org.hu", "info.hu", "priv.hu", "sport.hu", "tm.hu",
+    "film.hu", "news.hu", "shop.hu", "suli.hu", "city.hu", "hotel.hu",
+    "media.hu", "forum.hu", "games.hu",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "gov.it", "edu.it",
+    "ac.be",
+    "co.cl", "gob.cl", "gov.cl", "mil.cl",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "mil.ec",
+    "fin.ec", "med.ec", "pro.ec", "info.ec",
+    "com.uy", "edu.uy", "gub.uy", "net.uy", "mil.uy", "org.uy",
+    "com.py", "edu.py", "gov.py", "org.py", "net.py", "mil.py", "coop.py",
+    "com.bo", "net.bo", "org.bo", "gob.bo", "edu.bo", "mil.bo", "int.bo",
+    "com.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt", "org.gt",
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "com.do", "edu.do", "gob.do", "gov.do", "net.do", "org.do",
+    "mil.do", "sld.do", "art.do", "web.do",
+    "com.lk", "org.lk", "edu.lk", "ngo.lk", "soc.lk", "web.lk",
+    "ltd.lk", "gov.lk", "sch.lk", "net.lk", "int.lk", "grp.lk",
+    "co.tz", "ac.tz", "go.tz", "or.tz", "ne.tz", "sc.tz",
+    "co.ug", "ac.ug", "sc.ug", "go.ug", "ne.ug", "or.ug",
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.zw", "ac.zw", "gov.zw", "mil.zw", "org.zw",
+    "co.ma", "net.ma", "gov.ma", "org.ma", "ac.ma", "press.ma",
+    "com.tn", "gov.tn", "net.tn", "org.tn",
+    "com.dz", "gov.dz", "org.dz", "net.dz", "edu.dz", "asso.dz", "art.dz",
+    "com.et", "gov.et", "org.et", "edu.et", "net.et", "biz.et",
+    "name.et", "info.et",
+    "co.ae", "net.ae", "org.ae", "sch.ae", "ac.ae", "gov.ae", "mil.ae",
+    "com.qa", "edu.qa", "gov.qa", "mil.qa", "name.qa", "net.qa",
+    "org.qa", "sch.qa",
+    "com.kw", "edu.kw", "emb.kw", "gov.kw", "ind.kw", "net.kw", "org.kw",
+    "co.om", "com.om", "edu.om", "gov.om", "med.om", "museum.om",
+    "net.om", "org.om", "pro.om",
+    "com.jo", "org.jo", "net.jo", "edu.jo", "sch.jo", "gov.jo",
+    "mil.jo", "name.jo",
+    "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    "gov.iq", "edu.iq", "mil.iq", "com.iq", "org.iq", "net.iq",
+    "org.kz", "edu.kz", "net.kz", "gov.kz", "mil.kz", "com.kz",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    "com.az", "net.az", "int.az", "gov.az", "org.az", "edu.az",
+    "info.az", "pp.az", "mil.az", "name.az", "pro.az", "biz.az",
+    "com.ge", "edu.ge", "gov.ge", "org.ge", "mil.ge", "net.ge", "pvt.ge",
+    "com.am", "net.am", "org.am",
+    "com.by", "gov.by", "mil.by", "of.by",
+    "com.ee", "org.ee", "edu.ee", "gov.ee", "pri.ee",
+    "com.lv", "edu.lv", "gov.lv", "org.lv", "mil.lv", "id.lv",
+    "net.lv", "asn.lv", "conf.lv",
+    "gov.lt",
+    "com.hr", "iz.hr", "from.hr", "name.hr",
+    "co.rs", "org.rs", "edu.rs", "ac.rs", "gov.rs", "in.rs",
+    "ac.cy", "com.cy", "gov.cy", "net.cy", "org.cy", "ltd.cy",
+    "com.mt", "edu.mt", "net.mt", "org.mt",
+    "net.is", "com.is", "edu.is", "gov.is", "org.is", "int.is",
+    "com.ua", "kiev.ua", "lviv.ua", "kharkov.ua", "odessa.ua",
+    "poltava.ua", "vinnica.ua",
+    "wroclaw.pl", "krakow.pl", "katowice.pl", "lublin.pl", "lodz.pl",
+    "poznan.pl", "gda.pl", "gdansk.pl", "slupsk.pl", "szczecin.pl",
+    "torun.pl", "warszawa.pl", "mazowsze.pl",
     // ---- ICANN wildcard TLDs ----
     "*.bd", "*.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.mm", "*.np", "*.pg",
     "!www.ck",
@@ -126,6 +232,13 @@ object PublicSuffix {
     "pythonanywhere.com", "sourceforge.io", "wixsite.com",
     "ngrok.io", "shinyapps.io", "hf.space", "deno.dev", "supabase.co",
     "streamlit.app",
+    "myshopify.com", "webflow.io", "carrd.co", "notion.site", "now.sh",
+    "csb.app", "jimdosite.com", "elasticbeanstalk.com", "amplifyapp.com",
+    "trycloudflare.com", "r2.dev", "000webhostapp.com", "mybluemix.net",
+    "run.app", "cloudfunctions.net", "onmicrosoft.com",
+    // dynamic-DNS families (each hostname is an independent operator)
+    "duckdns.org", "ddns.net", "hopto.org", "zapto.org", "sytes.net",
+    "no-ip.biz", "no-ip.info", "no-ip.org", "dynu.net",
     "s3.amazonaws.com",
     // 3-label wildcard bases (each EC2-region host is its own public
     // suffix: customer VMs under one region must not share a domain

@@ -50,6 +50,24 @@ class PublicSuffixSpec extends SparkSpec {
         "city.kawasaki.jp", "city.kawasaki.jp"))
   }
 
+  test("round-10 expanded snapshot: prefectures, US locality, .bg singles, dyn-DNS") {
+    // Japanese prefecture exact-2 rules (all 47 checked in)
+    assert(dom("shinjuku.tokyo.jp", "a.shinjuku.tokyo.jp", "tokyo.jp") ==
+      Seq("shinjuku.tokyo.jp", "shinjuku.tokyo.jp", "tokyo.jp"))
+    // US locality hierarchy: state 2-label + k12 3-label suffixes
+    assert(dom("smith.ca.us", "school.k12.ca.us", "x.school.k12.ca.us") ==
+      Seq("smith.ca.us", "school.k12.ca.us", "school.k12.ca.us"))
+    // .bg single-character suffixes
+    assert(dom("site.a.bg", "site.7.bg") == Seq("site.a.bg", "site.7.bg"))
+    // dyn-DNS + storefront private suffixes: per-operator groups
+    assert(dom("myhome.duckdns.org", "other.duckdns.org",
+      "shop.myshopify.com") ==
+      Seq("myhome.duckdns.org", "other.duckdns.org", "shop.myshopify.com"))
+    // snapshot is materially larger than the pre-round-10 subset and
+    // every rule class is populated
+    assert(PublicSuffix.rules.size > 600)
+  }
+
   test("default rule and pass-through edges") {
     assert(dom("deep.sub.example.com", "example.com", "localhost", "") ==
       Seq("example.com", "example.com", "localhost", ""))
