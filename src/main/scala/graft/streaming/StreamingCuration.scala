@@ -62,7 +62,14 @@ object StreamingCuration {
   def start(docs: DataFrame, idCol: String, benchmark: DataFrame,
       cfg: FrozenConfig, mixtureRates: Option[DataFrame],
       fpIndexTable: String, packStateTable: String,
-      indexBuckets: Int = 32)
+      indexBuckets: Int = 32,
+      // production resume point: with a checkpoint dir, a crashed query
+      // restarts on the SAME batch id, so the batch_id < current probe
+      // guard makes the replay exactly idempotent (the failed attempt's
+      // own appends are invisible to it; its duplicate re-appends are
+      // absorbed by the distinct probe / max(cum) folds) — proven under
+      // injected crash in StreamingCurationSpec
+      checkpointLocation: Option[String] = None)
       (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val setup = docs.sparkSession
     if (!setup.catalog.tableExists(fpIndexTable))
@@ -81,8 +88,9 @@ object StreamingCuration {
           StructField("cum", LongType), StructField("batch_id", LongType))))
         .write.format("parquet").mode("overwrite").saveAsTable(packStateTable)
 
-    docs.writeStream
-      .outputMode("append")
+    val writer = docs.writeStream.outputMode("append")
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
         // ---- stateless snapshot-frozen gates (exact curateCorpus exprs)
