@@ -120,6 +120,7 @@ object Bench {
         StructField("syms", ArrayType(StringType)))))
   }
 
+  /** Default path (dictionary-encoded replay since round 10). */
   private def bpe32kTokenize(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     graft.text.Bpe.tokenCountWithMerges(
@@ -129,12 +130,12 @@ object Bench {
     ()
   }
 
-  /** Dictionary-encoded A/B twin of [[bpe32kTokenize]]: replay per
-    * distinct (doc, word) instead of per occurrence.
+  /** Per-occurrence A/B twin of [[bpe32kTokenize]] — keeps the
+    * default-vs-variant comparison measurable after the dict promotion.
     */
-  private def bpe32kTokenizeDict(spark: SparkSession, sfDir: String): Unit = {
+  private def bpe32kTokenizePerOcc(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    graft.text.Bpe.tokenCountWithMergesDict(
+    graft.text.Bpe.tokenCountWithMergesPerOcc(
       graft.io.Tables.documents(spark, sfDir), "doc_id", "text",
       emptyVocab(spark), bpe32kMerges)
       .agg(sum(col("n_bpe_tokens"))).collect()
@@ -234,18 +235,17 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $label failed: $e"); -1.0 }
     }
+    // default (dict-encoded since round 10) vs per-occurrence A/B:
+    // the pair of numbers records which shape wins at this corpus
     val bpe32k = probe("bpe32k")(bpe32kTokenize(spark, sfDir))
-    // dictionary-encoded A/B: replay per distinct (doc, word) — the
-    // zipfian-corpus form; the pair of numbers records which shape
-    // wins at this corpus
-    val bpe32kDict = probe("bpe32k_dict")(bpe32kTokenizeDict(spark, sfDir))
+    val bpe32kPerOcc = probe("bpe32k_perocc")(bpe32kTokenizePerOcc(spark, sfDir))
     val derived = Seq(
       "x_funk_svd_sec_per_epoch" -> perEpoch("q34_funk_svd_k30", 6),
       "x_als_gd_sec_per_epoch" -> perEpoch("q35_als_gd_k30", 6),
       "x_q95_harness_sec" -> q95Harness,
       "x_q95_operator_sec" -> q95Operator,
       "x_bpe32k_tokenize_sec" -> bpe32k,
-      "x_bpe32k_dict_sec" -> bpe32kDict)
+      "x_bpe32k_perocc_sec" -> bpe32kPerOcc)
     val qs = (results ++ derived).map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -175,7 +175,7 @@ class BpeSpec extends SparkSpec {
     assert(r._1 === r._2)
   }
 
-  test("tokenCountWithMergesDict == tokenCountWithMerges (per-occurrence)") {
+  test("A/B: dict-encoded default == per-occurrence variant") {
     val docs = Seq(
       (1L, "the the cat cat cat sat"),
       (2L, "unique words only here now"),
@@ -184,11 +184,15 @@ class BpeSpec extends SparkSpec {
     val ms = Seq(Bpe.Merge(1, "t", "h", 1L), Bpe.Merge(2, "th", "e", 1L),
       Bpe.Merge(3, "c", "a", 1L), Bpe.Merge(4, "ca", "t", 1L))
     val vocab = Seq(("sat", Seq("s", "at"))).toDF("word", "syms")
-    val a = Bpe.tokenCountWithMerges(docs, "doc_id", "text", vocab, ms)
+    val a = Bpe.tokenCountWithMergesPerOcc(docs, "doc_id", "text", vocab, ms)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     val b = Bpe.tokenCountWithMergesDict(docs, "doc_id", "text", vocab, ms)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(a === b)
+    // the promoted default IS the dict path
+    val c = Bpe.tokenCountWithMerges(docs, "doc_id", "text", vocab, ms)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(c === b)
     // "the"→1 sym ×2 occ; "cat"→1 sym ×3; "sat" in-vocab 2 syms ×1
     assert(a.head === ((1L, 2L + 3L + 2L)))
   }
