@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hot-key stress tests for the three operators whose skew guards were
+  * previously exercised only on small planted fixtures. Each test
+  * synthesizes a fixture where ONE key owns a large share of the rows
+  * (the shape that melts an unguarded plan at 100 TB), asserts the
+  * guard is actually in the plan / semantics, and bounds wall-clock
+  * loosely — the unguarded forms are 100-1000x these sizes' quadratic
+  * blow-ups, so a generous bound still separates guarded from not.
+  */
+class SkewStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("domainCap: one domain owning 25% of 200k URLs caps via pre-shuffle group limit") {
+    // 50k URLs on hotdomain.com + 150k spread over 15k long-tail domains
+    val docs = spark.range(200000L).select(
+      col("id").as("doc_id"),
+      when(col("id") < 50000L,
+        concat(lit("https://hotdomain.com/page/"), col("id")))
+        .otherwise(concat(lit("https://www.site"), col("id") % 15000L,
+          lit(".org/p/"), col("id"))).as("url"))
+    val cappedDf = graft.text.Urls.domainCap(docs, "doc_id", "url", cap = 100)
+    // the guard: InferWindowGroupLimit turns the rank filter into a
+    // per-partition top-(cap) BEFORE the exchange, so the hot domain
+    // ships at most cap rows per map partition instead of 50k to one
+    // reducer
+    val plan = cappedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"group limit not pushed:\n$plan")
+    val (byDomain, sec) = timed {
+      cappedDf
+        .withColumn("__d", graft.text.Urls.registrableDomain(
+          graft.text.Urls.hostOf(graft.text.Urls.canonicalizeUrl(col("url")))))
+        .groupBy("__d").count()
+        .as[(String, Long)].collect().toMap
+    }
+    assert(byDomain("hotdomain.com") === 100L)
+    assert(byDomain.size === 15001)
+    assert(byDomain.filterNot(_._1 == "hotdomain.com").values.forall(_ <= 100L))
+    assert(sec < 120.0, s"domainCap skew run took $sec s")
+  }
+
+  test("itemItemTopK: a power user with 20k ratings is capped, not squared") {
+    // hot user: 20k items (2*10^8 pairs uncapped); 2k normal users with
+    // 20 ratings each over a 20k-item catalog
+    val hot = spark.range(20000L).select(
+      lit("power_user").as("user"),
+      concat(lit("i"), col("id")).as("item"),
+      (col("id") % 5 + 1).cast("double").as("rating"),
+      col("id").as("time"))
+    // tail users rate only EVEN item ids, so odd items exist solely in
+    // the hot user's history
+    val tail = spark.range(40000L).select(
+      concat(lit("u"), col("id") % 2000L).as("user"),
+      concat(lit("i"), ((col("id") * 7919L) % 10000L) * 2L).as("item"),
+      (col("id") % 5 + 1).cast("double").as("rating"),
+      col("id").as("time"))
+    val ratings = hot.unionByName(tail)
+    val (rows, sec) = timed {
+      graft.similarity.Ann.itemItemTopK(ratings, k = 5).count()
+    }
+    assert(rows > 0)
+    // capped at the default 1000-most-recent: ~5*10^5 pairs from the hot
+    // user instead of 2*10^8 — an uncapped run is ~400x this work
+    assert(sec < 120.0, s"itemItemTopK skew run took $sec s")
+    // cap semantics: only the hot user's 1000 most RECENT ratings pair
+    // up. i1 is odd (absent from every tail user's history) and old
+    // (time 1, far below the kept 19000..19999 tail), so after capping
+    // it must have no pairs at all.
+    val i1 = graft.similarity.Ann.itemItemTopK(ratings, k = 5)
+      .filter(col("item_a") === "i1" || col("item_b") === "i1").count()
+    assert(i1 === 0L, "cap failed: dropped history still produced pairs")
+  }
+
+  test("paragraphDedup: one boilerplate line in 30% of 60k docs") {
+    // 18k docs share a hot footer line; every doc also has a unique line
+    val docs = spark.range(60000L).select(
+      col("id").as("doc_id"),
+      when(col("id") < 18000L,
+        concat(lit("unique line "), col("id"),
+          lit("\nsubscribe to our newsletter today")))
+        .otherwise(concat(lit("unique line "), col("id"))).as("text"))
+    val (agg, sec) = timed {
+      val out = graft.dedup.Dedup.paragraphDedup(docs, "doc_id", "text")
+      out.agg(sum("n_kept").as("k"), sum("n_dropped").as("d"))
+        .as[(Long, Long)].collect().head
+    }
+    // every unique line survives; the hot footer survives exactly once
+    assert(agg === ((60000L + 1L, 18000L - 1L)))
+    assert(sec < 120.0, s"paragraphDedup skew run took $sec s")
+  }
+}
