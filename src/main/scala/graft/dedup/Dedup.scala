@@ -592,6 +592,67 @@ object Dedup {
     batch.join(hits.withColumnRenamed("id", idCol), Seq(idCol), "left")
   }
 
+  /** Probe AND fold from ONE banded join against the index — the
+    * streaming twin's per-batch kernel. The separate
+    * [[dedupAgainstIndexWithSigs]] + [[newIndexRowsFromSigs]] pair
+    * scans and shuffle-joins the index twice per batch (probe inner
+    * join, fold anti-join); this form LEFT-joins the batch's bands
+    * against the full table once and serves both from it:
+    *
+    *   - verdict hits = rows whose owner exists with
+    *     `batch_id < currentBatchId` (the replay guard: a failed
+    *     attempt's own rows are invisible to the probe), excluding
+    *     self-matches, estimator ≥ threshold;
+    *   - new index rows = (band, band_hash) buckets with NO owner at
+    *     any batch_id (a replay's failed-attempt rows DO suppress
+    *     re-appends, exactly like the anti-join they replace), claimed
+    *     by the smallest surviving batch doc that hashed there.
+    *
+    * The joined frame is localCheckpoint'ed here: both outputs must be
+    * pinned to the PRE-append table state before the caller mutates
+    * the table (a lazy plan would re-probe the mutated listing and
+    * self-match). Downstream derivations stay lazy — in particular the
+    * caller can feed `newRows` straight to the bucketed append with no
+    * second materialization pass.
+    *
+    * Returns (verdicts, newRows): verdicts = every batch row + `dup_of`
+    * (lazy; derives from batch source + checkpointed hits); newRows =
+    * index-schema rows tagged `batch_id = currentBatchId` (lazy).
+    */
+  private[graft] def probeAndFoldFromSigs(batch: DataFrame, sigs: DataFrame,
+      fullIndex: DataFrame, currentBatchId: Long, idCol: String,
+      bands: Int, rowsPerBand: Int, threshold: Double)
+      : (DataFrame, DataFrame) = {
+    val banded = sigs.select(col("id"), col("sig"),
+      bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
+    val joined = banded
+      .join(fullIndex.withColumnRenamed("batch_id", "__idx_batch"),
+        Seq("band", "band_hash"), "left")
+      .localCheckpoint()
+    val hits = joined
+      .filter(col("owner_id").isNotNull &&
+        col("__idx_batch") < currentBatchId &&
+        col("owner_id") =!= col("id"))
+      .filter(estimatedJaccard(col("sig"), col("owner_sig")) >= threshold)
+      .groupBy("id").agg(min(col("owner_id")).as("dup_of"))
+    val verdicts =
+      batch.join(hits.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(col("id"))
+    // survivors = banded ids NOT in hits (docs without sigs are absent
+    // from `joined` already) — anti-joining the small derived `hits`
+    // keeps the append plan off the batch source entirely
+    val newRows = joined
+      .filter(col("owner_id").isNull)
+      .join(hits.select("id"), Seq("id"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as("owner_id"), col("sig").as("owner_sig"),
+        col("band"), col("band_hash"),
+        lit(currentBatchId).as("batch_id"))
+    (verdicts, newRows)
+  }
+
   /** The standard two-phase refresh in one call: collapse near-dups
     * WITHIN the batch first (MinHash pairs → connected components →
     * smallest id survives), then probe the remaining docs against the
