@@ -1079,9 +1079,11 @@ object SparkEntry {
 
   /** Continuous near-dup dedup: the documents corpus delivered as two
     * micro-batches (split at the id midpoint), each probing the LSH
-    * index of everything admitted before it (StreamingDedup). Rows-only
-    * (MinHash has no oracle twin); cross-batch semantics pinned in
-    * StreamingDedupSpec.
+    * index of everything admitted before it (StreamingDedup).
+    * Hash-gated: ordered ingest + fixed permutation constants make the
+    * verdicts a deterministic indexed probe, replayed in DuckDB by
+    * [[graft.oracle.MinHashOracles.q95Sql]]; cross-batch semantics
+    * additionally pinned in StreamingDedupSpec.
     */
   private def q95(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -1804,12 +1806,53 @@ object SparkEntry {
       k = 10, tables = 32, planes = 4)
   }
 
+  /** Fixed-plane twin of q48 — the LSH-ANN family's hash gate:
+    * ±1 xxhash64 Rademacher hyperplanes + exact integer scoring make
+    * the full top-k a pure function ([[graft.oracle.AnnOracles.q48bSql]]
+    * replays it); the Box-Muller form above stays rows-only.
+    */
+  private def q48b(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.lshTopKFixed(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 10, tables = 32, planes = 4, dim = 64)
+  }
+
+  /** The normalized first-`n` embeddings (driver-side collect — 16
+    * rows, codebook-sized): the frozen centroids/codeword sources the
+    * fixed IVF/PQ twins share with their oracles. Normalization is the
+    * same left-assoc fold both engines run, so the constants are
+    * bit-identical to the oracle's in-query derivation.
+    */
+  private def unitHeadEmbeddings(s: SparkSession, dir: String,
+      n: Int): Seq[Seq[Double]] =
+    Tables.embeddings(s, dir).filter(col("vec_id") < n).orderBy("vec_id")
+      .select("embedding").collect()
+      .map { r =>
+        val raw = r.getSeq[Float](0).map(_.toDouble)
+        val nrm = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x * x))
+        (if (nrm > 0) raw.map(_ / nrm) else raw).toSeq
+      }.toSeq
+
   /** IVF ANN (KMeans coarse quantizer + probed exact rank). */
   private def q52(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Ann.ivfTopK(e, "vec_id", "embedding",
       e.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 10, nlist = 16, nprobe = 10)
+  }
+
+  /** Frozen-centroid twin of q52 — the IVF family's hash gate:
+    * centroids are the normalized first-16 embeddings (the q121b
+    * pattern), so probe + assignment + integer ranking replay exactly
+    * ([[graft.oracle.AnnOracles.q52bSql]]); the trained-KMeans form
+    * above stays rows-only.
+    */
+  private def q52b(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.ivfTopKFixed(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 10, centroids = unitHeadEmbeddings(s, dir, 16), nprobe = 4)
   }
 
   /** The persistent-IVF lifecycle (q52's artifact form): build the
@@ -2135,6 +2178,21 @@ object SparkEntry {
       k = 10, m = 16, ks = 16, overfetch = 16)
   }
 
+  /** Frozen-codebook twin of q78 — the PQ family's hash gate: codeword
+    * c of subspace j is dims [4j, 4j+4) of the normalized embedding
+    * `vec_id = c`, so encode + ADC lookup + integer ranking replay
+    * exactly ([[graft.oracle.AnnOracles.q78bSql]]); the trained form
+    * above stays rows-only.
+    */
+  private def q78b(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val src = unitHeadEmbeddings(s, dir, 16)
+    val codebooks = (0 until 16).map(j => src.map(_.slice(j * 4, j * 4 + 4)))
+    Ann.pqTopKFixed(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 10, codebooks = codebooks)
+  }
+
   /** LSH-bucketed embedding near-dup (the scale path of q46). */
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"),
@@ -2142,6 +2200,21 @@ object SparkEntry {
     val planted = e.unionAll(e.select(col("vec_id") + 100000,
       transform(col("embedding"), x => x * 2.0)))
     Dedup.embeddingPairsLsh(planted, "vec_id", "embedding", threshold = 0.45)
+  }
+
+  /** Fixed-plane twin of q53 — the embedding-near-dup hash gate: same
+    * planted corpus (×2-scaled copies normalize to identical unit
+    * vectors), Rademacher buckets + exact integer dot ≥ 0.45·10¹²
+    * ([[graft.oracle.AnnOracles.q53bSql]]); the Box-Muller form above
+    * stays rows-only.
+    */
+  private def q53b(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = e.unionAll(e.select(col("vec_id") + 100000,
+      transform(col("embedding"), x => x * 2.0)))
+    Ann.embeddingPairsLshFixed(planted, "vec_id", "embedding",
+      thresholdFp = 450000000000L, tables = 32, planes = 4, dim = 64)
   }
 
   private def q49(s: SparkSession, dir: String): DataFrame =
@@ -2323,11 +2396,14 @@ object SparkEntry {
     "q46_embed_neardup" -> (q46 _),
     "q47_ann_bruteforce" -> (q47 _),
     "q48_ann_lsh" -> (q48 _),
+    "q48b_ann_lsh_fixed" -> (q48b _),
     "q49_item_item_sim" -> (q49 _),
     "q50_multimodal_features" -> (q50 _),
     "q51_frame_sample" -> (q51 _),
     "q52_ann_ivf" -> (q52 _),
+    "q52b_ann_ivf_fixed" -> (q52b _),
     "q53_embed_neardup_lsh" -> (q53 _),
+    "q53b_embed_neardup_fixed" -> (q53b _),
     "q54_dedup_pipeline" -> (q54 _),
     "q55_stream_window_agg" -> (q55 _),
     "q56_stream_dedup" -> (q56 _),
@@ -2395,6 +2471,7 @@ object SparkEntry {
     "q76_sequence_pack" -> (q76 _),
     "q77_stream_decontaminate" -> (q77 _),
     "q78_ann_pq" -> (q78 _),
+    "q78b_ann_pq_fixed" -> (q78b _),
     "q79_stream_profile" -> (q79 _),
     "q80_stratified_split" -> (q80 _),
     "q80b_stratified_split_portable" -> (q80b _),
@@ -3745,6 +3822,11 @@ object SparkEntry {
     "q44_simhash_neardup" -> graft.oracle.MinHashOracles.q44Sql(),
     "q54_dedup_pipeline" -> graft.oracle.MinHashOracles.q54Sql(),
     "q90_incremental_neardup" -> graft.oracle.MinHashOracles.q90Sql(),
+    "q95_stream_neardup" -> graft.oracle.MinHashOracles.q95Sql(),
+    "q48b_ann_lsh_fixed" -> graft.oracle.AnnOracles.q48bSql(),
+    "q52b_ann_ivf_fixed" -> graft.oracle.AnnOracles.q52bSql(),
+    "q53b_embed_neardup_fixed" -> graft.oracle.AnnOracles.q53bSql(),
+    "q78b_ann_pq_fixed" -> graft.oracle.AnnOracles.q78bSql(),
     "q45_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, source,

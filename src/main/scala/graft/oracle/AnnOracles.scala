@@ -1,0 +1,198 @@
+package graft.oracle
+
+/** Generated DuckDB oracles for the fixed ANN twins (q48b/q52b/q78b/
+  * q53b — [[graft.similarity.Ann.lshTopKFixed]]/`ivfTopKFixed`/
+  * `pqTopKFixed`/`embeddingPairsLshFixed`). Replay rests on three
+  * cross-engine-exact ingredients:
+  *
+  *  1. xxhash64 over "t:p:d" strings for the ±1 Rademacher planes
+  *     ([[DuckDbXxHash]] — the same machinery the MinHash gates use);
+  *  2. L2 normalization + squared-distance/ADC chains as
+  *     LEFT-ASSOCIATIVE double folds (correctly-rounded IEEE ops in a
+  *     fixed order replay bit-identically — the q121b argument);
+  *  3. all candidate scoring as exact integer sums over 1e-6
+  *     fixed-point unit vectors.
+  *
+  * Centroids (q52b) and codebooks (q78b) are the normalized first-N
+  * corpus embeddings — derived in-query on both sides, so the oracle
+  * embeds no data constants.
+  */
+object AnnOracles {
+
+  /** Shared chain: embeddings → L2-normalized `unit(id, uv)` →
+    * fixed-point `vf(id, vf)`. `srcSql` must yield (id, v).
+    */
+  private def unitCtes(srcSql: String): String =
+    s"""e AS ($srcSql),
+       |nn AS (SELECT id, v, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |         (a, b) -> a + b) AS n2 FROM e),
+       |unit AS MATERIALIZED (SELECT id, CASE WHEN sqrt(n2) > 0
+       |         THEN list_transform(v, x -> CAST(x AS DOUBLE) / sqrt(n2))
+       |         ELSE list_transform(v, x -> CAST(x AS DOUBLE)) END AS uv
+       |       FROM nn),
+       |vf AS MATERIALIZED (SELECT id, list_transform(uv, x ->
+       |         CAST(floor(x * 1000000.0) AS BIGINT)) AS vf FROM unit)""".stripMargin
+
+  private val embeddingsSrc = "SELECT vec_id AS id, embedding AS v FROM embeddings"
+
+  /** Rademacher plane signs + per-(id, table) bucket CTEs (`buck`). */
+  private def bucketCtes(tables: Int, planes: Int, dim: Int): String =
+    s"""tpk AS (SELECT t.t, p.p, d.d,
+       |          CAST(t.t AS VARCHAR) || ':' || CAST(p.p AS VARCHAR) || ':' ||
+       |          CAST(d.d AS VARCHAR) AS ks
+       |        FROM range($tables) t(t), range($planes) p(p), range($dim) d(d)),
+       |${DuckDbXxHash.xxh64Ctes("tpk", "ks", "tph", idCols = "t, p, d")},
+       |sgl AS MATERIALIZED (
+       |  SELECT t, p, list(CASE WHEN h64 % 2 = 0 THEN CAST(1 AS BIGINT)
+       |                         ELSE CAST(-1 AS BIGINT) END ORDER BY d) AS sl
+       |  FROM tph GROUP BY 1, 2),
+       |proj AS (SELECT vf.id, sgl.t, sgl.p,
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(range($dim), i -> sgl.sl[i+1] * vf.vf[i+1])),
+       |           (a, b) -> a + b) AS pr
+       |         FROM vf CROSS JOIN sgl),
+       |buck AS MATERIALIZED (
+       |  SELECT id, t, sum(CASE WHEN pr > 0
+       |           THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY 1, 2)""".stripMargin
+
+  /** Exact integer dot of the fixed-point vectors of `aId`/`bId`. */
+  private def dotFpSql(dim: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(range($dim), i -> qv.vf[i+1] * cv.vf[i+1])),
+       |           (a, b) -> a + b)""".stripMargin
+
+  /** q48b: fixed-plane LSH top-k. */
+  def q48bSql(k: Int = 10, tables: Int = 32, planes: Int = 4, dim: Int = 64,
+      nQueries: Int = 10): String =
+    s"""WITH
+       |${unitCtes(embeddingsSrc)},
+       |${bucketCtes(tables, planes, dim)},
+       |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+       |         FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+       |         WHERE q.id < $nQueries AND c.id <> q.id),
+       |sc AS (SELECT cand.query_id, cand.neighbor_id,
+       |         ${dotFpSql(dim)} AS score_fp
+       |       FROM cand JOIN vf qv ON qv.id = cand.query_id
+       |                 JOIN vf cv ON cv.id = cand.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, score_fp,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score_fp DESC, neighbor_id) AS INT) AS "rank"
+       |       FROM sc)
+       |SELECT query_id, neighbor_id, "rank", score_fp
+       |FROM rk WHERE "rank" <= $k""".stripMargin
+
+  /** q53b: fixed-plane LSH near-dup pairs over the planted corpus
+    * (every embedding + a ×2-scaled copy at id+100000 — the scaled
+    * copy normalizes to the identical unit vector).
+    */
+  def q53bSql(thresholdFp: Long = 450000000000L, tables: Int = 32,
+      planes: Int = 4, dim: Int = 64): String = {
+    val planted =
+      """SELECT vec_id AS id, list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * 2.0) FROM embeddings""".stripMargin
+    s"""WITH
+       |${unitCtes(planted)},
+       |${bucketCtes(tables, planes, dim)},
+       |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |         FROM buck l JOIN buck r ON l.t = r.t AND l.bucket = r.bucket
+       |         WHERE l.id < r.id),
+       |sc AS (SELECT cand.id_a, cand.id_b, ${dotFpSql(dim)} AS score_fp
+       |       FROM cand JOIN vf qv ON qv.id = cand.id_a
+       |                 JOIN vf cv ON cv.id = cand.id_b)
+       |SELECT id_a, id_b, score_fp FROM sc
+       |WHERE score_fp >= $thresholdFp""".stripMargin
+  }
+
+  /** The left-assoc squared-distance chain between unit-list columns
+    * `$a[i]` and `$b[i]`, i = 1..dim.
+    */
+  private def d2Chain(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+      .mkString(" + ")
+
+  /** q52b: frozen-centroid IVF top-k — centroids are the normalized
+    * first-`nlist` embeddings; assignment/probe by the exact d² chain
+    * (first-minimum tie-break); ranking by exact integer dot within
+    * the probed lists.
+    */
+  def q52bSql(k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      dim: Int = 64, nQueries: Int = 10): String =
+    s"""WITH
+       |${unitCtes(embeddingsSrc)},
+       |cent AS (SELECT id AS cid, uv AS cv FROM unit WHERE id < $nlist),
+       |dist AS MATERIALIZED (
+       |  SELECT u.id, c.cid, ${d2Chain("u.uv", "c.cv", dim)} AS d2
+       |  FROM unit u CROSS JOIN cent c),
+       |best AS (SELECT id, min(d2) AS md FROM dist GROUP BY 1),
+       |asg AS (SELECT d.id, min(d.cid) AS list_id
+       |        FROM dist d JOIN best b ON d.id = b.id AND d.d2 = b.md
+       |        GROUP BY 1),
+       |prb AS (SELECT query_id, list_id FROM (
+       |          SELECT id AS query_id, cid AS list_id,
+       |                 row_number() OVER (PARTITION BY id
+       |                   ORDER BY d2 ASC, cid) AS pr
+       |          FROM dist WHERE id < $nQueries)
+       |        WHERE pr <= $nprobe),
+       |cand AS (SELECT DISTINCT p.query_id, a.id AS neighbor_id
+       |         FROM prb p JOIN asg a ON a.list_id = p.list_id
+       |         WHERE a.id <> p.query_id),
+       |sc AS (SELECT cand.query_id, cand.neighbor_id,
+       |         ${dotFpSql(dim)} AS score_fp
+       |       FROM cand JOIN vf qv ON qv.id = cand.query_id
+       |                 JOIN vf cv ON cv.id = cand.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, score_fp,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score_fp DESC, neighbor_id) AS INT) AS "rank"
+       |       FROM sc)
+       |SELECT query_id, neighbor_id, "rank", score_fp
+       |FROM rk WHERE "rank" <= $k""".stripMargin
+
+  /** q78b: frozen-codebook PQ — codeword c of subspace j is dims
+    * [j·dsub, (j+1)·dsub) of the normalized embedding `vec_id = c`;
+    * encode by first-minimum d² chain per subspace, score by ADC
+    * dot-table lookups (each entry fixed-pointed at 1e-6), ranked by
+    * the exact integer ADC sum.
+    */
+  def q78bSql(k: Int = 10, m: Int = 16, ks: Int = 16, dsub: Int = 4,
+      nQueries: Int = 10): String = {
+    def sub(col: String, i: Int) = s"$col[$dsub*j.j+$i]"
+    val encChain = (1 to dsub)
+      .map(i => s"(${sub("u.uv", i)} - ${sub("w.uv", i)}) * " +
+        s"(${sub("u.uv", i)} - ${sub("w.uv", i)})")
+      .mkString(" + ")
+    val lutChain = (1 to dsub)
+      .map(i => s"${sub("u.uv", i)} * ${sub("w.uv", i)}")
+      .mkString(" + ")
+    s"""WITH
+       |${unitCtes(embeddingsSrc)},
+       |cw AS (SELECT id AS c, uv FROM unit WHERE id < $ks),
+       |encd AS MATERIALIZED (
+       |  SELECT u.id, j.j, w.c, $encChain AS d2
+       |  FROM unit u, range($m) j(j), cw w),
+       |ebest AS (SELECT id, j, min(d2) AS md FROM encd GROUP BY 1, 2),
+       |ecode AS (SELECT d.id, d.j, min(d.c) AS code
+       |          FROM encd d JOIN ebest b
+       |            ON d.id = b.id AND d.j = b.j AND d.d2 = b.md
+       |          GROUP BY 1, 2),
+       |lut AS MATERIALIZED (
+       |  SELECT u.id AS query_id, j.j, w.c,
+       |         CAST(floor(($lutChain) * 1000000.0) AS BIGINT) AS v
+       |  FROM unit u, range($m) j(j), cw w WHERE u.id < $nQueries),
+       |sc AS (SELECT l.query_id, e.id AS neighbor_id,
+       |              CAST(sum(l.v) AS BIGINT) AS score_fp
+       |       FROM ecode e JOIN lut l
+       |         ON l.j = e.j AND l.c = e.code AND l.query_id <> e.id
+       |       GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, score_fp,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score_fp DESC, neighbor_id) AS INT) AS "rank"
+       |       FROM sc)
+       |SELECT query_id, neighbor_id, "rank", score_fp
+       |FROM rk WHERE "rank" <= $k""".stripMargin
+  }
+}

@@ -137,25 +137,28 @@ object MinHashOracles {
        |SELECT d.doc_id FROM alldocs d LEFT JOIN labels l ON d.doc_id = l.id
        |WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id""".stripMargin
 
-  /** q90: bucket index over even docs (owner = min id per band bucket),
-    * odd batch probed against it — signature-agreement estimator ≥
-    * threshold against the bucket owner, `dup_of` = smallest such owner.
+  /** Shared index-probe shape of q90/q95: build a min-owner-per-bucket
+    * index over the docs matching `idxPred`, probe the docs matching
+    * `probePred` against it (signature-agreement estimator ≥ threshold
+    * against the bucket owner, `dup_of` = smallest such owner), and
+    * emit one row per doc of `outputDocsSql` left-joined to the
+    * verdicts. The split predicates receive the id column reference to
+    * range over (the CTE alias differs between the index and probe
+    * sides, so plain-string predicates would need fragile rewriting).
     */
-  def q90Sql(shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): String = {
+  private def indexedProbeSql(corpus: String, idxPred: String => String,
+      probePred: String => String, outputDocsSql: String,
+      shingleK: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): String = {
     val numPerm = bands * rowsPerBand
-    val corpus =
-      """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
-        |  UNION ALL
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1""".stripMargin
     s"""WITH
        |${shingleBaseCtes(corpus, shingleK)},
        |${sigBandCtes(numPerm, rowsPerBand)},
        |idx AS (SELECT band, bs, min(id) AS owner_id
-       |        FROM bnd WHERE id % 2 = 0 GROUP BY 1, 2),
+       |        FROM bnd WHERE ${idxPred("id")} GROUP BY 1, 2),
        |hitpairs AS (SELECT DISTINCT b.id, i.owner_id
        |             FROM bnd b JOIN idx i ON b.band = i.band AND b.bs = i.bs
-       |             WHERE b.id % 2 = 1),
+       |             WHERE ${probePred("b.id")}),
        |agree AS (SELECT h.id, h.owner_id,
        |                 sum(CASE WHEN ps.sv = os.sv THEN 1 ELSE 0 END) AS agrees
        |          FROM hitpairs h
@@ -165,7 +168,44 @@ object MinHashOracles {
        |verd AS (SELECT id, min(owner_id) AS dup_of FROM agree
        |         WHERE CAST(agrees AS DOUBLE) / $numPerm >= $threshold GROUP BY 1)
        |SELECT b.doc_id, v.dup_of
-       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b
+       |FROM ($outputDocsSql) b
        |LEFT JOIN verd v ON b.doc_id = v.id""".stripMargin
+  }
+
+  /** q90: bucket index over even docs (owner = min id per band bucket),
+    * odd batch probed against it — signature-agreement estimator ≥
+    * threshold against the bucket owner, `dup_of` = smallest such owner.
+    */
+  def q90Sql(shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): String = {
+    val corpus =
+      """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1""".stripMargin
+    indexedProbeSql(corpus, c => s"$c % 2 = 0", c => s"$c % 2 = 1",
+      "SELECT doc_id FROM documents WHERE doc_id % 2 = 1",
+      shingleK, bands, rowsPerBand, threshold)
+  }
+
+  /** q95: the continuous streaming near-dup twin. The stream delivers
+    * the corpus as two ordered micro-batches split at the doc_id
+    * median (`approxQuantile(0.5, err=0)` — exact, and equal to
+    * DuckDB's `quantile_disc` on the dense even-count id fixtures;
+    * verified 249/2499 at sf0.01/sf0.1). Batch 0 probes an empty index
+    * (all survive, every bucket claimed by its min batch-0 doc);
+    * batch 1 probes batch 0's owners under the replay guard
+    * (`batch_id < 1` — satisfied by every batch-0 row). Batch-internal
+    * duplicates are out of scope by [[graft.streaming.StreamingDedup]]'s
+    * contract, so the whole run is exactly one indexed probe: index =
+    * docs below the median, probe = docs at/above it, batch-0 rows
+    * surface with `dup_of` NULL.
+    */
+  def q95Sql(shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): String = {
+    val mid = "(SELECT quantile_disc(doc_id, 0.5) FROM documents)"
+    indexedProbeSql("SELECT doc_id, text FROM documents",
+      c => s"$c < $mid", c => s"$c >= $mid",
+      "SELECT doc_id FROM documents",
+      shingleK, bands, rowsPerBand, threshold)
   }
 }

@@ -135,6 +135,259 @@ object Ann {
     out
   }
 
+  // ----- hash-gateable fixed twins ----------------------------------
+  //
+  // The trained/float ANN paths (lshTopK's Box-Muller hyperplanes,
+  // ivfTopK/pqTopK's KMeans) are rows-only by construction: libm trig
+  // and training trajectories don't replay across engines. These twins
+  // replace every non-replayable ingredient with one that does —
+  //   * hyperplanes: ±1 Rademacher signs from xxhash64 over "t:p:d"
+  //     (bit 0) instead of Box-Muller gaussians;
+  //   * centroids/codebooks: caller-supplied frozen vectors (the
+  //     q121b precedent: the first-N corpus embeddings) instead of
+  //     KMeans iterates;
+  //   * all distance/score arithmetic: exact integer sums over
+  //     1e-6-fixed-pointed L2-normalized vectors, or left-associative
+  //     double chains (correctly-rounded IEEE ops in a fixed order
+  //     replay bit-identically — the clusterBalancedSampleFixed
+  //     argument);
+  // so the full top-k output is a pure function both engines reproduce
+  // (DuckDB replay: graft.oracle.AnnOracles). Semantics and plan shape
+  // (bucketed candidate join / probed inverted lists / ADC lookups)
+  // are unchanged — these are production operators for deployments
+  // that freeze their quantizers, not test scaffolding.
+
+  /** Spark's `xxhash64` of a string literal, evaluated driver-side —
+    * keeps the Rademacher plane constants generated from the SAME hash
+    * the engine and the DuckDB oracle both speak.
+    */
+  private def xxh64String(s: String, seed: Long = 42L): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        s, org.apache.spark.sql.types.StringType)), seed)
+      .eval(null).asInstanceOf[Long]
+
+  /** ±1 hyperplane component for (table, plane, dim). */
+  private[graft] def radSign(t: Int, p: Int, d: Int): Long =
+    if ((xxh64String(s"$t:$p:$d") & 1L) == 0L) 1L else -1L
+
+  /** L2-normalize (left-assoc double fold — exact) then fix-point at
+    * 1e-6: the integer form every fixed twin scores with. Zero vectors
+    * pass through unnormalized, as in [[normalized]].
+    */
+  private def fixedUnitVector(vecCol: Column): Column = {
+    val v = transform(vecCol, x => x.cast("double"))
+    val n2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    val unit = when(sqrt(n2) > 0, transform(v, x => x / sqrt(n2))).otherwise(v)
+    transform(unit, x => floor(x * lit(1e6)).cast("long"))
+  }
+
+  /** (id, vf, table, bucket) rows under the fixed Rademacher planes:
+    * bucket bit p of table t = sign of the integer projection onto
+    * plane (t, p). Same banded shuffle shape as [[lshBuckets]].
+    */
+  private def fixedBuckets(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, planes: Int, dim: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      fixedUnitVector(col(vecCol)).as("vf"))
+    val buckets = (0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val sgn = typedLit(Seq.tabulate(dim)(d => radSign(t, p, d)))
+        val proj = aggregate(
+          zip_with(col("vf"), sgn, (x, s) => x * s),
+          lit(0L), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    base.select(col("id"), col("vf"),
+      posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+  }
+
+  /** Exact integer dot of two fixed-point vectors (left fold). */
+  private def dotFp(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Hash-gateable LSH ANN: candidates share a Rademacher-plane bucket
+    * in ≥1 of `tables` tables; ranked by exact integer dot of the
+    * fixed-point unit vectors. Output (query_id, neighbor_id, rank,
+    * score_fp) — score_fp/1e12 ≈ cosine.
+    */
+  def lshTopKFixed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, tables: Int = 32, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val cb = fixedBuckets(corpus, idCol, vecCol, tables, planes, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qb = fixedBuckets(queries, qIdCol, qVecCol, tables, planes, dim)
+      .withColumnRenamed("id", "query_id").withColumnRenamed("vf", "qf")
+    val candidates = cb.join(qb, Seq("table", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qf"), col("id").as("neighbor_id"), col("vf"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    val out = candidates
+      .withColumn("score_fp", dotFp(col("vf"), col("qf")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cb.unpersist()
+    out
+  }
+
+  /** Hash-gateable LSH near-dup pairs: (id_a < id_b) sharing a
+    * Rademacher-plane bucket in ≥1 table with exact integer dot ≥
+    * `thresholdFp` (score_fp/1e12 ≈ cosine — pass cos·1e12). The
+    * fixed twin of [[graft.dedup.Dedup.embeddingPairsLsh]].
+    */
+  def embeddingPairsLshFixed(
+      embs: DataFrame, idCol: String, vecCol: String,
+      thresholdFp: Long, tables: Int = 32, planes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val b = fixedBuckets(embs, idCol, vecCol, tables, planes, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = b.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("vf").as("va"))
+    val r = b.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("vf").as("vb"))
+    val out = l.join(r, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("score_fp", dotFp(col("va"), col("vb")))
+      .filter(col("score_fp") >= thresholdFp)
+      .select(col("id_a"), col("id_b"), col("score_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    b.unpersist()
+    out
+  }
+
+  /** Hash-gateable IVF ANN under frozen centroids: corpus rows assign
+    * to their nearest centroid by the left-assoc double chain
+    * ([[graft.pipeline.Curation.assignFixedCentroids]] — first-minimum
+    * tie-break), queries probe their `nprobe` nearest lists, and only
+    * those lists are ranked (exact integer dot, as in
+    * [[lshTopKFixed]]). `centroids` must be in the same normalized
+    * space as the vectors — pass unit vectors (e.g. normalized
+    * first-nlist corpus embeddings).
+    */
+  def ivfTopKFixed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, centroids: Seq[Seq[Double]], nprobe: Int = 4): DataFrame = {
+    import graft.pipeline.Curation.assignFixedCentroids
+    val unit = (df: DataFrame, id: String, vc: String) => {
+      val v = transform(col(vc), x => x.cast("double"))
+      val n2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+      df.select(col(id).as("id"),
+        when(sqrt(n2) > 0, transform(v, x => x / sqrt(n2))).otherwise(v)
+          .as("uv"))
+    }
+    val c = unit(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"),
+        transform(col("uv"), x => floor(x * lit(1e6)).cast("long")).as("vf"),
+        assignFixedCentroids(col("uv"), centroids).as("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each query ranks all |centroids| lists by the same exact chain:
+    // d² asc, list id asc — its nprobe nearest inverted lists
+    val q = unit(queries, qIdCol, qVecCol)
+    val dists = centroids.zipWithIndex.map { case (ctr, i) =>
+      val d2 = ctr.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, j)) =>
+        val d = element_at(col("uv"), j + 1) - lit(cv)
+        acc + d * d
+      }
+      struct(d2.as("d2"), lit(i.toLong).as("list_id"))
+    }
+    val probed = q
+      .select(col("id").as("query_id"),
+        transform(col("uv"), x => floor(x * lit(1e6)).cast("long")).as("qf"),
+        posexplode(slice(array_sort(array(dists: _*)), 1, nprobe))
+          .as(Seq("__p", "pl")))
+      .select(col("query_id"), col("qf"), col("pl.list_id").as("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    val out = c.join(broadcast(probed), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_fp", dotFp(col("vf"), col("qf")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    c.unpersist()
+    out
+  }
+
+  /** Hash-gateable PQ ANN under frozen codebooks: corpus vectors encode
+    * to their nearest codeword per subspace (left-assoc double chain,
+    * first-minimum), queries score candidates by ADC dot-product table
+    * lookups, ranked by the fixed-point ADC score. `codebooks(j)(c)` is
+    * codeword c of subspace j (dsub doubles each), in the vectors'
+    * normalized space. Every corpus row is scored — the compressed-scan
+    * semantics (m byte-codes per row, no full vectors) — so this is
+    * also the exact-verification twin for the shortlisting [[pqTopK]].
+    */
+  def pqTopKFixed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val ks = codebooks.head.size
+    val dsub = codebooks.head.head.size
+    val unit = (df: DataFrame, id: String, vc: String) => {
+      val v = transform(col(vc), x => x.cast("double"))
+      val n2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+      df.select(col(id).as("id"),
+        when(sqrt(n2) > 0, transform(v, x => x / sqrt(n2))).otherwise(v)
+          .as("uv"))
+    }
+    // encode: per subspace j the k-th code is the first-minimum of the
+    // ks squared-distance chains over dims [j·dsub, (j+1)·dsub)
+    val codes = (0 until m).map { j =>
+      val d2s = codebooks(j).map { cw =>
+        cw.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
+          val d = element_at(col("uv"), j * dsub + i + 1) - lit(cv)
+          acc + d * d
+        }
+      }
+      val darr = array(d2s: _*)
+      (array_position(darr, array_min(darr)) - 1L).as(s"c$j")
+    }
+    val c = unit(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), array(codes: _*).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ADC table: fixed-point dot of the query's subvector with every
+    // codeword — m·ks longs per query, broadcast with the query row
+    val qtab = (0 until m).flatMap { j =>
+      codebooks(j).map { cw =>
+        cw.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
+          acc + element_at(col("uv"), j * dsub + i + 1) * lit(cv)
+        }
+      }
+    }.map(d => floor(d * lit(1e6)).cast("long"))
+    val q = unit(queries, qIdCol, qVecCol)
+      .select(col("id").as("query_id"), array(qtab: _*).as("qtable"))
+    // score = Σ_j qtable[j·ks + code_j] — m integer lookups per
+    // candidate, summed in fixed j order
+    val score = (0 until m).map { j =>
+      element_at(col("qtable"),
+        (lit(j * ks) + element_at(col("codes"), j + 1) + 1L).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    val out = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_fp", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    c.unpersist()
+    out
+  }
+
   /** Item-item cosine similarity top-k from a ratings relation (SURVEY
     * §7.2 P9): items as implicit vectors over the user dimension. The
     * classic co-occurrence formulation — pair items within each user's

@@ -1,0 +1,108 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The hash-gateable fixed ANN twins (q48b/q52b/q53b/q78b): recall
+  * against the exact verifier, planted-duplicate sanity, and the
+  * driver-side/SQL xxhash64 parity the Rademacher planes rest on.
+  */
+class FixedAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def bruteSet(k: Int) = {
+    val e = emb
+    Ann.bruteForceTopK(e, "vec_id", "embedding",
+      e.filter($"vec_id" < 10), "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("radSign matches the distributed xxhash64 expression bit") {
+    val keys = for (t <- 0 until 2; p <- 0 until 2; d <- 0 until 8)
+      yield (t, p, d)
+    val viaSql = keys.map { case (t, p, d) =>
+      spark.range(1).select(xxhash64(lit(s"$t:$p:$d"))).as[Long].head()
+    }
+    keys.zip(viaSql).foreach { case ((t, p, d), h) =>
+      val want = if ((h & 1L) == 0L) 1L else -1L
+      assert(Ann.radSign(t, p, d) === want, s"($t,$p,$d)")
+    }
+  }
+
+  test("lshTopKFixed: high recall@10 vs brute force on real embeddings") {
+    val e = emb
+    val got = Ann.lshTopKFixed(e, "vec_id", "embedding",
+      e.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = 10, tables = 32, planes = 4, dim = 64)
+    val approx = got.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    got.unpersist()
+    val brute = bruteSet(10)
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.8, s"fixed-LSH recall@10 too low: $recall")
+  }
+
+  test("ivfTopKFixed: high recall@10 under frozen first-16 centroids") {
+    val e = emb
+    val cents = e.filter($"vec_id" < 16).orderBy("vec_id")
+      .select("embedding").collect()
+      .map { r =>
+        val raw = r.getSeq[Float](0).map(_.toDouble)
+        val n = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x * x))
+        (if (n > 0) raw.map(_ / n) else raw).toSeq
+      }.toSeq
+    val got = Ann.ivfTopKFixed(e, "vec_id", "embedding",
+      e.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = 10, centroids = cents, nprobe = 4)
+    val approx = got.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    got.unpersist()
+    val brute = bruteSet(10)
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.5, s"fixed-IVF recall@10 too low: $recall")
+  }
+
+  test("pqTopKFixed: high recall@10 under frozen first-16 codebooks") {
+    val e = emb
+    val src = e.filter($"vec_id" < 16).orderBy("vec_id")
+      .select("embedding").collect()
+      .map { r =>
+        val raw = r.getSeq[Float](0).map(_.toDouble)
+        val n = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x * x))
+        (if (n > 0) raw.map(_ / n) else raw).toSeq
+      }.toSeq
+    val codebooks = (0 until 16).map(j => src.map(_.slice(j * 4, j * 4 + 4)))
+    val got = Ann.pqTopKFixed(e, "vec_id", "embedding",
+      e.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = 10, codebooks = codebooks)
+    val approx = got.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    got.unpersist()
+    val brute = bruteSet(10)
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.3, s"fixed-PQ recall@10 too low: $recall")
+  }
+
+  test("embeddingPairsLshFixed finds every planted scaled copy at cos ≈ 1") {
+    val e = emb.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val planted = e.unionAll(e.select($"vec_id" + 100000,
+      transform($"embedding", x => x * 2.0)))
+    val got = Ann.embeddingPairsLshFixed(planted, "vec_id", "embedding",
+      thresholdFp = 450000000000L, tables = 32, planes = 4, dim = 64)
+    val pairs = got.select("id_a", "id_b", "score_fp")
+      .as[(Long, Long, Long)].collect()
+    got.unpersist()
+    val n = e.count()
+    val plantedPairs = pairs.filter { case (a, b, _) => b == a + 100000 }
+    // a ×2 copy has the IDENTICAL unit vector: same buckets (always a
+    // candidate) and a score within fixed-point truncation of 1e12
+    assert(plantedPairs.length === n)
+    plantedPairs.foreach { case (_, _, s) =>
+      assert(s > 999000000000L, s"planted pair score too low: $s")
+    }
+  }
+}
