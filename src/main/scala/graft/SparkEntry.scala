@@ -1874,6 +1874,25 @@ object SparkEntry {
     finally IvfIndex.drop(s, name)
   }
 
+  /** Frozen-centroid twin of q108 — the persistent-IVF lifecycle's
+    * hash gate: buildFixed(even half) + refreshFixed(odd half) +
+    * probeFixed must equal the one-shot q52b, so it SHARES q52b's
+    * DuckDB oracle — the gate proves the artifact round-trip changes
+    * nothing, cross-engine.
+    */
+  private def q108b(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.IvfIndex
+    val e = Tables.embeddings(s, dir)
+    val name = s"graft_ivf_fidx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    IvfIndex.buildFixed(e.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", name, unitHeadEmbeddings(s, dir, 16))
+    IvfIndex.refreshFixed(e.filter(col("vec_id") % 2 === 1), "vec_id",
+      "embedding", name)
+    try IvfIndex.probeFixed(s, name, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10, nprobe = 4).localCheckpoint()
+    finally IvfIndex.drop(s, name)
+  }
+
   /** The persistent-PQ lifecycle (q78's artifact form): codebooks +
     * encoded corpus as tables, build half / refresh half under the
     * frozen codebooks, probe the reloaded artifact. Rows-only;
@@ -1888,6 +1907,24 @@ object SparkEntry {
     PqIndex.refresh(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name)
     try PqIndex.probe(s, name, e.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 10, overfetch = 16).localCheckpoint()
+    finally PqIndex.drop(s, name)
+  }
+
+  /** Frozen-codebook twin of q109 — the persistent-PQ lifecycle's hash
+    * gate: shares q78b's DuckDB oracle (see q108b's contract).
+    */
+  private def q109b(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.PqIndex
+    val e = Tables.embeddings(s, dir)
+    val src = unitHeadEmbeddings(s, dir, 16)
+    val codebooks = (0 until 16).map(j => src.map(_.slice(j * 4, j * 4 + 4)))
+    val name = s"graft_pq_fidx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    PqIndex.buildFixed(e.filter(col("vec_id") % 2 === 0), "vec_id",
+      "embedding", name, codebooks)
+    PqIndex.refreshFixed(e.filter(col("vec_id") % 2 === 1), "vec_id",
+      "embedding", name)
+    try PqIndex.probeFixed(s, name, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10).localCheckpoint()
     finally PqIndex.drop(s, name)
   }
 
@@ -2434,7 +2471,9 @@ object SparkEntry {
     "q106_bpe_second_corpus" -> (q106 _),
     "q107_fluency_buckets_scale" -> (q107 _),
     "q108_ann_ivf_index" -> (q108 _),
+    "q108b_ann_ivf_index_fixed" -> (q108b _),
     "q109_ann_pq_index" -> (q109 _),
+    "q109b_ann_pq_index_fixed" -> (q109b _),
     "q110_url_canonicalize" -> (q110 _),
     "q110b_url_canonicalize_psl" -> (q110b _),
     "q111_url_dedup" -> (q111 _),
@@ -3827,6 +3866,10 @@ object SparkEntry {
     "q52b_ann_ivf_fixed" -> graft.oracle.AnnOracles.q52bSql(),
     "q53b_embed_neardup_fixed" -> graft.oracle.AnnOracles.q53bSql(),
     "q78b_ann_pq_fixed" -> graft.oracle.AnnOracles.q78bSql(),
+    // the fixed index lifecycles must equal their one-shot twins —
+    // same oracle, by design (see q108b/q109b)
+    "q108b_ann_ivf_index_fixed" -> graft.oracle.AnnOracles.q52bSql(),
+    "q109b_ann_pq_index_fixed" -> graft.oracle.AnnOracles.q78bSql(),
     "q45_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, source,

@@ -204,8 +204,123 @@ object Ann {
   }
 
   /** Exact integer dot of two fixed-point vectors (left fold). */
-  private def dotFp(a: Column, b: Column): Column =
+  private[similarity] def dotFp(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** (id, uv): the exact left-fold L2 normalization every fixed twin
+    * and frozen index lifecycle shares (zero vectors pass through).
+    */
+  private[similarity] def unitized(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val n2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    df.select(col(idCol).as("id"),
+      when(sqrt(n2) > 0, transform(v, x => x / sqrt(n2))).otherwise(v)
+        .as("uv"))
+  }
+
+  /** 1e-6 fixed-point of a double array column. */
+  private[similarity] def fp(c: Column): Column =
+    transform(c, x => floor(x * lit(1e6)).cast("long"))
+
+  /** (neighbor_id, vf, list_id): corpus rows unitized, fixed-pointed
+    * and assigned to their nearest frozen centroid — the relation both
+    * [[ivfTopKFixed]] and [[IvfIndex.buildFixed]]/`refreshFixed`
+    * materialize.
+    */
+  private[similarity] def fixedAssigned(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]]): DataFrame =
+    unitized(df, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), fp(col("uv")).as("vf"),
+        graft.pipeline.Curation.assignFixedCentroids(col("uv"), centroids)
+          .as("list_id"))
+
+  /** Probe a (neighbor_id, vf, list_id) lists relation: each query
+    * ranks all centroids by the exact d² chain (asc, list id asc),
+    * probes its `nprobe` nearest lists, and ranks them by exact
+    * integer dot. Lazy — shared by [[ivfTopKFixed]] and
+    * [[IvfIndex.probeFixed]].
+    */
+  private[similarity] def probeFixedLists(lists: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      centroids: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (ctr, i) =>
+      val d2 = ctr.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, j)) =>
+        val d = element_at(col("uv"), j + 1) - lit(cv)
+        acc + d * d
+      }
+      struct(d2.as("d2"), lit(i.toLong).as("list_id"))
+    }
+    val probed = unitized(queries, qIdCol, qVecCol)
+      .select(col("id").as("query_id"), fp(col("uv")).as("qf"),
+        posexplode(slice(array_sort(array(dists: _*)), 1, nprobe))
+          .as(Seq("__p", "pl")))
+      .select(col("query_id"), col("qf"), col("pl.list_id").as("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    lists.join(broadcast(probed), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_fp", dotFp(col("vf"), col("qf")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score_fp"))
+  }
+
+  /** PQ encode expression over the `uv` unit-vector column: per
+    * subspace j the code is the first-minimum of the ks
+    * squared-distance chains over dims [j·dsub, (j+1)·dsub).
+    */
+  private[similarity] def pqCodesFixed(
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.size
+    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
+      val d2s = cb.map { cw =>
+        cw.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
+          val d = element_at(col("uv"), j * dsub + i + 1) - lit(cv)
+          acc + d * d
+        }
+      }
+      val darr = array(d2s: _*)
+      (array_position(darr, array_min(darr)) - 1L).as(s"c$j")
+    }
+    array(codes: _*)
+  }
+
+  /** ADC table expression over the query's `uv` column: fixed-point
+    * dot of each subvector with every codeword, m·ks longs.
+    */
+  private[similarity] def pqQTableFixed(
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.size
+    val qtab = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { cw =>
+        cw.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
+          acc + element_at(col("uv"), j * dsub + i + 1) * lit(cv)
+        }
+      }
+    }.map(d => floor(d * lit(1e6)).cast("long"))
+    array(qtab: _*)
+  }
+
+  /** Score every (neighbor_id, codes) row against the broadcast
+    * (query_id, qtable) queries and rank top-k by the exact integer
+    * ADC sum. Lazy — shared by [[pqTopKFixed]] and
+    * [[PqIndex.probeFixed]].
+    */
+  private[similarity] def pqProbeCodes(codes: DataFrame, q: DataFrame,
+      k: Int, m: Int, ks: Int): DataFrame = {
+    val score = (0 until m).map { j =>
+      element_at(col("qtable"),
+        (lit(j * ks) + element_at(col("codes"), j + 1) + 1L).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    codes.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_fp", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score_fp"))
+  }
 
   /** Hash-gateable LSH ANN: candidates share a Rademacher-plane bucket
     * in ≥1 of `tables` tables; ranked by exact integer dot of the
@@ -277,43 +392,10 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, centroids: Seq[Seq[Double]], nprobe: Int = 4): DataFrame = {
-    import graft.pipeline.Curation.assignFixedCentroids
-    val unit = (df: DataFrame, id: String, vc: String) => {
-      val v = transform(col(vc), x => x.cast("double"))
-      val n2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
-      df.select(col(id).as("id"),
-        when(sqrt(n2) > 0, transform(v, x => x / sqrt(n2))).otherwise(v)
-          .as("uv"))
-    }
-    val c = unit(corpus, idCol, vecCol)
-      .select(col("id").as("neighbor_id"),
-        transform(col("uv"), x => floor(x * lit(1e6)).cast("long")).as("vf"),
-        assignFixedCentroids(col("uv"), centroids).as("list_id"))
+    val c = fixedAssigned(corpus, idCol, vecCol, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each query ranks all |centroids| lists by the same exact chain:
-    // d² asc, list id asc — its nprobe nearest inverted lists
-    val q = unit(queries, qIdCol, qVecCol)
-    val dists = centroids.zipWithIndex.map { case (ctr, i) =>
-      val d2 = ctr.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, j)) =>
-        val d = element_at(col("uv"), j + 1) - lit(cv)
-        acc + d * d
-      }
-      struct(d2.as("d2"), lit(i.toLong).as("list_id"))
-    }
-    val probed = q
-      .select(col("id").as("query_id"),
-        transform(col("uv"), x => floor(x * lit(1e6)).cast("long")).as("qf"),
-        posexplode(slice(array_sort(array(dists: _*)), 1, nprobe))
-          .as(Seq("__p", "pl")))
-      .select(col("query_id"), col("qf"), col("pl.list_id").as("list_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_fp").desc, col("neighbor_id"))
-    val out = c.join(broadcast(probed), Seq("list_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score_fp", dotFp(col("vf"), col("qf")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score_fp"))
+    val out = probeFixedLists(c, queries, qIdCol, qVecCol,
+      centroids, k, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     c.unpersist()
@@ -335,53 +417,12 @@ object Ann {
       k: Int, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = codebooks.size
     val ks = codebooks.head.size
-    val dsub = codebooks.head.head.size
-    val unit = (df: DataFrame, id: String, vc: String) => {
-      val v = transform(col(vc), x => x.cast("double"))
-      val n2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
-      df.select(col(id).as("id"),
-        when(sqrt(n2) > 0, transform(v, x => x / sqrt(n2))).otherwise(v)
-          .as("uv"))
-    }
-    // encode: per subspace j the k-th code is the first-minimum of the
-    // ks squared-distance chains over dims [j·dsub, (j+1)·dsub)
-    val codes = (0 until m).map { j =>
-      val d2s = codebooks(j).map { cw =>
-        cw.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
-          val d = element_at(col("uv"), j * dsub + i + 1) - lit(cv)
-          acc + d * d
-        }
-      }
-      val darr = array(d2s: _*)
-      (array_position(darr, array_min(darr)) - 1L).as(s"c$j")
-    }
-    val c = unit(corpus, idCol, vecCol)
-      .select(col("id").as("neighbor_id"), array(codes: _*).as("codes"))
+    val c = unitized(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), pqCodesFixed(codebooks).as("codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ADC table: fixed-point dot of the query's subvector with every
-    // codeword — m·ks longs per query, broadcast with the query row
-    val qtab = (0 until m).flatMap { j =>
-      codebooks(j).map { cw =>
-        cw.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
-          acc + element_at(col("uv"), j * dsub + i + 1) * lit(cv)
-        }
-      }
-    }.map(d => floor(d * lit(1e6)).cast("long"))
-    val q = unit(queries, qIdCol, qVecCol)
-      .select(col("id").as("query_id"), array(qtab: _*).as("qtable"))
-    // score = Σ_j qtable[j·ks + code_j] — m integer lookups per
-    // candidate, summed in fixed j order
-    val score = (0 until m).map { j =>
-      element_at(col("qtable"),
-        (lit(j * ks) + element_at(col("codes"), j + 1) + 1L).cast("int"))
-    }.reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_fp").desc, col("neighbor_id"))
-    val out = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("score_fp", score)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score_fp"))
+    val q = unitized(queries, qIdCol, qVecCol)
+      .select(col("id").as("query_id"), pqQTableFixed(codebooks).as("qtable"))
+    val out = pqProbeCodes(c, q, k, m, ks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     c.unpersist()

@@ -105,6 +105,60 @@ object IvfIndex {
       .format("parquet").mode("append").saveAsTable(listsTable(name))
   }
 
+  // ----- frozen-quantizer (hash-gateable) lifecycle -----------------
+  //
+  // The trained lifecycle above is rows-only (KMeans iterates don't
+  // replay cross-engine). This twin takes caller-supplied centroids
+  // and stores 1e-6 fixed-point unit vectors, so
+  // buildFixed + refreshFixed + probeFixed is the SAME pure function
+  // as the one-shot [[Ann.ivfTopKFixed]] — which is exactly what the
+  // q108b gate checks (it shares q52b's DuckDB oracle): the artifact
+  // round-trip provably changes nothing.
+
+  private def fixedCentroidsOf(spark: SparkSession,
+      name: String): Seq[Seq[Double]] =
+    spark.table(centroidsTable(name)).orderBy("list_id").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** Materialize both tables under the FROZEN `centroids` (unit-space
+    * vectors, e.g. normalized head embeddings): no KMeans anywhere;
+    * lists store (neighbor_id, vf, list_id) with vf the fixed-point
+    * unit vector the integer probe ranks with.
+    */
+  def buildFixed(corpus: DataFrame, idCol: String, vecCol: String,
+      name: String, centroids: Seq[Seq[Double]],
+      listBuckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.format("parquet")
+      .mode("overwrite").saveAsTable(centroidsTable(name))
+    Ann.fixedAssigned(corpus, idCol, vecCol, centroids)
+      .write.bucketBy(listBuckets, "list_id").sortBy("list_id")
+      .format("parquet").mode("overwrite").saveAsTable(listsTable(name))
+  }
+
+  /** Append-only refresh under the STORED frozen centroids (parquet
+    * round-trips doubles exactly, so assignment is bit-identical to
+    * build time). O(batch), nothing existing re-read.
+    */
+  def refreshFixed(newVecs: DataFrame, idCol: String, vecCol: String,
+      name: String, listBuckets: Int = 16): Unit =
+    Ann.fixedAssigned(newVecs, idCol, vecCol,
+      fixedCentroidsOf(newVecs.sparkSession, name))
+      .write.bucketBy(listBuckets, "list_id").sortBy("list_id")
+      .format("parquet").mode("append").saveAsTable(listsTable(name))
+
+  /** Probe the frozen-quantizer index: same pure function as
+    * [[Ann.ivfTopKFixed]] over the persisted lists. Lazy.
+    */
+  def probeFixed(spark: SparkSession, name: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nprobe: Int = 4): DataFrame =
+    Ann.probeFixedLists(spark.table(listsTable(name)),
+      queries, qIdCol, qVecCol, fixedCentroidsOf(spark, name), k, nprobe)
+
   /** Probe the persisted index: identical semantics and plan tail to
     * [[Ann.ivfTopK]] (cosine-ranked nprobe centroids, exact rank of
     * the probed lists), with the corpus-sized side read from the

@@ -143,6 +143,75 @@ object PqIndex {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  // ----- frozen-codebook (hash-gateable) lifecycle ------------------
+  //
+  // Twin of the trained lifecycle with caller-supplied codebooks and
+  // exact-chain encoding: buildFixed + refreshFixed + probeFixed is
+  // the same pure function as the one-shot [[Ann.pqTopKFixed]] — the
+  // q109b gate shares q78b's DuckDB oracle, proving the artifact
+  // round-trip changes nothing.
+
+  private def fixedCodebooksOf(spark: SparkSession,
+      name: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.table(codebooksTable(name))
+      .select("subspace", "code", "centroid").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toSeq))
+      .toMap
+    val m = rows.keys.map(_._1).max + 1
+    val ks = rows.keys.map(_._2).max + 1
+    (0 until m).map(j => (0 until ks).map(c => rows((j, c))).toSeq).toSeq
+  }
+
+  /** Materialize both tables under the FROZEN `codebooks(j)(c)`
+    * (unit-space codewords): codes come from the exact d² chains, no
+    * KMeans anywhere. The codes table stores only (neighbor_id,
+    * codes) — the pure compressed representation, since the fixed
+    * probe has no re-rank pass needing full vectors.
+    */
+  def buildFixed(corpus: DataFrame, idCol: String, vecCol: String,
+      name: String, codebooks: Seq[Seq[Seq[Double]]],
+      codeBuckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    (for (j <- codebooks.indices; ci <- codebooks(j).indices)
+      yield (j, ci, codebooks(j)(ci)))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.format("parquet")
+      .mode("overwrite").saveAsTable(codebooksTable(name))
+    Ann.unitized(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"),
+        Ann.pqCodesFixed(codebooks).as("codes"))
+      .write.bucketBy(codeBuckets, "neighbor_id").sortBy("neighbor_id")
+      .format("parquet").mode("overwrite").saveAsTable(codesTable(name))
+  }
+
+  /** Append-only refresh: encode `newVecs` under the STORED frozen
+    * codebooks (exact parquet round-trip) and append. O(batch).
+    */
+  def refreshFixed(newVecs: DataFrame, idCol: String, vecCol: String,
+      name: String, codeBuckets: Int = 16): Unit = {
+    val codebooks = fixedCodebooksOf(newVecs.sparkSession, name)
+    Ann.unitized(newVecs, idCol, vecCol)
+      .select(col("id").as("neighbor_id"),
+        Ann.pqCodesFixed(codebooks).as("codes"))
+      .write.bucketBy(codeBuckets, "neighbor_id").sortBy("neighbor_id")
+      .format("parquet").mode("append").saveAsTable(codesTable(name))
+  }
+
+  /** Probe the frozen-codebook index: same pure function as
+    * [[Ann.pqTopKFixed]] over the persisted codes. Lazy.
+    */
+  def probeFixed(spark: SparkSession, name: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val codebooks = fixedCodebooksOf(spark, name)
+    val q = Ann.unitized(queries, qIdCol, qVecCol)
+      .select(col("id").as("query_id"),
+        Ann.pqQTableFixed(codebooks).as("qtable"))
+    Ann.pqProbeCodes(spark.table(codesTable(name)), q, k,
+      codebooks.size, codebooks.head.size)
+  }
+
   /** Offline REBUILD: retrain codebooks + re-encode into fresh tables,
     * swap in under `name` — see [[IvfIndex.rebuild]] for the contract
     * (drop + rename; schedule in maintenance windows).

@@ -86,6 +86,62 @@ class FixedAnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"fixed-PQ recall@10 too low: $recall")
   }
 
+  private def unitHead(n: Int): Seq[Seq[Double]] =
+    emb.filter($"vec_id" < n).orderBy("vec_id")
+      .select("embedding").collect()
+      .map { r =>
+        val raw = r.getSeq[Float](0).map(_.toDouble)
+        val nn = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x * x))
+        (if (nn > 0) raw.map(_ / nn) else raw).toSeq
+      }.toSeq
+
+  test("IvfIndex fixed lifecycle (build+refresh+probe) equals one-shot ivfTopKFixed") {
+    val e = emb
+    val cents = unitHead(16)
+    val name = s"graft_ivf_fixed_${System.nanoTime()}"
+    try {
+      IvfIndex.buildFixed(e.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", name, cents)
+      IvfIndex.refreshFixed(e.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", name)
+      val got = IvfIndex.probeFixed(spark, name, e.filter($"vec_id" < 10),
+        "vec_id", "embedding", k = 10, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank", "score_fp")
+        .as[(Long, Long, Int, Long)].collect().toSet
+      val direct = Ann.ivfTopKFixed(e, "vec_id", "embedding",
+        e.filter($"vec_id" < 10), "vec_id", "embedding",
+        k = 10, centroids = cents, nprobe = 4)
+      val want = direct.select("query_id", "neighbor_id", "rank", "score_fp")
+        .as[(Long, Long, Int, Long)].collect().toSet
+      direct.unpersist()
+      assert(got === want)
+    } finally IvfIndex.drop(spark, name)
+  }
+
+  test("PqIndex fixed lifecycle (build+refresh+probe) equals one-shot pqTopKFixed") {
+    val e = emb
+    val src = unitHead(16)
+    val codebooks = (0 until 16).map(j => src.map(_.slice(j * 4, j * 4 + 4)))
+    val name = s"graft_pq_fixed_${System.nanoTime()}"
+    try {
+      PqIndex.buildFixed(e.filter($"vec_id" % 2 === 0), "vec_id",
+        "embedding", name, codebooks)
+      PqIndex.refreshFixed(e.filter($"vec_id" % 2 === 1), "vec_id",
+        "embedding", name)
+      val got = PqIndex.probeFixed(spark, name, e.filter($"vec_id" < 10),
+        "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id", "rank", "score_fp")
+        .as[(Long, Long, Int, Long)].collect().toSet
+      val direct = Ann.pqTopKFixed(e, "vec_id", "embedding",
+        e.filter($"vec_id" < 10), "vec_id", "embedding",
+        k = 10, codebooks = codebooks)
+      val want = direct.select("query_id", "neighbor_id", "rank", "score_fp")
+        .as[(Long, Long, Int, Long)].collect().toSet
+      direct.unpersist()
+      assert(got === want)
+    } finally PqIndex.drop(spark, name)
+  }
+
   test("embeddingPairsLshFixed finds every planted scaled copy at cos ≈ 1") {
     val e = emb.select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("embedding"))
