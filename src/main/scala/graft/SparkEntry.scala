@@ -1665,6 +1665,31 @@ object SparkEntry {
       percentile_approx(col("rating"), lit(0.5), lit(10000)).as("p50_rating"),
       percentile_approx(col("rating"), lit(0.95), lit(10000)).as("p95_rating"))
 
+  /** Portable HLL registers (p=12) over the ratings user key — the
+    * engine-portable counterpart of q36's HLL++ cardinality: the
+    * register STATE hash-gates (pure xxhash64-derived integers), not
+    * just a tolerance-checked estimate
+    * ([[graft.pipeline.PortableSketches.hllRegisters]]).
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.PortableSketches.hllRegisters(
+      ratings(s, dir), col("user"))
+
+  /** Shard-merge form of q125: per-half registers (event_id parity
+    * split) folded with `hllMerge` must equal the whole-corpus
+    * registers, so it SHARES q125's oracle — mergeability without
+    * rescan is the sketch's 100 TB contract, and the gate proves it.
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.PortableSketches
+    val r = ratings(s, dir)
+    PortableSketches.hllMerge(
+      PortableSketches.hllRegisters(
+        r.filter(col("event_id") % 2 === 0), col("user")),
+      PortableSketches.hllRegisters(
+        r.filter(col("event_id") % 2 === 1), col("user")))
+  }
+
   /** Reference-config FunkSVD epochs (k=30 as in `report.pdf` §7.1.1;
     * 6 epochs here — BASELINE's 9.47 s/epoch is a 100-epoch total
     * divided by 100, i.e. setup amortized away, so the comparable
@@ -2518,7 +2543,9 @@ object SparkEntry {
     "q83_stream_pack_ordered" -> (q83 _),
     "q82_curation_e2e" -> (q82 _),
     "q123_curation_full" -> (q123 _),
-    "q124_stream_curation" -> (q124 _))
+    "q124_stream_curation" -> (q124 _),
+    "q125_hll_registers" -> (q125 _),
+    "q126_hll_merge" -> (q126 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3568,6 +3595,14 @@ object SparkEntry {
     "q123_curation_full" -> q123Sql,
     // the frozen-model streaming curation twin — see q124Sql
     "q124_stream_curation" -> q124Sql,
+    "q125_hll_registers" -> graft.oracle.SketchOracles.hllRegistersSql(
+      """SELECT "user" AS s FROM ratings""",
+      withHead = ratingsCte + ","),
+    // merged per-shard registers must equal the whole-corpus registers
+    // — same oracle, by design (mergeability is the contract)
+    "q126_hll_merge" -> graft.oracle.SketchOracles.hllRegistersSql(
+      """SELECT "user" AS s FROM ratings""",
+      withHead = ratingsCte + ","),
     // fixed-centroid cluster balance: centroids = embeddings of
     // vec_id<8 (both engines derive them from the data); distance is
     // the same left-associative 64-term double chain as the Spark
