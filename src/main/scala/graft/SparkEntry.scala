@@ -1690,6 +1690,22 @@ object SparkEntry {
         r.filter(col("event_id") % 2 === 1), col("user")))
   }
 
+  /** Count-Min frequency sketch (4×1024) over the ratings item key —
+    * portable heavy-hitter counting: cells are pure xxhash64-derived
+    * integers, hash-gated like the HLL registers.
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.PortableSketches.cmSketch(
+      ratings(s, dir), col("item"))
+
+  /** Fixed-range histogram registers (64 buckets over [0, 512)) of the
+    * rating value — the portable stand-in for t-digest quantiles
+    * (q36's percentile_approx stays rows-only; this gate is exact).
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.PortableSketches.histRegisters(
+      ratings(s, dir), col("rating"), lo = 0.0, hi = 512.0)
+
   /** Reference-config FunkSVD epochs (k=30 as in `report.pdf` §7.1.1;
     * 6 epochs here — BASELINE's 9.47 s/epoch is a 100-epoch total
     * divided by 100, i.e. setup amortized away, so the comparable
@@ -2545,7 +2561,9 @@ object SparkEntry {
     "q123_curation_full" -> (q123 _),
     "q124_stream_curation" -> (q124 _),
     "q125_hll_registers" -> (q125 _),
-    "q126_hll_merge" -> (q126 _))
+    "q126_hll_merge" -> (q126 _),
+    "q127_cm_sketch" -> (q127 _),
+    "q128_hist_registers" -> (q128 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3602,6 +3620,12 @@ object SparkEntry {
     // — same oracle, by design (mergeability is the contract)
     "q126_hll_merge" -> graft.oracle.SketchOracles.hllRegistersSql(
       """SELECT "user" AS s FROM ratings""",
+      withHead = ratingsCte + ","),
+    "q127_cm_sketch" -> graft.oracle.SketchOracles.cmSketchSql(
+      "SELECT item AS s FROM ratings",
+      withHead = ratingsCte + ","),
+    "q128_hist_registers" -> graft.oracle.SketchOracles.histRegistersSql(
+      "SELECT rating AS v FROM ratings", lo = 0.0, hi = 512.0,
       withHead = ratingsCte + ","),
     // fixed-centroid cluster balance: centroids = embeddings of
     // vec_id<8 (both engines derive them from the data); distance is

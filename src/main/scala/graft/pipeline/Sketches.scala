@@ -52,6 +52,102 @@ object PortableSketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("bucket").agg(max(col("max_rho")).as("max_rho"))
 
+  /** Count-Min sketch of key frequencies: `(row, col, cnt)` cells,
+    * col = low log2(width) bits of xxhash64("j:key") for hash row j.
+    * Width must be a power of two so the signed-vs-unsigned modulo
+    * agrees across engines (low bits are the same bit pattern either
+    * way). Same scale posture as [[hllRegisters]]: the cell
+    * aggregation is a map-side-combinable count over ≤ depth·width
+    * cells, shard sketches merge by summing cells, and a key's
+    * frequency estimate is the min over its depth cells — the
+    * standard ε=e/width overestimate bound, never an undercount.
+    * NULL keys are excluded.
+    */
+  def cmSketch(df: DataFrame, key: Column, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    val rows = (0 until depth).map { j =>
+      struct(lit(j).as("row"),
+        xxhash64(concat_ws(":", lit(j), key.cast("string")))
+          .bitwiseAND(lit((width - 1).toLong)).as("col"))
+    }
+    df.filter(key.isNotNull)
+      .select(explode(array(rows: _*)).as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold two Count-Min sketches: union + sum per cell. */
+  def cmMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row", "col")
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point frequency estimate for `key` from a collected sketch:
+    * min over the key's depth cells (missing cell = 0). Driver-side;
+    * the sketch is at most depth·width rows.
+    */
+  def cmEstimate(sketch: DataFrame, key: String, depth: Int = 4,
+      width: Int = 1024): Long = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val cells = sketch.select(col("row"), col("col"), col("cnt"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, c, n) => ((r, c), n) }.toMap
+    (0 until depth).map { j =>
+      val h = spark.range(1)
+        .select(xxhash64(lit(s"$j:$key")).bitwiseAND(lit((width - 1).toLong)))
+        .as[Long].head()
+      cells.getOrElse((j, h), 0L)
+    }.min
+  }
+
+  /** Fixed-range histogram registers of a numeric column: `(bucket,
+    * cnt)` with bucket = clamp(floor((v − lo) / (hi − lo) · buckets)).
+    * The bucket arithmetic is one fixed-shape double chain (exact
+    * cross-engine, same argument as the fixed ANN twins), the counts
+    * are integers, and shard histograms merge by summing — the
+    * portable stand-in for t-digest quantiles (q36's
+    * percentile_approx stays rows-only; this family hash-gates).
+    * Values outside [lo, hi) land in the edge buckets; NULLs are
+    * excluded.
+    */
+  def histRegisters(df: DataFrame, value: Column, lo: Double, hi: Double,
+      buckets: Int = 64): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val raw = floor((value.cast("double") - lit(lo)) / lit(hi - lo)
+      * lit(buckets.toDouble)).cast("long")
+    val b = least(greatest(raw, lit(0L)), lit(buckets.toLong - 1))
+    df.filter(value.isNotNull)
+      .select(b.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold two histograms: union + sum per bucket. */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimate from collected histogram registers: the left
+    * edge of the bucket where the cumulative count crosses q·N —
+    * error ≤ one bucket width. Driver-side.
+    */
+  def histQuantile(registers: DataFrame, q: Double, lo: Double, hi: Double,
+      buckets: Int = 64): Double = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val regs = registers.select(col("bucket"), col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = regs.map(_._2).sum
+    val target = q * total
+    var cum = 0L
+    for ((b, n) <- regs) {
+      cum += n
+      if (cum >= target) return lo + (hi - lo) * b / buckets
+    }
+    hi
+  }
+
   /** Cardinality estimate from a register set (standard HLL estimator
     * with the linear-counting small-range correction). Driver-side:
     * the registers are at most 2^p rows.

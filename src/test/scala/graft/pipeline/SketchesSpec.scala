@@ -41,6 +41,63 @@ class SketchesSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("cmEstimate never undercounts and is near-exact at low load") {
+    // 100 keys into 4×1024 cells: collisions are rare, so estimates
+    // should equal true counts for most keys and never be below them
+    val df = spark.range(10000)
+      .select((col("id") % 100).cast("string").as("k"))
+    val sketch = PortableSketches.cmSketch(df, col("k"))
+    val exact = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    var exactHits = 0
+    for ((k, n) <- exact) {
+      val est = PortableSketches.cmEstimate(sketch, k)
+      assert(est >= n, s"CM undercounted $k: $est < $n")
+      if (est == n) exactHits += 1
+    }
+    assert(exactHits >= 95, s"only $exactHits/100 exact at low load")
+  }
+
+  test("cmMerge of shard sketches equals the whole-corpus sketch") {
+    val df = spark.range(5000)
+      .select(col("id"), (col("id") % 40).cast("string").as("k"))
+    val whole = PortableSketches.cmSketch(df, col("k"))
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = PortableSketches.cmMerge(
+      PortableSketches.cmSketch(df.filter(col("id") % 2 === 0), col("k")),
+      PortableSketches.cmSketch(df.filter(col("id") % 2 === 1), col("k")))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+  }
+
+  test("histQuantile is within one bucket width of the exact quantile") {
+    val df = spark.range(10000).select((col("id") % 1000).as("v"))
+    val regs = PortableSketches.histRegisters(df, col("v"),
+      lo = 0.0, hi = 1000.0, buckets = 100)
+    // exact p50 of 0..999 uniform = 499.5; bucket width 10
+    val p50 = PortableSketches.histQuantile(regs, 0.5, 0.0, 1000.0, 100)
+    assert(math.abs(p50 - 499.5) <= 10.0, s"p50 estimate $p50")
+    val p95 = PortableSketches.histQuantile(regs, 0.95, 0.0, 1000.0, 100)
+    assert(math.abs(p95 - 949.5) <= 10.0, s"p95 estimate $p95")
+  }
+
+  test("histMerge equals whole; out-of-range values clamp to edge buckets") {
+    val df = spark.range(1000).select((col("id") - 100).as("v"))
+    val whole = PortableSketches.histRegisters(df, col("v"), 0.0, 500.0, 10)
+      .as[(Long, Long)].collect().toSet
+    val merged = PortableSketches.histMerge(
+      PortableSketches.histRegisters(df.filter(col("v") % 2 === 0),
+        col("v"), 0.0, 500.0, 10),
+      // =!= 0, not === 1: Spark's % keeps the dividend's sign, so
+      // negative odd values sit at -1
+      PortableSketches.histRegisters(df.filter(col("v") % 2 =!= 0),
+        col("v"), 0.0, 500.0, 10))
+      .as[(Long, Long)].collect().toSet
+    assert(merged === whole)
+    val m = whole.toMap
+    assert(m(0L) >= 100L, "negatives must clamp into bucket 0")
+    assert(m(9L) >= 400L, "overflow values must clamp into the top bucket")
+  }
+
   test("duplicates don't move registers; nulls are excluded") {
     val base = Seq("a", "b", "c").toDF("k")
     val dups = Seq("a", "a", "b", "b", "b", "c").toDF("k")
