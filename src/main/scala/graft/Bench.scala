@@ -57,7 +57,13 @@ object Bench {
     // no new signal (correctness-gated at every sf instead).
     "q116_domain_cap",
     "q121_cluster_balance",
-    "q122_domain_mixture")
+    "q122_domain_mixture",
+    // round-10 surface: the fixed-plane LSH twin (stands in for the
+    // whole fixed-ANN family — same bucket-join plan shape) and the
+    // Count-Min sketch (the heaviest portable-sketch pass: depth×|rows|
+    // explode + one register shuffle)
+    "q48b_ann_lsh_fixed",
+    "q127_cm_sketch")
 
   /** The q95 harness WITHOUT its operator: identical staging (two
     * single-file parquet batches, staggered mtimes), identical

@@ -1690,6 +1690,45 @@ object SparkEntry {
         r.filter(col("event_id") % 2 === 1), col("user")))
   }
 
+  /** Streaming twin of q125's register fold over the documents corpus
+    * (doc_id as the key, delivered as two ordered micro-batches): the
+    * rolling registers after the last trigger must equal the batch
+    * registers over everything, so it shares the generated batch
+    * oracle. HLL's max-merge makes the fold replay-idempotent — the
+    * one streaming op here that needs NO batchId guard
+    * ([[graft.streaming.StreamingSketches]]).
+    */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val scratch = scratchDir("stream_hll")
+    docs.filter(col("doc_id") < mid).coalesce(1).write.parquet(s"$scratch/b1")
+    docs.filter(col("doc_id") >= mid).coalesce(1).write.parquet(s"$scratch/b2")
+    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
+    val now = System.currentTimeMillis()
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$scratch/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(now - (1 - i) * 60000L)
+    }
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val run = graft.streaming.StreamingSketches.startHll(
+      stream, col("doc_id")) { (_, _) => () }
+    try {
+      run.query.processAllAvailable()
+      // localCheckpoint pins the ≤2^p register rows before release
+      val out = run.registers().get.localCheckpoint()
+      out
+    } finally { run.query.stop(); run.release() }
+  }
+
   /** Count-Min frequency sketch (4×1024) over the ratings item key —
     * portable heavy-hitter counting: cells are pure xxhash64-derived
     * integers, hash-gated like the HLL registers.
@@ -2563,7 +2602,8 @@ object SparkEntry {
     "q125_hll_registers" -> (q125 _),
     "q126_hll_merge" -> (q126 _),
     "q127_cm_sketch" -> (q127 _),
-    "q128_hist_registers" -> (q128 _))
+    "q128_hist_registers" -> (q128 _),
+    "q129_stream_hll" -> (q129 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3627,6 +3667,10 @@ object SparkEntry {
     "q128_hist_registers" -> graft.oracle.SketchOracles.histRegistersSql(
       "SELECT rating AS v FROM ratings", lo = 0.0, hi = 512.0,
       withHead = ratingsCte + ","),
+    // rolling streaming fold == batch registers over everything (HLL
+    // max-merge is order- and replay-insensitive)
+    "q129_stream_hll" -> graft.oracle.SketchOracles.hllRegistersSql(
+      "SELECT CAST(doc_id AS VARCHAR) AS s FROM documents"),
     // fixed-centroid cluster balance: centroids = embeddings of
     // vec_id<8 (both engines derive them from the data); distance is
     // the same left-associative 64-term double chain as the Spark

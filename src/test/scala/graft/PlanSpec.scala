@@ -197,4 +197,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"gram probe not broadcast:\n$p")
     assert("Join .*LeftAnti".r.findFirstIn(p).isDefined, s"no anti join:\n$p")
   }
+
+  test("q125/q127/q128: sketches shuffle only pre-aggregated register rows") {
+    // every portable sketch must be a partial (map-side) aggregation
+    // followed by ONE exchange of ≤ register-count rows — never a
+    // shuffle of raw keys
+    for ((name, partial) <- Seq(
+        "q125_hll_registers" -> "partial_max",
+        "q127_cm_sketch" -> "partial_count",
+        "q128_hist_registers" -> "partial_count")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains(partial), s"$name: no map-side combine:\n$p")
+      // string-count, not a ShuffleExchangeLike collect: AQE wraps the
+      // un-executed plan and hides the exchanges from tree collects
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles === 1,
+        s"$name: expected 1 exchange, got $shuffles:\n$p")
+    }
+  }
+
+  test("q48b: fixed-LSH candidates come from a bucket equi-join, never a cartesian") {
+    val df = SparkEntry.queries("q48b_ann_lsh_fixed")(spark, dir)
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"cartesian in fixed LSH:\n$p")
+      // the one nested-loop join Spark may emit is the final k-limit; the
+      // candidate generation itself must be hash/sort-merge on (table,
+      // bucket)
+      assert(p.contains("Join") || p.contains("InMemory"), s"plan:\n$p")
+    } finally df.unpersist()
+  }
 }
