@@ -1737,6 +1737,43 @@ object SparkEntry {
     graft.pipeline.PortableSketches.cmSketch(
       ratings(s, dir), col("item"))
 
+  /** Streaming twin of q127: the item stream delivered as two ordered
+    * micro-batches, per-batch cells folded into a batch_id-partitioned
+    * table (dynamic overwrite of the own partition = replay-idempotent
+    * sum-merge sink — the case HLL's max-merge gets for free), summed
+    * at read. Shares q127's oracle: fold == batch.
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val r = ratings(s, dir).select("item", "event_id")
+    val mid = r.stat.approxQuantile("event_id", Array(0.5), 0.0)(0)
+    val scratch = scratchDir("stream_cm")
+    r.filter(col("event_id") < mid).select("item")
+      .coalesce(1).write.parquet(s"$scratch/b1")
+    r.filter(col("event_id") >= mid).select("item")
+      .coalesce(1).write.parquet(s"$scratch/b2")
+    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
+    val now = System.currentTimeMillis()
+    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$scratch/$b").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(now - (1 - i) * 60000L)
+    }
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("item", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+    val tbl = s"graft_cm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val run = graft.streaming.StreamingSketches.startCm(
+      stream, col("item"), tbl) { (_, _) => () }
+    try {
+      run.query.processAllAvailable()
+      run.registers().get.localCheckpoint()
+    } finally { run.query.stop(); s.sql(s"DROP TABLE IF EXISTS $tbl") }
+  }
+
   /** Fixed-range histogram registers (64 buckets over [0, 512)) of the
     * rating value — the portable stand-in for t-digest quantiles
     * (q36's percentile_approx stays rows-only; this gate is exact).
@@ -2603,7 +2640,8 @@ object SparkEntry {
     "q126_hll_merge" -> (q126 _),
     "q127_cm_sketch" -> (q127 _),
     "q128_hist_registers" -> (q128 _),
-    "q129_stream_hll" -> (q129 _))
+    "q129_stream_hll" -> (q129 _),
+    "q130_stream_cm" -> (q130 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3671,6 +3709,10 @@ object SparkEntry {
     // max-merge is order- and replay-insensitive)
     "q129_stream_hll" -> graft.oracle.SketchOracles.hllRegistersSql(
       "SELECT CAST(doc_id AS VARCHAR) AS s FROM documents"),
+    // the partitioned-sink fold == the batch sketch (q127's oracle)
+    "q130_stream_cm" -> graft.oracle.SketchOracles.cmSketchSql(
+      "SELECT item AS s FROM ratings",
+      withHead = ratingsCte + ","),
     // fixed-centroid cluster balance: centroids = embeddings of
     // vec_id<8 (both engines derive them from the data); distance is
     // the same left-associative 64-term double chain as the Spark
