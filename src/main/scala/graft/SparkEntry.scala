@@ -1782,6 +1782,34 @@ object SparkEntry {
     graft.pipeline.PortableSketches.histRegisters(
       ratings(s, dir), col("rating"), lo = 0.0, hi = 512.0)
 
+  /** Portable Bloom filter of the benchmark fingerprints (q75's
+    * benchmark half: doc_id % 10 = 0) — the membership sketch that
+    * lets decontamination probe a too-big-to-broadcast exact set;
+    * ~10× smaller than the fingerprint relation at the same FPR.
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.PortableSketches.bloomBits(
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+      graft.text.TextAnalysis.fingerprint(col("text")))
+
+  /** Bloom-probe decontamination verdicts: every corpus doc's
+    * fingerprint probed against q131's filter. False positives only
+    * (a clean doc may drop; contamination never slips through) —
+    * the correct direction for the decontamination use.
+    */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.PortableSketches
+    val docs = Tables.documents(s, dir)
+    val bloom = PortableSketches.bloomBits(
+      docs.filter(col("doc_id") % 10 === 0),
+      graft.text.TextAnalysis.fingerprint(col("text")))
+    PortableSketches.bloomProbe(
+      docs.select(col("doc_id"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp")),
+      col("fp"), bloom)
+      .select(col("doc_id"), col("might_contain"))
+  }
+
   /** Reference-config FunkSVD epochs (k=30 as in `report.pdf` §7.1.1;
     * 6 epochs here — BASELINE's 9.47 s/epoch is a 100-epoch total
     * divided by 100, i.e. setup amortized away, so the comparable
@@ -2641,7 +2669,9 @@ object SparkEntry {
     "q127_cm_sketch" -> (q127 _),
     "q128_hist_registers" -> (q128 _),
     "q129_stream_hll" -> (q129 _),
-    "q130_stream_cm" -> (q130 _))
+    "q130_stream_cm" -> (q130 _),
+    "q131_bloom_bits" -> (q131 _),
+    "q132_bloom_probe" -> (q132 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3713,6 +3743,15 @@ object SparkEntry {
     "q130_stream_cm" -> graft.oracle.SketchOracles.cmSketchSql(
       "SELECT item AS s FROM ratings",
       withHead = ratingsCte + ","),
+    "q131_bloom_bits" -> graft.oracle.SketchOracles.bloomBitsSql(
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS s
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+    "q132_bloom_probe" -> graft.oracle.SketchOracles.bloomProbeSql(
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS s
+        |FROM documents""".stripMargin,
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS s
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     // fixed-centroid cluster balance: centroids = embeddings of
     // vec_id<8 (both engines derive them from the data); distance is
     // the same left-associative 64-term double chain as the Spark

@@ -50,6 +50,48 @@ object SketchOracles {
        |       CAST(sum(kn) AS BIGINT) AS cnt
        |FROM kh GROUP BY 1, 2""".stripMargin
 
+  /** Bloom set-bit relation over `srcSql` (one VARCHAR column `s`):
+    * DISTINCT bits of xxhash64("j:key") % bits for j < numHashes.
+    */
+  def bloomBitsSql(srcSql: String, numHashes: Int = 5, bits: Int = 65536,
+      withHead: String = "WITH"): String =
+    s"""$withHead
+       |bk AS (SELECT DISTINCT s FROM ($srcSql) WHERE s IS NOT NULL),
+       |dk AS (SELECT CAST(j.j AS VARCHAR) || ':' || bk.s AS s
+       |       FROM bk CROSS JOIN range($numHashes) j(j)),
+       |${DuckDbXxHash.xxh64Ctes("dk", "s", "kh", idCols = "s AS ids")}
+       |SELECT DISTINCT CAST(h64 % $bits AS BIGINT) AS bit FROM kh""".stripMargin
+
+  /** Bloom membership probe: corpus rows (`corpusSql` yields
+    * (doc_id, s)) probed against the filter built from `benchSql`
+    * (yields `s`); output (doc_id, might_contain). One shared hash
+    * pass covers both sides' keys.
+    */
+  def bloomProbeSql(corpusSql: String, benchSql: String,
+      numHashes: Int = 5, bits: Int = 65536,
+      withHead: String = "WITH"): String =
+    s"""$withHead
+       |bm AS (SELECT DISTINCT s AS fp FROM ($benchSql)
+       |       WHERE s IS NOT NULL),
+       |dc AS (SELECT doc_id, s AS fp FROM ($corpusSql)),
+       |allk AS (SELECT DISTINCT fp FROM
+       |           (SELECT fp FROM bm UNION ALL
+       |            SELECT fp FROM dc WHERE fp IS NOT NULL)),
+       |dk AS (SELECT CAST(j.j AS VARCHAR) || ':' || allk.fp AS s,
+       |              allk.fp AS kfp, j.j AS jr
+       |       FROM allk CROSS JOIN range($numHashes) j(j)),
+       |${DuckDbXxHash.xxh64Ctes("dk", "s", "kh", idCols = "kfp, jr")},
+       |bitsrel AS (SELECT kfp, jr, CAST(h64 % $bits AS BIGINT) AS bit
+       |            FROM kh),
+       |bloom AS (SELECT DISTINCT b.bit
+       |          FROM bitsrel b JOIN bm ON bm.fp = b.kfp),
+       |hits AS (SELECT d.doc_id, count(*) AS nhit
+       |         FROM dc d JOIN bitsrel b ON b.kfp = d.fp
+       |                   JOIN bloom ON bloom.bit = b.bit
+       |         GROUP BY 1)
+       |SELECT d.doc_id, coalesce(h.nhit, 0) = $numHashes AS might_contain
+       |FROM dc d LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin
+
   /** Fixed-range histogram registers over `srcSql` (one numeric column
     * `v`): the bucket chain mirrors the engine's shape exactly —
     * ((v − lo) / (hi − lo)) · buckets, floored then clamped.

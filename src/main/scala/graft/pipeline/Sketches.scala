@@ -148,6 +148,68 @@ object PortableSketches {
     hi
   }
 
+  /** Portable Bloom filter: the SET-BIT relation `(bit)` of the key
+    * column under `numHashes` xxhash64 functions into a power-of-two
+    * `bits` space (same low-bit agreement argument as [[cmSketch]]).
+    * Distinct bit rows ARE the filter — mergeable by union+distinct,
+    * at most `bits` rows, and engine-portable where the built-in
+    * `BloomFilterAggregate`'s byte layout is not.
+    *
+    * The 100 TB use is membership pre-filtering where the exact set
+    * is too big to broadcast comfortably: a benchmark-fingerprint
+    * Bloom is ~10× smaller than the fingerprint set, and
+    * [[bloomProbe]] keeps the probe a broadcast join against bit
+    * rows. False positives only (tunable via bits/numHashes) — the
+    * right direction for decontamination, where a false positive
+    * merely drops a clean document.
+    */
+  def bloomBits(df: DataFrame, key: Column, numHashes: Int = 5,
+      bits: Int = 1 << 16): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes must be in [1,16], got $numHashes")
+    require(bits >= 2 && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two, got $bits")
+    val hs = (0 until numHashes).map { j =>
+      xxhash64(concat_ws(":", lit(j), key.cast("string")))
+        .bitwiseAND(lit((bits - 1).toLong))
+    }
+    df.filter(key.isNotNull)
+      .select(explode(array(hs: _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Fold two Bloom filters: union + distinct. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Per-row membership probe against a Bloom bit relation: returns
+    * `df` plus a `might_contain` boolean — true iff ALL `numHashes`
+    * bits of the key are set. The bit relation broadcasts (≤ `bits`
+    * rows); the probed side never shuffles.
+    */
+  def bloomProbe(df: DataFrame, key: Column, bloom: DataFrame,
+      numHashes: Int = 5, bits: Int = 1 << 16): DataFrame = {
+    val hs = (0 until numHashes).map { j =>
+      xxhash64(concat_ws(":", lit(j), key.cast("string")))
+        .bitwiseAND(lit((bits - 1).toLong))
+    }
+    // correlated-free formulation: explode the key's bits, count how
+    // many exist in the (broadcast) filter, compare to numHashes
+    val withId = df.withColumn("__bits", array(hs: _*))
+    val hits = withId
+      .select(col("__bits"), explode(col("__bits")).as("bit"))
+      .join(broadcast(bloom.select(col("bit"))), Seq("bit"))
+      .groupBy(col("__bits")).agg(count(lit(1)).as("__hits"))
+    withId
+      .join(hits, Seq("__bits"), "left")
+      // NULL keys are definitively absent, never "might contain":
+      // concat_ws would silently hash the bare "j:" prefix for them
+      .withColumn("might_contain",
+        when(key.isNull, lit(false))
+          .otherwise(coalesce(col("__hits"), lit(0L)) === numHashes))
+      .drop("__bits", "__hits")
+  }
+
   /** Cardinality estimate from a register set (standard HLL estimator
     * with the linear-counting small-range correction). Driver-side:
     * the registers are at most 2^p rows.

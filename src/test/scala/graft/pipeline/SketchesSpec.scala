@@ -98,6 +98,41 @@ class SketchesSpec extends SparkSpec {
     assert(m(9L) >= 400L, "overflow values must clamp into the top bucket")
   }
 
+  test("bloomProbe: no false negatives; false positives rare at 16 bits/key") {
+    val members = spark.range(2000)
+      .select(concat(lit("m"), col("id")).as("k"))
+    val bloom = PortableSketches.bloomBits(members, col("k"))
+    val probed = PortableSketches.bloomProbe(
+      members.unionByName(
+        spark.range(2000).select(concat(lit("x"), col("id")).as("k"))),
+      col("k"), bloom)
+      .select(col("k"), col("might_contain")).as[(String, Boolean)].collect()
+    val (ms, xs) = probed.partition(_._1.startsWith("m"))
+    assert(ms.forall(_._2), "a member was reported absent (false negative)")
+    val fpr = xs.count(_._2).toDouble / xs.size
+    // 5 hashes into 65536 bits for 2000 keys → theoretical FPR ~1e-4
+    assert(fpr < 0.01, s"false-positive rate too high: $fpr")
+  }
+
+  test("bloomMerge equals the whole-set filter; null keys probe false") {
+    val a = Seq("a", "b").toDF("k")
+    val b = Seq("b", "c").toDF("k")
+    val whole = PortableSketches.bloomBits(a.unionByName(b), col("k"))
+      .as[Long].collect().toSet
+    val merged = PortableSketches.bloomMerge(
+      PortableSketches.bloomBits(a, col("k")),
+      PortableSketches.bloomBits(b, col("k")))
+      .as[Long].collect().toSet
+    assert(merged === whole)
+    val gotNull = PortableSketches.bloomProbe(
+      Seq(Option("a"), None).toDF("k"), col("k"),
+      PortableSketches.bloomBits(a, col("k")))
+      .select(col("k"), col("might_contain")).as[(Option[String], Boolean)]
+      .collect().toMap
+    assert(gotNull(Some("a")) === true)
+    assert(gotNull(None) === false, "null key must never 'might contain'")
+  }
+
   test("duplicates don't move registers; nulls are excluded") {
     val base = Seq("a", "b", "c").toDF("k")
     val dups = Seq("a", "a", "b", "b", "b", "c").toDF("k")
