@@ -1782,6 +1782,67 @@ object SparkEntry {
     graft.pipeline.PortableSketches.histRegisters(
       ratings(s, dir), col("rating"), lo = 0.0, hi = 512.0)
 
+  /** Fixed-point PageRank (5 damped iterations) over a deterministic
+    * synthetic link graph on the documents table (three modular link
+    * rules, self-loops dropped — replayed verbatim in the oracle).
+    * Integer arithmetic end-to-end, so the whole trajectory
+    * hash-gates against the unrolled DuckDB replay (q133Sql) — the
+    * link-analysis curation signal (CommonCrawl-style centrality)
+    * with a real oracle.
+    */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val nn = docs.count()
+    val e0 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 7 + 11) % nn).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 13 + 5) % nn).as("dst")))
+      .unionAll(docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 3) % nn).as("dst")))
+    graft.pipeline.LinkAnalysis.pageRankFixed(
+      e0.filter(col("src") =!= col("dst")),
+      docs.select(col("doc_id").as("node")))
+  }
+
+  /** The unrolled DuckDB replay of q133: same modular edge rules,
+    * same integral-division damping update, one MATERIALIZED CTE per
+    * iteration (the q106 deep-chain lesson).
+    */
+  private def q133Sql(iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = 1000000L): String = {
+    val base = scale * (100 - dampingPct) / 100
+    val sb = new StringBuilder
+    sb ++= s"""WITH n AS (SELECT doc_id AS node FROM documents),
+      |cnt AS (SELECT count(*) AS nn FROM documents),
+      |e0 AS (
+      |  SELECT doc_id AS src, (doc_id * 7 + 11) % nn AS dst
+      |  FROM documents, cnt
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 5) % nn FROM documents, cnt
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 31 + 3) % nn FROM documents, cnt
+      |  WHERE doc_id % 3 = 0),
+      |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+      |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      |ej AS MATERIALIZED (
+      |  SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+      |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank_fp FROM n)""".stripMargin
+    for (t <- 1 to iterations) {
+      sb ++= s""",
+      |r$t AS MATERIALIZED (
+      |  SELECT n.node,
+      |         CAST($base + ($dampingPct * coalesce(cb.s, 0)) // 100
+      |              AS BIGINT) AS rank_fp
+      |  FROM n LEFT JOIN (
+      |    SELECT ej.dst AS node, sum(r.rank_fp // ej.outdeg) AS s
+      |    FROM ej JOIN r${t - 1} r ON r.node = ej.src
+      |    GROUP BY 1) cb ON cb.node = n.node)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, rank_fp FROM r$iterations"
+    sb.toString
+  }
+
   /** Portable Bloom filter of the benchmark fingerprints (q75's
     * benchmark half: doc_id % 10 = 0) — the membership sketch that
     * lets decontamination probe a too-big-to-broadcast exact set;
@@ -2671,7 +2732,8 @@ object SparkEntry {
     "q129_stream_hll" -> (q129 _),
     "q130_stream_cm" -> (q130 _),
     "q131_bloom_bits" -> (q131 _),
-    "q132_bloom_probe" -> (q132 _))
+    "q132_bloom_probe" -> (q132 _),
+    "q133_pagerank_fixed" -> (q133 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3752,6 +3814,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS s
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+    "q133_pagerank_fixed" -> q133Sql(),
     // fixed-centroid cluster balance: centroids = embeddings of
     // vec_id<8 (both engines derive them from the data); distance is
     // the same left-associative 64-term double chain as the Spark
