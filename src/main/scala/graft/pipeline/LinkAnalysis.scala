@@ -47,23 +47,32 @@ object LinkAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
     val base = scale * (100 - dampingPct) / 100
-    var ranks = n.select(col("node"), lit(scale).as("rank_fp"))
-      .localCheckpoint()
+    // localCheckpointFresh, not Dataset.localCheckpoint: the per-
+    // iteration cut must not inherit (and geometrically compound) the
+    // previous leaf's stats, and each retired iteration's blocks are
+    // released — the GdMf epoch-loop lessons apply verbatim here
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    var cur = DatasetBridge.localCheckpointFresh(
+      n.select(col("node"), lit(scale).as("rank_fp")))
     try {
       for (_ <- 1 to iterations) {
+        val ranks = cur.df
         val contrib = e.join(ranks, e("src") === ranks("node"))
           .select(col("dst").as("node"),
             expr("rank_fp div outdeg").as("c"))
           .groupBy("node").agg(sum(col("c")).as("s"))
-        ranks = n
+        val next = DatasetBridge.localCheckpointFresh(n
           .join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit(base) +
               expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
-              .as("rank_fp"))
-          .localCheckpoint()
+              .as("rank_fp")))
+        cur.release()
+        cur = next
       }
-      ranks
+      // the final iteration's blocks back the returned frame; they are
+      // node-count-sized and live until the session drops them
+      cur.df
     } finally e.unpersist()
   }
 }
