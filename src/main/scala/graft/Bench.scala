@@ -59,11 +59,13 @@ object Bench {
     "q121_cluster_balance",
     "q122_domain_mixture",
     // round-10 surface: the fixed-plane LSH twin (stands in for the
-    // whole fixed-ANN family — same bucket-join plan shape) and the
+    // whole fixed-ANN family — same bucket-join plan shape), the
     // Count-Min sketch (the heaviest portable-sketch pass: depth×|rows|
-    // explode + one register shuffle)
+    // explode + one register shuffle), and the 5-iteration PageRank
+    // (the iterative-join loop with per-iteration checkpoint cuts)
     "q48b_ann_lsh_fixed",
-    "q127_cm_sketch")
+    "q127_cm_sketch",
+    "q133_pagerank_fixed")
 
   /** The q95 harness WITHOUT its operator: identical staging (two
     * single-file parquet batches, staggered mtimes), identical

@@ -96,9 +96,10 @@ object PortableSketches {
       .as[(Int, Long, Long)].collect()
       .map { case (r, c, n) => ((r, c), n) }.toMap
     (0 until depth).map { j =>
-      val h = spark.range(1)
-        .select(xxhash64(lit(s"$j:$key")).bitwiseAND(lit((width - 1).toLong)))
-        .as[Long].head()
+      // driver-side eval of the same xxhash64 the sketch pass used —
+      // no per-probe Spark job
+      val h = graft.functions.HashUtil.xxh64String(s"$j:$key") &
+        (width - 1).toLong
       cells.getOrElse((j, h), 0L)
     }.min
   }

@@ -157,19 +157,13 @@ object Ann {
   // are unchanged — these are production operators for deployments
   // that freeze their quantizers, not test scaffolding.
 
-  /** Spark's `xxhash64` of a string literal, evaluated driver-side —
-    * keeps the Rademacher plane constants generated from the SAME hash
-    * the engine and the DuckDB oracle both speak.
+  /** ±1 hyperplane component for (table, plane, dim) — driver-side
+    * eval of Spark's own xxhash64 ([[graft.functions.HashUtil]]), the
+    * SAME hash the engine expressions and the DuckDB oracle speak.
     */
-  private def xxh64String(s: String, seed: Long = 42L): Long =
-    org.apache.spark.sql.catalyst.expressions.XxHash64(
-      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
-        s, org.apache.spark.sql.types.StringType)), seed)
-      .eval(null).asInstanceOf[Long]
-
-  /** ±1 hyperplane component for (table, plane, dim). */
   private[graft] def radSign(t: Int, p: Int, d: Int): Long =
-    if ((xxh64String(s"$t:$p:$d") & 1L) == 0L) 1L else -1L
+    if ((graft.functions.HashUtil.xxh64String(s"$t:$p:$d") & 1L) == 0L) 1L
+    else -1L
 
   /** L2-normalize (left-assoc double fold — exact) then fix-point at
     * 1e-6: the integer form every fixed twin scores with. Zero vectors
