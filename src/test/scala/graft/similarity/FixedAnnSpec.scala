@@ -142,6 +142,24 @@ class FixedAnnSpec extends SparkSpec {
     } finally PqIndex.drop(spark, name)
   }
 
+  test("fixed twins are partitioning-invariant (exact scores and ranks)") {
+    // the cross-engine determinism claim implies cross-PARTITIONING
+    // determinism: integer sums and fixed fold orders cannot depend on
+    // how rows are split across tasks
+    val e = emb
+    val e7 = emb.repartition(7)
+    def run(c: org.apache.spark.sql.DataFrame) = {
+      val got = Ann.lshTopKFixed(c, "vec_id", "embedding",
+        c.filter($"vec_id" < 10), "vec_id", "embedding",
+        k = 10, tables = 32, planes = 4, dim = 64)
+      val rows = got.select("query_id", "neighbor_id", "rank", "score_fp")
+        .as[(Long, Long, Int, Long)].collect().toSet
+      got.unpersist()
+      rows
+    }
+    assert(run(e) === run(e7))
+  }
+
   test("embeddingPairsLshFixed finds every planted scaled copy at cos ≈ 1") {
     val e = emb.select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("embedding"))
