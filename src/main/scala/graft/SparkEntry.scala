@@ -1782,6 +1782,15 @@ object SparkEntry {
     graft.pipeline.PortableSketches.histRegisters(
       ratings(s, dir), col("rating"), lo = 0.0, hi = 512.0)
 
+  /** Bottom-64 consistent sample of the ratings user key — the KMV
+    * sketch: a stable sample (same keys survive across runs, shards
+    * and engines) that doubles as a distinct-count estimator
+    * ([[graft.pipeline.PortableSketches.bottomK]]/`kmvEstimate`).
+    */
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.PortableSketches.bottomK(
+      ratings(s, dir), col("user"), k = 64)
+
   /** Fixed-point PageRank (5 damped iterations) over a deterministic
     * synthetic link graph on the documents table (three modular link
     * rules, self-loops dropped — replayed verbatim in the oracle).
@@ -2733,7 +2742,8 @@ object SparkEntry {
     "q130_stream_cm" -> (q130 _),
     "q131_bloom_bits" -> (q131 _),
     "q132_bloom_probe" -> (q132 _),
-    "q133_pagerank_fixed" -> (q133 _))
+    "q133_pagerank_fixed" -> (q133 _),
+    "q134_bottomk_sample" -> (q134 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3815,6 +3825,9 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS s
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     "q133_pagerank_fixed" -> q133Sql(),
+    "q134_bottomk_sample" -> graft.oracle.SketchOracles.bottomKSql(
+      """SELECT "user" AS s FROM ratings""", k = 64,
+      withHead = ratingsCte + ","),
     // fixed-centroid cluster balance: centroids = embeddings of
     // vec_id<8 (both engines derive them from the data); distance is
     // the same left-associative 64-term double chain as the Spark

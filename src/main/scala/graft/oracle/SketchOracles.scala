@@ -50,6 +50,24 @@ object SketchOracles {
        |       CAST(sum(kn) AS BIGINT) AS cnt
        |FROM kh GROUP BY 1, 2""".stripMargin
 
+  /** Bottom-k consistent sample over `srcSql` (one VARCHAR column
+    * `s`): the k distinct keys with the smallest SIGNED xxhash64
+    * (matching the engine's long ordering), with deterministic
+    * key tie-break.
+    */
+  def bottomKSql(srcSql: String, k: Int,
+      withHead: String = "WITH"): String =
+    s"""$withHead
+       |dk AS (SELECT DISTINCT s FROM ($srcSql) WHERE s IS NOT NULL),
+       |${DuckDbXxHash.xxh64Ctes("dk", "s", "kh", idCols = "s AS ids")}
+       |SELECT s AS key,
+       |  CAST(CAST(h64 AS HUGEINT) -
+       |       CASE WHEN h64 >= 9223372036854775808
+       |            THEN CAST(18446744073709551616 AS HUGEINT)
+       |            ELSE 0 END AS BIGINT) AS h
+       |FROM kh
+       |ORDER BY h, key LIMIT $k""".stripMargin
+
   /** Bloom set-bit relation over `srcSql` (one VARCHAR column `s`):
     * DISTINCT bits of xxhash64("j:key") % bits for j < numHashes.
     */

@@ -149,6 +149,72 @@ object PortableSketches {
     hi
   }
 
+  /** Point estimates for a relation of candidate keys against a
+    * Count-Min sketch — the heavy-hitter scan: each candidate's
+    * estimate is the min over its depth cells, computed relationally
+    * (candidates explode to depth cell probes, join the broadcast
+    * sketch, min per key — candidates never shuffle). Returns
+    * (key, est_cnt) for candidates whose estimate ≥ `minCount`.
+    * Estimates never undercount, so no true heavy hitter is missed.
+    */
+  def cmHeavyHitters(sketch: DataFrame, candidates: DataFrame,
+      key: Column, minCount: Long, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val probes = (0 until depth).map { j =>
+      struct(lit(j).as("row"),
+        xxhash64(concat_ws(":", lit(j), key.cast("string")))
+          .bitwiseAND(lit((width - 1).toLong)).as("col"))
+    }
+    candidates.filter(key.isNotNull)
+      .select(key.cast("string").as("key"),
+        explode(array(probes: _*)).as("cell"))
+      .select(col("key"), col("cell.row").as("row"), col("cell.col").as("col"))
+      .join(broadcast(sketch.select(col("row"), col("col"), col("cnt"))),
+        Seq("row", "col"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+      .filter(col("est_cnt") >= minCount)
+  }
+
+  /** Bottom-k consistent sample — the k distinct keys with the
+    * smallest xxhash64, with their hashes: a STABLE corpus sample
+    * (the same keys survive across runs, shards, partitionings and
+    * engines — signed-long hash order on both sides) that doubles as
+    * the KMV distinct-count sketch. Global top-k is the
+    * TakeOrderedAndProject shape: per-partition k candidates, never a
+    * global sort. Merging shards = union + re-bottom-k
+    * ([[bottomKMerge]]).
+    */
+  def bottomK(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.filter(key.isNotNull)
+      .select(key.cast("string").as("key"))
+      .distinct()
+      .select(col("key"), xxhash64(col("key")).as("h"))
+      .orderBy(col("h"), col("key"))
+      .limit(k)
+  }
+
+  /** Fold two bottom-k samples (distinct absorbs overlap). */
+  def bottomKMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.unionByName(b).distinct()
+      .orderBy(col("h"), col("key")).limit(k)
+
+  /** KMV distinct-count estimate from a FULL bottom-k sample (fewer
+    * than k rows means the sample IS the distinct set — exact). The
+    * signed hashes map to (0,1) via the unsigned view; est =
+    * (k−1)/u_(k), the classic KMV estimator.
+    */
+  def kmvEstimate(sample: DataFrame, k: Int): Double = {
+    val hs = sample.select(col("h")).collect().map(_.getLong(0)).sorted
+    if (hs.length < k) hs.length.toDouble
+    else {
+      val unsigned = BigDecimal(BigInt(hs.last) + (BigInt(1) << 63))
+      val u = (unsigned / BigDecimal(BigInt(1) << 64)).toDouble
+      (k - 1) / u
+    }
+  }
+
   /** Portable Bloom filter: the SET-BIT relation `(bit)` of the key
     * column under `numHashes` xxhash64 functions into a power-of-two
     * `bits` space (same low-bit agreement argument as [[cmSketch]]).

@@ -133,6 +133,50 @@ class SketchesSpec extends SparkSpec {
     assert(gotNull(None) === false, "null key must never 'might contain'")
   }
 
+  test("bottomK is stable under partitioning and merges shard-wise") {
+    val df = spark.range(5000).select(col("id").cast("string").as("k"))
+    val whole = PortableSketches.bottomK(df, col("k"), 64)
+      .as[(String, Long)].collect().toSet
+    val repart = PortableSketches.bottomK(df.repartition(5), col("k"), 64)
+      .as[(String, Long)].collect().toSet
+    assert(repart === whole)
+    val merged = PortableSketches.bottomKMerge(
+      PortableSketches.bottomK(df.filter(col("id") % 2 === 0), col("k"), 64),
+      PortableSketches.bottomK(df.filter(col("id") % 2 === 1), col("k"), 64),
+      64).as[(String, Long)].collect().toSet
+    assert(merged === whole)
+  }
+
+  test("kmvEstimate: ~exact below k, within 3σ above it") {
+    val small = spark.range(40).select(col("id").cast("string").as("k"))
+    assert(PortableSketches.kmvEstimate(
+      PortableSketches.bottomK(small, col("k"), 64), 64) === 40.0)
+    val n = 20000
+    val big = spark.range(n.toLong * 2)
+      .select((col("id") % n).cast("string").as("k"))
+    val est = PortableSketches.kmvEstimate(
+      PortableSketches.bottomK(big, col("k"), 256), 256)
+    val err = math.abs(est - n) / n
+    // KMV std error ≈ 1/sqrt(k−2) ≈ 6.3% at k=256; 20% is >3σ
+    assert(err < 0.2, s"KMV estimate $est vs exact $n (err $err)")
+  }
+
+  test("cmHeavyHitters finds every true heavy hitter, estimates never undercount") {
+    // key "hot" appears 5000 times; 100 background keys 50 times each
+    val hot = spark.range(5000).select(lit("hot").as("k"))
+    val cold = spark.range(5000)
+      .select(concat(lit("c"), col("id") % 100).as("k"))
+    val df = hot.unionByName(cold)
+    val sketch = PortableSketches.cmSketch(df, col("k"))
+    val hh = PortableSketches.cmHeavyHitters(
+      sketch, df.select(col("k")).distinct(), col("k"), minCount = 1000)
+      .as[(String, Long)].collect().toMap
+    assert(hh.contains("hot"), s"missed the heavy hitter: $hh")
+    assert(hh("hot") >= 5000L, "CM must never undercount")
+    // nothing cold can exceed the threshold unless collisions add 20x
+    assert(hh.keySet.forall(_ == "hot"), s"false heavy hitters: $hh")
+  }
+
   test("duplicates don't move registers; nulls are excluded") {
     val base = Seq("a", "b", "c").toDF("k")
     val dups = Seq("a", "a", "b", "b", "b", "c").toDF("k")
