@@ -622,25 +622,12 @@ object SparkEntry {
     */
   private def q101(s: SparkSession, dir: String): DataFrame = {
     val docs = chunkedDocs(s, dir)
-    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
     val scratch = scratchDir("stream_paradedup")
-    docs.filter(col("doc_id") < mid).coalesce(1).write.parquet(s"$scratch/b1")
-    docs.filter(col("doc_id") >= mid).coalesce(1).write.parquet(s"$scratch/b2")
-    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
-    val now = System.currentTimeMillis()
-    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
-      val part = new java.io.File(s"$scratch/$b").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(now - (1 - i) * 60000L)
-    }
     import org.apache.spark.sql.types._
-    val stream = s.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(in.toString)
+    val stream = stageOrderedBatches(s, scratch,
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))),
+      midpointHalves(docs))
     val tbl = s"graft_pd_idx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = graft.streaming.StreamingParagraphDedup.start(
       stream, "doc_id", "text", indexTable = tbl) { (out, _) =>
@@ -692,25 +679,12 @@ object SparkEntry {
     */
   private def q102(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
     val scratch = scratchDir("stream_ssdedup")
-    docs.filter(col("doc_id") < mid).coalesce(1).write.parquet(s"$scratch/b1")
-    docs.filter(col("doc_id") >= mid).coalesce(1).write.parquet(s"$scratch/b2")
-    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
-    val now = System.currentTimeMillis()
-    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
-      val part = new java.io.File(s"$scratch/$b").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(now - (1 - i) * 60000L)
-    }
     import org.apache.spark.sql.types._
-    val stream = s.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(in.toString)
+    val stream = stageOrderedBatches(s, scratch,
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))),
+      midpointHalves(docs))
     val tbl = s"graft_ss_idx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = graft.streaming.StreamingSubstringDedup.start(
       stream, "doc_id", "text", indexTable = tbl, windowTokens = 20) { (out, _) =>
@@ -1077,6 +1051,40 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Stage each part as ONE parquet file with ascending mtimes under
+    * `scratch` and return the `maxFilesPerTrigger=1` file stream over
+    * them — the shared ordered-micro-batch harness of every streaming
+    * gate query. Ordered arrival (oldest mtime first) is what lets
+    * the streaming twins share their batch oracles; a change to this
+    * staging scheme changes the ingest order of EVERY twin, which is
+    * why it lives in one place.
+    */
+  private def stageOrderedBatches(s: SparkSession, scratch: String,
+      schema: org.apache.spark.sql.types.StructType,
+      parts: Seq[DataFrame]): DataFrame = {
+    parts.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.parquet(s"$scratch/b$i")
+    }
+    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
+    val now = System.currentTimeMillis()
+    parts.indices.foreach { i =>
+      val part = new java.io.File(s"$scratch/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(now - (parts.size - 1 - i) * 60000L)
+    }
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+  }
+
+  /** The exact-median split the twins stream in as two halves. */
+  private def midpointHalves(docs: DataFrame,
+      idCol: String = "doc_id"): Seq[DataFrame] = {
+    val mid = docs.stat.approxQuantile(idCol, Array(0.5), 0.0)(0)
+    Seq(docs.filter(col(idCol) < mid), docs.filter(col(idCol) >= mid))
+  }
+
   /** Continuous near-dup dedup: the documents corpus delivered as two
     * micro-batches (split at the id midpoint), each probing the LSH
     * index of everything admitted before it (StreamingDedup).
@@ -1095,26 +1103,10 @@ object SparkEntry {
     // (id, dup_of) pair per doc) are collected, which is the query's
     // output surface, not the corpus.
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
-    val scratch = scratchDir("stream_neardup")
-    docs.filter(col("doc_id") < mid).coalesce(1)
-      .write.parquet(s"$scratch/b1")
-    docs.filter(col("doc_id") >= mid).coalesce(1)
-      .write.parquet(s"$scratch/b2")
-    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
-    val now = System.currentTimeMillis()
-    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
-      val part = new java.io.File(s"$scratch/$b").listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(now - (1 - i) * 60000L)
-    }
-    val stream = s.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(in.toString)
+    val stream = stageOrderedBatches(s, scratchDir("stream_neardup"),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))),
+      midpointHalves(docs))
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
     // bucketed-table index (the scale path): per-batch shuffle is
     // O(batch), survivors append as new bucket files only
@@ -1440,27 +1432,12 @@ object SparkEntry {
       .localCheckpoint()
     // two ordered micro-batches split at the doc_id midpoint
     val docs = raw.select("doc_id", "text", "lang", "source")
-    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
     val scratch = scratchDir("stream_curation")
-    docs.filter(col("doc_id") < mid).coalesce(1)
-      .write.parquet(s"$scratch/b1")
-    docs.filter(col("doc_id") >= mid).coalesce(1)
-      .write.parquet(s"$scratch/b2")
-    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
-    val now = System.currentTimeMillis()
-    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
-      val part = new java.io.File(s"$scratch/$b").listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(now - (1 - i) * 60000L)
-    }
-    val stream = s.readStream
-      .schema(StructType(Seq(
+    val stream = stageOrderedBatches(s, scratch,
+      StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(in.toString)
+        StructField("lang", StringType), StructField("source", StringType))),
+      midpointHalves(docs))
     val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
     val buf = scala.collection.mutable
       .ArrayBuffer.empty[(Long, String, String, Long, Long, Long)]
@@ -1701,24 +1678,10 @@ object SparkEntry {
   private def q129(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val mid = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
-    val scratch = scratchDir("stream_hll")
-    docs.filter(col("doc_id") < mid).coalesce(1).write.parquet(s"$scratch/b1")
-    docs.filter(col("doc_id") >= mid).coalesce(1).write.parquet(s"$scratch/b2")
-    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
-    val now = System.currentTimeMillis()
-    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
-      val part = new java.io.File(s"$scratch/$b").listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(now - (1 - i) * 60000L)
-    }
-    val stream = s.readStream
-      .schema(StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(in.toString)
+    val stream = stageOrderedBatches(s, scratchDir("stream_hll"),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))),
+      midpointHalves(docs))
     val run = graft.streaming.StreamingSketches.startHll(
       stream, col("doc_id")) { (_, _) => () }
     try {
@@ -1746,25 +1709,9 @@ object SparkEntry {
   private def q130(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val r = ratings(s, dir).select("item", "event_id")
-    val mid = r.stat.approxQuantile("event_id", Array(0.5), 0.0)(0)
-    val scratch = scratchDir("stream_cm")
-    r.filter(col("event_id") < mid).select("item")
-      .coalesce(1).write.parquet(s"$scratch/b1")
-    r.filter(col("event_id") >= mid).select("item")
-      .coalesce(1).write.parquet(s"$scratch/b2")
-    val in = new java.io.File(s"$scratch/in"); in.mkdirs()
-    val now = System.currentTimeMillis()
-    Seq("b1", "b2").zipWithIndex.foreach { case (b, i) =>
-      val part = new java.io.File(s"$scratch/$b").listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(in, f"batch_$i%04d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(now - (1 - i) * 60000L)
-    }
-    val stream = s.readStream
-      .schema(StructType(Seq(StructField("item", StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(in.toString)
+    val stream = stageOrderedBatches(s, scratchDir("stream_cm"),
+      StructType(Seq(StructField("item", StringType))),
+      midpointHalves(r, "event_id").map(_.select("item")))
     val tbl = s"graft_cm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val run = graft.streaming.StreamingSketches.startCm(
       stream, col("item"), tbl) { (_, _) => () }

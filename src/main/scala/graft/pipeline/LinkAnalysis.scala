@@ -54,6 +54,7 @@ object LinkAnalysis {
     import org.apache.spark.sql.graftbridge.DatasetBridge
     var cur = DatasetBridge.localCheckpointFresh(
       n.select(col("node"), lit(scale).as("rank_fp")))
+    var done = false
     try {
       for (_ <- 1 to iterations) {
         val ranks = cur.df
@@ -70,9 +71,15 @@ object LinkAnalysis {
         cur.release()
         cur = next
       }
+      done = true
       // the final iteration's blocks back the returned frame; they are
       // node-count-sized and live until the session drops them
       cur.df
-    } finally e.unpersist()
+    } finally {
+      e.unpersist()
+      // a mid-loop failure must not strand the current iteration's
+      // checkpoint blocks for the session's lifetime
+      if (!done) cur.release()
+    }
   }
 }

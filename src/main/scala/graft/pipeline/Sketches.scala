@@ -261,9 +261,16 @@ object PortableSketches {
         .bitwiseAND(lit((bits - 1).toLong))
     }
     // correlated-free formulation: explode the key's bits, count how
-    // many exist in the (broadcast) filter, compare to numHashes
+    // many exist in the (broadcast) filter, compare to numHashes.
+    // DISTINCT the bit arrays before exploding — duplicate key ROWS
+    // would otherwise pool into one group and count 2·numHashes hits
+    // (a false NEGATIVE for a true member, which the Bloom contract
+    // forbids). Duplicate bits WITHIN one array (a self-collision)
+    // must keep counting per hash index — the oracle counts per
+    // (key, j) row — so only whole-array duplicates collapse.
     val withId = df.withColumn("__bits", array(hs: _*))
     val hits = withId
+      .select(col("__bits")).distinct()
       .select(col("__bits"), explode(col("__bits")).as("bit"))
       .join(broadcast(bloom.select(col("bit"))), Seq("bit"))
       .groupBy(col("__bits")).agg(count(lit(1)).as("__hits"))

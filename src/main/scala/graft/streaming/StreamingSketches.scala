@@ -40,25 +40,31 @@ object StreamingSketches {
   def startHll(stream: DataFrame, key: Column, p: Int = 12)
       (onBatch: (DataFrame, Long) => Unit): Run = {
     // one mutable reference, only touched inside foreachBatch (which
-    // Structured Streaming serializes batch-over-batch)
-    var regs: DataFrame = null
+    // Structured Streaming serializes batch-over-batch).
+    // localCheckpointFresh per generation, NOT persist: a persisted
+    // chain nests one union+aggregate of lineage per trigger — the
+    // plan grows without bound over the stream's lifetime and an
+    // evicted block would recompute through already-unpersisted
+    // generations (the pageRankFixed / GdMf compounding-lineage
+    // lesson); the fresh checkpoint truncates lineage each trigger
+    // and the retired generation's blocks release immediately.
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    var regs: DatasetBridge.FreshCheckpoint = null
     val query = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = PortableSketches.hllRegisters(batch, key, p)
-        val merged = (if (regs == null) b
-          else PortableSketches.hllMerge(regs, b))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        merged.count() // materialize before dropping the old generation
+        val merged = DatasetBridge.localCheckpointFresh(
+          if (regs == null) b else PortableSketches.hllMerge(regs.df, b))
         val old = regs
         regs = merged
-        if (old != null) old.unpersist()
-        onBatch(merged, batchId)
+        if (old != null) old.release()
+        onBatch(merged.df, batchId)
       }
       .start()
     Run(query,
-      registers = () => Option(regs),
-      release = () => Option(regs).foreach(_.unpersist()))
+      registers = () => Option(regs).map(_.df),
+      release = () => Option(regs).foreach(_.release()))
   }
 
   /** Fold one batch's Count-Min cells into the batchId-partitioned
@@ -115,11 +121,15 @@ object StreamingSketches {
       }
       .start()
     Run(query,
-      registers = () => {
-        caller.catalog.refreshTable(table)
-        Some(caller.table(table)
-          .groupBy("row", "col").agg(sum(col("cnt")).as("cnt")))
-      },
+      // None until the first batch creates the table — the same
+      // pre-first-trigger contract as startHll's registers()
+      registers = () =>
+        if (!caller.catalog.tableExists(table)) None
+        else {
+          caller.catalog.refreshTable(table)
+          Some(caller.table(table)
+            .groupBy("row", "col").agg(sum(col("cnt")).as("cnt")))
+        },
       release = () => ())
   }
 }

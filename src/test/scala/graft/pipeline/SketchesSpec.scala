@@ -114,6 +114,21 @@ class SketchesSpec extends SparkSpec {
     assert(fpr < 0.01, s"false-positive rate too high: $fpr")
   }
 
+  test("bloomProbe verdicts are per-key: duplicate rows don't break membership") {
+    // regression (round-10 review find): hits grouped per key must not
+    // pool duplicate rows' probes — 2 rows of a member key counted
+    // 2·numHashes hits and flipped a true member to false
+    val members = Seq("a", "b").toDF("k")
+    val bloom = PortableSketches.bloomBits(members, col("k"))
+    val probed = PortableSketches.bloomProbe(
+      Seq("a", "a", "a", "b", "z", "z").toDF("k"), col("k"), bloom)
+      .select(col("k"), col("might_contain")).as[(String, Boolean)]
+      .collect()
+    assert(probed.filter(_._1 == "a").forall(_._2), "duplicated member lost")
+    assert(probed.filter(_._1 == "b").forall(_._2))
+    assert(probed.count(_._1 == "a") === 3, "row multiplicity must survive")
+  }
+
   test("bloomMerge equals the whole-set filter; null keys probe false") {
     val a = Seq("a", "b").toDF("k")
     val b = Seq("b", "c").toDF("k")

@@ -47,13 +47,7 @@ class FixedAnnSpec extends SparkSpec {
 
   test("ivfTopKFixed: high recall@10 under frozen first-16 centroids") {
     val e = emb
-    val cents = e.filter($"vec_id" < 16).orderBy("vec_id")
-      .select("embedding").collect()
-      .map { r =>
-        val raw = r.getSeq[Float](0).map(_.toDouble)
-        val n = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x * x))
-        (if (n > 0) raw.map(_ / n) else raw).toSeq
-      }.toSeq
+    val cents = unitHead(16)
     val got = Ann.ivfTopKFixed(e, "vec_id", "embedding",
       e.filter($"vec_id" < 10), "vec_id", "embedding",
       k = 10, centroids = cents, nprobe = 4)
@@ -67,13 +61,7 @@ class FixedAnnSpec extends SparkSpec {
 
   test("pqTopKFixed: high recall@10 under frozen first-16 codebooks") {
     val e = emb
-    val src = e.filter($"vec_id" < 16).orderBy("vec_id")
-      .select("embedding").collect()
-      .map { r =>
-        val raw = r.getSeq[Float](0).map(_.toDouble)
-        val n = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x * x))
-        (if (n > 0) raw.map(_ / n) else raw).toSeq
-      }.toSeq
+    val src = unitHead(16)
     val codebooks = (0 until 16).map(j => src.map(_.slice(j * 4, j * 4 + 4)))
     val got = Ann.pqTopKFixed(e, "vec_id", "embedding",
       e.filter($"vec_id" < 10), "vec_id", "embedding",
