@@ -1729,6 +1729,16 @@ object SparkEntry {
     graft.pipeline.PortableSketches.histRegisters(
       ratings(s, dir), col("rating"), lo = 0.0, hi = 512.0)
 
+  /** Per-source HLL registers over the documents corpus — every
+    * source's distinct-fingerprint cardinality sketch in one pass
+    * (the per-domain/per-day production shape;
+    * [[graft.pipeline.PortableSketches.hllRegistersBy]]).
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.PortableSketches.hllRegistersBy(
+      Tables.documents(s, dir), col("source"),
+      graft.text.TextAnalysis.fingerprint(col("text")))
+
   /** Bottom-64 consistent sample of the ratings user key — the KMV
     * sketch: a stable sample (same keys survive across runs, shards
     * and engines) that doubles as a distinct-count estimator
@@ -2690,7 +2700,8 @@ object SparkEntry {
     "q131_bloom_bits" -> (q131 _),
     "q132_bloom_probe" -> (q132 _),
     "q133_pagerank_fixed" -> (q133 _),
-    "q134_bottomk_sample" -> (q134 _))
+    "q134_bottomk_sample" -> (q134 _),
+    "q135_hll_by_source" -> (q135 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3775,6 +3786,10 @@ object SparkEntry {
     "q134_bottomk_sample" -> graft.oracle.SketchOracles.bottomKSql(
       """SELECT "user" AS s FROM ratings""", k = 64,
       withHead = ratingsCte + ","),
+    "q135_hll_by_source" -> graft.oracle.SketchOracles.hllRegistersBySql(
+      """SELECT source AS g,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS s
+        |FROM documents""".stripMargin),
     // fixed-centroid cluster balance: centroids = embeddings of
     // vec_id<8 (both engines derive them from the data); distance is
     // the same left-associative 64-term double chain as the Spark

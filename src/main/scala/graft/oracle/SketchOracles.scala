@@ -50,6 +50,30 @@ object SketchOracles {
        |       CAST(sum(kn) AS BIGINT) AS cnt
        |FROM kh GROUP BY 1, 2""".stripMargin
 
+  /** Per-group HLL registers over `srcSql` (columns `g`, `s`): the
+    * grouped form of [[hllRegistersSql]].
+    */
+  def hllRegistersBySql(srcSql: String, p: Int = 12,
+      withHead: String = "WITH"): String = {
+    val m64 = BigInt(1) << 64
+    val shift = BigInt(1) << p
+    val bucketDiv = BigInt(1) << (64 - p)
+    s"""$withHead
+       |gk AS (SELECT g, s FROM ($srcSql) WHERE s IS NOT NULL),
+       |dk AS (SELECT DISTINCT s FROM gk),
+       |${DuckDbXxHash.xxh64Ctes("dk", "s", "kh", idCols = "s AS ids")},
+       |rh AS (SELECT gk.g,
+       |              CAST(kh.h64 // $bucketDiv AS BIGINT) AS bucket,
+       |              CASE WHEN (CAST(kh.h64 AS UHUGEINT) * $shift) % $m64 = 0
+       |                   THEN ${64 - p + 1}
+       |                   ELSE 65 - length(bin(CAST(
+       |                     (CAST(kh.h64 AS UHUGEINT) * $shift) % $m64
+       |                     AS UBIGINT))) END AS rho
+       |       FROM gk JOIN kh ON kh.s = gk.s)
+       |SELECT g AS "group", bucket, CAST(max(rho) AS INT) AS max_rho
+       |FROM rh GROUP BY 1, 2""".stripMargin
+  }
+
   /** Bottom-k consistent sample over `srcSql` (one VARCHAR column
     * `s`): the k distinct keys with the smallest SIGNED xxhash64
     * (matching the engine's long ordering), with deterministic

@@ -52,6 +52,26 @@ object PortableSketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("bucket").agg(max(col("max_rho")).as("max_rho"))
 
+  /** Per-group HLL registers: `(group, bucket, max_rho)` — every
+    * group's cardinality sketch in ONE pass over the data (the
+    * production ask: distinct users per domain, per source, per day).
+    * Same posture as [[hllRegisters]] with the group key joining the
+    * shuffle key; shuffle volume is ≤ |groups|·2^p register rows, and
+    * a single group's registers slice out for [[hllEstimate]].
+    */
+  def hllRegistersBy(df: DataFrame, group: Column, key: Column,
+      p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val h = xxhash64(key.cast("string"))
+    val bucket = shiftrightunsigned(h, 64 - p)
+    val rem = shiftleft(h, p)
+    val rho = when(rem === 0, lit(64 - p + 1))
+      .otherwise(lit(65) - length(bin(rem)))
+    df.filter(key.isNotNull)
+      .select(group.as("group"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("group", "bucket").agg(max(col("rho")).as("max_rho"))
+  }
+
   /** Count-Min sketch of key frequencies: `(row, col, cnt)` cells,
     * col = low log2(width) bits of xxhash64("j:key") for hash row j.
     * Width must be a power of two so the signed-vs-unsigned modulo

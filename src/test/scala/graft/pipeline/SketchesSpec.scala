@@ -114,6 +114,22 @@ class SketchesSpec extends SparkSpec {
     assert(fpr < 0.01, s"false-positive rate too high: $fpr")
   }
 
+  test("hllRegistersBy: each group's slice equals its standalone sketch") {
+    val df = spark.range(6000).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") % 500).cast("string").as("k"))
+    val grouped = PortableSketches.hllRegistersBy(df, col("g"), col("k"))
+    for (g <- Seq("0", "1", "2")) {
+      val slice = grouped.filter(col("group") === g)
+        .select(col("bucket"), col("max_rho"))
+        .as[(Long, Int)].collect().toSet
+      val standalone = PortableSketches.hllRegisters(
+        df.filter(col("g") === g), col("k"))
+        .as[(Long, Int)].collect().toSet
+      assert(slice === standalone, s"group $g slice diverged")
+    }
+  }
+
   test("bloomProbe verdicts are per-key: duplicate rows don't break membership") {
     // regression (round-10 review find): hits grouped per key must not
     // pool duplicate rows' probes — 2 rows of a member key counted
