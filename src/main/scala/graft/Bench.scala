@@ -65,7 +65,14 @@ object Bench {
     // (the iterative-join loop with per-iteration checkpoint cuts)
     "q48b_ann_lsh_fixed",
     "q127_cm_sketch",
-    "q133_pagerank_fixed")
+    "q133_pagerank_fixed",
+    // round-10-late surface: WordPiece = the heaviest new text op
+    // (vocab train's double candidate explode + the greedy codegen
+    // kernel over the dict-encoded corpus); domain PageRank = the PSL
+    // canon chain feeding the checkpointed iterative loop. q138/q139
+    // are compositions of stages measured here (the q123 rule).
+    "q136_wordpiece",
+    "q137_domain_pagerank")
 
   /** The q95 harness WITHOUT its operator: identical staging (two
     * single-file parquet batches, staggered mtimes), identical

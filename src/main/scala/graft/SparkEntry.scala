@@ -1771,15 +1771,110 @@ object SparkEntry {
       docs.select(col("doc_id").as("node")))
   }
 
+  /** WordPiece greedy tokenization under a frequency-frozen vocabulary
+    * trained on the even-doc_id half (the q106 train/apply split — odd
+    * docs carry out-of-training characters, exercising the `[UNK]`
+    * collapse). Output pins the full greedy decomposition per doc via
+    * the occurrence-weighted piece-sequence hash; the oracle re-derives
+    * the vocabulary AND replays the longest-match loop
+    * ([[graft.oracle.WordPieceOracles]]).
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.WordPiece.trainFrozen(
+      docs.filter(col("doc_id") % 2 === 0), "text", topK = 1024)
+    graft.text.WordPiece.tokenStats(docs, "doc_id", "text", v)
+  }
+
+  /** Streaming twin of q136: the frozen vocabulary trained on the
+    * corpus snapshot, per-doc stats via the MAP-ONLY expression form
+    * ([[graft.text.WordPiece.tokenStatsMapOnly]]) — stateless per
+    * micro-batch, admits identical rows, shares q136's oracle.
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.WordPiece.trainFrozen(
+      docs.filter(col("doc_id") % 2 === 0), "text", topK = 1024)
+    StreamingPrep.runToMemory(
+      graft.text.WordPiece.tokenStatsMapOnly(
+        StreamingPrep.streamDocuments(s, dir), "doc_id", "text", v))
+  }
+
+  /** Domain-level ranks over the synthetic crawl: project the q110
+    * crawl's registrable domains, lift the q133 modular link rules to
+    * DOMAIN edges (each crawl links to two deterministic peer crawls;
+    * an edge connects their domains), and run the fixed-point
+    * PageRank. The crawl→domain projection is the real link-analysis
+    * shape for curation (CommonCrawl ranks hosts/domains, not pages).
+    * Scale: the edge build is one equi self-join on the computed peer
+    * id (O(crawl) shuffle, no domain-key hotspot because edges stay
+    * id-keyed until the final projection); the iteration shuffles
+    * O(|domains|) rows.
+    */
+  private def domainRanks(canon: DataFrame, nn: Long): DataFrame = {
+    val tgt = canon.select(col("doc_id").as("tid"), col("domain").as("dst"))
+    val e0 = canon.select(((col("doc_id") * 7 + 11) % nn).as("tid"),
+        col("domain").as("src"))
+      .unionAll(canon.select(((col("doc_id") * 13 + 5) % nn).as("tid"),
+        col("domain").as("src")))
+    val e = e0.join(tgt, "tid").select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.pipeline.LinkAnalysis.pageRankFixed(e,
+      canon.select(col("domain").as("node")).distinct())
+      .select(col("node").as("domain"), col("rank_fp"))
+  }
+
+  /** The PSL crawl's registrable domains — the PSL form (not the
+    * heuristic) because private suffixes are what give the graph its
+    * real shape: 20 per-site github.io/blogspot.com domains each
+    * instead of two merged hoster blobs.
+    */
+  private def crawlDomains(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      Urls.registrableDomainPsl(Urls.hostOf(Urls.canonicalizeUrl(
+        rawUrlPsl(col("doc_id"), col("source"))))).as("domain"))
+
+  /** Per-domain PageRank of the synthetic crawl — hash-gated via the
+    * shared unrolled replay over the domain graph.
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the PSL projection ONCE: every downstream consumer
+    // (edge sides, node set) then analyzes a block-backed leaf, not
+    // the ~700-rule domain expression tree
+    val cp = org.apache.spark.sql.graftbridge.DatasetBridge
+      .localCheckpointFresh(crawlDomains(s, dir))
+    try domainRanks(cp.df, Tables.documents(s, dir).count())
+    finally cp.release() // ranks are checkpoint-backed — safe
+  }
+
+  /** The composition the ranks exist FOR: PageRank as the curation
+    * rate signal — domain centrality steers the per-domain sampling
+    * rate ([[graft.pipeline.Curation.scoreMixtureSample]]), replacing
+    * q122's √n flattening with link-graph quality. Deterministic
+    * end-to-end (integer ranks + md5 row hash), so the exact survivor
+    * set hash-gates.
+    */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val cp = org.apache.spark.sql.graftbridge.DatasetBridge
+      .localCheckpointFresh(crawlDomains(s, dir))
+    try {
+      val ranks = domainRanks(cp.df, Tables.documents(s, dir).count())
+        .select(col("domain"), col("rank_fp").as("score_fp"))
+      // materialize the survivor set before releasing the projection
+      // it is derived from; the blocks are survivor-sized
+      org.apache.spark.sql.graftbridge.DatasetBridge.localCheckpointFresh(
+        graft.pipeline.Curation.scoreMixtureSample(
+          cp.df, "domain", col("doc_id"), ranks, budget = 400L)).df
+    } finally cp.release()
+  }
+
   /** The unrolled DuckDB replay of q133: same modular edge rules,
     * same integral-division damping update, one MATERIALIZED CTE per
     * iteration (the q106 deep-chain lesson).
     */
   private def q133Sql(iterations: Int = 5, dampingPct: Int = 85,
-      scale: Long = 1000000L): String = {
-    val base = scale * (100 - dampingPct) / 100
-    val sb = new StringBuilder
-    sb ++= s"""WITH n AS (SELECT doc_id AS node FROM documents),
+      scale: Long = 1000000L): String = pageRankReplaySql(
+    """WITH n AS (SELECT doc_id AS node FROM documents),
       |cnt AS (SELECT count(*) AS nn FROM documents),
       |e0 AS (
       |  SELECT doc_id AS src, (doc_id * 7 + 11) % nn AS dst
@@ -1789,7 +1884,66 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id, (doc_id * 31 + 3) % nn FROM documents, cnt
       |  WHERE doc_id % 3 = 0),
-      |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+      |e AS (SELECT src, dst FROM e0 WHERE src <> dst)""".stripMargin,
+    iterations, dampingPct, scale,
+    finalSelect = s"SELECT node, rank_fp FROM r$iterations")
+
+  /** Shared domain-graph prefix of q137/q138: the q110 canon chain,
+    * the two modular link rules lifted to domain edges, and the
+    * distinct-domain node set.
+    */
+  private def domainGraphCtes: String =
+    s"""${urlCanonPslSql(urlPslSql)},
+       |tgt AS (SELECT crawl_id AS tid, domain AS dst FROM canon),
+       |cnt AS (SELECT count(*) AS nn FROM canon),
+       |e0 AS (
+       |  SELECT (crawl_id * 7 + 11) % nn AS tid, domain AS src
+       |  FROM canon, cnt
+       |  UNION ALL
+       |  SELECT (crawl_id * 13 + 5) % nn, domain FROM canon, cnt),
+       |e AS (SELECT e0.src, tgt.dst FROM e0 JOIN tgt USING (tid)
+       |      WHERE e0.src <> tgt.dst),
+       |n AS (SELECT DISTINCT domain AS node FROM canon)""".stripMargin
+
+  private def q137Sql(iterations: Int = 5): String =
+    pageRankReplaySql(domainGraphCtes, iterations, 85, 1000000L,
+      finalSelect = s"SELECT node AS domain, rank_fp FROM r$iterations")
+
+  /** q138: the rank-rate tail — per-domain doc counts joined to the
+    * final iteration's ranks, rate = min(1, budget·rank/Σrank/n) as
+    * the same left-assoc double chain as the Spark side, md5-prefix
+    * row inclusion (the q88/q122 machinery).
+    */
+  private def q138Sql(iterations: Int = 5, budget: Long = 400L): String =
+    pageRankReplaySql(domainGraphCtes, iterations, 85, 1000000L,
+      finalSelect =
+        s""",
+           |dcnt AS (SELECT domain, count(*) AS n FROM canon GROUP BY 1),
+           |jr AS (SELECT d.domain, d.n, r.rank_fp
+           |       FROM dcnt d JOIN r$iterations r ON r.node = d.domain),
+           |sr AS (SELECT sum(rank_fp) AS ss FROM jr),
+           |rt AS (SELECT domain,
+           |         least(CAST(1.0 AS DOUBLE),
+           |               CAST($budget.0 AS DOUBLE) * CAST(rank_fp AS DOUBLE)
+           |                 / CAST(ss AS DOUBLE) / n) AS rate
+           |       FROM jr CROSS JOIN sr)
+           |SELECT c.crawl_id AS doc_id, c.domain
+           |FROM canon c JOIN rt USING (domain)
+           |WHERE ('0x' || substr(md5(CAST(c.crawl_id AS VARCHAR)), 1, 6))::BIGINT
+           |      < rate * 16777216.0""".stripMargin)
+
+  /** Shared unrolled replay of [[graft.pipeline.LinkAnalysis
+    * .pageRankFixed]]: `graphCtes` must open the WITH chain and define
+    * CTEs `e` (src, dst) and `n` (node); the generator appends the
+    * out-degree join and one MATERIALIZED CTE per damped iteration
+    * (integral `//` division exactly as the Spark side's `div`).
+    */
+  private def pageRankReplaySql(graphCtes: String, iterations: Int,
+      dampingPct: Int, scale: Long, finalSelect: String): String = {
+    val base = scale * (100 - dampingPct) / 100
+    val sb = new StringBuilder
+    sb ++= graphCtes
+    sb ++= s""",
       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
       |ej AS MATERIALIZED (
       |  SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
@@ -1805,7 +1959,7 @@ object SparkEntry {
       |    FROM ej JOIN r${t - 1} r ON r.node = ej.src
       |    GROUP BY 1) cb ON cb.node = n.node)""".stripMargin
     }
-    sb ++= s"\nSELECT node, rank_fp FROM r$iterations"
+    sb ++= s"\n$finalSelect"
     sb.toString
   }
 
@@ -2701,7 +2855,11 @@ object SparkEntry {
     "q132_bloom_probe" -> (q132 _),
     "q133_pagerank_fixed" -> (q133 _),
     "q134_bottomk_sample" -> (q134 _),
-    "q135_hll_by_source" -> (q135 _))
+    "q135_hll_by_source" -> (q135 _),
+    "q136_wordpiece" -> (q136 _),
+    "q137_domain_pagerank" -> (q137 _),
+    "q138_rank_mixture" -> (q138 _),
+    "q139_stream_wordpiece" -> (q139 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3783,6 +3941,18 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS s
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     "q133_pagerank_fixed" -> q133Sql(),
+    // frozen-vocab WordPiece: the oracle re-derives the vocabulary from
+    // the same even-doc_id slice and replays greedy longest-match via a
+    // precomputed (word, pos) → max-match-length table + WordCap
+    // unrolled steps
+    "q136_wordpiece" -> graft.oracle.WordPieceOracles.tokenStatsSql(),
+    // domain-graph PageRank: q110's canon chain + q133's modular link
+    // rules lifted to domain edges, same unrolled integer replay
+    "q137_domain_pagerank" -> q137Sql(),
+    // the rank-rate composition: centrality-weighted mixture sampling
+    "q138_rank_mixture" -> q138Sql(),
+    // map-only streaming twin — same rows as q136, same oracle
+    "q139_stream_wordpiece" -> graft.oracle.WordPieceOracles.tokenStatsSql(),
     "q134_bottomk_sample" -> graft.oracle.SketchOracles.bottomKSql(
       """SELECT "user" AS s FROM ratings""", k = 64,
       withHead = ratingsCte + ","),

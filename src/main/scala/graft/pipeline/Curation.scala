@@ -266,6 +266,45 @@ object Curation {
       "domain", col(idCol), budget)
   }
 
+  /** Quality-signal-weighted mixture (the PageRank-rate composition:
+    * centrality or any per-group integer score steers the sampling
+    * budget instead of [[mixtureRates]]' √n flattening): each group's
+    * inclusion rate is its share of the total score, spread over its
+    * documents — rate(g) = min(1, budget · score_g / Σscore / n_g) —
+    * so a twice-as-central domain keeps twice the documents, and the
+    * decision stays the deterministic md5 row hash. `scores` is
+    * (groupCol, score_fp) with an INTEGER score (e.g.
+    * [[LinkAnalysis.pageRankFixed]]'s rank_fp), which keeps the rate
+    * table — and therefore the survivor set — engine-replayable: the
+    * only floats are the final correctly-rounded double chain, the
+    * same determinism class as [[mixtureRates]]' sqrt.
+    *
+    * Scale shape: one map-side-combinable count per group, a
+    * |groups|-row broadcast rate table, map-only decision pass.
+    * Groups absent from `scores` are DROPPED (inner join) — score
+    * coverage is the caller's contract.
+    */
+  def scoreMixtureSample(docs: DataFrame, groupCol: String, keyCol: Column,
+      scores: DataFrame, budget: Long): DataFrame =
+    applyMixtureRates(docs, groupCol, keyCol,
+      scoreMixtureRates(docs, groupCol, scores, budget))
+
+  /** The rate table of [[scoreMixtureSample]], exposed for
+    * stream-static reuse (the [[mixtureRates]] precedent). */
+  def scoreMixtureRates(docs: DataFrame, groupCol: String,
+      scores: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val joined = counts.join(scores, Seq(groupCol))
+    val sumS = joined.agg(sum(col("score_fp")).as("__ss"))
+    joined.crossJoin(broadcast(sumS))
+      .select(col(groupCol),
+        least(lit(1.0),
+          lit(budget.toDouble) * col("score_fp").cast("double")
+            / col("__ss").cast("double") / col("__n"))
+          .as("__rate"))
+  }
+
   /** Embedding-space diversity balancing (the SemDeDup-adjacent
     * selection step; cf. Abbas et al. 2023 and cluster-balanced data
     * selection generally): cluster the corpus in embedding space with

@@ -194,6 +194,42 @@ class CurationSpec extends SparkSpec {
       got.orderBy("doc_id").collect().toSeq)
   }
 
+  test("scoreMixtureRates allocates the budget by score share") {
+    // equal-sized groups, 3:1 score ratio → exactly 3:1 rates; a group
+    // with no score row is dropped (coverage is the caller's contract)
+    val docs = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 200).map(i => (i.toLong, "b")) ++
+      (201 to 210).map(i => (i.toLong, "unscored"))).toDF("doc_id", "g")
+    val scores = Seq(("a", 3000000L), ("b", 1000000L)).toDF("g", "score_fp")
+    val rates = Curation.scoreMixtureRates(docs, "g", scores, budget = 80)
+      .as[(String, Double)].collect().toMap
+    assert(rates.keySet === Set("a", "b"))
+    // rate(a) = 80 * 3e6/4e6 / 100 = 0.6; rate(b) = 80 * 1e6/4e6 / 100 = 0.2
+    assert(math.abs(rates("a") - 0.6) < 1e-12, rates("a"))
+    assert(math.abs(rates("b") - 0.2) < 1e-12, rates("b"))
+    val kept = Curation.scoreMixtureSample(docs, "g", col("doc_id"), scores, 80)
+    assert(kept.filter(col("g") === "unscored").count() === 0L)
+    // deterministic md5 decision: re-run reproduces the exact set
+    val again = Curation.scoreMixtureSample(docs, "g", col("doc_id"), scores, 80)
+    assert(again.orderBy("doc_id").collect().toSeq ===
+      kept.orderBy("doc_id").collect().toSeq)
+    // roughly 3:1 kept ratio (law-of-large-numbers slack on 100 rows)
+    val byG = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("a") > byG("b"), byG.toString)
+  }
+
+  test("scoreMixtureRates clips a dominant score's rate at 1.0") {
+    val docs = ((1 to 4).map(i => (i.toLong, "tiny")) ++
+      (5 to 104).map(i => (i.toLong, "big"))).toDF("doc_id", "g")
+    val scores = Seq(("tiny", 900L), ("big", 100L)).toDF("g", "score_fp")
+    val rates = Curation.scoreMixtureRates(docs, "g", scores, budget = 50)
+      .as[(String, Double)].collect().toMap
+    // tiny: 50*0.9/4 = 11.25 → clipped to 1.0
+    assert(rates("tiny") === 1.0)
+    val kept = Curation.scoreMixtureSample(docs, "g", col("doc_id"), scores, 50)
+    assert(kept.filter(col("g") === "tiny").count() === 4L)
+  }
+
   test("mixtureSample keeps every row of a group whose share exceeds its size") {
     // tiny group: budget share 10·sqrt(2)/(sqrt(2)+sqrt(98))... > 2 rows
     // → rate clips at 1.0 and both rows survive
