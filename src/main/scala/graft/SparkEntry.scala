@@ -671,6 +671,16 @@ object SparkEntry {
       Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
       nBuckets = 3)
 
+  /** The hash-gateable production fluency path: q107's map-only
+    * threshold assignment with PORTABLE histogram-sketch quantiles
+    * instead of Greenwald-Khanna — flips the scale form of the
+    * fluency family from rows-only to oracle-green.
+    */
+  private def q107b(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.fluencyBucketsPortable(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id", "text",
+      nBuckets = 3)
+
   /** Streaming twin of q99: the raw corpus as two ordered file
     * micro-batches, each batch's 20-gram hashes deduped within-batch
     * then against the gram index of everything admitted before.
@@ -1888,6 +1898,76 @@ object SparkEntry {
     iterations, dampingPct, scale,
     finalSelect = s"SELECT node, rank_fp FROM r$iterations")
 
+  /** The q100/q107b shared fluency chain: Laplace-smoothed bigram LM
+    * over the corpus, per-doc integer score — ends in CTE `sc`
+    * (doc_id, score_fp).
+    */
+  private val fluencyScoredCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         regexp_split_to_array(
+      |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
+      |  FROM documents),
+      |w AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
+      |b AS (SELECT doc_id,
+      |             unnest(list_transform(range(len(ws) - 1), i -> ws[i + 1])) AS w1,
+      |             unnest(list_transform(range(len(ws) - 1), i -> ws[i + 2])) AS w2
+      |      FROM w),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v
+      |      FROM (SELECT unnest(ws) AS tok FROM t)),
+      |fl AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |         sum(CAST(floor(1e9 * (CAST(c2.c2 + 1 AS DOUBLE) /
+      |                                CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT)) AS fluency_fp
+      |  FROM b
+      |  JOIN c2 USING (w1, w2)
+      |  JOIN c1 USING (w1)
+      |  CROSS JOIN v
+      |  GROUP BY b.doc_id),
+      |sc AS (
+      |  SELECT doc_id,
+      |         CAST(floor(fluency_fp / n_bigrams) AS BIGINT) AS score_fp
+      |  FROM fl)""".stripMargin
+
+  /** q107b: [[graft.text.TextAnalysis.fluencyBucketsPortable]]'s
+    * DuckDB replay — the scored chain, the histogram registers (the
+    * q128 expression shape verbatim: (v−lo)/range·buckets, clamped),
+    * cumulative-count quantile buckets, the exactly-representable
+    * bucket-edge thresholds, and the same `1 + Σ(score < thr)`
+    * comparison chain.
+    */
+  private def q107bSql(nBuckets: Int = 3, histBuckets: Int = 16384): String = {
+    val hb = s"$histBuckets.0"
+    val hiLit = "1000000000.0"
+    val thrCtes = (1 until nBuckets).map { k =>
+      s"""thr$k AS (
+         |  SELECT coalesce(min(0.0 + $hiLit * bucket / $hb), $hiLit) AS thr
+         |  FROM cumt, tot
+         |  WHERE CAST(cum AS DOUBLE) >=
+         |        CAST($k AS DOUBLE) / CAST($nBuckets AS DOUBLE)
+         |          * CAST(total AS DOUBLE))""".stripMargin
+    }.mkString(",\n")
+    val addenda = (1 until nBuckets).map(k =>
+      s"(CASE WHEN sc.score_fp < t$k.thr THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val joins = (1 until nBuckets).map(k => s"CROSS JOIN thr$k t$k").mkString(" ")
+    s"""$fluencyScoredCtes,
+       |hr AS (
+       |  SELECT least(greatest(CAST(floor(
+       |           (CAST(score_fp AS DOUBLE) - 0.0) / $hiLit * $hb)
+       |           AS BIGINT), 0), ${histBuckets - 1}) AS bucket,
+       |         count(*) AS cnt
+       |  FROM sc GROUP BY 1),
+       |cumt AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM hr),
+       |tot AS (SELECT sum(cnt) AS total FROM hr),
+       |$thrCtes
+       |SELECT sc.doc_id, sc.score_fp,
+       |       CAST(1 + $addenda AS INTEGER) AS bucket
+       |FROM sc $joins""".stripMargin
+  }
+
   /** Shared domain-graph prefix of q137/q138: the q110 canon chain,
     * the two modular link rules lifted to domain edges, and the
     * distinct-domain node set.
@@ -2796,6 +2876,7 @@ object SparkEntry {
     "q105_stream_span_decontaminate" -> (q105 _),
     "q106_bpe_second_corpus" -> (q106 _),
     "q107_fluency_buckets_scale" -> (q107 _),
+    "q107b_fluency_buckets_portable" -> (q107b _),
     "q108_ann_ivf_index" -> (q108 _),
     "q108b_ann_ivf_index_fixed" -> (q108b _),
     "q109_ann_pq_index" -> (q109 _),
@@ -4035,35 +4116,14 @@ object SparkEntry {
     // doc_id); floor() before the BIGINT cast because DuckDB's
     // double->int cast rounds while Spark's truncates
     "q100_fluency_buckets" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         regexp_split_to_array(
-        |           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS ws
-        |  FROM documents),
-        |w AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
-        |b AS (SELECT doc_id,
-        |             unnest(list_transform(range(len(ws) - 1), i -> ws[i + 1])) AS w1,
-        |             unnest(list_transform(range(len(ws) - 1), i -> ws[i + 2])) AS w2
-        |      FROM w),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
-        |v AS (SELECT count(DISTINCT tok) AS v
-        |      FROM (SELECT unnest(ws) AS tok FROM t)),
-        |fl AS (
-        |  SELECT b.doc_id, count(*) AS n_bigrams,
-        |         sum(CAST(floor(1e9 * (CAST(c2.c2 + 1 AS DOUBLE) /
-        |                                CAST(c1.c1 + v.v AS DOUBLE))) AS BIGINT)) AS fluency_fp
-        |  FROM b
-        |  JOIN c2 USING (w1, w2)
-        |  JOIN c1 USING (w1)
-        |  CROSS JOIN v
-        |  GROUP BY b.doc_id)
-        |SELECT doc_id,
-        |       CAST(floor(fluency_fp / n_bigrams) AS BIGINT) AS score_fp,
-        |       CAST(ntile(3) OVER (
-        |         ORDER BY CAST(floor(fluency_fp / n_bigrams) AS BIGINT) DESC, doc_id)
+      s"""$fluencyScoredCtes
+        |SELECT doc_id, score_fp,
+        |       CAST(ntile(3) OVER (ORDER BY score_fp DESC, doc_id)
         |         AS INTEGER) AS bucket
-        |FROM fl""".stripMargin,
+        |FROM sc""".stripMargin,
+    // the production-path portable twin: same scored chain, thresholds
+    // from the fixed-range histogram sketch replayed in SQL
+    "q107b_fluency_buckets_portable" -> q107bSql(),
     "q92_table_profile" ->
       """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
         |       count(*) - count(l_quantity) AS n_null,

@@ -266,6 +266,53 @@ object TextAnalysis {
     out
   }
 
+  /** The ORACLE-GATEABLE scale form of [[fluencyBuckets]]: same
+    * map-only threshold assignment as [[fluencyBucketsAtScale]], but
+    * the thresholds come from the PORTABLE fixed-range histogram
+    * sketch ([[graft.pipeline.PortableSketches.histRegisters]] /
+    * `histQuantile`) instead of Spark's implementation-defined
+    * Greenwald-Khanna quantiles — every step (integer score, integer
+    * bucket counts, the exactly-representable bucket-edge thresholds)
+    * replays bit-identically in any engine, so the production path
+    * stops hiding behind rows-only. Score domain is [0, 1e9] by
+    * construction (each per-bigram term is 1e9·P ≤ 1e9), so the
+    * histogram range needs no data-dependent bounds; threshold error
+    * ≤ one bucket width (1e9/histBuckets ≈ 61k fp units at the
+    * default — ~0.7 % of the observed corpus spread).
+    *
+    * Scale shape: one map-combinable histogram agg (≤ histBuckets
+    * rows), two artifact-sized driver collects for the thresholds,
+    * then the same comparison-chain map pass — still no global sort.
+    */
+  def fluencyBucketsPortable(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 3, histBuckets: Int = 16384): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val lo = 0.0
+    val hi = 1.0e9
+    val fl = bigramFluency(docs, idCol, textCol)
+    val scored = fl.withColumn("score_fp",
+      floor(col("fluency_fp") / col("n_bigrams")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    val regs = graft.pipeline.PortableSketches.histRegisters(
+      scored, col("score_fp"), lo, hi, histBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thresholds = (1 until nBuckets).map(k =>
+      graft.pipeline.PortableSketches.histQuantile(
+        regs, k.toDouble / nBuckets, lo, hi, histBuckets))
+    regs.unpersist()
+    val bucket = thresholds.foldLeft(lit(1)) { (acc, t) =>
+      acc + when(col("score_fp") < lit(t), 1).otherwise(0)
+    }
+    val out = scored.select(col("doc_id"), col("score_fp"),
+      bucket.cast("int").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    scored.unpersist()
+    fl.unpersist()
+    out
+  }
+
   /** Gopher/C4-style repetition signals per document: share of the most
     * frequent word, duplicate-word mass, share of the most frequent
     * adjacent bigram — the standard "repetitious document" gates an LLM

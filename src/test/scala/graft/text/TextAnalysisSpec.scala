@@ -141,6 +141,33 @@ class TextAnalysisSpec extends SparkSpec {
     } finally { exact.unpersist(); approx.unpersist() }
   }
 
+  test("q107b (portable) agrees ≥90% with the exact buckets and tiers are full") {
+    assume(new java.io.File("/root/testdata/sf0.01/documents.parquet").exists())
+    val exact = graft.SparkEntry.queries("q100_fluency_buckets")(
+      spark, "/root/testdata/sf0.01")
+    val portable = graft.SparkEntry.queries("q107b_fluency_buckets_portable")(
+      spark, "/root/testdata/sf0.01")
+    try {
+      val joined = exact.select($"doc_id", $"bucket".as("b_exact"),
+          $"score_fp".as("s_exact"))
+        .join(portable.select($"doc_id", $"bucket".as("b_port"),
+          $"score_fp".as("s_port")), "doc_id")
+      val n = joined.count()
+      assert(n === 500L)
+      // identical integer scores — only thresholds may differ
+      assert(joined.filter($"s_exact" =!= $"s_port").count() === 0L)
+      val agree = joined.filter($"b_exact" === $"b_port").count()
+      assert(agree.toDouble / n >= 0.9, s"agreement ${agree.toDouble / n}")
+      assert(portable.select("bucket").distinct().count() === 3)
+      // deterministic: a re-run reproduces the exact assignment
+      val again = graft.SparkEntry.queries("q107b_fluency_buckets_portable")(
+        spark, "/root/testdata/sf0.01")
+      try assert(again.orderBy("doc_id").collect().toSeq ===
+        portable.orderBy("doc_id").collect().toSeq)
+      finally again.unpersist()
+    } finally { exact.unpersist(); portable.unpersist() }
+  }
+
   test("repetitionProfile: hand-checked counters and ratios") {
     val df = Seq(
       (1L, "a a b"),          // 3 words, 2 distinct, top word a=2; bigrams: "a a","a b" → top 1
