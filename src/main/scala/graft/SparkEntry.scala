@@ -1898,6 +1898,44 @@ object SparkEntry {
     iterations, dampingPct, scale,
     finalSelect = s"SELECT node, rank_fp FROM r$iterations")
 
+  /** Snapshot-diff audit between two synthetic versions of the crawl:
+    * snapshot A drops doc_id % 7 == 0 (those read `added` when B has
+    * them), snapshot B drops doc_id % 3 == 0 (`removed`), and every
+    * doc_id % 5 == 0 doc surviving into B carries revised text
+    * (`changed`). The status partition is the input to incremental
+    * reprocessing — only added ∪ changed re-run the expensive stages.
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val a = docs.filter(col("doc_id") % 7 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.pipeline.Curation.snapshotDiff(a, b, "doc_id",
+      graft.text.TextAnalysis.fingerprint(col("text")))
+  }
+
+  private val q140Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fa
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |b0 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |b AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fb
+      |  FROM b0)
+      |SELECT coalesce(a.doc_id, b.doc_id) AS key,
+      |       CASE WHEN a.doc_id IS NULL THEN 'added'
+      |            WHEN b.doc_id IS NULL THEN 'removed'
+      |            WHEN fa IS DISTINCT FROM fb THEN 'changed'
+      |            ELSE 'unchanged' END AS status
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin
+
   /** The q100/q107b shared fluency chain: Laplace-smoothed bigram LM
     * over the corpus, per-doc integer score — ends in CTE `sc`
     * (doc_id, score_fp).
@@ -2940,7 +2978,8 @@ object SparkEntry {
     "q136_wordpiece" -> (q136 _),
     "q137_domain_pagerank" -> (q137 _),
     "q138_rank_mixture" -> (q138 _),
-    "q139_stream_wordpiece" -> (q139 _))
+    "q139_stream_wordpiece" -> (q139 _),
+    "q140_snapshot_diff" -> (q140 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4034,6 +4073,8 @@ object SparkEntry {
     "q138_rank_mixture" -> q138Sql(),
     // map-only streaming twin — same rows as q136, same oracle
     "q139_stream_wordpiece" -> graft.oracle.WordPieceOracles.tokenStatsSql(),
+    // crawl-snapshot audit: full-outer fingerprint diff
+    "q140_snapshot_diff" -> q140Sql,
     "q134_bottomk_sample" -> graft.oracle.SketchOracles.bottomKSql(
       """SELECT "user" AS s FROM ratings""", k = 64,
       withHead = ratingsCte + ","),

@@ -305,6 +305,40 @@ object Curation {
           .as("__rate"))
   }
 
+  /** Snapshot diff — the corpus-audit primitive between two crawls /
+    * dataset versions: per key, `added` (new in `b`), `removed` (gone
+    * from `b`), `changed` (present in both, content fingerprint
+    * differs), `unchanged`. The ops tool every recurring-crawl
+    * pipeline runs before promoting a snapshot (how much churned?),
+    * and the input to incremental reprocessing (only added ∪ changed
+    * need the expensive stages re-run).
+    *
+    * Scale shape: fingerprints are computed SCAN-side (`fpCol`
+    * resolves against each snapshot's own columns), so the single
+    * full-outer hash join
+    * shuffles (key, fingerprint) pairs only — document bodies never
+    * move. Caller contract: `keyCol` is unique per snapshot (pre-dedup
+    * with [[graft.text.Urls.urlDedup]] / `Prep.dedupKeepLast`
+    * otherwise — a duplicated key would fan out in the join).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
+      fpCol: Column): DataFrame = {
+    // explicit presence flags, NOT fingerprint-null checks: a null-text
+    // row present in both snapshots must read `unchanged`, and a
+    // text⇄null transition must read `changed` — hence the null-safe
+    // fingerprint comparison (<=>)
+    val fa = a.select(col(keyCol).as("key"), fpCol.as("__fa"),
+      lit(true).as("__ina"))
+    val fb = b.select(col(keyCol).as("key"), fpCol.as("__fb"),
+      lit(true).as("__inb"))
+    fa.join(fb, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("__ina").isNull, lit("added"))
+          .when(col("__inb").isNull, lit("removed"))
+          .when(!(col("__fa") <=> col("__fb")), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Embedding-space diversity balancing (the SemDeDup-adjacent
     * selection step; cf. Abbas et al. 2023 and cluster-balanced data
     * selection generally): cluster the corpus in embedding space with

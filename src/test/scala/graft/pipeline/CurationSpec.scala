@@ -194,6 +194,25 @@ class CurationSpec extends SparkSpec {
       got.orderBy("doc_id").collect().toSeq)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged incl. null text") {
+    import graft.text.TextAnalysis
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone"),
+      (4L, null.asInstanceOf[String]), (5L, "was")).toDF("doc_id", "text")
+    val b = Seq((1L, "  same "), (2L, "new"), (6L, "fresh"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(a, b, "doc_id",
+      TextAnalysis.fingerprint(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "unchanged", // whitespace-normalized fingerprints agree
+      2L -> "changed",
+      3L -> "removed",
+      4L -> "unchanged", // null text in both snapshots is NOT a change
+      5L -> "changed",   // text -> null IS a change
+      6L -> "added"))
+  }
+
   test("scoreMixtureRates allocates the budget by score share") {
     // equal-sized groups, 3:1 score ratio → exactly 3:1 rates; a group
     // with no score row is dropped (coverage is the caller's contract)
