@@ -1916,6 +1916,20 @@ object SparkEntry {
       graft.text.TextAnalysis.fingerprint(col("text")))
   }
 
+  /** Per-domain best-k selection under the q113 quality model over
+    * the PSL crawl — "the 3 best pages per site". Deterministic
+    * (portable double score, id tie-break), so the survivor set
+    * hash-gates.
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    Urls.domainTopK(
+      Tables.documents(s, dir)
+        .withColumn("url", rawUrlPsl(col("doc_id"), col("source"))),
+      "doc_id", "url", k = 3,
+      score = round(Quality.scoreQuality(col("text"), q113Weights), 6),
+      domainOf = Urls.registrableDomainPsl)
+      .select(col("doc_id"), col("domain"))
+
   private val q140Sql: String =
     """WITH a AS (
       |  SELECT doc_id,
@@ -2979,7 +2993,8 @@ object SparkEntry {
     "q137_domain_pagerank" -> (q137 _),
     "q138_rank_mixture" -> (q138 _),
     "q139_stream_wordpiece" -> (q139 _),
-    "q140_snapshot_diff" -> (q140 _))
+    "q140_snapshot_diff" -> (q140 _),
+    "q141_domain_topk" -> (q141 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3238,8 +3253,11 @@ object SparkEntry {
     * weights — q40's feature fragments, every constant CAST to DOUBLE
     * so no decimal-literal arithmetic sneaks in.
     */
-  private def qualityScoreSql(w: Quality.Weights): String =
-    s"""WITH t AS (
+  /** The q113 scoring chain WITHOUT a leading WITH — composable into
+    * other oracles (q141); ends in CTE `sc` (doc_id, s).
+    */
+  private def qualityScoredCtes(w: Quality.Weights): String =
+    s"""t AS (
        |  SELECT doc_id, text,
        |    regexp_split_to_array(trim(text), '\\s+') AS ws,
        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wsl
@@ -3257,9 +3275,27 @@ object SparkEntry {
        |      + CAST(${w.punct} AS DOUBLE) * pr
        |      + CAST(${w.stop} AS DOUBLE) * sr
        |      + CAST(${w.cpt} AS DOUBLE) * cpt AS s
-       |  FROM r)
+       |  FROM r)""".stripMargin
+
+  private def qualityScoreSql(w: Quality.Weights): String =
+    s"""WITH ${qualityScoredCtes(w)}
        |SELECT doc_id, round(s, 6) AS score, CAST(s > 0 AS INT) AS keep
        |FROM sc""".stripMargin
+
+  /** q141: the PSL canon chain × the q113 scoring chain × a
+    * domain-partitioned row_number — the oracle of
+    * [[graft.text.Urls.domainTopK]] under the quality score.
+    */
+  private def q141Sql(k: Int = 3): String =
+    s"""${urlCanonPslSql(urlPslSql)},
+       |${qualityScoredCtes(q113Weights)},
+       |rk AS (
+       |  SELECT c.crawl_id, c.domain,
+       |         row_number() OVER (
+       |           PARTITION BY c.domain
+       |           ORDER BY round(sc.s, 6) DESC, c.crawl_id ASC) AS rn
+       |  FROM canon c JOIN sc ON sc.doc_id = c.crawl_id)
+       |SELECT crawl_id AS doc_id, domain FROM rk WHERE rn <= $k""".stripMargin
 
   /** q123 oracle: the FULL curateCorpus composition in one DuckDB
     * chain, assembled from the per-stage fragments that are already
@@ -4075,6 +4111,9 @@ object SparkEntry {
     "q139_stream_wordpiece" -> graft.oracle.WordPieceOracles.tokenStatsSql(),
     // crawl-snapshot audit: full-outer fingerprint diff
     "q140_snapshot_diff" -> q140Sql,
+    // best-k-per-domain under the quality model (PSL canon × q113
+    // scoring × domain-partitioned row_number)
+    "q141_domain_topk" -> q141Sql(),
     "q134_bottomk_sample" -> graft.oracle.SketchOracles.bottomKSql(
       """SELECT "user" AS s FROM ratings""", k = 64,
       withHead = ratingsCte + ","),

@@ -135,6 +135,32 @@ object Urls {
       .drop("__rn")
   }
 
+  /** Per-domain BEST-k selection — [[domainCap]]'s policy sibling:
+    * instead of a uniform random cap, keep each registrable domain's
+    * `k` HIGHEST-scoring documents (quality model, centrality, any
+    * deterministic score) — the "best pages per site" selection a
+    * curated crawl actually wants. Ties break on the id, so for a
+    * deterministic score column the survivor set is engine-exact.
+    *
+    * Same scale shape as [[domainCap]]: `row_number() <= k` over the
+    * domain-partitioned window takes Spark's InferWindowGroupLimit
+    * rewrite (partial group-limit BEFORE the exchange), so a hot
+    * domain ships k × map-tasks rows through the shuffle, never its
+    * corpus mass. Output adds the derived `domain` column.
+    */
+  def domainTopK(docs: DataFrame, idCol: String, urlCol: String, k: Int,
+      score: Column,
+      domainOf: Column => Column = registrableDomain): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val d = docs.withColumn("domain",
+      domainOf(hostOf(canonicalizeUrl(col(urlCol)))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(score.desc, col(idCol).asc)
+    d.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Per-registrable-domain corpus stats — the primitive behind
     * domain blocklists/allowlists and per-domain caps (C4 and
     * RefinedWeb both gate on them). Two-level aggregation: URLs

@@ -170,6 +170,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
   }
 
+  test("q141: quality-ranked domain top-k keeps the WindowGroupLimit rewrite") {
+    val p = plan("q141_domain_topk")
+    assert(p.contains("WindowGroupLimit"), s"top-k limit not pushed:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
   test("q121b: fixed-centroid assignment is map-side; no data-row shuffle joins") {
     // assignment is one expression on the scan; the only exchanges
     // belong to the |clusters|-key count agg + the singleton sqrt-sum
