@@ -1916,6 +1916,36 @@ object SparkEntry {
       graft.text.TextAnalysis.fingerprint(col("text")))
   }
 
+  /** Streaming twin of q138 (the q93 frozen-rates pattern): domain
+    * ranks and the rate table are trained on the corpus snapshot; the
+    * ingest stream derives each row's registrable domain scan-side
+    * (map-only PSL expression) and applies the broadcast rates — the
+    * inclusion decision is the same md5 row hash, so the stream admits
+    * the identical doc set and shares q138's oracle.
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val cp = org.apache.spark.sql.graftbridge.DatasetBridge
+      .localCheckpointFresh(crawlDomains(s, dir))
+    try {
+      val ranks = domainRanks(cp.df, Tables.documents(s, dir).count())
+        .select(col("domain"), col("rank_fp").as("score_fp"))
+      val rates = graft.pipeline.Curation
+        .scoreMixtureRates(cp.df, "domain", ranks, budget = 400L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rates.count()
+      val stream = StreamingPrep.streamDocuments(s, dir)
+        .select(col("doc_id"),
+          Urls.registrableDomainPsl(Urls.hostOf(Urls.canonicalizeUrl(
+            rawUrlPsl(col("doc_id"), col("source"))))).as("domain"))
+      val out = StreamingPrep.runToMemory(
+        graft.pipeline.Curation.applyMixtureRates(
+          stream, "domain", col("doc_id"), rates))
+        .select("doc_id", "domain")
+      rates.unpersist()
+      out
+    } finally cp.release()
+  }
+
   /** Per-domain best-k selection under the q113 quality model over
     * the PSL crawl — "the 3 best pages per site". Deterministic
     * (portable double score, id tie-break), so the survivor set
@@ -2994,7 +3024,8 @@ object SparkEntry {
     "q138_rank_mixture" -> (q138 _),
     "q139_stream_wordpiece" -> (q139 _),
     "q140_snapshot_diff" -> (q140 _),
-    "q141_domain_topk" -> (q141 _))
+    "q141_domain_topk" -> (q141 _),
+    "q142_stream_rank_mixture" -> (q142 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4107,6 +4138,8 @@ object SparkEntry {
     "q137_domain_pagerank" -> q137Sql(),
     // the rank-rate composition: centrality-weighted mixture sampling
     "q138_rank_mixture" -> q138Sql(),
+    // frozen-rates streaming twin — admits identical rows, same oracle
+    "q142_stream_rank_mixture" -> q138Sql(),
     // map-only streaming twin — same rows as q136, same oracle
     "q139_stream_wordpiece" -> graft.oracle.WordPieceOracles.tokenStatsSql(),
     // crawl-snapshot audit: full-outer fingerprint diff
