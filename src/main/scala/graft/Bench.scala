@@ -115,7 +115,7 @@ object Bench {
     * full skip-jump replay per occurrence) — the rehearsal for real
     * tokenizer merge-table scale.
     */
-  private def bpe32kMerges: Seq[graft.text.Bpe.Merge] = {
+  private[graft] def bpe32kMerges: Seq[graft.text.Bpe.Merge] = {
     val live = Seq(
       ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
       ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
@@ -126,7 +126,7 @@ object Bench {
       .map { case ((l, r), k) => graft.text.Bpe.Merge(k + 1, l, r, 1L) }
   }
 
-  private def emptyVocab(spark: SparkSession)
+  private[graft] def emptyVocab(spark: SparkSession)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
@@ -135,10 +135,12 @@ object Bench {
         StructField("syms", ArrayType(StringType)))))
   }
 
-  /** Default path (dictionary-encoded replay since round 10). */
-  private def bpe32kTokenize(spark: SparkSession, sfDir: String): Unit = {
+  /** Dictionary-encoded replay variant (the non-default arm of the
+    * A/B since the BpeAbProbe re-measure; bench key kept stable).
+    */
+  private[graft] def bpe32kTokenize(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    graft.text.Bpe.tokenCountWithMerges(
+    graft.text.Bpe.tokenCountWithMergesDict(
       graft.io.Tables.documents(spark, sfDir), "doc_id", "text",
       emptyVocab(spark), bpe32kMerges)
       .agg(sum(col("n_bpe_tokens"))).collect()
@@ -148,7 +150,7 @@ object Bench {
   /** Per-occurrence A/B twin of [[bpe32kTokenize]] — keeps the
     * default-vs-variant comparison measurable after the dict promotion.
     */
-  private def bpe32kTokenizePerOcc(spark: SparkSession, sfDir: String): Unit = {
+  private[graft] def bpe32kTokenizePerOcc(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     graft.text.Bpe.tokenCountWithMergesPerOcc(
       graft.io.Tables.documents(spark, sfDir), "doc_id", "text",

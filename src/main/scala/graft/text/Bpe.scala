@@ -155,16 +155,21 @@ object Bpe {
 
   /** [[tokenCount]] with exact OOV handling: words outside the trained
     * vocabulary replay the merge list from characters through the
-    * codegen kernel. DEFAULT path is the dictionary-encoded replay
-    * ([[tokenCountWithMergesDict]] — measured 24 % faster at sf0.1 on
-    * the zipfian fixture, and the asymptotic win grows with the word
-    * repeat rate); the zero-extra-pass per-occurrence form remains as
-    * [[tokenCountWithMergesPerOcc]] for vocabularies that already
-    * cover most words. Counts are identical (A/B spec in BpeSpec).
+    * codegen kernel. DEFAULT path is the zero-extra-pass
+    * PER-OCCURRENCE replay: the round-9 one-shot that promoted the
+    * dictionary-encoded form (+24 %) did not survive a controlled
+    * measurement — two interleaved min-of-5/7 sessions on an idle
+    * machine (graft.tools.BpeAbProbe, sf0.1, all-OOV 32k-merge
+    * rehearsal) both put per-occurrence ~8–10 % AHEAD (min 0.66 vs
+    * 0.74 s), so the pre-agg doesn't pay for itself even in the
+    * worst all-OOV case on this corpus. The dictionary-encoded form
+    * remains as [[tokenCountWithMergesDict]] for corpora with much
+    * higher within-doc word repetition. Counts are identical (A/B
+    * spec in BpeSpec).
     */
   def tokenCountWithMerges(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, merges: Seq[Merge]): DataFrame =
-    tokenCountWithMergesDict(docs, idCol, textCol, vocab, merges)
+    tokenCountWithMergesPerOcc(docs, idCol, textCol, vocab, merges)
 
   /** Per-occurrence replay variant: every word occurrence replays
     * independently (`when` short-circuits, so replay evaluates only on
