@@ -1960,6 +1960,80 @@ object SparkEntry {
       domainOf = Urls.registrableDomainPsl)
       .select(col("doc_id"), col("domain"))
 
+  /** Per-source data card under the q113 quality model — the
+    * dataset-documentation table (docs/token/char mass, language
+    * spread, quality-gate pass count, fixed-point quality mass,
+    * exact-dup exposure), all-integer so the whole card hash-gates.
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Profiling.dataCard(Tables.documents(s, dir),
+      "source", "doc_id", "text", "lang", q113Weights)
+
+  private def q144Sql: String =
+    s"""WITH ${qualityScoredCtes(q113Weights)},
+       |d AS (
+       |  SELECT source, doc_id, lang,
+       |         len(regexp_split_to_array(trim(text), '\\s+')) AS ntok,
+       |         len(text) AS nchr,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |base AS (
+       |  SELECT d.source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(d.ntok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(d.nchr) AS BIGINT) AS n_chars,
+       |    CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       |    CAST(count(CASE WHEN sc.s > 0 THEN 1 END) AS BIGINT) AS n_keep,
+       |    CAST(sum(CAST(floor(sc.s * 1e6) AS BIGINT)) AS BIGINT)
+       |      AS sum_quality_fp
+       |  FROM d JOIN sc USING (doc_id) GROUP BY 1),
+       |fc AS (SELECT fp, count(*) AS cnt FROM d GROUP BY 1),
+       |dup AS (
+       |  SELECT d.source,
+       |         CAST(count(CASE WHEN fc.cnt > 1 THEN 1 END) AS BIGINT)
+       |           AS n_dup_docs
+       |  FROM d JOIN fc ON d.fp = fc.fp GROUP BY 1)
+       |SELECT base.source, base.n_docs, base.n_tokens, base.n_chars,
+       |       base.n_langs, base.n_keep, base.sum_quality_fp,
+       |       CAST(coalesce(dup.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+       |FROM base LEFT JOIN dup USING (source)""".stripMargin
+
+  /** Priority dedup over a planted two-source collision: the crawl
+    * copy (priority 2) of every doc, plus a curated mirror (priority
+    * 1, HIGHER id) of every third doc — the mirror must win its group
+    * even though min-id election would pick the crawl copy.
+    */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val crawl = docs.select(col("doc_id"), col("text"), lit(2L).as("prio"))
+    val mirror = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        lit(1L).as("prio"))
+    graft.dedup.Dedup.exactGroupsByPriority(
+      crawl.unionAll(mirror), "doc_id", "text", col("prio"))
+  }
+
+  private val q143Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text, CAST(2 AS BIGINT) AS prio FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, CAST(1 AS BIGINT)
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |f AS (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |           AS fingerprint,
+      |         doc_id, prio
+      |  FROM u),
+      |g AS (SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_copies
+      |      FROM f GROUP BY 1),
+      |w AS (SELECT fingerprint, doc_id, prio,
+      |             row_number() OVER (
+      |               PARTITION BY fingerprint ORDER BY prio, doc_id) AS rn
+      |      FROM f)
+      |SELECT g.fingerprint, g.n_copies,
+      |       w.doc_id AS keep_id, w.prio AS keep_priority
+      |FROM g JOIN w USING (fingerprint) WHERE w.rn = 1""".stripMargin
+
   private val q140Sql: String =
     """WITH a AS (
       |  SELECT doc_id,
@@ -3025,7 +3099,9 @@ object SparkEntry {
     "q139_stream_wordpiece" -> (q139 _),
     "q140_snapshot_diff" -> (q140 _),
     "q141_domain_topk" -> (q141 _),
-    "q142_stream_rank_mixture" -> (q142 _))
+    "q142_stream_rank_mixture" -> (q142 _),
+    "q143_priority_dedup" -> (q143 _),
+    "q144_data_card" -> (q144 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4147,6 +4223,10 @@ object SparkEntry {
     // best-k-per-domain under the quality model (PSL canon × q113
     // scoring × domain-partitioned row_number)
     "q141_domain_topk" -> q141Sql(),
+    // priority-policy exact dedup: min(struct(prio, id)) election
+    "q143_priority_dedup" -> q143Sql,
+    // per-source all-integer data card (q113 scoring chain reused)
+    "q144_data_card" -> q144Sql,
     "q134_bottomk_sample" -> graft.oracle.SketchOracles.bottomKSql(
       """SELECT "user" AS s FROM ratings""", k = 64,
       withHead = ratingsCte + ","),

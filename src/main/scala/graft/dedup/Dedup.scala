@@ -41,6 +41,31 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact dedup with a PRIORITY policy: when copies of the same
+    * content collide across sources, keep the copy from the BEST
+    * source (lowest `priority` value), not the lowest id — the
+    * RefinedWeb/Dolma-style rule "prefer the curated mirror over the
+    * crawl copy". Ties within a priority class break on the id, so
+    * the survivor set is deterministic and engine-exact.
+    *
+    * Scale shape: owner election is `min(struct(priority, id))` — a
+    * map-side-combinable aggregate on the fingerprint key (the
+    * q95-fold lesson: never a row_number window for an election a
+    * min-struct can express; a 10⁹-copy boilerplate group combines
+    * before the shuffle instead of landing in one window task).
+    * Returns (fingerprint, n_copies, keep_id, keep_priority).
+    */
+  def exactGroupsByPriority(docs: DataFrame, idCol: String, textCol: String,
+      priority: Column): DataFrame =
+    docs.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
+      col(idCol).as("__id"), priority.cast("long").as("__prio"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("__prio"), col("__id"))).as("__win"))
+      .select(col("fingerprint"), col("n_copies"),
+        col("__win.__id").as("keep_id"),
+        col("__win.__prio").as("keep_priority"))
+
   /** C4/CCNet-style paragraph-level exact dedup: drop every repeated
     * normalized paragraph (line) ACROSS the corpus, keeping the first
     * occurrence in (doc_id, para_no) order, and reassemble each

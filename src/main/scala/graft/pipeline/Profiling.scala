@@ -13,6 +13,50 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Per-source "data card" — the dataset-documentation summary every
+    * released corpus ships (cf. Datasheets for Datasets / Dolma's
+    * per-source tables): docs, token and char mass, language spread,
+    * quality-gate pass count, fixed-point quality mass, and exact-dup
+    * exposure, one row per source. Every output is an INTEGER (counts
+    * and micro-unit sums), so the whole card hash-gates — derived
+    * ratios/means are one exact division away and deliberately left
+    * to the reader.
+    *
+    * Scale shape: the base stats are ONE groupBy(source) over
+    * scan-side expressions (map-side combinable); the dup exposure
+    * adds one fingerprint-keyed count agg and an equi-join back (the
+    * exact-dedup shuffle, reused as a statistic); both result tables
+    * are |sources| rows. Null-text docs: token/char/quality sums skip
+    * them (SQL aggregate null semantics), and a null fingerprint
+    * never joins, so they are never counted duplicated.
+    */
+  def dataCard(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, langCol: String,
+      w: graft.text.Quality.Weights = graft.text.Quality.defaultWeights)
+      : DataFrame = {
+    import graft.text.{Quality, TextAnalysis}
+    val score = Quality.scoreQuality(col(textCol), w)
+    val base = docs.groupBy(col(sourceCol).as("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"),
+      countDistinct(col(langCol)).as("n_langs"),
+      count(when(score > 0, lit(1))).as("n_keep"),
+      // micro-unit fixed point, accumulated as DECIMAL(38,0) (the
+      // profileNumeric overflow rule) then narrowed for the output
+      sum(floor(score * 1e6)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("long").as("sum_quality_fp"))
+    val f = docs.select(col(sourceCol).as("source"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val dups = f
+      .join(f.groupBy("fp").agg(count(lit(1)).as("__cnt")), Seq("fp"))
+      .groupBy("source")
+      .agg(count(when(col("__cnt") > 1, lit(1))).as("n_dup_docs"))
+    base.join(dups, Seq("source"), "left")
+      .na.fill(0L, Seq("n_dup_docs"))
+  }
+
   /** One row per profiled numeric column: (column, n, n_null,
     * n_distinct, min_v, max_v, mean_v). Exact counts — at 100 TB the
     * exact distinct is the expensive stat (one partial+final agg per

@@ -27,6 +27,23 @@ class DedupSpec extends SparkSpec {
     assert(s.filter($"doc_id" === 2L).count() === 0)
   }
 
+  test("exactGroupsByPriority: best source wins over min id; id breaks ties") {
+    val docs = Seq(
+      (1L, "shared content here words words words", 2L), // crawl copy, low id
+      (9L, "shared content here words words words", 1L), // curated mirror, HIGH id
+      (3L, "only one copy of this text exists ok", 2L),
+      (4L, "tie class content duplicated same prio", 2L),
+      (5L, "tie class content duplicated same prio", 2L))
+      .toDF("doc_id", "text", "prio")
+    val g = Dedup.exactGroupsByPriority(docs, "doc_id", "text", col("prio"))
+      .select("n_copies", "keep_id", "keep_priority")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(g === Set(
+      (2L, 9L, 1L), // priority 1 beats the lower-id priority-2 copy
+      (1L, 3L, 2L),
+      (2L, 4L, 2L))) // same priority -> min id
+  }
+
   test("paragraphDedup drops cross-doc repeated lines keep-first, keeps structure") {
     val docs = Seq(
       (10L, "unique alpha line\nShared Boilerplate Footer\nunique beta line"),
