@@ -1839,10 +1839,13 @@ object SparkEntry {
     * real shape: 20 per-site github.io/blogspot.com domains each
     * instead of two merged hoster blobs.
     */
-  private def crawlDomains(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"),
+  private def crawlDomainsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       Urls.registrableDomainPsl(Urls.hostOf(Urls.canonicalizeUrl(
         rawUrlPsl(col("doc_id"), col("source"))))).as("domain"))
+
+  private def crawlDomains(s: SparkSession, dir: String): DataFrame =
+    crawlDomainsOf(Tables.documents(s, dir))
 
   /** Per-domain PageRank of the synthetic crawl — hash-gated via the
     * shared unrolled replay over the domain graph.
@@ -1853,7 +1856,8 @@ object SparkEntry {
     // the ~700-rule domain expression tree
     val cp = org.apache.spark.sql.graftbridge.DatasetBridge
       .localCheckpointFresh(crawlDomains(s, dir))
-    try domainRanks(cp.df, Tables.documents(s, dir).count())
+    // one row per document, already materialized — no table re-scan
+    try domainRanks(cp.df, cp.df.count())
     finally cp.release() // ranks are checkpoint-backed — safe
   }
 
@@ -1868,7 +1872,7 @@ object SparkEntry {
     val cp = org.apache.spark.sql.graftbridge.DatasetBridge
       .localCheckpointFresh(crawlDomains(s, dir))
     try {
-      val ranks = domainRanks(cp.df, Tables.documents(s, dir).count())
+      val ranks = domainRanks(cp.df, cp.df.count())
         .select(col("domain"), col("rank_fp").as("score_fp"))
       // materialize the survivor set before releasing the projection
       // it is derived from; the blocks are survivor-sized
@@ -1927,16 +1931,16 @@ object SparkEntry {
     val cp = org.apache.spark.sql.graftbridge.DatasetBridge
       .localCheckpointFresh(crawlDomains(s, dir))
     try {
-      val ranks = domainRanks(cp.df, Tables.documents(s, dir).count())
+      val ranks = domainRanks(cp.df, cp.df.count())
         .select(col("domain"), col("rank_fp").as("score_fp"))
       val rates = graft.pipeline.Curation
         .scoreMixtureRates(cp.df, "domain", ranks, budget = 400L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rates.count()
-      val stream = StreamingPrep.streamDocuments(s, dir)
-        .select(col("doc_id"),
-          Urls.registrableDomainPsl(Urls.hostOf(Urls.canonicalizeUrl(
-            rawUrlPsl(col("doc_id"), col("source"))))).as("domain"))
+      // the SAME projection expression as the batch side (shared
+      // helper) — stream/batch parity is what lets q142 share q138's
+      // oracle
+      val stream = crawlDomainsOf(StreamingPrep.streamDocuments(s, dir))
       val out = StreamingPrep.runToMemory(
         graft.pipeline.Curation.applyMixtureRates(
           stream, "domain", col("doc_id"), rates))

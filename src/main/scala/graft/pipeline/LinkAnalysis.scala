@@ -50,21 +50,27 @@ object LinkAnalysis {
     // 143 s → 16 s for 5 iterations over a 42-domain graph).
     // Checkpointing truncates both to block-backed leaves.
     import org.apache.spark.sql.graftbridge.DatasetBridge
+    // every checkpoint AFTER the first is created inside the try so a
+    // failure materializing it (checkpointing is eager) still releases
+    // the ones already holding blocks — stranding them would leak
+    // edge-sized block state for the session's lifetime
     val nCp = DatasetBridge.localCheckpointFresh(nodes.select(col("node")))
-    val n = nCp.df
-    val out = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eCp = DatasetBridge.localCheckpointFresh(edges.join(out, "src")
-      .select(col("src"), col("dst"), col("outdeg")))
-    val e = eCp.df
-    val base = scale * (100 - dampingPct) / 100
-    // localCheckpointFresh, not Dataset.localCheckpoint: the per-
-    // iteration cut must not inherit (and geometrically compound) the
-    // previous leaf's stats, and each retired iteration's blocks are
-    // released — the GdMf epoch-loop lessons apply verbatim here
-    var cur = DatasetBridge.localCheckpointFresh(
-      n.select(col("node"), lit(scale).as("rank_fp")))
+    var eCp: DatasetBridge.FreshCheckpoint = null
+    var cur: DatasetBridge.FreshCheckpoint = null
     var done = false
     try {
+      val n = nCp.df
+      val out = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      eCp = DatasetBridge.localCheckpointFresh(edges.join(out, "src")
+        .select(col("src"), col("dst"), col("outdeg")))
+      val e = eCp.df
+      val base = scale * (100 - dampingPct) / 100
+      // localCheckpointFresh, not Dataset.localCheckpoint: the per-
+      // iteration cut must not inherit (and geometrically compound) the
+      // previous leaf's stats, and each retired iteration's blocks are
+      // released — the GdMf epoch-loop lessons apply verbatim here
+      cur = DatasetBridge.localCheckpointFresh(
+        n.select(col("node"), lit(scale).as("rank_fp")))
       for (_ <- 1 to iterations) {
         val ranks = cur.df
         val contrib = e.join(ranks, e("src") === ranks("node"))
@@ -85,11 +91,11 @@ object LinkAnalysis {
       // node-count-sized and live until the session drops them
       cur.df
     } finally {
-      eCp.release()
+      if (eCp != null) eCp.release()
       nCp.release()
       // a mid-loop failure must not strand the current iteration's
       // checkpoint blocks for the session's lifetime
-      if (!done) cur.release()
+      if (!done && cur != null) cur.release()
     }
   }
 }

@@ -50,6 +50,13 @@ object WordPiece {
     */
   final case class Vocab(initial: Seq[String], cont: Seq[String]) {
     require(initial.nonEmpty && cont.nonEmpty, "vocab must be non-empty")
+    // the matcher only probes lengths up to the role's cap — a longer
+    // piece would silently never match, so reject it loudly here
+    private def cpLen(s: String) = s.codePointCount(0, s.length)
+    require(initial.forall(p => p.nonEmpty && cpLen(p) <= MaxInitLen),
+      s"initial pieces must be 1..$MaxInitLen codepoints")
+    require(cont.forall(p => p.nonEmpty && cpLen(p) <= MaxContLen),
+      s"continuation pieces must be 1..$MaxContLen codepoints")
   }
 
   /** (doc_id, word) occurrences: the proven-parity tokenization
@@ -148,8 +155,12 @@ object WordPiece {
     */
   def tokenStatsMapOnly(docs: DataFrame, idCol: String, textCol: String,
       v: Vocab): DataFrame = {
-    val ws = filter(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))),
-      w => w =!= "")
+    // coalesce BEFORE the split: a null text must report zeros like
+    // the dictionary-encoded form (where the explode simply drops the
+    // row and the left join fills 0) — without it every downstream
+    // expression propagates NULL and the A/B contract breaks
+    val ws = filter(TextAnalysis.words(TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit("")))), w => w =!= "")
     val piecesArr = transform(ws,
       w => pieces(substring(w, 1, WordCap), v))
     val np = aggregate(piecesArr, lit(0L),

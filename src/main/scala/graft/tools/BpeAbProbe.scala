@@ -38,7 +38,9 @@ object BpeAbProbe {
     }
     def stats(a: Array[Double]): String = {
       val s = a.sorted
-      f"min=${s.head}%.3f med=${s(s.length / 2)}%.3f runs=[${a.map(x => f"$x%.3f").mkString(",")}]"
+      val med = if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      f"min=${s.head}%.3f med=$med%.3f runs=[${a.map(x => f"$x%.3f").mkString(",")}]"
     }
     println(s"""BPEAB dict    ${stats(dict)}""")
     println(s"""BPEAB per-occ ${stats(perocc)}""")

@@ -127,12 +127,13 @@ class WordPieceSpec extends SparkSpec {
 
   test("tokenStatsMapOnly matches the dictionary-encoded form") {
     val rnd = new scala.util.Random(13)
-    val docs = (0L until 40L).map { i =>
+    val docs = ((0L until 40L).map { i =>
       val words = (0 until rnd.nextInt(30))
         .map(_ => (1 to (1 + rnd.nextInt(10)))
           .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
       (i, words.mkString(" "))
-    }.toDF("doc_id", "text")
+    } ++ Seq((98L, null.asInstanceOf[String]), (99L, "  ")))
+      .toDF("doc_id", "text")
     val v = WordPiece.trainFrozen(docs.filter(col("doc_id") % 2 === 0), "text",
       topK = 32)
     val a = WordPiece.tokenStats(docs, "doc_id", "text", v)
