@@ -1796,6 +1796,23 @@ object SparkEntry {
     graft.text.WordPiece.tokenStats(docs, "doc_id", "text", v)
   }
 
+  /** WordPiece ARTIFACT lifecycle gate (the q106 precedent): train on
+    * the even half, persist the vocabulary, reload it, tokenize the
+    * DISJOINT doc_id % 10 == 1 corpus under the loaded artifact — the
+    * round-trip is proven inert at the oracle level, not just in a
+    * spec.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.WordPiece.trainFrozen(
+      docs.filter(col("doc_id") % 2 === 0), "text", topK = 1024)
+    val scratch = scratchDir("wp_vocab")
+    graft.text.WordPiece.saveVocab(s, v, s"$scratch/vocab")
+    val loaded = graft.text.WordPiece.loadVocab(s, s"$scratch/vocab")
+    graft.text.WordPiece.tokenStats(
+      docs.filter(col("doc_id") % 10 === 1), "doc_id", "text", loaded)
+  }
+
   /** Streaming twin of q136: the frozen vocabulary trained on the
     * corpus snapshot, per-doc stats via the MAP-ONLY expression form
     * ([[graft.text.WordPiece.tokenStatsMapOnly]]) — stateless per
@@ -3105,7 +3122,8 @@ object SparkEntry {
     "q141_domain_topk" -> (q141 _),
     "q142_stream_rank_mixture" -> (q142 _),
     "q143_priority_dedup" -> (q143 _),
-    "q144_data_card" -> (q144 _))
+    "q144_data_card" -> (q144 _),
+    "q145_wordpiece_artifact" -> (q145 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4222,6 +4240,9 @@ object SparkEntry {
     "q142_stream_rank_mixture" -> q138Sql(),
     // map-only streaming twin — same rows as q136, same oracle
     "q139_stream_wordpiece" -> graft.oracle.WordPieceOracles.tokenStatsSql(),
+    // artifact lifecycle: reloaded vocab tokenizes the disjoint slice
+    "q145_wordpiece_artifact" -> graft.oracle.WordPieceOracles
+      .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
     // crawl-snapshot audit: full-outer fingerprint diff
     "q140_snapshot_diff" -> q140Sql,
     // best-k-per-domain under the quality model (PSL canon × q113

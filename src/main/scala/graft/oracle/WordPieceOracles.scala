@@ -21,10 +21,12 @@ object WordPieceOracles {
   /** Oracle for [[WordPiece.tokenStats]] over `documents`, vocabulary
     * trained on the `trainWhere` slice (default: even doc_ids — the
     * q106 train/apply split, so odd docs exercise out-of-training
-    * chars → `[UNK]`).
+    * chars → `[UNK]`); `applyWhere` restricts the TOKENIZED corpus
+    * (the q145 artifact-lifecycle gate tokenizes a disjoint slice).
     */
   def tokenStatsSql(topK: Int = 1024,
-      trainWhere: String = "WHERE doc_id % 2 = 0"): String = {
+      trainWhere: String = "WHERE doc_id % 2 = 0",
+      applyWhere: String = ""): String = {
     val cap = WordPiece.WordCap
     val mi = WordPiece.MaxInitLen
     val mc = WordPiece.MaxContLen
@@ -54,7 +56,7 @@ object WordPieceOracles {
       |vc AS (SELECT piece FROM singles UNION SELECT piece FROM vcm),
       |aw AS (
       |  SELECT doc_id, substr(word, 1, $cap) AS word
-      |  FROM (SELECT doc_id, unnest($split) AS word FROM documents)
+      |  FROM (SELECT doc_id, unnest($split) AS word FROM documents $applyWhere)
       |  WHERE word <> ''),
       |wo AS (SELECT doc_id, word, count(*) AS occ FROM aw GROUP BY 1, 2),
       |dw AS (SELECT DISTINCT word FROM wo),
@@ -107,7 +109,8 @@ object WordPieceOracles {
       |  CAST(coalesce(ag.n_words, 0) AS BIGINT) AS n_words,
       |  CAST(coalesce(ag.n_pieces, 0) AS BIGINT) AS n_pieces,
       |  CAST(coalesce(ag.piece_hash, 0) AS BIGINT) AS piece_hash
-      |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
+      |FROM (SELECT doc_id FROM documents $applyWhere) d
+      |LEFT JOIN ag USING (doc_id)""".stripMargin
     sb.toString
   }
 }
