@@ -18,6 +18,39 @@ class ProfilingSpec extends SparkSpec {
     assert(got(1) === (("b", 3L, 1L, 2L, 0.75, 10.25, 21250000.0 / 3 / 1e6)))
   }
 
+  test("dataCard: per-source counts, quality mass and dup exposure, null text safe") {
+    // bias-only weights: score = 2.0 for every non-null text, so the
+    // quality columns are exactly countable by hand
+    val w = graft.text.Quality.Weights(
+      bias = 2.0, lenSat = 0.0, punct = 0.0, stop = 0.0, cpt = 0.0)
+    val docs = Seq(
+      (1L, "web", "en", "alpha beta"),          // dup of 2 (case/ws)
+      (2L, "web", "en", "  ALPHA   beta "),
+      (3L, "web", "de", "gamma"),
+      (4L, "books", "en", "alpha beta"),        // cross-source dup of 1/2
+      (5L, "books", "en", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = Profiling.dataCard(docs, "source", "doc_id", "text", "lang", w)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // web: 3 docs; tokens 2+2+1 (whitespace split of trimmed text);
+    // chars are RAW lengths; langs {en, de}; all 3 non-null pass the
+    // gate; quality mass 3 × 2e6; docs 1 and 2 share a fingerprint
+    val web = got("web")
+    assert(web._2 === 3L && web._3 === 5L)
+    assert(web._4 === ("alpha beta".length + "  ALPHA   beta ".length
+      + "gamma".length).toLong)
+    assert(web._5 === 2L && web._6 === 3L && web._7 === 6000000L)
+    assert(web._8 === 2L)
+    // books: the null-text doc contributes to n_docs only; doc 4's
+    // fingerprint collides with web's pair → 1 dup-exposed doc
+    val books = got("books")
+    assert(books._2 === 2L && books._3 === 2L
+      && books._4 === "alpha beta".length.toLong)
+    assert(books._5 === 1L && books._6 === 1L && books._7 === 2000000L)
+    assert(books._8 === 1L)
+  }
+
   test("profileNumeric: empty table and all-null column yield null range, zero mean") {
     val empty = Seq.empty[(java.lang.Double, java.lang.Double)].toDF("a", "b")
     val gotEmpty = Profiling.profileNumeric(empty, Seq("a", "b")).collect()

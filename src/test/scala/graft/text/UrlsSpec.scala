@@ -98,6 +98,33 @@ class UrlsSpec extends SparkSpec {
       s"expected InferWindowGroupLimit to fire, plan was:\n$plan")
   }
 
+  test("domainTopK keeps the k best-scoring docs per domain, id breaks ties") {
+    val docs = (1L to 20L).map { i =>
+      val host = if (i <= 12) "hot.com" else s"cold$i.org"
+      // score descends with id on hot.com, so the best 3 are ids 1..3
+      (i, s"https://$host/p/$i", (100L - i).toDouble)
+    }.toDF("doc_id", "url", "score")
+    val kept = Urls.domainTopK(docs, "doc_id", "url", k = 3, col("score"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === ((1L to 3L) ++ (13L to 20L)).sorted)
+    // ties: equal scores fall back to ascending id
+    val tied = (1L to 5L).map(i => (i, "https://t.com/p", 1.0))
+      .toDF("doc_id", "url", "score")
+    val tk = Urls.domainTopK(tied, "doc_id", "url", k = 2, col("score"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(tk === Seq(1L, 2L))
+  }
+
+  test("domainTopK keeps the WindowGroupLimit rewrite on a hot domain") {
+    val docs = (1L to 200L).map(i => (i, s"https://hot.com/p/$i", i.toDouble))
+      .toDF("doc_id", "url", "score")
+    val kept = Urls.domainTopK(docs, "doc_id", "url", k = 5, col("score"))
+    kept.collect()
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected InferWindowGroupLimit to fire, plan was:\n$plan")
+  }
+
   test("domainStats rolls up docs and distinct URLs per registrable domain") {
     val docs = Seq(
       "https://a.e.com/1", "https://b.e.com/1", "https://a.e.com/1?utm_x=2",
