@@ -2055,6 +2055,59 @@ object SparkEntry {
       |       w.doc_id AS keep_id, w.prio AS keep_priority
       |FROM g JOIN w USING (fingerprint) WHERE w.rn = 1""".stripMargin
 
+  /** Incremental reprocessing equivalence gate: the q140 snapshot
+    * pair, the q113 quality stage run INCREMENTALLY (prior result on
+    * A carried for unchanged keys, only B's added∪changed re-scored)
+    * — while the ORACLE scores all of B directly. The hash match IS
+    * the incremental ≡ full-recompute proof.
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val a = docs.filter(col("doc_id") % 7 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    def gate(df: DataFrame): DataFrame =
+      Quality.scoreDocs(df, "doc_id", "text", q113Weights)
+        .filter(col("keep")).select("doc_id", "score")
+    graft.pipeline.Curation.incrementalReprocess(
+      gate(a), a, b, "doc_id",
+      graft.text.TextAnalysis.fingerprint(col("text")), gate)
+  }
+
+  /** Oracle = the FULL recompute: q113's scoring chain over snapshot
+    * B directly (no diff, no carry) — what the incremental path must
+    * equal row-for-row.
+    */
+  private def q146Sql: String = {
+    val w = q113Weights
+    s"""WITH b0 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 3 <> 0),
+       |t AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wsl
+       |  FROM b0),
+       |r AS (
+       |  SELECT doc_id, len(ws) AS n,
+       |    len(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(len(text) AS DOUBLE) AS pr,
+       |    len(list_filter(wsl, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) / CAST(len(ws) AS DOUBLE) AS sr,
+       |    CAST(len(text) AS DOUBLE) / len(ws) AS cpt
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(${w.bias} AS DOUBLE)
+       |      + CAST(${w.lenSat} AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n / CAST(${w.lenCap} AS DOUBLE))
+       |      + CAST(${w.punct} AS DOUBLE) * pr
+       |      + CAST(${w.stop} AS DOUBLE) * sr
+       |      + CAST(${w.cpt} AS DOUBLE) * cpt AS s
+       |  FROM r)
+       |SELECT doc_id, round(s, 6) AS score FROM sc WHERE s > 0""".stripMargin
+  }
+
   private val q140Sql: String =
     """WITH a AS (
       |  SELECT doc_id,
@@ -3123,7 +3176,8 @@ object SparkEntry {
     "q142_stream_rank_mixture" -> (q142 _),
     "q143_priority_dedup" -> (q143 _),
     "q144_data_card" -> (q144 _),
-    "q145_wordpiece_artifact" -> (q145 _))
+    "q145_wordpiece_artifact" -> (q145 _),
+    "q146_incremental_reprocess" -> (q146 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4252,6 +4306,9 @@ object SparkEntry {
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)
     "q144_data_card" -> q144Sql,
+    // incremental ≡ full recompute: the oracle scores snapshot B
+    // directly; the Spark side diffs and carries
+    "q146_incremental_reprocess" -> q146Sql,
     "q134_bottomk_sample" -> graft.oracle.SketchOracles.bottomKSql(
       """SELECT "user" AS s FROM ratings""", k = 64,
       withHead = ratingsCte + ","),

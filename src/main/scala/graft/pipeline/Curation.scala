@@ -339,6 +339,41 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Incremental reprocessing over a [[snapshotDiff]]: given the
+    * PREVIOUS snapshot's processed result, run the (expensive)
+    * per-document stage only on the new snapshot's added∪changed
+    * keys and carry the unchanged keys' prior results forward —
+    * removed keys drop out on their own. For any per-document `process`
+    * (same row in ⇒ same row out, keyed by `keyCol`), the output is
+    * row-identical to reprocessing the whole new snapshot — the
+    * equivalence the q146 gate pins against a full-recompute oracle.
+    *
+    * Scale shape: one diff join + two key semi-joins, and the stage
+    * itself touches only the churned fraction — on a low-churn
+    * recurring crawl that is the difference between re-running the
+    * pipeline on 100 TB and on the day's delta.
+    *
+    * Caller contract: `process(work)` keeps `keyCol` and emits
+    * `priorResult`'s schema; per-document purity is the caller's
+    * responsibility (a corpus-relative stage — IDF, mixture rates —
+    * would need its statistics refreshed separately); and `fpCol`
+    * must be at least as discriminating as the stage's input
+    * sensitivity (a whitespace-normalized fingerprint with a
+    * raw-whitespace-sensitive stage would wrongly carry a stale
+    * result).
+    */
+  def incrementalReprocess(priorResult: DataFrame, a: DataFrame,
+      b: DataFrame, keyCol: String, fpCol: Column,
+      process: DataFrame => DataFrame): DataFrame = {
+    val d = snapshotDiff(a, b, keyCol, fpCol)
+    val work = b.join(d.filter(col("status").isin("added", "changed"))
+      .select(col("key").as(keyCol)), Seq(keyCol))
+    val carried = priorResult.join(
+      d.filter(col("status") === "unchanged")
+        .select(col("key").as(keyCol)), Seq(keyCol))
+    process(work).unionByName(carried)
+  }
+
   /** Embedding-space diversity balancing (the SemDeDup-adjacent
     * selection step; cf. Abbas et al. 2023 and cluster-balanced data
     * selection generally): cluster the corpus in embedding space with

@@ -213,6 +213,30 @@ class CurationSpec extends SparkSpec {
       6L -> "added"))
   }
 
+  test("incrementalReprocess equals full recompute and only touches the delta") {
+    import graft.text.TextAnalysis
+    val a = Seq((1L, "keep me around ok"), (2L, "old version"),
+      (3L, "gone soon"), (4L, "stable row")).toDF("doc_id", "text")
+    val b = Seq((1L, "keep me around ok"), (2L, "a longer new version"),
+      (4L, "stable row"), (9L, "brand new doc")).toDF("doc_id", "text")
+    val processed = scala.collection.mutable.Set.empty[Long]
+    def stage(df: org.apache.spark.sql.DataFrame) = {
+      // record which keys the expensive stage actually sees
+      processed ++= df.select("doc_id").as[Long].collect()
+      df.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    }
+    val aResult = Seq((1L, 17L), (2L, 11L), (3L, 9L), (4L, 10L))
+      .toDF("doc_id", "len")
+    val got = Curation.incrementalReprocess(aResult, a, b, "doc_id",
+      TextAnalysis.fingerprint(col("text")), stage)
+      .as[(Long, Long)].collect().toSet
+    // identical to running the stage on all of B: doc 2 rescored from
+    // B's text (20, not the stale 11), doc 3 gone, doc 9 added
+    assert(got === Set((1L, 17L), (2L, 20L), (4L, 10L), (9L, 13L)))
+    // the stage saw ONLY the added/changed keys — the whole point
+    assert(processed.toSet === Set(2L, 9L))
+  }
+
   test("scoreMixtureRates allocates the budget by score share") {
     // equal-sized groups, 3:1 score ratio → exactly 3:1 rates; a group
     // with no score row is dropped (coverage is the caller's contract)
