@@ -1813,6 +1813,16 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 1), "doc_id", "text", loaded)
   }
 
+  /** Per-source vocabulary coverage under the q136 vocab — the
+    * `[UNK]`-rate drift table (the retrain trigger signal).
+    */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.WordPiece.trainFrozen(
+      docs.filter(col("doc_id") % 2 === 0), "text", topK = 1024)
+    graft.text.WordPiece.coverageReport(docs, "source", "text", v)
+  }
+
   /** Streaming twin of q136: the frozen vocabulary trained on the
     * corpus snapshot, per-doc stats via the MAP-ONLY expression form
     * ([[graft.text.WordPiece.tokenStatsMapOnly]]) — stateless per
@@ -3177,7 +3187,8 @@ object SparkEntry {
     "q143_priority_dedup" -> (q143 _),
     "q144_data_card" -> (q144 _),
     "q145_wordpiece_artifact" -> (q145 _),
-    "q146_incremental_reprocess" -> (q146 _))
+    "q146_incremental_reprocess" -> (q146 _),
+    "q147_wordpiece_coverage" -> (q147 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4297,6 +4308,8 @@ object SparkEntry {
     // artifact lifecycle: reloaded vocab tokenizes the disjoint slice
     "q145_wordpiece_artifact" -> graft.oracle.WordPieceOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
+    // per-source [UNK]-rate drift table (same vocab + match machinery)
+    "q147_wordpiece_coverage" -> graft.oracle.WordPieceOracles.coverageSql(),
     // crawl-snapshot audit: full-outer fingerprint diff
     "q140_snapshot_diff" -> q140Sql,
     // best-k-per-domain under the quality model (PSL canon × q113

@@ -26,7 +26,41 @@ object WordPieceOracles {
     */
   def tokenStatsSql(topK: Int = 1024,
       trainWhere: String = "WHERE doc_id % 2 = 0",
-      applyWhere: String = ""): String = {
+      applyWhere: String = ""): String =
+    coreCtes(topK, trainWhere, applyWhere, awKey = "doc_id") + s""",
+      |ag AS (
+      |  SELECT wo.doc_id,
+      |    CAST(sum(wo.occ) AS BIGINT) AS n_words,
+      |    CAST(sum(wo.occ * wt.np) AS BIGINT) AS n_pieces,
+      |    CAST(sum(wo.occ * (('0x' || substr(md5(wt.acc), 1, 6))::BIGINT))
+      |         AS BIGINT) AS piece_hash
+      |  FROM wo JOIN wt USING (word) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(ag.n_words, 0) AS BIGINT) AS n_words,
+      |  CAST(coalesce(ag.n_pieces, 0) AS BIGINT) AS n_pieces,
+      |  CAST(coalesce(ag.piece_hash, 0) AS BIGINT) AS piece_hash
+      |FROM (SELECT doc_id FROM documents $applyWhere) d
+      |LEFT JOIN ag USING (doc_id)""".stripMargin
+
+  /** Oracle for [[WordPiece.coverageReport]]: the same vocab + match
+    * machinery keyed per `source`, aggregating occurrence-weighted
+    * word, `[UNK]`-word and piece counts — the tokenizer-health table.
+    */
+  def coverageSql(topK: Int = 1024,
+      trainWhere: String = "WHERE doc_id % 2 = 0"): String =
+    coreCtes(topK, trainWhere, "", awKey = "source") + """
+      |SELECT wo.source,
+      |  CAST(sum(wo.occ) AS BIGINT) AS n_words,
+      |  CAST(sum(CASE WHEN wt.unk THEN wo.occ ELSE 0 END) AS BIGINT)
+      |    AS n_unk_words,
+      |  CAST(sum(wo.occ * wt.np) AS BIGINT) AS n_pieces
+      |FROM wo JOIN wt USING (word) GROUP BY 1""".stripMargin
+
+  /** Everything through `wt` (per-word np/acc/unk) and `wo`
+    * (per-`awKey` occurrence counts) — shared by both oracles.
+    */
+  private def coreCtes(topK: Int, trainWhere: String,
+      applyWhere: String, awKey: String): String = {
     val cap = WordPiece.WordCap
     val mi = WordPiece.MaxInitLen
     val mc = WordPiece.MaxContLen
@@ -55,10 +89,10 @@ object WordPieceOracles {
       |vi AS (SELECT piece FROM singles UNION SELECT piece FROM vim),
       |vc AS (SELECT piece FROM singles UNION SELECT piece FROM vcm),
       |aw AS (
-      |  SELECT doc_id, substr(word, 1, $cap) AS word
-      |  FROM (SELECT doc_id, unnest($split) AS word FROM documents $applyWhere)
+      |  SELECT $awKey, substr(word, 1, $cap) AS word
+      |  FROM (SELECT $awKey, unnest($split) AS word FROM documents $applyWhere)
       |  WHERE word <> ''),
-      |wo AS (SELECT doc_id, word, count(*) AS occ FROM aw GROUP BY 1, 2),
+      |wo AS (SELECT $awKey, word, count(*) AS occ FROM aw GROUP BY 1, 2),
       |dw AS (SELECT DISTINCT word FROM wo),
       |dp AS (SELECT word, unnest(range(1, len(word) + 1)) AS p FROM dw),
       |dc AS (SELECT word, p,
@@ -97,20 +131,7 @@ object WordPieceOracles {
       |  FROM s${k - 1} s LEFT JOIN mm m ON s.word = m.word AND s.pos = m.p)""".stripMargin
     }
     sb ++= s""",
-      |wt AS (SELECT word, np, acc FROM s$cap),
-      |ag AS (
-      |  SELECT wo.doc_id,
-      |    CAST(sum(wo.occ) AS BIGINT) AS n_words,
-      |    CAST(sum(wo.occ * wt.np) AS BIGINT) AS n_pieces,
-      |    CAST(sum(wo.occ * (('0x' || substr(md5(wt.acc), 1, 6))::BIGINT))
-      |         AS BIGINT) AS piece_hash
-      |  FROM wo JOIN wt USING (word) GROUP BY 1)
-      |SELECT d.doc_id,
-      |  CAST(coalesce(ag.n_words, 0) AS BIGINT) AS n_words,
-      |  CAST(coalesce(ag.n_pieces, 0) AS BIGINT) AS n_pieces,
-      |  CAST(coalesce(ag.piece_hash, 0) AS BIGINT) AS piece_hash
-      |FROM (SELECT doc_id FROM documents $applyWhere) d
-      |LEFT JOIN ag USING (doc_id)""".stripMargin
+      |wt AS (SELECT word, np, acc, unk FROM s$cap)""".stripMargin
     sb.toString
   }
 }

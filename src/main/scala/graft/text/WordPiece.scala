@@ -142,6 +142,35 @@ object WordPiece {
       .na.fill(0L, Seq("n_words", "n_pieces", "piece_hash"))
   }
 
+  /** Per-group vocabulary-coverage report — the tokenizer-health
+    * table a pipeline monitors after a vocab freeze: occurrence-
+    * weighted word, `[UNK]`-word and piece counts per `groupCol`
+    * (source, language, day). Rising `n_unk_words / n_words` on a
+    * source is the drift signal that triggers retraining. The UNK
+    * test is on the emitted label, which is unambiguous: words are
+    * lowercased before matching, so no genuine piece can ever equal
+    * the uppercase `[UNK]` marker. Same dictionary-encoded scale
+    * shape as [[tokenStats]] ((group, word) pre-agg, |groups| rows
+    * out).
+    */
+  def coverageReport(docs: DataFrame, groupCol: String, textCol: String,
+      v: Vocab): DataFrame = {
+    val perWord = docs
+      .select(col(groupCol).as("source"),
+        explode(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol)))).as("w0"))
+      .filter(col("w0") =!= "")
+      .select(col("source"), expr(s"substr(w0, 1, $WordCap)").as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("p", pieces(col("word"), v))
+      .withColumn("unk",
+        size(col("p")) === 1 && element_at(col("p"), 1) === "[UNK]")
+    perWord.groupBy("source").agg(
+      sum(col("occ")).as("n_words"),
+      sum(when(col("unk"), col("occ")).otherwise(lit(0L))).as("n_unk_words"),
+      sum(col("occ") * size(col("p")).cast("long")).as("n_pieces"))
+  }
+
   /** MAP-ONLY twin of [[tokenStats]]: the whole per-document summary
     * as pure column expressions (words → per-word pieces → HOF
     * aggregate folds), zero shuffle — the form a continuous-ingest

@@ -143,6 +143,19 @@ class WordPieceSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("coverageReport counts occurrence-weighted UNK words per source") {
+    val docs = Seq(("web", "ab ab cd"), ("web", "zz"), ("books", "ab"))
+      .toDF("source", "text")
+    val v = WordPiece.Vocab(
+      initial = Seq("a", "b", "c", "d", "ab", "cd").sorted,
+      cont = Seq("a", "b", "c", "d").sorted)
+    val got = WordPiece.coverageReport(docs, "source", "text", v)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // web: ab ab cd zz → 4 words, zz is UNK (1 piece), ab/cd one piece
+    assert(got("web") === (("web", 4L, 1L, 4L)))
+    assert(got("books") === (("books", 1L, 0L, 1L)))
+  }
+
   test("vocab artifact round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("wp_vocab").toString
     val v = WordPiece.Vocab(Seq("a", "ab", "b"), Seq("a", "b", "bc"))
