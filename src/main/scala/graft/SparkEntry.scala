@@ -1866,7 +1866,7 @@ object SparkEntry {
     * real shape: 20 per-site github.io/blogspot.com domains each
     * instead of two merged hoster blobs.
     */
-  private def crawlDomainsOf(docs: DataFrame): DataFrame =
+  private[graft] def crawlDomainsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       Urls.registrableDomainPsl(Urls.hostOf(Urls.canonicalizeUrl(
         rawUrlPsl(col("doc_id"), col("source"))))).as("domain"))
@@ -2081,9 +2081,14 @@ object SparkEntry {
     def gate(df: DataFrame): DataFrame =
       Quality.scoreDocs(df, "doc_id", "text", q113Weights)
         .filter(col("keep")).select("doc_id", "score")
+    // RAW md5, not the whitespace-normalized fingerprint: the quality
+    // stage is raw-text-sensitive (punct ratio and chars-per-token
+    // divide by raw length), and incrementalReprocess's contract
+    // requires fpCol to be at least as discriminating as the stage —
+    // a normalized key would carry a stale score for a doc revised
+    // only in whitespace/case
     graft.pipeline.Curation.incrementalReprocess(
-      gate(a), a, b, "doc_id",
-      graft.text.TextAnalysis.fingerprint(col("text")), gate)
+      gate(a), a, b, "doc_id", md5(col("text")), gate)
   }
 
   /** Oracle = the FULL recompute: q113's scoring chain over snapshot

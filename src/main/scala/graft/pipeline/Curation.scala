@@ -365,7 +365,14 @@ object Curation {
   def incrementalReprocess(priorResult: DataFrame, a: DataFrame,
       b: DataFrame, keyCol: String, fpCol: Column,
       process: DataFrame => DataFrame): DataFrame = {
-    val d = snapshotDiff(a, b, keyCol, fpCol)
+    // the diff feeds TWO consumers (work and carried) — checkpoint it
+    // so the full-outer fingerprint join (the dominant cost: both
+    // snapshots' scans + md5) runs ONCE, not once per branch. The
+    // blocks are keyset-sized (key + status) and back the returned
+    // plan, so they live until the session drops them — the
+    // pageRankFixed returned-frame precedent.
+    val d = org.apache.spark.sql.graftbridge.DatasetBridge
+      .localCheckpointFresh(snapshotDiff(a, b, keyCol, fpCol)).df
     val work = b.join(d.filter(col("status").isin("added", "changed"))
       .select(col("key").as(keyCol)), Seq(keyCol))
     val carried = priorResult.join(

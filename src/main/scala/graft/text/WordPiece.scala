@@ -63,11 +63,12 @@ object WordPiece {
     * fragment (normalize whitespace → split → drop empties), then the
     * codepoint cap.
     */
-  private def wordOcc(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+  private def wordOcc(docs: DataFrame, keyCol: String, textCol: String,
+      keyAs: String): DataFrame =
+    docs.select(col(keyCol).as(keyAs),
       explode(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol)))).as("w0"))
       .filter(col("w0") =!= "")
-      .select(col("doc_id"), expr(s"substr(w0, 1, $WordCap)").as("word"))
+      .select(col(keyAs), expr(s"substr(w0, 1, $WordCap)").as("word"))
 
   /** Candidate pieces of the word-frequency relation: one row per
     * (word, position p, length l) with p=1 lengths 1..MaxInitLen and
@@ -125,7 +126,7 @@ object WordPiece {
     */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String,
       v: Vocab): DataFrame = {
-    val perWord = wordOcc(docs, idCol, textCol)
+    val perWord = wordOcc(docs, idCol, textCol, "doc_id")
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("occ"))
       .withColumn("pieces", pieces(col("word"), v))
@@ -155,17 +156,13 @@ object WordPiece {
     */
   def coverageReport(docs: DataFrame, groupCol: String, textCol: String,
       v: Vocab): DataFrame = {
-    val perWord = docs
-      .select(col(groupCol).as("source"),
-        explode(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol)))).as("w0"))
-      .filter(col("w0") =!= "")
-      .select(col("source"), expr(s"substr(w0, 1, $WordCap)").as("word"))
-      .groupBy(col("source"), col("word"))
+    val perWord = wordOcc(docs, groupCol, textCol, groupCol)
+      .groupBy(col(groupCol), col("word"))
       .agg(count(lit(1)).as("occ"))
       .withColumn("p", pieces(col("word"), v))
       .withColumn("unk",
         size(col("p")) === 1 && element_at(col("p"), 1) === "[UNK]")
-    perWord.groupBy("source").agg(
+    perWord.groupBy(groupCol).agg(
       sum(col("occ")).as("n_words"),
       sum(when(col("unk"), col("occ")).otherwise(lit(0L))).as("n_unk_words"),
       sum(col("occ") * size(col("p")).cast("long")).as("n_pieces"))

@@ -30,11 +30,9 @@ object DomainRankProbe {
     for (round <- 1 to 2) {
       println(s"DRP -- round $round")
       val docs = graft.io.Tables.documents(spark, sfDir)
-      val canon = docs.select(col("doc_id"),
-        graft.text.Urls.registrableDomainPsl(graft.text.Urls.hostOf(
-          graft.text.Urls.canonicalizeUrl(
-            concat(lit("https://"), col("source"), lit(".github.io/p/"),
-              col("doc_id").cast("string"))))).as("domain"))
+      // the EXACT q137 projection (shared helper) — a probe over a
+      // simplified one-arm URL mix measured a different graph
+      val canon = graft.SparkEntry.crawlDomainsOf(docs)
       val cp = time("canon checkpoint")(DatasetBridge.localCheckpointFresh(canon))
       val nn = time("count")(cp.df.count())
       val tgt = cp.df.select(col("doc_id").as("tid"), col("domain").as("dst"))
