@@ -1813,6 +1813,48 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 1), "doc_id", "text", loaded)
   }
 
+  /** Deterministic negative sampling over the ratings relation — 5
+    * unseen items per user by hashed rejection trials; the oracle
+    * replays the trials through the xxhash64 SQL construction.
+    */
+  private def q148(s: SparkSession, dir: String): DataFrame =
+    graft.prep.Prep.negativeSample(ratings(s, dir), "user", "item", k = 5)
+
+  private def q148Sql(k: Int = 5, oversample: Int = 3): String = {
+    val trials = k * oversample
+    s"""$ratingsCte,
+       |it AS (SELECT DISTINCT item FROM ratings),
+       |idim AS (SELECT item,
+       |           CAST(row_number() OVER (ORDER BY item) - 1 AS BIGINT) AS idx
+       |         FROM it),
+       |ni AS (SELECT count(*) AS nitems FROM it),
+       |us AS (SELECT DISTINCT "user" FROM ratings),
+       |tr AS (SELECT "user", unnest(range(1, $trials + 1)) AS t FROM us),
+       |dk AS (SELECT DISTINCT "user" || '|' || CAST(t AS VARCHAR) AS s FROM tr),
+       |${graft.oracle.DuckDbXxHash.xxh64Ctes("dk", "s", "kh", idCols = "s AS ids")},
+       |sh AS (SELECT ids,
+       |         CAST(h64 AS HUGEINT) -
+       |         CASE WHEN h64 >= 9223372036854775808
+       |              THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS h
+       |       FROM kh),
+       |cand AS (
+       |  SELECT tr."user", tr.t,
+       |         CAST(((sh.h % ni.nitems) + ni.nitems) % ni.nitems AS BIGINT) AS idx
+       |  FROM tr CROSS JOIN ni
+       |  JOIN sh ON sh.ids = tr."user" || '|' || CAST(tr.t AS VARCHAR)),
+       |wi AS (SELECT c."user", c.t, d.item FROM cand c JOIN idim d USING (idx)),
+       |neg0 AS (
+       |  SELECT w."user", w.t, w.item FROM wi w
+       |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
+       |                    WHERE r."user" = w."user" AND r.item = w.item)),
+       |neg AS (SELECT "user", item, min(t) AS t FROM neg0 GROUP BY 1, 2),
+       |rk AS (SELECT "user", item,
+       |         row_number() OVER (PARTITION BY "user" ORDER BY t, item) AS rn
+       |       FROM neg)
+       |SELECT "user", item, CAST(rn - 1 AS INTEGER) AS neg_no
+       |FROM rk WHERE rn <= $k""".stripMargin
+  }
+
   /** Per-source vocabulary coverage under the q136 vocab — the
     * `[UNK]`-rate drift table (the retrain trigger signal).
     */
@@ -3193,7 +3235,8 @@ object SparkEntry {
     "q144_data_card" -> (q144 _),
     "q145_wordpiece_artifact" -> (q145 _),
     "q146_incremental_reprocess" -> (q146 _),
-    "q147_wordpiece_coverage" -> (q147 _))
+    "q147_wordpiece_coverage" -> (q147 _),
+    "q148_negative_sample" -> (q148 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4315,6 +4358,9 @@ object SparkEntry {
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
     // per-source [UNK]-rate drift table (same vocab + match machinery)
     "q147_wordpiece_coverage" -> graft.oracle.WordPieceOracles.coverageSql(),
+    // hashed-rejection negative sampling, trials replayed via the
+    // xxhash64 SQL construction
+    "q148_negative_sample" -> q148Sql(),
     // crawl-snapshot audit: full-outer fingerprint diff
     "q140_snapshot_diff" -> q140Sql,
     // best-k-per-domain under the quality model (PSL canon × q113

@@ -158,4 +158,54 @@ object Prep {
     val sel = h < frac * lit(16777216.0)
     (df.filter(sel), df.filter(!sel))
   }
+
+  /** Deterministic NEGATIVE SAMPLING for implicit-feedback training
+    * (the BPR/ALS-implicit data-prep step): up to `k` unseen items per
+    * user, chosen by hashed rejection trials — trial t proposes item
+    * index xxhash64(user "|" t) mod |items|, seen proposals are
+    * rejected, survivors keep their earliest trial and the first k by
+    * (trial, item) win. Fully deterministic (same corpus ⇒ same
+    * negatives, any engine — the q148 oracle replays the trials
+    * through the xxhash64 SQL construction), unlike rand()-based
+    * samplers whose epochs never reproduce.
+    *
+    * Scale shape: trials explode to |users|·k·`oversample` rows (a
+    * constant per user — never |users|·|items|); the item dimension
+    * is |items| rows (broadcast for the index join); rejection is one
+    * (user, item) anti-join against the ratings; the final selection
+    * is `row_number <= k` under a (user)-partitioned window —
+    * InferWindowGroupLimit applies. A user who has rated nearly every
+    * item may yield fewer than k negatives at low oversample — raise
+    * `oversample` (collision probability decays geometrically).
+    *
+    * Returns (user, item, neg_no) with neg_no in [0, k).
+    */
+  def negativeSample(ratings: DataFrame, userCol: String, itemCol: String,
+      k: Int, oversample: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val items = ratings.select(col(itemCol).as("item")).distinct()
+    // dense index by item order: a |items|-row single-partition window
+    // — dimension-sized by definition (the q19 global-sort class)
+    val itemDim = items.withColumn("idx",
+      (row_number().over(Window.orderBy(col("item"))) - 1).cast("long"))
+    val nItems = itemDim.count()
+    require(nItems > 0, "ratings must contain at least one item")
+    val trials = k * oversample
+    val cand = ratings.select(col(userCol).as("user")).distinct()
+      .select(col("user"), explode(sequence(lit(1), lit(trials))).as("t"))
+      .withColumn("idx", pmod(
+        xxhash64(concat(col("user"), lit("|"), col("t").cast("string"))),
+        lit(nItems)))
+    val seen = ratings
+      .select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+    val neg = cand.join(broadcast(itemDim), Seq("idx"))
+      .select(col("user"), col("t"), col("item"))
+      .join(seen, Seq("user", "item"), "left_anti")
+      .groupBy(col("user"), col("item")).agg(min(col("t")).as("t"))
+    val w = Window.partitionBy(col("user")).orderBy(col("t"), col("item"))
+    neg.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("user"), col("item"), (col("__rn") - 1).as("neg_no"))
+  }
 }

@@ -128,4 +128,36 @@ class PrepSpec extends SparkSpec {
     assert(held.exceptAll(manual).count() === 0 &&
       manual.exceptAll(held).count() === 0)
   }
+
+  test("negativeSample: unseen items only, k-capped, dense neg_no, deterministic") {
+    val items = (1 to 8).map(i => f"i$i")
+    val ratings = (
+      // u1 rated 2 of 8 items; u2 rated ALL items (no negatives
+      // possible); u3 rated one
+      Seq("i1", "i2").map(("u1", _)) ++
+      items.map(("u2", _)) ++
+      Seq(("u3", "i5"))).toDF("user", "item")
+    val got = graft.prep.Prep.negativeSample(ratings, "user", "item",
+      k = 3, oversample = 8)
+    val rows = got.as[(String, String, Int)].collect()
+    val byUser = rows.groupBy(_._1)
+    // never a seen (user, item) pair
+    val seen = Set(("u1", "i1"), ("u1", "i2"), ("u3", "i5")) ++
+      items.map(("u2", _)).toSet
+    assert(rows.forall(r => !seen.contains((r._1, r._2))), rows.mkString(","))
+    // k-capped, dense neg_no from 0
+    for ((u, rs) <- byUser) {
+      assert(rs.length <= 3, s"$u got ${rs.length}")
+      assert(rs.map(_._3).sorted.toSeq === (0 until rs.length), u)
+    }
+    // u2 has no unseen item at any oversample
+    assert(!byUser.contains("u2"))
+    // high oversample finds the full k for sparse users
+    assert(byUser("u1").length === 3)
+    // deterministic
+    val again = graft.prep.Prep.negativeSample(ratings, "user", "item",
+      k = 3, oversample = 8).as[(String, String, Int)].collect()
+    assert(again.sortBy(r => (r._1, r._3)).toSeq ===
+      rows.sortBy(r => (r._1, r._3)).toSeq)
+  }
 }
