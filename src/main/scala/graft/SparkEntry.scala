@@ -1820,7 +1820,14 @@ object SparkEntry {
   private def q148(s: SparkSession, dir: String): DataFrame =
     graft.prep.Prep.negativeSample(ratings(s, dir), "user", "item", k = 5)
 
-  private def q148Sql(k: Int = 5, oversample: Int = 3): String = {
+  private def q148Sql(k: Int = 5, oversample: Int = 3): String =
+    s"""${q148Ctes(k, oversample)}
+       |SELECT "user", item, neg_no FROM negk""".stripMargin
+
+  /** The negative-sampling chain through CTE `negk` ("user", item,
+    * neg_no) — shared by q148 and the q149 triplet join.
+    */
+  private def q148Ctes(k: Int = 5, oversample: Int = 3): String = {
     val trials = k * oversample
     s"""$ratingsCte,
        |it AS (SELECT DISTINCT item FROM ratings),
@@ -1850,10 +1857,28 @@ object SparkEntry {
        |neg AS (SELECT "user", item, min(t) AS t FROM neg0 GROUP BY 1, 2),
        |rk AS (SELECT "user", item,
        |         row_number() OVER (PARTITION BY "user" ORDER BY t, item) AS rn
-       |       FROM neg)
-       |SELECT "user", item, CAST(rn - 1 AS INTEGER) AS neg_no
-       |FROM rk WHERE rn <= $k""".stripMargin
+       |       FROM neg),
+       |negk AS (SELECT "user", item, CAST(rn - 1 AS INTEGER) AS neg_no
+       |         FROM rk WHERE rn <= $k)""".stripMargin
   }
+
+  /** BPR training triplets: each (user, positive) pairs round-robin
+    * with the user's sampled negatives — the actual pairwise-ranking
+    * training input (Rendle et al. 2009), fully deterministic.
+    */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    graft.prep.Prep.bprTriplets(ratings(s, dir), "user", "item", k = 5)
+
+  private def q149Sql(k: Int = 5, oversample: Int = 3): String =
+    s"""${q148Ctes(k, oversample)},
+       |pos AS (
+       |  SELECT "user", item,
+       |         row_number() OVER (PARTITION BY "user" ORDER BY item) - 1
+       |           AS pos_no
+       |  FROM (SELECT DISTINCT "user", item FROM ratings))
+       |SELECT p."user", p.item AS pos_item, n.item AS neg_item
+       |FROM pos p JOIN negk n
+       |  ON n."user" = p."user" AND n.neg_no = p.pos_no % $k""".stripMargin
 
   /** Per-source vocabulary coverage under the q136 vocab — the
     * `[UNK]`-rate drift table (the retrain trigger signal).
@@ -3236,7 +3261,8 @@ object SparkEntry {
     "q145_wordpiece_artifact" -> (q145 _),
     "q146_incremental_reprocess" -> (q146 _),
     "q147_wordpiece_coverage" -> (q147 _),
-    "q148_negative_sample" -> (q148 _))
+    "q148_negative_sample" -> (q148 _),
+    "q149_bpr_triplets" -> (q149 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4361,6 +4387,8 @@ object SparkEntry {
     // hashed-rejection negative sampling, trials replayed via the
     // xxhash64 SQL construction
     "q148_negative_sample" -> q148Sql(),
+    // round-robin positive×negative pairing over the same chain
+    "q149_bpr_triplets" -> q149Sql(),
     // crawl-snapshot audit: full-outer fingerprint diff
     "q140_snapshot_diff" -> q140Sql,
     // best-k-per-domain under the quality model (PSL canon × q113

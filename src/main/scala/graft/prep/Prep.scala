@@ -208,4 +208,29 @@ object Prep {
       .filter(col("__rn") <= k)
       .select(col("user"), col("item"), (col("__rn") - 1).as("neg_no"))
   }
+
+  /** BPR pairwise-ranking triplets (Rendle et al. 2009): every
+    * (user, positive) row paired ROUND-ROBIN with one of the user's
+    * [[negativeSample]]d negatives — the training input of implicit
+    * matrix factorization, deterministic end-to-end so an epoch's
+    * exact triplet set reproduces across engines and retries.
+    * Positives whose round-robin slot has no negative (a user with
+    * fewer than k negatives) drop, mirroring the sampler's contract.
+    *
+    * Scale: positives rank under a (user)-partitioned window (the
+    * dedupKeepLast shuffle class) and join the negatives on
+    * (user, slot) — both sides O(interactions), never a cross join.
+    */
+  def bprTriplets(ratings: DataFrame, userCol: String, itemCol: String,
+      k: Int, oversample: Int = 3): DataFrame = {
+    val neg = negativeSample(ratings, userCol, itemCol, k, oversample)
+      .select(col("user"), col("item").as("neg_item"), col("neg_no"))
+    val pos = ratings
+      .select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+      .withColumn("pos_no", row_number().over(
+        Window.partitionBy(col("user")).orderBy(col("item"))) - 1)
+      .withColumn("neg_no", pmod(col("pos_no"), lit(k)))
+    pos.join(neg, Seq("user", "neg_no"))
+      .select(col("user"), col("item").as("pos_item"), col("neg_item"))
+  }
 }

@@ -160,4 +160,25 @@ class PrepSpec extends SparkSpec {
     assert(again.sortBy(r => (r._1, r._3)).toSeq ===
       rows.sortBy(r => (r._1, r._3)).toSeq)
   }
+
+  test("bprTriplets pairs every positive round-robin with a sampled negative") {
+    val items = (1 to 8).map(i => f"i$i")
+    val ratings = (Seq("i1", "i2", "i3", "i4").map(("u1", _)) ++
+      items.map(("u2", _))).toDF("user", "item")
+    val k = 2
+    val neg = graft.prep.Prep.negativeSample(ratings, "user", "item",
+      k, oversample = 8).as[(String, String, Int)].collect()
+      .map(r => (r._1, r._3) -> r._2).toMap
+    val got = graft.prep.Prep.bprTriplets(ratings, "user", "item",
+      k, oversample = 8).as[(String, String, String)].collect().toSet
+    // u1's positives i1..i4 pair with its negatives in slots 0,1,0,1
+    val expected = Seq("i1", "i2", "i3", "i4").zipWithIndex.flatMap {
+      case (p, i) => neg.get(("u1", i % k)).map(n => ("u1", p, n))
+    }.toSet
+    assert(got === expected, s"neg=$neg")
+    // u2 rated everything -> no negatives -> no triplets
+    assert(!got.exists(_._1 == "u2"))
+    // a triplet's negative is never one of the user's positives
+    assert(got.forall(t => !Seq("i1", "i2", "i3", "i4").contains(t._3)))
+  }
 }
