@@ -1830,19 +1830,16 @@ object SparkEntry {
   private def q148Ctes(k: Int = 5, oversample: Int = 3): String = {
     val trials = k * oversample
     s"""$ratingsCte,
-       |it AS (SELECT DISTINCT item FROM ratings),
+       |it AS (SELECT DISTINCT item FROM ratings WHERE item IS NOT NULL),
        |idim AS (SELECT item,
        |           CAST(row_number() OVER (ORDER BY item) - 1 AS BIGINT) AS idx
        |         FROM it),
        |ni AS (SELECT count(*) AS nitems FROM it),
-       |us AS (SELECT DISTINCT "user" FROM ratings),
+       |us AS (SELECT DISTINCT "user" FROM ratings WHERE "user" IS NOT NULL),
        |tr AS (SELECT "user", unnest(range(1, $trials + 1)) AS t FROM us),
        |dk AS (SELECT DISTINCT "user" || '|' || CAST(t AS VARCHAR) AS s FROM tr),
        |${graft.oracle.DuckDbXxHash.xxh64Ctes("dk", "s", "kh", idCols = "s AS ids")},
-       |sh AS (SELECT ids,
-       |         CAST(h64 AS HUGEINT) -
-       |         CASE WHEN h64 >= 9223372036854775808
-       |              THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS h
+       |sh AS (SELECT ids, ${graft.oracle.DuckDbXxHash.signedSql("h64")} AS h
        |       FROM kh),
        |cand AS (
        |  SELECT tr."user", tr.t,
@@ -1871,14 +1868,18 @@ object SparkEntry {
 
   private def q149Sql(k: Int = 5, oversample: Int = 3): String =
     s"""${q148Ctes(k, oversample)},
+       |nc AS (SELECT "user", count(*) AS m FROM negk GROUP BY 1),
        |pos AS (
        |  SELECT "user", item,
        |         row_number() OVER (PARTITION BY "user" ORDER BY item) - 1
        |           AS pos_no
-       |  FROM (SELECT DISTINCT "user", item FROM ratings))
+       |  FROM (SELECT DISTINCT "user", item FROM ratings
+       |        WHERE "user" IS NOT NULL AND item IS NOT NULL))
        |SELECT p."user", p.item AS pos_item, n.item AS neg_item
-       |FROM pos p JOIN negk n
-       |  ON n."user" = p."user" AND n.neg_no = p.pos_no % $k""".stripMargin
+       |FROM pos p
+       |JOIN nc ON nc."user" = p."user"
+       |JOIN negk n
+       |  ON n."user" = p."user" AND n.neg_no = p.pos_no % nc.m""".stripMargin
 
   /** Per-source vocabulary coverage under the q136 vocab — the
     * `[UNK]`-rate drift table (the retrain trigger signal).

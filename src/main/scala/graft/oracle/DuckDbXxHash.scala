@@ -29,6 +29,15 @@ object DuckDbXxHash {
   private val P4 = "9650029242287828579" // 0x85EBCA77C2B2AE63
   private val P5 = "2870177450012600261" // 0x27D4EB2F165667C5
 
+  /** Signed (Spark long) view of an `h64`-style UBIGINT expression,
+    * as HUGEINT — THE conversion every oracle that compares or mods
+    * Spark's signed xxhash64 must apply; shared so the replay
+    * convention cannot drift between call sites.
+    */
+  def signedSql(col: String): String =
+    s"(CAST($col AS HUGEINT) - CASE WHEN $col >= 9223372036854775808 " +
+      s"THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END)"
+
   private def u(x: String) = s"CAST($x AS UHUGEINT)"
   private def mul(a: String, b: String) = s"((${u(a)} * ${u(b)}) % $M)"
   private def add(a: String, b: String) = s"((${u(a)} + ${u(b)}) % $M)"

@@ -85,10 +85,7 @@ object SketchOracles {
        |dk AS (SELECT DISTINCT s FROM ($srcSql) WHERE s IS NOT NULL),
        |${DuckDbXxHash.xxh64Ctes("dk", "s", "kh", idCols = "s AS ids")}
        |SELECT s AS key,
-       |  CAST(CAST(h64 AS HUGEINT) -
-       |       CASE WHEN h64 >= 9223372036854775808
-       |            THEN CAST(18446744073709551616 AS HUGEINT)
-       |            ELSE 0 END AS BIGINT) AS h
+       |  CAST(${DuckDbXxHash.signedSql("h64")} AS BIGINT) AS h
        |FROM kh
        |ORDER BY h, key LIMIT $k""".stripMargin
 

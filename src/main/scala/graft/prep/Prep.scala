@@ -184,19 +184,26 @@ object Prep {
       k: Int, oversample: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
-    val items = ratings.select(col(itemCol).as("item")).distinct()
-    // dense index by item order: a |items|-row single-partition window
-    // — dimension-sized by definition (the q19 global-sort class)
-    val itemDim = items.withColumn("idx",
-      (row_number().over(Window.orderBy(col("item"))) - 1).cast("long"))
-    val nItems = itemDim.count()
+    // null users/items are EXCLUDED on both engine sides: NULL sorts
+    // first in a Spark window but last in DuckDB's, so an unguarded
+    // null item would shift every dense index and desync the replay
+    val base = ratings.select(col(itemCol).as("item"))
+      .filter(col("item").isNotNull)
+    // dense index by item order — the shared dimension operator
+    // (|items|-row single-partition window; use dimensionAtScale past
+    // 2^31 items)
+    val itemDim = graft.encode.Encoding.dimension(base, "item", "item", "idx")
+    // the one driver-side scalar the proposal expression needs (the
+    // q133 nn precedent); the dimension itself stays in the plan
+    val nItems = base.distinct().count()
     require(nItems > 0, "ratings must contain at least one item")
     val trials = k * oversample
     val cand = ratings.select(col(userCol).as("user")).distinct()
+      .filter(col("user").isNotNull)
       .select(col("user"), explode(sequence(lit(1), lit(trials))).as("t"))
       .withColumn("idx", pmod(
         xxhash64(concat(col("user"), lit("|"), col("t").cast("string"))),
-        lit(nItems)))
+        lit(nItems)).cast("int"))
     val seen = ratings
       .select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
     val neg = cand.join(broadcast(itemDim), Seq("idx"))
@@ -214,22 +221,28 @@ object Prep {
     * [[negativeSample]]d negatives — the training input of implicit
     * matrix factorization, deterministic end-to-end so an epoch's
     * exact triplet set reproduces across engines and retries.
-    * Positives whose round-robin slot has no negative (a user with
-    * fewer than k negatives) drop, mirroring the sampler's contract.
+    * The round-robin wraps over the user's ACTUAL negative count, so
+    * a user whose sampler found only m < k negatives still pairs
+    * every positive (cycling through the m available) — only users
+    * with zero negatives contribute no triplets.
     *
     * Scale: positives rank under a (user)-partitioned window (the
     * dedupKeepLast shuffle class) and join the negatives on
-    * (user, slot) — both sides O(interactions), never a cross join.
+    * (user, slot) — both sides O(interactions), never a cross join;
+    * the per-user negative count is a |users|-row broadcast.
     */
   def bprTriplets(ratings: DataFrame, userCol: String, itemCol: String,
       k: Int, oversample: Int = 3): DataFrame = {
     val neg = negativeSample(ratings, userCol, itemCol, k, oversample)
       .select(col("user"), col("item").as("neg_item"), col("neg_no"))
+    val negCnt = neg.groupBy(col("user")).agg(count(lit(1)).as("__m"))
     val pos = ratings
       .select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+      .filter(col("user").isNotNull && col("item").isNotNull)
       .withColumn("pos_no", row_number().over(
         Window.partitionBy(col("user")).orderBy(col("item"))) - 1)
-      .withColumn("neg_no", pmod(col("pos_no"), lit(k)))
+      .join(negCnt, Seq("user"))
+      .withColumn("neg_no", pmod(col("pos_no"), col("__m")).cast("int"))
     pos.join(neg, Seq("user", "neg_no"))
       .select(col("user"), col("item").as("pos_item"), col("neg_item"))
   }

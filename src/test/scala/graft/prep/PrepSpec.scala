@@ -164,7 +164,10 @@ class PrepSpec extends SparkSpec {
   test("bprTriplets pairs every positive round-robin with a sampled negative") {
     val items = (1 to 8).map(i => f"i$i")
     val ratings = (Seq("i1", "i2", "i3", "i4").map(("u1", _)) ++
-      items.map(("u2", _))).toDF("user", "item")
+      items.map(("u2", _)) ++
+      // u3 rated 7 of 8 — at most ONE negative exists, fewer than k:
+      // the wrap must still pair all 7 positives with it
+      items.take(7).map(("u3", _))).toDF("user", "item")
     val k = 2
     val neg = graft.prep.Prep.negativeSample(ratings, "user", "item",
       k, oversample = 8).as[(String, String, Int)].collect()
@@ -175,10 +178,15 @@ class PrepSpec extends SparkSpec {
     val expected = Seq("i1", "i2", "i3", "i4").zipWithIndex.flatMap {
       case (p, i) => neg.get(("u1", i % k)).map(n => ("u1", p, n))
     }.toSet
-    assert(got === expected, s"neg=$neg")
+    assert(got.filter(_._1 == "u1") === expected, s"neg=$neg")
     // u2 rated everything -> no negatives -> no triplets
     assert(!got.exists(_._1 == "u2"))
     // a triplet's negative is never one of the user's positives
     assert(got.forall(t => !Seq("i1", "i2", "i3", "i4").contains(t._3)))
+    // u3: one available negative (i8), fewer than k — the round-robin
+    // wraps over the ACTUAL count, so all 7 positives still pair
+    val u3 = got.filter(_._1 == "u3")
+    assert(u3.map(_._2) === items.take(7).toSet)
+    assert(u3.forall(_._3 == "i8"), u3.toString)
   }
 }
