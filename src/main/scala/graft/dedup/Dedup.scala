@@ -54,11 +54,19 @@ object Dedup {
     * min-struct can express; a 10⁹-copy boilerplate group combines
     * before the shuffle instead of landing in one window task).
     * Returns (fingerprint, n_copies, keep_id, keep_priority).
+    *
+    * A NULL priority is coalesced to Long.MaxValue (worst class) —
+    * without the coalesce, NULL sorts FIRST in Spark's struct
+    * ordering, so a row with a missing priority would silently beat
+    * every real priority class. As in [[exactGroups]], null-text docs
+    * all share the null fingerprint and collapse into one group —
+    * filter them upstream if that is not the intended policy.
     */
   def exactGroupsByPriority(docs: DataFrame, idCol: String, textCol: String,
       priority: Column): DataFrame =
     docs.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
-      col(idCol).as("__id"), priority.cast("long").as("__prio"))
+      col(idCol).as("__id"),
+      coalesce(priority.cast("long"), lit(Long.MaxValue)).as("__prio"))
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_copies"),
         min(struct(col("__prio"), col("__id"))).as("__win"))

@@ -295,13 +295,26 @@ object Curation {
       scores: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val joined = counts.join(scores, Seq(groupCol))
+    // a NEGATIVE score is a caller bug (rates would go negative and
+    // applyMixtureRates would silently drop everything) — fail loudly
+    // at execution, not silently at the sink; zero scores are legal
+    // (zero-centrality group ⇒ rate 0) but an all-zero TOTAL makes the
+    // budget unmeetable, so that also raises instead of emitting NaN.
+    val checked = scores.withColumn("score_fp",
+      when(col("score_fp") < 0, raise_error(concat(
+        lit("scoreMixtureRates: negative score_fp for group "),
+        col(groupCol).cast("string")))).otherwise(col("score_fp")))
+    val joined = counts.join(checked, Seq(groupCol))
     val sumS = joined.agg(sum(col("score_fp")).as("__ss"))
     joined.crossJoin(broadcast(sumS))
       .select(col(groupCol),
         least(lit(1.0),
           lit(budget.toDouble) * col("score_fp").cast("double")
-            / col("__ss").cast("double") / col("__n"))
+            / when(col("__ss") > 0, col("__ss").cast("double"))
+              .otherwise(raise_error(lit(
+                "scoreMixtureRates: score total is not positive — " +
+                  "every rate would be NaN/0 and the sample silently empty")))
+            / col("__n"))
           .as("__rate"))
   }
 

@@ -171,17 +171,28 @@ object Prep {
     *
     * Scale shape: trials explode to |users|·k·`oversample` rows (a
     * constant per user — never |users|·|items|); the item dimension
-    * is |items| rows (broadcast for the index join); rejection is one
-    * (user, item) anti-join against the ratings; the final selection
-    * is `row_number <= k` under a (user)-partitioned window —
+    * is |items| rows, built through [[graft.encode.Encoding.dimensionAuto]]
+    * (single-partition window below ~50M items, range-partition +
+    * zipWithIndex above — identical mapping, so the hash gate is
+    * unaffected by the switch) and broadcast for the index join ONLY
+    * while its estimated bytes fit `autoBroadcastDimBytes` (the GdMf
+    * stateBytes pattern — a 10^9-item catalog degrades to a shuffle
+    * join instead of a driver OOM); rejection is one (user, item)
+    * anti-join against the ratings; the final selection is
+    * `row_number <= k` under a (user)-partitioned window —
     * InferWindowGroupLimit applies. A user who has rated nearly every
     * item may yield fewer than k negatives at low oversample — raise
     * `oversample` (collision probability decays geometrically).
     *
+    * The proposal index stays LONG end-to-end (dimensionAuto's
+    * at-scale path emits long ids), so past 2^31 items nothing wraps
+    * — the mod is against the exact long item count.
+    *
     * Returns (user, item, neg_no) with neg_no in [0, k).
     */
   def negativeSample(ratings: DataFrame, userCol: String, itemCol: String,
-      k: Int, oversample: Int = 3): DataFrame = {
+      k: Int, oversample: Int = 3,
+      autoBroadcastDimBytes: Long = 64L << 20): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(oversample >= 1, s"oversample must be >= 1, got $oversample")
     // null users/items are EXCLUDED on both engine sides: NULL sorts
@@ -189,24 +200,29 @@ object Prep {
     // null item would shift every dense index and desync the replay
     val base = ratings.select(col(itemCol).as("item"))
       .filter(col("item").isNotNull)
-    // dense index by item order — the shared dimension operator
-    // (|items|-row single-partition window; use dimensionAtScale past
-    // 2^31 items)
-    val itemDim = graft.encode.Encoding.dimension(base, "item", "item", "idx")
-    // the one driver-side scalar the proposal expression needs (the
-    // q133 nn precedent); the dimension itself stays in the plan
+    // ONE distinct-count job: the scalar the proposal mod needs is
+    // also dimensionAuto's scale-dispatch input (the q133 nn
+    // precedent); the dimension itself stays lazy in the plan
     val nItems = base.distinct().count()
     require(nItems > 0, "ratings must contain at least one item")
+    val itemDim = graft.encode.Encoding
+      .dimensionAuto(base, "item", "item", "idx", approxKeys = nItems)
+      .withColumn("idx", col("idx").cast("long"))
+    // size-gate the dimension broadcast exactly like GdMf.stateBytes:
+    // ~48 bytes/row (8-byte id + a short item key + row overhead)
+    val bDim =
+      if (nItems * 48L <= autoBroadcastDimBytes) broadcast(itemDim)
+      else itemDim
     val trials = k * oversample
     val cand = ratings.select(col(userCol).as("user")).distinct()
       .filter(col("user").isNotNull)
       .select(col("user"), explode(sequence(lit(1), lit(trials))).as("t"))
       .withColumn("idx", pmod(
         xxhash64(concat(col("user"), lit("|"), col("t").cast("string"))),
-        lit(nItems)).cast("int"))
+        lit(nItems)))
     val seen = ratings
       .select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
-    val neg = cand.join(broadcast(itemDim), Seq("idx"))
+    val neg = cand.join(bDim, Seq("idx"))
       .select(col("user"), col("t"), col("item"))
       .join(seen, Seq("user", "item"), "left_anti")
       .groupBy(col("user"), col("item")).agg(min(col("t")).as("t"))
@@ -232,8 +248,10 @@ object Prep {
     * the per-user negative count is a |users|-row broadcast.
     */
   def bprTriplets(ratings: DataFrame, userCol: String, itemCol: String,
-      k: Int, oversample: Int = 3): DataFrame = {
-    val neg = negativeSample(ratings, userCol, itemCol, k, oversample)
+      k: Int, oversample: Int = 3,
+      autoBroadcastDimBytes: Long = 64L << 20): DataFrame = {
+    val neg = negativeSample(ratings, userCol, itemCol, k, oversample,
+      autoBroadcastDimBytes)
       .select(col("user"), col("item").as("neg_item"), col("neg_no"))
     val negCnt = neg.groupBy(col("user")).agg(count(lit(1)).as("__m"))
     val pos = ratings

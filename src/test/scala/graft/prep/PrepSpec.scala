@@ -161,6 +161,34 @@ class PrepSpec extends SparkSpec {
       rows.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("negativeSample: item-dimension broadcast is size-gated (plan flips)") {
+    val items = (1 to 20).map(i => f"i$i")
+    val ratings = items.take(5).map(("u1", _)).toDF("user", "item")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable Catalyst's own auto-broadcast so the ONLY broadcast in
+    // the plan is the one negativeSample's size gate asks for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def broadcasts(thresh: Long): Int = {
+        val p = graft.prep.Prep.negativeSample(ratings, "user", "item",
+          k = 2, oversample = 4, autoBroadcastDimBytes = thresh)
+          .queryExecution.executedPlan.toString
+        "BroadcastHashJoin".r.findAllIn(p).size
+      }
+      assert(broadcasts(64L << 20) >= 1, "dim under threshold must broadcast")
+      assert(broadcasts(0L) === 0,
+        "dim over threshold must degrade to a shuffle join, not a broadcast")
+      // the gate changes the JOIN STRATEGY only, never the result
+      val viaShuffle = graft.prep.Prep.negativeSample(ratings, "user", "item",
+        k = 2, oversample = 4, autoBroadcastDimBytes = 0L)
+        .as[(String, String, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+      val viaBcast = graft.prep.Prep.negativeSample(ratings, "user", "item",
+        k = 2, oversample = 4)
+        .as[(String, String, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+      assert(viaShuffle === viaBcast)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bprTriplets pairs every positive round-robin with a sampled negative") {
     val items = (1 to 8).map(i => f"i$i")
     val ratings = (Seq("i1", "i2", "i3", "i4").map(("u1", _)) ++
