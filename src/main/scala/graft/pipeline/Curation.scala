@@ -446,26 +446,14 @@ object Curation {
     * float/double array column under literal `centroids` — one
     * map-only expression; see [[clusterBalancedSampleFixed]].
     */
-  def assignFixedCentroids(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dim = centroids.head.size
-    val dists = centroids.map { c =>
-      c.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
-        val d = element_at(vec, i + 1).cast("double") - lit(cv)
-        acc + d * d
-      }
-    }
-    // Each distance chain appears exactly ONCE, in an array literal;
-    // the argmin is array_position(.., array_min(..)) (first occurrence
-    // = first-minimum tie-break, matching the oracle's min(cid)). The
-    // earlier when(d === m)-chain form inlined every chain ~2x per
-    // branch (O(k²·dim) tree) and adding a guard branch on top of it
-    // defeated conditional CSE — measured OOM/4x-slowdown on 500 rows.
-    // A null or too-short vector would otherwise silently land in a
-    // real cluster; surface it as the reserved cluster -1 instead.
-    val darr = array(dists: _*)
-    when(vec.isNull || size(vec) < dim, lit(-1L))
-      .otherwise((array_position(darr, array_min(darr)) - 1L).cast("long"))
-  }
+  def assignFixedCentroids(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    // One codegen'd loop expression (constants ride in a referenced
+    // double[], loops never unroll): same left-assoc d² chains and
+    // first-minimum tie-break as the earlier array_position(array_min)
+    // form — which inlined k unrolled chains and, at 16×64, pushed the
+    // generated method toward Janino's 64 KB limit. A null or
+    // too-short vector surfaces as the reserved cluster -1.
+    graft.functions.FixedAnnExpressions.nearestCentroid(vec, centroids)
 
   def clusterBalancedSample(embeddings: DataFrame, idCol: String,
       vecCol: String, budget: Long, nClusters: Int = 16, seed: Long = 42L,

@@ -167,55 +167,44 @@ object Ann {
 
   /** L2-normalize (left-assoc double fold — exact) then fix-point at
     * 1e-6: the integer form every fixed twin scores with. Zero vectors
-    * pass through unnormalized, as in [[normalized]].
+    * pass through unnormalized, as in [[normalized]]. Codegen loops
+    * ([[graft.functions.FixedAnnExpressions]]) — the HOF form was
+    * interpreted per element.
     */
-  private def fixedUnitVector(vecCol: Column): Column = {
-    val v = transform(vecCol, x => x.cast("double"))
-    val n2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
-    val unit = when(sqrt(n2) > 0, transform(v, x => x / sqrt(n2))).otherwise(v)
-    transform(unit, x => floor(x * lit(1e6)).cast("long"))
-  }
+  private def fixedUnitVector(vecCol: Column): Column =
+    graft.functions.FixedAnnExpressions.fixedPoint(
+      graft.functions.FixedAnnExpressions.unitVec(vecCol))
 
   /** (id, vf, table, bucket) rows under the fixed Rademacher planes:
     * bucket bit p of table t = sign of the integer projection onto
-    * plane (t, p). Same banded shuffle shape as [[lshBuckets]].
+    * plane (t, p). Same banded shuffle shape as [[lshBuckets]]. All
+    * `tables` buckets come from ONE codegen'd loop expression — the
+    * per-plane `aggregate(zip_with(...))` form was 128 interpreted
+    * folds per row and its unrolled sibling blew Janino's 64 KB limit.
     */
   private def fixedBuckets(df: DataFrame, idCol: String, vecCol: String,
-      tables: Int, planes: Int, dim: Int): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      fixedUnitVector(col(vecCol)).as("vf"))
-    val buckets = (0 until tables).map { t =>
-      (0 until planes).map { p =>
-        val sgn = typedLit(Seq.tabulate(dim)(d => radSign(t, p, d)))
-        val proj = aggregate(
-          zip_with(col("vf"), sgn, (x, s) => x * s),
-          lit(0L), (acc, x) => acc + x)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    base.select(col("id"), col("vf"),
-      posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
-  }
+      tables: Int, planes: Int, dim: Int): DataFrame =
+    df.select(col(idCol).as("id"), fixedUnitVector(col(vecCol)).as("vf"))
+      .select(col("id"), col("vf"),
+        posexplode(graft.functions.FixedAnnExpressions
+          .rademacherBuckets(col("vf"), tables, planes, dim))
+          .as(Seq("table", "bucket")))
 
-  /** Exact integer dot of two fixed-point vectors (left fold). */
+  /** Exact integer dot of two fixed-point vectors (codegen loop). */
   private[similarity] def dotFp(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.FixedAnnExpressions.longDot(a, b)
 
   /** (id, uv): the exact left-fold L2 normalization every fixed twin
     * and frozen index lifecycle shares (zero vectors pass through).
     */
   private[similarity] def unitized(df: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val n2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+      vecCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-      when(sqrt(n2) > 0, transform(v, x => x / sqrt(n2))).otherwise(v)
-        .as("uv"))
-  }
+      graft.functions.FixedAnnExpressions.unitVec(col(vecCol)).as("uv"))
 
   /** 1e-6 fixed-point of a double array column. */
   private[similarity] def fp(c: Column): Column =
-    transform(c, x => floor(x * lit(1e6)).cast("long"))
+    graft.functions.FixedAnnExpressions.fixedPoint(c)
 
   /** (neighbor_id, vf, list_id): corpus rows unitized, fixed-pointed
     * and assigned to their nearest frozen centroid — the relation both
@@ -238,14 +227,18 @@ object Ann {
   private[similarity] def probeFixedLists(lists: DataFrame,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       centroids: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
-    val dists = centroids.zipWithIndex.map { case (ctr, i) =>
-      val d2 = ctr.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, j)) =>
-        val d = element_at(col("uv"), j + 1) - lit(cv)
-        acc + d * d
-      }
-      struct(d2.as("d2"), lit(i.toLong).as("list_id"))
+    // d² to every centroid from ONE codegen loop ([[FixedAnnExpressions
+    // .centroidD2]] — the unrolled per-centroid chains blew Janino's
+    // 64 KB limit), materialized once as __d2 so the struct array
+    // below is |centroids| cheap element_at reads, not k re-computes
+    val dists = centroids.indices.map { i =>
+      struct(element_at(col("__d2"), i + 1).as("d2"),
+        lit(i.toLong).as("list_id"))
     }
     val probed = unitized(queries, qIdCol, qVecCol)
+      .select(col("id"), col("uv"),
+        graft.functions.FixedAnnExpressions.centroidD2(col("uv"), centroids)
+          .as("__d2"))
       .select(col("id").as("query_id"), fp(col("uv")).as("qf"),
         posexplode(slice(array_sort(array(dists: _*)), 1, nprobe))
           .as(Seq("__p", "pl")))
@@ -265,36 +258,17 @@ object Ann {
     * squared-distance chains over dims [j·dsub, (j+1)·dsub).
     */
   private[similarity] def pqCodesFixed(
-      codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val dsub = codebooks.head.head.size
-    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
-      val d2s = cb.map { cw =>
-        cw.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
-          val d = element_at(col("uv"), j * dsub + i + 1) - lit(cv)
-          acc + d * d
-        }
-      }
-      val darr = array(d2s: _*)
-      (array_position(darr, array_min(darr)) - 1L).as(s"c$j")
-    }
-    array(codes: _*)
-  }
+      codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.FixedAnnExpressions.pqCodes(col("uv"), codebooks)
 
   /** ADC table expression over the query's `uv` column: fixed-point
-    * dot of each subvector with every codeword, m·ks longs.
+    * dot of each subvector with every codeword, m·ks longs — one
+    * codegen loop (the unrolled per-codeword chains blew Janino's
+    * 64 KB limit).
     */
   private[similarity] def pqQTableFixed(
-      codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val dsub = codebooks.head.head.size
-    val qtab = codebooks.zipWithIndex.flatMap { case (cb, j) =>
-      cb.map { cw =>
-        cw.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (cv, i)) =>
-          acc + element_at(col("uv"), j * dsub + i + 1) * lit(cv)
-        }
-      }
-    }.map(d => floor(d * lit(1e6)).cast("long"))
-    array(qtab: _*)
-  }
+      codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.FixedAnnExpressions.pqQTable(col("uv"), codebooks)
 
   /** Score every (neighbor_id, codes) row against the broadcast
     * (query_id, qtable) queries and rank top-k by the exact integer
