@@ -1881,6 +1881,45 @@ object SparkEntry {
        |JOIN negk n
        |  ON n."user" = p."user" AND n.neg_no = p.pos_no % nc.m""".stripMargin
 
+  /** BPR full-batch GD over the q149 triplets (Rendle et al. 2009) —
+    * the implicit-feedback trainer the sampling surface feeds.
+    * Per-epoch training AUC/loss history as data; rows-only like the
+    * q32–q35 trainers (float trajectory) with q149 as the
+    * deterministic-input sibling and BprMfSpec's naive-parity +
+    * AUC-improves specs as the correctness lock.
+    */
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    graft.recommender.BprMf.fit(
+      ratings(s, dir).select("user", "item"),
+      graft.recommender.BprMf.Config(nFactors = 4, epochs = 3,
+        lr = 0.05, reg = 0.01, negativesPerUser = 5,
+        collectMetrics = true)).historyDf
+
+  /** Streaming twin of q147: the frozen vocabulary trained on the
+    * corpus snapshot, per-source coverage folded per micro-batch into
+    * a batch_id-partitioned table (static-partition INSERT OVERWRITE =
+    * replay-idempotent sum-merge sink, the q130 class), totals summed
+    * at read. Shares q147's oracle: fold == batch.
+    */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.WordPiece.trainFrozen(
+      docs.filter(col("doc_id") % 2 === 0), "text", topK = 1024)
+    val stream = stageOrderedBatches(s, scratchDir("stream_wpcov"),
+      StructType(Seq(StructField("source", StringType),
+        StructField("text", StringType))),
+      midpointHalves(docs).map(_.select("source", "text")))
+    val tbl =
+      s"graft_wpcov_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val run = graft.streaming.StreamingWordPiece.startCoverage(
+      stream, "source", "text", v, tbl) { (_, _) => () }
+    try {
+      run.query.processAllAvailable()
+      run.coverage().localCheckpoint()
+    } finally { run.query.stop(); s.sql(s"DROP TABLE IF EXISTS $tbl") }
+  }
+
   /** Per-source vocabulary coverage under the q136 vocab — the
     * `[UNK]`-rate drift table (the retrain trigger signal).
     */
@@ -3263,7 +3302,10 @@ object SparkEntry {
     "q146_incremental_reprocess" -> (q146 _),
     "q147_wordpiece_coverage" -> (q147 _),
     "q148_negative_sample" -> (q148 _),
-    "q149_bpr_triplets" -> (q149 _))
+    "q149_bpr_triplets" -> (q149 _),
+    "q150_bpr_train" -> (q150 _),
+    "q151_stream_wordpiece_coverage" -> (q151 _),
+    "q152_rank_best_k" -> (q152 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3565,6 +3607,49 @@ object SparkEntry {
        |           ORDER BY round(sc.s, 6) DESC, c.crawl_id ASC) AS rn
        |  FROM canon c JOIN sc ON sc.doc_id = c.crawl_id)
        |SELECT crawl_id AS doc_id, domain FROM rk WHERE rn <= $k""".stripMargin
+
+  /** Centrality-ranked best-k — the q137 x q141 composition: the
+    * domain PageRank picks the `nDomains` most central domains
+    * (rank desc, domain asc — deterministic boundary), and within
+    * each the quality-scored WindowGroupLimit keeps the best `k`
+    * pages. "Keep the k best pages of the k best domains" — the
+    * curation shorthand both halves were built for. The rank side is
+    * |domains|-sized, so it broadcasts into the page-level result.
+    */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val top = q137(s, dir)
+      .orderBy(col("rank_fp").desc, col("domain").asc).limit(8)
+    Urls.domainTopK(
+      Tables.documents(s, dir)
+        .withColumn("url", rawUrlPsl(col("doc_id"), col("source"))),
+      "doc_id", "url", k = 3,
+      score = round(Quality.scoreQuality(col("text"), q113Weights), 6),
+      domainOf = Urls.registrableDomainPsl)
+      .join(broadcast(top), Seq("domain"))
+      .select(col("domain"), col("doc_id"), col("rank_fp"))
+  }
+
+  /** q152 oracle: the q137 unrolled-PageRank replay feeding a LIMIT
+    * over (rank desc, node asc), joined to the q141 quality-window
+    * chain.
+    */
+  private def q152Sql(iterations: Int = 5, nDomains: Int = 8,
+      k: Int = 3): String =
+    pageRankReplaySql(domainGraphCtes, iterations, 85, 1000000L,
+      finalSelect =
+        s""",
+           |top AS (SELECT node AS domain, rank_fp FROM r$iterations
+           |        ORDER BY rank_fp DESC, node ASC LIMIT $nDomains),
+           |${qualityScoredCtes(q113Weights)},
+           |rk AS (
+           |  SELECT c.crawl_id, c.domain,
+           |         row_number() OVER (
+           |           PARTITION BY c.domain
+           |           ORDER BY round(sc.s, 6) DESC, c.crawl_id ASC) AS rn
+           |  FROM canon c JOIN sc ON sc.doc_id = c.crawl_id)
+           |SELECT t.domain, rk.crawl_id AS doc_id, t.rank_fp
+           |FROM rk JOIN top t USING (domain) WHERE rk.rn <= $k"""
+          .stripMargin)
 
   /** q123 oracle: the FULL curateCorpus composition in one DuckDB
     * chain, assembled from the per-stage fragments that are already
@@ -4385,6 +4470,9 @@ object SparkEntry {
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
     // per-source [UNK]-rate drift table (same vocab + match machinery)
     "q147_wordpiece_coverage" -> graft.oracle.WordPieceOracles.coverageSql(),
+    // streaming coverage fold — same totals as q147, same oracle
+    "q151_stream_wordpiece_coverage" ->
+      graft.oracle.WordPieceOracles.coverageSql(),
     // hashed-rejection negative sampling, trials replayed via the
     // xxhash64 SQL construction
     "q148_negative_sample" -> q148Sql(),
@@ -4395,6 +4483,8 @@ object SparkEntry {
     // best-k-per-domain under the quality model (PSL canon × q113
     // scoring × domain-partitioned row_number)
     "q141_domain_topk" -> q141Sql(),
+    // centrality-ranked best-k: q137 replay x q141 window composition
+    "q152_rank_best_k" -> q152Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -124,8 +124,10 @@ object GdMf {
   private def uniformFactors(id: Column, k: Int, seed: Long): Column =
     array((0 until k).map(f => u01(id, f, seed) * 0.1): _*)
 
-  /** FunkSVD init: normal(0, 0.1) (reference `models/funk_svd.py:76-77`). */
-  private def normalFactors(id: Column, k: Int, seed: Long): Column =
+  /** FunkSVD init: normal(0, 0.1) (reference `models/funk_svd.py:76-77`).
+    * Shared with [[BprMf]] — same deterministic per-id init family.
+    */
+  private[recommender] def normalFactors(id: Column, k: Int, seed: Long): Column =
     array((0 until k).map { f =>
       val a = greatest(u01(id, 2 * f, seed), lit(1e-12))
       val b = u01(id, 2 * f + 1, seed)

@@ -273,28 +273,72 @@ object PublicSuffix {
     rules
   }
 
+  /** Build a matcher for an arbitrary rule set — THE production
+    * swap-in hook for the full published list (this build runs with
+    * zero egress, so the checked-in [[rules]] are a curated subset):
+    *
+    * {{{
+    * val full = PublicSuffix.matcher(
+    *   scala.io.Source.fromFile("public_suffix_list.dat").getLines())
+    * Urls.domainStats(docs, "url", domainOf = full.registrableDomain)
+    * }}}
+    *
+    * Every `Urls` operator takes the `domainOf` hook; oracle
+    * generation stays in lockstep through [[Matcher.duckDbCase]].
+    */
+  def matcher(lines: IterableOnce[String]): Matcher =
+    new Matcher(parse(lines))
+
+  /** The snapshot-backed default matcher. */
+  val snapshot: Matcher = new Matcher(rules)
+
+  /** Registrable domain under the CHECKED-IN SNAPSHOT rules — a
+    * curated subset of the published ~9k-rule file (zero-egress
+    * build). Hosts whose public suffix is missing from the snapshot
+    * fall through to the default `*` rule (last two labels) — for
+    * production crawls, load the full file via [[matcher]] and pass
+    * its `registrableDomain` as the `domainOf` hook instead.
+    */
+  def registrableDomain(host: Column): Column =
+    snapshot.registrableDomain(host)
+
+  /** DuckDB replay of the snapshot matcher; see
+    * [[Matcher.duckDbCase]]. */
+  def duckDbCase(host: String, parts: String, n: String): String =
+    snapshot.duckDbCase(host, parts, n)
+}
+
+/** PSL matcher over one concrete rule set: the derived per-class rule
+  * sets plus the Spark expression and its DuckDB replay, guaranteed
+  * generated from the SAME rules so engine and oracle can never
+  * drift. Construct via [[PublicSuffix.matcher]] (published-file
+  * lines) or use [[PublicSuffix.snapshot]].
+  */
+final class Matcher(val ruleList: Seq[String]) {
+  private def labelCount(r: String): Int = r.count(_ == '.') + 1
+
   /** exact rules by label count */
-  private[text] val exact2: Seq[String] =
-    rules.filter(r => !r.startsWith("*") && !r.startsWith("!") && labelCount(r) == 2)
-  private[text] val exact3: Seq[String] =
-    rules.filter(r => !r.startsWith("*") && !r.startsWith("!") && labelCount(r) == 3)
+  private val exact2: Seq[String] =
+    ruleList.filter(r => !r.startsWith("*") && !r.startsWith("!") && labelCount(r) == 2)
+  private val exact3: Seq[String] =
+    ruleList.filter(r => !r.startsWith("*") && !r.startsWith("!") && labelCount(r) == 3)
   /** wildcard bases: `*.bd` → "bd" (1 label), `*.kawasaki.jp` →
     * "kawasaki.jp" (2 labels) */
-  private[text] val wild1: Seq[String] =
-    rules.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 1)
-  private[text] val wild2: Seq[String] =
-    rules.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 2)
-  private[text] val wild3: Seq[String] =
-    rules.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 3)
+  private val wild1: Seq[String] =
+    ruleList.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 1)
+  private val wild2: Seq[String] =
+    ruleList.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 2)
+  private val wild3: Seq[String] =
+    ruleList.filter(_.startsWith("*.")).map(_.drop(2)).filter(labelCount(_) == 3)
   /** exception rules: `!www.ck` → "www.ck" */
-  private[text] val exc2: Seq[String] =
-    rules.filter(_.startsWith("!")).map(_.drop(1)).filter(labelCount(_) == 2)
-  private[text] val exc3: Seq[String] =
-    rules.filter(_.startsWith("!")).map(_.drop(1)).filter(labelCount(_) == 3)
+  private val exc2: Seq[String] =
+    ruleList.filter(_.startsWith("!")).map(_.drop(1)).filter(labelCount(_) == 2)
+  private val exc3: Seq[String] =
+    ruleList.filter(_.startsWith("!")).map(_.drop(1)).filter(labelCount(_) == 3)
 
-  require(rules.filter(_.startsWith("*.")).forall(r => labelCount(r.drop(2)) <= 3),
+  require(ruleList.filter(_.startsWith("*.")).forall(r => labelCount(r.drop(2)) <= 3),
     "snapshot parser handles wildcard bases of at most 3 labels")
-  require(rules.filter(_.startsWith("!")).forall(r => labelCount(r.drop(1)) <= 3),
+  require(ruleList.filter(_.startsWith("!")).forall(r => labelCount(r.drop(1)) <= 3),
     "snapshot parser handles exceptions of at most 3 labels")
 
   /** PSL registrable domain of a lowercased host, as one map-only

@@ -24,7 +24,7 @@ class RegistrySpec extends AnyFunSuite {
     "q27_random_split",
     "q30_mllib_als_eval", "q31_topn_recommend",
     "q32_funk_svd_train", "q33_als_gd_train",
-    "q34_funk_svd_k30", "q35_als_gd_k30",
+    "q34_funk_svd_k30", "q35_als_gd_k30", "q150_bpr_train",
     "q36_approx_stats",
     "q48_ann_lsh", "q50_multimodal_features",
     "q52_ann_ivf", "q53_embed_neardup_lsh",

@@ -105,13 +105,18 @@ class PipelinesSpec extends SparkSpec {
     val als = Pipelines.runAlsOn(df,
       AlsRecommender.Params(rank = 8, maxIter = 10, numBlocks = 4))
     info(f"ALS rmse ${als.metrics.rmse}%.4f vs global-sd baseline $sd%.4f")
+    // 0.95 = the 0.92-class reference figures + slack for RNG
+    // divergence across seeds/parallelism (r10 verdict: comment and
+    // constant now agree)
     assert(als.metrics.rmse <= 0.95,
-      s"ALS rmse ${als.metrics.rmse} above the 0.92-class bound")
+      s"ALS rmse ${als.metrics.rmse} above the 0.95 acceptance bound " +
+        "(reference class: 0.92)")
     val funk = Pipelines.runFunkSvdOn(df,
       GdMf.Config(nFactors = 8, epochs = 15, lr = 0.005, reg = 0.01))
     info(f"FunkSVD rmse ${funk.metrics.rmse}%.4f vs global-sd baseline $sd%.4f")
     assert(funk.metrics.rmse <= 0.95,
-      s"FunkSVD rmse ${funk.metrics.rmse} above the 0.92-class bound")
+      s"FunkSVD rmse ${funk.metrics.rmse} above the 0.95 acceptance bound " +
+        "(reference class: 0.92)")
   }
 
   test("curateCorpus: one call gates, scrubs, decontaminates, dedups and packs") {
