@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over a document corpus — the classic
+  * sparse ranking function (Robertson et al., TREC-3 Okapi; the
+  * `idf` variant is Lucene's non-negative form). In a training-data
+  * pipeline this is the retrieval half of retrieval-based
+  * decontamination and of "find the corpus documents most similar to
+  * this eval prompt" audits — the lexical complement of the
+  * embedding-space ANN operators in [[graft.similarity.Ann]].
+  *
+  * Determinism contract (what makes the result hash-gateable across
+  * engines): per-(doc, term) weights are scalar double chains —
+  * deterministic by IEEE — and the per-(query, doc) SUM over matched
+  * terms is fixed-pointed BEFORE aggregation (`floor(w·10⁶)` summed
+  * as longs), because a double sum is association-order-dependent
+  * and shuffle order is not stable. The returned `score_fp` is that
+  * integer, `score_fp / 10⁶ ≈` the usual BM25 score.
+  *
+  * Scale shape: the corpus pays ONE tokenize + one (doc, token)
+  * shuffle for term frequencies (and a doc-length agg folded from
+  * it); the query side is assumed benchmark-sized and BROADCAST both
+  * into the document-frequency prune and into the scoring join, so
+  * no corpus-sized relation ever shuffles on anything but (doc,
+  * token). Document frequencies are computed only for terms that
+  * appear in some query (semi-join prune). Final selection is
+  * `row_number ≤ k` under a (query)-partitioned window —
+  * InferWindowGroupLimit applies, so a hot query ships k×map-tasks
+  * candidate rows, never its full match set.
+  */
+object Retrieval {
+
+  /** Top-`k` corpus documents per query under BM25.
+    *
+    * @param docs    corpus; `idCol` must be unique
+    * @param queries query table; `qIdCol` unique, `qTextCol` the
+    *                query text (tokenized with the same rule as the
+    *                corpus). Assumed small (benchmark-sized) — it is
+    *                broadcast.
+    * @return (query_id, doc_id, rank, score_fp) — `rank` 1-based by
+    *         (score_fp DESC, doc_id ASC); self-matches (same id on
+    *         both sides) are excluded so a query document drawn FROM
+    *         the corpus retrieves its neighbors, not itself.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))))
+        .as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+    // corpus-global statistics: two exact integer counts → one double
+    // division, identical cross-engine (the oracle recomputes them)
+    val nDocs = docs.count()
+    require(nDocs > 0, "corpus must be non-empty")
+    val nToks = toks.count()
+    val avgdl = nToks.toDouble / nDocs.toDouble
+
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+    // distinct query terms — benchmark-sized, broadcast everywhere
+    val qterms = queries.select(col(qIdCol).as("query_id"),
+      explode(TextAnalysis.words(TextAnalysis.normalizeText(col(qTextCol))))
+        .as("token")).distinct()
+
+    // document frequency ONLY for terms some query mentions
+    val dfTab = tf
+      .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"),
+        "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+
+    // per-(doc, term) BM25 weight — scalar double chain, then fixed
+    // point; the EXACT same expression text is generated for DuckDB
+    val contrib = tf
+      .join(broadcast(qterms), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfTab.select(col("token"), col("idf"))), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("w_fp",
+        floor(col("idf")
+          * ((col("tf") * lit(k1 + 1.0))
+            / (col("tf") + lit(k1) * (lit(1.0 - b)
+              + lit(b) * (col("dl") / lit(avgdl)))))
+          * lit(1e6)).cast("long"))
+
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_fp")).as("score_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score_fp"))
+  }
+}
