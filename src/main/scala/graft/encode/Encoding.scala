@@ -95,17 +95,58 @@ object Encoding {
     if (approxKeys <= maxWindowKeys) dimension(df, keyCol, orderCol, idCol)
     else dimensionAtScale(df, keyCol, orderCol, idCol)
 
+  /** Default cap for an EXPLICIT dimension-broadcast hint: 64 MB of
+    * estimated build-side bytes — comfortably executor-resident, far
+    * above Catalyst's 10 MB auto threshold, far below driver OOM
+    * territory. Shared by every size-gated broadcast in the engine
+    * (GdMf/BprMf factor states, negativeSample's proposal dim, the
+    * encode/bias joins here).
+    */
+  val DefaultAutoBroadcastDimBytes: Long = 64L << 20
+
+  /** Estimated broadcast bytes of an n-row dimension-class table:
+    * ~16 B UnsafeRow overhead + numeric id, plus the key's own width
+    * (callers pass `avg(length(key))` from a stats pass they already
+    * run — a catalog of long URL/composite keys must not slip under
+    * the gate on a flat per-row constant).
+    */
+  def dimBytes(nKeys: Long, avgKeyBytes: Double): Long =
+    (nKeys.toDouble * (16.0 + math.max(0.0, avgKeyBytes))).toLong
+
   /** Attach dense ids for user and item (reference
     * `models/als.py:31-32` `df[col].map(mapping)`): two equi-joins.
-    * Dimensions are broadcast — they are |distinct users| / |distinct
-    * items| rows, orders of magnitude smaller than the ratings fact
-    * table; Catalyst's auto-broadcast handles it below the threshold and
-    * the explicit hint keeps the plan stable above local test sizes.
+    * No broadcast hint: Catalyst's auto-broadcast picks the broadcast
+    * form below `spark.sql.autoBroadcastJoinThreshold` from its own
+    * size estimates and falls back to a shuffle join above it. An
+    * UNCONDITIONAL hint here was the one 100-TB scale-killer left in
+    * the engine (a 10⁹-key dimension would be forced through the
+    * driver) — callers that know the exact key counts use the gated
+    * overload below, which keeps the hint's plan stability without
+    * the blow-up.
     */
   def encode(ratings: DataFrame, userDim: DataFrame, itemDim: DataFrame): DataFrame =
     ratings
-      .join(broadcast(userDim), Seq("user"))
-      .join(broadcast(itemDim), Seq("item"))
+      .join(userDim, Seq("user"))
+      .join(itemDim, Seq("item"))
+
+  /** [[encode]] with explicit, size-gated broadcast hints — for fit
+    * paths whose dims are fresh-checkpointed (planner estimates are
+    * unavailable there, so auto-broadcast can't engage) and whose key
+    * counts are already known from a stats/probe pass (zero extra
+    * jobs). Each dim is hinted only while its estimated bytes fit
+    * `thresholdBytes`; an oversized dim degrades to a shuffle join
+    * instead of a driver OOM (the GdMf.stateBytes pattern, SURVEY
+    * §1.3).
+    */
+  def encode(ratings: DataFrame, userDim: DataFrame, itemDim: DataFrame,
+      userDimBytes: Long, itemDimBytes: Long,
+      thresholdBytes: Long): DataFrame = {
+    def gate(df: DataFrame, est: Long): DataFrame =
+      if (est <= thresholdBytes) broadcast(df) else df
+    ratings
+      .join(gate(userDim, userDimBytes), Seq("user"))
+      .join(gate(itemDim, itemDimBytes), Seq("item"))
+  }
 
   /** Global statistics in ONE pass (reference `models/als.py:35-41` runs
     * five separate eager computations): count, distinct users/items,
@@ -118,14 +159,19 @@ object Encoding {
       countDistinct(col("item")).as("n_items"),
       min(col("rating")).as("min_rating"),
       max(col("rating")).as("max_rating"),
-      avg(col("rating")).as("mean_rating")).head()
+      avg(col("rating")).as("mean_rating"),
+      // key widths feed the dimBytes broadcast gates — same pass, free
+      avg(length(col("user").cast("string"))).as("u_key_bytes"),
+      avg(length(col("item").cast("string"))).as("i_key_bytes")).head()
     RatingStats(
       nRatings = row.getLong(0),
       nUsers = row.getLong(1),
       nItems = row.getLong(2),
       minRating = row.getDouble(3),
       maxRating = row.getDouble(4),
-      meanRating = row.getDouble(5))
+      meanRating = row.getDouble(5),
+      avgUserKeyBytes = if (row.isNullAt(6)) 0.0 else row.getDouble(6),
+      avgItemKeyBytes = if (row.isNullAt(7)) 0.0 else row.getDouble(7))
   }
 }
 
@@ -139,4 +185,16 @@ final case class RatingStats(
     nItems: Long,
     minRating: Double,
     maxRating: Double,
-    meanRating: Double)
+    meanRating: Double,
+    // average UTF-8-ish key widths (avg(length(key))) — inputs to the
+    // Encoding.dimBytes broadcast gates; defaults keep hand-built
+    // fixtures (tests) source-compatible
+    avgUserKeyBytes: Double = 32.0,
+    avgItemKeyBytes: Double = 32.0) {
+
+  /** Estimated broadcast bytes of the (user key, id) dimension. */
+  def userDimBytes: Long = Encoding.dimBytes(nUsers, avgUserKeyBytes + 8.0)
+
+  /** Estimated broadcast bytes of the (item key, id) dimension. */
+  def itemDimBytes: Long = Encoding.dimBytes(nItems, avgItemKeyBytes + 8.0)
+}

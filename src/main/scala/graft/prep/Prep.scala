@@ -202,17 +202,24 @@ object Prep {
       .filter(col("item").isNotNull)
     // ONE distinct-count job: the scalar the proposal mod needs is
     // also dimensionAuto's scale-dispatch input (the q133 nn
-    // precedent); the dimension itself stays lazy in the plan
-    val nItems = base.distinct().count()
+    // precedent); the same pass samples the average key width so the
+    // broadcast gate accounts for long string keys (URLs, composite
+    // ids) instead of assuming a flat per-row constant. The dimension
+    // itself stays lazy in the plan.
+    val probe = base.distinct().agg(
+      count(lit(1)).as("n"),
+      avg(length(col("item").cast("string"))).as("kb")).head()
+    val nItems = probe.getLong(0)
     require(nItems > 0, "ratings must contain at least one item")
+    val keyBytes = if (probe.isNullAt(1)) 0.0 else probe.getDouble(1)
     val itemDim = graft.encode.Encoding
       .dimensionAuto(base, "item", "item", "idx", approxKeys = nItems)
       .withColumn("idx", col("idx").cast("long"))
     // size-gate the dimension broadcast exactly like GdMf.stateBytes:
-    // ~48 bytes/row (8-byte id + a short item key + row overhead)
-    val bDim =
-      if (nItems * 48L <= autoBroadcastDimBytes) broadcast(itemDim)
-      else itemDim
+    // row overhead + 8-byte idx + the SAMPLED key width
+    val dimFits = graft.encode.Encoding.dimBytes(nItems, keyBytes + 8.0) <=
+      autoBroadcastDimBytes
+    val bDim = if (dimFits) broadcast(itemDim) else itemDim
     val trials = k * oversample
     val cand = ratings.select(col(userCol).as("user")).distinct()
       .filter(col("user").isNotNull)

@@ -29,7 +29,10 @@ object AlsRecommender {
                          // interactions only, so shrink them harder
 
       seed: Long = 42L,
-      numBlocks: Int = 32)
+      numBlocks: Int = 32,
+      // cap for the explicit dim/bias broadcast hints in fit — above it
+      // the joins degrade to shuffle instead of a driver-side build
+      autoBroadcastDimBytes: Long = Encoding.DefaultAutoBroadcastDimBytes)
 
   final case class Model(
       userState: DataFrame, // user, u_factors, u_bias
@@ -112,12 +115,17 @@ object AlsRecommender {
         // the probe relation is user-sized, far too big to broadcast
         excludeSelf = false, broadcastProbes = false)
         .select(col("query_id").as("user"), col("neighbor_id").as("item"))
-      // exact re-rank of the shortlist on the true score
+      // exact re-rank of the shortlist on the true score; the item
+      // state broadcast is size-gated like every fit-path hint (at a
+      // 10⁸-item catalog the re-rank degrades to a shuffle join)
       val w = Window.partitionBy(col("user"))
         .orderBy(col("score").desc, col("item"))
+      val itemStateBytes = Encoding.dimBytes(stats.nItems,
+        stats.avgItemKeyBytes + 8.0 * (mlModel.rank + 2))
+      val fitsB = itemStateBytes <= Encoding.DefaultAutoBroadcastDimBytes
       val out = shortlist
         .join(userState.select(col("user"), col("u_factors")), "user")
-        .join(broadcast(itemState), "item")
+        .join(if (fitsB) broadcast(itemState) else itemState, "item")
         .withColumn("score",
           Serving.dot(col("u_factors"), col("i_factors")) + col("i_bias"))
         .withColumn("rank", row_number().over(w))
@@ -195,15 +203,25 @@ object AlsRecommender {
     val userDim = userDimCp.df
     val itemDim = itemDimCp.df
     val ub = ubCp.df
+    // The |users|/|items|-row bias tables and dims are checkpointed
+    // (no planner estimates), so their broadcast hints are size-gated
+    // on the exact stats counts — an oversized side degrades to a
+    // shuffle join instead of a driver-side build (SURVEY §1.3; the
+    // GdMf.stateBytes pattern). Bias rows are key + one double.
+    val ubBytes = Encoding.dimBytes(stats.nUsers, stats.avgUserKeyBytes + 8.0)
+    val ibBytes = Encoding.dimBytes(stats.nItems, stats.avgItemKeyBytes + 8.0)
+    def gate(df: DataFrame, est: Long): DataFrame =
+      if (est <= params.autoBroadcastDimBytes) broadcast(df) else df
     val ibCp = DatasetBridge.localCheckpointFresh(
-      r.join(broadcast(ub), "user")
+      r.join(gate(ub, ubBytes), "user")
         .groupBy("item").agg(
           (sum(col("rating") - stats.meanRating - col("u_bias")) /
             (count(lit(1)) + damping)).as("i_bias")))
     val ib = ibCp.df
     val encoded = Encoding.encode(
-      r.join(broadcast(ub), "user").join(broadcast(ib), "item"),
-      userDim, itemDim)
+      r.join(gate(ub, ubBytes), "user").join(gate(ib, ibBytes), "item"),
+      userDim, itemDim,
+      stats.userDimBytes, stats.itemDimBytes, params.autoBroadcastDimBytes)
       .select(col("u_id"), col("i_id"),
         (col("rating") - stats.meanRating - col("u_bias") - col("i_bias"))
           .cast("float").as("r_centered"))

@@ -100,7 +100,11 @@ object BprMf {
     val probe = ratingsP.agg(
       count(lit(1)).as("nnz"),
       approx_count_distinct(col("user")).as("au"),
-      approx_count_distinct(col("item")).as("ai")).head()
+      approx_count_distinct(col("item")).as("ai"),
+      // sampled key widths for the dim-broadcast gates below
+      avg(length(col("user").cast("string"))).as("ukb"),
+      avg(length(col("item").cast("string"))).as("ikb")).head()
+    def keyBytes(i: Int): Double = if (probe.isNullAt(i)) 0.0 else probe.getDouble(i)
     val userDimCp = DatasetBridge.localCheckpointFresh(
       Encoding.dimensionAuto(ratingsP, "user", "user", "u_id", probe.getLong(1)))
     val itemDimCp = DatasetBridge.localCheckpointFresh(
@@ -111,16 +115,18 @@ object BprMf {
     val triplets = Prep.bprTriplets(ratingsP, "user", "item",
       cfg.negativesPerUser, cfg.oversample, cfg.autoBroadcastDimBytes)
 
-    // each encode join gated by ITS dim's size (~48 B/row, the
-    // negativeSample estimate)
-    def gate(df: DataFrame, n: Long): DataFrame =
-      if (n * 48L <= cfg.autoBroadcastDimBytes) broadcast(df) else df
+    // each encode join gated by ITS dim's estimated bytes (probe count
+    // × sampled key width — the Encoding.dimBytes estimate)
+    val uDimBytes = Encoding.dimBytes(probe.getLong(1), keyBytes(3) + 8.0)
+    val iDimBytes = Encoding.dimBytes(probe.getLong(2), keyBytes(4) + 8.0)
+    def gate(df: DataFrame, est: Long): DataFrame =
+      if (est <= cfg.autoBroadcastDimBytes) broadcast(df) else df
     val facts = triplets
-      .join(gate(userDim, probe.getLong(1)), "user")
+      .join(gate(userDim, uDimBytes), "user")
       .join(gate(itemDim.select(col("item").as("pos_item"),
-        col("i_id").as("p_id")), probe.getLong(2)), "pos_item")
+        col("i_id").as("p_id")), iDimBytes), "pos_item")
       .join(gate(itemDim.select(col("item").as("neg_item"),
-        col("i_id").as("n_id")), probe.getLong(2)), "neg_item")
+        col("i_id").as("n_id")), iDimBytes), "neg_item")
       .select(col("u_id"), col("p_id"), col("n_id"))
       .repartition(math.max(1L,
         probe.getLong(0) * cfg.negativesPerUser * 24L / (32L << 20)).toInt,
@@ -129,8 +135,10 @@ object BprMf {
     val nTriplets = facts.count()
     ratingsP.unpersist()
 
-    val nUsers = userDim.count()
-    val nItems = itemDim.count()
+    // the probe's approximate distinct counts are exact enough for a
+    // 64 MB size gate (±2 % HLL error) — no extra count jobs
+    val nUsers = probe.getLong(1)
+    val nItems = probe.getLong(2)
     def stateBytes(ids: Long): Long = ids * (16L + 8L * cfg.nFactors)
     val bcastU = stateBytes(nUsers) <= cfg.autoBroadcastDimBytes
     val bcastI = stateBytes(nItems) <= cfg.autoBroadcastDimBytes

@@ -172,8 +172,12 @@ object GdMf {
     val probe = ratingsP.agg(
       count(lit(1)).as("nnz"),
       approx_count_distinct(col("user")).as("au"),
-      approx_count_distinct(col("item")).as("ai")).head()
+      approx_count_distinct(col("item")).as("ai"),
+      // key widths feed the encode-join broadcast gates below
+      avg(length(col("user").cast("string"))).as("ukb"),
+      avg(length(col("item").cast("string"))).as("ikb")).head()
     val nnz = probe.getLong(0)
+    def keyBytes(i: Int): Double = if (probe.isNullAt(i)) 0.0 else probe.getDouble(i)
     val factParts =
       if (cfg.factsPartitions > 0) cfg.factsPartitions
       else math.max(1L, nnz * 24L / (32L << 20)).toInt
@@ -207,7 +211,14 @@ object GdMf {
     // The fact table: encoded observed cells, hash-partitioned by u_id so
     // every user-side join/groupBy in the epoch loop reuses the
     // partitioning without a new exchange (reference chunk grid → §1.3).
-    val facts = Encoding.encode(ratingsP, userDim, itemDim)
+    // Dim broadcasts size-gated on the exact probe counts + sampled key
+    // widths (checkpointed dims have no planner estimates, so the gate
+    // can't be left to auto-broadcast; an unconditional hint was the
+    // SURVEY §1.3 driver-OOM class at 10⁹ keys).
+    val facts = Encoding.encode(ratingsP, userDim, itemDim,
+      Encoding.dimBytes(probe.getLong(1), keyBytes(3) + 8.0),
+      Encoding.dimBytes(probe.getLong(2), keyBytes(4) + 8.0),
+      cfg.autoBroadcastDimBytes)
       .select(col("u_id"), col("i_id"), col("rating"))
       .repartition(factParts, col("u_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -223,6 +223,60 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("gated encode: small dims broadcast, oversized dims degrade to shuffle joins") {
+    import spark.implicits._
+    val r = Seq(("u1", "i1", 5.0), ("u2", "i2", 3.0))
+      .toDF("user", "item", "rating")
+    val ud = Seq(("u1", 0), ("u2", 1)).toDF("user", "u_id")
+    val id = Seq(("i1", 0), ("i2", 1)).toDF("item", "i_id")
+    val thr = 64L << 20
+    val small = graft.encode.Encoding
+      .encode(r, ud, id, 1000L, 1000L, thr)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(small).size === 2,
+      s"small dims must be broadcast-hinted:\n$small")
+    // kill auto-broadcast so only the (absent) hint could broadcast:
+    // over-threshold estimates must degrade to shuffle joins — the
+    // 100 TB posture (SURVEY §1.3), never a forced driver-side build
+    val auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = graft.encode.Encoding
+        .encode(r, ud, id, thr + 1, thr + 1, thr)
+        .queryExecution.executedPlan.toString
+      assert(!big.contains("BroadcastHashJoin"),
+        s"oversized dim must not carry a broadcast hint:\n$big")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+  }
+
+  test("no unconditional broadcast of a dimension-cardinality table in fit paths") {
+    // the fit paths must gate EVERY dim/bias/state broadcast by
+    // estimated bytes; this greps the sources for the raw pattern so a
+    // future refactor cannot silently reintroduce the hint.
+    val fitFiles = Seq(
+      "src/main/scala/graft/encode/Encoding.scala",
+      "src/main/scala/graft/recommender/AlsRecommender.scala",
+      "src/main/scala/graft/recommender/GdMf.scala",
+      "src/main/scala/graft/recommender/BprMf.scala",
+      "src/main/scala/graft/prep/Prep.scala")
+    for (f <- fitFiles) {
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/repo/$f")))
+      // every broadcast( call in these files must sit on a line with an
+      // inline size gate (`if (<estimate>) broadcast(...) else ...`);
+      // the one allowed raw use is the documented quadratic VERIFIER
+      // crossJoin in AlsRecommender.topNExact (explicitly not the
+      // production path — recommendForAllUsersAnn is)
+      val lines = src.linesIterator.zipWithIndex.filter {
+        case (l, _) => l.contains("broadcast(") && !l.trim.startsWith("*") &&
+          !l.trim.startsWith("//") && !l.contains("if (") &&
+          !l.contains("crossJoin(broadcast(")
+      }.toList
+      assert(lines.isEmpty,
+        s"$f has ungated broadcast() hints: ${lines.map { case (l, i) => s"${i + 1}: ${l.trim}" }.mkString("; ")}")
+    }
+  }
+
   test("q48b: fixed-LSH candidates come from a bucket equi-join, never a cartesian") {
     val df = SparkEntry.queries("q48b_ann_lsh_fixed")(spark, dir)
     try {
