@@ -3305,7 +3305,9 @@ object SparkEntry {
     "q149_bpr_triplets" -> (q149 _),
     "q150_bpr_train" -> (q150 _),
     "q151_stream_wordpiece_coverage" -> (q151 _),
-    "q152_rank_best_k" -> (q152 _))
+    "q152_rank_best_k" -> (q152 _),
+    "q153_bm25_topk" -> (q153 _),
+    "q154_retrieval_decontaminate" -> (q154 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3650,6 +3652,121 @@ object SparkEntry {
            |SELECT t.domain, rk.crawl_id AS doc_id, t.rank_fp
            |FROM rk JOIN top t USING (domain) WHERE rk.rn <= $k"""
           .stripMargin)
+
+  /** BM25 top-k retrieval ([[graft.text.Retrieval.bm25TopK]]): every
+    * q119-convention benchmark document (doc_id % 10 = 3) retrieves
+    * its 5 lexically-closest corpus neighbors — the retrieval half of
+    * retrieval-based decontamination (and the "which corpus docs look
+    * like this eval prompt" audit). Fixed-point per-term weights sum
+    * as longs, so the score is engine-exact and the ranking hash-gates.
+    */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    graft.text.Retrieval.bm25TopK(
+      docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 3), "doc_id", "text", k = 5)
+  }
+
+  /** Tokenized-corpus CTE chain shared by the q153 oracle and the
+    * q154 retrieval-decontamination composition: normalize + split
+    * (the engine's TextAnalysis rule), empty tokens dropped, BM25
+    * per-(query, doc) fixed-point scores through CTE `sco`
+    * (query_id, doc_id, score_fp) and ranked top-k through `rnk`.
+    * Double literals are embedded from the EXACT Scala-computed
+    * values (Double.toString round-trips), so the IEEE chains match
+    * the Spark expressions term for term.
+    */
+  private def q153Ctes(k: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val k1p1 = (k1 + 1.0).toString
+    val oneMb = (1.0 - b).toString
+    s"""WITH toks0 AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(
+       |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'))
+       |           AS token
+       |  FROM documents),
+       |tok AS (SELECT doc_id, token FROM toks0 WHERE length(token) > 0),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+       |navg AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+       |                / (SELECT nd FROM nd) AS avgdl),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM tok
+       |       WHERE doc_id % 10 = 3),
+       |dfq AS (SELECT token, count(*) AS df FROM tf
+       |        WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+       |idf AS (SELECT token,
+       |               ln(1.0 + ((SELECT nd FROM nd) - df + 0.5) / (df + 0.5))
+       |                 AS idf
+       |        FROM dfq),
+       |contrib AS (
+       |  SELECT q.query_id, t.doc_id,
+       |         CAST(floor(i.idf
+       |           * ((t.tf * $k1p1)
+       |             / (t.tf + $k1 * ($oneMb
+       |               + $b * (d.dl / (SELECT avgdl FROM navg)))))
+       |           * 1000000.0) AS BIGINT) AS w_fp
+       |  FROM tf t
+       |  JOIN qt q USING (token)
+       |  JOIN idf i USING (token)
+       |  JOIN dl d ON d.doc_id = t.doc_id
+       |  WHERE t.doc_id <> q.query_id),
+       |sco AS (SELECT query_id, doc_id, CAST(sum(w_fp) AS BIGINT) AS score_fp
+       |        FROM contrib GROUP BY 1, 2),
+       |rnk AS (SELECT query_id, doc_id, score_fp,
+       |               CAST(row_number() OVER (
+       |                 PARTITION BY query_id
+       |                 ORDER BY score_fp DESC, doc_id ASC) AS INTEGER) AS "rank"
+       |        FROM sco)""".stripMargin
+  }
+
+  private def q153Sql(k: Int = 5): String =
+    s"""${q153Ctes(k)}
+       |SELECT query_id, doc_id, "rank", score_fp
+       |FROM rnk WHERE "rank" <= $k""".stripMargin
+
+  /** Retrieval-based decontamination audit
+    * ([[graft.pipeline.Curation.retrievalContaminationAudit]]): the
+    * q153 BM25 shortlist joined with a per-pair verbatim word-n-gram
+    * overlap count — the eval-release audit that surfaces
+    * near-verbatim suspects a corpus-wide 13-gram collision scan
+    * misses. Entirely integer outputs, hash-gated.
+    */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    graft.pipeline.Curation.retrievalContaminationAudit(
+      docs, docs.filter(col("doc_id") % 10 === 3),
+      "text", "doc_id", "doc_id", k = 5, n = 5)
+  }
+
+  private def q154Sql(k: Int = 5, n: Int = 5): String =
+    s"""${q153Ctes(k)},
+       |topk AS (SELECT query_id, doc_id, "rank", score_fp
+       |         FROM rnk WHERE "rank" <= $k),
+       |dw AS (
+       |  SELECT doc_id,
+       |         regexp_split_to_array(
+       |           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS ws
+       |  FROM documents),
+       |dg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(len(ws) - ${n - 1}),
+       |           i -> array_to_string(ws[i + 1 : i + $n], ' '))) AS g
+       |  FROM dw WHERE len(ws) >= $n),
+       |bg AS (
+       |  SELECT DISTINCT doc_id AS query_id, md5(g) AS gh
+       |  FROM dg WHERE doc_id % 10 = 3),
+       |cg AS (
+       |  SELECT DISTINCT doc_id, md5(g) AS gh
+       |  FROM dg WHERE doc_id IN (SELECT doc_id FROM topk)),
+       |ov AS (
+       |  SELECT bg.query_id, cg.doc_id, count(*) AS n_shared
+       |  FROM cg JOIN bg USING (gh) GROUP BY 1, 2)
+       |SELECT t.query_id AS bench_id, t.doc_id, t."rank", t.score_fp,
+       |       CAST(COALESCE(o.n_shared, 0) AS BIGINT) AS n_shared_grams
+       |FROM topk t LEFT JOIN ov o
+       |  ON o.query_id = t.query_id AND o.doc_id = t.doc_id""".stripMargin
 
   /** q123 oracle: the FULL curateCorpus composition in one DuckDB
     * chain, assembled from the per-stage fragments that are already
@@ -4485,6 +4602,10 @@ object SparkEntry {
     "q141_domain_topk" -> q141Sql(),
     // centrality-ranked best-k: q137 replay x q141 window composition
     "q152_rank_best_k" -> q152Sql(),
+    // BM25 top-k: fixed-point per-term weights summed as longs
+    "q153_bm25_topk" -> q153Sql(),
+    // retrieval shortlist × per-pair n-gram overlap audit
+    "q154_retrieval_decontaminate" -> q154Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

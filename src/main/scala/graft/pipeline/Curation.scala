@@ -124,6 +124,55 @@ object Curation {
         coalesce(col("__docs"), lit(0L)).as("n_docs_hit"))
   }
 
+  /** RETRIEVAL-BASED contamination audit — the composition real labs
+    * run before an eval release: for every benchmark document, BM25
+    * ([[graft.text.Retrieval.bm25TopK]]) retrieves its `k` lexically
+    * closest corpus documents, and each retrieved pair is then audited
+    * for verbatim word-`n`-gram overlap. Where [[contaminationReport]]
+    * counts exact n-gram collisions corpus-wide, this surfaces the
+    * NEAR-verbatim suspects n-gram hashing alone misses (paraphrases,
+    * partial rewrites share vocabulary long before they share a
+    * 13-gram) — the reviewer then reads the top pairs.
+    *
+    * Scale shape: the corpus pays BM25's one (doc, token) shuffle;
+    * the n-gram overlap pass explodes grams ONLY for shortlisted docs
+    * (an ≤|bench|·k-row id set, broadcast semi-join prune) against the
+    * broadcast benchmark grams — corpus documents never shuffle for
+    * the audit, and the expensive gram pass touches k docs per query,
+    * not the corpus.
+    *
+    * Returns (bench_id, doc_id, rank, score_fp, n_shared_grams) —
+    * one row per retrieved pair, zeros kept (a lexically-close doc
+    * with zero shared n-grams is the "paraphrase suspect" row).
+    */
+  def retrievalContaminationAudit(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, corpusIdCol: String, benchIdCol: String,
+      k: Int = 5, n: Int = 5): DataFrame = {
+    import graft.dedup.Dedup
+    val shortlist = graft.text.Retrieval.bm25TopK(
+      corpus, corpusIdCol, textCol, benchmark, benchIdCol, textCol, k)
+    def grams(df: DataFrame, idc: Column, as: String): DataFrame = df
+      .select(idc.as(as),
+        TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))).as("__ws"))
+      .withColumn("__sh", Dedup.shinglesFromWords(col("__ws"), n))
+      .select(col(as), explode(col("__sh")).as("__gram"))
+      .select(col(as), md5(col("__gram")).as("__gh"))
+    val bg = grams(benchmark, col(benchIdCol), "query_id").distinct()
+    val candIds = shortlist.select(col("doc_id").as("__cand_id")).distinct()
+    val cg = grams(
+      corpus.join(broadcast(candIds),
+        col(corpusIdCol) === col("__cand_id"), "left_semi"),
+      col(corpusIdCol), "doc_id").distinct()
+    // both sides distinct ⇒ one row per shared (query, doc, gram)
+    val overlap = cg.join(broadcast(bg), Seq("__gh"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+    shortlist.join(overlap, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id").as("bench_id"), col("doc_id"), col("rank"),
+        col("score_fp"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+  }
+
   /** Surgical (span-level) decontamination: remove from each corpus
     * document every `n`-token span that appears VERBATIM in the
     * benchmark — all occurrences, no keep-first — and reassemble the
@@ -295,15 +344,20 @@ object Curation {
       scores: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    // a NEGATIVE score is a caller bug (rates would go negative and
-    // applyMixtureRates would silently drop everything) — fail loudly
-    // at execution, not silently at the sink; zero scores are legal
+    // a NEGATIVE or NULL score is a caller bug (negative rates, or a
+    // null rate applyMixtureRates silently drops) — fail loudly at
+    // execution, not silently at the sink; zero scores are legal
     // (zero-centrality group ⇒ rate 0) but an all-zero TOTAL makes the
     // budget unmeetable, so that also raises instead of emitting NaN.
+    // NULL must be checked explicitly: `null < 0` is null, which the
+    // otherwise-branch would pass through — the exact silent-empty
+    // failure the guard exists to prevent.
     val checked = scores.withColumn("score_fp",
-      when(col("score_fp") < 0, raise_error(concat(
-        lit("scoreMixtureRates: negative score_fp for group "),
-        col(groupCol).cast("string")))).otherwise(col("score_fp")))
+      when(col("score_fp").isNull || col("score_fp") < 0,
+        raise_error(concat(
+          lit("scoreMixtureRates: null or negative score_fp for group "),
+          coalesce(col(groupCol).cast("string"), lit("<null>")))))
+        .otherwise(col("score_fp")))
     val joined = counts.join(checked, Seq(groupCol))
     val sumS = joined.agg(sum(col("score_fp")).as("__ss"))
     joined.crossJoin(broadcast(sumS))

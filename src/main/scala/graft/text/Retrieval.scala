@@ -43,15 +43,28 @@ object Retrieval {
     * @return (query_id, doc_id, rank, score_fp) — `rank` 1-based by
     *         (score_fp DESC, doc_id ASC); self-matches (same id on
     *         both sides) are excluded so a query document drawn FROM
-    *         the corpus retrieves its neighbors, not itself.
+    *         the corpus retrieves its neighbors, not itself. The
+    *         exclusion applies only when the two id columns share a
+    *         data type — on mismatched types the ids are different
+    *         key spaces and the cross-type comparison would cast to
+    *         null and silently drop every row.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // the self-match exclusion below compares corpus and query ids; on
+    // mismatched types the cast-to-null comparison would silently
+    // filter EVERY row — fail analysis-time instead
+    val sameIdType =
+      docs.schema(idCol).dataType == queries.schema(qIdCol).dataType
+    // empty/whitespace-only text must contribute NO tokens: split of a
+    // trimmed empty string yields [""], which would otherwise inflate
+    // dl/avgdl and let an empty query match every empty doc
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))))
         .as("token"))
+      .filter(length(col("token")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
 
@@ -67,7 +80,9 @@ object Retrieval {
     // distinct query terms — benchmark-sized, broadcast everywhere
     val qterms = queries.select(col(qIdCol).as("query_id"),
       explode(TextAnalysis.words(TextAnalysis.normalizeText(col(qTextCol))))
-        .as("token")).distinct()
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
 
     // document frequency ONLY for terms some query mentions
     val dfTab = tf
@@ -80,9 +95,14 @@ object Retrieval {
 
     // per-(doc, term) BM25 weight — scalar double chain, then fixed
     // point; the EXACT same expression text is generated for DuckDB
-    val contrib = tf
+    val contrib0 = tf
       .join(broadcast(qterms), Seq("token"))
-      .filter(col("doc_id") =!= col("query_id"))
+    // self-match exclusion only holds meaning when ids share a key
+    // space; with mismatched types it would cast-to-null and drop all
+    // rows, so sameIdType gates it (checked above)
+    val contrib = (if (sameIdType)
+      contrib0.filter(col("doc_id") =!= col("query_id"))
+    else contrib0)
       .join(broadcast(dfTab.select(col("token"), col("idf"))), Seq("token"))
       .join(dl, Seq("doc_id"))
       .withColumn("w_fp",

@@ -468,6 +468,37 @@ class CurationSpec extends SparkSpec {
     assert(got(200L) === ((30L, 28L, 1L)))
   }
 
+  test("retrievalContaminationAudit: planted quote shares grams, scrambled twin reports zero") {
+    // corpus: doc 1 QUOTES the benchmark verbatim inside filler, doc 2
+    // shares vocabulary but no 5-gram (paraphrase suspect), docs 3-4
+    // are unrelated
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (1L, s"intro words here $quote and an outro"),
+      (2L, "lazy dog fox quick over brown jumps the tonight scrambled"),
+      (3L, "entirely different text about spark and catalyst plans"),
+      (4L, "another unrelated document mentioning nothing in common"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, quote)).toDF("bench_id", "text")
+    val got = Curation.retrievalContaminationAudit(corpus, bench,
+      "text", "doc_id", "bench_id", k = 3, n = 5)
+      .as[(Long, Long, Int, Long, Long)].collect()
+      .sortBy(_._3)
+    // BM25 alone cannot tell the verbatim quote from the scrambled
+    // bag-of-words doc (it may even rank the shorter scrambled doc
+    // higher — length normalization); the OVERLAP column is what
+    // separates them: the quoting doc shares 5-grams, the scrambled
+    // one reports ZERO — the paraphrase-suspect row the audit exists
+    // to surface
+    val byDoc = got.map(r => r._2 -> r).toMap
+    assert(byDoc.contains(1L) && byDoc.contains(2L),
+      s"both suspects must be retrieved: $got")
+    assert(byDoc(1L)._5 > 0L, "verbatim quote must share grams")
+    assert(byDoc(2L)._5 === 0L, "scrambled doc must report zero overlap")
+    // zeros are KEPT — every retrieved pair reports, clean or not
+    assert(got.forall(_._1 === 100L))
+  }
+
   test("ImportanceModel save/load roundtrips and scores identically") {
     def styleA(i: Int): String =
       (0 until 30).map(j => Seq("the", "cat", "sat", "on", "a", "mat")(
