@@ -31,6 +31,25 @@ import org.apache.spark.sql.types._
   * (`FixedAnnSpec` pins the hashes).
   */
 abstract class GraftArrayUnary extends UnaryExpression {
+
+  /** The float/double dispatch below reads fixed-width array slots —
+    * an integral-element array would be read at the wrong width
+    * (silent garbage) or ClassCastException at execution. The HOF
+    * forms these kernels replaced implicitly cast any numeric element;
+    * here the contract is explicit: reject non-floating element types
+    * at ANALYSIS time.
+    */
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"${getClass.getSimpleName} requires ARRAY<FLOAT> or " +
+            s"ARRAY<DOUBLE> input, got ${other.catalogString}")
+    }
+
   protected def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -50,6 +69,17 @@ case class LongDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "LongDotProduct requires two ARRAY<BIGINT> inputs, got " +
+            s"${l.catalogString} and ${r.catalogString}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -464,6 +494,20 @@ case class PqQTableFrozen(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 case class RademacherBuckets(child: Expression, tables: Int, planes: Int,
     dim: Int) extends GraftArrayUnary {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Unlike its siblings this kernel consumes the FIXED-POINT vector
+    * (`getLong` reads) — ARRAY<BIGINT> in, not float/double.
+    */
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "RademacherBuckets requires an ARRAY<BIGINT> fixed-point " +
+            s"vector, got ${other.catalogString}")
+    }
 
   @transient private lazy val signs: Array[Long] =
     Array.tabulate(tables * planes * dim) { x =>

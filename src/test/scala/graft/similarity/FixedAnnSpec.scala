@@ -148,6 +148,41 @@ class FixedAnnSpec extends SparkSpec {
     assert(run(e) === run(e7))
   }
 
+  test("fixed-twin queries stay inside whole-stage codegen (no silent fallback)") {
+    // Round 10's regression: the unrolled Column kernels blew Janino's
+    // 64 KB method limit and the whole stage SILENTLY fell back to
+    // interpreted eval — found only in test logs. With the fallback
+    // escape hatch disabled, any future constant-size bump that
+    // re-trips the limit fails HERE instead of shipping a 3× slower
+    // plan. (q53b is the pairs form of the same kernels; the index
+    // lifecycles q108b/q109b reuse q52b/q78b's scoring plans.)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      for (q <- Seq("q48b_ann_lsh_fixed", "q52b_ann_ivf_fixed",
+          "q78b_ann_pq_fixed")) {
+        val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        try assert(df.count() > 0, s"$q returned no rows")
+        finally df.unpersist()
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("fixed kernels reject integral-element arrays at analysis time") {
+    import graft.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val df = Seq((1L, Seq(1L, 2L))).toDF("id", "v")
+    // the HOF forms these replaced would cast; the native kernels read
+    // fixed-width slots, so an ARRAY<BIGINT> vector must fail analysis
+    // loudly, never read garbage at the wrong width
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ColumnBridge.column(UnitVector(
+        ColumnBridge.expression(col("v"))))).collect()
+    }
+    assert(e.getMessage.contains("ARRAY<FLOAT>") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("embeddingPairsLshFixed finds every planted scaled copy at cos ≈ 1") {
     val e = emb.select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("embedding"))
