@@ -1608,6 +1608,26 @@ object SparkEntry {
     AlsRecommender.topNExact(users, items, 5)
   }
 
+  /** BPR implicit-model serving under caller-frozen deterministic
+    * states (the q31b precedent for the q150 trainer): the same
+    * integer-derived 3-dim factors, ranked by the PURE dot — no item
+    * bias, the BPR criterion's score — through
+    * [[graft.recommender.BprMf.topNExact]]. Training stays rows-only
+    * (float trajectory); the serving operator hash-gates here.
+    */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val r = ratings(s, dir)
+    def state(key: String) = r.groupBy(key).agg(
+      count(lit(1)).cast("double").as("c"),
+      fsum(col("rating")).as("s1"),
+      fsum(col("rating") * col("rating")).as("s2"))
+    val users = state("user")
+      .select(col("user"), array(col("c"), col("s1"), col("s2")).as("u_factors"))
+    val items = state("item")
+      .select(col("item"), array(col("c"), col("s1"), col("s2")).as("i_factors"))
+    graft.recommender.BprMf.topNExact(users, items, 5)
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3307,7 +3327,8 @@ object SparkEntry {
     "q151_stream_wordpiece_coverage" -> (q151 _),
     "q152_rank_best_k" -> (q152 _),
     "q153_bm25_topk" -> (q153 _),
-    "q154_retrieval_decontaminate" -> (q154 _))
+    "q154_retrieval_decontaminate" -> (q154 _),
+    "q155_bpr_topn_fixed" -> (q155 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4606,6 +4627,23 @@ object SparkEntry {
     "q153_bm25_topk" -> q153Sql(),
     // retrieval shortlist × per-pair n-gram overlap audit
     "q154_retrieval_decontaminate" -> q154Sql(),
+    // BPR implicit serving twin: q31b's frozen states, PURE-dot rank
+    "q155_bpr_topn_fixed" ->
+      s"""$ratingsCte,
+         |us AS (SELECT "user", CAST(count(*) AS DOUBLE) AS c,
+         |              ${fsumSql("rating")} AS s1, ${fsumSql("rating*rating")} AS s2
+         |       FROM ratings GROUP BY 1),
+         |it AS (SELECT item, CAST(count(*) AS DOUBLE) AS c,
+         |              ${fsumSql("rating")} AS s1, ${fsumSql("rating*rating")} AS s2
+         |       FROM ratings GROUP BY 1),
+         |sc AS (SELECT u."user", i.item,
+         |              (u.c * i.c + u.s1 * i.s1 + u.s2 * i.s2) + 0.0 AS score
+         |       FROM us u CROSS JOIN it i),
+         |rk AS (SELECT "user", item,
+         |              CAST(row_number() OVER (PARTITION BY "user"
+         |                ORDER BY score DESC, item) AS INT) AS "rank"
+         |       FROM sc)
+         |SELECT "user", item, "rank" FROM rk WHERE "rank" <= 5""".stripMargin,
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -72,6 +72,12 @@ object BprMf {
         .withColumn("score", Serving.dot(col("u_factors"), col("i_factors")))
         .drop("u_factors", "i_factors")
 
+    /** EXACT top-N — the small-scale serving VERIFIER (quadratic
+      * cross join; see [[BprMf.topNExact]]).
+      */
+    def recommendForAllUsersExact(n: Int): DataFrame =
+      BprMf.topNExact(userState, itemState, n)
+
     def release(): Unit = backing.foreach(_.release())
 
     def historyDf: DataFrame = {
@@ -85,6 +91,24 @@ object BprMf {
   /** Numerically stable softplus(−x) = −ln σ(x). */
   private def softplusNeg(x: Column): Column =
     when(x >= 0, log1p(exp(-x))).otherwise(-x + log1p(exp(x)))
+
+  /** EXACT top-N serving under frozen factor states — implicit MF
+    * ranks by the PURE dot x̂ = w_u · h_i (no biases in the BPR
+    * criterion), which is [[AlsRecommender.topNExact]]'s score chain
+    * with a zero item bias (`dot + 0.0` preserves every IEEE
+    * comparison), so the one verified ranking implementation serves
+    * both model families. Standalone so DETERMINISTIC caller-frozen
+    * states can hash-gate the operator (q155, the q31b precedent —
+    * training itself is a float trajectory and stays rows-only).
+    * Quadratic cross join: the small-scale VERIFIER, not the
+    * production path.
+    *
+    * @param userState (user, u_factors ARRAY<DOUBLE>)
+    * @param itemState (item, i_factors ARRAY<DOUBLE>)
+    */
+  def topNExact(userState: DataFrame, itemState: DataFrame, n: Int): DataFrame =
+    AlsRecommender.topNExact(
+      userState, itemState.withColumn("i_bias", lit(0.0)), n)
 
   def fit(ratings: DataFrame, cfg: Config): Model = {
     require(cfg.nFactors > 0 && cfg.epochs >= 0, "bad config")

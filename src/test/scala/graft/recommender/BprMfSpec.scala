@@ -129,4 +129,33 @@ class BprMfSpec extends SparkSpec {
     assert(own > other, s"own-cluster mean $own !> other-cluster mean $other")
     m.release()
   }
+
+  test("topNExact ranks by the pure dot with (score desc, item) tie-break") {
+    val users = Seq(
+      ("u1", Seq(1.0, 0.0)), ("u2", Seq(0.0, 1.0)))
+      .toDF("user", "u_factors")
+    val items = Seq(
+      ("a", Seq(2.0, 0.0)), ("b", Seq(0.0, 3.0)), ("c", Seq(1.0, 1.0)),
+      ("d", Seq(1.0, 1.0))) // ties c on both users → item asc breaks it
+      .toDF("item", "i_factors")
+    val got = BprMf.topNExact(users, items, 3)
+      .as[(String, String, Int)].collect().toSet
+    // u1: a=2, c=d=1 (c before d), b=0; u2: b=3, c=d=1, a=0
+    assert(got === Set(
+      ("u1", "a", 1), ("u1", "c", 2), ("u1", "d", 3),
+      ("u2", "b", 1), ("u2", "c", 2), ("u2", "d", 3)))
+  }
+
+  test("Model.recommendForAllUsersExact returns n decoded recs per trained user") {
+    val df = ratingsSeq.toDF("user", "item")
+    val m = BprMf.fit(df, BprMf.Config(nFactors = 2, epochs = 2, lr = 0.1,
+      reg = 0.001, negativesPerUser = 2, oversample = 4))
+    val recs = m.recommendForAllUsersExact(3)
+    val perUser = recs.groupBy("user").count()
+      .as[(String, Long)].collect().toMap
+    assert(perUser.values.forall(_ === 3L))
+    assert(perUser.keySet === df.select("user").distinct()
+      .as[String].collect().toSet)
+    m.release()
+  }
 }
