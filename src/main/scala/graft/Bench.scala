@@ -72,7 +72,13 @@ object Bench {
     // canon chain feeding the checkpointed iterative loop. q138/q139
     // are compositions of stages measured here (the q123 rule).
     "q136_wordpiece",
-    "q137_domain_pagerank")
+    "q137_domain_pagerank",
+    // round-12 surface: BM25 retrieval — the corpus (doc, token)
+    // shuffle + broadcast query-term probes + WindowGroupLimit top-k.
+    // The q154 audit is a composition of this and the q119 gram
+    // machinery, and q155 a cross-join verifier (the q123 rule: no
+    // headline slot for compositions/verifiers).
+    "q153_bm25_topk")
 
   /** The q95 harness WITHOUT its operator: identical staging (two
     * single-file parquet batches, staggered mtimes), identical

@@ -3675,8 +3675,12 @@ object SparkEntry {
           .stripMargin)
 
   /** BM25 top-k retrieval ([[graft.text.Retrieval.bm25TopK]]): every
-    * q119-convention benchmark document (doc_id % 10 = 3) retrieves
-    * its 5 lexically-closest corpus neighbors — the retrieval half of
+    * benchmark document (doc_id % 100 = 3 — eval sets are SMALL by
+    * definition, ~1% of the corpus; the q119 10%-convention slice is
+    * corpus-scale, not benchmark-scale, and the scoring join's row
+    * count is |pairs sharing a term| — on this synthetic 31-token
+    * vocabulary that degenerates to all-pairs) retrieves its 5
+    * lexically-closest corpus neighbors — the retrieval half of
     * retrieval-based decontamination (and the "which corpus docs look
     * like this eval prompt" audit). Fixed-point per-term weights sum
     * as longs, so the score is engine-exact and the ranking hash-gates.
@@ -3685,7 +3689,7 @@ object SparkEntry {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     graft.text.Retrieval.bm25TopK(
       docs, "doc_id", "text",
-      docs.filter(col("doc_id") % 10 === 3), "doc_id", "text", k = 5)
+      docs.filter(col("doc_id") % 100 === 3), "doc_id", "text", k = 5)
   }
 
   /** Tokenized-corpus CTE chain shared by the q153 oracle and the
@@ -3714,7 +3718,7 @@ object SparkEntry {
        |                / (SELECT nd FROM nd) AS avgdl),
        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
        |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM tok
-       |       WHERE doc_id % 10 = 3),
+       |       WHERE doc_id % 100 = 3),
        |dfq AS (SELECT token, count(*) AS df FROM tf
        |        WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
        |idf AS (SELECT token,
@@ -3757,7 +3761,7 @@ object SparkEntry {
   private def q154(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     graft.pipeline.Curation.retrievalContaminationAudit(
-      docs, docs.filter(col("doc_id") % 10 === 3),
+      docs, docs.filter(col("doc_id") % 100 === 3),
       "text", "doc_id", "doc_id", k = 5, n = 5)
   }
 
@@ -3777,7 +3781,7 @@ object SparkEntry {
        |  FROM dw WHERE len(ws) >= $n),
        |bg AS (
        |  SELECT DISTINCT doc_id AS query_id, md5(g) AS gh
-       |  FROM dg WHERE doc_id % 10 = 3),
+       |  FROM dg WHERE doc_id % 100 = 3),
        |cg AS (
        |  SELECT DISTINCT doc_id, md5(g) AS gh
        |  FROM dg WHERE doc_id IN (SELECT doc_id FROM topk)),

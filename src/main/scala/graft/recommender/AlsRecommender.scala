@@ -90,49 +90,62 @@ object AlsRecommender {
       */
     def recommendForAllUsersAnn(
         n: Int, nlist: Int = 64, nprobe: Int = 8,
-        overfetch: Int = 4, seed: Long = 42L): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      import graft.functions.VectorExpressions
-      import graft.similarity.Ann
-      // items augmented with their bias as an extra dimension
-      val itemsAug = itemState
-        .select(col("item"),
-          concat(col("i_factors"), array(col("i_bias"))).as("av"))
-        .withColumn("nrm2", VectorExpressions.dot(col("av"), col("av")))
-      val m2 = math.max(
-        itemsAug.agg(max(col("nrm2"))).head().getDouble(0), 1e-300)
-      val itemsTilde = itemsAug.select(col("item"),
-        concat(
-          transform(col("av"), x => x / lit(math.sqrt(m2))),
-          array(sqrt(greatest(lit(0.0), lit(1.0) - col("nrm2") / lit(m2)))))
-          .as("v"))
-      val usersTilde = userState.select(col("user"),
-        concat(col("u_factors"), array(lit(1.0), lit(0.0))).as("v"))
-      val shortlist = Ann.ivfTopK(
-        itemsTilde, "item", "v", usersTilde, "user", "v",
-        k = overfetch * n, nlist = nlist, nprobe = nprobe, seed = seed,
-        // user and item ids are different key spaces — never self-filter;
-        // the probe relation is user-sized, far too big to broadcast
-        excludeSelf = false, broadcastProbes = false)
-        .select(col("query_id").as("user"), col("neighbor_id").as("item"))
-      // exact re-rank of the shortlist on the true score; the item
-      // state broadcast is size-gated like every fit-path hint (at a
-      // 10⁸-item catalog the re-rank degrades to a shuffle join)
-      val w = Window.partitionBy(col("user"))
-        .orderBy(col("score").desc, col("item"))
-      val itemStateBytes = Encoding.dimBytes(stats.nItems,
-        stats.avgItemKeyBytes + 8.0 * (mlModel.rank + 2))
-      val fitsB = itemStateBytes <= Encoding.DefaultAutoBroadcastDimBytes
-      val out = shortlist
-        .join(userState.select(col("user"), col("u_factors")), "user")
-        .join(if (fitsB) broadcast(itemState) else itemState, "item")
-        .withColumn("score",
-          Serving.dot(col("u_factors"), col("i_factors")) + col("i_bias"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= n)
-        .select(col("user"), col("item"), col("rank"))
-      out
-    }
+        overfetch: Int = 4, seed: Long = 42L): DataFrame =
+      topNAnn(userState, itemState, n, nlist, nprobe, overfetch, seed,
+        itemStateBytes = Encoding.dimBytes(stats.nItems,
+          stats.avgItemKeyBytes + 8.0 * (mlModel.rank + 2)))
+  }
+
+  /** The ANN serving core of [[Model.recommendForAllUsersAnn]],
+    * standalone so OTHER model families reuse the one verified
+    * reduction ([[BprMf.Model.recommendForAllUsersAnn]] calls it with
+    * a zero bias column). See the Model method for the MIPS→cosine
+    * derivation. `itemStateBytes` size-gates the re-rank broadcast
+    * (at a 10⁸-item catalog the re-rank degrades to a shuffle join);
+    * callers without a size estimate pass Long.MaxValue — never
+    * broadcasting is the safe default.
+    */
+  def topNAnn(userState: DataFrame, itemState: DataFrame,
+      n: Int, nlist: Int = 64, nprobe: Int = 8,
+      overfetch: Int = 4, seed: Long = 42L,
+      itemStateBytes: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions
+    import graft.similarity.Ann
+    // items augmented with their bias as an extra dimension
+    val itemsAug = itemState
+      .select(col("item"),
+        concat(col("i_factors"), array(col("i_bias"))).as("av"))
+      .withColumn("nrm2", VectorExpressions.dot(col("av"), col("av")))
+    val m2 = math.max(
+      itemsAug.agg(max(col("nrm2"))).head().getDouble(0), 1e-300)
+    val itemsTilde = itemsAug.select(col("item"),
+      concat(
+        transform(col("av"), x => x / lit(math.sqrt(m2))),
+        array(sqrt(greatest(lit(0.0), lit(1.0) - col("nrm2") / lit(m2)))))
+        .as("v"))
+    val usersTilde = userState.select(col("user"),
+      concat(col("u_factors"), array(lit(1.0), lit(0.0))).as("v"))
+    val shortlist = Ann.ivfTopK(
+      itemsTilde, "item", "v", usersTilde, "user", "v",
+      k = overfetch * n, nlist = nlist, nprobe = nprobe, seed = seed,
+      // user and item ids are different key spaces — never self-filter;
+      // the probe relation is user-sized, far too big to broadcast
+      excludeSelf = false, broadcastProbes = false)
+      .select(col("query_id").as("user"), col("neighbor_id").as("item"))
+    // exact re-rank of the shortlist on the true score; the item
+    // state broadcast is size-gated like every fit-path hint
+    val w = Window.partitionBy(col("user"))
+      .orderBy(col("score").desc, col("item"))
+    val fitsB = itemStateBytes <= Encoding.DefaultAutoBroadcastDimBytes
+    shortlist
+      .join(userState.select(col("user"), col("u_factors")), "user")
+      .join(if (fitsB) broadcast(itemState) else itemState, "item")
+      .withColumn("score",
+        Serving.dot(col("u_factors"), col("i_factors")) + col("i_bias"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("user"), col("item"), col("rank"))
   }
 
   /** Exact cross-join top-N over explicit factor states — the serving

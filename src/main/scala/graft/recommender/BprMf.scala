@@ -62,7 +62,11 @@ object BprMf {
       itemState: DataFrame, // item, i_factors ARRAY<DOUBLE>
       history: Seq[(Int, EpochMetrics)],
       private val backing: Seq[
-        org.apache.spark.sql.graftbridge.DatasetBridge.FreshCheckpoint] = Nil) {
+        org.apache.spark.sql.graftbridge.DatasetBridge.FreshCheckpoint] = Nil,
+      // estimated itemState broadcast bytes (fit knows counts + key
+      // widths); Long.MaxValue = unknown → the ANN re-rank never
+      // broadcasts, the safe default for hand-built models
+      private val itemStateBytes: Long = Long.MaxValue) {
 
     /** Score every (user, item) row of `pairs`: x̂ = w_u · h_i. */
     def score(pairs: DataFrame): DataFrame =
@@ -77,6 +81,20 @@ object BprMf {
       */
     def recommendForAllUsersExact(n: Int): DataFrame =
       BprMf.topNExact(userState, itemState, n)
+
+    /** Top-N through an ANN shortlist — the SCALE path (the q31
+      * pairing: exact form verifies, this form serves). The BPR score
+      * is the pure dot, i.e. [[AlsRecommender.topNAnn]]'s
+      * MIPS→cosine reduction with a zero bias dimension — one
+      * verified reduction serves both model families. Recall lock in
+      * BprMfSpec.
+      */
+    def recommendForAllUsersAnn(
+        n: Int, nlist: Int = 64, nprobe: Int = 8,
+        overfetch: Int = 4, seed: Long = 42L): DataFrame =
+      AlsRecommender.topNAnn(
+        userState, itemState.withColumn("i_bias", lit(0.0)),
+        n, nlist, nprobe, overfetch, seed, itemStateBytes)
 
     def release(): Unit = backing.foreach(_.release())
 
@@ -270,6 +288,8 @@ object BprMf {
       userState = uState.select("user", "u_factors"),
       itemState = iState.select("item", "i_factors"),
       history = history.toSeq,
-      backing = backing)
+      backing = backing,
+      itemStateBytes = Encoding.dimBytes(
+        nItems, keyBytes(4) + 8.0 * (cfg.nFactors + 1)))
   }
 }

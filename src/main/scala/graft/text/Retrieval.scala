@@ -51,8 +51,11 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 1.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     // the self-match exclusion below compares corpus and query ids; on
     // mismatched types the cast-to-null comparison would silently
     // filter EVERY row — fail analysis-time instead
@@ -65,14 +68,19 @@ object Retrieval {
       explode(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))))
         .as("token"))
       .filter(length(col("token")) > 0)
+    // tf feeds FOUR consumers (nToks, dl, df, scoring) — cache it so
+    // the tokenize + count shuffle runs once, not once per branch
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // corpus-global statistics: two exact integer counts → one double
-    // division, identical cross-engine (the oracle recomputes them)
+    // division, identical cross-engine (the oracle recomputes them).
+    // nDocs counts ALL docs (empty ones dilute avgdl — the standard
+    // convention); nToks folds off the cached tf, no second scan.
     val nDocs = docs.count()
     require(nDocs > 0, "corpus must be non-empty")
-    val nToks = toks.count()
+    val nToks = tf.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
     val avgdl = nToks.toDouble / nDocs.toDouble
 
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -84,18 +92,30 @@ object Retrieval {
       .filter(length(col("token")) > 0)
       .distinct()
 
-    // document frequency ONLY for terms some query mentions
-    val dfTab = tf
+    // document frequency ONLY for terms some query mentions; an
+    // optional df-fraction cutoff drops stopword-class terms whose
+    // postings dominate the scoring join's row count while their idf
+    // contributes least — the classic IR prune for Zipf-headed
+    // vocabularies (the scoring join's size is Σ_t df(t)·|queries
+    // mentioning t|, and "the" pairs every query with every doc).
+    // Default 1.0 = exact BM25, no pruning.
+    val dfTab0 = tf
       .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"),
         "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
           / (col("df") + lit(0.5))))
+    val dfTab =
+      if (maxDfFraction >= 1.0) dfTab0
+      else dfTab0.filter(col("df") <= lit(maxDfFraction * nDocs))
 
     // per-(doc, term) BM25 weight — scalar double chain, then fixed
     // point; the EXACT same expression text is generated for DuckDB
+    // idf join FIRST: it is the pruned term set, so under a df cutoff
+    // the postings of dropped stopwords never reach the q×d pairing
     val contrib0 = tf
+      .join(broadcast(dfTab.select(col("token"), col("idf"))), Seq("token"))
       .join(broadcast(qterms), Seq("token"))
     // self-match exclusion only holds meaning when ids share a key
     // space; with mismatched types it would cast-to-null and drop all
@@ -103,7 +123,6 @@ object Retrieval {
     val contrib = (if (sameIdType)
       contrib0.filter(col("doc_id") =!= col("query_id"))
     else contrib0)
-      .join(broadcast(dfTab.select(col("token"), col("idf"))), Seq("token"))
       .join(dl, Seq("doc_id"))
       .withColumn("w_fp",
         floor(col("idf")

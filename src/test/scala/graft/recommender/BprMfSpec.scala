@@ -146,6 +146,22 @@ class BprMfSpec extends SparkSpec {
       ("u2", "b", 1), ("u2", "c", 2), ("u2", "d", 3)))
   }
 
+  test("ANN top-N achieves high recall against the exact cross join") {
+    val df = ratingsSeq.toDF("user", "item")
+    val m = BprMf.fit(df, BprMf.Config(nFactors = 4, epochs = 8, lr = 0.2,
+      reg = 0.001, negativesPerUser = 4, oversample = 6))
+    val exact = m.recommendForAllUsersExact(3)
+      .as[(String, String, Int)].collect().map(t => (t._1, t._2)).toSet
+    // tiny catalog: small nlist, probe most of it, heavy overfetch —
+    // the production knobs scaled down to a 10-item fixture
+    val ann = m.recommendForAllUsersAnn(3, nlist = 4, nprobe = 3,
+      overfetch = 4)
+      .as[(String, String, Int)].collect().map(t => (t._1, t._2)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"BPR ANN recall too low: $recall")
+    m.release()
+  }
+
   test("Model.recommendForAllUsersExact returns n decoded recs per trained user") {
     val df = ratingsSeq.toDF("user", "item")
     val m = BprMf.fit(df, BprMf.Config(nFactors = 2, epochs = 2, lr = 0.1,

@@ -92,6 +92,25 @@ class RetrievalSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
   }
 
+  test("maxDfFraction drops stopword-class terms from scoring") {
+    import spark.implicits._
+    // "the" appears in all 3 docs (df = N); "apple" in one
+    val docs = Seq(
+      (1L, "the apple pie"), (2L, "the banana split"), (3L, "the cherry cake"))
+      .toDF("doc_id", "text")
+    val q = Seq((9L, "the apple")).toDF("doc_id", "text")
+    val pruned = Retrieval.bm25TopK(docs, "doc_id", "text",
+      q, "doc_id", "text", k = 3, maxDfFraction = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // with "the" pruned (df = 3 > 1.5), only the apple doc matches
+    assert(pruned === Set(1L))
+    val exact = Retrieval.bm25TopK(docs, "doc_id", "text",
+      q, "doc_id", "text", k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // exact BM25 keeps all three ("the" matches everything)
+    assert(exact === Set(1L, 2L, 3L))
+  }
+
   test("k must be positive") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(fixture, "doc_id", "text",
