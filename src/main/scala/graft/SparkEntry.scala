@@ -3328,7 +3328,8 @@ object SparkEntry {
     "q152_rank_best_k" -> (q152 _),
     "q153_bm25_topk" -> (q153 _),
     "q154_retrieval_decontaminate" -> (q154 _),
-    "q155_bpr_topn_fixed" -> (q155 _))
+    "q155_bpr_topn_fixed" -> (q155 _),
+    "q156_gopher_gates" -> (q156 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3792,6 +3793,64 @@ object SparkEntry {
        |       CAST(COALESCE(o.n_shared, 0) AS BIGINT) AS n_shared_grams
        |FROM topk t LEFT JOIN ov o
        |  ON o.query_id = t.query_id AND o.doc_id = t.doc_id""".stripMargin
+
+  /** Gopher-rule heuristic quality gates
+    * ([[graft.text.Quality.gopherGates]]): per-doc rule booleans +
+    * keep, all-integer arithmetic so the whole report hash-gates.
+    * Thresholds adapted to the synthetic corpus (docs are 25–70
+    * words: minWords 30 splits it; stop words "the"/"a" are the two
+    * English function words in its vocabulary).
+    */
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    graft.text.Quality.gopherGates(
+      Tables.documents(s, dir), "doc_id", "text",
+      minWords = 30, stopWords = Seq("the", "a"), minStopWords = 2)
+
+  private def q156Sql(minWords: Int = 30): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(
+       |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |      w -> length(w) > 0) AS ws,
+       |    string_split(text, chr(10)) AS lns
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_aggregate(
+       |      list_transform(ws, w -> length(w)), 'sum'), 0) AS BIGINT)
+       |      AS n_chars,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
+       |          AS BIGINT)
+       |      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+       |      AS n_symbols,
+       |    CAST(len(lns) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lns, l -> regexp_matches(l, '^\\s*[-*•]')))
+       |      AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(lns,
+       |      l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS n_ell,
+       |    CAST(list_contains(ws, 'the') AS INT)
+       |      + CAST(list_contains(ws, 'a') AS INT) AS stop_hits
+       |  FROM base)
+       |SELECT doc_id, n_words,
+       |  (n_words >= $minWords AND n_words <= 100000) AS ok_words,
+       |  (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AS ok_word_len,
+       |  (10 * n_symbols <= n_words) AS ok_symbols,
+       |  (10 * n_bullet <= 9 * n_lines) AS ok_bullets,
+       |  (10 * n_ell <= 3 * n_lines) AS ok_ellipsis,
+       |  (5 * n_alpha >= 4 * n_words) AS ok_alpha,
+       |  (stop_hits >= 2) AS ok_stop,
+       |  (n_words >= $minWords AND n_words <= 100000
+       |    AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+       |    AND 10 * n_symbols <= n_words
+       |    AND 10 * n_bullet <= 9 * n_lines
+       |    AND 10 * n_ell <= 3 * n_lines
+       |    AND 5 * n_alpha >= 4 * n_words
+       |    AND stop_hits >= 2) AS keep
+       |FROM st""".stripMargin
 
   /** q123 oracle: the FULL curateCorpus composition in one DuckDB
     * chain, assembled from the per-stage fragments that are already
@@ -4631,6 +4690,8 @@ object SparkEntry {
     "q153_bm25_topk" -> q153Sql(),
     // retrieval shortlist × per-pair n-gram overlap audit
     "q154_retrieval_decontaminate" -> q154Sql(),
+    // Gopher rule gates: all-integer cross-multiplied thresholds
+    "q156_gopher_gates" -> q156Sql(),
     // BPR implicit serving twin: q31b's frozen states, PURE-dot rank
     "q155_bpr_topn_fixed" ->
       s"""$ratingsCte,

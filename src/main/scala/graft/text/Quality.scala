@@ -87,6 +87,75 @@ object Quality {
       round(scoreQuality(col(textCol), w), 6).as("score"),
       (scoreQuality(col(textCol), w) > 0).as("keep"))
 
+  /** Gopher-style heuristic quality gates (Rae et al. 2021, App. A —
+    * the rule filters virtually every open corpus since reuses:
+    * Gopher/MassiveText, RefinedWeb, Dolma): word-count bounds, mean
+    * word length bounds, symbol-to-word ratio (# and ellipsis),
+    * bullet-start / ellipsis-end line ratios, alphabetic-word
+    * fraction, and required stop-word presence. The rule-based
+    * complement of the model-based [[scoreQuality]] gate — real
+    * pipelines run BOTH.
+    *
+    * Engine-portability: every rule is INTEGER arithmetic (the ratio
+    * thresholds are cross-multiplied — `symbols/words ≤ 1/10` becomes
+    * `10·symbols ≤ words`), so the whole report hash-gates with no
+    * float anywhere. One map-only pass, zero shuffle; word stats ride
+    * the normalized token array, line stats the RAW text (normalize
+    * collapses newlines). NULL text yields NULL rules (no document to
+    * judge — callers decide, the [[features]] contract).
+    *
+    * Returns (doc_id, n_words, ok_words, ok_word_len, ok_symbols,
+    * ok_bullets, ok_ellipsis, ok_alpha, ok_stop, keep).
+    */
+  def gopherGates(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minWordLen: Int = 3, maxWordLen: Int = 10,
+      stopWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopWords: Int = 2): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords, "bad word bounds")
+    require(minWordLen >= 0 && maxWordLen >= minWordLen, "bad word-len bounds")
+    require(stopWords.nonEmpty && minStopWords >= 0, "bad stop-word rule")
+    val text = col(textCol)
+    val ws = filter(
+      TextAnalysis.words(TextAnalysis.normalizeText(text)),
+      w => length(w) > 0)
+    val nWords = size(ws).cast("long")
+    val nChars = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    // symbol occurrences in the RAW text: '#', three-dot ellipsis
+    // (non-overlapping, both engines' replace semantics), '…'
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEll3 = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val nEllC = length(text) - length(regexp_replace(text, "…", ""))
+    val nSymbols = nHash.cast("long") + nEll3 + nEllC.cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val nEllLine = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val stopHits = stopWords.map(sw =>
+      array_contains(ws, sw).cast("int")).reduce(_ + _)
+    docs.select(
+      col(idCol).as("doc_id"),
+      nWords.as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("ok_words"),
+      // minWordLen ≤ nChars/nWords ≤ maxWordLen, cross-multiplied
+      (lit(minWordLen) * nWords <= nChars &&
+        nChars <= lit(maxWordLen) * nWords).as("ok_word_len"),
+      (lit(10L) * nSymbols <= nWords).as("ok_symbols"),
+      (lit(10L) * nBullet <= lit(9L) * nLines).as("ok_bullets"),
+      (lit(10L) * nEllLine <= lit(3L) * nLines).as("ok_ellipsis"),
+      (lit(5L) * nAlpha >= lit(4L) * nWords).as("ok_alpha"),
+      (stopHits >= minStopWords).as("ok_stop"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stop"))
+  }
+
   /** Fit [[Weights]] by logistic regression on a LABELED sample
     * (`labelCol`: 1.0 = high-quality). Standard lifecycle: the sample
     * is small (it was labeled by hand or by membership in a reference

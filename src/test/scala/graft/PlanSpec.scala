@@ -157,6 +157,11 @@ class PlanSpec extends SparkSpec {
     assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q113_quality_score")}")
   }
 
+  test("q156: Gopher rule gates are map-only — zero exchanges") {
+    val n = exchangeCount("q156_gopher_gates")
+    assert(n === 0, s"expected 0 exchanges, got $n:\n${plan("q156_gopher_gates")}")
+  }
+
   test("q110b: PSL domain extraction stays map-only — zero exchanges") {
     // the whole PSL rule snapshot rides the plan as InSet literals;
     // a refactor that turns it into a lookup JOIN would show up here

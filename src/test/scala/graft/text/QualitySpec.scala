@@ -82,6 +82,54 @@ class QualitySpec extends SparkSpec {
       .filter($"score".isNull).count() === 1)
   }
 
+  test("gopherGates: each rule trips on its planted violation, clean prose keeps") {
+    val clean = ((1 to 30).map(i => s"word$i") ++ Seq("the", "a"))
+      .mkString(" ") // 32 words, all alphabetic, no symbols/bullets
+    val docs = Seq(
+      (1L, clean),
+      (2L, "the a short doc"), // 4 words < 30 → ok_words false
+      // 32 words but every word is 1 char → mean word length < 3
+      (3L, (Seq.fill(30)("x") ++ Seq("the", "a")).mkString(" ")),
+      // symbol wall: ### and ... and … push symbols/words over 1/10
+      (4L, clean + " ### ... … # #"),
+      // 10 lines, all bullets → bullet ratio 100% > 90%
+      (5L, (1 to 10).map(i => s"- item $i the a").mkString("\n")),
+      // 10 lines, 4 end in ellipsis → 40% > 30%
+      (6L, (1 to 10).map(i =>
+        if (i <= 4) s"line $i the a...." else s"line $i the a").mkString("\n")),
+      // >20% numeric-only words → alpha fraction < 80%
+      (7L, ((1 to 10).map(_.toString) ++ (1 to 20).map(i => s"w$i")
+        ++ Seq("the", "a")).mkString(" ")),
+      (8L, (1 to 40).map(i => s"word$i").mkString(" ")) // no stop words
+    ).toDF("doc_id", "text")
+    val got = Quality.gopherGates(docs, "doc_id", "text",
+      minWords = 30, stopWords = Seq("the", "a"), minStopWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    // (ok_words, ok_word_len, ok_symbols, ok_bullets, ok_ellipsis,
+    //  ok_alpha, ok_stop, keep)
+    assert(got(1L) === ((true, true, true, true, true, true, true, true)))
+    assert(got(2L)._1 === false && got(2L)._8 === false)
+    assert(got(3L)._2 === false, "1-char words must fail mean word length")
+    assert(got(4L)._3 === false, "symbol wall must fail the symbol ratio")
+    assert(got(5L)._4 === false, "all-bullet doc must fail the bullet rule")
+    assert(got(6L)._5 === false, "40% ellipsis-ended lines must fail")
+    assert(got(7L)._6 === false, "numeric words must fail the alpha rule")
+    assert(got(8L)._7 === false, "no stop words must fail the stop rule")
+  }
+
+  test("gopherGates: NULL text yields NULL rules, never a silent keep/drop") {
+    val docs = Seq((1L, null: String), (2L, "the a " + ("w " * 40)))
+      .toDF("doc_id", "text")
+    val rows = Quality.gopherGates(docs, "doc_id", "text",
+      minWords = 30, stopWords = Seq("the", "a"), minStopWords = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(9), "null text must yield null keep")
+    assert(!rows(2L).isNullAt(9))
+  }
+
   test("scoreDocs keep is exactly score > 0 on the raw (unrounded) logit") {
     val df = Seq((1L, "a b c"), (2L, "the of to in is it the of to in"))
       .toDF("doc_id", "text")
