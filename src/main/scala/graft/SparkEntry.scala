@@ -3329,7 +3329,8 @@ object SparkEntry {
     "q153_bm25_topk" -> (q153 _),
     "q154_retrieval_decontaminate" -> (q154 _),
     "q155_bpr_topn_fixed" -> (q155 _),
-    "q156_gopher_gates" -> (q156 _))
+    "q156_gopher_gates" -> (q156 _),
+    "q157_stream_gopher_gates" -> (q157 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3851,6 +3852,17 @@ object SparkEntry {
        |    AND 5 * n_alpha >= 4 * n_words
        |    AND stop_hits >= 2) AS keep
        |FROM st""".stripMargin
+
+  /** Streaming twin of q156: the Gopher rule report is pure
+    * per-document column arithmetic (zero shuffle), so it runs
+    * stateless per micro-batch and admits identical rows — shares
+    * q156's oracle (the q139 map-only-twin pattern).
+    */
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      graft.text.Quality.gopherGates(
+        StreamingPrep.streamDocuments(s, dir), "doc_id", "text",
+        minWords = 30, stopWords = Seq("the", "a"), minStopWords = 2))
 
   /** q123 oracle: the FULL curateCorpus composition in one DuckDB
     * chain, assembled from the per-stage fragments that are already
@@ -4692,6 +4704,8 @@ object SparkEntry {
     "q154_retrieval_decontaminate" -> q154Sql(),
     // Gopher rule gates: all-integer cross-multiplied thresholds
     "q156_gopher_gates" -> q156Sql(),
+    // map-only streaming twin — identical rows, same oracle
+    "q157_stream_gopher_gates" -> q156Sql(),
     // BPR implicit serving twin: q31b's frozen states, PURE-dot rank
     "q155_bpr_topn_fixed" ->
       s"""$ratingsCte,
