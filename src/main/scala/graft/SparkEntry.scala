@@ -2040,8 +2040,10 @@ object SparkEntry {
     * same integral-division damping update, one MATERIALIZED CTE per
     * iteration (the q106 deep-chain lesson).
     */
-  private def q133Sql(iterations: Int = 5, dampingPct: Int = 85,
-      scale: Long = 1000000L): String = pageRankReplaySql(
+  /** The synthetic modular link graph shared by q133 (PageRank) and
+    * q158 (HITS): CTEs `n` (node) and `e` (src, dst).
+    */
+  private val linkGraphCtes: String =
     """WITH n AS (SELECT doc_id AS node FROM documents),
       |cnt AS (SELECT count(*) AS nn FROM documents),
       |e0 AS (
@@ -2052,9 +2054,71 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id, (doc_id * 31 + 3) % nn FROM documents, cnt
       |  WHERE doc_id % 3 = 0),
-      |e AS (SELECT src, dst FROM e0 WHERE src <> dst)""".stripMargin,
+      |e AS (SELECT src, dst FROM e0 WHERE src <> dst)""".stripMargin
+
+  private def q133Sql(iterations: Int = 5, dampingPct: Int = 85,
+      scale: Long = 1000000L): String = pageRankReplaySql(
+    linkGraphCtes,
     iterations, dampingPct, scale,
     finalSelect = s"SELECT node, rank_fp FROM r$iterations")
+
+  /** HITS over the same graph ([[graft.pipeline.LinkAnalysis.hitsFixed]]):
+    * the max-normalized fixed-point trajectory unrolled per iteration —
+    * authority raw sums from hubs then hub raw sums from authorities,
+    * each rescaled by `(raw · scale) // max` (exact integral division,
+    * the q133 replay discipline). Sums are CAST back to BIGINT per
+    * round so DuckDB's HUGEINT promotion can't diverge from Spark's
+    * long arithmetic.
+    */
+  private def q158Sql(iterations: Int = 5, scale: Long = 1000000L): String = {
+    val sb = new StringBuilder
+    sb ++= linkGraphCtes
+    sb ++= s""",
+      |h0 AS (SELECT node, CAST($scale AS BIGINT) AS hub_fp FROM n)""".stripMargin
+    for (t <- 1 to iterations) {
+      sb ++= s""",
+      |ar$t AS MATERIALIZED (
+      |  SELECT n.node, CAST(coalesce(cb.s, 0) AS BIGINT) AS raw
+      |  FROM n LEFT JOIN (
+      |    SELECT e.dst AS node, sum(h.hub_fp) AS s
+      |    FROM e JOIN h${t - 1} h ON h.node = e.src GROUP BY 1) cb
+      |    ON cb.node = n.node),
+      |a$t AS MATERIALIZED (
+      |  SELECT node, CAST((raw * $scale) // m AS BIGINT) AS auth_fp
+      |  FROM ar$t CROSS JOIN
+      |    (SELECT greatest(max(raw), 1) AS m FROM ar$t) mm),
+      |hr$t AS MATERIALIZED (
+      |  SELECT n.node, CAST(coalesce(cb.s, 0) AS BIGINT) AS raw
+      |  FROM n LEFT JOIN (
+      |    SELECT e.src AS node, sum(a.auth_fp) AS s
+      |    FROM e JOIN a$t a ON a.node = e.dst GROUP BY 1) cb
+      |    ON cb.node = n.node),
+      |h$t AS MATERIALIZED (
+      |  SELECT node, CAST((raw * $scale) // m AS BIGINT) AS hub_fp
+      |  FROM hr$t CROSS JOIN
+      |    (SELECT greatest(max(raw), 1) AS m FROM hr$t) mm)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT a.node, a.auth_fp, h.hub_fp
+      |FROM a$iterations a JOIN h$iterations h USING (node)""".stripMargin
+    sb.toString
+  }
+
+  /** HITS hubs/authorities over the q133 link graph. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val nn = docs.count()
+    val e0 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 7 + 11) % nn).as("dst"))
+      .unionAll(docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 13 + 5) % nn).as("dst")))
+      .unionAll(docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 3) % nn).as("dst")))
+    graft.pipeline.LinkAnalysis.hitsFixed(
+      e0.filter(col("src") =!= col("dst")),
+      docs.select(col("doc_id").as("node")))
+  }
 
   /** Snapshot-diff audit between two synthetic versions of the crawl:
     * snapshot A drops doc_id % 7 == 0 (those read `added` when B has
@@ -3330,7 +3394,8 @@ object SparkEntry {
     "q154_retrieval_decontaminate" -> (q154 _),
     "q155_bpr_topn_fixed" -> (q155 _),
     "q156_gopher_gates" -> (q156 _),
-    "q157_stream_gopher_gates" -> (q157 _))
+    "q157_stream_gopher_gates" -> (q157 _),
+    "q158_hits_fixed" -> (q158 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4706,6 +4771,8 @@ object SparkEntry {
     "q156_gopher_gates" -> q156Sql(),
     // map-only streaming twin — identical rows, same oracle
     "q157_stream_gopher_gates" -> q156Sql(),
+    // HITS: unrolled max-normalized fixed-point replay (q133 class)
+    "q158_hits_fixed" -> q158Sql(),
     // BPR implicit serving twin: q31b's frozen states, PURE-dot rank
     "q155_bpr_topn_fixed" ->
       s"""$ratingsCte,

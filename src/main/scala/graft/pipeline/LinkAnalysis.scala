@@ -98,4 +98,83 @@ object LinkAnalysis {
       if (!done && cur != null) cur.release()
     }
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the second classic
+    * link-centrality signal (PageRank measures endorsement mass; HITS
+    * separates DIRECTORY pages, which point at good content, from
+    * AUTHORITY pages, which good directories point at — crawl
+    * curation wants authorities, seed-list construction wants hubs).
+    *
+    * Fixed-point like [[pageRankFixed]]: per iteration, authority =
+    * Σ incoming hub scores then hub = Σ outgoing authority scores,
+    * each MAX-normalized back to `scale` with exact integral division
+    * (`(raw · scale) div max` — the standard max-norm variant; the
+    * usual L2 norm would force floats and the trajectory would stop
+    * hash-gating). Normalization is a 1-row aggregate broadcast back
+    * into the plan — no per-iteration driver collect.
+    *
+    * Scale shape: two edge⋈score joins + two map-side-combinable sum
+    * aggregations per iteration, scores checkpointed per generation
+    * (the GdMf/pageRank lineage discipline). Overflow bound: raw ≤
+    * maxdegree·scale, and raw·scale must stay under 2⁶³ — at the
+    * default scale 10⁶ that allows degree ≤ ~9·10⁶; shrink `scale`
+    * for denser graphs.
+    *
+    * @return (node, auth_fp, hub_fp) after `iterations` rounds.
+    */
+  def hitsFixed(edges: DataFrame, nodes: DataFrame,
+      iterations: Int = 5, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1,50], got $iterations")
+    require(scale > 0, s"scale must be positive, got $scale")
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val nCp = DatasetBridge.localCheckpointFresh(nodes.select(col("node")))
+    var eCp: DatasetBridge.FreshCheckpoint = null
+    var hub: DatasetBridge.FreshCheckpoint = null
+    var auth: DatasetBridge.FreshCheckpoint = null
+    var done = false
+    try {
+      val n = nCp.df
+      eCp = DatasetBridge.localCheckpointFresh(
+        edges.select(col("src"), col("dst")))
+      val e = eCp.df
+      // one generic normalized-propagation step: scores flow across
+      // `e` from `fromCol` to `toCol`, sum per target, max-normalize
+      def step(scores: DataFrame, scoreCol: String,
+          fromCol: String, toCol: String, outCol: String): DataFrame = {
+        val raw = n.join(
+          e.join(scores, e(fromCol) === scores("node"))
+            .select(col(toCol).as("node"), col(scoreCol))
+            .groupBy("node").agg(sum(col(scoreCol)).as("s")),
+          Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("raw"))
+        val m = raw.agg(greatest(max(col("raw")), lit(1L)).as("m"))
+        raw.crossJoin(broadcast(m))
+          .select(col("node"),
+            expr(s"(raw * $scale) div m").as(outCol))
+      }
+      hub = DatasetBridge.localCheckpointFresh(
+        n.select(col("node"), lit(scale).as("hub_fp")))
+      for (_ <- 1 to iterations) {
+        val aNew = DatasetBridge.localCheckpointFresh(
+          step(hub.df, "hub_fp", "src", "dst", "auth_fp"))
+        if (auth != null) auth.release()
+        auth = aNew
+        val hNew = DatasetBridge.localCheckpointFresh(
+          step(auth.df, "auth_fp", "dst", "src", "hub_fp"))
+        hub.release()
+        hub = hNew
+      }
+      done = true
+      auth.df.join(hub.df, Seq("node"))
+        .select(col("node"), col("auth_fp"), col("hub_fp"))
+    } finally {
+      if (eCp != null) eCp.release()
+      nCp.release()
+      if (!done) {
+        if (hub != null) hub.release()
+        if (auth != null) auth.release()
+      }
+    }
+  }
 }

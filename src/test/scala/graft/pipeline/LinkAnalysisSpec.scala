@@ -52,4 +52,49 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(r(1L) === 150000L + 85L * (2 * third) / 100, s"$r")
     assert(r(2L) === 150000L + 85L * third / 100, s"$r")
   }
+
+  test("hitsFixed: hand-computed 1-iteration hubs/authorities on a planted bipartite graph") {
+    // hubs u1,u2,u3 → {a1, a2}; u1 additionally → a3
+    val edges = Seq(
+      (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 11L), (2L, 12L),
+      (3L, 11L), (3L, 12L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 11L, 12L, 13L).toDF("node")
+    val got = LinkAnalysis.hitsFixed(edges, nodes, iterations = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val s = 1000000L
+    // auth raw: a1=a2=3s (max), a3=s → normalized s, s, s/3
+    assert(got(11L)._1 === s && got(12L)._1 === s)
+    assert(got(13L)._1 === s / 3)
+    assert(got(1L)._1 === 0L && got(2L)._1 === 0L)
+    // hub raw: u1 = s + s + s/3 (max), u2 = u3 = 2s, a* = 0
+    val u1raw = s + s + s / 3
+    assert(got(1L)._2 === s)
+    assert(got(2L)._2 === (2 * s) * s / u1raw)
+    assert(got(3L)._2 === got(2L)._2)
+    assert(got(11L)._2 === 0L && got(13L)._2 === 0L)
+  }
+
+  test("hitsFixed: the best-pointed authority stays on top across iterations") {
+    val edges = Seq(
+      (1L, 11L), (1L, 12L), (2L, 11L), (2L, 12L), (3L, 11L), (3L, 13L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 11L, 12L, 13L).toDF("node")
+    val got = LinkAnalysis.hitsFixed(edges, nodes, iterations = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // a11 is pointed by all three hubs — the unique top authority
+    assert(got(11L)._1 === 1000000L)
+    assert(got(11L)._1 > got(12L)._1 && got(12L)._1 > got(13L)._1,
+      s"$got")
+  }
+
+  test("hitsFixed: an edgeless graph yields zero scores, not a division crash") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val nodes = Seq(1L, 2L).toDF("node")
+    val got = LinkAnalysis.hitsFixed(edges, nodes, iterations = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 2 && got.forall(t => t._2 === 0L && t._3 === 0L))
+  }
 }
