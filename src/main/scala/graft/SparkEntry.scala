@@ -1801,6 +1801,22 @@ object SparkEntry {
       docs.select(col("doc_id").as("node")))
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenization under a frozen
+    * INTEGER-scored vocabulary trained on the even-doc half (the q136
+    * split — odd docs exercise out-of-training chars → `[UNK]`):
+    * exact Viterbi segmentation, so unlike q136's greedy matcher the
+    * chosen decomposition is the global optimum under the piece
+    * scores. The oracle re-derives the scored vocab AND replays the
+    * DP via unrolled per-position argmax steps
+    * ([[graft.oracle.UnigramOracles]]).
+    */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.Unigram.trainFrozen(
+      docs.filter(col("doc_id") % 2 === 0), "text", topK = 1024)
+    graft.text.Unigram.tokenStats(docs, "doc_id", "text", v)
+  }
+
   /** WordPiece greedy tokenization under a frequency-frozen vocabulary
     * trained on the even-doc_id half (the q106 train/apply split — odd
     * docs carry out-of-training characters, exercising the `[UNK]`
@@ -3395,7 +3411,8 @@ object SparkEntry {
     "q155_bpr_topn_fixed" -> (q155 _),
     "q156_gopher_gates" -> (q156 _),
     "q157_stream_gopher_gates" -> (q157 _),
-    "q158_hits_fixed" -> (q158 _))
+    "q158_hits_fixed" -> (q158 _),
+    "q159_unigram" -> (q159 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4773,6 +4790,8 @@ object SparkEntry {
     "q157_stream_gopher_gates" -> q156Sql(),
     // HITS: unrolled max-normalized fixed-point replay (q133 class)
     "q158_hits_fixed" -> q158Sql(),
+    // Unigram-LM: vocab re-derivation + unrolled integer-Viterbi replay
+    "q159_unigram" -> graft.oracle.UnigramOracles.tokenStatsSql(),
     // BPR implicit serving twin: q31b's frozen states, PURE-dot rank
     "q155_bpr_topn_fixed" ->
       s"""$ratingsCte,
