@@ -1817,6 +1817,37 @@ object SparkEntry {
     graft.text.Unigram.tokenStats(docs, "doc_id", "text", v)
   }
 
+  /** Unigram ARTIFACT lifecycle gate (the q106/q145 precedent): train
+    * on the even half, persist the scored vocabulary, reload it,
+    * tokenize the DISJOINT doc_id % 10 == 1 corpus under the loaded
+    * artifact — the save/load round-trip proven inert at the oracle
+    * level.
+    */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.Unigram.trainFrozen(
+      docs.filter(col("doc_id") % 2 === 0), "text", topK = 1024)
+    val scratch = scratchDir("ug_vocab")
+    graft.text.Unigram.saveVocab(s, v, s"$scratch/vocab")
+    val loaded = graft.text.Unigram.loadVocab(s, s"$scratch/vocab")
+    graft.text.Unigram.tokenStats(
+      docs.filter(col("doc_id") % 10 === 1), "doc_id", "text", loaded)
+  }
+
+  /** Streaming twin of q159: the per-document Viterbi summary via the
+    * MAP-ONLY expression form ([[graft.text.Unigram.tokenStatsMapOnly]])
+    * — stateless per micro-batch, admits identical rows, shares
+    * q159's oracle (the q139 pattern).
+    */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.Unigram.trainFrozen(
+      docs.filter(col("doc_id") % 2 === 0), "text", topK = 1024)
+    StreamingPrep.runToMemory(
+      graft.text.Unigram.tokenStatsMapOnly(
+        StreamingPrep.streamDocuments(s, dir), "doc_id", "text", v))
+  }
+
   /** WordPiece greedy tokenization under a frequency-frozen vocabulary
     * trained on the even-doc_id half (the q106 train/apply split — odd
     * docs carry out-of-training characters, exercising the `[UNK]`
@@ -3412,7 +3443,9 @@ object SparkEntry {
     "q156_gopher_gates" -> (q156 _),
     "q157_stream_gopher_gates" -> (q157 _),
     "q158_hits_fixed" -> (q158 _),
-    "q159_unigram" -> (q159 _))
+    "q159_unigram" -> (q159 _),
+    "q160_unigram_artifact" -> (q160 _),
+    "q161_stream_unigram" -> (q161 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4792,6 +4825,11 @@ object SparkEntry {
     "q158_hits_fixed" -> q158Sql(),
     // Unigram-LM: vocab re-derivation + unrolled integer-Viterbi replay
     "q159_unigram" -> graft.oracle.UnigramOracles.tokenStatsSql(),
+    // artifact lifecycle: reloaded scored vocab on the disjoint slice
+    "q160_unigram_artifact" -> graft.oracle.UnigramOracles
+      .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
+    // map-only streaming twin — identical rows, same oracle
+    "q161_stream_unigram" -> graft.oracle.UnigramOracles.tokenStatsSql(),
     // BPR implicit serving twin: q31b's frozen states, PURE-dot rank
     "q155_bpr_topn_fixed" ->
       s"""$ratingsCte,

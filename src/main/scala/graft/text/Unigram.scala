@@ -133,6 +133,33 @@ object Unigram {
       .na.fill(0L, Seq("n_words", "n_pieces", "piece_hash"))
   }
 
+  /** MAP-ONLY twin of [[tokenStats]]: the whole per-document summary
+    * as pure column expressions (zero shuffle) — the stateless
+    * per-micro-batch form for continuous ingest, and the
+    * backpressure-free shape for a straight 100 TB scan. Encodes every
+    * word OCCURRENCE (no dictionary pre-agg); totals equal
+    * [[tokenStats]] by commutativity (A/B-spec-asserted), so the
+    * streaming twin shares the batch oracle
+    * (the [[WordPiece.tokenStatsMapOnly]] pattern verbatim).
+    */
+  def tokenStatsMapOnly(docs: DataFrame, idCol: String, textCol: String,
+      v: Vocab): DataFrame = {
+    val ws = filter(TextAnalysis.words(TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit("")))), w => w =!= "")
+    val piecesArr = transform(ws,
+      w => pieces(substring(w, 1, WordCap), v))
+    val np = aggregate(piecesArr, lit(0L),
+      (acc, p) => acc + size(p).cast("long"))
+    val ph = aggregate(piecesArr, lit(0L),
+      (acc, p) => acc +
+        conv(substring(md5(concat(lit("|"), array_join(p, "|"))), 1, 6),
+          16, 10).cast("long"))
+    docs.select(col(idCol).as("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      np.as("n_pieces"),
+      ph.as("piece_hash"))
+  }
+
   /** Persist the frozen scored vocabulary as a reloadable artifact
     * (piece, score_fp) — train once, tokenize any later corpus.
     */

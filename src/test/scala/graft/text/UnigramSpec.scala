@@ -104,6 +104,19 @@ class UnigramSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L)))
   }
 
+  test("tokenStatsMapOnly equals the dictionary-encoded form, incl. null/blank docs") {
+    val train = Seq((1L, "spark scala spark plans")).toDF("doc_id", "text")
+    val v = Unigram.trainFrozen(train, "text", topK = 32)
+    val docs = Seq(
+      (1L, "spark spark scala"), (2L, "plans λ unknown"), (3L, "   "),
+      (4L, null: String)).toDF("doc_id", "text")
+    val a = Unigram.tokenStats(docs, "doc_id", "text", v)
+      .orderBy("doc_id").collect().toSeq
+    val b = Unigram.tokenStatsMapOnly(docs, "doc_id", "text", v)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("vocabulary artifact round-trips and tokenizes identically") {
     val docs = Seq((1L, "spark catalyst tungsten spark"))
       .toDF("doc_id", "text")
