@@ -1628,6 +1628,86 @@ object SparkEntry {
     graft.recommender.BprMf.topNExact(users, items, 5)
   }
 
+  /** The q155 pure-dot ranking chain as CTEs through `rk` ("user",
+    * item, "rank"), states built from the `srcWhere`-restricted
+    * ratings — shared by the q155 gate (whole table) and the q162
+    * ranking-metrics eval (train split only).
+    */
+  private def q155Ctes(srcWhere: String = ""): String =
+    s"""$ratingsCte,
+       |src AS (SELECT * FROM ratings $srcWhere),
+       |us AS (SELECT "user", CAST(count(*) AS DOUBLE) AS c,
+       |              ${fsumSql("rating")} AS s1, ${fsumSql("rating*rating")} AS s2
+       |       FROM src GROUP BY 1),
+       |it AS (SELECT item, CAST(count(*) AS DOUBLE) AS c,
+       |              ${fsumSql("rating")} AS s1, ${fsumSql("rating*rating")} AS s2
+       |       FROM src GROUP BY 1),
+       |sc AS (SELECT u."user", i.item,
+       |              (u.c * i.c + u.s1 * i.s1 + u.s2 * i.s2) + 0.0 AS score
+       |       FROM us u CROSS JOIN it i),
+       |rk AS (SELECT "user", item,
+       |              CAST(row_number() OVER (PARTITION BY "user"
+       |                ORDER BY score DESC, item) AS INT) AS "rank"
+       |       FROM sc)""".stripMargin
+
+  private def q155Sql(): String =
+    s"""${q155Ctes()}
+       |SELECT "user", item, "rank" FROM rk WHERE "rank" <= 5""".stripMargin
+
+  /** Top-N ranking metrics
+    * ([[graft.recommender.Evaluator.rankingMetrics]]): the q155 chain
+    * on the TRAIN mod-split scores top-5 recs, evaluated against the
+    * held-out test split — per-user hits@5, reciprocal rank, DCG/
+    * ideal-DCG/NDCG@5 with the per-rank weights embedded as driver
+    * literals, so the whole eval is integer arithmetic and hash-gates.
+    */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val r = ratings(s, dir)
+    val (train, test) = Prep.modSplit(r, col("event_id"), 10, 7)
+    def state(key: String) = train.groupBy(key).agg(
+      count(lit(1)).cast("double").as("c"),
+      fsum(col("rating")).as("s1"),
+      fsum(col("rating") * col("rating")).as("s2"))
+    val users = state("user")
+      .select(col("user"), array(col("c"), col("s1"), col("s2")).as("u_factors"))
+    val items = state("item")
+      .select(col("item"), array(col("c"), col("s1"), col("s2")).as("i_factors"))
+    val recs = graft.recommender.BprMf.topNExact(users, items, 5)
+    graft.recommender.Evaluator.rankingMetrics(
+      recs, test.select("user", "item"), "user", "item", "rank", k = 5)
+  }
+
+  private def q162Sql(k: Int = 5): String = {
+    val scale = 1000000L
+    val w = graft.recommender.Evaluator.dcgWeights(k, scale)
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val wCase = (1 to k)
+      .map(r => s"WHEN ${r} THEN ${w(r - 1)}").mkString(" ")
+    val pCase = (1 to k)
+      .map(n => s"WHEN ${n} THEN ${prefix(n - 1)}").mkString(" ")
+    s"""${q155Ctes("WHERE event_id % 10 < 7")},
+       |te AS (SELECT DISTINCT "user", item FROM ratings
+       |       WHERE event_id % 10 >= 7),
+       |nt AS (SELECT "user", count(*) AS n_truth FROM te GROUP BY 1),
+       |hits AS (SELECT r."user", r."rank"
+       |         FROM rk r JOIN te ON te."user" = r."user" AND te.item = r.item
+       |         WHERE r."rank" <= $k),
+       |pu AS (SELECT "user", count(*) AS hits, min("rank") AS fr,
+       |              sum(CASE "rank" $wCase END) AS dcg
+       |       FROM hits GROUP BY 1),
+       |fin AS (
+       |  SELECT nt."user",
+       |    CAST(nt.n_truth AS BIGINT) AS n_truth,
+       |    CAST(coalesce(pu.hits, 0) AS BIGINT) AS hits,
+       |    CAST(coalesce($scale // pu.fr, 0) AS BIGINT) AS rr_fp,
+       |    CAST(coalesce(pu.dcg, 0) AS BIGINT) AS dcg_fp,
+       |    CAST(CASE least($k, nt.n_truth) $pCase END AS BIGINT) AS idcg_fp
+       |  FROM nt LEFT JOIN pu ON pu."user" = nt."user")
+       |SELECT "user", n_truth, hits, rr_fp, dcg_fp, idcg_fp,
+       |       CAST((dcg_fp * $scale) // idcg_fp AS BIGINT) AS ndcg_fp
+       |FROM fin""".stripMargin
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3445,7 +3525,8 @@ object SparkEntry {
     "q158_hits_fixed" -> (q158 _),
     "q159_unigram" -> (q159 _),
     "q160_unigram_artifact" -> (q160 _),
-    "q161_stream_unigram" -> (q161 _))
+    "q161_stream_unigram" -> (q161 _),
+    "q162_ranking_metrics" -> (q162 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4831,22 +4912,10 @@ object SparkEntry {
     // map-only streaming twin — identical rows, same oracle
     "q161_stream_unigram" -> graft.oracle.UnigramOracles.tokenStatsSql(),
     // BPR implicit serving twin: q31b's frozen states, PURE-dot rank
-    "q155_bpr_topn_fixed" ->
-      s"""$ratingsCte,
-         |us AS (SELECT "user", CAST(count(*) AS DOUBLE) AS c,
-         |              ${fsumSql("rating")} AS s1, ${fsumSql("rating*rating")} AS s2
-         |       FROM ratings GROUP BY 1),
-         |it AS (SELECT item, CAST(count(*) AS DOUBLE) AS c,
-         |              ${fsumSql("rating")} AS s1, ${fsumSql("rating*rating")} AS s2
-         |       FROM ratings GROUP BY 1),
-         |sc AS (SELECT u."user", i.item,
-         |              (u.c * i.c + u.s1 * i.s1 + u.s2 * i.s2) + 0.0 AS score
-         |       FROM us u CROSS JOIN it i),
-         |rk AS (SELECT "user", item,
-         |              CAST(row_number() OVER (PARTITION BY "user"
-         |                ORDER BY score DESC, item) AS INT) AS "rank"
-         |       FROM sc)
-         |SELECT "user", item, "rank" FROM rk WHERE "rank" <= 5""".stripMargin,
+    "q155_bpr_topn_fixed" -> q155Sql(),
+    // ranking metrics: train-split states ranked against the held-out
+    // mod-split, DCG weights embedded as the same driver literals
+    "q162_ranking_metrics" -> q162Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -54,4 +54,33 @@ class ServingSpec extends SparkSpec {
     assert(math.abs(m.rmse - math.sqrt(5.0 / 3.0)) < 1e-12)
     assert(math.abs(m.rmse * m.rmse - m.mse) < 1e-12)
   }
+
+  test("rankingMetrics matches hand-computed hits/RR/DCG/NDCG@5") {
+    val w = Evaluator.dcgWeights(5)
+    assert(w.head === 1000000L && w(2) === 500000L) // log2(2)=1, log2(4)=2
+    val truth = Seq(
+      ("u1", "a"), ("u1", "b"), ("u1", "c"), ("u2", "x"), ("u4", "y"))
+      .toDF("user", "item")
+    val recs = Seq(
+      ("u1", "a", 1), ("u1", "z", 2), ("u1", "b", 3), ("u1", "q", 4),
+      ("u1", "r", 5),
+      ("u2", "m", 1), ("u2", "n", 2), ("u2", "x", 3), ("u2", "o", 4),
+      ("u3", "a", 1) // no truth for u3 → excluded from the report
+    ).toDF("user", "item", "rank")
+    val got = Evaluator.rankingMetrics(recs, truth,
+      "user", "item", "rank", k = 5)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got.keySet === Set("u1", "u2", "u4"))
+    // u1: hits a@1 and b@3; idcg over min(5, 3 truths)
+    val dcg1 = w(0) + w(2)
+    val idcg1 = w(0) + w(1) + w(2)
+    assert(got("u1") === (("u1", 3L, 2L, 1000000L, dcg1, idcg1,
+      dcg1 * 1000000L / idcg1)))
+    // u2: one hit at rank 3; perfect would be rank 1
+    assert(got("u2") === (("u2", 1L, 1L, 333333L, w(2), w(0),
+      w(2) * 1000000L / w(0))))
+    // u4: truth but no recs → zero rr/dcg/ndcg, idcg still defined
+    assert(got("u4") === (("u4", 1L, 0L, 0L, 0L, w(0), 0L)))
+  }
 }
