@@ -1708,6 +1708,38 @@ object SparkEntry {
        |FROM fin""".stripMargin
   }
 
+  /** Daily resample + LOCF gap-fill over the event stream
+    * ([[graft.prep.Prep.resampleLocf]]): per user, one row per day in
+    * the user's observed span, carrying the last observation forward
+    * through gap days. No arithmetic touches the carried value, so
+    * the fill hash-gates on the raw stored doubles.
+    */
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    graft.prep.Prep.resampleLocf(Tables.events(s, dir), "user_id",
+      expr("ts_ns div 1000"), "value", "event_id", 86400000000L)
+
+  private def q163Sql(intervalUs: Long = 86400000000L): String =
+    s"""WITH e AS (
+       |  SELECT user_id AS key, epoch_us(ts) AS t, event_id, value
+       |  FROM events),
+       |ob0 AS (
+       |  SELECT key, t // $intervalUs AS bucket, value,
+       |         row_number() OVER (PARTITION BY key, t // $intervalUs
+       |           ORDER BY t DESC, event_id DESC) AS rn
+       |  FROM e),
+       |ob AS (SELECT key, bucket, value AS obs_value FROM ob0 WHERE rn = 1),
+       |sp AS (SELECT key, unnest(range(b0, b1 + 1)) AS bucket
+       |       FROM (SELECT key, min(bucket) AS b0, max(bucket) AS b1
+       |             FROM ob GROUP BY 1) t),
+       |j AS (SELECT sp.key, sp.bucket, ob.obs_value
+       |      FROM sp LEFT JOIN ob USING (key, bucket))
+       |SELECT key, CAST(bucket * $intervalUs AS BIGINT) AS bucket_start_us,
+       |       last_value(obs_value IGNORE NULLS) OVER (
+       |         PARTITION BY key ORDER BY bucket
+       |         ROWS UNBOUNDED PRECEDING) AS value,
+       |       obs_value IS NOT NULL AS observed
+       |FROM j""".stripMargin
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3526,7 +3558,8 @@ object SparkEntry {
     "q159_unigram" -> (q159 _),
     "q160_unigram_artifact" -> (q160 _),
     "q161_stream_unigram" -> (q161 _),
-    "q162_ranking_metrics" -> (q162 _))
+    "q162_ranking_metrics" -> (q162 _),
+    "q163_resample_locf" -> (q163 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4916,6 +4949,8 @@ object SparkEntry {
     // ranking metrics: train-split states ranked against the held-out
     // mod-split, DCG weights embedded as the same driver literals
     "q162_ranking_metrics" -> q162Sql(),
+    // daily resample + LOCF: fill only moves stored values, no float
+    "q163_resample_locf" -> q163Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

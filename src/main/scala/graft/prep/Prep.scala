@@ -239,6 +239,50 @@ object Prep {
       .select(col("user"), col("item"), (col("__rn") - 1).as("neg_no"))
   }
 
+  /** Time-series resample + gap-fill (the downsample-to-fixed-interval
+    * feature-engineering primitive): per key, events bucket into
+    * `intervalUs`-wide windows on the microsecond timestamp, each
+    * bucket keeps its LAST observation (ties broken by `tieCol` —
+    * pass a unique id), missing buckets inside the key's observed span
+    * are emitted and filled by LAST-OBSERVATION-CARRIED-FORWARD. No
+    * arithmetic touches the carried value, so the result hash-gates
+    * (the fill only MOVES stored values).
+    *
+    * Scale shape: one (key, bucket) aggregation (map-side-combinable
+    * max-struct election), a per-key min/max agg whose gap explode is
+    * bounded by span/interval (the caller's interval choice IS the
+    * row-count knob — standard for resampling), and ONE per-key window
+    * for the carry. Keys partition all three — no global sort.
+    *
+    * @return (key, bucket_start_us, value, observed)
+    */
+  def resampleLocf(df: DataFrame, keyCol: String, tsUsCol: Column,
+      valueCol: String, tieCol: String, intervalUs: Long): DataFrame = {
+    require(intervalUs > 0, s"intervalUs must be positive, got $intervalUs")
+    // exact integral bucketing (a double floor would lose precision on
+    // large epoch-micros longs)
+    val observed = df
+      .select(col(keyCol).as("key"), tsUsCol.cast("long").as("__ts"),
+        col(tieCol).as("__tb"), col(valueCol).as("__v"))
+      .select(col("key"), expr(s"__ts div $intervalUs").as("bucket"),
+        struct(col("__ts").as("t"), col("__tb").as("tb"),
+          col("__v").as("v")).as("o"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(max(col("o")).as("o"))
+      .select(col("key"), col("bucket"), col("o.v").as("obs_value"))
+    val spans = observed.groupBy("key")
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("key"),
+        explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans.join(observed, Seq("key", "bucket"), "left")
+      .select(col("key"),
+        (col("bucket") * intervalUs).as("bucket_start_us"),
+        last(col("obs_value"), ignoreNulls = true).over(w).as("value"),
+        col("obs_value").isNotNull.as("observed"))
+  }
+
   /** BPR pairwise-ranking triplets (Rendle et al. 2009): every
     * (user, positive) row paired ROUND-ROBIN with one of the user's
     * [[negativeSample]]d negatives — the training input of implicit

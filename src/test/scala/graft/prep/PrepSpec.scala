@@ -161,6 +161,33 @@ class PrepSpec extends SparkSpec {
       rows.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("resampleLocf: gaps fill forward, last-per-bucket election, observed flag") {
+    // user a: buckets 0 (two events — later one wins), 1 missing
+    // (filled from 0), 2 observed; user b: single bucket, no gaps
+    val df = Seq(
+      ("a", 10L, 1L, 1.5), ("a", 90L, 2L, 2.5), // bucket 0: t=90 wins
+      ("a", 250L, 3L, 9.0),                     // bucket 2
+      ("b", 130L, 4L, 7.0))                     // bucket 1 only
+      .toDF("k", "t", "id", "v")
+    val got = graft.prep.Prep.resampleLocf(df, "k", col("t"), "v", "id",
+      intervalUs = 100L)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.size === 4)
+    assert(got(("a", 0L)) === ((2.5, true)))   // later event elected
+    assert(got(("a", 100L)) === ((2.5, false))) // gap carried forward
+    assert(got(("a", 200L)) === ((9.0, true)))
+    assert(got(("b", 100L)) === ((7.0, true)))
+  }
+
+  test("resampleLocf: same-timestamp ties break by the tie column") {
+    val df = Seq(("a", 50L, 1L, 1.0), ("a", 50L, 2L, 4.0))
+      .toDF("k", "t", "id", "v")
+    val got = graft.prep.Prep.resampleLocf(df, "k", col("t"), "v", "id", 100L)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(got.toSeq === Seq(("a", 0L, 4.0, true))) // id 2 wins
+  }
+
   test("negativeSample: item-dimension broadcast is size-gated (plan flips)") {
     val items = (1 to 20).map(i => f"i$i")
     val ratings = items.take(5).map(("u1", _)).toDF("user", "item")
