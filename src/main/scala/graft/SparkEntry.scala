@@ -3559,7 +3559,8 @@ object SparkEntry {
     "q160_unigram_artifact" -> (q160 _),
     "q161_stream_unigram" -> (q161 _),
     "q162_ranking_metrics" -> (q162 _),
-    "q163_resample_locf" -> (q163 _))
+    "q163_resample_locf" -> (q163 _),
+    "q164_privacy_report" -> (q164 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3610,6 +3611,64 @@ object SparkEntry {
       |       len(regexp_extract_all(after_ip,
       |         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones
       |FROM c2""".stripMargin
+
+  /** Privacy-exposure audit ([[graft.pipeline.Profiling.privacyReport]])
+    * over a corpus with deterministically-PLANTED PII (the synthetic
+    * docs carry none, and an all-zero report would gate nothing — the
+    * q42 planted-duplicates precedent): every doc_id % 5 == 0 doc
+    * gains an email, an IPv4, and a US-phone string derived from its
+    * id. Per source: docs, docs-with-PII, and instance totals under
+    * the exact q89 cascade semantics.
+    */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 call 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    graft.pipeline.Profiling.privacyReport(planted, "source", "text")
+  }
+
+  private val q164Sql: String =
+    """WITH pl AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 5 = 0 THEN
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |        || '.7 call 555-123-'
+      |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE text END AS text
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, text,
+      |         regexp_replace(text,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |           '<EMAIL>', 'g') AS after_email
+      |  FROM pl),
+      |c2 AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+      |    len(regexp_extract_all(after_email,
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS ni,
+      |    len(regexp_extract_all(
+      |      regexp_replace(after_email,
+      |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+      |        '<IP>', 'g'),
+      |      '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS np
+      |  FROM c)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ne > 0 OR ni > 0 OR np > 0 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_docs_with_pii,
+      |  CAST(sum(ne) AS BIGINT) AS n_emails,
+      |  CAST(sum(ni) AS BIGINT) AS n_ips,
+      |  CAST(sum(np) AS BIGINT) AS n_phones
+      |FROM c2 GROUP BY 1""".stripMargin
 
   private val textProfileSql: String =
     """WITH t AS (
@@ -4951,6 +5010,8 @@ object SparkEntry {
     "q162_ranking_metrics" -> q162Sql(),
     // daily resample + LOCF: fill only moves stored values, no float
     "q163_resample_locf" -> q163Sql(),
+    // planted-PII exposure audit, q89 cascade counting semantics
+    "q164_privacy_report" -> q164Sql,
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

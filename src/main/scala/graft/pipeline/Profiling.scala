@@ -67,6 +67,36 @@ object Profiling {
     * engine-independent — a double `avg` of 2-decimal values is
     * neither (house float-aggregation rule).
     */
+  /** Per-group PII-exposure report — the privacy audit a corpus runs
+    * BEFORE and AFTER the q89 redaction pass (before: what leaks and
+    * where; after: all-zero proves the scrub): per `groupCol`, doc
+    * counts, docs containing ANY PII, and total instance counts per
+    * type. Counts use [[graft.text.TextAnalysis.redactPii]]'s exact
+    * cascade semantics (each pattern counted on the text AFTER the
+    * preceding replacements — an IPv4 inside an email's domain counts
+    * once as the email), so `sum(n_*) == placeholders the redaction
+    * would emit`, making the report the redaction's audit ledger.
+    * All-integer output, map-only scan + ONE |groups|-row aggregate.
+    */
+  def privacyReport(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    import graft.text.TextAnalysis._
+    val t = col(textCol)
+    val afterEmail = regexp_replace(t, emailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Pattern, "<IP>")
+    val perDoc = docs.select(col(groupCol),
+      size(regexp_extract_all(t, lit(emailPattern), lit(0))).as("ne"),
+      size(regexp_extract_all(afterEmail, lit(ipv4Pattern), lit(0))).as("ni"),
+      size(regexp_extract_all(afterIp, lit(phonePattern), lit(0))).as("np"))
+    perDoc.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("ne") > 0 || col("ni") > 0 || col("np") > 0)
+        .cast("long")).as("n_docs_with_pii"),
+      sum(col("ne").cast("long")).as("n_emails"),
+      sum(col("ni").cast("long")).as("n_ips"),
+      sum(col("np").cast("long")).as("n_phones"))
+  }
+
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     import org.apache.spark.sql.Row

@@ -51,6 +51,24 @@ class ProfilingSpec extends SparkSpec {
     assert(books._8 === 1L)
   }
 
+  test("privacyReport: per-group exposure totals with the q89 cascade semantics") {
+    val docs = Seq(
+      ("g1", "reach me at a@b.com or 1.2.3.4 today"), // email + ip
+      ("g1", "nothing sensitive here"),
+      // email whose domain LOOKS like an IP: the cascade counts it
+      // once as an email, never again as an IP
+      ("g1", "see x@1.2.3.4.com"),
+      ("g2", "call 555-123-4567 now"),
+      ("g2", "call 555-123-4567 or 555-987-6543"))
+      .toDF("source", "text")
+    val got = Profiling.privacyReport(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // (source, n_docs, n_docs_with_pii, n_emails, n_ips, n_phones)
+    assert(got("g1") === (("g1", 3L, 2L, 2L, 1L, 0L)))
+    assert(got("g2") === (("g2", 2L, 2L, 0L, 0L, 3L)))
+  }
+
   test("profileNumeric: empty table and all-null column yield null range, zero mean") {
     val empty = Seq.empty[(java.lang.Double, java.lang.Double)].toDF("a", "b")
     val gotEmpty = Profiling.profileNumeric(empty, Seq("a", "b")).collect()
