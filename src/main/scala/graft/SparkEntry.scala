@@ -3560,7 +3560,9 @@ object SparkEntry {
     "q161_stream_unigram" -> (q161 _),
     "q162_ranking_metrics" -> (q162 _),
     "q163_resample_locf" -> (q163 _),
-    "q164_privacy_report" -> (q164 _))
+    "q164_privacy_report" -> (q164 _),
+    "q165_leakage_safe_split" -> (q165 _),
+    "q166_source_overlap" -> (q166 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -3669,6 +3671,74 @@ object SparkEntry {
       |  CAST(sum(ni) AS BIGINT) AS n_ips,
       |  CAST(sum(np) AS BIGINT) AS n_phones
       |FROM c2 GROUP BY 1""".stripMargin
+
+  /** Leakage-safe content-keyed split
+    * ([[graft.prep.Prep.splitByKey]]): the corpus plus planted exact
+    * near-copies (whitespace-doubled text — SAME normalized
+    * fingerprint, the q42 planting) split by the FINGERPRINT, so every
+    * copy lands on the same side; the emitted test side hash-gates the
+    * assignment row-exactly. A row-id split would let copies straddle
+    * the boundary — the memorization-leak this operator exists to
+    * prevent.
+    */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 100000,
+          regexp_replace(col("text"), " ", "  ").as("text")))
+    val (_, test) = graft.prep.Prep.splitByKey(planted,
+      graft.text.TextAnalysis.fingerprint(col("text")), rate = 0.3)
+    test.select(col("doc_id"),
+      graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+  }
+
+  private def q165Sql: String = {
+    // the SAME driver-side truncation as Prep.splitByKey — DuckDB's
+    // double→int cast ROUNDS, so the threshold must be a literal
+    val thresh = (0.3 * (1 << 24)).toLong
+    s"""WITH pl AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, replace(text, ' ', '  ')
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |f AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM pl)
+       |SELECT doc_id, fp FROM f
+       |WHERE ('0x' || substr(md5('42|' || fp), 1, 6))::BIGINT < $thresh"""
+      .stripMargin
+  }
+
+  /** Cross-source duplication matrix
+    * ([[graft.pipeline.Profiling.sourceOverlap]]) with a planted
+    * mirror feed (every doc_id % 7 == 0 doc re-hosted under source
+    * "mirror" — the synthetic sources share no natural fingerprints,
+    * so the unplanted matrix would be empty).
+    */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 100000, lit("mirror").as("source"),
+          col("text")))
+    graft.pipeline.Profiling.sourceOverlap(planted, "source", "text")
+  }
+
+  private val q166Sql: String =
+    """WITH pl AS (
+      |  SELECT source, text FROM documents
+      |  UNION ALL
+      |  SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0),
+      |fp AS (
+      |  SELECT DISTINCT source,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM pl)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       count(*) AS n_shared
+      |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
 
   private val textProfileSql: String =
     """WITH t AS (
@@ -5012,6 +5082,10 @@ object SparkEntry {
     "q163_resample_locf" -> q163Sql(),
     // planted-PII exposure audit, q89 cascade counting semantics
     "q164_privacy_report" -> q164Sql,
+    // content-keyed split: planted copies must land one side, row-exact
+    "q165_leakage_safe_split" -> q165Sql,
+    // cross-source duplication matrix with a planted mirror feed
+    "q166_source_overlap" -> q166Sql,
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -97,6 +97,27 @@ object Profiling {
       sum(col("np").cast("long")).as("n_phones"))
   }
 
+  /** Cross-source duplication overlap — "which sources mirror each
+    * other": per unordered source pair, the number of DISTINCT
+    * normalized-content fingerprints both carry. The audit that
+    * decides which feed is the canonical one before priority dedup
+    * ([[graft.dedup.Dedup.exactGroupsByPriority]]) and that catches a
+    * vendor reselling another feed. Scale shape: distinct
+    * (source, fingerprint) pairs (scan-side md5), ONE equi-self-join
+    * on the fingerprint — join fan-out is bounded by per-fingerprint
+    * source counts (≤ |sources|), never corpus×corpus.
+    */
+  def sourceOverlap(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val fp = docs.select(col(sourceCol).as("source"),
+      graft.text.TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    fp.as("a").join(fp.as("b"),
+      col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     import org.apache.spark.sql.Row

@@ -239,6 +239,28 @@ object Prep {
       .select(col("user"), col("item"), (col("__rn") - 1).as("neg_no"))
   }
 
+  /** LEAKAGE-SAFE split: assign each row a side by hashing a caller
+    * GROUP key (content fingerprint, dup-cluster owner, author id…)
+    * instead of the row id, so every row sharing the key lands on the
+    * SAME side — the split that keeps a benchmark's near-copies out of
+    * the training half. A row-id split leaks: two copies of one
+    * document straddle the boundary and the eval measures
+    * memorization. Decision = md5 24-bit prefix of the group key
+    * against `rate` (the q80b/q115 portable machinery: deterministic,
+    * engine-exact, map-only — zero shuffle).
+    *
+    * @return (train, test) — test gets keys whose prefix falls below
+    *         `rate·2²⁴`, train the rest.
+    */
+  def splitByKey(df: DataFrame, key: Column, rate: Double,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val h = conv(substring(
+      md5(concat_ws("|", lit(seed), key)), 1, 6), 16, 10).cast("long")
+    val isTest = h < (rate * (1 << 24)).toLong
+    (df.filter(!isTest), df.filter(isTest))
+  }
+
   /** Time-series resample + gap-fill (the downsample-to-fixed-interval
     * feature-engineering primitive): per key, events bucket into
     * `intervalUs`-wide windows on the microsecond timestamp, each

@@ -69,6 +69,21 @@ class ProfilingSpec extends SparkSpec {
     assert(got("g2") === (("g2", 2L, 2L, 0L, 0L, 3L)))
   }
 
+  test("sourceOverlap counts distinct shared fingerprints per unordered pair") {
+    val docs = Seq(
+      ("s1", "shared doc one"), ("s1", "shared  DOC one"), // same fp, 1 distinct
+      ("s1", "only in s1"),
+      ("s2", "shared doc one"), ("s2", "also shared two"),
+      ("s3", "also shared two"), ("s3", "shared doc one"))
+      .toDF("source", "text")
+    val got = Profiling.sourceOverlap(docs, "source", "text")
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // s1∩s2 = {doc one}; s1∩s3 = {doc one}; s2∩s3 = {doc one, two}
+    assert(got === Map(("s1", "s2") -> 1L, ("s1", "s3") -> 1L,
+      ("s2", "s3") -> 2L))
+  }
+
   test("profileNumeric: empty table and all-null column yield null range, zero mean") {
     val empty = Seq.empty[(java.lang.Double, java.lang.Double)].toDF("a", "b")
     val gotEmpty = Profiling.profileNumeric(empty, Seq("a", "b")).collect()

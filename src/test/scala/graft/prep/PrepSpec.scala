@@ -161,6 +161,24 @@ class PrepSpec extends SparkSpec {
       rows.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("splitByKey: rows sharing the key never straddle the split; exact cover") {
+    val df = (1L to 400L).map(i => (i, s"group${i % 50}")).toDF("id", "grp")
+    val (train, test) = graft.prep.Prep.splitByKey(df, col("grp"), 0.3)
+    assert(train.count() + test.count() === 400L)
+    assert(train.intersect(test).count() === 0L)
+    // the leakage invariant: no group appears on both sides
+    val both = train.select("grp").distinct()
+      .intersect(test.select("grp").distinct())
+    assert(both.count() === 0L, "a key group straddles the split")
+    // rate is approximately respected at the group level
+    val testGroups = test.select("grp").distinct().count()
+    assert(testGroups >= 5 && testGroups <= 25, s"testGroups=$testGroups")
+    // deterministic: same seed, same assignment
+    val (_, test2) = graft.prep.Prep.splitByKey(df, col("grp"), 0.3)
+    assert(test2.orderBy("id").collect().toSeq ===
+      test.orderBy("id").collect().toSeq)
+  }
+
   test("resampleLocf: gaps fill forward, last-per-bucket election, observed flag") {
     // user a: buckets 0 (two events — later one wins), 1 missing
     // (filled from 0), 2 observed; user b: single bucket, no gaps
