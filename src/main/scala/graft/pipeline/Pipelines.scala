@@ -127,6 +127,12 @@ object Pipelines {
       // (train them on a labeled sample via Quality.trainWeights).
       // Map-only — rides the same scan as the heuristic gates.
       classifierWeights: Option[graft.text.Quality.Weights] = None,
+      // Gopher rule gates (Rae et al. 2021): the published heuristic
+      // rule set as ONE scan-side predicate (Quality.gopherKeep) —
+      // word-count/word-length bounds, symbol/bullet/ellipsis ratios,
+      // alpha fraction, stop-word presence. Rides the same map pass
+      // as the other gates; integer arithmetic only.
+      gopherRules: Option[graft.text.Quality.GopherConfig] = None,
       // crawl-intake URL dedup: collapse recrawls of one canonical URL
       // to the min-doc_id copy before any content processing (column
       // holding the raw URL; Urls.canonicalizeUrl keys the groups)
@@ -242,7 +248,9 @@ object Pipelines {
         col("__rep.top_word").cast("double") / col("__rep.n_words")
           <= cfg.maxTopWordRatio &&
         cfg.classifierWeights.fold(lit(true))(w =>
-          graft.text.Quality.scoreQuality(col("text"), w) > 0))
+          graft.text.Quality.scoreQuality(col("text"), w) > 0) &&
+        cfg.gopherRules.fold(lit(true))(g =>
+          graft.text.Quality.gopherKeep(col("text"), g)))
       .drop("__rep")
     val paraClean =
       if (!cfg.paragraphDedup) gated

@@ -105,18 +105,65 @@ object Quality {
     * judge — callers decide, the [[features]] contract).
     *
     * Returns (doc_id, n_words, ok_words, ok_word_len, ok_symbols,
-    * ok_bullets, ok_ellipsis, ok_alpha, ok_stop, keep).
+    * ok_bullets, ok_ellipsis, ok_alpha, ok_stop, keep) —
+    * [[gopherGates]]; [[gopherKeep]] is the combined predicate for
+    * scan-side composition; [[GopherConfig]] carries the thresholds
+    * (defaults are the published values; `stopWords` defaults to the
+    * paper's required-word list).
     */
+  final case class GopherConfig(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minWordLen: Int = 3, maxWordLen: Int = 10,
+      stopWords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopWords: Int = 2) {
+    require(minWords >= 0 && maxWords >= minWords, "bad word bounds")
+    require(minWordLen >= 0 && maxWordLen >= minWordLen, "bad word-len bounds")
+    require(stopWords.nonEmpty && minStopWords >= 0, "bad stop-word rule")
+  }
+
+  /** The combined keep predicate of [[gopherGates]] as ONE column —
+    * for composition into a scan-side gate
+    * ([[graft.pipeline.Pipelines.curateCorpus]]'s opt-in stage rides
+    * the same map pass as the other heuristic gates). NULL text yields
+    * NULL (a filter drops it).
+    */
+  def gopherKeep(text: Column, g: GopherConfig = GopherConfig()): Column = {
+    val r = gopherRuleCols(text, g)
+    r.map(_._2).reduce(_ && _)
+  }
+
+  def gopherGates(docs: DataFrame, idCol: String, textCol: String,
+      g: GopherConfig): DataFrame = {
+    val text = col(textCol)
+    val rules = gopherRuleCols(text, g)
+    docs.select(
+      Seq(col(idCol).as("doc_id"), gopherWordCount(text).as("n_words")) ++
+        rules.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep",
+        rules.map { case (n, _) => col(n) }.reduce(_ && _))
+  }
+
   def gopherGates(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minWordLen: Int = 3, maxWordLen: Int = 10,
       stopWords: Seq[String] =
         Seq("the", "be", "to", "of", "and", "that", "have", "with"),
-      minStopWords: Int = 2): DataFrame = {
-    require(minWords >= 0 && maxWords >= minWords, "bad word bounds")
-    require(minWordLen >= 0 && maxWordLen >= minWordLen, "bad word-len bounds")
-    require(stopWords.nonEmpty && minStopWords >= 0, "bad stop-word rule")
-    val text = col(textCol)
+      minStopWords: Int = 2): DataFrame =
+    gopherGates(docs, idCol, textCol, GopherConfig(minWords, maxWords,
+      minWordLen, maxWordLen, stopWords, minStopWords))
+
+  private def gopherWordCount(text: Column): Column =
+    size(filter(
+      TextAnalysis.words(TextAnalysis.normalizeText(text)),
+      w => length(w) > 0)).cast("long")
+
+  /** The eight named rule columns, shared by the report and the
+    * composed keep predicate.
+    */
+  private def gopherRuleCols(text: Column,
+      g: GopherConfig): Seq[(String, Column)] = {
+    import g._
     val ws = filter(
       TextAnalysis.words(TextAnalysis.normalizeText(text)),
       w => length(w) > 0)
@@ -138,22 +185,16 @@ object Quality {
       l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
     val stopHits = stopWords.map(sw =>
       array_contains(ws, sw).cast("int")).reduce(_ + _)
-    docs.select(
-      col(idCol).as("doc_id"),
-      nWords.as("n_words"),
-      (nWords >= minWords && nWords <= maxWords).as("ok_words"),
+    Seq(
+      "ok_words" -> (nWords >= minWords && nWords <= maxWords),
       // minWordLen ≤ nChars/nWords ≤ maxWordLen, cross-multiplied
-      (lit(minWordLen) * nWords <= nChars &&
-        nChars <= lit(maxWordLen) * nWords).as("ok_word_len"),
-      (lit(10L) * nSymbols <= nWords).as("ok_symbols"),
-      (lit(10L) * nBullet <= lit(9L) * nLines).as("ok_bullets"),
-      (lit(10L) * nEllLine <= lit(3L) * nLines).as("ok_ellipsis"),
-      (lit(5L) * nAlpha >= lit(4L) * nWords).as("ok_alpha"),
-      (stopHits >= minStopWords).as("ok_stop"))
-      .withColumn("keep",
-        col("ok_words") && col("ok_word_len") && col("ok_symbols") &&
-          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
-          col("ok_stop"))
+      "ok_word_len" -> (lit(minWordLen) * nWords <= nChars &&
+        nChars <= lit(maxWordLen) * nWords),
+      "ok_symbols" -> (lit(10L) * nSymbols <= nWords),
+      "ok_bullets" -> (lit(10L) * nBullet <= lit(9L) * nLines),
+      "ok_ellipsis" -> (lit(10L) * nEllLine <= lit(3L) * nLines),
+      "ok_alpha" -> (lit(5L) * nAlpha >= lit(4L) * nWords),
+      "ok_stop" -> (stopHits >= minStopWords))
   }
 
   /** Fit [[Weights]] by logistic regression on a LABELED sample

@@ -154,6 +154,30 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("curateCorpus gopherRules gate drops rule violators, same scan as the other gates") {
+    import org.apache.spark.sql.functions._
+    def goodText(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    val docs = Seq(
+      (1L, goodText(1), "en", "srcA"),
+      // 121 distinct words but too SHORT for the gopher minWords=200
+      (2L, goodText(2), "en", "srcA"),
+      (3L, goodText(3) + " " + goodText(4) + " " + goodText(5), "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val benchmark = Seq("nothing matches").toDF("text")
+    val off = Pipelines.curateCorpus(docs, benchmark,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100))
+      .select("doc_id").as[Long].collect().toSet
+    assert(off === Set(1L, 2L, 3L), "without the gate all three survive")
+    val on = Pipelines.curateCorpus(docs, benchmark,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100,
+        gopherRules = Some(graft.text.Quality.GopherConfig(
+          minWords = 200, minWordLen = 2, // fixture words avg < 3 chars
+          stopWords = Seq("the", "of"), minStopWords = 2))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(on === Set(3L), s"only the 360-word doc clears minWords=200: $on")
+  }
+
   test("curateCorpus classifier gate drops docs the trained weights reject") {
     import org.apache.spark.sql.functions._
     def goodText(i: Int): String =
