@@ -1740,6 +1740,26 @@ object SparkEntry {
        |       obs_value IS NOT NULL AS observed
        |FROM j""".stripMargin
 
+  /** Continuous streaming twin of q163
+    * ([[graft.streaming.StreamingResample]]): per-batch last-obs
+    * maxima appended to a state table, read-time global election +
+    * LOCF. The max fold is idempotent and commutative, so ANY batch
+    * order converges to the batch answer — shares q163's oracle.
+    */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val tbl =
+      s"graft_resample_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val run = graft.streaming.StreamingResample.start(
+      StreamingPrep.streamEvents(s, dir), "user_id",
+      expr("ts_ns div 1000"), "value", "event_id", 86400000000L, tbl) {
+      _ => ()
+    }
+    try {
+      run.query.processAllAvailable()
+      run.result().localCheckpoint()
+    } finally { run.query.stop(); s.sql(s"DROP TABLE IF EXISTS $tbl") }
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3562,7 +3582,8 @@ object SparkEntry {
     "q163_resample_locf" -> (q163 _),
     "q164_privacy_report" -> (q164 _),
     "q165_leakage_safe_split" -> (q165 _),
-    "q166_source_overlap" -> (q166 _))
+    "q166_source_overlap" -> (q166 _),
+    "q167_stream_resample" -> (q167 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5080,6 +5101,8 @@ object SparkEntry {
     "q162_ranking_metrics" -> q162Sql(),
     // daily resample + LOCF: fill only moves stored values, no float
     "q163_resample_locf" -> q163Sql(),
+    // streaming fold: max election is order-free — same oracle
+    "q167_stream_resample" -> q163Sql(),
     // planted-PII exposure audit, q89 cascade counting semantics
     "q164_privacy_report" -> q164Sql,
     // content-keyed split: planted copies must land one side, row-exact

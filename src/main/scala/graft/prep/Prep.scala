@@ -281,16 +281,36 @@ object Prep {
   def resampleLocf(df: DataFrame, keyCol: String, tsUsCol: Column,
       valueCol: String, tieCol: String, intervalUs: Long): DataFrame = {
     require(intervalUs > 0, s"intervalUs must be positive, got $intervalUs")
-    // exact integral bucketing (a double floor would lose precision on
-    // large epoch-micros longs)
-    val observed = df
-      .select(col(keyCol).as("key"), tsUsCol.cast("long").as("__ts"),
+    locfExpand(
+      resampleObserved(df, keyCol, tsUsCol, valueCol, tieCol, intervalUs)
+        .groupBy(col("key"), col("bucket"))
+        .agg(max(col("o")).as("o")),
+      intervalUs)
+  }
+
+  /** The per-(key, bucket) observation rows of [[resampleLocf]] BEFORE
+    * the last-observation election — `(key, bucket, o:(t, tb, v))`,
+    * one row per event, exact integral bucketing (a double floor would
+    * lose precision on large epoch-micros longs). Exposed so the
+    * STREAMING fold ([[graft.streaming.StreamingResample]]) can append
+    * per-batch maxima and elect globally at read time: `max(o)` is
+    * idempotent and commutative, so out-of-order batches and
+    * at-least-once replays both converge to the batch answer.
+    */
+  def resampleObserved(df: DataFrame, keyCol: String, tsUsCol: Column,
+      valueCol: String, tieCol: String, intervalUs: Long): DataFrame =
+    df.select(col(keyCol).as("key"), tsUsCol.cast("long").as("__ts"),
         col(tieCol).as("__tb"), col(valueCol).as("__v"))
       .select(col("key"), expr(s"__ts div $intervalUs").as("bucket"),
         struct(col("__ts").as("t"), col("__tb").as("tb"),
           col("__v").as("v")).as("o"))
-      .groupBy(col("key"), col("bucket"))
-      .agg(max(col("o")).as("o"))
+
+  /** The gap-fill tail of [[resampleLocf]]: takes the ELECTED
+    * per-(key, bucket) rows `(key, bucket, o)` and emits the full
+    * per-key bucket range with last-observation-carried-forward.
+    */
+  def locfExpand(elected: DataFrame, intervalUs: Long): DataFrame = {
+    val observed = elected
       .select(col("key"), col("bucket"), col("o.v").as("obs_value"))
     val spans = observed.groupBy("key")
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
