@@ -1760,6 +1760,26 @@ object SparkEntry {
     } finally { run.query.stop(); s.sql(s"DROP TABLE IF EXISTS $tbl") }
   }
 
+  /** SemDeDup semantic dedup under the frozen first-8 centroids
+    * ([[graft.pipeline.Curation.semanticDedupFixed]]) over the
+    * exact-copy planted corpus: every planted copy shares its
+    * original's cluster and scores cosine ≈ 1, so the survivor set is
+    * the min-id representatives — hash-gated end to end
+    * ([[graft.oracle.AnnOracles.q168Sql]]).
+    */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding")))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    graft.pipeline.Curation.semanticDedupFixed(planted, "vec_id",
+      "embedding", centroids, thresholdFp = 450000000000L)
+      .select(col("id").as("vec_id"), col("cluster"))
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3583,7 +3603,8 @@ object SparkEntry {
     "q164_privacy_report" -> (q164 _),
     "q165_leakage_safe_split" -> (q165 _),
     "q166_source_overlap" -> (q166 _),
-    "q167_stream_resample" -> (q167 _))
+    "q167_stream_resample" -> (q167 _),
+    "q168_semantic_dedup" -> (q168 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5109,6 +5130,8 @@ object SparkEntry {
     "q165_leakage_safe_split" -> q165Sql,
     // cross-source duplication matrix with a planted mirror feed
     "q166_source_overlap" -> q166Sql,
+    // SemDeDup under frozen centroids: exact-copy plants, integer dots
+    "q168_semantic_dedup" -> graft.oracle.AnnOracles.q168Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

