@@ -1780,6 +1780,43 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("cluster"))
   }
 
+  /** Continuous SemDeDup ([[graft.streaming.StreamingSemanticDedup]]):
+    * q168's planted corpus delivered as two id-ordered micro-batches,
+    * each probing the cluster-bucketed index of everything seen before
+    * it. Ordered ingest + the full fingerprint index make the stream's
+    * min-smaller-id verdicts EQUAL to the batch operator's, so the
+    * survivor set shares q168's oracle verbatim.
+    */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val emb = Tables.embeddings(s, dir)
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding")))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val stream = stageOrderedBatches(s, scratchDir("stream_semdedup"),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))),
+      midpointHalves(planted, "vec_id"))
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long])]
+    val tbl =
+      s"graft_ssd_idx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val run = graft.streaming.StreamingSemanticDedup.start(stream,
+      "vec_id", "embedding", centroids, thresholdFp = 450000000000L,
+      indexTable = tbl) { (v, _) =>
+      buf ++= v.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    }
+    try run.query.processAllAvailable()
+    finally { run.query.stop(); s.sql(s"DROP TABLE IF EXISTS $tbl") }
+    import s.implicits._
+    buf.toSeq.toDF("vec_id", "cluster", "dup_of")
+      .filter(col("dup_of").isNull).select("vec_id", "cluster")
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3604,7 +3641,8 @@ object SparkEntry {
     "q165_leakage_safe_split" -> (q165 _),
     "q166_source_overlap" -> (q166 _),
     "q167_stream_resample" -> (q167 _),
-    "q168_semantic_dedup" -> (q168 _))
+    "q168_semantic_dedup" -> (q168 _),
+    "q169_stream_semantic_dedup" -> (q169 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5132,6 +5170,9 @@ object SparkEntry {
     "q166_source_overlap" -> q166Sql,
     // SemDeDup under frozen centroids: exact-copy plants, integer dots
     "q168_semantic_dedup" -> graft.oracle.AnnOracles.q168Sql(),
+    // streaming twin: id-ordered ingest + full fingerprint index ⇒
+    // identical survivor set, oracle shared verbatim
+    "q169_stream_semantic_dedup" -> graft.oracle.AnnOracles.q168Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)
