@@ -1817,6 +1817,34 @@ object SparkEntry {
       .filter(col("dup_of").isNull).select("vec_id", "cluster")
   }
 
+  /** Curation composition WITH the SemDeDup stage: default gates
+    * (scrub → quality/repetition → decontaminate → exact dedup) plus
+    * embedding-space dedup against the documents' embedding rows
+    * (doc_id = vec_id) under the frozen first-8 centroids, then
+    * packing. Exercises [[graft.pipeline.Pipelines.curateCorpus]]'s
+    * `embeddings` path end to end; the oracle replays the whole chain
+    * including [[graft.oracle.AnnOracles.semanticDroppedCtes]].
+    */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.filter(col("doc_id") % 10 === 0)
+      .select(regexp_replace(col("text"), " ", "  ").as("text"))
+    val embSrc = Tables.embeddings(s, dir)
+    val centroids = embSrc.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val (out, release) = Pipelines.curateCorpusManaged(docs, benchmark,
+      Pipelines.CurationConfig(
+        semanticCentroids = Some(centroids),
+        semanticThresholdFp = 450000000000L),
+      embeddings = Some(embSrc.select(col("vec_id").as("doc_id"),
+        col("embedding"))))
+    val res = out.select(col("doc_id"), col("source"), col("lang"),
+      col("n_tokens"), col("seq_id"), col("seq_offset")).localCheckpoint()
+    release()
+    res
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3642,7 +3670,8 @@ object SparkEntry {
     "q166_source_overlap" -> (q166 _),
     "q167_stream_resample" -> (q167 _),
     "q168_semantic_dedup" -> (q168 _),
-    "q169_stream_semantic_dedup" -> (q169 _))
+    "q169_stream_semantic_dedup" -> (q169 _),
+    "q170_curate_semantic" -> (q170 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4540,6 +4569,98 @@ object SparkEntry {
        |FROM pc""".stripMargin
   }
 
+  /** q170 oracle: the default-config curation chain (scrub → quality/
+    * repetition gates → decontaminate → exact dedup — the q123
+    * fragments minus url/lang/classifier/paragraph/fluency/DSIR/
+    * mixture) with the SemDeDup drop set
+    * ([[graft.oracle.AnnOracles.semanticDroppedCtes]]) anti-joined
+    * between dedup and packing, exactly where `curateCorpus` runs it.
+    */
+  private def q170Sql: String = {
+    s"""WITH
+       |-- PII scrub cascade (q89), all langs (default config)
+       |sc1 AS (
+       |  SELECT doc_id, lang, source,
+       |    regexp_replace(text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+       |      '<EMAIL>', 'g') AS t1
+       |  FROM documents),
+       |sc2 AS (
+       |  SELECT doc_id, lang, source,
+       |    regexp_replace(regexp_replace(t1,
+       |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+       |      '<IP>', 'g'),
+       |      '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS text
+       |  FROM sc1),
+       |-- quality + repetition gates (q82/q87 trees; no classifier)
+       |pr0 AS (
+       |  SELECT doc_id, lang, source, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wsl,
+       |    list_filter(regexp_split_to_array(
+       |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |      x -> x <> '') AS wn
+       |  FROM sc2),
+       |wc AS (SELECT doc_id, w, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(wn) AS w FROM pr0) GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, max(c) AS top_word, sum(c) AS n_words
+       |        FROM wc GROUP BY 1),
+       |feat AS (
+       |  SELECT p.doc_id, p.lang, p.source, p.text,
+       |    CAST(len(p.ws) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(p.text) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE len(regexp_replace(p.text, '[^.!?,;:]', '', 'g'))
+       |              / CAST(len(p.text) AS DOUBLE) END AS pr,
+       |    len(list_filter(p.wsl, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |      / CAST(len(p.ws) AS DOUBLE) AS sr,
+       |    r.top_word, r.n_words
+       |  FROM pr0 p LEFT JOIN rep r USING (doc_id)),
+       |gated AS (
+       |  SELECT doc_id, lang, source, text, n_tokens
+       |  FROM feat
+       |  WHERE least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+       |          * (CAST(1.0 AS DOUBLE) - pr) * (CAST(0.5 AS DOUBLE) + sr) > 0.3
+       |    AND n_words > 0
+       |    AND CAST(top_word AS DOUBLE) / n_words <= 0.5),
+       |-- decontamination (q75): benchmark = doc_id%10=0, doubled spaces
+       |bm AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(
+       |    lower(replace(text, ' ', '  ')), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |cleaned AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM gated s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bm
+       |    WHERE bm.fp = md5(trim(regexp_replace(lower(s.text), '\\s+', ' ', 'g'))))),
+       |-- exact keep-first dedup on the fingerprint
+       |dd AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM cleaned),
+       |survivors AS (SELECT doc_id, lang, source, n_tokens FROM dd WHERE rk = 1),
+       |-- SemDeDup drop set over the documents' embedding rows
+       |${graft.oracle.AnnOracles.semanticDroppedCtes(
+           "SELECT vec_id AS id, embedding AS v FROM embeddings",
+           450000000000L)},
+       |semfinal AS (
+       |  SELECT s.* FROM survivors s
+       |  LEFT JOIN sem_dropped d ON d.id = s.doc_id
+       |  WHERE d.id IS NULL),
+       |-- sequence packing by source (q82)
+       |pc AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source
+       |                                  ORDER BY doc_id) AS BIGINT) AS cum
+       |  FROM semfinal)
+       |SELECT doc_id, source, lang, n_tokens,
+       |       (cum - n_tokens) // 1024 AS seq_id,
+       |       (cum - n_tokens) % 1024 AS seq_offset
+       |FROM pc""".stripMargin
+  }
+
   /** q124 oracle: the frozen-model streaming curation chain's batch
     * equivalent (ordered ingest ⇒ identical results). Shares q123's
     * gate fragments; differs in the model sourcing — DSIR counts come
@@ -5173,6 +5294,9 @@ object SparkEntry {
     // streaming twin: id-ordered ingest + full fingerprint index ⇒
     // identical survivor set, oracle shared verbatim
     "q169_stream_semantic_dedup" -> graft.oracle.AnnOracles.q168Sql(),
+    // curation composition with the SemDeDup stage (q123 fragments +
+    // the sd_ drop-set CTEs)
+    "q170_curate_semantic" -> q170Sql,
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -156,6 +156,57 @@ object AnnOracles {
        |LEFT JOIN dup d ON d.id = g.id WHERE d.id IS NULL""".stripMargin
   }
 
+  /** CTE fragment replaying the ids DROPPED by
+    * [[graft.pipeline.Curation.semanticDedupFixed]] over `srcSql`
+    * (must yield `(id, v)`): ends in `sem_dropped(id)`. All CTE
+    * names are `sd_`-prefixed so the fragment composes into larger
+    * chains (q170's full-curation gate) without collisions; the
+    * construction is q168's — raw-vector d² assignment against the
+    * first-`nCentroids` embeddings, exact position-join integer dots
+    * of fixed-point unit vectors, drop = any smaller-id ≥threshold
+    * same-cluster neighbor.
+    */
+  def semanticDroppedCtes(srcSql: String, thresholdFp: Long,
+      nCentroids: Int = 8, dim: Int = 64): String =
+    s"""sd_e AS ($srcSql),
+       |sd_nn AS (SELECT id, v, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |    (a, b) -> a + b) AS n2 FROM sd_e),
+       |sd_vf AS MATERIALIZED (SELECT id, list_transform(
+       |    CASE WHEN sqrt(n2) > 0
+       |         THEN list_transform(v, x -> CAST(x AS DOUBLE) / sqrt(n2))
+       |         ELSE list_transform(v, x -> CAST(x AS DOUBLE)) END,
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vf FROM sd_nn),
+       |sd_ev AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS dv
+       |          FROM sd_e),
+       |sd_cent AS (SELECT vec_id AS cid, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id < $nCentroids),
+       |sd_dist AS (SELECT sd_ev.id, c.cid,
+       |    ${d2Chain("sd_ev.dv", "c.ce", dim)} AS d
+       |  FROM sd_ev CROSS JOIN sd_cent c),
+       |sd_bestd AS (SELECT id, min(d) AS md FROM sd_dist GROUP BY 1),
+       |sd_asg AS MATERIALIZED (
+       |  SELECT d.id, CAST(min(d.cid) AS BIGINT) AS cluster
+       |  FROM sd_dist d JOIN sd_bestd b ON d.id = b.id AND d.d = b.md
+       |  GROUP BY 1),
+       |sd_pe AS MATERIALIZED (
+       |  SELECT id, i.i + 1 AS i, vf[CAST(i.i + 1 AS INT)] AS x
+       |  FROM sd_vf, range($dim) i(i)),
+       |sd_pairs AS MATERIALIZED (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sd_asg a JOIN sd_asg b
+       |    ON a.cluster = b.cluster AND a.id < b.id),
+       |sd_sc AS (
+       |  SELECT p.id_a, p.id_b, CAST(sum(pa.x * pb.x) AS BIGINT) AS s
+       |  FROM sd_pairs p
+       |  JOIN sd_pe pa ON pa.id = p.id_a
+       |  JOIN sd_pe pb ON pb.id = p.id_b AND pb.i = pa.i
+       |  GROUP BY 1, 2),
+       |sem_dropped AS (
+       |  SELECT DISTINCT id_b AS id FROM sd_sc WHERE s >= $thresholdFp)"""
+      .stripMargin
+
   /** The left-assoc squared-distance chain between unit-list columns
     * `$a[i]` and `$b[i]`, i = 1..dim.
     */

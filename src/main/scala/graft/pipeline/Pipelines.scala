@@ -148,7 +148,15 @@ object Pipelines {
       // the paper's n ∈ {1,2} union when importanceUnigrams
       importanceMinAffinityFp: Long = 1000000000L,
       importanceBuckets: Int = 1 << 18,
-      importanceUnigrams: Boolean = false)
+      importanceUnigrams: Boolean = false,
+      // SemDeDup semantic dedup stage (used only when an `embeddings`
+      // frame is passed to curateCorpus): FROZEN centroids + exact
+      // fixed-point cosine threshold (Curation.semanticDedupFixed).
+      // Runs AFTER the exact dedup (the paper's order: lexical first,
+      // then embedding-space); docs with no embedding row pass through
+      // untouched — there is nothing to compare them against.
+      semanticCentroids: Option[Seq[Seq[Double]]] = None,
+      semanticThresholdFp: Long = 450000000000L)
 
   /** The full LLM training-data curation flow as ONE library call —
     * what a user of the reference's script-per-step world replaces
@@ -162,7 +170,9 @@ object Pipelines {
     *   optional DSIR importance resample against `importanceTarget`
     *   ([[Curation.importanceResample]]) → benchmark decontamination →
     *   exact near-dup dedup (first occurrence wins) → optional
-    *   temperature mixture rebalance → sequence packing.
+    *   SemDeDup semantic dedup against a caller-supplied `embeddings`
+    *   frame ([[Curation.semanticDedupFixed]]) → optional temperature
+    *   mixture rebalance → sequence packing.
     *
     * Plan shape at 100 TB: the scrub and both gates are map-only
     * column expressions riding the ingest scan (the repetition gate is
@@ -177,8 +187,10 @@ object Pipelines {
     */
   def curateCorpus(docs: DataFrame, benchmark: DataFrame,
       cfg: CurationConfig = CurationConfig(),
-      importanceTarget: Option[DataFrame] = None): DataFrame =
-    curateCorpusManaged(docs, benchmark, cfg, importanceTarget)._1
+      importanceTarget: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None): DataFrame =
+    curateCorpusManaged(docs, benchmark, cfg, importanceTarget,
+      embeddings)._1
 
   /** [[curateCorpus]] with a RELEASE HANDLE for the intermediates the
     * plan keeps cached (the gated scan feeding four branches, the
@@ -191,10 +203,19 @@ object Pipelines {
     */
   def curateCorpusManaged(docs: DataFrame, benchmark: DataFrame,
       cfg: CurationConfig = CurationConfig(),
-      importanceTarget: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+      importanceTarget: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     import graft.functions.RepetitionExpressions
     import graft.text.TextAnalysis
 
+    require(embeddings.isEmpty || cfg.semanticCentroids.nonEmpty,
+      "embeddings passed without semanticCentroids — the semantic " +
+        "dedup stage needs its frozen centroids (train them once via " +
+        "clusterBalancedSample's KMeans or pin a fixed set)")
+    embeddings.foreach(e => require(
+      e.columns.contains("doc_id") && e.columns.contains("embedding"),
+      s"embeddings frame must carry (doc_id, embedding), got " +
+        e.columns.mkString("(", ", ", ")")))
     cfg.fluencyTiers.foreach(t => require(t >= 2,
       s"fluencyTiers must be >= 2 (got $t): with one tier every scored " +
         "document lands in the dropped bucket and the gate inverts"))
@@ -303,8 +324,22 @@ object Pipelines {
       .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
     val deduped = Prep.dedupKeepFirst(cleaned, Seq("__fp"), Seq(col("doc_id")))
       .drop("__fp")
-    val sampled = cfg.budget.fold(deduped)(b =>
-      Curation.mixtureSample(deduped, "lang", col("doc_id"), b))
+    // SemDeDup stage (paper order: after the lexical dedup): compute
+    // the embedding-space DROP set once and anti-join it away — docs
+    // with no embedding row never appear in it and pass through. The
+    // survivor frame is materialized+persisted inside
+    // semanticDedupFixed; the release handle frees it with the rest.
+    val semDeduped = embeddings.fold(deduped) { emb =>
+      val surv = Curation.semanticDedupFixed(emb, "doc_id", "embedding",
+        cfg.semanticCentroids.get, cfg.semanticThresholdFp)
+      cached += surv
+      val droppedIds = emb.select(col("doc_id"))
+        .join(surv.select(col("id").as("doc_id")), Seq("doc_id"),
+          "left_anti")
+      deduped.join(droppedIds, Seq("doc_id"), "left_anti")
+    }
+    val sampled = cfg.budget.fold(semDeduped)(b =>
+      Curation.mixtureSample(semDeduped, "lang", col("doc_id"), b))
     val packed = Curation.packSequences(
       sampled, cfg.shardCol, "doc_id", col("n_tokens"), cfg.seqLen)
     (packed, () => cached.foreach(_.unpersist()))

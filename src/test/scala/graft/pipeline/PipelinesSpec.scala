@@ -231,6 +231,35 @@ class PipelinesSpec extends SparkSpec {
     assert(keptNoUrl === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("curateCorpus semantic stage drops embedding-dups of lexically distinct docs") {
+    import org.apache.spark.sql.functions._
+    def goodText(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    val docs = Seq(
+      (1L, goodText(1), "en", "srcA"),
+      (2L, goodText(2), "en", "srcA"), // lexically distinct, embedding = doc 1's
+      (3L, goodText(3), "en", "srcB"), // distinct embedding → survives
+      (4L, goodText(4), "en", "srcB")  // NO embedding row → survives
+    ).toDF("doc_id", "text", "lang", "source")
+    val e1 = Seq(1.0f, 0f, 0f, 0f)
+    val e3 = Seq(0f, 1.0f, 0f, 0f)
+    val emb = Seq(1L -> e1, 2L -> e1, 3L -> e3).toDF("doc_id", "embedding")
+    val none = spark.emptyDataFrame.select(lit("").as("text")).limit(0)
+    val cents = Seq(Seq(0.0, 0.0, 0.0, 0.0))
+    val kept = Pipelines.curateCorpus(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100,
+        semanticCentroids = Some(cents), semanticThresholdFp = 990000000000L),
+      embeddings = Some(emb))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // doc 2 is an exact lexical non-dup but an embedding-space dup of 1
+    assert(kept === Seq(1L, 3L, 4L))
+    // embeddings without centroids is a loud config error
+    assertThrows[IllegalArgumentException] {
+      Pipelines.curateCorpus(docs, none, Pipelines.CurationConfig(),
+        embeddings = Some(emb))
+    }
+  }
+
   test("curateCorpus domainCapN bounds survivors per domain after URL dedup") {
     import org.apache.spark.sql.functions._
     def goodText(i: Int): String =
