@@ -78,7 +78,12 @@ object Bench {
     // The q154 audit is a composition of this and the q119 gram
     // machinery, and q155 a cross-join verifier (the q123 rule: no
     // headline slot for compositions/verifiers).
-    "q153_bm25_topk")
+    "q153_bm25_topk",
+    // round-12-late surface: SemDeDup — the within-cluster pair join
+    // over fixed-point unit vectors (Σ|c|² candidate bound) is a new
+    // operator shape, not a composition. q169/q170 are its streaming
+    // twin and curation composition (the q123 rule: no slots).
+    "q168_semantic_dedup")
 
   /** The q95 harness WITHOUT its operator: identical staging (two
     * single-file parquet batches, staggered mtimes), identical

@@ -1845,6 +1845,29 @@ object SparkEntry {
     res
   }
 
+  /** Semantic dup CLUSTERING: the SemDeDup pair set
+    * ([[graft.pipeline.Curation.semanticPairsFixed]], threshold 0.9 —
+    * components stay exact-copy-sized) fed to the distributed
+    * min-label propagation ([[graft.dedup.Dedup.clusterSurvivors]]) —
+    * the aggressive transitive policy next to q168's greedy local one
+    * (a local-min doc q168 keeps can drop here when its component's
+    * global min is elsewhere). Oracle replays the closure recursively
+    * ([[graft.oracle.AnnOracles.q171Sql]]).
+    */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding")))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val pairs = graft.pipeline.Curation.semanticPairsFixed(planted,
+      "vec_id", "embedding", centroids, thresholdFp = 900000000000L)
+    graft.dedup.Dedup.clusterSurvivors(
+      planted.select("vec_id"), "vec_id", pairs)
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3671,7 +3694,8 @@ object SparkEntry {
     "q167_stream_resample" -> (q167 _),
     "q168_semantic_dedup" -> (q168 _),
     "q169_stream_semantic_dedup" -> (q169 _),
-    "q170_curate_semantic" -> (q170 _))
+    "q170_curate_semantic" -> (q170 _),
+    "q171_semantic_clusters" -> (q171 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5297,6 +5321,8 @@ object SparkEntry {
     // curation composition with the SemDeDup stage (q123 fragments +
     // the sd_ drop-set CTEs)
     "q170_curate_semantic" -> q170Sql,
+    // semantic dup clustering: SemDeDup pairs → recursive closure
+    "q171_semantic_clusters" -> graft.oracle.AnnOracles.q171Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -156,6 +156,40 @@ object AnnOracles {
        |LEFT JOIN dup d ON d.id = g.id WHERE d.id IS NULL""".stripMargin
   }
 
+  /** q171: semantic dup CLUSTERING — the [[semanticDroppedCtes]] pair
+    * set fed to a recursive min-label transitive closure (the q54Sql
+    * construction), survivors = component minima plus unpaired docs.
+    * High threshold (0.9): components are the planted exact-copy
+    * pairs plus rare high-cosine links, so the closure stays tiny.
+    */
+  def q171Sql(thresholdFp: Long = 900000000000L, nCentroids: Int = 8,
+      dim: Int = 64): String = {
+    val planted =
+      """SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings""".stripMargin
+    val pairsSql =
+      s"""WITH
+         |${semanticDroppedCtes(planted, thresholdFp, nCentroids, dim)}
+         |SELECT id_a, id_b FROM sd_sc WHERE s >= $thresholdFp""".stripMargin
+    s"""WITH RECURSIVE pairs AS MATERIALIZED ($pairsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT a AS id, b AS r FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+       |),
+       |labels AS (SELECT id, least(id, min(r)) AS cluster_id
+       |           FROM reach GROUP BY 1),
+       |alldocs AS (
+       |  SELECT vec_id FROM embeddings
+       |  UNION ALL SELECT vec_id + 100000 FROM embeddings)
+       |SELECT d.vec_id FROM alldocs d LEFT JOIN labels l ON d.vec_id = l.id
+       |WHERE l.cluster_id IS NULL OR l.cluster_id = d.vec_id""".stripMargin
+  }
+
   /** CTE fragment replaying the ids DROPPED by
     * [[graft.pipeline.Curation.semanticDedupFixed]] over `srcSql`
     * (must yield `(id, v)`): ends in `sem_dropped(id)`. All CTE

@@ -548,27 +548,11 @@ object Curation {
       maxClusterSize: Long = 1L << 20, subPlanes: Int = 6,
       dim: Int = 64): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val F = graft.functions.FixedAnnExpressions
-    val assigned = embeddings.select(col(idCol).as("id"),
-      assignFixedCentroids(col(vecCol), centroids).as("cluster"),
-      F.fixedPoint(F.unitVec(col(vecCol))).as("vf"))
+    val assigned = semanticAssign(embeddings, idCol, vecCol, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sizes = assigned.groupBy("cluster")
-        .agg(count(lit(1)).as("__n"))
-      val keyed = assigned
-        .join(broadcast(sizes), Seq("cluster"))
-        .withColumn("sub",
-          when(col("cluster") >= 0 && col("__n") > maxClusterSize,
-            element_at(F.rademacherBuckets(col("vf"), 1, subPlanes, dim), 1))
-            .otherwise(lit(0L)))
-      val l = keyed.filter(col("cluster") >= 0).select(
-        col("cluster"), col("sub"), col("id").as("id_a"), col("vf").as("va"))
-      val r = keyed.filter(col("cluster") >= 0).select(
-        col("cluster"), col("sub"), col("id").as("id_b"), col("vf").as("vb"))
-      val dropped = l.join(r, Seq("cluster", "sub"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(F.longDot(col("va"), col("vb")) >= thresholdFp)
+      val dropped = semanticCandidatePairs(assigned, thresholdFp,
+        maxClusterSize, subPlanes, dim)
         .select(col("id_b").as("id")).distinct()
       val out = assigned.select(col("id"), col("cluster"))
         .join(dropped, Seq("id"), "left_anti")
@@ -576,6 +560,67 @@ object Curation {
       out.count()
       out
     } finally assigned.unpersist()
+  }
+
+  /** Within-cluster ≥`thresholdFp` candidate PAIRS (`id_a < id_b`)
+    * under the frozen centroids — the edge set every SemDeDup policy
+    * consumes: [[semanticDedupFixed]]'s greedy min-id drop is
+    * `distinct id_b`; connected-component clustering (q171) feeds the
+    * same edges to [[graft.dedup.Dedup.clusters]] for the aggressive
+    * transitive policy. Same assignment kernel, sub-bucket skew guard
+    * and Σ|cluster|² scale bound as [[semanticDedupFixed]]; the pairs
+    * are localCheckpoint-materialized (iterative consumers re-read
+    * them every propagation round).
+    */
+  def semanticPairsFixed(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], thresholdFp: Long,
+      maxClusterSize: Long = 1L << 20, subPlanes: Int = 6,
+      dim: Int = 64): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val assigned = semanticAssign(embeddings, idCol, vecCol, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try semanticCandidatePairs(assigned, thresholdFp, maxClusterSize,
+      subPlanes, dim).localCheckpoint(true)
+    finally assigned.unpersist()
+  }
+
+  /** (id, cluster, vf): nearest-frozen-centroid assignment + the
+    * fixed-point unit vector, the shared first pass of the semantic
+    * dedup family.
+    */
+  private def semanticAssign(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    val F = graft.functions.FixedAnnExpressions
+    embeddings.select(col(idCol).as("id"),
+      assignFixedCentroids(col(vecCol), centroids).as("cluster"),
+      F.fixedPoint(F.unitVec(col(vecCol))).as("vf"))
+  }
+
+  /** The (cluster, sub)-keyed ≥threshold pair join over an `assigned`
+    * frame (id, cluster, vf) — cluster −1 rows never compared, the
+    * oversized-cluster Rademacher sub-bucket guard as documented on
+    * [[semanticDedupFixed]]. Returns (id_a, id_b), id_a < id_b.
+    */
+  private def semanticCandidatePairs(assigned: DataFrame,
+      thresholdFp: Long, maxClusterSize: Long, subPlanes: Int,
+      dim: Int): DataFrame = {
+    val F = graft.functions.FixedAnnExpressions
+    val sizes = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("__n"))
+    val keyed = assigned
+      .join(broadcast(sizes), Seq("cluster"))
+      .withColumn("sub",
+        when(col("cluster") >= 0 && col("__n") > maxClusterSize,
+          element_at(F.rademacherBuckets(col("vf"), 1, subPlanes, dim), 1))
+          .otherwise(lit(0L)))
+    val l = keyed.filter(col("cluster") >= 0).select(
+      col("cluster"), col("sub"), col("id").as("id_a"), col("vf").as("va"))
+    val r = keyed.filter(col("cluster") >= 0).select(
+      col("cluster"), col("sub"), col("id").as("id_b"), col("vf").as("vb"))
+    l.join(r, Seq("cluster", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(F.longDot(col("va"), col("vb")) >= thresholdFp)
+      .select(col("id_a"), col("id_b"))
   }
 
   def clusterBalancedSample(embeddings: DataFrame, idCol: String,

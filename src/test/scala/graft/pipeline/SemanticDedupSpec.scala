@@ -62,6 +62,30 @@ class SemanticDedupSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 3L -> -1L))
   }
 
+  test("semanticPairsFixed edges: transitive component policy vs greedy min-id on a star") {
+    // star 1~5, 3~5 with 1!~3 (angles 0°/50°/25°, cos25≈.906 ≥ .9 >
+    // cos50≈.64) under ONE centroid: greedy keeps {1, 3} (3's only
+    // neighbor is LARGER), components keep {1} (3 joins 1's component
+    // through 5 even though 5 is dropped)
+    val one: Seq[Seq[Double]] = Seq(Seq.fill(8)(0.0))
+    def ang(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      vec(math.cos(r), math.sin(r), 0, 0, 0, 0, 0, 0)
+    }
+    val rows = df(Seq(1L -> ang(0), 3L -> ang(50), 5L -> ang(25)))
+    val tFp = 900000000000L
+    val pairs = Curation.semanticPairsFixed(rows, "id", "v", one, tFp,
+      dim = dim)
+    assert(pairs.as[(Long, Long)].collect().toSet ===
+      Set((1L, 5L), (3L, 5L)))
+    val componentSurvivors = graft.dedup.Dedup.clusterSurvivors(
+      rows.select("id"), "id", pairs).as[Long].collect().toSet
+    assert(componentSurvivors === Set(1L))
+    val greedySurvivors = Curation.semanticDedupFixed(rows, "id", "v",
+      one, tFp, dim = dim).select("id").as[Long].collect().toSet
+    assert(greedySurvivors === Set(1L, 3L))
+  }
+
   test("oversized-cluster guard: survivors are a superset of exact, drops are sound") {
     // 60 near-identical vectors in one cluster plus small jitter in a
     // trailing dimension — all pairwise cosine far above threshold
