@@ -1868,6 +1868,17 @@ object SparkEntry {
       planted.select("vec_id"), "vec_id", pairs)
   }
 
+  /** k-NN graph under the frozen first-8 unit centroids
+    * ([[graft.similarity.Ann.knnGraphFixed]]): every embedding's top-5
+    * list-mates by exact integer dot — the graph-construction
+    * primitive; hash-gated end to end
+    * ([[graft.oracle.AnnOracles.q172Sql]]).
+    */
+  private def q172(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Ann.knnGraphFixed(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 5,
+      centroids = unitHeadEmbeddings(s, dir, 8))
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3695,7 +3706,8 @@ object SparkEntry {
     "q168_semantic_dedup" -> (q168 _),
     "q169_stream_semantic_dedup" -> (q169 _),
     "q170_curate_semantic" -> (q170 _),
-    "q171_semantic_clusters" -> (q171 _))
+    "q171_semantic_clusters" -> (q171 _),
+    "q172_knn_graph" -> (q172 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5323,6 +5335,8 @@ object SparkEntry {
     "q170_curate_semantic" -> q170Sql,
     // semantic dup clustering: SemDeDup pairs → recursive closure
     "q171_semantic_clusters" -> graft.oracle.AnnOracles.q171Sql(),
+    // k-NN graph: unit-space assignment + within-list integer-dot top-k
+    "q172_knn_graph" -> graft.oracle.AnnOracles.q172Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

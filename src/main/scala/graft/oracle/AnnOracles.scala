@@ -156,6 +156,38 @@ object AnnOracles {
        |LEFT JOIN dup d ON d.id = g.id WHERE d.id IS NULL""".stripMargin
   }
 
+  /** q172: k-NN graph under frozen centroids
+    * ([[graft.similarity.Ann.knnGraphFixed]]) — unit-space d²
+    * assignment to the normalized first-`nlist` embeddings (the q52b
+    * construction), every vector ranked against its list-mates by
+    * exact integer dot (desc, neighbor asc), top-`k` kept. rank CAST
+    * to INT: Spark's row_number is int32, DuckDB's BIGINT.
+    */
+  def q172Sql(k: Int = 5, nlist: Int = 8, dim: Int = 64): String =
+    s"""WITH
+       |${unitCtes(embeddingsSrc)},
+       |cent AS (SELECT id AS cid, uv AS cv FROM unit WHERE id < $nlist),
+       |dist AS MATERIALIZED (
+       |  SELECT u.id, c.cid, ${d2Chain("u.uv", "c.cv", dim)} AS d2
+       |  FROM unit u CROSS JOIN cent c),
+       |best AS (SELECT id, min(d2) AS md FROM dist GROUP BY 1),
+       |asg AS MATERIALIZED (
+       |  SELECT d.id, min(d.cid) AS list_id
+       |  FROM dist d JOIN best b ON d.id = b.id AND d.d2 = b.md
+       |  GROUP BY 1),
+       |pairs AS (SELECT a.id AS vec_id, b.id AS neighbor_id
+       |          FROM asg a JOIN asg b
+       |            ON a.list_id = b.list_id AND a.id <> b.id),
+       |sc AS (SELECT p.vec_id, p.neighbor_id, ${dotFpSql(dim)} AS score_fp
+       |       FROM pairs p JOIN vf qv ON qv.id = p.vec_id
+       |                    JOIN vf cv ON cv.id = p.neighbor_id),
+       |rk AS (SELECT vec_id, neighbor_id, score_fp,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY score_fp DESC, neighbor_id) AS rank
+       |       FROM sc)
+       |SELECT vec_id, neighbor_id, score_fp, CAST(rank AS INT) AS rank
+       |FROM rk WHERE rank <= $k""".stripMargin
+
   /** q171: semantic dup CLUSTERING — the [[semanticDroppedCtes]] pair
     * set fed to a recursive min-label transitive closure (the q54Sql
     * construction), survivors = component minima plus unpaired docs.

@@ -320,6 +320,45 @@ object Ann {
     out
   }
 
+  /** Hash-gateable k-NN GRAPH under frozen centroids: every vector's
+    * top-`k` neighbors WITHIN its assigned list, ranked by exact
+    * integer dot (desc, neighbor id asc) — the graph-construction
+    * primitive graph-based ANN bootstraps, agglomerative semantic
+    * clustering and kNN-density scoring consume. Assignment is the
+    * IVF family's unit-space d² kernel ([[fixedAssigned]]); the
+    * candidate join is keyed by list, so the volume is Σ|list|² (the
+    * SemDeDup bound, never N²) and per-node top-k is a
+    * WindowGroupLimit (rank pruned map-side before the final sort).
+    * List −1 (null/short) vectors have no neighbors and emit no rows.
+    * Edges are DIRECTED: x→y ranks y among x's list-mates; the
+    * undirected union is a caller-side `unionByName(swap)`. At 100 TB
+    * the recall/cost knob is |centroids| — finer lists cut the
+    * quadratic term exactly as in [[ivfTopKFixed]].
+    */
+  def knnGraphFixed(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: Seq[Seq[Double]]): DataFrame = {
+    val a = fixedAssigned(corpus, idCol, vecCol, centroids)
+      .filter(col("list_id") >= 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val l = a.select(col("list_id"), col("neighbor_id").as("vec_id"),
+        col("vf").as("va"))
+      val r = a.select(col("list_id"), col("neighbor_id"), col("vf"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score_fp").desc, col("neighbor_id"))
+      val out = l.join(r, Seq("list_id"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("score_fp", dotFp(col("va"), col("vf")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("neighbor_id"), col("score_fp"),
+          col("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally a.unpersist()
+  }
+
   /** Hash-gateable LSH near-dup pairs: (id_a < id_b) sharing a
     * Rademacher-plane bucket in ≥1 table with exact integer dot ≥
     * `thresholdFp` (score_fp/1e12 ≈ cosine — pass cos·1e12). The

@@ -21,6 +21,34 @@ class AnnSpec extends SparkSpec {
     assert(got === Seq(2L, 3L, 4L)) // by descending cosine to (1,0)
   }
 
+  test("knnGraphFixed ranks list-mates by exact dot; no cross-list edges, no -1 rows") {
+    // two well-separated unit-space lists along axes 0 and 1
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.1f)),   // list 0
+      (2L, Array(1.0f, 0.2f)),   // list 0
+      (3L, Array(1.0f, 0.05f)),  // list 0
+      (10L, Array(0.1f, 1.0f)),  // list 1
+      (11L, Array(0.2f, 1.0f)),  // list 1
+      (20L, null.asInstanceOf[Array[Float]])) // list -1: no rows
+      .toDF("vec_id", "embedding")
+    val g = Ann.knnGraphFixed(corpus, "vec_id", "embedding", k = 2,
+      centroids = cents)
+    val rows = g.select("vec_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // directed edges stay within the list; node 1's nearest list-mate
+    // is 3 (cos to (1,.1): 3 beats 2), node 10's is 11
+    assert(rows.map(_._1) === Set(1L, 2L, 3L, 10L, 11L))
+    assert(rows.filter(_._1 == 1L).map(r => (r._2, r._3)) ===
+      Set((3L, 1), (2L, 2)))
+    assert(rows.filter(_._1 == 10L) === Set((10L, 11L, 1)))
+    assert(rows.filter(_._1 == 11L) === Set((11L, 10L, 1)))
+    // no edge crosses lists, nothing references the null vector
+    val lists = Map(1L -> 0, 2L -> 0, 3L -> 0, 10L -> 1, 11L -> 1)
+    rows.foreach { case (a, b, _) => assert(lists(a) === lists(b)) }
+    assert(!rows.exists(r => r._1 == 20L || r._2 == 20L))
+  }
+
   test("lshTopK achieves high recall@10 against brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)
