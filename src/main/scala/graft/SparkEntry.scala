@@ -1879,6 +1879,18 @@ object SparkEntry {
       "vec_id", "embedding", k = 5,
       centroids = unitHeadEmbeddings(s, dir, 8))
 
+  /** kNN-density outlier verdicts over the q172 graph
+    * ([[graft.similarity.Ann.knnDensity]]) — the D4-class
+    * off-distribution pruning signal; hash-gated
+    * ([[graft.oracle.AnnOracles.q173Sql]]).
+    */
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Ann.knnDensity(
+      graft.similarity.Ann.knnGraphFixed(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 5,
+        centroids = unitHeadEmbeddings(s, dir, 8)),
+      outlierBelowFp = 100000000000L)
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3707,7 +3719,8 @@ object SparkEntry {
     "q169_stream_semantic_dedup" -> (q169 _),
     "q170_curate_semantic" -> (q170 _),
     "q171_semantic_clusters" -> (q171 _),
-    "q172_knn_graph" -> (q172 _))
+    "q172_knn_graph" -> (q172 _),
+    "q173_knn_density" -> (q173 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5337,6 +5350,8 @@ object SparkEntry {
     "q171_semantic_clusters" -> graft.oracle.AnnOracles.q171Sql(),
     // k-NN graph: unit-space assignment + within-list integer-dot top-k
     "q172_knn_graph" -> graft.oracle.AnnOracles.q172Sql(),
+    // kNN-density outlier verdicts (floor(sum/count) double division)
+    "q173_knn_density" -> graft.oracle.AnnOracles.q173Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

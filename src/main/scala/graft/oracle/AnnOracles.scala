@@ -188,6 +188,22 @@ object AnnOracles {
        |SELECT vec_id, neighbor_id, score_fp, CAST(rank AS INT) AS rank
        |FROM rk WHERE rank <= $k""".stripMargin
 
+  /** q173: kNN-density prototypicality/outlier verdicts over the q172
+    * graph ([[graft.similarity.Ann.knnDensity]]). floor(sum/count) in
+    * DOUBLE on both engines (sum ≤ k·1e12 ≪ 2^53, so the division is
+    * exact-input): integer `div`/`//` would diverge on negative sums
+    * (Spark truncates, DuckDB floors).
+    */
+  def q173Sql(outlierBelowFp: Long = 100000000000L, k: Int = 5,
+      nlist: Int = 8, dim: Int = 64): String =
+    s"""WITH knn AS MATERIALIZED (${q172Sql(k, nlist, dim)}),
+       |d AS (SELECT vec_id,
+       |        CAST(floor(sum(score_fp) / count(*)) AS BIGINT) AS density_fp
+       |      FROM knn GROUP BY 1)
+       |SELECT vec_id, density_fp,
+       |       density_fp < $outlierBelowFp AS is_outlier
+       |FROM d""".stripMargin
+
   /** q171: semantic dup CLUSTERING — the [[semanticDroppedCtes]] pair
     * set fed to a recursive min-label transitive closure (the q54Sql
     * construction), survivors = component minima plus unpaired docs.

@@ -359,6 +359,24 @@ object Ann {
     } finally a.unpersist()
   }
 
+  /** kNN-density scoring over the [[knnGraphFixed]] edges — the
+    * D4-class prototypicality signal (Tirumala et al. 2023: prune
+    * off-distribution points after semantic dedup): `density_fp` =
+    * floor(mean of a node's top-k neighbor dots), exact integers so
+    * the verdict hash-gates. Nodes BELOW `outlierBelowFp` are the
+    * off-distribution candidates (gibberish, wrong-modality noise,
+    * embedding failures); isolated vectors — list −1 or alone in
+    * their list — emit NO row and need a caller policy (they are
+    * "unknown", not "dense"). Runs on the graph relation, so the
+    * corpus pays the Σ|list|² join once for both dedup candidates and
+    * density.
+    */
+  def knnDensity(graph: DataFrame, outlierBelowFp: Long): DataFrame =
+    graph.groupBy(col("vec_id"))
+      .agg(floor(sum(col("score_fp")) / count(lit(1))).cast("long")
+        .as("density_fp"))
+      .withColumn("is_outlier", col("density_fp") < outlierBelowFp)
+
   /** Hash-gateable LSH near-dup pairs: (id_a < id_b) sharing a
     * Rademacher-plane bucket in ≥1 table with exact integer dot ≥
     * `thresholdFp` (score_fp/1e12 ≈ cosine — pass cos·1e12). The

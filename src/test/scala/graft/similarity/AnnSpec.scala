@@ -49,6 +49,36 @@ class AnnSpec extends SparkSpec {
     assert(!rows.exists(r => r._1 == 20L || r._2 == 20L))
   }
 
+  test("knnDensity floors negative means and skips isolated vectors") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),    // list 0: its 2 mates are near-opposite
+      (2L, Array(0.6f, -0.8f)),   // list 0 (closer to c0 than c1)
+      (3L, Array(0.9f, 0.3f)),    // list 0
+      (10L, Array(0.1f, 1.0f)))   // list 1: ALONE → no graph row, no density row
+    .toDF("vec_id", "embedding")
+    val g = Ann.knnGraphFixed(corpus, "vec_id", "embedding", k = 2, cents)
+    val d = Ann.knnDensity(g, outlierBelowFp = 0L)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // Verify against the floored-double-division contract directly:
+    g.select("vec_id", "score_fp").as[(Long, Long)].collect()
+      .groupBy(_._1).foreach { case (id, rows) =>
+        val exp = math.floor(rows.map(_._2).sum.toDouble / rows.size).toLong
+        assert(d(id)._1 === exp, s"node $id")
+      }
+    assert(!d.contains(10L)) // isolated: unknown, not dense
+    // a node whose mean is negative floors DOWNWARD (not toward zero)
+    val neg = Ann.knnDensity(
+      Ann.knnGraphFixed(Seq(
+        (1L, Array(1.0f, 0.0f)), (2L, Array(-0.8f, 0.59f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", 2,
+        Seq(Seq(0.0, 0.0))),
+      outlierBelowFp = 0L).as[(Long, Long, Boolean)].collect()
+    neg.foreach { case (_, dens, out) => assert(dens < 0 && out) }
+    // floor, not truncate: density of the exact dot (odd value) halves
+    assert(neg.map(_._2).toSet.size === 1) // symmetric pair, same mean
+  }
+
   test("lshTopK achieves high recall@10 against brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)
