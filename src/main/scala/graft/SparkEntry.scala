@@ -1891,6 +1891,26 @@ object SparkEntry {
         centroids = unitHeadEmbeddings(s, dir, 8)),
       outlierBelowFp = 100000000000L)
 
+  /** The D4-style selection pipeline (Tirumala et al. 2023) in the
+    * fixed hash-gateable form: SemDeDup survivors (q168's raw-space
+    * kernel, no plants) → k-NN graph + density over the SURVIVOR set
+    * (q172/q173 unit-space kernels, full-corpus frozen centroids) →
+    * drop off-distribution survivors. Isolated survivors (no
+    * list-mates left after dedup) keep a NULL density — "unknown"
+    * passes, only measured outliers drop.
+    */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val rawCents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    graft.pipeline.Curation.d4Select(emb, "vec_id", "embedding",
+      rawCents, dedupThresholdFp = 450000000000L,
+      unitCentroids = unitHeadEmbeddings(s, dir, 8), k = 5,
+      outlierBelowFp = 100000000000L)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3720,7 +3740,8 @@ object SparkEntry {
     "q170_curate_semantic" -> (q170 _),
     "q171_semantic_clusters" -> (q171 _),
     "q172_knn_graph" -> (q172 _),
-    "q173_knn_density" -> (q173 _))
+    "q173_knn_density" -> (q173 _),
+    "q174_d4_select" -> (q174 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5352,6 +5373,8 @@ object SparkEntry {
     "q172_knn_graph" -> graft.oracle.AnnOracles.q172Sql(),
     // kNN-density outlier verdicts (floor(sum/count) double division)
     "q173_knn_density" -> graft.oracle.AnnOracles.q173Sql(),
+    // D4 pipeline: SemDeDup survivors → survivor-set kNN density prune
+    "q174_d4_select" -> graft.oracle.AnnOracles.q174Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -204,6 +204,50 @@ object AnnOracles {
        |       density_fp < $outlierBelowFp AS is_outlier
        |FROM d""".stripMargin
 
+  /** q174: the D4 pipeline — SemDeDup survivors (raw-space kernel,
+    * [[semanticDroppedCtes]]) → unit-space k-NN graph + density over
+    * the SURVIVOR set (full-corpus centroids — frozen params don't
+    * shrink with the corpus) → drop measured outliers, keep isolated
+    * survivors with NULL density.
+    */
+  def q174Sql(dedupThresholdFp: Long = 450000000000L,
+      outlierBelowFp: Long = 100000000000L, k: Int = 5,
+      nCentroids: Int = 8, dim: Int = 64): String =
+    s"""WITH
+       |${semanticDroppedCtes(embeddingsSrc, dedupThresholdFp, nCentroids, dim)},
+       |surv AS MATERIALIZED (
+       |  SELECT e0.vec_id AS id FROM embeddings e0
+       |  LEFT JOIN sem_dropped sdp ON sdp.id = e0.vec_id
+       |  WHERE sdp.id IS NULL),
+       |${unitCtes(embeddingsSrc)},
+       |cent AS (SELECT id AS cid, uv AS cv FROM unit WHERE id < $nCentroids),
+       |su AS (SELECT u.id, u.uv FROM unit u JOIN surv ON surv.id = u.id),
+       |dist AS MATERIALIZED (
+       |  SELECT su.id, c.cid, ${d2Chain("su.uv", "c.cv", dim)} AS d2
+       |  FROM su CROSS JOIN cent c),
+       |best AS (SELECT id, min(d2) AS md FROM dist GROUP BY 1),
+       |asg AS MATERIALIZED (
+       |  SELECT d.id, min(d.cid) AS list_id
+       |  FROM dist d JOIN best b ON d.id = b.id AND d.d2 = b.md
+       |  GROUP BY 1),
+       |pairs AS (SELECT a.id AS vec_id, b.id AS neighbor_id
+       |          FROM asg a JOIN asg b
+       |            ON a.list_id = b.list_id AND a.id <> b.id),
+       |sc AS (SELECT p.vec_id, p.neighbor_id, ${dotFpSql(dim)} AS score_fp
+       |       FROM pairs p JOIN vf qv ON qv.id = p.vec_id
+       |                    JOIN vf cv ON cv.id = p.neighbor_id),
+       |rk AS (SELECT vec_id, score_fp,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY score_fp DESC, neighbor_id) AS rank
+       |       FROM sc),
+       |dns AS (SELECT vec_id,
+       |          CAST(floor(sum(score_fp) / count(*)) AS BIGINT) AS density_fp
+       |        FROM rk WHERE rank <= $k GROUP BY 1)
+       |SELECT s.id AS vec_id, dns.density_fp
+       |FROM surv s LEFT JOIN dns ON dns.vec_id = s.id
+       |WHERE dns.density_fp IS NULL OR dns.density_fp >= $outlierBelowFp"""
+      .stripMargin
+
   /** q171: semantic dup CLUSTERING — the [[semanticDroppedCtes]] pair
     * set fed to a recursive min-label transitive closure (the q54Sql
     * construction), survivors = component minima plus unpaired docs.

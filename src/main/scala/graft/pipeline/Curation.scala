@@ -584,6 +584,34 @@ object Curation {
     finally assigned.unpersist()
   }
 
+  /** D4-style data selection (Tirumala et al. 2023): SemDeDup
+    * survivors ([[semanticDedupFixed]], raw-space centroids) → k-NN
+    * graph + density over the SURVIVOR set
+    * ([[graft.similarity.Ann.knnGraphFixed]]/`knnDensity`, unit-space
+    * centroids — frozen params, so they do NOT shrink with the
+    * corpus) → drop measured off-distribution survivors. Isolated
+    * survivors (no list-mates left after dedup) keep a NULL density
+    * and PASS — "unknown", not "outlier". Returns
+    * (id, density_fp nullable). Hash-gated end to end as q174.
+    */
+  def d4Select(embeddings: DataFrame, idCol: String, vecCol: String,
+      rawCentroids: Seq[Seq[Double]], dedupThresholdFp: Long,
+      unitCentroids: Seq[Seq[Double]], k: Int,
+      outlierBelowFp: Long): DataFrame = {
+    val surv = semanticDedupFixed(embeddings, idCol, vecCol,
+      rawCentroids, dedupThresholdFp).select(col("id"))
+    val kept = embeddings.join(surv.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_semi")
+    val dens = graft.similarity.Ann.knnDensity(
+      graft.similarity.Ann.knnGraphFixed(kept, idCol, vecCol, k,
+        unitCentroids),
+      outlierBelowFp)
+      .withColumnRenamed("vec_id", "id")
+    surv.join(dens, Seq("id"), "left")
+      .filter(col("is_outlier").isNull || !col("is_outlier"))
+      .select(col("id"), col("density_fp"))
+  }
+
   /** (id, cluster, vf): nearest-frozen-centroid assignment + the
     * fixed-point unit vector, the shared first pass of the semantic
     * dedup family.

@@ -86,6 +86,34 @@ class SemanticDedupSpec extends SparkSpec {
     assert(greedySurvivors === Set(1L, 3L))
   }
 
+  test("d4Select drops exact dups, then measured outliers; isolated survivors pass") {
+    val one: Seq[Seq[Double]] = Seq(Seq.fill(8)(0.0))
+    def ang(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      vec(math.cos(r), math.sin(r), 0, 0, 0, 0, 0, 0)
+    }
+    // 1,2 = exact copies (dedup drops 2); 3,4 = a coherent near pair;
+    // 5 = far from everything (its best dots are negative → outlier)
+    val rows = Seq(
+      1L -> ang(0), 2L -> ang(0), 3L -> ang(10), 4L -> ang(30),
+      5L -> ang(170)).toDF("id", "v")
+    val got = Curation.d4Select(rows, "id", "v",
+      rawCentroids = one, dedupThresholdFp = 990000000000L,
+      unitCentroids = one, k = 2, outlierBelowFp = 500000000000L)
+      .as[(Long, Option[Long])].collect().toMap
+    // 2 deduped away; 5 measured far below 0.5 mean cosine → dropped;
+    // 1/3/4 survive with real densities
+    assert(got.keySet === Set(1L, 3L, 4L))
+    assert(got.values.forall(_.exists(_ >= 500000000000L)))
+    // isolated survivor: a second corpus where dedup leaves one vector
+    // alone in its list → NULL density, still kept
+    val iso = Seq(1L -> ang(0), 2L -> ang(0)).toDF("id", "v")
+    val gotIso = Curation.d4Select(iso, "id", "v", one,
+      990000000000L, one, 2, 500000000000L)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(gotIso === Map(1L -> None))
+  }
+
   test("oversized-cluster guard: survivors are a superset of exact, drops are sound") {
     // 60 near-identical vectors in one cluster plus small jitter in a
     // trailing dimension — all pairwise cosine far above threshold
