@@ -1911,6 +1911,21 @@ object SparkEntry {
       .withColumnRenamed("id", "vec_id")
   }
 
+  /** MMR diversified re-rank over the q48b LSH shortlist
+    * ([[graft.similarity.Ann.mmrRerank]], λ = 1/2): the RAG
+    * diversification pass, k unrolled argmax steps replayed by
+    * [[graft.oracle.AnnOracles.q175Sql]].
+    */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cand = graft.similarity.Ann.lshTopKFixed(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 20, tables = 32, planes = 4, dim = 64)
+    graft.similarity.Ann.mmrRerank(cand,
+      graft.similarity.Ann.fixedUnitVectors(e, "vec_id", "embedding"),
+      k = 5)
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3741,7 +3756,8 @@ object SparkEntry {
     "q171_semantic_clusters" -> (q171 _),
     "q172_knn_graph" -> (q172 _),
     "q173_knn_density" -> (q173 _),
-    "q174_d4_select" -> (q174 _))
+    "q174_d4_select" -> (q174 _),
+    "q175_mmr_rerank" -> (q175 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5375,6 +5391,8 @@ object SparkEntry {
     "q173_knn_density" -> graft.oracle.AnnOracles.q173Sql(),
     // D4 pipeline: SemDeDup survivors → survivor-set kNN density prune
     "q174_d4_select" -> graft.oracle.AnnOracles.q174Sql(),
+    // MMR re-rank: k unrolled integer argmax steps over the shortlist
+    "q175_mmr_rerank" -> graft.oracle.AnnOracles.q175Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -204,6 +204,73 @@ object AnnOracles {
        |       density_fp < $outlierBelowFp AS is_outlier
        |FROM d""".stripMargin
 
+  /** q175: MMR diversified re-rank
+    * ([[graft.similarity.Ann.mmrRerank]]) over the q48b LSH shortlist
+    * — k unrolled argmax steps (the q159 unrolled-DP pattern): each
+    * step anti-joins the picked set, takes max integer dot to every
+    * picked doc, and argmaxes `lamN·rel − lamM·maxsim` with
+    * neighbor-id tie-break. The nested q48b subquery re-derives its
+    * own unit CTEs in its own scope; the outer `vf` serves the
+    * doc-doc sims.
+    */
+  def q175Sql(k: Int = 5, shortlist: Int = 20, lambdaNum: Long = 1L,
+      lambdaDen: Long = 2L, tables: Int = 32, planes: Int = 4,
+      dim: Int = 64, nQueries: Int = 10): String = {
+    val lamM = lambdaDen - lambdaNum
+    val sb = new StringBuilder
+    // outer fixed-point unit vectors under m-prefixed names: DuckDB
+    // rejects duplicate CTE aliases even across nested scopes, and the
+    // q48b subquery owns e/nn/unit/vf
+    sb.append(
+      s"""WITH mvf AS MATERIALIZED (
+         |  SELECT id, list_transform(
+         |    CASE WHEN sqrt(n2) > 0
+         |         THEN list_transform(v, x -> CAST(x AS DOUBLE) / sqrt(n2))
+         |         ELSE list_transform(v, x -> CAST(x AS DOUBLE)) END,
+         |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vf
+         |  FROM (SELECT id, v, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |          (a, b) -> a + b) AS n2
+         |        FROM ($embeddingsSrc)))""".stripMargin + ",\n")
+    sb.append(
+      s"mcand AS MATERIALIZED (${q48bSql(shortlist, tables, planes, dim, nQueries)}),\n")
+    sb.append(
+      s"""sel1 AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, CAST(1 AS INT) AS mmr_rank FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY score_fp DESC, neighbor_id) AS rn
+         |    FROM mcand) WHERE rn = 1),
+         |all1 AS (SELECT * FROM sel1)""".stripMargin + ",\n")
+    for (i <- 2 to k) {
+      val p = i - 1
+      sb.append(
+        s"""rem$i AS (SELECT c.* FROM mcand c
+           |  LEFT JOIN all$p s ON s.query_id = c.query_id
+           |    AND s.neighbor_id = c.neighbor_id
+           |  WHERE s.neighbor_id IS NULL),
+           |ms$i AS (SELECT r.query_id, r.neighbor_id,
+           |    max(${dotFpSql(dim)}) AS ms_fp
+           |  FROM rem$i r JOIN all$p s ON s.query_id = r.query_id
+           |  JOIN mvf qv ON qv.id = r.neighbor_id
+           |  JOIN mvf cv ON cv.id = s.neighbor_id
+           |  GROUP BY 1, 2),
+           |sel$i AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id, CAST($i AS INT) AS mmr_rank FROM (
+           |    SELECT r.query_id, r.neighbor_id, row_number() OVER (
+           |      PARTITION BY r.query_id
+           |      ORDER BY $lambdaNum * r.score_fp - $lamM * m.ms_fp DESC,
+           |               r.neighbor_id) AS rn
+           |    FROM rem$i r JOIN ms$i m ON m.query_id = r.query_id
+           |      AND m.neighbor_id = r.neighbor_id) WHERE rn = 1),
+           |all$i AS (SELECT * FROM all$p UNION ALL SELECT * FROM sel$i)"""
+          .stripMargin + ",\n")
+    }
+    sb.setLength(sb.length - 2)
+    sb.append(s"\nSELECT query_id, neighbor_id, mmr_rank FROM all$k")
+    sb.toString
+  }
+
   /** q174: the D4 pipeline — SemDeDup survivors (raw-space kernel,
     * [[semanticDroppedCtes]]) → unit-space k-NN graph + density over
     * the SURVIVOR set (full-corpus centroids — frozen params don't

@@ -359,6 +359,77 @@ object Ann {
     } finally a.unpersist()
   }
 
+  /** Fixed-point unit vectors `(id, vf)` — the similarity-space
+    * relation [[mmrRerank]] and caller-side compositions join against.
+    */
+  def fixedUnitVectors(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    unitized(df, idCol, vecCol).select(col("id"), fp(col("uv")).as("vf"))
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) in the fixed hash-gateable form — the diversification pass
+    * a RAG retrieval stack runs over its shortlist: pick the most
+    * relevant candidate, then repeatedly the one maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-picked. All integer: λ is
+    * the rational `lambdaNum/lambdaDen` and scores are compared as
+    * `lambdaNum·rel_fp − (lambdaDen−lambdaNum)·maxsim_fp` (same
+    * ordering, scaled by lambdaDen; ties break on neighbor id asc).
+    *
+    * `candidates`: (query_id, neighbor_id, score_fp) — a shortlist
+    * per query ([[lshTopKFixed]]'s output shape). `vectors`: (id, vf)
+    * from [[fixedUnitVectors]]. Returns (query_id, neighbor_id,
+    * mmr_rank 1..k).
+    *
+    * Scale shape: `k` sequential distributed steps (inherent to MMR's
+    * argmax dependency, the Bpe.train discipline) over a
+    * shortlist-sized relation — per-query cost k·|shortlist|·|picked|
+    * dots; the corpus is never touched after candidate generation.
+    * Selected-set state localCheckpoints per step to cut lineage.
+    */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame, k: Int,
+      lambdaNum: Long = 1L, lambdaDen: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda must be a fraction in [0,1]: $lambdaNum/$lambdaDen")
+    val lamM = lambdaDen - lambdaNum
+    val cand = candidates.select(col("query_id"), col("neighbor_id"),
+      col("score_fp").as("rel_fp"))
+      .join(vectors.withColumnRenamed("id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .localCheckpoint()
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_fp").desc, col("neighbor_id"))
+    var selected = cand
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("vf"),
+        lit(1).as("mmr_rank"))
+      .localCheckpoint()
+    var step = 2
+    while (step <= k) {
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = remaining.select(col("query_id"), col("neighbor_id"),
+        col("vf"))
+        .join(selected.select(col("query_id"), col("vf").as("svf")),
+          Seq("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(dotFp(col("vf"), col("svf"))).as("ms_fp"))
+      val wMmr = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr_fp").desc, col("neighbor_id"))
+      val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr_fp",
+          lit(lambdaNum) * col("rel_fp") - lit(lamM) * col("ms_fp"))
+        .withColumn("rn", row_number().over(wMmr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("vf"),
+          lit(step).as("mmr_rank"))
+      selected = selected.unionByName(pick).localCheckpoint()
+      step += 1
+    }
+    selected.select(col("query_id"), col("neighbor_id"), col("mmr_rank"))
+  }
+
   /** kNN-density scoring over the [[knnGraphFixed]] edges — the
     * D4-class prototypicality signal (Tirumala et al. 2023: prune
     * off-distribution points after semantic dedup): `density_fp` =

@@ -79,6 +79,33 @@ class AnnSpec extends SparkSpec {
     assert(neg.map(_._2).toSet.size === 1) // symmetric pair, same mean
   }
 
+  test("mmrRerank diversifies: near-duplicate of the top pick loses to an orthogonal doc") {
+    // query along axis 0; A≈B both highly relevant and mutually
+    // near-identical, C moderately relevant but orthogonal-ish.
+    // Pure relevance top-2 = (A, B); MMR λ=1/2 picks A then C.
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),  // the query itself
+      (1L, Array(0.99f, 0.14f, 0.0f)),  // A
+      (2L, Array(0.98f, 0.199f, 0.0f)), // B ≈ A
+      (3L, Array(0.7f, 0.0f, 0.71f)))   // C: less relevant, diverse
+      .toDF("vec_id", "embedding")
+    val vecs = Ann.fixedUnitVectors(emb, "vec_id", "embedding")
+    val qv = vecs.filter($"id" === 100L).select($"vf".as("qf"))
+    val cand = vecs.filter($"id" =!= 100L).crossJoin(qv)
+      .select(lit(100L).as("query_id"), $"id".as("neighbor_id"),
+        expr("aggregate(zip_with(vf, qf, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+          .as("score_fp"))
+    val relOrder = cand.orderBy($"score_fp".desc)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(relOrder.take(2) === Seq(1L, 2L)) // the fixture's premise
+    val mmr = Ann.mmrRerank(cand, vecs, k = 3)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(mmr === Seq(1L, 3L, 2L))
+    // k beyond the candidate count just stops producing ranks
+    val over = Ann.mmrRerank(cand, vecs, k = 9)
+    assert(over.count() === 3L)
+  }
+
   test("lshTopK achieves high recall@10 against brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)
