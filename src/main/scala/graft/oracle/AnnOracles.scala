@@ -125,35 +125,14 @@ object AnnOracles {
       """SELECT vec_id AS id, embedding AS v FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 100000, embedding FROM embeddings""".stripMargin
+    // ONE copy of the kernel: the same sd_ fragment q170/q171/q174
+    // compose, so every semantic-family oracle replays identical
+    // assignment/scoring SQL
     s"""WITH
-       |${unitCtes(planted)},
-       |ev AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS dv
-       |       FROM e),
-       |cent AS (SELECT vec_id AS cid, list_transform(embedding,
-       |           x -> CAST(x AS DOUBLE)) AS ce
-       |         FROM embeddings WHERE vec_id < $nCentroids),
-       |dist AS (SELECT ev.id, c.cid, ${d2Chain("ev.dv", "c.ce", dim)} AS d
-       |         FROM ev CROSS JOIN cent c),
-       |bestd AS (SELECT id, min(d) AS md FROM dist GROUP BY 1),
-       |asg AS MATERIALIZED (
-       |  SELECT d.id, CAST(min(d.cid) AS BIGINT) AS cluster
-       |  FROM dist d JOIN bestd b ON d.id = b.id AND d.d = b.md
-       |  GROUP BY 1),
-       |pe AS MATERIALIZED (
-       |  SELECT id, i.i + 1 AS i, vf[CAST(i.i + 1 AS INT)] AS x
-       |  FROM vf, range($dim) i(i)),
-       |pairs AS MATERIALIZED (
-       |  SELECT a.id AS id_a, b.id AS id_b
-       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id),
-       |sc AS (
-       |  SELECT p.id_a, p.id_b, CAST(sum(pa.x * pb.x) AS BIGINT) AS s
-       |  FROM pairs p
-       |  JOIN pe pa ON pa.id = p.id_a
-       |  JOIN pe pb ON pb.id = p.id_b AND pb.i = pa.i
-       |  GROUP BY 1, 2),
-       |dup AS (SELECT DISTINCT id_b AS id FROM sc WHERE s >= $thresholdFp)
-       |SELECT g.id AS vec_id, g.cluster FROM asg g
-       |LEFT JOIN dup d ON d.id = g.id WHERE d.id IS NULL""".stripMargin
+       |${semanticDroppedCtes(planted, thresholdFp, nCentroids, dim)}
+       |SELECT g.id AS vec_id, g.cluster FROM sd_asg g
+       |LEFT JOIN sem_dropped d ON d.id = g.id
+       |WHERE d.id IS NULL""".stripMargin
   }
 
   /** q172: k-NN graph under frozen centroids

@@ -597,9 +597,11 @@ object Curation {
   def d4Select(embeddings: DataFrame, idCol: String, vecCol: String,
       rawCentroids: Seq[Seq[Double]], dedupThresholdFp: Long,
       unitCentroids: Seq[Seq[Double]], k: Int,
-      outlierBelowFp: Long): DataFrame = {
+      outlierBelowFp: Long, maxClusterSize: Long = 1L << 20,
+      subPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val surv = semanticDedupFixed(embeddings, idCol, vecCol,
-      rawCentroids, dedupThresholdFp).select(col("id"))
+      rawCentroids, dedupThresholdFp, maxClusterSize, subPlanes, dim)
+      .select(col("id"))
     val kept = embeddings.join(surv.withColumnRenamed("id", idCol),
       Seq(idCol), "left_semi")
     val dens = graft.similarity.Ann.knnDensity(

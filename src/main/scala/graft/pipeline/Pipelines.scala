@@ -156,7 +156,13 @@ object Pipelines {
       // then embedding-space); docs with no embedding row pass through
       // untouched — there is nothing to compare them against.
       semanticCentroids: Option[Seq[Seq[Double]]] = None,
-      semanticThresholdFp: Long = 450000000000L)
+      semanticThresholdFp: Long = 450000000000L,
+      // the mega-cluster skew guard's knobs (semanticDedupFixed):
+      // dim MUST cover the embedding width or the Rademacher
+      // sub-bucket projects only a prefix and the split weakens
+      semanticDim: Int = 64,
+      semanticMaxClusterSize: Long = 1L << 20,
+      semanticSubPlanes: Int = 6)
 
   /** The full LLM training-data curation flow as ONE library call —
     * what a user of the reference's script-per-step world replaces
@@ -331,7 +337,9 @@ object Pipelines {
     // semanticDedupFixed; the release handle frees it with the rest.
     val semDeduped = embeddings.fold(deduped) { emb =>
       val surv = Curation.semanticDedupFixed(emb, "doc_id", "embedding",
-        cfg.semanticCentroids.get, cfg.semanticThresholdFp)
+        cfg.semanticCentroids.get, cfg.semanticThresholdFp,
+        cfg.semanticMaxClusterSize, cfg.semanticSubPlanes,
+        cfg.semanticDim)
       cached += surv
       val droppedIds = emb.select(col("doc_id"))
         .join(surv.select(col("id").as("doc_id")), Seq("doc_id"),

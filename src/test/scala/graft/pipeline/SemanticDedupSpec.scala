@@ -128,11 +128,16 @@ class SemanticDedupSpec extends SparkSpec {
       dim = dim).as[(Long, Long)].collect().toMap
     // sub-bucketing only MISSES pairs: guarded keeps at least the exact set
     assert(exact.keySet.subsetOf(guarded.keySet))
-    // and each guarded drop still has a smaller surviving... at minimum,
-    // a smaller-id ≥threshold partner in the SAME cluster (drop soundness)
+    // drop soundness: every guarded drop is a TRUE ≥threshold dup —
+    // it appears as id_b in the EXACT (unguarded) pair set, i.e. has
+    // a genuine smaller-id ≥threshold same-cluster partner
     val droppedByGuard = rows.select("id").as[Long].collect().toSet --
       guarded.keySet
-    assert(droppedByGuard.forall(d => (0L until d).nonEmpty))
+    assert(droppedByGuard.nonEmpty) // the guard must actually trip here
+    val exactDupTargets = Curation.semanticPairsFixed(rows, "id", "v",
+      centroids, thresholdFp = 900000000000L, dim = dim)
+      .select("id_b").as[Long].collect().toSet
+    assert(droppedByGuard.subsetOf(exactDupTargets))
     // exact path on this corpus keeps exactly the min id
     assert(exact.keySet === Set(0L))
   }
