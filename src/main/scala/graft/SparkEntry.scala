@@ -1926,6 +1926,26 @@ object SparkEntry {
       k = 5)
   }
 
+  /** Semantic (embedding-space) decontamination audit
+    * ([[graft.pipeline.Curation.semanticContaminationPairs]]): corpus
+    * = the embeddings table under the frozen first-8 raw centroids,
+    * benchmark = the vec_id%7==3 embeddings re-keyed at +500000 (exact
+    * copies — guaranteed contamination). Corpus map-assigned once and
+    * never shuffled; benchmark multi-probes 2 centroids and
+    * broadcasts. Hash-gated ([[graft.oracle.AnnOracles.q176Sql]]).
+    */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + 500000).as("bench_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    graft.pipeline.Curation.semanticContaminationPairs(emb, "vec_id",
+      "embedding", bench, "bench_id", "embedding", centroids,
+      thresholdFp = 450000000000L, nProbe = 2)
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3757,7 +3777,8 @@ object SparkEntry {
     "q172_knn_graph" -> (q172 _),
     "q173_knn_density" -> (q173 _),
     "q174_d4_select" -> (q174 _),
-    "q175_mmr_rerank" -> (q175 _))
+    "q175_mmr_rerank" -> (q175 _),
+    "q176_semantic_decontaminate" -> (q176 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5393,6 +5414,8 @@ object SparkEntry {
     "q174_d4_select" -> graft.oracle.AnnOracles.q174Sql(),
     // MMR re-rank: k unrolled integer argmax steps over the shortlist
     "q175_mmr_rerank" -> graft.oracle.AnnOracles.q175Sql(),
+    // semantic decontamination: corpus 1-NN × benchmark 2-probe pairs
+    "q176_semantic_decontaminate" -> graft.oracle.AnnOracles.q176Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

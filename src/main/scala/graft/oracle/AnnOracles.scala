@@ -328,6 +328,71 @@ object AnnOracles {
        |WHERE l.cluster_id IS NULL OR l.cluster_id = d.vec_id""".stripMargin
   }
 
+  /** q176: semantic decontamination audit
+    * ([[graft.pipeline.Curation.semanticContaminationPairs]]) — corpus
+    * = the embeddings table, benchmark = the vec_id%7==3 rows re-keyed
+    * at +500000 (exact copies ⇒ guaranteed ≥threshold pairs plus
+    * whatever random near-pairs clear the bar). Corpus assigned to its
+    * single nearest raw-space centroid, benchmark to its `nProbe`
+    * nearest (d asc, cid asc — the probeFixedLists tie-break); scoring
+    * is the exact integer dot of fixed-point unit vectors.
+    */
+  def q176Sql(thresholdFp: Long = 450000000000L, nProbe: Int = 2,
+      nCentroids: Int = 8, dim: Int = 64): String = {
+    val benchSrc =
+      """SELECT vec_id + 500000 AS id, embedding AS v
+        |  FROM embeddings WHERE vec_id % 7 = 3""".stripMargin
+    s"""WITH
+       |${prefixedUnitFp("dc_", embeddingsSrc)},
+       |${prefixedUnitFp("db_", benchSrc)},
+       |dc_cent AS (SELECT vec_id AS cid, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id < $nCentroids),
+       |dc_ev AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS dv
+       |          FROM dc_e),
+       |db_ev AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS dv
+       |          FROM db_e),
+       |dc_dist AS (SELECT dc_ev.id, c.cid,
+       |    ${d2Chain("dc_ev.dv", "c.ce", dim)} AS d
+       |  FROM dc_ev CROSS JOIN dc_cent c),
+       |dc_bestd AS (SELECT id, min(d) AS md FROM dc_dist GROUP BY 1),
+       |dc_asg AS MATERIALIZED (
+       |  SELECT d.id, CAST(min(d.cid) AS BIGINT) AS cluster
+       |  FROM dc_dist d JOIN dc_bestd b ON d.id = b.id AND d.d = b.md
+       |  GROUP BY 1),
+       |db_dist AS (SELECT db_ev.id, c.cid,
+       |    ${d2Chain("db_ev.dv", "c.ce", dim)} AS d
+       |  FROM db_ev CROSS JOIN dc_cent c),
+       |db_probe AS MATERIALIZED (
+       |  SELECT id, CAST(cid AS BIGINT) AS cluster FROM (
+       |    SELECT id, cid, row_number() OVER (
+       |      PARTITION BY id ORDER BY d, cid) AS rn FROM db_dist)
+       |  WHERE rn <= $nProbe),
+       |prs AS (SELECT c.id, b.id AS bench_id
+       |        FROM dc_asg c JOIN db_probe b ON c.cluster = b.cluster),
+       |sc AS (SELECT prs.id, prs.bench_id, ${dotFpSql(dim)} AS sim_fp
+       |       FROM prs JOIN dc_vf qv ON qv.id = prs.id
+       |                JOIN db_vf cv ON cv.id = prs.bench_id)
+       |SELECT id, bench_id, sim_fp FROM sc
+       |WHERE sim_fp >= $thresholdFp""".stripMargin
+  }
+
+  /** [[unitCtes]]'s chain collapsed to `{p}e, {p}nn, {p}vf` under a
+    * caller prefix — for oracles joining TWO unit-fp relations in one
+    * scope (DuckDB rejects duplicate CTE aliases).
+    */
+  private def prefixedUnitFp(p: String, srcSql: String): String =
+    s"""${p}e AS ($srcSql),
+       |${p}nn AS (SELECT id, v, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |    (a, b) -> a + b) AS n2 FROM ${p}e),
+       |${p}vf AS MATERIALIZED (SELECT id, list_transform(
+       |    CASE WHEN sqrt(n2) > 0
+       |         THEN list_transform(v, x -> CAST(x AS DOUBLE) / sqrt(n2))
+       |         ELSE list_transform(v, x -> CAST(x AS DOUBLE)) END,
+       |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vf FROM ${p}nn)"""
+      .stripMargin
+
   /** CTE fragment replaying the ids DROPPED by
     * [[graft.pipeline.Curation.semanticDedupFixed]] over `srcSql`
     * (must yield `(id, v)`): ends in `sem_dropped(id)`. All CTE

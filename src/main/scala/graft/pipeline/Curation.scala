@@ -614,6 +614,85 @@ object Curation {
       .select(col("id"), col("density_fp"))
   }
 
+  /** Semantic (embedding-space) decontamination audit — the
+    * embedding-space member of the decontamination family (fingerprint
+    * q75 / n-gram q86 / span q104 / Bloom q132 / BM25-retrieval q154
+    * are all LEXICAL): flag every corpus document whose embedding has
+    * cosine ≥ `thresholdFp`/1e12 to some benchmark/eval item — the
+    * paraphrase-leak audit verbatim-text scans cannot see. Returns the
+    * flagged PAIRS (id, bench_id, sim_fp) — the provenance row an
+    * audit wants; [[semanticDecontaminate]] applies the drop.
+    *
+    * Shape: the CORPUS side is assigned once to its single nearest
+    * frozen centroid (the [[semanticDedupFixed]] raw-space kernel —
+    * one map-only pass, no shuffle); the BENCHMARK side probes its
+    * `nProbe` nearest centroids (the IVF multi-probe pattern,
+    * q52b machinery) and is broadcast, so the corpus NEVER shuffles —
+    * the whole audit is one broadcast-hash join keyed on the cluster
+    * plus a map-side exact integer-cosine filter. Benchmark relations
+    * are eval-suite-sized by definition (the [[decontaminate]]
+    * broadcast precedent); `nProbe` trades benchmark-side fan-out for
+    * recall on pairs that straddle a centroid boundary — the corpus
+    * doc holds one cluster, so the probe only has to reach IT, and a
+    * boundary benchmark vector probing 2–4 lists recovers what 1-NN
+    * bucketing misses. Recall beyond the probed lists is bounded by
+    * the clustering itself (the SemDeDup trade); raise `nProbe`
+    * toward |centroids| for an exhaustive audit — corpus cost is
+    * unchanged, only the broadcast grows.
+    *
+    * Determinism: assignment/probe replay the left-assoc d² chains,
+    * scoring is the exact integer dot of 1e-6 fixed-point unit
+    * vectors — the whole pair set hash-gates (q176). Corpus rows with
+    * null/short vectors land in cluster −1, which no probe reaches:
+    * unembeddable docs are "unauditable", never "contaminated".
+    * Null-vector benchmark rows probe nothing.
+    */
+  def semanticContaminationPairs(corpus: DataFrame, idCol: String,
+      vecCol: String, benchmark: DataFrame, benchIdCol: String,
+      benchVecCol: String, centroids: Seq[Seq[Double]],
+      thresholdFp: Long, nProbe: Int = 2): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe must be in [1, ${centroids.size}], got $nProbe")
+    val F = graft.functions.FixedAnnExpressions
+    val c = semanticAssign(corpus, idCol, vecCol, centroids)
+    // benchmark → its nProbe nearest centroids by the SAME raw-space
+    // d² chains (asc, centroid index asc — the probeFixedLists
+    // tie-break): one struct-array sort per row, |centroids| entries
+    val dists = centroids.indices.map { i =>
+      struct(element_at(col("__d2"), i + 1).as("d2"),
+        lit(i.toLong).as("cluster"))
+    }
+    val b = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        F.centroidD2(col(benchVecCol), centroids).as("__d2"),
+        F.fixedPoint(F.unitVec(col(benchVecCol))).as("bf"))
+      .select(col("bench_id"), col("bf"),
+        posexplode(slice(array_sort(array(dists: _*)), 1, nProbe))
+          .as(Seq("__p", "pl")))
+      .select(col("bench_id"), col("bf"), col("pl.cluster").as("cluster"))
+    c.join(broadcast(b), Seq("cluster"))
+      .withColumn("sim_fp", F.longDot(col("vf"), col("bf")))
+      .filter(col("sim_fp") >= thresholdFp)
+      .select(col("id"), col("bench_id"), col("sim_fp"))
+  }
+
+  /** Apply [[semanticContaminationPairs]]: the corpus minus every
+    * flagged document — same signature family as [[decontaminate]] /
+    * [[decontaminateNgrams]]. The flagged-id relation is
+    * benchmark-neighborhood-sized; it broadcasts into the anti-join,
+    * so this too leaves the corpus unshuffled.
+    */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+      vecCol: String, benchmark: DataFrame, benchIdCol: String,
+      benchVecCol: String, centroids: Seq[Seq[Double]],
+      thresholdFp: Long, nProbe: Int = 2): DataFrame = {
+    val flagged = semanticContaminationPairs(corpus, idCol, vecCol,
+      benchmark, benchIdCol, benchVecCol, centroids, thresholdFp, nProbe)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+
   /** (id, cluster, vf): nearest-frozen-centroid assignment + the
     * fixed-point unit vector, the shared first pass of the semantic
     * dedup family.
