@@ -3778,7 +3778,8 @@ object SparkEntry {
     "q173_knn_density" -> (q173 _),
     "q174_d4_select" -> (q174 _),
     "q175_mmr_rerank" -> (q175 _),
-    "q176_semantic_decontaminate" -> (q176 _))
+    "q176_semantic_decontaminate" -> (q176 _),
+    "q177_bm25_index" -> (q177 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4278,7 +4279,11 @@ object SparkEntry {
     * the Spark expressions term for term.
     */
   private def q153Ctes(k: Int = 5, k1: Double = 1.2,
-      b: Double = 0.75): String = {
+      b: Double = 0.75, statsFilter: String = "TRUE"): String = {
+    // statsFilter restricts the FROZEN model statistics (n_docs,
+    // avgdl, df) to a build slice while tf/dl stay corpus-wide — the
+    // q177 Bm25Index gate (build on the slice, refresh the rest,
+    // probe under build-time stats). "TRUE" = the one-shot q153 form.
     val k1p1 = (k1 + 1.0).toString
     val oneMb = (1.0 - b).toString
     s"""WITH toks0 AS (
@@ -4289,14 +4294,17 @@ object SparkEntry {
        |  FROM documents),
        |tok AS (SELECT doc_id, token FROM toks0 WHERE length(token) > 0),
        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
-       |navg AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+       |       WHERE $statsFilter),
+       |navg AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tok
+       |                 WHERE $statsFilter)
        |                / (SELECT nd FROM nd) AS avgdl),
        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
        |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM tok
        |       WHERE doc_id % 100 = 3),
        |dfq AS (SELECT token, count(*) AS df FROM tf
-       |        WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+       |        WHERE token IN (SELECT DISTINCT token FROM qt)
+       |          AND $statsFilter GROUP BY 1),
        |idf AS (SELECT token,
        |               ln(1.0 + ((SELECT nd FROM nd) - df + 0.5) / (df + 0.5))
        |                 AS idf
@@ -4368,6 +4376,36 @@ object SparkEntry {
        |       CAST(COALESCE(o.n_shared, 0) AS BIGINT) AS n_shared_grams
        |FROM topk t LEFT JOIN ov o
        |  ON o.query_id = t.query_id AND o.doc_id = t.doc_id""".stripMargin
+
+  /** Persistent BM25 inverted-index lifecycle
+    * ([[graft.text.Bm25Index]]): build on the even half — df / n_docs
+    * / avgdl FROZEN there — refresh with the odd half (O(batch)
+    * append-only fold), probe with the q153 benchmark slice. The
+    * oracle replays the frozen-stats scoring ([[q177Sql]]): tf/dl
+    * corpus-wide, model statistics from the build slice only — so the
+    * hash match proves the artifact round-trip AND the freeze
+    * semantics at once.
+    */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val name =
+      s"graft_bm25_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    graft.text.Bm25Index.drop(s, name)
+    try {
+      graft.text.Bm25Index.build(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", name)
+      graft.text.Bm25Index.refresh(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", name)
+      graft.text.Bm25Index.probe(s, name,
+        docs.filter(col("doc_id") % 100 === 3), "doc_id", "text", k = 5)
+        .localCheckpoint()
+    } finally graft.text.Bm25Index.drop(s, name)
+  }
+
+  private def q177Sql(k: Int = 5): String =
+    s"""${q153Ctes(k, statsFilter = "doc_id % 2 = 0")}
+       |SELECT query_id, doc_id, "rank", score_fp
+       |FROM rnk WHERE "rank" <= $k""".stripMargin
 
   /** Gopher-rule heuristic quality gates
     * ([[graft.text.Quality.gopherGates]]): per-doc rule booleans +
@@ -5416,6 +5454,8 @@ object SparkEntry {
     "q175_mmr_rerank" -> graft.oracle.AnnOracles.q175Sql(),
     // semantic decontamination: corpus 1-NN × benchmark 2-probe pairs
     "q176_semantic_decontaminate" -> graft.oracle.AnnOracles.q176Sql(),
+    // persistent BM25 index: frozen build-half stats, corpus-wide tf/dl
+    "q177_bm25_index" -> q177Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,59 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** (`idAlias`, token) rows under the engine's tokenization rule —
+    * normalize + whitespace split, empty tokens dropped (empty or
+    * whitespace-only text contributes NO tokens; split of a trimmed
+    * empty string yields [""], which would otherwise inflate dl/avgdl
+    * and let an empty query match every empty doc).
+    */
+  private[text] def tokens(df: DataFrame, idCol: String, textCol: String,
+      idAlias: String): DataFrame =
+    df.select(col(idCol).as(idAlias),
+      explode(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+
+  /** (doc_id, token, tf) term frequencies — the posting rows. */
+  private[text] def termFreqs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    tokens(df, idCol, textCol, "doc_id")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Lucene-form non-negative idf of the `df` column under a frozen
+    * document count.
+    */
+  private[text] def idfCol(nDocs: Double): Column =
+    log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)))
+
+  /** The fixed-point per-(doc, term) BM25 weight over columns
+    * tf/idf/dl — a scalar double chain (deterministic by IEEE), then
+    * `floor(w·10⁶)` so the per-(query, doc) sum is an exact long.
+    */
+  private[text] def weightFp(k1: Double, b: Double,
+      avgdl: Double): Column =
+    floor(col("idf")
+      * ((col("tf") * lit(k1 + 1.0))
+        / (col("tf") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * (col("dl") / lit(avgdl)))))
+      * lit(1e6)).cast("long")
+
+  /** Sum the per-term weights and keep rank ≤ k per query —
+    * `row_number` under a (query)-partitioned window, so
+    * InferWindowGroupLimit applies.
+    */
+  private[text] def rankTopK(contrib: DataFrame, k: Int): DataFrame = {
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_fp")).as("score_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score_fp"))
+  }
+
   /** Top-`k` corpus documents per query under BM25.
     *
     * @param docs    corpus; `idCol` must be unique
@@ -61,17 +114,9 @@ object Retrieval {
     // filter EVERY row — fail analysis-time instead
     val sameIdType =
       docs.schema(idCol).dataType == queries.schema(qIdCol).dataType
-    // empty/whitespace-only text must contribute NO tokens: split of a
-    // trimmed empty string yields [""], which would otherwise inflate
-    // dl/avgdl and let an empty query match every empty doc
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.words(TextAnalysis.normalizeText(col(textCol))))
-        .as("token"))
-      .filter(length(col("token")) > 0)
     // tf feeds FOUR consumers (nToks, dl, df, scoring) — cache it so
     // the tokenize + count shuffle runs once, not once per branch
-    val tf = toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // corpus-global statistics: two exact integer counts → one double
@@ -86,11 +131,7 @@ object Retrieval {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
 
     // distinct query terms — benchmark-sized, broadcast everywhere
-    val qterms = queries.select(col(qIdCol).as("query_id"),
-      explode(TextAnalysis.words(TextAnalysis.normalizeText(col(qTextCol))))
-        .as("token"))
-      .filter(length(col("token")) > 0)
-      .distinct()
+    val qterms = tokens(queries, qIdCol, qTextCol, "query_id").distinct()
 
     // document frequency ONLY for terms some query mentions; an
     // optional df-fraction cutoff drops stopword-class terms whose
@@ -103,9 +144,7 @@ object Retrieval {
       .join(broadcast(qterms.select(col("token")).distinct()), Seq("token"),
         "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .withColumn("idf",
-        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
-          / (col("df") + lit(0.5))))
+      .withColumn("idf", idfCol(nDocs.toDouble))
     val dfTab =
       if (maxDfFraction >= 1.0) dfTab0
       else dfTab0.filter(col("df") <= lit(maxDfFraction * nDocs))
@@ -124,19 +163,8 @@ object Retrieval {
       contrib0.filter(col("doc_id") =!= col("query_id"))
     else contrib0)
       .join(dl, Seq("doc_id"))
-      .withColumn("w_fp",
-        floor(col("idf")
-          * ((col("tf") * lit(k1 + 1.0))
-            / (col("tf") + lit(k1) * (lit(1.0 - b)
-              + lit(b) * (col("dl") / lit(avgdl)))))
-          * lit(1e6)).cast("long"))
+      .withColumn("w_fp", weightFp(k1, b, avgdl))
 
-    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("w_fp")).as("score_fp"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_fp").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("rank"), col("score_fp"))
+    rankTopK(contrib, k)
   }
 }
