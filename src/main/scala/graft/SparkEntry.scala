@@ -2305,6 +2305,36 @@ object SparkEntry {
     } finally { run.query.stop(); s.sql(s"DROP TABLE IF EXISTS $tbl") }
   }
 
+  /** Continuous per-source data card
+    * ([[graft.streaming.StreamingDataCard]]): the documents corpus
+    * delivered as two id-ordered micro-batches, every counter folded
+    * into batch_id-partitioned state tables, the card assembled at
+    * read time. Batch-order-independent by construction, so it shares
+    * q144's oracle verbatim.
+    */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "source", "lang", "text")
+    val stream = stageOrderedBatches(s, scratchDir("stream_datacard"),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("lang", StringType),
+        StructField("text", StringType))),
+      midpointHalves(docs))
+    val tbl =
+      s"graft_card_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val run = graft.streaming.StreamingDataCard.start(stream.drop("doc_id"),
+      "source", "text", "lang", tbl, q113Weights) { (_, _) => () }
+    try {
+      run.query.processAllAvailable()
+      run.card().get.localCheckpoint()
+    } finally {
+      run.query.stop()
+      graft.streaming.StreamingDataCard.drop(s, tbl)
+    }
+  }
+
   /** Per-source vocabulary coverage under the q136 vocab — the
     * `[UNK]`-rate drift table (the retrain trigger signal).
     */
@@ -3779,7 +3809,8 @@ object SparkEntry {
     "q174_d4_select" -> (q174 _),
     "q175_mmr_rerank" -> (q175 _),
     "q176_semantic_decontaminate" -> (q176 _),
-    "q177_bm25_index" -> (q177 _))
+    "q177_bm25_index" -> (q177 _),
+    "q178_stream_data_card" -> (q178 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5456,6 +5487,8 @@ object SparkEntry {
     "q176_semantic_decontaminate" -> graft.oracle.AnnOracles.q176Sql(),
     // persistent BM25 index: frozen build-half stats, corpus-wide tf/dl
     "q177_bm25_index" -> q177Sql(),
+    // streaming data card: batch-order-free folds ⇒ q144's oracle verbatim
+    "q178_stream_data_card" -> q144Sql,
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)
