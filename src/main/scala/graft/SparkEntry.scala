@@ -3810,7 +3810,9 @@ object SparkEntry {
     "q175_mmr_rerank" -> (q175 _),
     "q176_semantic_decontaminate" -> (q176 _),
     "q177_bm25_index" -> (q177 _),
-    "q178_stream_data_card" -> (q178 _))
+    "q178_stream_data_card" -> (q178 _),
+    "q179_html_extract" -> (q179 _),
+    "q180_stream_html_extract" -> (q180 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4437,6 +4439,70 @@ object SparkEntry {
     s"""${q153Ctes(k, statsFilter = "doc_id % 2 = 0")}
        |SELECT query_id, doc_id, "rank", score_fp
        |FROM rnk WHERE "rank" <= $k""".stripMargin
+
+  /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
+    * — the synthetic corpus carries no markup, and an extractor gated
+    * on tag-free text would prove nothing): script with <, >, && and
+    * quotes; style; a comment; an uppercase block closer; every
+    * decoded entity incl. the &amp;-last double-escape case.
+    */
+  private def plantedHtml: Column = concat(
+    lit("<html><head><title>T</title><style>p {color: red}</style>" +
+      "<script>if (a < b && c > d) { x = \"y\"; }</script></head>" +
+      "<body><h1>Doc "),
+    col("doc_id").cast("string"),
+    lit("</h1><!-- hidden --><p>"), col("text"),
+    lit("</p><P>A &amp; B &lt;tag&gt; &quot;q&quot;" +
+      " &#39;s&#39;&nbsp;end</P></body></html>"))
+
+  /** HTML → text extraction ([[graft.text.TextAnalysis.htmlToText]])
+    * over the planted wrapping of every document — the crawl-intake
+    * step before any other curation stage. Map-only, zero shuffle;
+    * the oracle replays the identical regexp chain in DuckDB.
+    */
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      graft.text.TextAnalysis.htmlToText(plantedHtml).as("extracted"))
+
+  /** Streaming twin of q179 — the ingest-time extraction pass:
+    * stateless map-only expressions over the document stream (the
+    * q157 map-only-twin pattern), sharing q179's oracle verbatim.
+    */
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      StreamingPrep.streamDocuments(s, dir).select(col("doc_id"),
+        graft.text.TextAnalysis.htmlToText(plantedHtml).as("extracted")))
+
+  private def q179Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>T</title><style>p {color: red}</style><script>if (a < b && c > d) { x = "y"; }</script></head><body><h1>Doc '
+       |      || CAST(doc_id AS VARCHAR)
+       |      || '</h1><!-- hidden --><p>' || text
+       |      || '</p><P>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P></body></html>'
+       |      AS html
+       |  FROM documents),
+       |x1 AS (SELECT doc_id, regexp_replace(html,
+       |         '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+       |x2 AS (SELECT doc_id, regexp_replace(t,
+       |         '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t FROM x1),
+       |x3 AS (SELECT doc_id, regexp_replace(t,
+       |         '(?s)<!--.*?-->', ' ', 'g') AS t FROM x2),
+       |x4 AS (SELECT doc_id, regexp_replace(t,
+       |         '(?i)<(?:br\\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/blockquote|/title|/header|/section|/article)\\s*>',
+       |         chr(10), 'g') AS t FROM x3),
+       |x5 AS (SELECT doc_id, regexp_replace(t,
+       |         '(?s)<[^>]*>', ' ', 'g') AS t FROM x4),
+       |x6 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+       |         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |         '&#39;', ''''), '&amp;', '&') AS t FROM x5),
+       |x7 AS (SELECT doc_id, regexp_replace(t,
+       |         '[ \\t\\f\\r]+', ' ', 'g') AS t FROM x6),
+       |x8 AS (SELECT doc_id, regexp_replace(t,
+       |         '[ ]*\\n[\\n ]*', chr(10), 'g') AS t FROM x7)
+       |SELECT doc_id, regexp_replace(t, '^[\\n ]+|[\\n ]+$$', '', 'g')
+       |         AS extracted
+       |FROM x8""".stripMargin
 
   /** Gopher-rule heuristic quality gates
     * ([[graft.text.Quality.gopherGates]]): per-doc rule booleans +
@@ -5489,6 +5555,10 @@ object SparkEntry {
     "q177_bm25_index" -> q177Sql(),
     // streaming data card: batch-order-free folds ⇒ q144's oracle verbatim
     "q178_stream_data_card" -> q144Sql,
+    // HTML extraction: identical regexp chain replayed in DuckDB
+    "q179_html_extract" -> q179Sql,
+    // map-only streaming twin ⇒ q179's oracle verbatim
+    "q180_stream_html_extract" -> q179Sql,
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

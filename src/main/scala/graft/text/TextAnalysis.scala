@@ -75,6 +75,43 @@ object TextAnalysis {
     }
   }
 
+  /** HTML → text extraction — the crawl-intake step every web-corpus
+    * pipeline runs FIRST (the honest-regexp cousin of jusText/
+    * trafilatura boilerplate strippers): drop script/style blocks and
+    * comments, turn block-level closers into newlines (so paragraph
+    * structure survives into [[graft.dedup.Dedup]]'s paragraph
+    * dedup), strip remaining tags, decode the common entities
+    * (`&amp;` LAST, so a double-escaped `&amp;lt;` correctly decodes
+    * one level to `&lt;`, never to `<`), and collapse whitespace.
+    * One map-only expression chain — zero shuffle, NULL in ⇒ NULL
+    * out. Every pattern is shared Java-regex/RE2 syntax (lazy
+    * quantifiers, inline `(?is)` flags, explicit classes instead of
+    * `\s` — Java's includes `\x0B`, RE2's does not), so the exact
+    * output replays in DuckDB and the q179 gate hashes it.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(?:br\\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol" +
+        "|/blockquote|/title|/header|/section|/article)\\s*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val e1 = regexp_replace(noTags, "&nbsp;", " ")
+    val e2 = regexp_replace(e1, "&lt;", "<")
+    val e3 = regexp_replace(e2, "&gt;", ">")
+    val e4 = regexp_replace(e3, "&quot;", "\"")
+    val e5 = regexp_replace(e4, "&#39;", "'")
+    val e6 = regexp_replace(e5, "&amp;", "&")
+    val sp = regexp_replace(e6, "[ \\t\\f\\r]+", " ")
+    val nl = regexp_replace(sp, "[ ]*\\n[\\n ]*", "\n")
+    // edge-trim spaces AND newlines (trim() drops only spaces, in
+    // both engines)
+    regexp_replace(nl, "^[\\n ]+|[\\n ]+$", "")
+  }
+
   /** Whitespace-normalized lowercase form — the canonical content key. */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

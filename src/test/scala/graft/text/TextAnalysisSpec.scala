@@ -210,4 +210,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2)._2 === "two mails <EMAIL> <EMAIL> and <IP> <IP>")
     assert((got(2)._3, got(2)._4, got(2)._5) === ((2, 2, 0)))
   }
+
+  test("htmlToText: strips script/style/comments/tags, keeps block structure") {
+    val html = "<html><head><title>My Title</title>" +
+      "<style>p { color: red }</style>" +
+      "<script>if (a < b && c > d) { alert(\"x\"); }</script></head>" +
+      "<body><h1>Head</h1><!-- secret --><p>first para</p>" +
+      "<P>second   para</P><div>a<br>b<br/>c<br />d</div></body></html>"
+    val df = Seq((1L, html)).toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.htmlToText(col("text")))
+      .as[String].head()
+    assert(got === "My Title\nHead\nfirst para\nsecond para\na\nb\nc\nd")
+  }
+
+  test("htmlToText: entities decode one level, &amp; last") {
+    val df = Seq(
+      (1L, "<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"),
+      (2L, "<p>double &amp;lt;escaped&amp;gt;</p>"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.htmlToText(col("text")).as("t"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L) === Some("A & B <tag> \"q\" 's' end"))
+    assert(got(2L) === Some("double &lt;escaped&gt;")) // NOT "<escaped>"
+    assert(got(3L) === None) // NULL in, NULL out
+  }
+
+  test("htmlToText: tag-free text passes through with whitespace collapsed") {
+    val df = Seq((1L, "  plain\t text,  no  markup \r\n here  "))
+      .toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.htmlToText(col("text")))
+      .as[String].head()
+    assert(got === "plain text, no markup\nhere")
+  }
 }
