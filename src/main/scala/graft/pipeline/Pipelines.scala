@@ -133,6 +133,12 @@ object Pipelines {
       // alpha fraction, stop-word presence. Rides the same map pass
       // as the other gates; integer arithmetic only.
       gopherRules: Option[graft.text.Quality.GopherConfig] = None,
+      // crawl-intake HTML → text extraction (TextAnalysis.htmlToText):
+      // strip markup BEFORE any content-derived step, so gates score
+      // prose (not tag soup), fingerprints key on content (recrawls
+      // with different chrome collapse), and paragraph structure
+      // survives into paragraph dedup. Map-only, rides the intake scan.
+      extractHtml: Boolean = false,
       // crawl-intake URL dedup: collapse recrawls of one canonical URL
       // to the min-doc_id copy before any content processing (column
       // holding the raw URL; Urls.canonicalizeUrl keys the groups)
@@ -168,6 +174,8 @@ object Pipelines {
     * what a user of the reference's script-per-step world replaces
     * their corpus pipeline with:
     *
+    *   optional HTML → text extraction
+    *   ([[graft.text.TextAnalysis.htmlToText]]) →
     *   optional URL-dedup + domain-cap intake ([[graft.text.Urls]]) →
     *   PII scrub →
     *   quality + repetition gates (+ optional trained
@@ -239,15 +247,24 @@ object Pipelines {
     // empty after canonicalization) get a per-row sentinel key so they
     // pass through as singletons instead of collapsing into one
     // null-group survivor (the Urls.urlDedup caller contract).
-    val intake = cfg.urlCol.fold(docs) { uc =>
+    // HTML extraction first: every downstream stage — gates,
+    // fingerprints, paragraph lines, packing token counts — must see
+    // CONTENT, not markup (a raw crawl page is tag soup to the quality
+    // gate, and two recrawls with different chrome never share a
+    // fingerprint). Map-only expression riding the intake scan.
+    val rawDocs =
+      if (!cfg.extractHtml) docs
+      else docs.withColumn("text", TextAnalysis.htmlToText(col("text")))
+
+    val intake = cfg.urlCol.fold(rawDocs) { uc =>
       val k = graft.text.Urls.canonicalizeUrl(col(uc))
-      val owners = docs.select(col("doc_id"),
+      val owners = rawDocs.select(col("doc_id"),
         when(k.isNull || k === "",
           concat(lit("\u0000noUrl\u0000"), col("doc_id").cast("string")))
           .otherwise(k).as("__uk"))
         .groupBy(col("__uk")).agg(min(col("doc_id")).as("doc_id"))
       val deduped =
-        docs.join(owners.select("doc_id"), Seq("doc_id"), "left_semi")
+        rawDocs.join(owners.select("doc_id"), Seq("doc_id"), "left_semi")
       // domain balancing rides the deduped intake: cap survivors per
       // registrable domain (deterministic min-by-md5, WindowGroupLimit
       // map-side partial — see Urls.domainCap). Null-URL docs form

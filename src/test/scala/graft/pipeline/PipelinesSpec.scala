@@ -231,6 +231,35 @@ class PipelinesSpec extends SparkSpec {
     assert(keptNoUrl === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("curateCorpus extractHtml intake strips markup before gates and dedup") {
+    import org.apache.spark.sql.functions._
+    def goodText(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    // docs 1 and 2: the SAME content under different page chrome —
+    // only the extracted form shares a fingerprint; doc 3: distinct
+    // content whose raw form is mostly script soup the quality gate
+    // would reject unstripped
+    val docs = Seq(
+      (1L, s"<html><head><script>var a=1&&2;</script></head><body><p>${goodText(1)}</p></body></html>", "en", "srcA"),
+      (2L, s"<html><body><div class='v2'><p>${goodText(1)}</p></div><!-- rev 2 --></body></html>", "en", "srcA"),
+      (3L, s"<script>;;;(function(){!!!})();;;</script><p>${goodText(3)}</p>", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val none = Seq.empty[String].toDF("text")
+    val kept = Pipelines.curateCorpus(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100,
+        extractHtml = true))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L), "recrawl chrome must collapse; soup must strip")
+    // the surviving text is the extracted prose, not markup
+    val texts = kept.select("text").as[String].collect()
+    assert(texts.forall(t => !t.contains("<") && !t.contains("script")))
+    // without extraction the markup twins survive as distinct docs
+    val raw = Pipelines.curateCorpus(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100))
+      .select("doc_id").as[Long].collect().toSet
+    assert(raw.contains(1L) && raw.contains(2L))
+  }
+
   test("curateCorpus semantic stage drops embedding-dups of lexically distinct docs") {
     import org.apache.spark.sql.functions._
     def goodText(i: Int): String =
