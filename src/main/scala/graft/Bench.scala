@@ -83,7 +83,13 @@ object Bench {
     // over fixed-point unit vectors (Σ|c|² candidate bound) is a new
     // operator shape, not a composition. q169/q170 are its streaming
     // twin and curation composition (the q123 rule: no slots).
-    "q168_semantic_dedup")
+    "q168_semantic_dedup",
+    // round-12-late surface: HTML extraction — the heaviest new
+    // map-only pass (a dozen regex rewrites per document, the whole
+    // planted page body). q180 is its stateless streaming twin, q177
+    // an artifact lifecycle over q153's measured scoring, and q176 a
+    // broadcast probe over the q168 kernel (no slots, the q123 rule).
+    "q179_html_extract")
 
   /** The q95 harness WITHOUT its operator: identical staging (two
     * single-file parquet batches, staggered mtimes), identical

@@ -1946,6 +1946,27 @@ object SparkEntry {
       thresholdFp = 450000000000L, nProbe = 2)
   }
 
+  /** Streaming twin of q176 — ingest-time semantic decontamination:
+    * frozen centroids + a frozen benchmark-sized probe relation make
+    * [[graft.pipeline.Curation.semanticContaminationPairs]] STATELESS
+    * over the corpus stream (one stream-static broadcast join per
+    * micro-batch, zero cross-batch state), so the operator runs as-is
+    * under append mode and shares q176's oracle verbatim.
+    */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + 500000).as("bench_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    StreamingPrep.runToMemory(
+      graft.pipeline.Curation.semanticContaminationPairs(
+        StreamingPrep.streamEmbeddings(s, dir), "vec_id", "embedding",
+        bench, "bench_id", "embedding", centroids,
+        thresholdFp = 450000000000L, nProbe = 2))
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3812,7 +3833,8 @@ object SparkEntry {
     "q177_bm25_index" -> (q177 _),
     "q178_stream_data_card" -> (q178 _),
     "q179_html_extract" -> (q179 _),
-    "q180_stream_html_extract" -> (q180 _))
+    "q180_stream_html_extract" -> (q180 _),
+    "q181_stream_semantic_decontaminate" -> (q181 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5559,6 +5581,9 @@ object SparkEntry {
     "q179_html_extract" -> q179Sql,
     // map-only streaming twin ⇒ q179's oracle verbatim
     "q180_stream_html_extract" -> q179Sql,
+    // stateless stream-static twin ⇒ q176's oracle verbatim
+    "q181_stream_semantic_decontaminate" ->
+      graft.oracle.AnnOracles.q176Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -60,6 +60,19 @@ object StreamingPrep {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
 
+  /** Streaming scan of the embeddings table (file source) — the
+    * ingest-time face of the embedding operators (semantic
+    * decontamination, assignment probes). Frozen-model consumers
+    * (centroids, benchmark indexes) are stateless over this stream.
+    */
+  def streamEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+
   /** One packed document in the streaming sequence-pack output. */
   final case class PackedDoc(doc_id: Long, lang: String, n_tokens: Long,
       seq_id: Long, seq_offset: Long)

@@ -93,6 +93,35 @@ class SemanticDecontaminationSpec extends SparkSpec {
     }
   }
 
+  test("streaming: the stateless audit over a multi-batch stream equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val a = vec(9.0, 1.0, 0, 0, 0, 0, 0, 0)
+    val b = vec(1.0, 9.0, 0, 0, 0, 0, 0, 0)
+    val bench = benchDf(Seq(100L -> a, 200L -> b))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Curation.semanticContaminationPairs(
+      mem.toDF().toDF("id", "v"), "id", "v", bench, "bid", "bv",
+      centroids, thresholdFp = 900000000000L)
+      .writeStream.format("memory").queryName("semdecon_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(1L -> a, 2L -> b)
+      q.processAllAvailable()
+      mem.addData(3L -> a)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("semdecon_stream")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Curation.semanticContaminationPairs(
+      corpusDf(Seq(1L -> a, 2L -> b, 3L -> a)), "id", "v", bench,
+      "bid", "bv", centroids, thresholdFp = 900000000000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(got.map(p => (p._1, p._2)) ===
+      Set((1L, 100L), (2L, 200L), (3L, 100L)))
+  }
+
   test("plan shape: the corpus is never shuffled — one broadcast join, zero exchanges") {
     val corpus = corpusDf((0L until 200L).map(i =>
       i -> vec(9.0, 0.001 * i, 0, 0, 0, 0, 0, 0)))
