@@ -3834,7 +3834,8 @@ object SparkEntry {
     "q178_stream_data_card" -> (q178 _),
     "q179_html_extract" -> (q179 _),
     "q180_stream_html_extract" -> (q180 _),
-    "q181_stream_semantic_decontaminate" -> (q181 _))
+    "q181_stream_semantic_decontaminate" -> (q181 _),
+    "q182_vocab_drift" -> (q182 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4461,6 +4462,57 @@ object SparkEntry {
     s"""${q153Ctes(k, statsFilter = "doc_id % 2 = 0")}
        |SELECT query_id, doc_id, "rank", score_fp
        |FROM rnk WHERE "rank" <= $k""".stripMargin
+
+  /** Vocabulary drift between the even-doc snapshot and the odd-doc
+    * snapshot with a PLANTED drift token
+    * ([[graft.pipeline.Profiling.vocabDrift]]): exact counts + exact
+    * cross-multiplied two-sided drift verdicts for the top-40 tokens
+    * (the whole synthetic vocabulary — no tie risk at the K edge).
+    */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 2 === 0).select("text")
+    val b = docs.filter(col("doc_id") % 2 === 1)
+      .select(when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" planteddrift")))
+        .otherwise(col("text")).as("text"))
+    graft.pipeline.Profiling.vocabDrift(a, b, "text", topK = 40)
+  }
+
+  private def q182Sql(topK: Int = 40, factorNum: Long = 2L,
+      factorDen: Long = 1L): String =
+    s"""WITH da AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+       |db AS (SELECT CASE WHEN doc_id % 3 = 0
+       |                   THEN text || ' planteddrift' ELSE text END AS text
+       |       FROM documents WHERE doc_id % 2 = 1),
+       |tka AS (SELECT unnest(regexp_split_to_array(
+       |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+       |          '\\s+')) AS token FROM da),
+       |tkb AS (SELECT unnest(regexp_split_to_array(
+       |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+       |          '\\s+')) AS token FROM db),
+       |ca AS (SELECT token, count(*) AS cnt_a FROM tka
+       |       WHERE length(token) > 0 GROUP BY 1),
+       |cb AS (SELECT token, count(*) AS cnt_b FROM tkb
+       |       WHERE length(token) > 0 GROUP BY 1),
+       |ta AS (SELECT CAST(COALESCE(sum(cnt_a), 0) AS BIGINT) AS total_a
+       |       FROM ca),
+       |tb AS (SELECT CAST(COALESCE(sum(cnt_b), 0) AS BIGINT) AS total_b
+       |       FROM cb),
+       |j AS (SELECT token,
+       |             CAST(COALESCE(cnt_a, 0) AS BIGINT) AS cnt_a,
+       |             CAST(COALESCE(cnt_b, 0) AS BIGINT) AS cnt_b
+       |      FROM ca FULL OUTER JOIN cb USING (token))
+       |SELECT token, cnt_a, cnt_b,
+       |       CAST(cnt_a * $factorDen AS HUGEINT) * (SELECT total_b FROM tb)
+       |         > CAST(cnt_b * $factorNum AS HUGEINT) * (SELECT total_a FROM ta)
+       |         AS drift_up,
+       |       CAST(cnt_b * $factorDen AS HUGEINT) * (SELECT total_a FROM ta)
+       |         > CAST(cnt_a * $factorNum AS HUGEINT) * (SELECT total_b FROM tb)
+       |         AS drift_down
+       |FROM j
+       |ORDER BY (cnt_a + cnt_b) DESC, token ASC
+       |LIMIT $topK""".stripMargin
 
   /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
     * — the synthetic corpus carries no markup, and an extractor gated
@@ -5584,6 +5636,8 @@ object SparkEntry {
     // stateless stream-static twin ⇒ q176's oracle verbatim
     "q181_stream_semantic_decontaminate" ->
       graft.oracle.AnnOracles.q176Sql(),
+    // vocab drift: exact counts + cross-multiplied integer verdicts
+    "q182_vocab_drift" -> q182Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

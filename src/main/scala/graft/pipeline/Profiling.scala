@@ -118,6 +118,64 @@ object Profiling {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Vocabulary drift between two corpora — the token-distribution
+    * audit behind "did the crawl change" / "is the tokenizer stale"
+    * monitoring (the distribution-level complement of q147's
+    * tokenizer-UNK drift): for the `topK` tokens by combined count,
+    * exact counts in each corpus plus two-sided drift verdicts —
+    * `drift_up` iff the token's SHARE in A exceeds `factorNum/
+    * factorDen` times its share in B, and symmetrically `drift_down`.
+    * The share comparison is CROSS-MULTIPLIED into exact integer
+    * arithmetic (`cnt_a·total_b·den > cnt_b·total_a·num`, DECIMAL(18)
+    * products ≤ 10³⁷ — no division, no float, the gopherGates
+    * threshold rule), so every verdict hash-gates. A token absent
+    * from one side counts 0 there — absence IS the strongest drift.
+    *
+    * Scale shape: one tokenize+count agg per side (map-side
+    * combinable, vocabulary-sized results), two 1-row total aggs
+    * broadcast as literals via a cross join, one vocabulary-sized
+    * full-outer join, and a global top-K (TakeOrderedAndProject —
+    * never a full sort). The corpora are scanned once each; nothing
+    * corpus-sized shuffles except the (doc, token) count shuffle both
+    * sides already pay.
+    *
+    * Caller contract: `cnt·factor` must fit 18 digits (any real
+    * corpus does); `topK` bounds the report, not the comparison —
+    * drift on a rare token outside the top-K is invisible, so pick
+    * topK ≥ the vocabulary slice you act on.
+    */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int, factorNum: Long = 2L, factorDen: Long = 1L): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(factorNum > 0 && factorDen > 0,
+      s"drift factor must be positive, got $factorNum/$factorDen")
+    import graft.text.TextAnalysis
+    import org.apache.spark.sql.types.DecimalType
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(TextAnalysis.words(
+        TextAnalysis.normalizeText(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val ca = counts(a, "cnt_a")
+    val cb = counts(b, "cnt_b")
+    val ta = ca.agg(coalesce(sum(col("cnt_a")), lit(0L)).as("total_a"))
+    val tb = cb.agg(coalesce(sum(col("cnt_b")), lit(0L)).as("total_b"))
+    def d18(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 0))
+    ca.join(cb, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .withColumn("drift_up",
+        d18(col("cnt_a") * lit(factorDen)) * d18(col("total_b")) >
+          d18(col("cnt_b") * lit(factorNum)) * d18(col("total_a")))
+      .withColumn("drift_down",
+        d18(col("cnt_b") * lit(factorDen)) * d18(col("total_a")) >
+          d18(col("cnt_a") * lit(factorNum)) * d18(col("total_b")))
+      .orderBy((col("cnt_a") + col("cnt_b")).desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        col("drift_up"), col("drift_down"))
+  }
+
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     import org.apache.spark.sql.Row

@@ -108,4 +108,54 @@ class ProfilingSpec extends SparkSpec {
     assert(got.columns.toSeq ===
       Seq("column", "n", "n_null", "n_distinct", "min_v", "max_v", "mean_v"))
   }
+
+  test("vocabDrift: hand-checked counts and two-sided cross-multiplied verdicts") {
+    // A: 10 tokens total — "common" ×8, "aonly" ×2
+    // B: 10 tokens total — "common" ×8, "bonly" ×1, "rising" ×1
+    val a = Seq((1L, ("common " * 8).trim + " aonly aonly"))
+      .toDF("doc_id", "text").select("text")
+    val b = Seq((2L, ("common " * 8).trim + " bonly rising"))
+      .toDF("doc_id", "text").select("text")
+    val got = Profiling.vocabDrift(a, b, "text", topK = 10)
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // shares equal (8/10 vs 8/10): neither side drifts at factor 2
+    assert(got("common") === (("common", 8L, 8L, false, false)))
+    // present only in A: share 2/10 vs 0 — drift_up, never drift_down
+    assert(got("aonly") === (("aonly", 2L, 0L, true, false)))
+    assert(got("bonly") === (("bonly", 0L, 1L, false, true)))
+    // ranking: combined count desc, token asc — common first, then the
+    // 2-count A-only token, then the 1-count tokens by name
+    val ranked = Profiling.vocabDrift(a, b, "text", topK = 3)
+      .as[(String, Long, Long, Boolean, Boolean)].collect().map(_._1).toSeq
+    assert(ranked === Seq("common", "aonly", "bonly"))
+  }
+
+  test("vocabDrift: factor gates the verdict — a 1.5x shift drifts at 4/3 but not at 2") {
+    // A: "x" 3 of 6 (share 1/2); B: "x" 2 of 6 (share 1/3) — ratio 1.5
+    val a = Seq("x x x p q r").toDF("text")
+    val b = Seq("x x p q r s").toDF("text")
+    def verdict(num: Long, den: Long): Boolean =
+      Profiling.vocabDrift(a, b, "text", topK = 10, factorNum = num,
+        factorDen = den)
+        .filter($"token" === "x").head().getBoolean(3)
+    assert(!verdict(2, 1), "1.5x shift must not clear factor 2")
+    assert(verdict(4, 3), "1.5x shift must clear factor 4/3")
+    // boundary is strict: exactly 1.5x does NOT clear factor 3/2
+    assert(!verdict(3, 2), "cross-multiplication is strictly greater-than")
+  }
+
+  test("vocabDrift: degenerate inputs fail loudly or stay sane") {
+    val a = Seq("x y").toDF("text")
+    intercept[IllegalArgumentException] {
+      Profiling.vocabDrift(a, a, "text", topK = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.vocabDrift(a, a, "text", topK = 1, factorNum = 0)
+    }
+    // identical corpora: no verdicts anywhere
+    val same = Profiling.vocabDrift(a, a, "text", topK = 10)
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+    assert(same.forall(r => !r._4 && !r._5))
+  }
 }
