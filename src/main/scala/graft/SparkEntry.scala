@@ -3835,7 +3835,8 @@ object SparkEntry {
     "q179_html_extract" -> (q179 _),
     "q180_stream_html_extract" -> (q180 _),
     "q181_stream_semantic_decontaminate" -> (q181 _),
-    "q182_vocab_drift" -> (q182 _))
+    "q182_vocab_drift" -> (q182 _),
+    "q183_embedding_health" -> (q183 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4513,6 +4514,64 @@ object SparkEntry {
        |FROM j
        |ORDER BY (cnt_a + cnt_b) DESC, token ASC
        |LIMIT $topK""".stripMargin
+
+  /** Embedding health audit
+    * ([[graft.pipeline.Profiling.embeddingHealth]]) over the
+    * embeddings table with PLANTED defects (the corpus is clean, so
+    * an all-ok report would gate nothing): a null row, a truncated
+    * row, a NaN-poisoned row (width preserved — the cascade must
+    * classify it nonfinite, not wrong_dim) and an all-zero row per
+    * planting slot.
+    */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = e
+      .unionByName(e.filter(col("vec_id") % 13 === 0).select(
+        (col("vec_id") + 910000).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 11 === 0).select(
+        (col("vec_id") + 900000).as("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 17 === 0).select(
+        (col("vec_id") + 920000).as("vec_id"),
+        concat(array(lit(Float.NaN)), slice(col("embedding"), 2, 63))
+          .as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 19 === 0).select(
+        (col("vec_id") + 930000).as("vec_id"),
+        transform(col("embedding"), _ => lit(0.0f)).as("embedding")))
+    graft.pipeline.Profiling.embeddingHealth(planted, "embedding", 64)
+  }
+
+  private def q183Sql: String =
+    s"""WITH p AS (
+       |  SELECT embedding AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT NULL FROM embeddings WHERE vec_id % 13 = 0
+       |  UNION ALL
+       |  SELECT v[1:32] FROM (SELECT embedding AS v FROM embeddings
+       |                       WHERE vec_id % 11 = 0)
+       |  UNION ALL
+       |  SELECT list_prepend(CAST('NaN' AS FLOAT), v[2:64])
+       |  FROM (SELECT embedding AS v FROM embeddings WHERE vec_id % 17 = 0)
+       |  UNION ALL
+       |  SELECT list_transform(v, x -> CAST(0.0 AS FLOAT))
+       |  FROM (SELECT embedding AS v FROM embeddings WHERE vec_id % 19 = 0)),
+       |c AS (SELECT CASE
+       |        WHEN v IS NULL THEN 'null'
+       |        WHEN len(v) <> 64 THEN 'wrong_dim'
+       |        WHEN len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+       |          THEN 'nonfinite'
+       |        WHEN len(list_filter(v, x -> x <> CAST(0.0 AS FLOAT))) = 0
+       |          THEN 'zero'
+       |        ELSE 'ok' END AS c
+       |      FROM p)
+       |SELECT count(*) AS n_rows,
+       |       count(CASE WHEN c = 'null' THEN 1 END) AS n_null,
+       |       count(CASE WHEN c = 'wrong_dim' THEN 1 END) AS n_wrong_dim,
+       |       count(CASE WHEN c = 'nonfinite' THEN 1 END) AS n_nonfinite,
+       |       count(CASE WHEN c = 'zero' THEN 1 END) AS n_zero,
+       |       count(CASE WHEN c = 'ok' THEN 1 END) AS n_ok
+       |FROM c""".stripMargin
 
   /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
     * — the synthetic corpus carries no markup, and an extractor gated
@@ -5638,6 +5697,8 @@ object SparkEntry {
       graft.oracle.AnnOracles.q176Sql(),
     // vocab drift: exact counts + cross-multiplied integer verdicts
     "q182_vocab_drift" -> q182Sql(),
+    // embedding health: disjoint verdict cascade over planted defects
+    "q183_embedding_health" -> q183Sql,
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

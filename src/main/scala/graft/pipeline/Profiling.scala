@@ -176,6 +176,41 @@ object Profiling {
         col("drift_up"), col("drift_down"))
   }
 
+  /** Embedding-column health audit — the input validation every
+    * embedding pipeline runs before ANN/dedup stages consume the
+    * vectors (a single NaN poisons every dot product it touches;
+    * a zero vector "unitizes" to itself and cosine-matches nothing
+    * meaningfully; a wrong-width vector crashes position-indexed
+    * kernels). ONE map-side-combinable aggregate over a cascade of
+    * DISJOINT verdicts per row — null → wrong_dim → nonfinite →
+    * zero → ok, each row counted exactly once, `n_rows` = the sum.
+    * All-integer output (one row), so the audit hash-gates.
+    */
+  def embeddingHealth(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val v = col(vecCol)
+    val isNull = v.isNull
+    val wrongDim = size(v) =!= dim
+    // element-count forms (not forall/exists) so the DuckDB replay is
+    // the literally identical list_filter expression
+    val nonfinite = size(filter(v, x => isnan(x) ||
+      x === lit(Float.PositiveInfinity) ||
+      x === lit(Float.NegativeInfinity))) > 0
+    val allZero = size(filter(v, x => x =!= lit(0.0f))) === 0
+    val cls = when(isNull, lit("null"))
+      .when(wrongDim, lit("wrong_dim"))
+      .when(nonfinite, lit("nonfinite"))
+      .when(allZero, lit("zero"))
+      .otherwise(lit("ok"))
+    df.select(cls.as("__c")).agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("__c") === "null", lit(1))).as("n_null"),
+      count(when(col("__c") === "wrong_dim", lit(1))).as("n_wrong_dim"),
+      count(when(col("__c") === "nonfinite", lit(1))).as("n_nonfinite"),
+      count(when(col("__c") === "zero", lit(1))).as("n_zero"),
+      count(when(col("__c") === "ok", lit(1))).as("n_ok"))
+  }
+
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     import org.apache.spark.sql.Row

@@ -145,6 +145,31 @@ class ProfilingSpec extends SparkSpec {
     assert(!verdict(3, 2), "cross-multiplication is strictly greater-than")
   }
 
+  test("embeddingHealth: disjoint cascade classifies each row exactly once") {
+    import org.apache.spark.sql.functions._
+    val ok = Seq(1.0f, 2.0f, 3.0f)
+    val rows = Seq(
+      (1L, Option(ok)),
+      (2L, Option.empty[Seq[Float]]),                       // null
+      (3L, Option(Seq(1.0f, 2.0f))),                        // wrong dim
+      (4L, Option(Seq(Float.NaN, 1.0f, 2.0f))),             // nonfinite
+      (5L, Option(Seq(Float.PositiveInfinity, 0f, 0f))),    // nonfinite
+      (6L, Option(Seq(0.0f, 0.0f, 0.0f))),                  // zero
+      // NaN in a wrong-width vector: wrong_dim wins (cascade order)
+      (7L, Option(Seq(Float.NaN))))
+      .toDF("id", "v")
+    val r = Profiling.embeddingHealth(rows, "v", dim = 3).head()
+    assert(r.getAs[Long]("n_rows") === 7L)
+    assert(r.getAs[Long]("n_null") === 1L)
+    assert(r.getAs[Long]("n_wrong_dim") === 2L)
+    assert(r.getAs[Long]("n_nonfinite") === 2L)
+    assert(r.getAs[Long]("n_zero") === 1L)
+    assert(r.getAs[Long]("n_ok") === 1L)
+    intercept[IllegalArgumentException] {
+      Profiling.embeddingHealth(rows, "v", dim = 0)
+    }
+  }
+
   test("vocabDrift: degenerate inputs fail loudly or stay sane") {
     val a = Seq("x y").toDF("text")
     intercept[IllegalArgumentException] {
