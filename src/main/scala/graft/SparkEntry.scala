@@ -1967,6 +1967,22 @@ object SparkEntry {
         thresholdFp = 450000000000L, nProbe = 2))
   }
 
+  /** Graph-ANN beam search over the q172 k-NN graph
+    * ([[graft.similarity.Ann.beamSearchFixed]]): the NSW-class greedy
+    * probe — entries = the 8 list heads, 3 expansion rounds of beam 4,
+    * top-5 of everything visited; replayed by 3 unrolled SQL rounds
+    * ([[graft.oracle.AnnOracles.q184Sql]]).
+    */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val graph = graft.similarity.Ann.knnGraphFixed(e, "vec_id",
+      "embedding", k = 5, centroids = unitHeadEmbeddings(s, dir, 8))
+    graft.similarity.Ann.beamSearchFixed(graph,
+      graft.similarity.Ann.fixedUnitVectors(e, "vec_id", "embedding"),
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      entryIds = 0L until 8L, beam = 4, steps = 3, k = 5)
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3836,7 +3852,8 @@ object SparkEntry {
     "q180_stream_html_extract" -> (q180 _),
     "q181_stream_semantic_decontaminate" -> (q181 _),
     "q182_vocab_drift" -> (q182 _),
-    "q183_embedding_health" -> (q183 _))
+    "q183_embedding_health" -> (q183 _),
+    "q184_graph_beam_search" -> (q184 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5699,6 +5716,8 @@ object SparkEntry {
     "q182_vocab_drift" -> q182Sql(),
     // embedding health: disjoint verdict cascade over planted defects
     "q183_embedding_health" -> q183Sql,
+    // graph beam search: 3 unrolled expand/anti-join/beam rounds
+    "q184_graph_beam_search" -> graft.oracle.AnnOracles.q184Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -377,6 +377,63 @@ object AnnOracles {
        |WHERE sim_fp >= $thresholdFp""".stripMargin
   }
 
+  /** q184: graph-ANN beam search
+    * ([[graft.similarity.Ann.beamSearchFixed]]) over the q172 k-NN
+    * graph — `steps` unrolled rounds (the q175 pattern): score the
+    * fixed entry set, then per round expand the frontier's graph
+    * neighbors, anti-join everything already visited, keep the `beam`
+    * best per query, union into visited; final top-`k` over visited.
+    * The nested q172 subquery owns its own unit CTE names; the outer
+    * scope scores through `gs_`-prefixed twins.
+    */
+  def q184Sql(beam: Int = 4, steps: Int = 3, k: Int = 5,
+      nEntries: Int = 8, nQueries: Int = 10, kGraph: Int = 5,
+      nlist: Int = 8, dim: Int = 64): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH ${prefixedUnitFp("gs_", embeddingsSrc)},\n")
+    sb.append(s"knn AS MATERIALIZED (${q172Sql(kGraph, nlist, dim)}),\n")
+    sb.append(
+      s"""bq AS (SELECT id AS query_id FROM gs_e WHERE id < $nQueries),
+         |v0 AS MATERIALIZED (
+         |  SELECT b.query_id, cv.id AS node, ${dotFpSql(dim)} AS score_fp
+         |  FROM bq b
+         |  JOIN gs_vf qv ON qv.id = b.query_id
+         |  CROSS JOIN (SELECT id FROM gs_e WHERE id < $nEntries) e
+         |  JOIN gs_vf cv ON cv.id = e.id
+         |  WHERE e.id <> b.query_id),
+         |f0 AS (SELECT * FROM v0)""".stripMargin + ",\n")
+    for (i <- 1 to steps) {
+      val p = i - 1
+      sb.append(
+        s"""cand$i AS (SELECT DISTINCT f.query_id, g.neighbor_id AS node
+           |  FROM f$p f JOIN knn g ON g.vec_id = f.node
+           |  WHERE g.neighbor_id <> f.query_id),
+           |new$i AS (SELECT c.query_id, c.node FROM cand$i c
+           |  LEFT JOIN v$p v ON v.query_id = c.query_id AND v.node = c.node
+           |  WHERE v.node IS NULL),
+           |sc$i AS (SELECT n.query_id, n.node, ${dotFpSql(dim)} AS score_fp
+           |  FROM new$i n JOIN gs_vf qv ON qv.id = n.query_id
+           |               JOIN gs_vf cv ON cv.id = n.node),
+           |f$i AS MATERIALIZED (SELECT query_id, node, score_fp FROM (
+           |  SELECT query_id, node, score_fp, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score_fp DESC, node) AS rn
+           |  FROM sc$i) WHERE rn <= $beam),
+           |v$i AS MATERIALIZED (
+           |  SELECT * FROM v$p UNION ALL SELECT * FROM f$i)""".stripMargin
+          + ",\n")
+    }
+    sb.setLength(sb.length - 2)
+    sb.append(
+      s"""
+         |SELECT query_id, node AS neighbor_id, CAST(rn AS INT) AS rank,
+         |       score_fp
+         |FROM (SELECT query_id, node, score_fp, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score_fp DESC, node) AS rn
+         |      FROM v$steps)
+         |WHERE rn <= $k""".stripMargin)
+    sb.toString
+  }
+
   /** [[unitCtes]]'s chain collapsed to `{p}e, {p}nn, {p}vf` under a
     * caller prefix — for oracles joining TWO unit-fp relations in one
     * scope (DuckDB rejects duplicate CTE aliases).

@@ -430,6 +430,87 @@ object Ann {
     selected.select(col("query_id"), col("neighbor_id"), col("mmr_rank"))
   }
 
+  /** Graph-ANN beam search over a k-NN graph — the greedy best-first
+    * probe of NSW/HNSW-class indexes (Malkov & Yashunin 2018's layer-0
+    * walk), in the fixed hash-gateable form: start from `entryIds`
+    * scored against each query, then `steps` times expand the current
+    * frontier's graph neighbors, keep the `beam` best UNSEEN nodes per
+    * query (exact integer dot, desc / node-id-asc tie-break), and
+    * finally rank everything visited top-`k`. Deterministic end to
+    * end — assignment-free, no RNG, no float accumulation — so the
+    * whole result replays as `steps` unrolled SQL rounds (q184, the
+    * q175 unrolled-loop oracle pattern).
+    *
+    * The graph is the caller's ([[knnGraphFixed]] gives within-list
+    * edges — search then explores each entry's list; union in
+    * long-range/cross-list edges for NSW-style reach: search semantics
+    * are graph-agnostic). Self-matches are excluded when query and
+    * node ids share a type (queries drawn from the corpus retrieve
+    * neighbors, not themselves; disjoint external id spaces make the
+    * filter inert — and on MISMATCHED types it is skipped entirely,
+    * the bm25TopK cross-type null-comparison contract).
+    *
+    * Scale shape: per step, the frontier (|queries|·beam rows) joins
+    * the graph on the node key and the resulting candidate set
+    * (≤ |queries|·beam·kGraph rows) is BROADCAST into the corpus-sized
+    * vector relation for scoring — the corpus is never shuffled, and
+    * each step's shuffle is candidate-sized. State (visited) is
+    * |queries|·(entries + beam·steps) rows, localCheckpointed per
+    * generation (the mmrRerank loop-lineage rule). Total vector-scan
+    * work is `steps` broadcast probes — the whole point vs exhaustive
+    * scoring.
+    */
+  def beamSearchFixed(graph: DataFrame, vectors: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      entryIds: Seq[Long], beam: Int, steps: Int, k: Int): DataFrame = {
+    require(entryIds.nonEmpty, "need at least one entry node")
+    require(beam >= 1, s"beam must be >= 1, got $beam")
+    require(steps >= 0, s"steps must be >= 0, got $steps")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sameIdType =
+      queries.schema(qIdCol).dataType == vectors.schema("id").dataType
+    def noSelf(df: DataFrame): DataFrame =
+      if (sameIdType) df.filter(col("node") =!= col("query_id")) else df
+    // the edge relation feeds every step — materialize once
+    val g = graph.select(col("vec_id"), col("neighbor_id")).localCheckpoint()
+    val q = fixedUnitVectors(queries, qIdCol, qVecCol)
+      .select(col("id").as("query_id"), col("vf").as("qf"))
+    val entries = vectors.filter(col("id").isin(entryIds: _*))
+      .select(col("id").as("node"), col("vf"))
+    var visited = noSelf(q.crossJoin(broadcast(entries)))
+      .select(col("query_id"), col("qf"), col("node"),
+        dotFp(col("vf"), col("qf")).as("score_fp"))
+      .localCheckpoint()
+    var frontier = visited
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("node"))
+    for (_ <- 1 to steps) {
+      val expand = noSelf(frontier
+        .select(col("query_id"), col("qf"), col("node").as("vec_id"))
+        .join(g, Seq("vec_id"))
+        .select(col("query_id"), col("qf"), col("neighbor_id").as("node"))
+        .dropDuplicates("query_id", "node"))
+        .join(visited.select(col("query_id"), col("node")),
+          Seq("query_id", "node"), "left_anti")
+      // candidates are frontier-sized — broadcast them into the
+      // corpus-sized vector relation, never the other way round
+      val scored = vectors.withColumnRenamed("id", "node")
+        .join(broadcast(expand), Seq("node"))
+        .select(col("query_id"), col("qf"), col("node"),
+          dotFp(col("vf"), col("qf")).as("score_fp"))
+      frontier = scored.withColumn("__rn", row_number().over(wBeam))
+        .filter(col("__rn") <= beam).drop("__rn")
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("node"))
+    visited.withColumn("rank", row_number().over(wK).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("rank"), col("score_fp"))
+  }
+
   /** kNN-density scoring over the [[knnGraphFixed]] edges — the
     * D4-class prototypicality signal (Tirumala et al. 2023: prune
     * off-distribution points after semantic dedup): `density_fp` =

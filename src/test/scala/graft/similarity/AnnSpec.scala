@@ -422,4 +422,70 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(got(("i2", "i1")) - 1.0) < 1e-9)
     assert(!got.keySet.exists(p => p._1 == "i3" || p._2 == "i3"))
   }
+
+  /** 10 unit vectors spread 0°..90° (ids 0..9) + an explicit CHAIN
+    * graph i↔i+1 — the fixture where greedy hops matter: a query at
+    * 90° entered at node 0 is only reachable by walking the chain.
+    */
+  private def chainFixture = {
+    def ang(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val nodes = (0 to 9).map(i => (i.toLong, ang(i * 10.0)))
+    val vectors = Ann.fixedUnitVectors(nodes.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val edges = (0 until 9).flatMap(i =>
+      Seq((i.toLong, (i + 1).toLong), ((i + 1).toLong, i.toLong)))
+      .toDF("vec_id", "neighbor_id")
+    val query = Seq((100L, ang(90.0))).toDF("vec_id", "embedding")
+    (edges, vectors, query)
+  }
+
+  test("beamSearchFixed walks the chain: step budget bounds the reach") {
+    val (edges, vectors, query) = chainFixture
+    def best(steps: Int): Long =
+      Ann.beamSearchFixed(edges, vectors, query, "vec_id", "embedding",
+        entryIds = Seq(0L), beam = 1, steps = steps, k = 1)
+        .head().getLong(1)
+    // 2 expansions from node 0 reach node 2 at best; 9 reach the target
+    assert(best(2) === 2L)
+    assert(best(9) === 9L)
+    // steps=0 degenerates to entry scoring only
+    assert(best(0) === 0L)
+  }
+
+  test("beamSearchFixed: visited ranking, self-exclusion, and cross-type skip") {
+    val (edges, vectors, query) = chainFixture
+    // k > |visited|: every visited node comes back, ranked by dot desc
+    val all = Ann.beamSearchFixed(edges, vectors, query, "vec_id",
+      "embedding", entryIds = Seq(0L), beam = 1, steps = 3, k = 10)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(all === Seq(3L, 2L, 1L, 0L)) // monotone chain toward 90°
+    // a query DRAWN from the corpus never retrieves itself
+    val self = (0 to 9).map(i => {
+      val r = math.toRadians(i * 10.0)
+      (i.toLong, Array(math.cos(r).toFloat, math.sin(r).toFloat))
+    }).toDF("vec_id", "embedding").filter($"vec_id" === 5L)
+    // entry at 4: node 5 is a DIRECT neighbor, reachable in one hop —
+    // only the self-exclusion keeps it out of the result
+    val got = Ann.beamSearchFixed(edges, vectors, self, "vec_id",
+      "embedding", entryIds = Seq(4L), beam = 2, steps = 2, k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.contains(5L) && got.nonEmpty)
+    // string-typed external query ids: exclusion skipped, rows survive
+    val ext = Seq(("qA", Array(0.0f, 1.0f))).toDF("qid", "embedding")
+    val extGot = Ann.beamSearchFixed(edges, vectors, ext, "qid",
+      "embedding", entryIds = Seq(0L), beam = 1, steps = 9, k = 1)
+    assert(extGot.count() === 1L)
+    // degenerate configs fail loudly
+    intercept[IllegalArgumentException] {
+      Ann.beamSearchFixed(edges, vectors, query, "vec_id", "embedding",
+        entryIds = Seq.empty, beam = 1, steps = 1, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.beamSearchFixed(edges, vectors, query, "vec_id", "embedding",
+        entryIds = Seq(0L), beam = 0, steps = 1, k = 1)
+    }
+  }
 }
