@@ -3853,7 +3853,8 @@ object SparkEntry {
     "q181_stream_semantic_decontaminate" -> (q181 _),
     "q182_vocab_drift" -> (q182 _),
     "q183_embedding_health" -> (q183 _),
-    "q184_graph_beam_search" -> (q184 _))
+    "q184_graph_beam_search" -> (q184 _),
+    "q185_three_way_split" -> (q185 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4000,6 +4001,47 @@ object SparkEntry {
        |SELECT doc_id, fp FROM f
        |WHERE ('0x' || substr(md5('42|' || fp), 1, 6))::BIGINT < $thresh"""
       .stripMargin
+  }
+
+  /** Weighted 3-way leakage-safe split ([[graft.prep.Prep.splitByKeyN]],
+    * 0.7/0.2/0.1 by content fingerprint) over q165's planted corpus —
+    * the train/val/test assignment gated at ROW level.
+    */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 100000,
+          regexp_replace(col("text"), " ", "  ").as("text")))
+    graft.prep.Prep.splitByKeyN(planted,
+      graft.text.TextAnalysis.fingerprint(col("text")),
+      weights = Seq(0.7, 0.2, 0.1))
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp"),
+        col("side"))
+  }
+
+  private def q185Sql: String = {
+    // the SAME driver-side truncation as Prep.splitByKeyN
+    val cum = Seq(0.7, 0.9).map(c => (c * (1 << 24)).toLong)
+    s"""WITH pl AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, replace(text, ' ', '  ')
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |f AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM pl),
+       |h AS (
+       |  SELECT doc_id, fp,
+       |    ('0x' || substr(md5('42|' || fp), 1, 6))::BIGINT AS h
+       |  FROM f)
+       |SELECT doc_id, fp,
+       |  CAST(CASE WHEN h < ${cum(0)} THEN 0
+       |            WHEN h < ${cum(1)} THEN 1
+       |            ELSE 2 END AS INTEGER) AS side
+       |FROM h""".stripMargin
   }
 
   /** Cross-source duplication matrix
@@ -5718,6 +5760,8 @@ object SparkEntry {
     "q183_embedding_health" -> q183Sql,
     // graph beam search: 3 unrolled expand/anti-join/beam rounds
     "q184_graph_beam_search" -> graft.oracle.AnnOracles.q184Sql(),
+    // weighted 3-way content-keyed split, row-level assignment gate
+    "q185_three_way_split" -> q185Sql,
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -261,6 +261,33 @@ object Prep {
     (df.filter(!isTest), df.filter(isTest))
   }
 
+  /** Weighted N-WAY form of [[splitByKey]] — the train/val/test (or
+    * k-fold) assignment with the same leakage-safety contract: every
+    * row sharing the key lands on ONE side, sides partition the
+    * corpus exactly (the last bucket is the CASE fallthrough — no
+    * uncovered hash range), and the decision is the md5 24-bit prefix
+    * against driver-truncated cumulative thresholds (truncated, not
+    * rounded — the DuckDB round-vs-truncate gotcha). Map-only, zero
+    * shuffle; returns `df` plus an INT `side` column (0-based, in
+    * `weights` order).
+    */
+  def splitByKeyN(df: DataFrame, key: Column, weights: Seq[Double],
+      seed: Long = 42L): DataFrame = {
+    require(weights.size >= 2, s"need >= 2 sides, got ${weights.size}")
+    require(weights.forall(_ > 0.0),
+      s"weights must be positive, got ${weights.mkString(", ")}")
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+      .map(c => (c / total * (1 << 24)).toLong)
+    val h = conv(substring(
+      md5(concat_ws("|", lit(seed), key)), 1, 6), 16, 10).cast("long")
+    val side = cum.init.zipWithIndex.reverse.foldLeft(
+      lit(weights.size - 1): Column) {
+      case (acc, (t, i)) => when(h < t, lit(i)).otherwise(acc)
+    }
+    df.withColumn("side", side)
+  }
+
   /** Time-series resample + gap-fill (the downsample-to-fixed-interval
     * feature-engineering primitive): per key, events bucket into
     * `intervalUs`-wide windows on the microsecond timestamp, each

@@ -179,6 +179,36 @@ class PrepSpec extends SparkSpec {
       test.orderBy("id").collect().toSeq)
   }
 
+  test("splitByKeyN: weighted sides partition exactly, keys never straddle, 2-way agrees") {
+    val df = (1L to 600L).map(i => (i, s"group${i % 60}")).toDF("id", "grp")
+    val got = graft.prep.Prep.splitByKeyN(df, col("grp"),
+      weights = Seq(0.7, 0.2, 0.1))
+    // exact cover: every row gets exactly one side in range
+    assert(got.count() === 600L)
+    assert(got.filter(col("side") < 0 || col("side") > 2).count() === 0L)
+    // leakage invariant: one side per key
+    val sidesPerKey = got.groupBy("grp")
+      .agg(countDistinct(col("side")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(sidesPerKey === 0L, "a key group straddles sides")
+    // side 0 of a (r, 1-r) 2-way N-split is EXACTLY splitByKey's test
+    // half (same hash, same truncated threshold)
+    val n2 = graft.prep.Prep.splitByKeyN(df, col("grp"), Seq(0.3, 0.7))
+      .filter(col("side") === 0).select("id")
+    val (_, test2) = graft.prep.Prep.splitByKey(df, col("grp"), 0.3)
+    assert(n2.exceptAll(test2.select("id")).count() === 0L)
+    assert(test2.select("id").exceptAll(n2).count() === 0L)
+    // every side is populated at these weights on 60 groups
+    assert(got.select("side").distinct().count() === 3L)
+    // loud degenerate configs
+    intercept[IllegalArgumentException] {
+      graft.prep.Prep.splitByKeyN(df, col("grp"), Seq(1.0))
+    }
+    intercept[IllegalArgumentException] {
+      graft.prep.Prep.splitByKeyN(df, col("grp"), Seq(0.5, 0.0))
+    }
+  }
+
   test("resampleLocf: gaps fill forward, last-per-bucket election, observed flag") {
     // user a: buckets 0 (two events — later one wins), 1 missing
     // (filled from 0), 2 observed; user b: single bucket, no gaps
