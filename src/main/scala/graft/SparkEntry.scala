@@ -3854,7 +3854,8 @@ object SparkEntry {
     "q182_vocab_drift" -> (q182 _),
     "q183_embedding_health" -> (q183 _),
     "q184_graph_beam_search" -> (q184 _),
-    "q185_three_way_split" -> (q185 _))
+    "q185_three_way_split" -> (q185 _),
+    "q186_hard_negatives" -> (q186 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4002,6 +4003,34 @@ object SparkEntry {
        |WHERE ('0x' || substr(md5('42|' || fp), 1, 6))::BIGINT < $thresh"""
       .stripMargin
   }
+
+  /** Hard-negative mining ([[graft.similarity.Ann.hardNegatives]]):
+    * the q48b LSH shortlist (k=20) minus planted positives (each
+    * anchor's +1 neighbor) re-ranked top-5 — the contrastive-training
+    * negatives feed. Oracle = the q48b chain with a NOT-EXISTS
+    * exclusion and a re-rank.
+    */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val anchors = e.filter(col("vec_id") < 10)
+    val shortlist = graft.similarity.Ann.lshTopKFixed(e, "vec_id",
+      "embedding", anchors, "vec_id", "embedding", k = 20)
+    val positives = anchors.select(col("vec_id").as("query_id"),
+      (col("vec_id") + 1).as("neighbor_id"))
+    graft.similarity.Ann.hardNegatives(shortlist, positives, k = 5)
+  }
+
+  private def q186Sql(k: Int = 5, shortlist: Int = 20): String =
+    s"""WITH sl AS MATERIALIZED (
+       |  ${graft.oracle.AnnOracles.q48bSql(shortlist)}),
+       |neg AS (SELECT query_id, neighbor_id, score_fp FROM sl
+       |        WHERE neighbor_id <> query_id + 1)
+       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS "rank", score_fp
+       |FROM (SELECT query_id, neighbor_id, score_fp,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score_fp DESC, neighbor_id) AS rn
+       |      FROM neg)
+       |WHERE rn <= $k""".stripMargin
 
   /** Weighted 3-way leakage-safe split ([[graft.prep.Prep.splitByKeyN]],
     * 0.7/0.2/0.1 by content fingerprint) over q165's planted corpus —
@@ -5762,6 +5791,8 @@ object SparkEntry {
     "q184_graph_beam_search" -> graft.oracle.AnnOracles.q184Sql(),
     // weighted 3-way content-keyed split, row-level assignment gate
     "q185_three_way_split" -> q185Sql,
+    // hard negatives: q48b shortlist minus positives, re-ranked
+    "q186_hard_negatives" -> q186Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -511,6 +511,39 @@ object Ann {
         col("rank"), col("score_fp"))
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * ANN-mined negatives recipe of DPR, Karpukhin et al. 2020 §4.2,
+    * and SimCSE-class embedding training): from an ANN `shortlist`
+    * (any producer — [[lshTopKFixed]], [[ivfTopKFixed]],
+    * [[beamSearchFixed]]: anything shaped (query_id, neighbor_id,
+    * rank, score_fp)), remove each anchor's KNOWN POSITIVES and
+    * re-rank what remains top-`k` — the nearest non-matches are
+    * exactly the negatives a contrastive loss learns most from.
+    *
+    * Scale shape: the shortlist is |anchors|·shortlistK rows and the
+    * positives relation is training-pairs-sized — both corpus-scale,
+    * so the anti-join is an honest (query, neighbor)-keyed shuffle
+    * join (no broadcast hint: Catalyst broadcasts a small positives
+    * side on its own); the re-rank window is the shortlist's own
+    * WindowGroupLimit shape. Mine with `shortlistK > k + max
+    * positives per anchor` or depleted anchors return fewer than `k`
+    * rows (honest — not padded).
+    */
+  def hardNegatives(shortlist: DataFrame, positives: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pos = positives
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    shortlist.select(col("query_id"), col("neighbor_id"), col("score_fp"))
+      .join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score_fp"))
+  }
+
   /** kNN-density scoring over the [[knnGraphFixed]] edges — the
     * D4-class prototypicality signal (Tirumala et al. 2023: prune
     * off-distribution points after semantic dedup): `density_fp` =

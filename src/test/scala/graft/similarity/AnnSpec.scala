@@ -455,6 +455,24 @@ class AnnSpec extends SparkSpec {
     assert(best(0) === 0L)
   }
 
+  test("hardNegatives drops known positives and re-closes the ranks") {
+    val shortlist = Seq(
+      (1L, 10L, 1, 900L), (1L, 11L, 2, 800L), (1L, 12L, 3, 700L),
+      (1L, 13L, 4, 600L),
+      (2L, 20L, 1, 900L), (2L, 21L, 2, 800L))
+      .toDF("query_id", "neighbor_id", "rank", "score_fp")
+    val positives = Seq((1L, 10L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val got = Ann.hardNegatives(shortlist, positives, k = 2)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // anchor 1: 10 and 12 removed, 11/13 re-rank 1/2;
+    // anchor 2: fully depleted — honest empty, not padded
+    assert(got === Set((1L, 11L, 1, 800L), (1L, 13L, 2, 600L)))
+    intercept[IllegalArgumentException] {
+      Ann.hardNegatives(shortlist, positives, k = 0)
+    }
+  }
+
   test("beamSearchFixed: visited ranking, self-exclusion, and cross-type skip") {
     val (edges, vectors, query) = chainFixture
     // k > |visited|: every visited node comes back, ranked by dot desc
