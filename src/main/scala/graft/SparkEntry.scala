@@ -3855,7 +3855,8 @@ object SparkEntry {
     "q183_embedding_health" -> (q183 _),
     "q184_graph_beam_search" -> (q184 _),
     "q185_three_way_split" -> (q185 _),
-    "q186_hard_negatives" -> (q186 _))
+    "q186_hard_negatives" -> (q186 _),
+    "q187_token_budget_select" -> (q187 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4031,6 +4032,48 @@ object SparkEntry {
        |          ORDER BY score_fp DESC, neighbor_id) AS rn
        |      FROM neg)
        |WHERE rn <= $k""".stripMargin
+
+  /** Token-budget selection
+    * ([[graft.pipeline.Curation.tokenBudgetSelect]]): the q113-scored
+    * corpus greedily budget-capped at 30% of its total token mass
+    * (budget derived by exact integer division on both sides). The
+    * operator runs the scale-shaped two-level form; the oracle replays
+    * ONE naive global running-sum window — the hash match proves the
+    * equivalence.
+    */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Quality, TextAnalysis}
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        floor(Quality.scoreQuality(col("text"), q113Weights) * lit(1e6))
+          .cast("long").as("score_fp"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      // budget base = the SAME rows the operator can rank (the oracle's
+      // d CTE filters null scores before its total)
+      .filter(col("score_fp").isNotNull)
+    val total = docs.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head().getLong(0)
+    graft.pipeline.Curation.tokenBudgetSelect(docs, "doc_id",
+      "score_fp", "n_tokens", budget = total * 3L / 10L)
+  }
+
+  private def q187Sql: String =
+    s"""WITH ${qualityScoredCtes(q113Weights)},
+       |tb_d AS (
+       |  SELECT t.doc_id,
+       |         CAST(floor(sc.s * 1000000.0) AS BIGINT) AS score_fp,
+       |         CAST(len(regexp_split_to_array(trim(t.text), '\\s+'))
+       |           AS BIGINT) AS n_tokens
+       |  FROM t JOIN sc ON sc.doc_id = t.doc_id
+       |  WHERE t.text IS NOT NULL AND sc.s IS NOT NULL),
+       |tb_r AS (
+       |  SELECT doc_id, score_fp, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY score_fp DESC, doc_id ASC
+       |           ROWS UNBOUNDED PRECEDING) AS run
+       |  FROM tb_d)
+       |SELECT doc_id, score_fp, n_tokens FROM tb_r
+       |WHERE run <= (SELECT sum(n_tokens) FROM tb_d) * 3 // 10""".stripMargin
 
   /** Weighted 3-way leakage-safe split ([[graft.prep.Prep.splitByKeyN]],
     * 0.7/0.2/0.1 by content fingerprint) over q165's planted corpus —
@@ -5793,6 +5836,8 @@ object SparkEntry {
     "q185_three_way_split" -> q185Sql,
     // hard negatives: q48b shortlist minus positives, re-ranked
     "q186_hard_negatives" -> q186Sql(),
+    // token budget: two-level form vs the naive global-window replay
+    "q187_token_budget_select" -> q187Sql,
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

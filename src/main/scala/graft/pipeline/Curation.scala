@@ -614,6 +614,50 @@ object Curation {
       .select(col("id"), col("density_fp"))
   }
 
+  /** Token-budget selection — "keep the BEST documents that fit an
+    * exact token budget": the greedy knapsack prefix every data-mixing
+    * recipe runs when a training slice is token-bounded (quality-
+    * ranked, score ties broken by id asc; a document is kept iff the
+    * running token mass INCLUDING it stays ≤ `budget`).
+    *
+    * The naive form is one GLOBAL running-sum window over (score desc,
+    * id) — a single-partition sort of the corpus, the exact plan shape
+    * this repo forbids. This implementation is the equivalent
+    * two-level form: (1) per-SCORE token masses (one map-combinable
+    * agg, |distinct scores| rows), (2) a cumulative "mass before this
+    * bucket" over that small relation (the only unpartitioned window —
+    * over score buckets, NOT corpus rows; distinct-score cardinality
+    * is the scale knob, so floor/bucket a near-continuous score
+    * upstream), (3) one (score)-partitioned id-ordered running sum
+    * over the corpus — keep iff `before + run ≤ budget`. For full
+    * buckets the condition is bucket-level; in the single boundary
+    * bucket it is the id-ordered prefix; identical to the global rule
+    * — which is exactly what the q187 oracle replays as one global
+    * window, so the hash match IS the equivalence proof. Largest
+    * score-tie bucket bounds the window skew.
+    *
+    * Rows with a NULL score or NULL token count are dropped (they can
+    * be neither ranked nor budgeted — filter or default upstream).
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String,
+      scoreFpCol: String, tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val d = docs.filter(col(scoreFpCol).isNotNull && col(tokensCol).isNotNull)
+    val buckets = d.groupBy(col(scoreFpCol).as("__s"))
+      .agg(sum(col(tokensCol)).as("__mass"))
+    val wBefore = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = buckets.select(col("__s"),
+      coalesce(sum(col("__mass")).over(wBefore), lit(0L)).as("__before"))
+    val wRun = Window.partitionBy(col("__s")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("__s", col(scoreFpCol))
+      .join(cum, Seq("__s"))
+      .withColumn("__run", sum(col(tokensCol)).over(wRun))
+      .filter(col("__before") + col("__run") <= lit(budget))
+      .select(docs.columns.map(col): _*)
+  }
+
   /** Semantic (embedding-space) decontamination audit — the
     * embedding-space member of the decontamination family (fingerprint
     * q75 / n-gram q86 / span q104 / Bloom q132 / BM25-retrieval q154

@@ -545,4 +545,47 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(viol === 0L, "rows within a shard file are not in sort_key order")
   }
+
+  test("tokenBudgetSelect: greedy prefix by (score desc, id), exact budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 3L, 5L), (2L, 2L, 5L), (3L, 2L, 5L), (4L, 1L, 5L))
+      .toDF("doc_id", "score_fp", "n_tokens")
+    def sel(budget: Long): Set[Long] =
+      Curation.tokenBudgetSelect(docs, "doc_id", "score_fp", "n_tokens",
+        budget).select("doc_id").as[Long].collect().toSet
+    assert(sel(12L) === Set(1L, 2L)) // 5 + 5 fit; the tie doc 3 would hit 15
+    assert(sel(15L) === Set(1L, 2L, 3L)) // exact boundary INCLUDES
+    assert(sel(4L) === Set.empty) // best doc alone exceeds
+    assert(sel(0L) === Set.empty)
+    intercept[IllegalArgumentException] {
+      Curation.tokenBudgetSelect(docs, "doc_id", "score_fp", "n_tokens", -1L)
+    }
+    // null score/token rows are unrankable — dropped, never selected
+    val withNull = docs.unionByName(Seq(
+      (9L, Option.empty[Long], Option(5L)),
+      (10L, Option(9L), Option.empty[Long]))
+      .toDF("doc_id", "score_fp", "n_tokens"))
+    assert(Curation.tokenBudgetSelect(withNull, "doc_id", "score_fp",
+      "n_tokens", 12L).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L))
+  }
+
+  test("tokenBudgetSelect two-level form equals the naive global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 200L).map(i => (i, i % 7, (i % 5) + 1))
+      .toDF("doc_id", "score_fp", "n_tokens")
+    val budget = 180L
+    val got = Curation.tokenBudgetSelect(docs, "doc_id", "score_fp",
+      "n_tokens", budget).select("doc_id").as[Long].collect().toSet
+    val naive = docs.withColumn("__run",
+      sum(col("n_tokens")).over(Window
+        .orderBy(col("score_fp").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__run") <= budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === naive)
+    assert(got.nonEmpty && got.size < 200)
+  }
 }
