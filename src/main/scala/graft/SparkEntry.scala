@@ -3856,7 +3856,8 @@ object SparkEntry {
     "q184_graph_beam_search" -> (q184 _),
     "q185_three_way_split" -> (q185 _),
     "q186_hard_negatives" -> (q186 _),
-    "q187_token_budget_select" -> (q187 _))
+    "q187_token_budget_select" -> (q187 _),
+    "q188_repeat_upsample" -> (q188 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4074,6 +4075,39 @@ object SparkEntry {
        |  FROM tb_d)
        |SELECT doc_id, score_fp, n_tokens FROM tb_r
        |WHERE run <= (SELECT sum(n_tokens) FROM tb_d) * 3 // 10""".stripMargin
+
+  /** Repeat-cap upsampling
+    * ([[graft.pipeline.Curation.repeatUpsample]]): per-source rates
+    * 0 / 0.7 / 1.4 / 2.1 / 2.8 (source index mod 5 — exercises drop,
+    * Bernoulli, repeat+fraction) capped at 2 copies. Row-level gate
+    * including copy_no.
+    */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source")
+    val rates = docs.select("source").distinct()
+      .selectExpr("source",
+        "((cast(substr(source, 4) as int) % 5) * 117440512L) div 10 as rate_fp")
+    graft.pipeline.Curation.repeatUpsample(docs, "source",
+      col("doc_id"), rates, maxRepeats = 2)
+      .select(col("doc_id"), col("source"), col("copy_no"))
+  }
+
+  private def q188Sql(maxRepeats: Int = 2): String =
+    s"""WITH rt AS (
+       |  SELECT source,
+       |    ((CAST(substr(source, 4) AS INT) % 5) * 117440512) // 10
+       |      AS rate_fp
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |j AS (
+       |  SELECT d.doc_id, d.source,
+       |    LEAST(rt.rate_fp // 16777216
+       |      + CASE WHEN ('0x' || substr(md5(
+       |            CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+       |          < rt.rate_fp % 16777216 THEN 1 ELSE 0 END,
+       |      $maxRepeats) AS n
+       |  FROM documents d JOIN rt USING (source))
+       |SELECT doc_id, source, CAST(unnest(range(n)) AS BIGINT) AS copy_no
+       |FROM j WHERE n > 0""".stripMargin
 
   /** Weighted 3-way leakage-safe split ([[graft.prep.Prep.splitByKeyN]],
     * 0.7/0.2/0.1 by content fingerprint) over q165's planted corpus —
@@ -5838,6 +5872,8 @@ object SparkEntry {
     "q186_hard_negatives" -> q186Sql(),
     // token budget: two-level form vs the naive global-window replay
     "q187_token_budget_select" -> q187Sql,
+    // repeat-cap upsampling: base copies + md5-fraction extra, capped
+    "q188_repeat_upsample" -> q188Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

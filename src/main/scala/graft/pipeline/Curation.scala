@@ -614,6 +614,43 @@ object Curation {
       .select(col("id"), col("density_fp"))
   }
 
+  /** Repeat-cap upsampling (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": repeating data up to ~4
+    * epochs is nearly as good as fresh data — beyond that it decays):
+    * the UPSAMPLING half the Bernoulli mixture family
+    * ([[applyMixtureRates]], rates ≤ 1) cannot express. Each group
+    * carries a fixed-point rate `rate_fp = floor(rate·2²⁴)` that may
+    * EXCEED 2²⁴: a row emits `rate_fp >> 24` full copies plus one
+    * extra iff its md5 24-bit key prefix falls under the fractional
+    * part — so rate 2.3 means "every row twice, 30% of rows a third
+    * time", rate 0.25 degrades to plain Bernoulli downsampling (base
+    * 0), and rate 0 drops the group. Copies are capped at
+    * `maxRepeats` (the paper's decay bound) and tagged `copy_no`
+    * (0-based) so downstream shuffle-shard/packing treats them as
+    * distinct rows. Deterministic — the SAME md5 row hash as
+    * [[applyMixtureRates]], so a sub-1 rate here selects exactly the
+    * rows the Bernoulli family would (spec-pinned: the two operators
+    * are one family). Map-only: one |groups|-row broadcast rate table
+    * + a sequence explode — zero shuffle at any corpus size; output
+    * mass is Σ rows·rate, the caller's knob.
+    */
+  def repeatUpsample(df: DataFrame, groupCol: String, keyCol: Column,
+      rates: DataFrame, maxRepeats: Int): DataFrame = {
+    require(maxRepeats >= 1, s"maxRepeats must be >= 1, got $maxRepeats")
+    val rt = rates.select(col(groupCol), col("rate_fp").as("__rate_fp"))
+    val h = conv(substring(
+      md5(keyCol.cast("string")), 1, 6), 16, 10).cast("long")
+    df.join(broadcast(rt), Seq(groupCol))
+      .withColumn("__n", least(
+        shiftright(col("__rate_fp"), 24) +
+          when(h < col("__rate_fp").bitwiseAND(lit(16777215L)), lit(1L))
+            .otherwise(lit(0L)),
+        lit(maxRepeats.toLong)))
+      .filter(col("__n") > 0)
+      .withColumn("copy_no", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__rate_fp", "__n")
+  }
+
   /** Token-budget selection — "keep the BEST documents that fit an
     * exact token budget": the greedy knapsack prefix every data-mixing
     * recipe runs when a training slice is token-bounded (quality-

@@ -546,6 +546,44 @@ class CurationSpec extends SparkSpec {
     assert(viol === 0L, "rows within a shard file are not in sort_key order")
   }
 
+  test("repeatUpsample: base copies + fractional extra, cap binds, rate 0 drops") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    def fp(rate: Double): Long = (rate * (1 << 24)).toLong
+    val rates = Seq(("g0", fp(0.0)), ("g1", fp(0.5)), ("g2", fp(2.0)),
+      ("g3", fp(2.8))).toDF("grp", "rate_fp")
+    val got = Curation.repeatUpsample(docs, "grp", col("id"), rates,
+      maxRepeats = 4)
+    val byGrp = got.groupBy("grp").count().as[(String, Long)]
+      .collect().toMap
+    assert(!byGrp.contains("g0")) // rate 0 drops the group
+    // g1: Bernoulli 0.5 over 100 rows — between 20 and 80
+    assert(byGrp("g1") >= 20L && byGrp("g1") <= 80L)
+    assert(byGrp("g2") === 200L) // exactly 2 copies each
+    // g3: 2 copies + ~80% a third — strictly more than g2's mass
+    assert(byGrp("g3") > 200L && byGrp("g3") <= 300L)
+    // copy_no is dense per row: a 2-copy row carries 0 and 1
+    val copies = got.filter(col("grp") === "g2")
+      .groupBy("id").agg(collect_set(col("copy_no")).as("c"))
+      .select("c").as[Seq[Long]].collect()
+    assert(copies.forall(_.sorted == Seq(0L, 1L)))
+    // the cap binds: maxRepeats = 2 flattens g3 to exactly 2 copies
+    val capped = Curation.repeatUpsample(docs, "grp", col("id"), rates,
+      maxRepeats = 2).filter(col("grp") === "g3").count()
+    assert(capped === 200L)
+    // sub-1 rates agree with the Bernoulli mixture family's decision
+    val bern = Curation.applyMixtureRates(docs, "grp", col("id"),
+      rates.filter(col("grp") === "g1")
+        .select(col("grp"), (col("rate_fp") / lit(16777216.0)).as("__rate")))
+      .select("id").as[Long].collect().toSet
+    val up1 = got.filter(col("grp") === "g1").select("id")
+      .as[Long].collect().toSet
+    assert(up1 === bern)
+    intercept[IllegalArgumentException] {
+      Curation.repeatUpsample(docs, "grp", col("id"), rates, maxRepeats = 0)
+    }
+  }
+
   test("tokenBudgetSelect: greedy prefix by (score desc, id), exact budget") {
     import spark.implicits._
     val docs = Seq(
