@@ -1533,7 +1533,9 @@ object SparkEntry {
     * user/item bias → predict with clip, global-mean fallback for unknown
     * user/item → MAE/MSE/RMSE in one pass.
     */
-  private def q25(s: SparkSession, dir: String): DataFrame = {
+  /** q25's serving relation (test rows + prediction), shared with the
+    * q189 cohort-eval gate. */
+  private def q25Pred(s: SparkSession, dir: String): DataFrame = {
     val (train, test) = Prep.modSplit(ratings(s, dir), col("event_id"), 10, 7)
     // favg (not avg): meanR feeds every downstream prediction, so it
     // must be bitwise-reproducible across runs and engines.
@@ -1546,17 +1548,74 @@ object SparkEntry {
     val ib = train.groupBy("item").agg(favg(col("rating") - meanR).as("i_bias"))
     val known = col("u_bias").isNotNull && col("i_bias").isNotNull
     val score = lit(meanR) + col("u_bias") + col("i_bias")
-    val pred = test
+    test
       .join(broadcast(ub), Seq("user"), "left_outer")
       .join(broadcast(ib), Seq("item"), "left_outer")
       .withColumn("prediction",
         when(known, Serving.clip(score, minR, maxR)).otherwise(lit(meanR)))
+  }
+
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val pred = q25Pred(s, dir)
     val err = col("prediction") - col("rating")
     pred.agg(
       favg(abs(err)).as("mae"),
       favg(err * err).as("mse"),
       sqrt(favg(err * err)).as("rmse"))
   }
+
+  /** Per-cohort serving eval
+    * ([[graft.recommender.Evaluator.evaluateByDf]]): q25's prediction
+    * relation sliced by train-side user-activity QUARTILE (exact
+    * ntile over (count desc, user) — the established window-parity
+    * surface); unseen test users keep a NULL tier and form their own
+    * cold cohort.
+    */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val (train, _) = Prep.modSplit(ratings(s, dir), col("event_id"), 10, 7)
+    val tiers = train.groupBy("user").agg(count(lit(1)).as("__n"))
+      .withColumn("tier", ntile(4).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__n").desc, col("user"))))
+      .drop("__n")
+    graft.recommender.Evaluator.evaluateByDf(
+      q25Pred(s, dir).join(tiers, Seq("user"), "left"),
+      "rating", "prediction", "tier")
+  }
+
+  private def q189Sql: String =
+    s"""$ratingsCte,
+       |train AS (SELECT * FROM ratings WHERE event_id % 10 < 7),
+       |test  AS (SELECT * FROM ratings WHERE event_id % 10 >= 7),
+       |stats AS (SELECT ${favgSql("rating")} AS mean_r, min(rating) AS min_r,
+       |                 max(rating) AS max_r FROM train),
+       |ub AS (SELECT "user",
+       |              ${favgSql("rating - (SELECT mean_r FROM stats)")} AS u_bias
+       |       FROM train GROUP BY "user"),
+       |ib AS (SELECT item,
+       |              ${favgSql("rating - (SELECT mean_r FROM stats)")} AS i_bias
+       |       FROM train GROUP BY item),
+       |uc AS (SELECT "user", count(*) AS n FROM train GROUP BY 1),
+       |tr AS (SELECT "user",
+       |              CAST(ntile(4) OVER (ORDER BY n DESC, "user") AS INTEGER)
+       |                AS tier
+       |       FROM uc),
+       |pred AS (
+       |  SELECT t."user", t.rating,
+       |         CASE WHEN ub.u_bias IS NOT NULL AND ib.i_bias IS NOT NULL
+       |              THEN least(greatest(s.mean_r + ub.u_bias + ib.i_bias,
+       |                                  s.min_r), s.max_r)
+       |              ELSE s.mean_r END AS prediction
+       |  FROM test t CROSS JOIN stats s
+       |  LEFT JOIN ub ON t."user" = ub."user"
+       |  LEFT JOIN ib ON t.item = ib.item)
+       |SELECT tr.tier, count(*) AS n,
+       |       ${favgSql("abs(prediction - rating)")} AS mae,
+       |       ${favgSql("(prediction - rating) * (prediction - rating)")} AS mse,
+       |       sqrt(${favgSql("(prediction - rating) * (prediction - rating)")})
+       |         AS rmse
+       |FROM pred LEFT JOIN tr ON pred."user" = tr."user"
+       |GROUP BY tr.tier""".stripMargin
 
   // --------------------------------------------------------- q3x recommenders
 
@@ -3857,7 +3916,8 @@ object SparkEntry {
     "q185_three_way_split" -> (q185 _),
     "q186_hard_negatives" -> (q186 _),
     "q187_token_budget_select" -> (q187 _),
-    "q188_repeat_upsample" -> (q188 _))
+    "q188_repeat_upsample" -> (q188 _),
+    "q189_cohort_eval" -> (q189 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5874,6 +5934,8 @@ object SparkEntry {
     "q187_token_budget_select" -> q187Sql,
     // repeat-cap upsampling: base copies + md5-fraction extra, capped
     "q188_repeat_upsample" -> q188Sql(),
+    // cohort eval: q25's chain sliced by train activity quartile
+    "q189_cohort_eval" -> q189Sql,
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -36,6 +36,31 @@ object Evaluator {
       sqrt(avg(err * err)).as("rmse"))
   }
 
+  /** Per-SLICE (cohort) regression metrics — "who is the model
+    * failing for": the per-activity-tier / per-language / per-source
+    * breakdown a single global MAE hides (a model can look fine on
+    * average while being unusable for cold users). One
+    * map-side-combinable aggregate keyed by the slice, |slices| rows
+    * out; error averages accumulate FIXED-POINT (floor(x·10⁶) summed
+    * as DECIMAL(38,0) — the house float-aggregation rule: double sums
+    * are shuffle-order-dependent), so every slice row hash-gates. A
+    * NULL slice is kept as its own cohort (e.g. cold users with no
+    * train-side tier), never silently dropped.
+    */
+  def evaluateByDf(df: DataFrame, labelCol: String, predCol: String,
+      sliceCol: String): DataFrame = {
+    val err = col(predCol) - col(labelCol)
+    def favg(c: org.apache.spark.sql.Column) =
+      (sum(floor(c * lit(1e6))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double") / lit(1e6)) / count(c)
+    df.groupBy(col(sliceCol)).agg(
+      count(lit(1)).as("n"),
+      favg(abs(err)).as("mae"),
+      favg(err * err).as("mse"),
+      sqrt(favg(err * err)).as("rmse"))
+  }
+
   /** Per-rank DCG weights `floor(scale / log2(r+1))`, computed ONCE on
     * the driver and embedded as literals in BOTH engines' plans (the
     * oracle SQL is generated from the same array), so ranking metrics

@@ -83,4 +83,23 @@ class ServingSpec extends SparkSpec {
     // u4: truth but no recs → zero rr/dcg/ndcg, idcg still defined
     assert(got("u4") === (("u4", 1L, 0L, 0L, 0L, w(0), 0L)))
   }
+
+  test("evaluateByDf: per-slice metrics, null slice kept as its own cohort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Option("a"), 3.0, 4.0),  // err 1
+      (Option("a"), 3.0, 3.0),  // err 0
+      (Option("b"), 2.0, 5.0),  // err 3
+      (Option.empty[String], 1.0, 2.5)) // cold cohort, err 1.5
+      .toDF("tier", "rating", "prediction")
+    val got = Evaluator.evaluateByDf(df, "rating", "prediction", "tier")
+      .as[(Option[String], Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(Some("a")) === ((Some("a"), 2L, 0.5, 0.5, math.sqrt(0.5))))
+    assert(got(Some("b"))._2 === 1L)
+    assert(got(Some("b"))._3 === 3.0 && got(Some("b"))._4 === 9.0)
+    // the null slice is a real row, not dropped
+    assert(got(None) === ((None, 1L, 1.5, 2.25, 1.5)))
+  }
 }
