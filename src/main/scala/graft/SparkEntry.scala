@@ -2042,6 +2042,21 @@ object SparkEntry {
       entryIds = 0L until 8L, beam = 4, steps = 3, k = 5)
   }
 
+  /** SQ8 scalar-quantized top-k
+    * ([[graft.similarity.Ann.sq8TopK]]): bounds frozen from the unit
+    * corpus (one agg, a 2·64-double artifact), asymmetric full-
+    * precision-query scoring over on-the-fly dequantized codes;
+    * replayed by [[graft.oracle.AnnOracles.q190Sql]].
+    */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (mins, maxs) =
+      graft.similarity.Ann.sq8Bounds(e, "vec_id", "embedding", 64)
+    graft.similarity.Ann.sq8TopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10,
+      mins, maxs)
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3917,7 +3932,8 @@ object SparkEntry {
     "q186_hard_negatives" -> (q186 _),
     "q187_token_budget_select" -> (q187 _),
     "q188_repeat_upsample" -> (q188 _),
-    "q189_cohort_eval" -> (q189 _))
+    "q189_cohort_eval" -> (q189 _),
+    "q190_sq8_topk" -> (q190 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5936,6 +5952,8 @@ object SparkEntry {
     "q188_repeat_upsample" -> q188Sql(),
     // cohort eval: q25's chain sliced by train activity quartile
     "q189_cohort_eval" -> q189Sql,
+    // SQ8: frozen-bounds codes, asymmetric dequant dot, ordered fold
+    "q190_sq8_topk" -> graft.oracle.AnnOracles.q190Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

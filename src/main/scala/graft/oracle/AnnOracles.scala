@@ -434,6 +434,46 @@ object AnnOracles {
     sb.toString
   }
 
+  /** q190: SQ8 scalar-quantized top-k
+    * ([[graft.similarity.Ann.sq8TopK]]) — per-dimension bounds derived
+    * in-query over the unit corpus (exact min/max, no arithmetic),
+    * clamp-floor codes, on-the-fly dequantization, and the dot folded
+    * SEQUENTIALLY via list_reduce (matches the codegen DotProduct loop
+    * bit-for-bit) before the 1e12 fixed-point.
+    */
+  def q190Sql(k: Int = 10, dim: Int = 64, nQueries: Int = 10): String =
+    s"""WITH
+       |${unitCtes(embeddingsSrc)},
+       |pe AS MATERIALIZED (
+       |  SELECT id, i.i + 1 AS i, uv[CAST(i.i + 1 AS INT)] AS x
+       |  FROM unit, range($dim) i(i)),
+       |bounds AS MATERIALIZED (
+       |  SELECT i, min(x) AS mn, max(x) AS mx FROM pe GROUP BY i),
+       |dqx AS (
+       |  SELECT pe.id, pe.i,
+       |    b.mn + (CASE WHEN b.mx = b.mn THEN CAST(0 AS DOUBLE)
+       |            ELSE LEAST(255.0, GREATEST(0.0,
+       |              floor((pe.x - b.mn) * 255.0 / (b.mx - b.mn)))) END)
+       |      * (b.mx - b.mn) / 255.0 AS dx
+       |  FROM pe JOIN bounds b USING (i)),
+       |dql AS MATERIALIZED (
+       |  SELECT id, list(dx ORDER BY i) AS dv FROM dqx GROUP BY id),
+       |qrel AS (SELECT id AS query_id, uv AS qv FROM unit
+       |         WHERE id < $nQueries),
+       |sc AS (
+       |  SELECT q.query_id, d.id AS neighbor_id,
+       |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range($dim),
+       |        j -> q.qv[CAST(j + 1 AS INT)] * d.dv[CAST(j + 1 AS INT)])),
+       |      (a, b) -> a + b) * 1e12) AS BIGINT) AS score_fp
+       |  FROM dql d CROSS JOIN qrel q WHERE d.id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score_fp
+       |FROM (SELECT query_id, neighbor_id, score_fp, row_number() OVER (
+       |        PARTITION BY query_id
+       |        ORDER BY score_fp DESC, neighbor_id) AS rn
+       |      FROM sc)
+       |WHERE rn <= $k""".stripMargin
+
   /** [[unitCtes]]'s chain collapsed to `{p}e, {p}nn, {p}vf` under a
     * caller prefix — for oracles joining TWO unit-fp relations in one
     * scope (DuckDB rejects duplicate CTE aliases).

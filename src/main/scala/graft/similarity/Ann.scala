@@ -511,6 +511,78 @@ object Ann {
         col("rank"), col("score_fp"))
   }
 
+  /** Per-dimension SQ8 quantization bounds over the UNIT-space corpus
+    * — ONE aggregate (2·dim min/max expressions in a single pass), a
+    * 2·dim-double artifact (the centroids/codebook class: train once,
+    * freeze, ship with the plan). Null/short vectors contribute
+    * nothing.
+    */
+  def sq8Bounds(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): (Seq[Double], Seq[Double]) = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val u = unitized(df, idCol, vecCol)
+    val aggs = (0 until dim).flatMap { i =>
+      Seq(min(element_at(col("uv"), i + 1)).as(s"mn$i"),
+        max(element_at(col("uv"), i + 1)).as(s"mx$i"))
+    }
+    val row = u.agg(aggs.head, aggs.tail: _*).head()
+    ((0 until dim).map(i => row.getDouble(2 * i)),
+      (0 until dim).map(i => row.getDouble(2 * i + 1)))
+  }
+
+  /** SQ8 scalar-quantized ANN (the FAISS SQ8 storage path — the
+    * 4×-smaller alternative to full floats when PQ's distortion is
+    * too much): corpus unit vectors stored as per-dimension 8-bit
+    * codes under FROZEN `(mins, maxs)` bounds
+    * (`code = clamp(floor((x−mn)·255/(mx−mn)), 0, 255)`; a degenerate
+    * dimension with mx = mn codes to 0 and dequantizes back to mn),
+    * queries kept FULL precision (asymmetric scoring, the FAISS ADC
+    * convention — halves the quantization noise for free). Scoring
+    * dequantizes on the fly and folds the dot SEQUENTIALLY
+    * ([[graft.functions.VectorExpressions.dot]] — the left-assoc
+    * chain that replays bit-for-bit as DuckDB's list_reduce), then
+    * fixed-points, so the ranking hash-gates (q190).
+    *
+    * Scale shape: the brute-scan verifier form — codes scanned once,
+    * probe-sized queries broadcast, rank under the group-limit
+    * window. The production path at corpus scale composes the same
+    * codes with the IVF list tables (store codes in the lists; same
+    * probe join, 4× less IO) — the scoring expression here is that
+    * path's kernel.
+    */
+  def sq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(mins.nonEmpty && mins.size == maxs.size,
+      s"bounds disagree: ${mins.size} mins vs ${maxs.size} maxs")
+    val minsL = array(mins.map(lit): _*)
+    val spansL = array(mins.indices.map(i => lit(maxs(i) - mins(i))): _*)
+    def mn(i: Column) = element_at(minsL, (i + 1).cast("int"))
+    def sp(i: Column) = element_at(spansL, (i + 1).cast("int"))
+    def codesOf(uv: Column): Column = transform(uv, (x, i) =>
+      when(sp(i) === 0.0, lit(0))
+        .otherwise(least(lit(255.0), greatest(lit(0.0),
+          floor((x - mn(i)) * lit(255.0) / sp(i)))).cast("int")))
+    def dequantOf(codes: Column): Column = transform(codes, (c, i) =>
+      mn(i) + c.cast("double") * sp(i) / lit(255.0))
+    val c = unitized(corpus, idCol, vecCol).filter(col("uv").isNotNull)
+      .select(col("id").as("neighbor_id"), codesOf(col("uv")).as("codes"))
+    val q = unitized(queries, qIdCol, qVecCol).filter(col("uv").isNotNull)
+      .select(col("id").as("query_id"), col("uv").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_fp",
+        floor(graft.functions.VectorExpressions.dot(col("qv"),
+          dequantOf(col("codes"))) * lit(1e12)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score_fp"))
+  }
+
   /** Hard-negative mining for contrastive training (the in-batch /
     * ANN-mined negatives recipe of DPR, Karpukhin et al. 2020 §4.2,
     * and SimCSE-class embedding training): from an ANN `shortlist`

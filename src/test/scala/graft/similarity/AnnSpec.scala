@@ -455,6 +455,38 @@ class AnnSpec extends SparkSpec {
     assert(best(0) === 0L)
   }
 
+  test("sq8TopK: high recall vs brute force; degenerate dims and self-exclusion hold") {
+    // 120 deterministic 4-dim vectors on a 2-sphere; dim 3 is ZERO in
+    // every vector (zero survives unitization exactly) — the
+    // degenerate mx == mn bound must code to 0 and dequantize back
+    // without NaN (a 0/0 span would poison every dot)
+    def v(i: Int): Array[Float] = {
+      val a = (i % 12) * 0.5
+      val b = (i % 7) * 0.8
+      Array((math.cos(a) * math.cos(b)).toFloat,
+        (math.cos(a) * math.sin(b)).toFloat, math.sin(a).toFloat, 0.0f)
+    }
+    val corpus = (0 until 120).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 8)
+    val (mins, maxs) = Ann.sq8Bounds(corpus, "vec_id", "embedding", 4)
+    assert(mins.size === 4 && maxs(3) === 0.0 && mins(3) === 0.0)
+    val sq = Ann.sq8TopK(corpus, "vec_id", "embedding", queries,
+      "vec_id", "embedding", k = 10, mins, maxs)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(sq.forall(p => p._1 != p._2), "self-match leaked")
+    val exact = Ann.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val sqBy = sq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.count(p => sqBy(p._1).contains(p._2)).toDouble /
+      exact.length
+    assert(recall >= 0.8, s"SQ8 recall@10 too low: $recall")
+    intercept[IllegalArgumentException] {
+      Ann.sq8TopK(corpus, "vec_id", "embedding", queries, "vec_id",
+        "embedding", k = 10, mins, maxs.init)
+    }
+  }
+
   test("hardNegatives drops known positives and re-closes the ranks") {
     val shortlist = Seq(
       (1L, 10L, 1, 900L), (1L, 11L, 2, 800L), (1L, 12L, 3, 700L),

@@ -35,12 +35,20 @@ class Bm25IndexSpec extends SparkSpec {
     Bm25Index.drop(spark, name)
     try {
       Bm25Index.build(docs, "doc_id", "text", name)
-      val got = Bm25Index.probe(spark, name, queries, "doc_id", "text",
-        k = 2).as[(Long, Long, Int, Long)].collect().toSet
+      val probe = Bm25Index.probe(spark, name, queries, "doc_id", "text",
+        k = 2)
+      val got = probe.as[(Long, Long, Int, Long)].collect().toSet
       val oneShot = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
         "doc_id", "text", k = 2).as[(Long, Long, Int, Long)].collect().toSet
       assert(got === oneShot)
       assert(got.nonEmpty)
+      // plan shape: the query-derived relations broadcast into the
+      // postings scan, and the top-k is a group-limit, never a full sort
+      val opt = probe.queryExecution.optimizedPlan.toString
+      assert(opt.contains("WindowGroupLimit"), s"no group limit:\n$opt")
+      val phys = probe.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin"),
+        s"postings not probed via broadcast:\n$phys")
     } finally Bm25Index.drop(spark, name)
   }
 
