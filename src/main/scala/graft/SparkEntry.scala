@@ -2057,6 +2057,21 @@ object SparkEntry {
       mins, maxs)
   }
 
+  /** IVF-SQ8 top-k ([[graft.similarity.Ann.ivfSq8TopK]]): the q52b
+    * assignment/probe under the frozen first-8 unit centroids with
+    * SQ8 dequant scoring inside the probed lists — the production
+    * codes-in-the-lists composition; replayed by
+    * [[graft.oracle.AnnOracles.q191Sql]].
+    */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (mins, maxs) =
+      graft.similarity.Ann.sq8Bounds(e, "vec_id", "embedding", 64)
+    graft.similarity.Ann.ivfSq8TopK(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10,
+      centroids = unitHeadEmbeddings(s, dir, 8), nprobe = 3, mins, maxs)
+  }
+
   /** Reference-faithful FunkSVD (full-batch GD) with per-epoch training
     * error history surfaced as data.
     */
@@ -3933,7 +3948,8 @@ object SparkEntry {
     "q187_token_budget_select" -> (q187 _),
     "q188_repeat_upsample" -> (q188 _),
     "q189_cohort_eval" -> (q189 _),
-    "q190_sq8_topk" -> (q190 _))
+    "q190_sq8_topk" -> (q190 _),
+    "q191_ivf_sq8_topk" -> (q191 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5954,6 +5970,8 @@ object SparkEntry {
     "q189_cohort_eval" -> q189Sql,
     // SQ8: frozen-bounds codes, asymmetric dequant dot, ordered fold
     "q190_sq8_topk" -> graft.oracle.AnnOracles.q190Sql(),
+    // IVF-SQ8: q52b assignment/probe, dequant scoring in probed lists
+    "q191_ivf_sq8_topk" -> graft.oracle.AnnOracles.q191Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -444,7 +444,26 @@ object AnnOracles {
   def q190Sql(k: Int = 10, dim: Int = 64, nQueries: Int = 10): String =
     s"""WITH
        |${unitCtes(embeddingsSrc)},
-       |pe AS MATERIALIZED (
+       |${sq8DequantCtes(dim)},
+       |qrel AS (SELECT id AS query_id, uv AS qv FROM unit
+       |         WHERE id < $nQueries),
+       |sc AS (
+       |  SELECT q.query_id, d.id AS neighbor_id,
+       |    ${sq8FoldSql("q.qv", "d.dv", dim)} AS score_fp
+       |  FROM dql d CROSS JOIN qrel q WHERE d.id <> q.query_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score_fp
+       |FROM (SELECT query_id, neighbor_id, score_fp, row_number() OVER (
+       |        PARTITION BY query_id
+       |        ORDER BY score_fp DESC, neighbor_id) AS rn
+       |      FROM sc)
+       |WHERE rn <= $k""".stripMargin
+
+  /** SQ8 dequantized-vector CTEs over `unit(id, uv)`: per-dimension
+    * bounds derived in-query, clamp-floor codes, dequantized lists
+    * `dql(id, dv)` ordered by position. Shared by q190/q191.
+    */
+  private def sq8DequantCtes(dim: Int): String =
+    s"""pe AS MATERIALIZED (
        |  SELECT id, i.i + 1 AS i, uv[CAST(i.i + 1 AS INT)] AS x
        |  FROM unit, range($dim) i(i)),
        |bounds AS MATERIALIZED (
@@ -457,16 +476,47 @@ object AnnOracles {
        |      * (b.mx - b.mn) / 255.0 AS dx
        |  FROM pe JOIN bounds b USING (i)),
        |dql AS MATERIALIZED (
-       |  SELECT id, list(dx ORDER BY i) AS dv FROM dqx GROUP BY id),
-       |qrel AS (SELECT id AS query_id, uv AS qv FROM unit
-       |         WHERE id < $nQueries),
-       |sc AS (
-       |  SELECT q.query_id, d.id AS neighbor_id,
-       |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  SELECT id, list(dx ORDER BY i) AS dv FROM dqx GROUP BY id)"""
+      .stripMargin
+
+  /** The ordered (sequential) double fold of `$q[j]·$d[j]` fixed-
+    * pointed at 1e12 — DotProduct's loop bit-for-bit. Lambda vars are
+    * suffixed to dodge outer table aliases. */
+  private def sq8FoldSql(q: String, d: String, dim: Int): String =
+    s"""CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(range($dim),
-       |        j -> q.qv[CAST(j + 1 AS INT)] * d.dv[CAST(j + 1 AS INT)])),
-       |      (a, b) -> a + b) * 1e12) AS BIGINT) AS score_fp
-       |  FROM dql d CROSS JOIN qrel q WHERE d.id <> q.query_id)
+       |        j -> $q[CAST(j + 1 AS INT)] * $d[CAST(j + 1 AS INT)])),
+       |      (acc2, x2) -> acc2 + x2) * 1e12) AS BIGINT)""".stripMargin
+
+  /** q191: IVF-SQ8 ([[graft.similarity.Ann.ivfSq8TopK]]) — the q52b
+    * assignment/probe kernels (unit-space d², first-minimum) with SQ8
+    * dequant scoring inside the probed lists only.
+    */
+  def q191Sql(k: Int = 10, nlist: Int = 8, nprobe: Int = 3,
+      dim: Int = 64, nQueries: Int = 10): String =
+    s"""WITH
+       |${unitCtes(embeddingsSrc)},
+       |cent AS (SELECT id AS cid, uv AS cv FROM unit WHERE id < $nlist),
+       |dist AS MATERIALIZED (
+       |  SELECT u.id, c.cid, ${d2Chain("u.uv", "c.cv", dim)} AS d2
+       |  FROM unit u CROSS JOIN cent c),
+       |best AS (SELECT id, min(d2) AS md FROM dist GROUP BY 1),
+       |asg AS MATERIALIZED (
+       |  SELECT d.id, min(d.cid) AS list_id
+       |  FROM dist d JOIN best b ON d.id = b.id AND d.d2 = b.md
+       |  GROUP BY 1),
+       |${sq8DequantCtes(dim)},
+       |qp AS (SELECT id AS query_id, cid AS list_id FROM (
+       |    SELECT id, cid, row_number() OVER (
+       |      PARTITION BY id ORDER BY d2, cid) AS rn
+       |    FROM dist WHERE id < $nQueries) WHERE rn <= $nprobe),
+       |sc AS (
+       |  SELECT qp.query_id, a.id AS neighbor_id,
+       |    ${sq8FoldSql("q.uv", "d.dv", dim)} AS score_fp
+       |  FROM qp JOIN asg a ON a.list_id = qp.list_id
+       |  JOIN dql d ON d.id = a.id
+       |  JOIN unit q ON q.id = qp.query_id
+       |  WHERE a.id <> qp.query_id)
        |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score_fp
        |FROM (SELECT query_id, neighbor_id, score_fp, row_number() OVER (
        |        PARTITION BY query_id

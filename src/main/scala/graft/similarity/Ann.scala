@@ -556,27 +556,95 @@ object Ann {
     require(k >= 1, s"k must be >= 1, got $k")
     require(mins.nonEmpty && mins.size == maxs.size,
       s"bounds disagree: ${mins.size} mins vs ${maxs.size} maxs")
-    val minsL = array(mins.map(lit): _*)
-    val spansL = array(mins.indices.map(i => lit(maxs(i) - mins(i))): _*)
-    def mn(i: Column) = element_at(minsL, (i + 1).cast("int"))
-    def sp(i: Column) = element_at(spansL, (i + 1).cast("int"))
-    def codesOf(uv: Column): Column = transform(uv, (x, i) =>
-      when(sp(i) === 0.0, lit(0))
-        .otherwise(least(lit(255.0), greatest(lit(0.0),
-          floor((x - mn(i)) * lit(255.0) / sp(i)))).cast("int")))
-    def dequantOf(codes: Column): Column = transform(codes, (c, i) =>
-      mn(i) + c.cast("double") * sp(i) / lit(255.0))
     val c = unitized(corpus, idCol, vecCol).filter(col("uv").isNotNull)
-      .select(col("id").as("neighbor_id"), codesOf(col("uv")).as("codes"))
+      .select(col("id").as("neighbor_id"),
+        sq8Codes(col("uv"), mins, maxs).as("codes"))
     val q = unitized(queries, qIdCol, qVecCol).filter(col("uv").isNotNull)
       .select(col("id").as("query_id"), col("uv").as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_fp").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score_fp",
-        floor(graft.functions.VectorExpressions.dot(col("qv"),
-          dequantOf(col("codes"))) * lit(1e12)).cast("long"))
+      .withColumn("score_fp", sq8ScoreFp(col("qv"), col("codes"), mins, maxs))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score_fp"))
+  }
+
+  /** Clamp-floor SQ8 codes of a unit vector under frozen bounds —
+    * degenerate mx==mn dims code to 0. */
+  private[similarity] def sq8Codes(uv: Column, mins: Seq[Double],
+      maxs: Seq[Double]): Column = {
+    val minsL = array(mins.map(lit): _*)
+    val spansL = array(mins.indices.map(i => lit(maxs(i) - mins(i))): _*)
+    transform(uv, (x, i) => {
+      val mn = element_at(minsL, (i + 1).cast("int"))
+      val sp = element_at(spansL, (i + 1).cast("int"))
+      when(sp === 0.0, lit(0))
+        .otherwise(least(lit(255.0), greatest(lit(0.0),
+          floor((x - mn) * lit(255.0) / sp))).cast("int"))
+    })
+  }
+
+  /** Asymmetric SQ8 score: full-precision query unit vector dotted
+    * (sequential fold) against the on-the-fly dequantized codes, then
+    * 1e12 fixed-point. */
+  private[similarity] def sq8ScoreFp(qv: Column, codes: Column,
+      mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val minsL = array(mins.map(lit): _*)
+    val spansL = array(mins.indices.map(i => lit(maxs(i) - mins(i))): _*)
+    val dequant = transform(codes, (c, i) =>
+      element_at(minsL, (i + 1).cast("int"))
+        + c.cast("double") * element_at(spansL, (i + 1).cast("int"))
+          / lit(255.0))
+    floor(graft.functions.VectorExpressions.dot(qv, dequant) * lit(1e12))
+      .cast("long")
+  }
+
+  /** IVF-SQ8 — the production composition the SQ8 scaladoc promises
+    * (FAISS `IVFxx,SQ8`): corpus codes stored IN the inverted lists
+    * (4× less list IO than full floats), queries probing their
+    * `nprobe` nearest frozen centroids and scoring only those lists
+    * with the asymmetric dequant dot. Assignment/probing are the
+    * ivfTopKFixed kernels (left-assoc d², first-minimum tie-break);
+    * scoring is [[sq8ScoreFp]] — deterministic end to end, so the
+    * result hash-gates (q191). Scale shape = ivfTopKFixed's: one
+    * corpus assignment pass, broadcast probe-sized query relation,
+    * ~nprobe/nlist of the lists scanned per query.
+    */
+  def ivfSq8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      centroids: Seq[Seq[Double]], nprobe: Int,
+      mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}], got $nprobe")
+    require(mins.nonEmpty && mins.size == maxs.size,
+      s"bounds disagree: ${mins.size} mins vs ${maxs.size} maxs")
+    val F = graft.functions.FixedAnnExpressions
+    val lists = unitized(corpus, idCol, vecCol).filter(col("uv").isNotNull)
+      .select(col("id").as("neighbor_id"),
+        sq8Codes(col("uv"), mins, maxs).as("codes"),
+        graft.pipeline.Curation.assignFixedCentroids(col("uv"), centroids)
+          .as("list_id"))
+    val dists = centroids.indices.map { i =>
+      struct(element_at(col("__d2"), i + 1).as("d2"),
+        lit(i.toLong).as("list_id"))
+    }
+    val probed = unitized(queries, qIdCol, qVecCol)
+      .filter(col("uv").isNotNull)
+      .select(col("id"), col("uv"),
+        F.centroidD2(col("uv"), centroids).as("__d2"))
+      .select(col("id").as("query_id"), col("uv").as("qv"),
+        posexplode(slice(array_sort(array(dists: _*)), 1, nprobe))
+          .as(Seq("__p", "pl")))
+      .select(col("query_id"), col("qv"), col("pl.list_id").as("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    lists.join(broadcast(probed), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_fp", sq8ScoreFp(col("qv"), col("codes"), mins, maxs))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),

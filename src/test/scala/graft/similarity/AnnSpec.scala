@@ -487,6 +487,36 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfSq8TopK: equals sq8TopK when every list is probed; candidates shrink under nprobe") {
+    def v(i: Int): Array[Float] = {
+      val a = (i % 12) * 0.5
+      val b = (i % 7) * 0.8
+      Array((math.cos(a) * math.cos(b)).toFloat,
+        (math.cos(a) * math.sin(b)).toFloat, math.sin(a).toFloat, 0.0f)
+    }
+    val corpus = (0 until 120).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 6)
+    val (mins, maxs) = Ann.sq8Bounds(corpus, "vec_id", "embedding", 4)
+    // 4 well-separated unit centroids
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(-1.0, 0.0, 0.0, 0.0))
+    def run(np: Int) = Ann.ivfSq8TopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, cents, np, mins, maxs)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // probing EVERY list = the exhaustive SQ8 scan
+    val full = Ann.sq8TopK(corpus, "vec_id", "embedding", queries,
+      "vec_id", "embedding", k = 10, mins, maxs)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(run(4) === full)
+    // nprobe=1 scans fewer candidates, but any pair it shares with the
+    // exhaustive result carries the IDENTICAL score (same kernel)
+    val narrow = run(1)
+    assert(narrow.nonEmpty && narrow.size <= full.size)
+    val fullScores = full.map(r => (r._1, r._2) -> r._4).toMap
+    assert(narrow.forall(r =>
+      fullScores.get((r._1, r._2)).forall(_ == r._4)))
+  }
+
   test("hardNegatives drops known positives and re-closes the ranks") {
     val shortlist = Seq(
       (1L, 10L, 1, 900L), (1L, 11L, 2, 800L), (1L, 12L, 3, 700L),
