@@ -3949,7 +3949,8 @@ object SparkEntry {
     "q188_repeat_upsample" -> (q188 _),
     "q189_cohort_eval" -> (q189 _),
     "q190_sq8_topk" -> (q190 _),
-    "q191_ivf_sq8_topk" -> (q191 _))
+    "q191_ivf_sq8_topk" -> (q191 _),
+    "q192_stream_vocab_drift" -> (q192 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4829,6 +4830,39 @@ object SparkEntry {
        |       count(CASE WHEN c = 'zero' THEN 1 END) AS n_zero,
        |       count(CASE WHEN c = 'ok' THEN 1 END) AS n_ok
        |FROM c""".stripMargin
+
+  /** Streaming twin of q182 ([[graft.streaming.StreamingVocabDrift]]):
+    * the planted-drift odd-doc snapshot delivered as two id-ordered
+    * micro-batches against the frozen even-doc baseline. Counts
+    * commute, so the read-time report shares q182's oracle verbatim.
+    */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val ref = docs.filter(col("doc_id") % 2 === 0).select("text")
+    val b = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" planteddrift")))
+          .otherwise(col("text")).as("text"))
+    val stream = stageOrderedBatches(s, scratchDir("stream_vocabdrift"),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      midpointHalves(b))
+    val tbl =
+      s"graft_vd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val run = graft.streaming.StreamingVocabDrift.start(
+      stream.drop("doc_id"), "text", ref, "text", tbl, topK = 40) {
+      (_, _) => ()
+    }
+    try {
+      run.query.processAllAvailable()
+      run.drift().get.localCheckpoint()
+    } finally {
+      run.query.stop()
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
 
   /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
     * — the synthetic corpus carries no markup, and an extractor gated
@@ -5972,6 +6006,8 @@ object SparkEntry {
     "q190_sq8_topk" -> graft.oracle.AnnOracles.q190Sql(),
     // IVF-SQ8: q52b assignment/probe, dequant scoring in probed lists
     "q191_ivf_sq8_topk" -> graft.oracle.AnnOracles.q191Sql(),
+    // streaming drift: commuting count folds ⇒ q182's oracle verbatim
+    "q192_stream_vocab_drift" -> q182Sql(),
     // priority-policy exact dedup: min(struct(prio, id)) election
     "q143_priority_dedup" -> q143Sql,
     // per-source all-integer data card (q113 scoring chain reused)

@@ -145,19 +145,34 @@ object Profiling {
     * topK ≥ the vocabulary slice you act on.
     */
   def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
-      topK: Int, factorNum: Long = 2L, factorDen: Long = 1L): DataFrame = {
+      topK: Int, factorNum: Long = 2L, factorDen: Long = 1L): DataFrame =
+    vocabDriftFromCounts(tokenCounts(a, textCol, "cnt_a"),
+      tokenCounts(b, textCol, "cnt_b"), topK, factorNum, factorDen)
+
+  /** (token, `out`) exact counts under the engine's tokenization rule
+    * — [[vocabDrift]]'s per-corpus half, exposed for count-level
+    * callers (the streaming fold keeps per-batch counts, not text).
+    */
+  private[graft] def tokenCounts(df: DataFrame, textCol: String,
+      out: String): DataFrame = {
+    import graft.text.TextAnalysis
+    df.select(explode(TextAnalysis.words(
+      TextAnalysis.normalizeText(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as(out))
+  }
+
+  /** [[vocabDrift]]'s comparison half over prepared count relations
+    * `ca(token, cnt_a)` / `cb(token, cnt_b)` — counts are
+    * sum-mergeable, so a streaming consumer folds per-batch counts
+    * and compares at read time against a frozen reference (q192).
+    */
+  def vocabDriftFromCounts(ca: DataFrame, cb: DataFrame, topK: Int,
+      factorNum: Long = 2L, factorDen: Long = 1L): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     require(factorNum > 0 && factorDen > 0,
       s"drift factor must be positive, got $factorNum/$factorDen")
-    import graft.text.TextAnalysis
     import org.apache.spark.sql.types.DecimalType
-    def counts(df: DataFrame, out: String): DataFrame = df
-      .select(explode(TextAnalysis.words(
-        TextAnalysis.normalizeText(col(textCol)))).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("token")).agg(count(lit(1)).as(out))
-    val ca = counts(a, "cnt_a")
-    val cb = counts(b, "cnt_b")
     val ta = ca.agg(coalesce(sum(col("cnt_a")), lit(0L)).as("total_a"))
     val tb = cb.agg(coalesce(sum(col("cnt_b")), lit(0L)).as("total_b"))
     def d18(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 0))

@@ -66,6 +66,32 @@ class StreamingDataCardSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("streaming vocab drift equals the batch operator over multi-batch ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val ref = Seq("x x x common common", "common y").toDF("text")
+    val b1 = Seq("x common common", "z z z")
+    val b2 = Seq("common common y y y y")
+    val tbl = s"graft_vd_spec_${System.nanoTime()}"
+    val run = StreamingVocabDrift.start(mem.toDF().toDF("text"), "text",
+      ref, "text", tbl, topK = 10) { (_, _) => () }
+    try {
+      assert(run.drift().isEmpty) // pre-first-trigger contract
+      mem.addData(b1: _*)
+      run.query.processAllAvailable()
+      mem.addData(b2: _*)
+      run.query.processAllAvailable()
+      val got = run.drift().get.collect().map(_.toSeq).toSet
+      val want = graft.pipeline.Profiling.vocabDrift(ref,
+        (b1 ++ b2).toDF("text"), "text", topK = 10)
+        .collect().map(_.toSeq).toSet
+      assert(got === want)
+      // the stream-only token actually drifted
+      val z = run.drift().get.filter(col("token") === "z").head()
+      assert(z.getAs[Boolean]("drift_down")) // over-represented in B
+    } finally { run.query.stop(); spark.sql(s"DROP TABLE IF EXISTS $tbl") }
+  }
+
   test("batch order does not change the card") {
     implicit val sqlCtx = spark.sqlContext
     def runOrder(parts: Seq[Seq[(String, String, String)]]): Set[Seq[Any]] = {
