@@ -328,7 +328,15 @@ object Prep {
       valueCol: String, tieCol: String, intervalUs: Long): DataFrame =
     df.select(col(keyCol).as("key"), tsUsCol.cast("long").as("__ts"),
         col(tieCol).as("__tb"), col(valueCol).as("__v"))
-      .select(col("key"), expr(s"__ts div $intervalUs").as("bucket"),
+      // FLOOR division, not `div`: `div` truncates toward zero, so
+      // negative (pre-1970) epoch-micros would collapse the
+      // (-interval, 0) and [0, interval) ranges into bucket 0 — and
+      // diverge from the DuckDB oracle's flooring `//`. The all-integer
+      // identity (a - ((a % b + b) % b)) div b floors for b > 0 without
+      // the precision loss a double floor(a/b) has on large longs.
+      .select(col("key"),
+        expr(s"(__ts - ((__ts % $intervalUs) + $intervalUs) % $intervalUs)"
+          + s" div $intervalUs").as("bucket"),
         struct(col("__ts").as("t"), col("__tb").as("tb"),
           col("__v").as("v")).as("o"))
 

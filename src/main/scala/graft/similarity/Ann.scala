@@ -384,50 +384,64 @@ object Ann {
     * argmax dependency, the Bpe.train discipline) over a
     * shortlist-sized relation — per-query cost k·|shortlist|·|picked|
     * dots; the corpus is never touched after candidate generation.
-    * Selected-set state localCheckpoints per step to cut lineage.
+    * Selected-set state checkpoints per step to cut lineage, and each
+    * generation is RELEASED once the next materializes (the hitsFixed
+    * discipline) — only the final selection's blocks survive the call,
+    * released when the caller drops the returned frame's cache.
     */
   def mmrRerank(candidates: DataFrame, vectors: DataFrame, k: Int,
       lambdaNum: Long = 1L, lambdaDen: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       s"lambda must be a fraction in [0,1]: $lambdaNum/$lambdaDen")
     val lamM = lambdaDen - lambdaNum
-    val cand = candidates.select(col("query_id"), col("neighbor_id"),
-      col("score_fp").as("rel_fp"))
-      .join(vectors.withColumnRenamed("id", "neighbor_id"),
-        Seq("neighbor_id"))
-      .localCheckpoint()
-    val wRel = Window.partitionBy(col("query_id"))
-      .orderBy(col("rel_fp").desc, col("neighbor_id"))
-    var selected = cand
-      .withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
-      .select(col("query_id"), col("neighbor_id"), col("vf"),
-        lit(1).as("mmr_rank"))
-      .localCheckpoint()
-    var step = 2
-    while (step <= k) {
-      val remaining = cand.join(
-        selected.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val ms = remaining.select(col("query_id"), col("neighbor_id"),
-        col("vf"))
-        .join(selected.select(col("query_id"), col("vf").as("svf")),
-          Seq("query_id"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg(max(dotFp(col("vf"), col("svf"))).as("ms_fp"))
-      val wMmr = Window.partitionBy(col("query_id"))
-        .orderBy(col("mmr_fp").desc, col("neighbor_id"))
-      val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
-        .withColumn("mmr_fp",
-          lit(lambdaNum) * col("rel_fp") - lit(lamM) * col("ms_fp"))
-        .withColumn("rn", row_number().over(wMmr))
-        .filter(col("rn") === 1)
+    val candCp = DatasetBridge.localCheckpointFresh(
+      candidates.select(col("query_id"), col("neighbor_id"),
+        col("score_fp").as("rel_fp"))
+        .join(vectors.withColumnRenamed("id", "neighbor_id"),
+          Seq("neighbor_id")))
+    var selCp: DatasetBridge.FreshCheckpoint = null
+    try {
+      val cand = candCp.df
+      val wRel = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel_fp").desc, col("neighbor_id"))
+      selCp = DatasetBridge.localCheckpointFresh(cand
+        .withColumn("rn", row_number().over(wRel)).filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("vf"),
-          lit(step).as("mmr_rank"))
-      selected = selected.unionByName(pick).localCheckpoint()
-      step += 1
-    }
-    selected.select(col("query_id"), col("neighbor_id"), col("mmr_rank"))
+          lit(1).as("mmr_rank")))
+      var step = 2
+      while (step <= k) {
+        val selected = selCp.df
+        val remaining = cand.join(
+          selected.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        val ms = remaining.select(col("query_id"), col("neighbor_id"),
+          col("vf"))
+          .join(selected.select(col("query_id"), col("vf").as("svf")),
+            Seq("query_id"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(max(dotFp(col("vf"), col("svf"))).as("ms_fp"))
+        val wMmr = Window.partitionBy(col("query_id"))
+          .orderBy(col("mmr_fp").desc, col("neighbor_id"))
+        val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
+          .withColumn("mmr_fp",
+            lit(lambdaNum) * col("rel_fp") - lit(lamM) * col("ms_fp"))
+          .withColumn("rn", row_number().over(wMmr))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("neighbor_id"), col("vf"),
+            lit(step).as("mmr_rank"))
+        val next = DatasetBridge.localCheckpointFresh(
+          selected.unionByName(pick))
+        selCp.release()
+        selCp = next
+        step += 1
+      }
+      selCp.df.select(col("query_id"), col("neighbor_id"), col("mmr_rank"))
+    } catch { case t: Throwable =>
+      if (selCp != null) selCp.release()
+      throw t
+    } finally candCp.release()
   }
 
   /** Graph-ANN beam search over a k-NN graph — the greedy best-first
@@ -467,48 +481,70 @@ object Ann {
     require(beam >= 1, s"beam must be >= 1, got $beam")
     require(steps >= 0, s"steps must be >= 0, got $steps")
     require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.graftbridge.DatasetBridge
     val sameIdType =
       queries.schema(qIdCol).dataType == vectors.schema("id").dataType
     def noSelf(df: DataFrame): DataFrame =
       if (sameIdType) df.filter(col("node") =!= col("query_id")) else df
-    // the edge relation feeds every step — materialize once
-    val g = graph.select(col("vec_id"), col("neighbor_id")).localCheckpoint()
+    // the edge relation feeds every step — materialize once, release
+    // before returning (every step's expansion is re-checkpointed)
+    val gCp = DatasetBridge.localCheckpointFresh(
+      graph.select(col("vec_id"), col("neighbor_id")))
     val q = fixedUnitVectors(queries, qIdCol, qVecCol)
       .select(col("id").as("query_id"), col("vf").as("qf"))
     val entries = vectors.filter(col("id").isin(entryIds: _*))
       .select(col("id").as("node"), col("vf"))
-    var visited = noSelf(q.crossJoin(broadcast(entries)))
-      .select(col("query_id"), col("qf"), col("node"),
-        dotFp(col("vf"), col("qf")).as("score_fp"))
-      .localCheckpoint()
-    var frontier = visited
-    val wBeam = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_fp").desc, col("node"))
-    for (_ <- 1 to steps) {
-      val expand = noSelf(frontier
-        .select(col("query_id"), col("qf"), col("node").as("vec_id"))
-        .join(g, Seq("vec_id"))
-        .select(col("query_id"), col("qf"), col("neighbor_id").as("node"))
-        .dropDuplicates("query_id", "node"))
-        .join(visited.select(col("query_id"), col("node")),
-          Seq("query_id", "node"), "left_anti")
-      // candidates are frontier-sized — broadcast them into the
-      // corpus-sized vector relation, never the other way round
-      val scored = vectors.withColumnRenamed("id", "node")
-        .join(broadcast(expand), Seq("node"))
+    var visitedCp = DatasetBridge.localCheckpointFresh(
+      noSelf(q.crossJoin(broadcast(entries)))
         .select(col("query_id"), col("qf"), col("node"),
-          dotFp(col("vf"), col("qf")).as("score_fp"))
-      frontier = scored.withColumn("__rn", row_number().over(wBeam))
-        .filter(col("__rn") <= beam).drop("__rn")
-        .localCheckpoint()
-      visited = visited.unionByName(frontier).localCheckpoint()
+          dotFp(col("vf"), col("qf")).as("score_fp")))
+    // null frontier handle = frontier IS visited (step 0) — tracked
+    // separately so each generation releases once the next
+    // materializes (the hitsFixed discipline); without the releases,
+    // 2·steps checkpoint generations accumulate per call
+    var frontierCp: DatasetBridge.FreshCheckpoint = null
+    try {
+      val wBeam = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("node"))
+      for (_ <- 1 to steps) {
+        val frontier = if (frontierCp == null) visitedCp.df else frontierCp.df
+        val expand = noSelf(frontier
+          .select(col("query_id"), col("qf"), col("node").as("vec_id"))
+          .join(gCp.df, Seq("vec_id"))
+          .select(col("query_id"), col("qf"), col("neighbor_id").as("node"))
+          .dropDuplicates("query_id", "node"))
+          .join(visitedCp.df.select(col("query_id"), col("node")),
+            Seq("query_id", "node"), "left_anti")
+        // candidates are frontier-sized — broadcast them into the
+        // corpus-sized vector relation, never the other way round
+        val scored = vectors.withColumnRenamed("id", "node")
+          .join(broadcast(expand), Seq("node"))
+          .select(col("query_id"), col("qf"), col("node"),
+            dotFp(col("vf"), col("qf")).as("score_fp"))
+        val nextFrontier = DatasetBridge.localCheckpointFresh(
+          scored.withColumn("__rn", row_number().over(wBeam))
+            .filter(col("__rn") <= beam).drop("__rn"))
+        if (frontierCp != null) frontierCp.release()
+        frontierCp = nextFrontier
+        val nextVisited = DatasetBridge.localCheckpointFresh(
+          visitedCp.df.unionByName(frontierCp.df))
+        visitedCp.release()
+        visitedCp = nextVisited
+      }
+      val wK = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("node"))
+      visitedCp.df.withColumn("rank", row_number().over(wK).cast("int"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("node").as("neighbor_id"),
+          col("rank"), col("score_fp"))
+      // final visited stays checkpointed — it backs the returned frame
+    } catch { case t: Throwable =>
+      visitedCp.release()
+      throw t
+    } finally {
+      gCp.release()
+      if (frontierCp != null) frontierCp.release()
     }
-    val wK = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_fp").desc, col("node"))
-    visited.withColumn("rank", row_number().over(wK).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("node").as("neighbor_id"),
-        col("rank"), col("score_fp"))
   }
 
   /** Per-dimension SQ8 quantization bounds over the UNIT-space corpus

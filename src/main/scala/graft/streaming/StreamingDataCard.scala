@@ -103,10 +103,14 @@ object StreamingDataCard {
       }
       .start()
     Run(query,
-      // None until the first batch creates the tables — the
-      // StreamingSketches.startCm pre-first-trigger contract
+      // None until the first batch creates BOTH tables — the
+      // StreamingSketches.startCm pre-first-trigger contract. Gating on
+      // the sums table alone would race the first trigger: between the
+      // _sums fold and the _fps fold a concurrent card() would pass the
+      // guard and cardOf would throw on the missing _fps table.
       card = () =>
-        if (!caller.catalog.tableExists(sumsTable(table))) None
+        if (!caller.catalog.tableExists(sumsTable(table))
+          || !caller.catalog.tableExists(fpsTable(table))) None
         else {
           caller.catalog.refreshTable(sumsTable(table))
           caller.catalog.refreshTable(fpsTable(table))

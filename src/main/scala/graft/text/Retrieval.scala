@@ -101,6 +101,14 @@ object Retrieval {
     *         data type — on mismatched types the ids are different
     *         key spaces and the cross-type comparison would cast to
     *         null and silently drop every row.
+    *
+    *         EAGER, persisted: the result (|queries|·k rows) is
+    *         materialized before the internal corpus-sized tf cache
+    *         is released — otherwise that cache, which the lazy plan
+    *         read three times, would leak for the session lifetime
+    *         with no release path. Release the (shortlist-sized)
+    *         result with `.unpersist()` once consumed — the
+    *         lshTopKFixed/knnGraphFixed caller contract.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
@@ -165,6 +173,12 @@ object Retrieval {
       .join(dl, Seq("doc_id"))
       .withColumn("w_fp", weightFp(k1, b, avgdl))
 
-    rankTopK(contrib, k)
+    // materialize the shortlist, then drop the corpus-sized tf cache —
+    // the result stays releasable via out.unpersist() (see scaladoc)
+    val out = rankTopK(contrib, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tf.unpersist()
+    out
   }
 }

@@ -228,6 +228,26 @@ class PrepSpec extends SparkSpec {
     assert(got(("b", 100L)) === ((7.0, true)))
   }
 
+  test("resampleLocf: negative (pre-1970) timestamps bucket by FLOOR division") {
+    // t = -50 belongs to bucket -1 = [-100, 0), NOT bucket 0 — a
+    // truncating `div` would collapse (-100, 0) and [0, 100) into one
+    // bucket and diverge from the DuckDB oracle's flooring `//`
+    val df = Seq(("a", -50L, 1L, 1.0), ("a", 50L, 2L, 2.0))
+      .toDF("k", "t", "id", "v")
+    val got = graft.prep.Prep.resampleLocf(df, "k", col("t"), "v", "id", 100L)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got.size === 2)
+    assert(got(-100L) === ((1.0, true)))
+    assert(got(0L) === ((2.0, true)))
+    // exact-boundary negative: t = -100 is bucket -1's START, still -1
+    val b = graft.prep.Prep.resampleLocf(
+      Seq(("a", -100L, 1L, 3.0)).toDF("k", "t", "id", "v"),
+      "k", col("t"), "v", "id", 100L)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(b.toSeq === Seq(("a", -100L, 3.0, true)))
+  }
+
   test("resampleLocf: same-timestamp ties break by the tie column") {
     val df = Seq(("a", 50L, 1L, 1.0), ("a", 50L, 2L, 4.0))
       .toDF("k", "t", "id", "v")

@@ -96,6 +96,24 @@ class Bm25IndexSpec extends SparkSpec {
       // post-rebuild, the once-unseen token q now scores
       assert(got.map(_._2).contains(3L))
       assert(spark.catalog.tableExists(s"${name}__rebuild_postings") === false)
+      // the aside-first swap cleans up the previous generation too
+      assert(spark.catalog.tableExists(s"${name}__old_postings") === false)
+      assert(spark.catalog.tableExists(s"${name}__old_df") === false)
+      assert(spark.catalog.tableExists(s"${name}__old_stats") === false)
+    } finally Bm25Index.drop(spark, name)
+  }
+
+  test("rebuild works when no live index exists yet (first deployment)") {
+    import spark.implicits._
+    val full = Seq((1L, "x y"), (2L, "y q")).toDF("doc_id", "text")
+    val queries = Seq((99L, "q")).toDF("doc_id", "text")
+    val name = "graft_bm25idx_t5"
+    Bm25Index.drop(spark, name)
+    try {
+      Bm25Index.rebuild(full, "doc_id", "text", name)
+      val got = Bm25Index.probe(spark, name, queries, "doc_id", "text",
+        k = 5).as[(Long, Long, Int, Long)].collect()
+      assert(got.map(_._2).toSet === Set(2L))
     } finally Bm25Index.drop(spark, name)
   }
 
