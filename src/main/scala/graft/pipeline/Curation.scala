@@ -815,7 +815,7 @@ object Curation {
 
   def clusterBalancedSample(embeddings: DataFrame, idCol: String,
       vecCol: String, budget: Long, nClusters: Int = 16, seed: Long = 42L,
-      trainSampleFraction: Double = 1.0): DataFrame = {
+      trainSampleFraction: Double = -1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(nClusters > 0, s"nClusters must be positive, got $nClusters")
@@ -825,9 +825,15 @@ object Curation {
           .as("__fv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // AUTO sample rule for the quantizer fit — the
+      // Ann.boundedTrainFraction FAISS discipline (see ivfTopK)
+      val frac =
+        if (trainSampleFraction < 0)
+          graft.similarity.Ann.boundedTrainFraction(c.count(), nClusters)
+        else trainSampleFraction
       val trainSet =
-        if (trainSampleFraction >= 1.0) c
-        else c.sample(withReplacement = false, trainSampleFraction, seed)
+        if (frac >= 1.0) c
+        else c.sample(withReplacement = false, frac, seed)
       val km = new KMeans().setK(nClusters).setSeed(seed)
         .setFeaturesCol("__fv").setPredictionCol("__cluster").fit(trainSet)
       val assigned = km.transform(c)

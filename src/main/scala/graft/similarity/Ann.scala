@@ -24,6 +24,24 @@ import graft.dedup.Dedup.cosine
   */
 object Ann {
 
+  /** KMeans training budget per centroid for the AUTO sample rule —
+    * the FAISS practice band (its docs recommend 30–256 training
+    * points per centroid: fewer under-determines the centroid, more
+    * buys fit cost, not quality). 256 is the quality end of the band.
+    */
+  val TrainRowsPerCentroid: Int = 256
+
+  /** The AUTO `trainSampleFraction` for an `n`-row corpus and `nlist`
+    * centroids: sample so the quantizer fit sees at most
+    * ~[[TrainRowsPerCentroid]]·nlist rows. At small n the fraction is
+    * 1.0 (train on everything); at 100× corpus growth the KMeans input
+    * stays constant-sized while assignment — the one pass that must
+    * touch every row — still covers the full corpus.
+    */
+  def boundedTrainFraction(n: Long, nlist: Int): Double =
+    if (n <= 0) 1.0
+    else math.min(1.0, (TrainRowsPerCentroid.toLong * nlist).toDouble / n)
+
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Replace column `v` with its L2-normalized form (zero vectors pass
@@ -832,12 +850,21 @@ object Ann {
     * nothing else), list assignment is one broadcast-KMeans pass over
     * the corpus scan, and the probe join touches ~nprobe/nlist of the
     * corpus per query. Deterministic via the KMeans seed.
+    *
+    * `trainSampleFraction` defaults to AUTO (−1): the quantizer fits
+    * on at most ~[[TrainRowsPerCentroid]]·nlist sampled rows
+    * ([[boundedTrainFraction]]) — the FAISS training rule (its docs
+    * recommend 30–256 points per centroid; more adds fit cost, not
+    * centroid quality). A whole-corpus KMeans default would silently
+    * turn the one bounded stage into a corpus-scale iterative fit at
+    * 100×. Pass 1.0 to force full-corpus training, or any explicit
+    * fraction to override.
     */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      trainSampleFraction: Double = 1.0,
+      trainSampleFraction: Double = -1.0,
       // drop candidates whose id equals the query id (the usual "don't
       // return the query itself" semantics); pass false when query and
       // corpus ids live in DIFFERENT key spaces that may collide (e.g.
@@ -861,9 +888,12 @@ object Ann {
       asDouble(col(vecCol)).as("v")))
       .withColumn("fv", array_to_vector(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val frac =
+      if (trainSampleFraction < 0) boundedTrainFraction(c.count(), nlist)
+      else trainSampleFraction
     val trainSet =
-      if (trainSampleFraction >= 1.0) c
-      else c.sample(withReplacement = false, trainSampleFraction, seed)
+      if (frac >= 1.0) c
+      else c.sample(withReplacement = false, frac, seed)
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
       .setPredictionCol("list_id").fit(trainSet)
 
@@ -920,8 +950,11 @@ object Ann {
     * shrinks 192× for the scoring pass — the scan that touches every
     * vector reads 16 bytes/row instead of 3 KB — while the exact
     * re-rank touches only `overfetch·k` full vectors per query.
-    * Codebooks train on a bounded sample (`trainSampleFraction`); the
-    * driver holds m·ks·dsub doubles, nothing else. All three kernels
+    * Codebooks train on a bounded sample: `trainSampleFraction`
+    * defaults to AUTO (−1) = [[boundedTrainFraction]](n, ks) — each
+    * subspace KMeans has ks centroids, so the FAISS per-centroid
+    * training budget applies with ks, not m·ks; the driver holds
+    * m·ks·dsub doubles, nothing else. All three kernels
     * (encode / table build / score) are codegen'd expressions
     * ([[graft.functions.PqExpressions]]) — no interpreted HOFs in the
     * per-row path.
@@ -930,7 +963,7 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, m: Int = 8, ks: Int = 16, seed: Long = 42L,
-      trainSampleFraction: Double = 1.0, overfetch: Int = 4,
+      trainSampleFraction: Double = -1.0, overfetch: Int = 4,
       fitTimeoutSec: Long = 3600L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -948,9 +981,12 @@ object Ann {
     // per-subspace codebooks; each fit sees only the dsub-dim slices of
     // the (sampled) corpus. m sequential small fits — the classic PQ
     // training cost, bounded by the sample.
+    val pqFrac =
+      if (trainSampleFraction < 0) boundedTrainFraction(c.count(), ks)
+      else trainSampleFraction
     val trainSet =
-      if (trainSampleFraction >= 1.0) c
-      else c.sample(withReplacement = false, trainSampleFraction, seed)
+      if (pqFrac >= 1.0) c
+      else c.sample(withReplacement = false, pqFrac, seed)
     val flat = trainPqCodebooks(trainSet, m, ks, dsub, seed, fitTimeoutSec,
       onFailure = () => c.unpersist())
     val cent = typedLit(flat.toSeq)

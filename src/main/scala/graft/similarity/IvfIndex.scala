@@ -45,13 +45,14 @@ object IvfIndex {
       .drop("__nrm")
 
   /** Train the quantizer on `corpus` and materialize both tables.
-    * One KMeans fit (bounded by `trainSampleFraction`) + one
-    * assignment pass over the corpus — the same cost as a single
+    * One KMeans fit (bounded by `trainSampleFraction`, AUTO by default
+    * — [[Ann.boundedTrainFraction]], the FAISS sample-training rule) +
+    * one assignment pass over the corpus — the same cost as a single
     * [[Ann.ivfTopK]] call, paid once for the artifact's lifetime.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, name: String,
       nlist: Int = 16, seed: Long = 42L,
-      trainSampleFraction: Double = 1.0, listBuckets: Int = 16): Unit = {
+      trainSampleFraction: Double = -1.0, listBuckets: Int = 16): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -60,9 +61,12 @@ object IvfIndex {
       .withColumn("fv", array_to_vector(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val frac =
+        if (trainSampleFraction < 0) Ann.boundedTrainFraction(c.count(), nlist)
+        else trainSampleFraction
       val trainSet =
-        if (trainSampleFraction >= 1.0) c
-        else c.sample(withReplacement = false, trainSampleFraction, seed)
+        if (frac >= 1.0) c
+        else c.sample(withReplacement = false, frac, seed)
       val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
         .setPredictionCol("list_id").fit(trainSet)
       import spark.implicits._
@@ -203,7 +207,7 @@ object IvfIndex {
     */
   def rebuild(corpus: DataFrame, idCol: String, vecCol: String, name: String,
       nlist: Int = 16, seed: Long = 42L,
-      trainSampleFraction: Double = 1.0, listBuckets: Int = 16): Unit = {
+      trainSampleFraction: Double = -1.0, listBuckets: Int = 16): Unit = {
     val spark = corpus.sparkSession
     val tmp = name + "__rebuild"
     drop(spark, tmp)

@@ -47,7 +47,7 @@ object PqIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, name: String,
       m: Int = 8, ks: Int = 16, seed: Long = 42L,
-      trainSampleFraction: Double = 1.0, fitTimeoutSec: Long = 3600L,
+      trainSampleFraction: Double = -1.0, fitTimeoutSec: Long = 3600L,
       codeBuckets: Int = 16): Unit = {
     val spark = corpus.sparkSession
     val c = normalized(corpus.select(col(idCol).as("neighbor_id"),
@@ -57,9 +57,12 @@ object PqIndex {
       val dim = c.select(size(col("v"))).head().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
       val dsub = dim / m
+      val frac =
+        if (trainSampleFraction < 0) Ann.boundedTrainFraction(c.count(), ks)
+        else trainSampleFraction
       val trainSet =
-        if (trainSampleFraction >= 1.0) c
-        else c.sample(withReplacement = false, trainSampleFraction, seed)
+        if (frac >= 1.0) c
+        else c.sample(withReplacement = false, frac, seed)
       val flat = Ann.trainPqCodebooks(trainSet, m, ks, dsub, seed,
         fitTimeoutSec, onFailure = () => ())
       import spark.implicits._
@@ -218,7 +221,7 @@ object PqIndex {
     */
   def rebuild(corpus: DataFrame, idCol: String, vecCol: String, name: String,
       m: Int = 8, ks: Int = 16, seed: Long = 42L,
-      trainSampleFraction: Double = 1.0, fitTimeoutSec: Long = 3600L,
+      trainSampleFraction: Double = -1.0, fitTimeoutSec: Long = 3600L,
       codeBuckets: Int = 16): Unit = {
     val spark = corpus.sparkSession
     val tmp = name + "__rebuild"

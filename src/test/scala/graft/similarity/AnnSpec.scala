@@ -130,6 +130,32 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@10 too low: $recall")
   }
 
+  test("AUTO trainSampleFraction bounds the quantizer fit (FAISS sample rule)") {
+    // the fraction math: the KMeans input is capped at 256·nlist rows
+    // at ANY corpus size — constant fit cost under 100× growth
+    assert(Ann.boundedTrainFraction(0L, 16) === 1.0)
+    assert(Ann.boundedTrainFraction(4096L, 16) === 1.0) // exactly at budget
+    assert(Ann.boundedTrainFraction(1L << 30, 16)
+      === (256.0 * 16) / (1L << 30).toDouble)
+    val n = 100_000_000_000L // a 10¹¹-row corpus still fits 16k rows
+    assert(math.abs(Ann.boundedTrainFraction(n, 64) * n - 256.0 * 64) < 1e-6)
+    // under ACTIVE sampling (n=2000 > 256·nlist=1024 at nlist=4) the
+    // sampled-fit quantizer still reaches brute recall — sampling
+    // changes which centroids KMeans finds, not list coverage
+    assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet").exists())
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    assert(Ann.boundedTrainFraction(e.count(), 4) < 1.0) // sampling is ON
+    val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id",
+      "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      10, nlist = 4, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"sampled-fit IVF recall@10 too low: $recall")
+  }
+
   test("pqTopK achieves high recall@10 against brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)
