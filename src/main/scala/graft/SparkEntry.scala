@@ -3950,7 +3950,8 @@ object SparkEntry {
     "q189_cohort_eval" -> (q189 _),
     "q190_sq8_topk" -> (q190 _),
     "q191_ivf_sq8_topk" -> (q191 _),
-    "q192_stream_vocab_drift" -> (q192 _))
+    "q192_stream_vocab_drift" -> (q192 _),
+    "q193_knn_graph_trained" -> (q193 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4863,6 +4864,19 @@ object SparkEntry {
       s.sql(s"DROP TABLE IF EXISTS $tbl")
     }
   }
+
+  /** PRODUCTION k-NN graph ([[graft.similarity.Ann.knnGraph]]): the
+    * trained, list-size-bounded builder — sampled-KMeans coarse lists
+    * (the FAISS bounded-fit rule), multi-assignment for recall, the
+    * Rademacher oversized-list guard — over the embeddings corpus.
+    * KMeans training is float/RNG, so this stays rows-only (the q121
+    * trained-quantizer precedent); the hash gate for the shared
+    * within-list ranking machinery is the fixed twin q172, and the
+    * recall-vs-brute bar (≥0.9 at sf0.1) is spec-locked in AnnSpec.
+    */
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Ann.knnGraph(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 5, nlist = 8, nassign = 3)
 
   /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
     * — the synthetic corpus carries no markup, and an extractor gated

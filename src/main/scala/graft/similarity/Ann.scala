@@ -351,22 +351,61 @@ object Ann {
     * Edges are DIRECTED: x→y ranks y among x's list-mates; the
     * undirected union is a caller-side `unionByName(swap)`. At 100 TB
     * the recall/cost knob is |centroids| — finer lists cut the
-    * quadratic term exactly as in [[ivfTopKFixed]].
+    * quadratic term exactly as in [[ivfTopKFixed]] — and lists beyond
+    * `maxListSize` sub-partition under the Rademacher guard
+    * ([[knnGraphCore]]; never trips at the default cap, so the q172
+    * hash gate replays the exact unguarded path). The TRAINED
+    * production twin is [[knnGraph]].
     */
   def knnGraphFixed(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, centroids: Seq[Seq[Double]]): DataFrame = {
-    val a = fixedAssigned(corpus, idCol, vecCol, centroids)
-      .filter(col("list_id") >= 0)
+      k: Int, centroids: Seq[Seq[Double]],
+      maxListSize: Long = 1L << 20, subPlanes: Int = 6,
+      dim: Int = 64): DataFrame =
+    knnGraphCore(
+      fixedAssigned(corpus, idCol, vecCol, centroids)
+        .filter(col("list_id") >= 0),
+      k, maxListSize, subPlanes, dim, dedupPairs = false)
+
+  /** The guarded within-list pair join both graph builders share:
+    * candidate pairs are keyed (list_id, sub) where `sub` is 0 for
+    * lists within `maxListSize` and a frozen Rademacher LSH bucket
+    * beyond it (the [[graft.pipeline.Curation]] semanticCandidatePairs
+    * mega-cluster guard — the biggest block becomes
+    * ~|list|/2^`subPlanes`, and sub-bucketing can only MISS
+    * cross-bucket pairs, so every emitted edge is still a true
+    * same-list neighbor). `dedupPairs` collapses the duplicate
+    * (vec_id, neighbor_id) rows a multi-assignment produces before
+    * ranking — single-assignment callers skip the extra shuffle. The
+    * list-size relation broadcast is |lists| rows, artifact-sized.
+    */
+  private[similarity] def knnGraphCore(assigned: DataFrame, k: Int,
+      maxListSize: Long, subPlanes: Int, dim: Int,
+      dedupPairs: Boolean): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxListSize >= 1, s"maxListSize must be >= 1, got $maxListSize")
+    val F = graft.functions.FixedAnnExpressions
+    val a = assigned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val l = a.select(col("list_id"), col("neighbor_id").as("vec_id"),
-        col("vf").as("va"))
-      val r = a.select(col("list_id"), col("neighbor_id"), col("vf"))
+      val sizes = a.groupBy("list_id").agg(count(lit(1)).as("__n"))
+      val keyed = a.join(broadcast(sizes), Seq("list_id"))
+        .withColumn("sub",
+          when(col("__n") > maxListSize,
+            element_at(F.rademacherBuckets(col("vf"), 1, subPlanes, dim), 1))
+            .otherwise(lit(0L)))
+      val l = keyed.select(col("list_id"), col("sub"),
+        col("neighbor_id").as("vec_id"), col("vf").as("va"))
+      val r = keyed.select(col("list_id"), col("sub"), col("neighbor_id"),
+        col("vf"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("score_fp").desc, col("neighbor_id"))
-      val out = l.join(r, Seq("list_id"))
+      val cand0 = l.join(r, Seq("list_id", "sub"))
         .filter(col("vec_id") =!= col("neighbor_id"))
         .withColumn("score_fp", dotFp(col("va"), col("vf")))
+        .select(col("vec_id"), col("neighbor_id"), col("score_fp"))
+      val cand = if (dedupPairs)
+        cand0.dropDuplicates("vec_id", "neighbor_id") else cand0
+      val out = cand
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("vec_id"), col("neighbor_id"), col("score_fp"),
@@ -375,6 +414,89 @@ object Ann {
       out.count()
       out
     } finally a.unpersist()
+  }
+
+  /** (neighbor_id, vf, list_id) under MULTI-assignment: every vector
+    * lands in its `nassign` nearest frozen centroids' lists (the
+    * spill-assignment idea of spill trees / multi-probe clustering) —
+    * the same centroidD2 + sort + slice kernel as
+    * [[probeFixedLists]]'s query probing, applied to the corpus side.
+    * Null/short vectors get no lists and emit no rows.
+    */
+  private[similarity] def fixedAssignedMulti(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]],
+      nassign: Int): DataFrame = {
+    val dists = centroids.indices.map { i =>
+      struct(element_at(col("__d2"), i + 1).as("d2"),
+        lit(i.toLong).as("list_id"))
+    }
+    unitized(df, idCol, vecCol)
+      .filter(col("uv").isNotNull)
+      .select(col("id").as("neighbor_id"), fp(col("uv")).as("vf"),
+        graft.functions.FixedAnnExpressions.centroidD2(col("uv"), centroids)
+          .as("__d2"))
+      .select(col("neighbor_id"), col("vf"),
+        explode(slice(array_sort(array(dists: _*)), 1, nassign)).as("pl"))
+      .select(col("neighbor_id"), col("vf"), col("pl.list_id").as("list_id"))
+  }
+
+  /** PRODUCTION k-NN graph builder — the trained, list-size-bounded
+    * twin of [[knnGraphFixed]] (which needs caller-frozen centroids
+    * and compares within ONE list per node). Three scale moves over
+    * the fixed form:
+    *
+    *  1. Centroids TRAIN here: KMeans over a bounded sample
+    *     ([[boundedTrainFraction]] — the FAISS rule, constant fit
+    *     input at any corpus size), seeded and deterministic given
+    *     the sample.
+    *  2. MULTI-assignment ([[fixedAssignedMulti]]): each vector joins
+    *     its `nassign` nearest lists, so two true neighbors that a
+    *     single hard assignment would split across a list boundary
+    *     still meet in some shared list — the recall knob that makes
+    *     within-list construction viable on weak-structure data
+    *     (recall-specced ≥0.9 at sf0.1). Candidate volume is
+    *     Σ|list|² over the inflated lists (≈ nassign² × the hard
+    *     assignment's bound) — still never N².
+    *  3. The oversized-list Rademacher sub-bucket guard
+    *     ([[knnGraphCore]]): a mega-list (boilerplate cloud) is
+    *     sub-partitioned so the pair join's biggest block is
+    *     ~|list|/2^`subPlanes`, the q45/SemDeDup skew discipline.
+    *
+    * Output = [[knnGraphFixed]]'s shape: DIRECTED (vec_id,
+    * neighbor_id, score_fp, rank 1..k) edges, exact integer dot
+    * ranking, duplicate pairs from overlapping lists collapsed before
+    * ranking. Consumers ([[knnDensity]], D4 selection,
+    * [[beamSearchFixed]]) take it unchanged. Hash-gating stays with
+    * the fixed twin (q172) — KMeans training is float/RNG, so this
+    * path is rows-only, the q121 clusterBalancedSample precedent.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nassign: Int = 3, seed: Long = 42L,
+      trainSampleFraction: Double = -1.0, maxListSize: Long = 1L << 20,
+      subPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(nassign >= 1 && nassign <= nlist,
+      s"nassign must be in [1, nlist=$nlist], got $nassign")
+    val c = normalized(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("v")))
+      .withColumn("fv", array_to_vector(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = try {
+      val frac =
+        if (trainSampleFraction < 0) boundedTrainFraction(c.count(), nlist)
+        else trainSampleFraction
+      val trainSet =
+        if (frac >= 1.0) c
+        else c.sample(withReplacement = false, frac, seed)
+      new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
+        .setPredictionCol("__l").fit(trainSet)
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    } finally c.unpersist()
+    knnGraphCore(
+      fixedAssignedMulti(corpus, idCol, vecCol, centroids, nassign),
+      k, maxListSize, subPlanes, dim, dedupPairs = true)
   }
 
   /** Fixed-point unit vectors `(id, vf)` — the similarity-space

@@ -28,7 +28,8 @@ class RegistrySpec extends AnyFunSuite {
     "q36_approx_stats",
     "q48_ann_lsh", "q50_multimodal_features",
     "q52_ann_ivf", "q53_embed_neardup_lsh",
-    "q78_ann_pq", "q80_stratified_split")
+    "q78_ann_pq", "q80_stratified_split",
+    "q193_knn_graph_trained")
 
   test("every oracle key names a registered query (no dead oracles)") {
     val dead = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
