@@ -3951,7 +3951,8 @@ object SparkEntry {
     "q190_sq8_topk" -> (q190 _),
     "q191_ivf_sq8_topk" -> (q191 _),
     "q192_stream_vocab_drift" -> (q192 _),
-    "q193_knn_graph_trained" -> (q193 _))
+    "q193_knn_graph_trained" -> (q193 _),
+    "q194_semantic_dedup_trained" -> (q194 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4877,6 +4878,26 @@ object SparkEntry {
   private def q193(s: SparkSession, dir: String): DataFrame =
     graft.similarity.Ann.knnGraph(Tables.embeddings(s, dir),
       "vec_id", "embedding", k = 5, nlist = 8, nassign = 3)
+
+  /** TRAINED SemDeDup driver ([[graft.pipeline.Curation.semanticDedup]])
+    * over q168's exact-copy planted corpus: sample-fit KMeans →
+    * broadcast centroids → the frozen-centroid machinery. Every
+    * planted copy lands in its original's trained cluster (identical
+    * vector → identical nearest centroid) and scores cosine 1, so the
+    * survivor ID SET equals q168's min-id representatives under ANY
+    * centroid outcome; clusters are KMeans-dependent, so the query
+    * stays rows-only (the q121/q193 trained-quantizer class) and the
+    * hash gate remains the fixed twin q168.
+    */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding")))
+    graft.pipeline.Curation.semanticDedup(planted, "vec_id", "embedding",
+      thresholdFp = 450000000000L, nClusters = 8)
+      .select(col("id").as("vec_id"), col("cluster"))
+  }
 
   /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
     * — the synthetic corpus carries no markup, and an extractor gated

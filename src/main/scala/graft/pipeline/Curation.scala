@@ -562,6 +562,48 @@ object Curation {
     } finally assigned.unpersist()
   }
 
+  /** TRAINED SemDeDup driver — the production convenience over
+    * [[semanticDedupFixed]]: fit the clustering here (KMeans over a
+    * bounded sample, [[graft.similarity.Ann.boundedTrainFraction]] —
+    * the FAISS rule, constant fit input at any corpus size), collect
+    * the nClusters·dim centroid array to the driver (artifact-sized by
+    * construction) and run the existing frozen-centroid machinery —
+    * candidate bound, Rademacher mega-cluster guard, min-id-wins
+    * policy and all. Makes the scale path the easy path: callers no
+    * longer need to produce centroids to dedup semantically.
+    *
+    * KMeans is float/RNG, so results are deterministic only per
+    * (sample, seed) — the q121/q193 trained-quantizer class: gate
+    * rows-only, keep the hash gate on the fixed twin (q168).
+    * Returns [[semanticDedupFixed]]'s survivor shape (id, cluster).
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      thresholdFp: Long, nClusters: Int = 16, seed: Long = 42L,
+      trainSampleFraction: Double = -1.0, maxClusterSize: Long = 1L << 20,
+      subPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nClusters > 0, s"nClusters must be positive, got $nClusters")
+    val c = embeddings
+      .select(array_to_vector(transform(col(vecCol), x => x.cast("double")))
+        .as("__fv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = try {
+      val frac =
+        if (trainSampleFraction < 0)
+          graft.similarity.Ann.boundedTrainFraction(c.count(), nClusters)
+        else trainSampleFraction
+      val trainSet =
+        if (frac >= 1.0) c
+        else c.sample(withReplacement = false, frac, seed)
+      new KMeans().setK(nClusters).setSeed(seed).setFeaturesCol("__fv")
+        .setPredictionCol("__cl").fit(trainSet)
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    } finally c.unpersist()
+    semanticDedupFixed(embeddings, idCol, vecCol, centroids, thresholdFp,
+      maxClusterSize, subPlanes, dim)
+  }
+
   /** Within-cluster ≥`thresholdFp` candidate PAIRS (`id_a < id_b`)
     * under the frozen centroids — the edge set every SemDeDup policy
     * consumes: [[semanticDedupFixed]]'s greedy min-id drop is

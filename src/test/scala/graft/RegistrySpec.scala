@@ -29,7 +29,7 @@ class RegistrySpec extends AnyFunSuite {
     "q48_ann_lsh", "q50_multimodal_features",
     "q52_ann_ivf", "q53_embed_neardup_lsh",
     "q78_ann_pq", "q80_stratified_split",
-    "q193_knn_graph_trained")
+    "q193_knn_graph_trained", "q194_semantic_dedup_trained")
 
   test("every oracle key names a registered query (no dead oracles)") {
     val dead = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -114,6 +114,28 @@ class SemanticDedupSpec extends SparkSpec {
     assert(gotIso === Map(1L -> None))
   }
 
+  test("semanticDedup (trained driver): planted copies collapse, distinct docs survive") {
+    // two well-separated clouds + exact-copy plants. Whatever
+    // clustering the sampled KMeans finds, an exact copy lands in its
+    // original's cluster (same vector → same nearest centroid) and
+    // scores cosine 1.0, so only the min-id representative of each
+    // planted group may survive — the q168 semantics through the
+    // TRAINED path, no caller-supplied centroids.
+    val a = vec(9.0, 1.0, 0, 0, 0, 0, 0, 0)
+    val b = vec(1.0, 9.0, 0, 0, 0, 0, 0, 0)
+    val rows = df(Seq(
+      1L -> a, 2L -> a, 3L -> a, // planted group: only 1 survives
+      10L -> b, 11L -> b,        // planted group: only 10 survives
+      20L -> vec(0, 0, 9.0, 0, 0, 0, 0, 0))) // distinct: survives
+    val got = Curation.semanticDedup(rows, "id", "v",
+      thresholdFp = 990000000000L, nClusters = 2, dim = dim)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L, 10L, 20L))
+    // copies share their original's cluster under ANY trained centroids
+    val survClusters = got.values.toSet
+    assert(survClusters.size <= 2)
+  }
+
   test("oversized-cluster guard: survivors are a superset of exact, drops are sound") {
     // 60 near-identical vectors in one cluster plus small jitter in a
     // trailing dimension — all pairwise cosine far above threshold
