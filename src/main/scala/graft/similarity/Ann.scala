@@ -49,7 +49,7 @@ object Ann {
     * per-element division sees an attribute (see the HOF performance
     * invariant in graft.dedup.Dedup).
     */
-  private def normalized(df: DataFrame): DataFrame =
+  private[similarity] def normalized(df: DataFrame): DataFrame =
     df.withColumn("__nrm",
       sqrt(graft.functions.VectorExpressions.dot(col("v"), col("v"))))
       .withColumn("v",
