@@ -1876,6 +1876,68 @@ object SparkEntry {
       .filter(col("dup_of").isNull).select("vec_id", "cluster")
   }
 
+  /** OUT-OF-ORDER continuous SemDeDup
+    * ([[graft.streaming.StreamingSemanticDedup.startOrdered]]): q168's
+    * planted corpus arrives as three DELIBERATELY interleaved
+    * micro-batches (vec_id mod 3) — the arrival order under which the
+    * plain q169 stream's keep-first verdicts would diverge from the
+    * batch min-id policy — and the watermark-buffered orderer still
+    * reproduces the batch operator's exact survivor set, so the query
+    * shares q168's oracle verbatim (the q83 ordered-packing pattern
+    * applied to the index-fold family). A far-future sentinel advances
+    * the watermark past every real id; the sentinel itself stays
+    * unreleased in state and is filtered defensively.
+    */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding")))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val tmp = scratchDir("stream_semdedup_ooo")
+    for (r <- 0 until 3) {
+      planted.filter(pmod(col("vec_id"), lit(3)) === r)
+        .coalesce(1).write.parquet(s"$tmp/f$r.parquet")
+    }
+    // horizon sized from the data (the q83 rule): the watermark must
+    // not overtake any real id while earlier-id files still arrive
+    val maxId = planted.agg(max(col("vec_id"))).head().getLong(0)
+    val delaySec = maxId + 2
+    import s.implicits._
+    val sentinelId = maxId * 10 + delaySec + 10
+    Seq((sentinelId, Seq.empty[Float])).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$tmp/z_sentinel.parquet")
+    // pin (modTime, path) so the sentinel demonstrably arrives LAST
+    val base = System.currentTimeMillis()
+    Seq("f0.parquet", "f1.parquet", "f2.parquet", "z_sentinel.parquet")
+      .zipWithIndex.foreach { case (d, i) =>
+        val dd = new java.io.File(s"$tmp/$d")
+        (dd.listFiles() :+ dd).foreach(_.setLastModified(base + i * 2000L))
+      }
+    val stream = s.readStream
+      .schema(planted.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*")
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long])]
+    val tbl =
+      s"graft_ssdo_idx_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val run = graft.streaming.StreamingSemanticDedup.startOrdered(stream,
+      "vec_id", "embedding", centroids, thresholdFp = 450000000000L,
+      indexTable = tbl, delay = s"$delaySec seconds") { (v, _) =>
+      buf ++= v.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    }
+    try run.query.processAllAvailable()
+    finally { run.query.stop(); s.sql(s"DROP TABLE IF EXISTS $tbl") }
+    buf.toSeq.toDF("vec_id", "cluster", "dup_of")
+      .filter(col("dup_of").isNull)
+      .filter(col("vec_id") =!= sentinelId)
+      .select("vec_id", "cluster")
+  }
+
   /** Curation composition WITH the SemDeDup stage: default gates
     * (scrub → quality/repetition → decontaminate → exact dedup) plus
     * embedding-space dedup against the documents' embedding rows
@@ -3952,7 +4014,8 @@ object SparkEntry {
     "q191_ivf_sq8_topk" -> (q191 _),
     "q192_stream_vocab_drift" -> (q192 _),
     "q193_knn_graph_trained" -> (q193 _),
-    "q194_semantic_dedup_trained" -> (q194 _))
+    "q194_semantic_dedup_trained" -> (q194 _),
+    "q195_stream_semdedup_ordered" -> (q195 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5995,6 +6058,9 @@ object SparkEntry {
     // streaming twin: id-ordered ingest + full fingerprint index ⇒
     // identical survivor set, oracle shared verbatim
     "q169_stream_semantic_dedup" -> graft.oracle.AnnOracles.q168Sql(),
+    // the ordered out-of-order stream reproduces the batch operator's
+    // survivor set exactly — shares q168's oracle verbatim (like q169)
+    "q195_stream_semdedup_ordered" -> graft.oracle.AnnOracles.q168Sql(),
     // curation composition with the SemDeDup stage (q123 fragments +
     // the sd_ drop-set CTEs)
     "q170_curate_semantic" -> q170Sql,

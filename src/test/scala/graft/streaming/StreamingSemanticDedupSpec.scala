@@ -132,4 +132,74 @@ class StreamingSemanticDedupSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("startOrdered: interleaved out-of-order arrival still equals the batch operator") {
+    // ids 1..3 are the non-transitive chain (1~2, 2~3); 4..12 sit on
+    // their own (± signed) axes, pairwise below threshold. Arrival is
+    // DELIBERATELY disordered within each trigger — id 2 lands a
+    // trigger before id 1, the order under which plain start's
+    // keep-first verdicts would diverge (2 would survive). With
+    // delay=5s and this schedule the watermark advances enough to
+    // release PROGRESSIVELY (several fold batches — the cross-batch
+    // index path, not just batch-mates) while no arrival ever falls
+    // behind the watermark (nothing is late-dropped).
+    val tbl = freshTable()
+    val dir = java.nio.file.Files.createTempDirectory("ssd_ooo").toString
+    try {
+      def axis(i: Int, sign: Double): Seq[Float] = {
+        val a = Array.fill(8)(0.0)
+        a(i) = sign
+        vec(a.toIndexedSeq: _*)
+      }
+      val corpus = df(Seq(
+        1L -> ang(0), 2L -> ang(30), 3L -> ang(60),
+        4L -> axis(2, 1), 5L -> axis(3, 1), 6L -> axis(4, 1),
+        7L -> axis(5, 1), 8L -> axis(6, 1), 9L -> axis(7, 1),
+        10L -> axis(2, -1), 11L -> axis(3, -1), 12L -> axis(4, -1)))
+      val batches = Seq(Seq(2L, 1L, 4L), Seq(3L, 6L, 5L),
+        Seq(8L, 7L, 9L), Seq(11L, 10L, 12L))
+      batches.zipWithIndex.foreach { case (ids, i) =>
+        corpus.filter(col("id").isin(ids: _*))
+          .coalesce(1).write.parquet(s"$dir/in/b$i.parquet")
+      }
+      val sentinelId = 1000L
+      df(Seq(sentinelId -> Seq.empty[Float]))
+        .coalesce(1).write.parquet(s"$dir/in/z_sentinel.parquet")
+      val base = System.currentTimeMillis()
+      (0 to 4).foreach { i =>
+        val name = if (i < 4) s"b$i.parquet" else "z_sentinel.parquet"
+        val dd = new java.io.File(s"$dir/in/$name")
+        (dd.listFiles() :+ dd).foreach(_.setLastModified(base + i * 2000L))
+      }
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      val folds = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(Long, Long, Option[Long])]]
+      val run = StreamingSemanticDedup.startOrdered(stream, "id", "v",
+        oneCentroid, tFp, tbl, indexBuckets = 4,
+        delay = "5 seconds", shards = 2) { (v, _) =>
+        val rows = v.as[(Long, Long, Option[Long])].collect().toSeq
+        if (rows.nonEmpty) folds += rows
+      }
+      try run.query.processAllAvailable()
+      finally run.query.stop()
+      val all = folds.flatten.filterNot(_._1 == sentinelId)
+      // released ids STRICTLY increase across fold batches — the
+      // ordered-ingest contract the operator now enforces
+      val ranges = folds.map(f => (f.map(_._1).min, f.map(_._1).max)).toSeq
+      ranges.zip(ranges.drop(1)).foreach { case ((_, prevMax), (curMin, _)) =>
+        assert(curMin > prevMax, s"fold ranges overlap: $ranges")
+      }
+      assert(folds.size >= 2, s"expected progressive release, got $ranges")
+      // verdicts equal the batch operator's on the delivered corpus
+      val streamSurvivors = all.filter(_._3.isEmpty).map(_._1).toSet
+      val batchSurvivors = Curation.semanticDedupFixed(corpus, "id", "v",
+        oneCentroid, tFp, dim = dim).select("id").as[Long].collect().toSet
+      assert(all.map(_._1).toSet === (1L to 12L).toSet)
+      assert(streamSurvivors === batchSurvivors)
+    } finally {
+      drop(tbl)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
