@@ -3251,7 +3251,16 @@ object SparkEntry {
     */
   private def unitHeadEmbeddings(s: SparkSession, dir: String,
       n: Int): Seq[Seq[Double]] =
-    Tables.embeddings(s, dir).filter(col("vec_id") < n).orderBy("vec_id")
+    unitRangeEmbeddings(s, dir, 0, n)
+
+  /** Normalized embeddings [lo, hi) as frozen centroids (the
+    * unitHeadEmbeddings construction over an id range — q196's second
+    * clustering uses the next-8 slice).
+    */
+  private def unitRangeEmbeddings(s: SparkSession, dir: String,
+      lo: Int, hi: Int): Seq[Seq[Double]] =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi).orderBy("vec_id")
       .select("embedding").collect()
       .map { r =>
         val raw = r.getSeq[Float](0).map(_.toDouble)
@@ -4015,7 +4024,8 @@ object SparkEntry {
     "q192_stream_vocab_drift" -> (q192 _),
     "q193_knn_graph_trained" -> (q193 _),
     "q194_semantic_dedup_trained" -> (q194 _),
-    "q195_stream_semdedup_ordered" -> (q195 _))
+    "q195_stream_semdedup_ordered" -> (q195 _),
+    "q196_nn_descent_round" -> (q196 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4960,6 +4970,31 @@ object SparkEntry {
     graft.pipeline.Curation.semanticDedup(planted, "vec_id", "embedding",
       thresholdFp = 450000000000L, nClusters = 8)
       .select(col("id").as("vec_id"), col("cluster"))
+  }
+
+  /** One NN-descent refinement round
+    * ([[graft.similarity.Ann.nnDescentRound]], Dong et al. 2011) over
+    * the UNION of two fixed k-NN graphs under DIFFERENT centroid sets
+    * (first-8 and next-8 unit embeddings) — the deterministic
+    * stand-in for NN-descent's random initialization: ONE within-list
+    * graph is component-disjoint (its local join can only re-find
+    * pairs the builder already ranked — a structural no-op), while
+    * two overlapping clusterings give the round genuine
+    * cross-clustering candidates. Deterministic end to end (integer
+    * dots, fixed tie-breaks, capped member lists), so the refined
+    * graph hash-gates ([[graft.oracle.AnnOracles.q196Sql]]).
+    */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val A = graft.similarity.Ann
+    val g1 = A.knnGraphFixed(emb, "vec_id", "embedding", k = 5,
+      centroids = unitHeadEmbeddings(s, dir, 8))
+    val g2 = A.knnGraphFixed(emb, "vec_id", "embedding", k = 5,
+      centroids = unitRangeEmbeddings(s, dir, 8, 16))
+    A.nnDescentRound(
+      g1.select("vec_id", "neighbor_id", "score_fp")
+        .unionByName(g2.select("vec_id", "neighbor_id", "score_fp")),
+      A.fixedUnitVectors(emb, "vec_id", "embedding"), k = 5)
   }
 
   /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
@@ -6061,6 +6096,7 @@ object SparkEntry {
     // the ordered out-of-order stream reproduces the batch operator's
     // survivor set exactly — shares q168's oracle verbatim (like q169)
     "q195_stream_semdedup_ordered" -> graft.oracle.AnnOracles.q168Sql(),
+    "q196_nn_descent_round" -> graft.oracle.AnnOracles.q196Sql(),
     // curation composition with the SemDeDup stage (q123 fragments +
     // the sd_ drop-set CTEs)
     "q170_curate_semantic" -> q170Sql,

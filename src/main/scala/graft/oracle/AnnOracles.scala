@@ -167,6 +167,91 @@ object AnnOracles {
        |SELECT vec_id, neighbor_id, score_fp, CAST(rank AS INT) AS rank
        |FROM rk WHERE rank <= $k""".stripMargin
 
+  /** Prefixed CTE chain for one fixed-centroid within-list kNN graph
+    * (the q172 body, centroids = normalized embeddings [centLo,
+    * centHi)). Requires `unitCtes` in scope; emits `<p>knn`
+    * (vec_id, neighbor_id, score_fp). cid keeps the RAW embedding id
+    * as the list key — an offset from the Spark side's 0-based
+    * centroid index, harmless because list ids are join-only and the
+    * min(cid) tie-break preserves the centroid-sequence order.
+    */
+  private def knnGraphCtes(p: String, centLo: Int, centHi: Int, k: Int,
+      dim: Int): String =
+    s"""${p}cent AS (SELECT id AS cid, uv AS cv FROM unit
+       |  WHERE id >= $centLo AND id < $centHi),
+       |${p}dist AS MATERIALIZED (
+       |  SELECT u.id, c.cid, ${d2Chain("u.uv", "c.cv", dim)} AS d2
+       |  FROM unit u CROSS JOIN ${p}cent c),
+       |${p}best AS (SELECT id, min(d2) AS md FROM ${p}dist GROUP BY 1),
+       |${p}asg AS MATERIALIZED (
+       |  SELECT d.id, min(d.cid) AS list_id
+       |  FROM ${p}dist d JOIN ${p}best b ON d.id = b.id AND d.d2 = b.md
+       |  GROUP BY 1),
+       |${p}pairs AS (SELECT a.id AS vec_id, b.id AS neighbor_id
+       |          FROM ${p}asg a JOIN ${p}asg b
+       |            ON a.list_id = b.list_id AND a.id <> b.id),
+       |${p}sc AS (SELECT pp.vec_id, pp.neighbor_id,
+       |         ${dotFpSql(dim)} AS score_fp
+       |       FROM ${p}pairs pp JOIN vf qv ON qv.id = pp.vec_id
+       |                    JOIN vf cv ON cv.id = pp.neighbor_id),
+       |${p}rk AS (SELECT vec_id, neighbor_id, score_fp,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY score_fp DESC, neighbor_id) AS rank
+       |       FROM ${p}sc),
+       |${p}knn AS MATERIALIZED (SELECT vec_id, neighbor_id, score_fp
+       |       FROM ${p}rk WHERE rank <= $k)""".stripMargin
+
+  /** q196: one NN-descent refinement round
+    * ([[graft.similarity.Ann.nnDescentRound]]) over the UNION of two
+    * fixed within-list graphs under DIFFERENT centroid sets (first-8
+    * and next-8 unit embeddings) — the deterministic stand-in for
+    * NN-descent's random initialization: a single within-list graph
+    * is component-disjoint, so its local join can only re-find
+    * already-ranked pairs; two overlapping clusterings give the round
+    * genuine cross-clustering candidates to discover. The round:
+    * undirected adjacency (swap + distinct; the dot is symmetric so
+    * either copy carries the same score), per-middle member cap at
+    * `maxDegree` (score desc, member asc — the deterministic
+    * sample-rate), local join (co-members become candidates), exact
+    * integer dot scoring, merge with current edges, fresh top-`k`.
+    */
+  def q196Sql(k: Int = 5, nlist: Int = 8, dim: Int = 64,
+      maxDegree: Int = 64): String =
+    s"""WITH
+       |${unitCtes(embeddingsSrc)},
+       |${knnGraphCtes("g1_", 0, nlist, k, dim)},
+       |${knnGraphCtes("g2_", nlist, 2 * nlist, k, dim)},
+       |knn AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id, score_fp FROM g1_knn
+       |  UNION ALL
+       |  SELECT vec_id, neighbor_id, score_fp FROM g2_knn),
+       |und AS (SELECT DISTINCT vec_id, neighbor_id, score_fp FROM (
+       |          SELECT vec_id, neighbor_id, score_fp FROM knn
+       |          UNION ALL
+       |          SELECT neighbor_id, vec_id, score_fp FROM knn) u),
+       |capped AS (SELECT vec_id AS mid, neighbor_id AS member FROM (
+       |            SELECT vec_id, neighbor_id,
+       |                   row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY score_fp DESC, neighbor_id) AS rn
+       |            FROM und) c WHERE rn <= $maxDegree),
+       |cand AS (SELECT DISTINCT l.member AS vec_id,
+       |                r.member AS neighbor_id
+       |         FROM capped l JOIN capped r ON l.mid = r.mid
+       |         WHERE l.member <> r.member),
+       |sc AS (SELECT c.vec_id, c.neighbor_id, ${dotFpSql(dim)} AS score_fp
+       |       FROM cand c JOIN vf qv ON qv.id = c.vec_id
+       |                   JOIN vf cv ON cv.id = c.neighbor_id),
+       |allc AS (SELECT DISTINCT vec_id, neighbor_id, score_fp FROM (
+       |          SELECT vec_id, neighbor_id, score_fp FROM sc
+       |          UNION ALL
+       |          SELECT vec_id, neighbor_id, score_fp FROM knn) a),
+       |rk AS (SELECT vec_id, neighbor_id, score_fp,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY score_fp DESC, neighbor_id) AS rank
+       |       FROM allc)
+       |SELECT vec_id, neighbor_id, score_fp, CAST(rank AS INT) AS rank
+       |FROM rk WHERE rank <= $k""".stripMargin
+
   /** q173: kNN-density prototypicality/outlier verdicts over the q172
     * graph ([[graft.similarity.Ann.knnDensity]]). floor(sum/count) in
     * DOUBLE on both engines (sum ≤ k·1e12 ≪ 2^53, so the division is

@@ -416,6 +416,71 @@ object Ann {
     } finally a.unpersist()
   }
 
+  /** One NN-DESCENT refinement round (Dong et al. 2011, "Efficient
+    * k-nearest neighbor graph construction for generic similarity
+    * measures") over a directed k-NN graph: the local-join step —
+    * any two members of some node's (undirected) neighborhood are
+    * candidate neighbors of each other — scored by exact integer dot
+    * and merged with the current edges into a fresh per-node top-`k`.
+    * The principle: a neighbor's neighbor is likely a neighbor, so
+    * each round recovers true edges a list-bounded builder
+    * ([[knnGraphFixed]]/[[knnGraph]]) missed across list boundaries.
+    * Deterministic end to end (no RNG, integer scoring, fixed
+    * tie-breaks) — the whole refined graph hash-gates (q196).
+    *
+    * Scale shape: the undirected adjacency is ≤2·|edges| rows; each
+    * middle node's member list is CAPPED at `maxDegree` (best-scored
+    * first — NN-descent's sample-rate ρ as a deterministic rank), so
+    * the local join's volume is Σ min(deg, maxDegree)² — hub nodes
+    * (high in-degree under a popular-neighbor graph) cannot go
+    * quadratic. Candidate scoring joins the (id, vf) relation twice
+    * on id — shuffles are candidate-sized, the corpus relation never
+    * fans out. Run 1–3 rounds; returns lazy (callers persist, the
+    * knnGraphCore contract applies to [[knnGraph]]'s refined output).
+    *
+    * @param graph   (vec_id, neighbor_id, score_fp, ...) directed
+    *                edges — [[knnGraphFixed]]'s output shape
+    * @param vectors (id, vf) from [[fixedUnitVectors]]
+    */
+  def nnDescentRound(graph: DataFrame, vectors: DataFrame, k: Int,
+      maxDegree: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
+    val e = graph.select(col("vec_id"), col("neighbor_id"), col("score_fp"))
+    // undirected adjacency: the dot is symmetric, so the swapped edge
+    // carries the same score and the pair-dedup keeps either copy
+    val und = e.unionByName(e.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"), col("score_fp")))
+      .dropDuplicates("vec_id", "neighbor_id")
+    val wCap = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    val capped = und.withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= maxDegree)
+      .select(col("vec_id").as("mid"), col("neighbor_id").as("member"))
+    // the local join: co-members of a neighborhood become candidates
+    val cand = capped.join(
+      capped.select(col("mid"), col("member").as("other")), Seq("mid"))
+      .filter(col("member") =!= col("other"))
+      .select(col("member").as("vec_id"), col("other").as("neighbor_id"))
+      .dropDuplicates("vec_id", "neighbor_id")
+    val v = vectors.select(col("id"), col("vf"))
+    val scored = cand
+      .join(v.select(col("id").as("vec_id"), col("vf").as("va")),
+        Seq("vec_id"))
+      .join(v.select(col("id").as("neighbor_id"), col("vf")),
+        Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        dotFp(col("va"), col("vf")).as("score_fp"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    scored.unionByName(e)
+      .dropDuplicates("vec_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("score_fp"),
+        col("rank"))
+  }
+
   /** (neighbor_id, vf, list_id) under MULTI-assignment: every vector
     * lands in its `nassign` nearest frozen centroids' lists (the
     * spill-assignment idea of spill trees / multi-probe clustering) —
@@ -469,16 +534,23 @@ object Ann {
     * [[beamSearchFixed]]) take it unchanged. Hash-gating stays with
     * the fixed twin (q172) — KMeans training is float/RNG, so this
     * path is rows-only, the q121 clusterBalancedSample precedent.
+    *
+    * `refineRounds` > 0 applies that many [[nnDescentRound]] passes —
+    * the NN-descent local join recovers cross-list true edges the
+    * within-list candidate join cannot see, at Σ min(deg,
+    * `maxDegree`)² candidate cost per round.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nassign: Int = 3, seed: Long = 42L,
       trainSampleFraction: Double = -1.0, maxListSize: Long = 1L << 20,
-      subPlanes: Int = 6, dim: Int = 64): DataFrame = {
+      subPlanes: Int = 6, dim: Int = 64, refineRounds: Int = 0,
+      maxDegree: Int = 64): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     require(nassign >= 1 && nassign <= nlist,
       s"nassign must be in [1, nlist=$nlist], got $nassign")
+    require(refineRounds >= 0, s"refineRounds must be >= 0, got $refineRounds")
     val c = normalized(corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("v")))
       .withColumn("fv", array_to_vector(col("v")))
@@ -494,9 +566,25 @@ object Ann {
         .setPredictionCol("__l").fit(trainSet)
         .clusterCenters.map(_.toArray.toSeq).toSeq
     } finally c.unpersist()
-    knnGraphCore(
+    val base = knnGraphCore(
       fixedAssignedMulti(corpus, idCol, vecCol, centroids, nassign),
       k, maxListSize, subPlanes, dim, dedupPairs = true)
+    if (refineRounds == 0) base
+    else {
+      // NN-descent rounds recover cross-list edges the list-bounded
+      // candidate join missed; each round's result re-persists and
+      // the previous generation releases (base included)
+      val vecs = fixedUnitVectors(corpus, idCol, vecCol)
+      var cur = base
+      for (_ <- 1 to refineRounds) {
+        val next = nnDescentRound(cur, vecs, k, maxDegree)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+      cur
+    }
   }
 
   /** Fixed-point unit vectors `(id, vf)` — the similarity-space

@@ -118,6 +118,76 @@ class AnnSpec extends SparkSpec {
     } finally { unguarded.unpersist(); guarded.unpersist() }
   }
 
+  test("nnDescentRound: a neighbor's neighbor becomes an edge; cap bounds the local join") {
+    // a—b—c on one arc, k=1 base graph: a→b, b→c (c is b's closest),
+    // c→b. a and c are NOT adjacent — but both sit in b's undirected
+    // neighborhood, so one local-join round must surface a—c via b
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.05f)),   // a
+      (2L, Array(1.0f, 0.15f)),   // b — between a and c
+      (3L, Array(1.0f, 0.25f)))   // c
+      .toDF("vec_id", "embedding")
+    val vecs = Ann.fixedUnitVectors(corpus, "vec_id", "embedding")
+    val base = Ann.knnGraphFixed(corpus, "vec_id", "embedding", k = 1,
+      centroids = Seq(Seq(1.0, 0.0)))
+    try {
+      val baseEdges = base.select("vec_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      assert(baseEdges === Set((1L, 2L), (2L, 3L), (3L, 2L)))
+      // k=2 over the k=1 base: a and c co-occur in b's neighborhood,
+      // so both directions of a—c appear
+      val refined = Ann.nnDescentRound(base, vecs, k = 2)
+        .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(refined.contains((1L, 3L)) && refined.contains((3L, 1L)))
+      // base edges survive the merge (still among each node's top-2)
+      assert(baseEdges.subsetOf(refined))
+      // maxDegree=1 caps b's member list to its single best co-member
+      // (c — the higher dot) — the a—c discovery disappears, and the
+      // cap can only narrow, never invent
+      val capped = Ann.nnDescentRound(base, vecs, k = 2, maxDegree = 1)
+        .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(!capped.contains((1L, 3L)))
+      assert(capped.subsetOf(refined))
+    } finally base.unpersist()
+  }
+
+  test("knnGraph refineRounds: NN-descent recovers cross-list edges (recall rises)") {
+    // NOTE a structural fact this test pins: refinement over a
+    // SINGLE-assignment graph is a no-op (each within-list component
+    // is closed under 2-hops, and every same-list pair was already
+    // ranked) — overlap (nassign >= 2) is what gives the local join
+    // cross-clustering material, exactly like NN-descent's random
+    // initialization.
+    assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet").exists())
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val noop = Ann.knnGraph(e, "vec_id", "embedding", k = 10,
+      nlist = 8, nassign = 1, refineRounds = 1)
+    val single = Ann.knnGraph(e, "vec_id", "embedding", k = 10,
+      nlist = 8, nassign = 1)
+    val weak = Ann.knnGraph(e, "vec_id", "embedding", k = 10,
+      nlist = 8, nassign = 2)
+    val refined = Ann.knnGraph(e, "vec_id", "embedding", k = 10,
+      nlist = 8, nassign = 2, refineRounds = 2)
+    try {
+      def edges(g: org.apache.spark.sql.DataFrame) =
+        g.filter($"vec_id" < 20)
+          .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      // the no-op fact itself
+      assert(edges(noop) === edges(single))
+      val probes = e.filter($"vec_id" < 20)
+      val brute = Ann.bruteForceTopK(e, "vec_id", "embedding", probes,
+        "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      def recall(g: org.apache.spark.sql.DataFrame) =
+        (brute & edges(g)).size.toDouble / brute.size
+      val (rw, rr) = (recall(weak), recall(refined))
+      assert(rr > rw, s"refinement did not improve recall: $rw -> $rr")
+    } finally {
+      noop.unpersist(); single.unpersist()
+      weak.unpersist(); refined.unpersist()
+    }
+  }
+
   test("knnDensity floors negative means and skips isolated vectors") {
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val corpus = Seq(
