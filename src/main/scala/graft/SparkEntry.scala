@@ -4025,7 +4025,9 @@ object SparkEntry {
     "q193_knn_graph_trained" -> (q193 _),
     "q194_semantic_dedup_trained" -> (q194 _),
     "q195_stream_semdedup_ordered" -> (q195 _),
-    "q196_nn_descent_round" -> (q196 _))
+    "q196_nn_descent_round" -> (q196 _),
+    "q197_perplexity_buckets" -> (q197 _),
+    "q198_group_sample_exact" -> (q198 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -4996,6 +4998,52 @@ object SparkEntry {
         .unionByName(g2.select("vec_id", "neighbor_id", "score_fp")),
       A.fixedUnitVectors(emb, "vec_id", "embedding"), k = 5)
   }
+
+  /** CCNet-style LM-perplexity bucketing (Wenzek et al. 2020;
+    * [[graft.text.Unigram.perplexity]]): every document scored by its
+    * average per-piece negative log-likelihood under the q159 frozen
+    * unigram LM (trained on the even-doc half, so odd docs carry
+    * genuine [UNK] OOV charges) and split head / middle / tail by
+    * fixed thresholds — the classic keep-the-head quality split. The
+    * oracle replays vocab derivation, the Viterbi DP AND the
+    * bucketing ([[graft.oracle.UnigramOracles.perplexitySql]]).
+    */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v = graft.text.Unigram.trainFrozen(
+      docs.filter(col("doc_id") % 2 === 0), "text", topK = 1024)
+    graft.text.Unigram.perplexity(docs, "doc_id", "text", v,
+      unkScoreFp = -20000000L,
+      headBelowFp = q197Head, midBelowFp = q197Mid)
+  }
+
+  /** q197's frozen bucket thresholds (1e6-fixed-point nats): chosen
+    * so the synthetic corpus populates all three buckets at every sf
+    * — the gate then proves both threshold comparisons, not just one.
+    */
+  private val q197Head = 5800000L
+  private val q197Mid = 5900000L
+
+  /** Deterministic exact-k per-group sampling
+    * ([[graft.prep.Prep.sampleExactPerGroup]]): the same 20 documents
+    * per language every run and every engine — md5-ranked within
+    * group, WindowGroupLimit plan. The oracle replays the identical
+    * hash order, so the gate checks the ASSIGNMENT (which rows), not
+    * just the counts (the q80b discipline).
+    */
+  private def q198(s: SparkSession, dir: String): DataFrame =
+    Prep.sampleExactPerGroup(
+      Tables.documents(s, dir).select("doc_id", "lang"),
+      "lang", col("doc_id"), k = 20)
+
+  private def q198Sql(k: Int = 20): String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'),
+       |                    CAST(doc_id AS VARCHAR)) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $k""".stripMargin
 
   /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
     * — the synthetic corpus carries no markup, and an extractor gated
@@ -6068,6 +6116,9 @@ object SparkEntry {
     "q158_hits_fixed" -> q158Sql(),
     // Unigram-LM: vocab re-derivation + unrolled integer-Viterbi replay
     "q159_unigram" -> graft.oracle.UnigramOracles.tokenStatsSql(),
+    "q197_perplexity_buckets" -> graft.oracle.UnigramOracles.perplexitySql(
+      headBelowFp = q197Head, midBelowFp = q197Mid),
+    "q198_group_sample_exact" -> q198Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -16,12 +16,19 @@ import graft.text.Unigram
   * [[Unigram.WordCap]]-step unroll walks the backpointers from
   * pos = len to 0, accumulating the piece string; a word whose final
   * position is unreachable is `[UNK]`.
+  *
+  * The shared CTE chain ends at `wt(word, np, acc, wsc)` — per-word
+  * piece count, piece string and total Viterbi score (NULL for
+  * [UNK]); [[tokenStatsSql]] and [[perplexitySql]] are two tails
+  * over the same replay.
   */
 object UnigramOracles {
 
-  def tokenStatsSql(topK: Int = 1024,
-      trainWhere: String = "WHERE doc_id % 2 = 0",
-      applyWhere: String = ""): String = {
+  /** Everything through `wt` — the train → match → DP → backtrack
+    * replay shared by both gates.
+    */
+  private def viterbiCtes(topK: Int, trainWhere: String,
+      applyWhere: String): String = {
     val cap = Unigram.WordCap
     val mp = Unigram.MaxPieceLen
     val split =
@@ -81,13 +88,14 @@ object UnigramOracles {
       |r0 AS (
       |  SELECT d.word, len(d.word) AS len,
       |         CASE WHEN f.pos IS NULL THEN TRUE ELSE FALSE END AS unk,
+      |         f.best AS wsc,
       |         len(d.word) AS cur, '' AS acc, CAST(0 AS BIGINT) AS np
       |  FROM dw d LEFT JOIN bp$cap f
       |    ON f.word = d.word AND f.pos = len(d.word))""".stripMargin
     for (k <- 1 to cap) {
       sb ++= s""",
       |r$k AS MATERIALIZED (
-      |  SELECT r.word, r.len, r.unk,
+      |  SELECT r.word, r.len, r.unk, r.wsc,
       |    CASE WHEN r.unk OR r.cur = 0 THEN r.cur ELSE r.cur - b.bl END AS cur,
       |    CASE WHEN r.unk OR r.cur = 0 THEN r.acc
       |         ELSE '|' || substr(r.word, r.cur - b.bl + 1, b.bl) || r.acc
@@ -99,8 +107,16 @@ object UnigramOracles {
     sb ++= s""",
       |wt AS (SELECT word,
       |         CASE WHEN unk THEN CAST(1 AS BIGINT) ELSE np END AS np,
-      |         CASE WHEN unk THEN '|[UNK]' ELSE acc END AS acc
-      |       FROM r$cap),
+      |         CASE WHEN unk THEN '|[UNK]' ELSE acc END AS acc,
+      |         CASE WHEN unk THEN NULL ELSE wsc END AS wsc
+      |       FROM r$cap)""".stripMargin
+    sb.toString
+  }
+
+  def tokenStatsSql(topK: Int = 1024,
+      trainWhere: String = "WHERE doc_id % 2 = 0",
+      applyWhere: String = ""): String =
+    s"""${viterbiCtes(topK, trainWhere, applyWhere)},
       |ag AS (
       |  SELECT wo.doc_id,
       |    CAST(sum(wo.occ) AS BIGINT) AS n_words,
@@ -114,6 +130,44 @@ object UnigramOracles {
       |  CAST(coalesce(ag.piece_hash, 0) AS BIGINT) AS piece_hash
       |FROM (SELECT doc_id FROM documents $applyWhere) d
       |LEFT JOIN ag USING (doc_id)""".stripMargin
-    sb.toString
-  }
+
+  /** q197: CCNet-style perplexity bucketing
+    * ([[graft.text.Unigram.perplexity]]) — per-doc total negative
+    * log-likelihood from the per-word Viterbi scores (`wsc`; [UNK]
+    * charges the frozen OOV penalty), floor-divided in DOUBLE
+    * (exact-input, the knnDensity rule) and bucketed by the fixed
+    * thresholds.
+    */
+  def perplexitySql(topK: Int = 1024,
+      trainWhere: String = "WHERE doc_id % 2 = 0",
+      applyWhere: String = "",
+      unkScoreFp: Long = -20000000L,
+      headBelowFp: Long, midBelowFp: Long): String =
+    s"""${viterbiCtes(topK, trainWhere, applyWhere)},
+      |ag AS (
+      |  SELECT wo.doc_id,
+      |    CAST(sum(wo.occ * wt.np) AS BIGINT) AS n_pieces,
+      |    CAST(sum(wo.occ * (CASE WHEN wt.wsc IS NULL
+      |         THEN CAST(${-unkScoreFp} AS BIGINT)
+      |         ELSE -wt.wsc END)) AS BIGINT) AS nll_fp
+      |  FROM wo JOIN wt USING (word) GROUP BY 1),
+      |sel AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(ag.n_pieces, 0) AS BIGINT) AS n_pieces,
+      |    CAST(coalesce(ag.nll_fp, 0) AS BIGINT) AS nll_fp
+      |  FROM (SELECT doc_id FROM documents $applyWhere) d
+      |  LEFT JOIN ag USING (doc_id)),
+      |avgd AS (
+      |  SELECT doc_id, n_pieces, nll_fp,
+      |    CASE WHEN n_pieces = 0 THEN NULL
+      |         ELSE CAST(floor(CAST(nll_fp AS DOUBLE)
+      |                / CAST(n_pieces AS DOUBLE)) AS BIGINT)
+      |         END AS avg_nll_fp
+      |  FROM sel)
+      |SELECT doc_id, n_pieces, nll_fp, avg_nll_fp,
+      |  CASE WHEN n_pieces = 0 THEN 'unscored'
+      |       WHEN avg_nll_fp < $headBelowFp THEN 'head'
+      |       WHEN avg_nll_fp < $midBelowFp THEN 'middle'
+      |       ELSE 'tail' END AS ppl_bucket
+      |FROM avgd""".stripMargin
 }

@@ -160,6 +160,60 @@ object Unigram {
       ph.as("piece_hash"))
   }
 
+  /** CCNet-style LM perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl
+    * data"): score every document by its average per-piece negative
+    * log-likelihood under the FROZEN unigram LM `v` (the in-repo
+    * frozen-LM analog of CCNet's KenLM), then bucket head / middle /
+    * tail by fixed thresholds — the classic quality split where
+    * "head" (low perplexity = fluent under the LM) is kept, "tail"
+    * dropped or down-weighted.
+    *
+    * All integer/deterministic, so it hash-gates (q197): each word's
+    * Viterbi decomposition total equals the sum of its chosen pieces'
+    * `score_fp` (by DP construction), `nll_fp` = −Σ over occurrences
+    * (a positive long; [UNK] words charge `-unkScoreFp`, the OOV
+    * penalty — a frozen constant, CCNet's OOV handling analog), and
+    * `avg_nll_fp = floor(nll_fp / n_pieces)` in DOUBLE (exact-input:
+    * both ≪ 2⁵³ — the knnDensity division rule). Docs with no words
+    * report 0/0/NULL and bucket `unscored`.
+    *
+    * Map-only (the [[tokenStatsMapOnly]] shape): one scan, zero
+    * shuffle at any corpus size; the vocabulary rides as a codegen
+    * literal map (topK+alphabet-sized — artifact-class).
+    *
+    * @return (doc_id, n_pieces, nll_fp, avg_nll_fp, ppl_bucket)
+    */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+      v: Vocab, unkScoreFp: Long = -20000000L,
+      headBelowFp: Long, midBelowFp: Long): DataFrame = {
+    require(unkScoreFp < 0, s"unkScoreFp must be negative, got $unkScoreFp")
+    require(headBelowFp < midBelowFp,
+      s"head threshold $headBelowFp must be below middle $midBelowFp")
+    val scoreMap = typedLit(v.pieces.toMap)
+    val ws = filter(TextAnalysis.words(TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit("")))), w => w =!= "")
+    val piecesArr = transform(ws,
+      w => pieces(substring(w, 1, WordCap), v))
+    val np = aggregate(piecesArr, lit(0L),
+      (acc, p) => acc + size(p).cast("long"))
+    val nll = aggregate(piecesArr, lit(0L),
+      (acc, p) => acc - aggregate(p, lit(0L),
+        (a, piece) => a + coalesce(element_at(scoreMap, piece),
+          lit(unkScoreFp))))
+    val base = docs.select(col(idCol).as("doc_id"),
+      np.as("n_pieces"), nll.as("nll_fp"))
+    val avg = when(col("n_pieces") > 0,
+      floor(col("nll_fp").cast("double") / col("n_pieces").cast("double"))
+        .cast("long"))
+    base.select(col("doc_id"), col("n_pieces"), col("nll_fp"),
+      avg.as("avg_nll_fp"),
+      when(col("n_pieces") === 0, lit("unscored"))
+        .when(avg < headBelowFp, lit("head"))
+        .when(avg < midBelowFp, lit("middle"))
+        .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Persist the frozen scored vocabulary as a reloadable artifact
     * (piece, score_fp) — train once, tokenize any later corpus.
     */

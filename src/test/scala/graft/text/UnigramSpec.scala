@@ -117,6 +117,32 @@ class UnigramSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("perplexity: NLL sums Viterbi piece scores, UNK charges the OOV penalty, buckets split") {
+    // hand vocab: "ab" -> -2, "a" -> -3, "b" -> -4 (+ chars). Doc A
+    // "ab ab" → pieces [ab][ab], nll = 4, np = 2, avg = 2.
+    // Doc B "a b" → [a][b], nll = 7, np = 2, avg = floor(7/2) = 3.
+    // Doc C "az" → z uncovered → [UNK], nll = 10 (penalty), avg = 10.
+    // Doc D "" → unscored.
+    val v = Unigram.Vocab(Seq("ab" -> -2L, "a" -> -3L, "b" -> -4L))
+    val docs = Seq(
+      (1L, "ab ab"), (2L, "a b"), (3L, "az"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Unigram.perplexity(docs, "doc_id", "text", v,
+      unkScoreFp = -10L, headBelowFp = 3L, midBelowFp = 5L)
+      .as[(Long, Long, Long, Option[Long], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((2L, 4L, Some(2L), "head")))   // avg 2 < 3
+    assert(got(2L) === ((2L, 7L, Some(3L), "middle"))) // 3 in [3, 5)
+    assert(got(3L) === ((1L, 10L, Some(10L), "tail"))) // 10 >= 5
+    assert(got(4L) === ((0L, 0L, None, "unscored")))
+    // boundary: avg exactly at midBelowFp is tail (strict <)
+    val b = Unigram.perplexity(
+      Seq((9L, "b")).toDF("doc_id", "text"), "doc_id", "text", v,
+      unkScoreFp = -10L, headBelowFp = 2L, midBelowFp = 4L)
+      .select("ppl_bucket").as[String].head()
+    assert(b === "tail") // avg 4, strict < 4 fails
+  }
+
   test("vocabulary artifact round-trips and tokenizes identically") {
     val docs = Seq((1L, "spark catalyst tungsten spark"))
       .toDF("doc_id", "text")
