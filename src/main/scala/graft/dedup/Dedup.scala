@@ -402,11 +402,48 @@ object Dedup {
     })
   }
 
+  /** Optimal (bands, rowsPerBand) for a target Jaccard `threshold`
+    * under a `numPerm` permutation budget — the standard LSH S-curve
+    * tuning (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
+    * §3.4; the datasketch `_optimal_param` construction): for each
+    * admissible (b, r) with b·r ≤ numPerm, the candidate probability
+    * at similarity s is `1 − (1 − s^r)^b`; minimize
+    * `fpWeight·∫₀ᵗ P(s) ds + fnWeight·∫ₜ¹ (1 − P(s)) ds` by midpoint
+    * quadrature. Driver-side pure math — call once, pass the result
+    * to [[minHashPairs]]; the default weights balance false positives
+    * (verify-join cost) against false negatives (missed near-dups).
+    */
+  def lshParamsFor(threshold: Double, numPerm: Int = 64,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(numPerm >= 2, s"numPerm must be >= 2, got $numPerm")
+    val steps = 1000
+    def pCand(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+    def integral(lo: Double, hi: Double)(f: Double => Double): Double = {
+      val dx = (hi - lo) / steps
+      (0 until steps).foldLeft(0.0)((acc, i) =>
+        acc + f(lo + (i + 0.5) * dx)) * dx
+    }
+    val candidates = for {
+      b <- 1 to numPerm
+      r <- 1 to numPerm / b
+    } yield {
+      val fp = integral(0.0, threshold)(s => pCand(s, b, r))
+      val fn = integral(threshold, 1.0)(s => 1.0 - pCand(s, b, r))
+      ((b, r), fpWeight * fp + fnWeight * fn)
+    }
+    candidates.minBy { case ((b, r), err) => (err, -b * r, b) }._1
+  }
+
   /** MinHash+LSH near-duplicate pairs.
     *
     * shingle → signature → band (bands × rowsPerBand = numPerm) →
     * explode one row per (band, bandHash) → self-join within band →
     * distinct candidate pairs → exact-Jaccard verify ≥ threshold.
+    * Tune (bands, rowsPerBand) for a target threshold with
+    * [[lshParamsFor]].
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */

@@ -159,6 +159,32 @@ object Prep {
     (df.filter(sel), df.filter(!sel))
   }
 
+  /** Deterministic EXACT-k uniform sample per group — the eval-set /
+    * inspection-set construction ("20 documents per language, the
+    * same 20 every run and every engine") a rate-based sampler
+    * ([[graft.pipeline.Curation]] mixtures — binomial counts) cannot
+    * express. Rows rank within their group by the md5 of their key
+    * (the [[stratifiedSplitPortable]] portable-hash discipline — a
+    * uniform, engine-replayable order) and the first `k` win; groups
+    * smaller than `k` keep everything.
+    *
+    * Scale shape: ONE (group)-partitioned `row_number ≤ k` window —
+    * InferWindowGroupLimit prunes to k·map-tasks rows per group
+    * map-side before the sort (the domainCap plan class); no
+    * group-size skew reaches the shuffle. `salt` varies the draw
+    * (a different salt = an independent sample).
+    */
+  def sampleExactPerGroup(df: DataFrame, groupCol: String, keyCol: Column,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = md5(concat(keyCol.cast("string"), lit("|"), lit(salt)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(h.asc, keyCol.cast("string").asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic NEGATIVE SAMPLING for implicit-feedback training
     * (the BPR/ALS-implicit data-prep step): up to `k` unseen items per
     * user, chosen by hashed rejection trials — trial t proposes item

@@ -14,6 +14,32 @@ class DedupSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
     (5L, "yet another unrelated text mentioning neither foxes nor dogs at all ok"))
 
+  test("lshParamsFor: the S-curve optimum moves with the threshold and respects the budget") {
+    // the (b, r) optimum under a permutation budget: low thresholds
+    // want many bands of few rows (catch low-similarity pairs), high
+    // thresholds the reverse — the standard MMDS §3.4 behavior
+    val (bLo, rLo) = graft.dedup.Dedup.lshParamsFor(0.3, numPerm = 64)
+    val (bHi, rHi) = graft.dedup.Dedup.lshParamsFor(0.9, numPerm = 64)
+    assert(bLo * rLo <= 64 && bHi * rHi <= 64)
+    assert(bLo > bHi, s"low-threshold bands $bLo should exceed $bHi")
+    assert(rLo < rHi, s"low-threshold rows $rLo should be under $rHi")
+    // the registered q43 configuration (16×4 under 64 perms) sits at
+    // the curve's sweet spot for its 0.7-class threshold: the tuned
+    // answer must give a threshold s* = (1/b)^(1/r) near 0.7, where
+    // s* is the S-curve's steepest point
+    val (b7, r7) = graft.dedup.Dedup.lshParamsFor(0.7, numPerm = 64)
+    val sStar = math.pow(1.0 / b7, 1.0 / r7)
+    assert(math.abs(sStar - 0.7) < 0.15, s"s* = $sStar for ($b7, $r7)")
+    // weights steer the trade: an FN-heavy objective lowers s*
+    // (catches more), an FP-heavy one raises it
+    val (bFn, rFn) = graft.dedup.Dedup.lshParamsFor(0.7, 64,
+      fpWeight = 0.1, fnWeight = 0.9)
+    val (bFp, rFp) = graft.dedup.Dedup.lshParamsFor(0.7, 64,
+      fpWeight = 0.9, fnWeight = 0.1)
+    assert(math.pow(1.0 / bFn, 1.0 / rFn)
+      <= math.pow(1.0 / bFp, 1.0 / rFp))
+  }
+
   test("exactGroups collapses case/whitespace variants; min id survives") {
     val g = Dedup.exactGroups(base.toDF("doc_id", "text"), "doc_id", "text")
     assert(g.count() === 4)

@@ -228,6 +228,28 @@ class PrepSpec extends SparkSpec {
     assert(got(("b", 100L)) === ((7.0, true)))
   }
 
+  test("sampleExactPerGroup: exact k per group, deterministic, salt varies the draw") {
+    val df = (1 to 100).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val s1 = graft.prep.Prep.sampleExactPerGroup(df, "grp", col("id"), 10)
+      .as[(Long, String)].collect().toSet
+    // exact k from each group big enough; schema unchanged
+    assert(s1.count(_._2 == "a") === 10)
+    assert(s1.count(_._2 == "b") === 10)
+    // deterministic: the SAME rows every run
+    val s2 = graft.prep.Prep.sampleExactPerGroup(df, "grp", col("id"), 10)
+      .as[(Long, String)].collect().toSet
+    assert(s1 === s2)
+    // a different salt draws a different sample (overwhelmingly)
+    val s3 = graft.prep.Prep.sampleExactPerGroup(df, "grp", col("id"), 10,
+      salt = "2").as[(Long, String)].collect().toSet
+    assert(s1 !== s3)
+    // a group smaller than k keeps everything
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "grp")
+    assert(graft.prep.Prep.sampleExactPerGroup(tiny, "grp", col("id"), 10)
+      .count() === 2L)
+  }
+
   test("resampleLocf: negative (pre-1970) timestamps bucket by FLOOR division") {
     // t = -50 belongs to bucket -1 = [-100, 0), NOT bucket 0 — a
     // truncating `div` would collapse (-100, 0) and [0, 100) into one
