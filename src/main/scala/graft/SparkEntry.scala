@@ -4027,7 +4027,8 @@ object SparkEntry {
     "q195_stream_semdedup_ordered" -> (q195 _),
     "q196_nn_descent_round" -> (q196 _),
     "q197_perplexity_buckets" -> (q197 _),
-    "q198_group_sample_exact" -> (q198 _))
+    "q198_group_sample_exact" -> (q198 _),
+    "q199_langid_ngram" -> (q199 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5044,6 +5045,63 @@ object SparkEntry {
        |                    CAST(doc_id AS VARCHAR)) AS rn
        |  FROM documents) t
        |WHERE rn <= $k""".stripMargin
+
+  /** Character-n-gram language ID ([[graft.text.LangId]], Cavnar &
+    * Trenkle 1994): per-language trigram profiles trained on the
+    * even-doc half (frozen artifact), every document classified by
+    * the argmax of per-language integer log-likelihood sums with a
+    * frozen OOV penalty. The synthetic corpus's lang labels do not
+    * correlate with its text (all languages share one vocabulary), so
+    * the gate proves the DETERMINISTIC machinery end to end — train,
+    * freeze, fold, argmax, tie-break — while accuracy on separable
+    * text is spec-locked on planted real-language fixtures.
+    */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val p = graft.text.LangId.trainProfiles(
+      docs.filter(col("doc_id") % 2 === 0), "text", "lang", topN = 256)
+    graft.text.LangId.classify(docs, "doc_id", "text", p)
+  }
+
+  private def q199Sql(topN: Int = 256, oovFp: Long = -15000000L): String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, lang,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |tg AS (
+       |  SELECT lang, substr(t, CAST(i AS INT), 3) AS g
+       |  FROM (SELECT lang, t, unnest(range(1, len(t) - 1)) AS i
+       |        FROM norm WHERE doc_id % 2 = 0 AND len(t) >= 3)),
+       |lc AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY 1, 2),
+       |tot AS (SELECT lang, sum(c) AS tc FROM lc GROUP BY 1),
+       |prof AS MATERIALIZED (
+       |  SELECT r.lang, r.g,
+       |         CAST(floor(ln(CAST(r.c AS DOUBLE) / CAST(tt.tc AS DOUBLE))
+       |              * 1e6) AS BIGINT) AS sc
+       |  FROM (SELECT lang, g, c, row_number() OVER (PARTITION BY lang
+       |          ORDER BY c DESC, g ASC) AS rn FROM lc) r
+       |  JOIN tot tt USING (lang) WHERE r.rn <= $topN),
+       |langs AS (SELECT DISTINCT lang FROM prof),
+       |ag AS (
+       |  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS g
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+       |        FROM norm WHERE len(t) >= 3)),
+       |scl AS (
+       |  SELECT a.doc_id, l.lang,
+       |         CAST(sum(coalesce(p.sc, $oovFp)) AS BIGINT) AS s
+       |  FROM ag a CROSS JOIN langs l
+       |  LEFT JOIN prof p ON p.lang = l.lang AND p.g = a.g
+       |  GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT doc_id, lang, s, row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY s DESC, lang ASC) AS rn
+       |  FROM scl)
+       |SELECT d.doc_id,
+       |       coalesce(p.lang, 'und') AS lang_pred,
+       |       CAST(coalesce(p.s, 0) AS BIGINT) AS score_fp
+       |FROM documents d
+       |LEFT JOIN (SELECT doc_id, lang, s FROM pick WHERE rn = 1) p
+       |  USING (doc_id)""".stripMargin
 
   /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
     * — the synthetic corpus carries no markup, and an extractor gated
@@ -6119,6 +6177,7 @@ object SparkEntry {
     "q197_perplexity_buckets" -> graft.oracle.UnigramOracles.perplexitySql(
       headBelowFp = q197Head, midBelowFp = q197Mid),
     "q198_group_sample_exact" -> q198Sql(),
+    "q199_langid_ngram" -> q199Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -48,9 +48,10 @@ object TextAnalysis {
     least(lit(1.0), tokenCount(text).cast("double") / 100.0) *
       (lit(1.0) - punctRatio(text)) * (lit(0.5) + stopwordRatio(text))
 
-  /** Marker-word profiles per language. Real deployments would use
-    * character n-gram models; the *operator shape* (per-language score →
-    * argmax with fixed precedence) is identical.
+  /** Marker-word profiles per language — the cheap zero-training
+    * heuristic. The trained character-n-gram detector is
+    * [[graft.text.LangId]] (q199); this form stays for corpora with
+    * no labeled training slice.
     */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),
