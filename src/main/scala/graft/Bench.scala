@@ -89,7 +89,15 @@ object Bench {
     // planted page body). q180 is its stateless streaming twin, q177
     // an artifact lifecycle over q153's measured scoring, and q176 a
     // broadcast probe over the q168 kernel (no slots, the q123 rule).
-    "q179_html_extract")
+    "q179_html_extract",
+    // round-13 surface: the NN-descent local join (undirected
+    // adjacency cap + co-member pair join + merge re-rank) is the
+    // round's one genuinely new heavy shape — q193/q194 compose the
+    // measured KMeans-fit (q121) and pair-join (q168) stages, q197
+    // the measured Viterbi kernel (q136-class), q195 the measured
+    // q169 fold behind a watermark buffer, and q198/q199 are
+    // sub-second map/window passes (the q123 no-slot rule).
+    "q196_nn_descent_round")
 
   /** The q95 harness WITHOUT its operator: identical staging (two
     * single-file parquet batches, staggered mtimes), identical

@@ -4028,7 +4028,8 @@ object SparkEntry {
     "q196_nn_descent_round" -> (q196 _),
     "q197_perplexity_buckets" -> (q197 _),
     "q198_group_sample_exact" -> (q198 _),
-    "q199_langid_ngram" -> (q199 _))
+    "q199_langid_ngram" -> (q199 _),
+    "q200_stream_langid" -> (q200 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5102,6 +5103,21 @@ object SparkEntry {
        |FROM documents d
        |LEFT JOIN (SELECT doc_id, lang, s FROM pick WHERE rn = 1) p
        |  USING (doc_id)""".stripMargin
+
+  /** Streaming twin of q199 ([[graft.text.LangId.classify]] is pure
+    * column expressions under FROZEN profiles — stateless per
+    * micro-batch, the q161/q180 map-only-twin pattern): continuous
+    * language routing on the document stream, sharing q199's oracle
+    * verbatim.
+    */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val p = graft.text.LangId.trainProfiles(
+      docs.filter(col("doc_id") % 2 === 0), "text", "lang", topN = 256)
+    StreamingPrep.runToMemory(
+      graft.text.LangId.classify(
+        StreamingPrep.streamDocuments(s, dir), "doc_id", "text", p))
+  }
 
   /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
     * — the synthetic corpus carries no markup, and an extractor gated
@@ -6178,6 +6194,9 @@ object SparkEntry {
       headBelowFp = q197Head, midBelowFp = q197Mid),
     "q198_group_sample_exact" -> q198Sql(),
     "q199_langid_ngram" -> q199Sql(),
+    // stateless map-only twin — the stream admits identical rows and
+    // shares q199's oracle verbatim (the q161/q180 pattern)
+    "q200_stream_langid" -> q199Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
