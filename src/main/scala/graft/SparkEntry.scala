@@ -4029,7 +4029,8 @@ object SparkEntry {
     "q197_perplexity_buckets" -> (q197 _),
     "q198_group_sample_exact" -> (q198 _),
     "q199_langid_ngram" -> (q199 _),
-    "q200_stream_langid" -> (q200 _))
+    "q200_stream_langid" -> (q200 _),
+    "q201_entropy_gate" -> (q201 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5119,6 +5120,53 @@ object SparkEntry {
         StreamingPrep.streamDocuments(s, dir), "doc_id", "text", p))
   }
 
+  /** Character-entropy gate
+    * ([[graft.text.TextAnalysis.entropyGate]]): Shannon entropy of
+    * the normalized character distribution, the gibberish/noise
+    * signal — repetitive boilerplate low, keyboard-mash high, natural
+    * text in a band. The ordered left-assoc fold replays as DuckDB
+    * `list_reduce` bit-for-bit, so the verdicts hash-gate.
+    */
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.entropyGate(Tables.documents(s, dir),
+      "doc_id", "text", loFp = q201Lo, hiFp = q201Hi)
+
+  /** q201's frozen band (1e6-fixed-point nats), chosen so the
+    * synthetic corpus populates both verdicts at every sf. */
+  private val q201Lo = 2800000L
+  private val q201Hi = 2880000L
+
+  private def q201Sql(loFp: Long, hiFp: Long): String =
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |         trim(regexp_replace(lower(coalesce(text, '')),
+       |              '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, substr(t, CAST(i AS INT), 1) AS c
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+       |        FROM norm WHERE len(t) > 0)),
+       |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+       |nn AS (SELECT doc_id, len(t) AS n FROM norm),
+       |ef AS (
+       |  SELECT cc.doc_id,
+       |         CAST(floor(
+       |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list_transform(list(CAST(cc.cnt AS DOUBLE) ORDER BY cc.c),
+       |               x -> x * -ln(x / CAST(nn.n AS DOUBLE)))),
+       |             (a, b) -> a + b)
+       |           / CAST(nn.n AS DOUBLE) * 1e6) AS BIGINT) AS entropy_fp
+       |  FROM cc JOIN nn USING (doc_id)
+       |  GROUP BY cc.doc_id, nn.n)
+       |SELECT d.doc_id,
+       |       CAST(len(nm.t) AS BIGINT) AS n_chars,
+       |       e.entropy_fp,
+       |       coalesce(e.entropy_fp >= $loFp AND e.entropy_fp <= $hiFp,
+       |         FALSE) AS entropy_ok
+       |FROM documents d
+       |JOIN norm nm USING (doc_id)
+       |LEFT JOIN ef e USING (doc_id)""".stripMargin
+
   /** q179/q180's html-wrapping plant (the q42/q164 planting precedent
     * — the synthetic corpus carries no markup, and an extractor gated
     * on tag-free text would prove nothing): script with <, >, && and
@@ -6197,6 +6245,7 @@ object SparkEntry {
     // stateless map-only twin — the stream admits identical rows and
     // shares q199's oracle verbatim (the q161/q180 pattern)
     "q200_stream_langid" -> q199Sql(),
+    "q201_entropy_gate" -> q201Sql(q201Lo, q201Hi),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -122,6 +122,53 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(normalizeText(text))
 
+  /** Shannon character entropy (nats, 1e6 fixed point) of the
+    * normalized text — the gibberish/noise quality signal the
+    * Gopher-class rule stack lacks a portable form of: repetitive
+    * boilerplate scores LOW (few characters dominate), keyboard-mash /
+    * binary-in-text scores HIGH (near-uniform over a wide alphabet),
+    * natural language sits in a stable band.
+    *
+    * Deterministic cross-engine: per-character counts are exact, each
+    * term `cnt·(−ln(cnt/n))` is a fixed scalar double chain (ln is
+    * engine-portable — the q153/q159 precedent), and the sum folds
+    * LEFT-ASSOCIATIVELY over characters in sorted order — the ordered
+    * fold that replays as DuckDB's `list_reduce` bit-for-bit (the
+    * AnnOracles discipline; an unordered SUM of doubles would not
+    * hash-gate). Map-only; per-doc cost O(distinct·len) — distinct is
+    * alphabet-sized. Empty/null text scores NULL.
+    */
+  def charEntropyFp(text: Column): Column = {
+    val t = normalizeText(coalesce(text, lit("")))
+    val chars = split(t, "")
+    val n = length(t).cast("double")
+    val dc = array_sort(array_distinct(chars))
+    val h = aggregate(dc, lit(0.0),
+      (acc, c) => {
+        val cnt = size(filter(chars, x => x === c)).cast("double")
+        acc + cnt * -log(cnt / n)
+      })
+    when(length(t) === 0, lit(null).cast("long"))
+      .otherwise(floor(h / n * 1e6).cast("long"))
+  }
+
+  /** Entropy band verdicts over a corpus — keep documents whose
+    * character entropy sits inside [`loFp`, `hiFp`] (the natural-
+    * language band; calibrate on a held-out sample). NULL entropy
+    * (empty text) fails the gate. Returns
+    * (doc_id, n_chars, entropy_fp, entropy_ok).
+    */
+  def entropyGate(docs: DataFrame, idCol: String, textCol: String,
+      loFp: Long, hiFp: Long): DataFrame = {
+    require(loFp <= hiFp, s"band is empty: [$loFp, $hiFp]")
+    val e = charEntropyFp(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      length(normalizeText(coalesce(col(textCol), lit(""))))
+        .cast("long").as("n_chars"),
+      e.as("entropy_fp"),
+      coalesce(e >= loFp && e <= hiFp, lit(false)).as("entropy_ok"))
+  }
+
   /** Rolling polynomial hash over words (Rabin-Karp-style document
     * fingerprint) — order-sensitive unlike the md5 of the bag of words.
     * State is masked to 57 bits so `acc*31 + h` stays inside a long

@@ -243,4 +243,46 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].head()
     assert(got === "plain text, no markup\nhere")
   }
+
+  test("charEntropyFp: closed-form anchors (uniform=ln k, constant=0)") {
+    val df = Seq(
+      (1L, "abcd"),        // uniform over 4 chars -> ln 4
+      (2L, "aaaa"),        // single char -> 0
+      (3L, "AB  ab"),      // normalizes to "ab ab": {a:2,b:2,' ':1}, n=5
+      (4L, ""),            // empty -> NULL
+      (5L, null.asInstanceOf[String])) // NULL -> NULL
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.charEntropyFp(col("text")).as("e"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(math.floor(math.log(4.0) * 1e6).toLong))
+    assert(got(2L) === Some(0L))
+    val h5 = (2.0 * -math.log(2.0 / 5) * 2 + 1.0 * -math.log(1.0 / 5)) / 5
+    assert(got(3L) === Some(math.floor(h5 * 1e6).toLong))
+    assert(got(4L) === None)
+    assert(got(5L) === None)
+  }
+
+  test("entropyGate: repetitive low, gibberish high, natural in band") {
+    val boiler = ("na" * 200) + " batman"               // low entropy
+    val natural = "the quick brown fox jumps over the lazy dog and then " +
+      "runs back home across the wide green field before sunset tonight"
+    val mash = ('!' to '~').map(_.toString).mkString    // 94 distinct chars
+    val df = Seq((1L, boiler), (2L, natural), (3L, mash), (4L, ""))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis
+      .entropyGate(df, "doc_id", "text", loFp = 2500000L, hiFp = 3500000L)
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L)._3.get < 2500000L && !rows(1L)._4)
+    assert(rows(2L)._3.get >= 2500000L && rows(2L)._3.get <= 3500000L
+      && rows(2L)._4)
+    assert(rows(3L)._3.get > 3500000L && !rows(3L)._4)
+    assert(rows(4L)._3 === None && !rows(4L)._4)        // NULL fails gate
+    assert(rows(4L)._2 === 0L)
+    val iae = intercept[IllegalArgumentException] {
+      TextAnalysis.entropyGate(df, "doc_id", "text", 10L, 5L)
+    }
+    assert(iae.getMessage.contains("band is empty"))
+  }
 }
