@@ -4030,7 +4030,8 @@ object SparkEntry {
     "q198_group_sample_exact" -> (q198 _),
     "q199_langid_ngram" -> (q199 _),
     "q200_stream_langid" -> (q200 _),
-    "q201_entropy_gate" -> (q201 _))
+    "q201_entropy_gate" -> (q201 _),
+    "q202_dup_clusters" -> (q202 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5135,6 +5136,21 @@ object SparkEntry {
     * synthetic corpus populates both verdicts at every sf. */
   private val q201Lo = 2800000L
   private val q201Hi = 2880000L
+
+  /** Duplicate-cluster labeling ([[graft.dedup.Dedup.clustersStar]]):
+    * connected components over q43's verified MinHash near-dup pairs
+    * by alternating large-star/small-star rounds (O(log² n) rounds on
+    * any component shape — the scale twin of the O(diameter)
+    * min-label `clusters`). Output = (doc_id, cluster_id = component
+    * min) for every doc in a pair; the oracle replays the closure as a
+    * DuckDB recursive min-reachable-label CTE.
+    */
+  private def q202(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.clustersStar(
+      graft.dedup.Dedup.minHashPairs(docsWithNearDups(s, dir),
+        "doc_id", "text", shingleK = 5, bands = 16, rowsPerBand = 4,
+        threshold = 0.5))
+      .select(col("id").as("doc_id"), col("cluster_id"))
 
   private def q201Sql(loFp: Long, hiFp: Long): String =
     s"""WITH norm AS (
@@ -6246,6 +6262,7 @@ object SparkEntry {
     // shares q199's oracle verbatim (the q161/q180 pattern)
     "q200_stream_langid" -> q199Sql(),
     "q201_entropy_gate" -> q201Sql(q201Lo, q201Hi),
+    "q202_dup_clusters" -> graft.oracle.MinHashOracles.q202Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

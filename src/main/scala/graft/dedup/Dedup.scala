@@ -983,6 +983,92 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC 2014) — the scale twin of [[clusters]]. Same contract:
+    * (id, cluster_id) with cluster_id = the component min, for every
+    * id appearing in `pairs`.
+    *
+    * Why a twin: min-label propagation converges in O(diameter) rounds,
+    * which is fine for the shallow star/pair components near-dup
+    * pipelines produce but degenerates on chain-shaped components (a
+    * path of 1000 nodes = 999 shuffle rounds). The star rounds square
+    * the reach of the minimum each pass, so convergence is
+    * O(log² n) rounds on ANY shape — the published MapReduce-scale
+    * algorithm, and the one you'd run at 100 TB where component shape
+    * is not under your control.
+    *
+    * Each round is join + aggregation only — no collect_list, so a
+    * high-degree hub never materializes its neighborhood in one task;
+    * the edge relation stays canonical (hi > lo) and deduped, bounding
+    * every shuffle by the current edge count. Per-round state is cut
+    * with [[org.apache.spark.sql.graftbridge.DatasetBridge]] fresh
+    * checkpoints and the previous generation is released as soon as the
+    * next materializes (the hitsFixed discipline). Convergence =
+    * canonical edge set reaches a fixed point, detected by
+    * (count, xor of per-edge xxhash64) — one cheap aggregation over the
+    * already-checkpointed relation, no self-join.
+    */
+  def clustersStar(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIterations: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var cur = DatasetBridge.localCheckpointFresh(
+      pairs.select(greatest(col(idA), col(idB)).as("hi"),
+          least(col(idA), col(idB)).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct())
+    try {
+      var sum = checksum(cur.df)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIterations) {
+        // LARGE-STAR: symmetrize; per node u with m = min(N(u) ∪ {u}),
+        // connect every LARGER neighbor v to m. Output is canonical
+        // (v > u >= m) by construction.
+        val sym = cur.df.select(col("hi").as("u"), col("lo").as("v"))
+          .unionAll(cur.df.select(col("lo").as("u"), col("hi").as("v")))
+        val mLarge = sym.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val ls = sym.join(mLarge, "u").filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .filter(col("hi") =!= col("lo")).distinct()
+        // SMALL-STAR: on the canonical relation, per node hi with
+        // m = min of its smaller neighbors, connect those neighbors
+        // and hi itself to m. Output canonical again (v > m).
+        val mSmall = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+        val next = DatasetBridge.localCheckpointFresh(
+          ls.join(mSmall, "hi").select(col("lo").as("v"), col("m"))
+            .unionAll(mSmall.select(col("hi").as("v"), col("m")))
+            .filter(col("v") =!= col("m"))
+            .select(col("v").as("hi"), col("m").as("lo")).distinct())
+        cur.release()
+        cur = next
+        val nextSum = checksum(cur.df)
+        converged = nextSum == sum
+        sum = nextSum
+        iter += 1
+      }
+      if (!converged)
+        System.err.println(s"[graft] Dedup.clustersStar: not converged " +
+          s"after $maxIterations rounds — raise maxIterations")
+      // fixed point is a star forest: every non-root edge is
+      // (member, component min); roots are the ids never on the hi side
+      val nodes = pairs.select(col(idA).as("id"))
+        .unionAll(pairs.select(col(idB).as("id"))).distinct()
+      nodes.join(cur.df.select(col("hi").as("id"), col("lo").as("root")),
+          Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("root"), col("id")).as("cluster_id"))
+        .localCheckpoint(true)
+    } finally cur.release()
+  }
+
   /** One surviving id per duplicate cluster (the min); docs not in any
     * pair are implicitly their own survivors.
     */

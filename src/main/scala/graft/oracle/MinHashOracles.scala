@@ -69,12 +69,12 @@ object MinHashOracles {
        |  SELECT id, j // $rowsPerBand AS band, list(sv ORDER BY j) AS bs
        |  FROM sig GROUP BY 1, 2)""".stripMargin
 
-  /** q43: MinHash+LSH candidate pairs + exact-Jaccard verify. */
-  def q43Sql(shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): String = {
+  /** Shared CTE chain of the q43 family: planted corpus → signatures →
+    * band-bucket candidates → exact-Jaccard verify (`jac`: id_a, id_b, j).
+    */
+  private def q43Ctes(shingleK: Int, bands: Int, rowsPerBand: Int): String = {
     val numPerm = bands * rowsPerBand
-    s"""WITH
-       |${shingleBaseCtes(nearDupDocs, shingleK)},
+    s"""${shingleBaseCtes(nearDupDocs, shingleK)},
        |${sigBandCtes(numPerm, rowsPerBand)},
        |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
        |         FROM bnd l JOIN bnd r ON l.band = r.band AND l.bs = r.bs AND l.id < r.id),
@@ -85,9 +85,36 @@ object MinHashOracles {
        |          GROUP BY 1, 2),
        |jac AS (SELECT i.id_a, i.id_b,
        |               CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS j
-       |        FROM inter i JOIN cnt ca ON ca.id = i.id_a JOIN cnt cb ON cb.id = i.id_b)
-       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= $threshold""".stripMargin
+       |        FROM inter i JOIN cnt ca ON ca.id = i.id_a JOIN cnt cb ON cb.id = i.id_b)""".stripMargin
   }
+
+  /** q43: MinHash+LSH candidate pairs + exact-Jaccard verify. */
+  def q43Sql(shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): String =
+    s"""WITH
+       |${q43Ctes(shingleK, bands, rowsPerBand)}
+       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= $threshold""".stripMargin
+
+  /** q202: connected components over the q43 near-dup pairs —
+    * min-reachable-label closure as a recursive CTE. `lab` accumulates
+    * (id, label) for every label reachable from id over the symmetrized
+    * pair graph; min per id = the component minimum, DuckDB's replay of
+    * the large-star/small-star fixed point (`Dedup.clustersStar`).
+    */
+  def q202Sql(shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE
+       |${q43Ctes(shingleK, bands, rowsPerBand)},
+       |prs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM jac WHERE j >= $threshold AND id_a <> id_b),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION SELECT id_b, id_a FROM prs),
+       |lab(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, l.label FROM lab l JOIN edges e ON e.src = l.id)
+       |SELECT id AS doc_id, min(label) AS cluster_id FROM lab GROUP BY id""".stripMargin
 
   /** q44: SimHash chunk-banding candidates + exact-popcount verify. */
   def q44Sql(maxHamming: Int = 3): String = {

@@ -355,6 +355,56 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("clustersStar matches clusters on mixed component shapes") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L), // star
+      (30L, 31L), (31L, 32L), (32L, 30L), // triangle
+      (40L, 40L))                         // self-loop only -> singleton
+      .toDF("id_a", "id_b")
+    val star = Dedup.clustersStar(pairs).as[(Long, Long)].collect().toMap
+    val naive = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(star === naive + (40L -> 40L)) // naive drops self-loop-only ids
+    assert(star(4L) === 1L && star(23L) === 20L && star(32L) === 30L)
+  }
+
+  test("property: clustersStar == brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 90).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // component min = min over member ids sharing the root
+          val r = find(id.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).filter(x => find(x.toInt) == r).min
+        }).toMap
+      val got = Dedup.clustersStar(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expect)
+    }
+  }
+
+  test("clustersStar converges on a 300-node path in few rounds (naive cannot)") {
+    // a chain component has diameter 299: min-label propagation needs
+    // ~299 rounds; the star rounds square the reach per pass
+    val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clustersStar(pairs, maxIterations = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length === 300 && got.forall(_._2 === 0L))
+  }
+
+  test("clustersStar: empty pairs yield an empty labeling") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clustersStar(pairs).count() === 0L)
+  }
+
   test("clusterSurvivors keeps min id per cluster plus all unpaired docs") {
     val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
