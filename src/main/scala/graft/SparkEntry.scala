@@ -4031,7 +4031,8 @@ object SparkEntry {
     "q199_langid_ngram" -> (q199 _),
     "q200_stream_langid" -> (q200 _),
     "q201_entropy_gate" -> (q201 _),
-    "q202_dup_clusters" -> (q202 _))
+    "q202_dup_clusters" -> (q202 _),
+    "q203_mlm_mask" -> (q203 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5152,6 +5153,16 @@ object SparkEntry {
         threshold = 0.5))
       .select(col("id").as("doc_id"), col("cluster_id"))
 
+  /** MLM training-example corruption
+    * ([[graft.pipeline.Examples.mlmMask]]): the BERT 15% / 80-10-10
+    * rule with every decision a pure function of (tag, doc_id, pos)
+    * through xxhash64 string keys — no RNG state, so the full example
+    * set hash-gates against the DuckDbXxHash replay at every sf.
+    */
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Examples.mlmMask(Tables.documents(s, dir),
+      "doc_id", "text")
+
   private def q201Sql(loFp: Long, hiFp: Long): String =
     s"""WITH norm AS (
        |  SELECT doc_id,
@@ -6263,6 +6274,7 @@ object SparkEntry {
     "q200_stream_langid" -> q199Sql(),
     "q201_entropy_gate" -> q201Sql(q201Lo, q201Hi),
     "q202_dup_clusters" -> graft.oracle.MinHashOracles.q202Sql(),
+    "q203_mlm_mask" -> graft.oracle.ExampleOracles.q203Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
