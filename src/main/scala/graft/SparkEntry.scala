@@ -4032,7 +4032,8 @@ object SparkEntry {
     "q200_stream_langid" -> (q200 _),
     "q201_entropy_gate" -> (q201 _),
     "q202_dup_clusters" -> (q202 _),
-    "q203_mlm_mask" -> (q203 _))
+    "q203_mlm_mask" -> (q203 _),
+    "q204_span_corrupt" -> (q204 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5163,6 +5164,17 @@ object SparkEntry {
     graft.pipeline.Examples.mlmMask(Tables.documents(s, dir),
       "doc_id", "text")
 
+  /** T5-style span corruption
+    * ([[graft.pipeline.Examples.spanCorrupt]]): the seq2seq member of
+    * the example-generation family — hash-selected spans collapse to
+    * numbered sentinels, targets carry the removed tokens. Interval
+    * union + ordered reassembly replay exactly in DuckDB (recursive
+    * gaps-and-islands + ordered string_agg).
+    */
+  private def q204(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Examples.spanCorrupt(Tables.documents(s, dir),
+      "doc_id", "text")
+
   private def q201Sql(loFp: Long, hiFp: Long): String =
     s"""WITH norm AS (
        |  SELECT doc_id,
@@ -6275,6 +6287,7 @@ object SparkEntry {
     "q201_entropy_gate" -> q201Sql(q201Lo, q201Hi),
     "q202_dup_clusters" -> graft.oracle.MinHashOracles.q202Sql(),
     "q203_mlm_mask" -> graft.oracle.ExampleOracles.q203Sql(),
+    "q204_span_corrupt" -> graft.oracle.ExampleOracles.q204Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -61,4 +61,73 @@ object ExampleOracles {
        |            ELSE 'keep' END AS action
        |FROM sel s LEFT JOIN vocab v ON v.vidx = s.ridx""".stripMargin
   }
+
+  /** q204: T5-style span corruption — hash-selected span starts with
+    * lengths 2 + h mod 3, interval union via gaps-and-islands, numbered
+    * sentinels, and ordered string_agg reassembly of input/target.
+    */
+  def q204Sql(seedTag: String = "t5", startRateFp: Long = 50000L): String = {
+    def pm(x: String, m: String) =
+      s"((${DuckDbXxHash.signedSql(x)} % $m) + $m) % $m"
+    s"""WITH
+       |ws AS (SELECT doc_id, $wordsExpr AS w FROM documents),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         w[CAST(i AS INT) + 1] AS tok
+       |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM ws)
+       |  WHERE len(w[CAST(i AS INT) + 1]) > 0),
+       |keys AS (
+       |  SELECT doc_id, pos, tag,
+       |         pfx || CAST(doc_id AS VARCHAR) || ':' ||
+       |           CAST(pos AS VARCHAR) AS s
+       |  FROM tok CROSS JOIN (VALUES
+       |    ('s', '${seedTag}_s:'), ('l', '${seedTag}_l:')) t(tag, pfx)),
+       |${DuckDbXxHash.xxh64Ctes("keys", "s", "hh", idCols = "doc_id, pos, tag")},
+       |dec AS (
+       |  SELECT doc_id, pos,
+       |         max(CASE WHEN tag = 's' THEN h64 END) AS hs,
+       |         max(CASE WHEN tag = 'l' THEN h64 END) AS hl
+       |  FROM hh GROUP BY 1, 2),
+       |mx AS (SELECT doc_id, max(pos) AS maxpos FROM tok GROUP BY 1),
+       |spans AS (
+       |  SELECT t.doc_id, t.pos AS st,
+       |         CAST(least(t.pos + 1 + ${pm("hl", "3")}, m.maxpos) AS BIGINT) AS en
+       |  FROM tok t JOIN dec d USING (doc_id, pos) JOIN mx m USING (doc_id)
+       |  WHERE ${pm("hs", "1000000")} < $startRateFp),
+       |cov AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, unnest(range(st, en + 1)) AS p FROM spans)),
+       |isl AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM cov),
+       |mrg AS MATERIALIZED (
+       |  SELECT doc_id, g, min(pos) AS s, max(pos) AS e,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY min(pos)) - 1 AS k
+       |  FROM isl GROUP BY 1, 2),
+       |tgt AS (
+       |  SELECT doc_id, string_agg(piece, ' ' ORDER BY k) AS target_text,
+       |         count(*) AS n_spans
+       |  FROM (SELECT m.doc_id, m.k,
+       |               '<extra_id_' || m.k || '> ' ||
+       |                 string_agg(t.tok, ' ' ORDER BY t.pos) AS piece
+       |        FROM mrg m JOIN isl i ON i.doc_id = m.doc_id AND i.g = m.g
+       |                   JOIN tok t ON t.doc_id = i.doc_id AND t.pos = i.pos
+       |        GROUP BY m.doc_id, m.k)
+       |  GROUP BY doc_id),
+       |inp AS (
+       |  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+       |  FROM (SELECT t.doc_id, t.pos, t.tok AS piece
+       |        FROM tok t ANTI JOIN cov c USING (doc_id, pos)
+       |        UNION ALL
+       |        SELECT doc_id, s AS pos, '<extra_id_' || k || '>' FROM mrg)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(t.n_spans, 0) AS BIGINT) AS n_spans,
+       |       coalesce(i.input_text, '') AS input_text,
+       |       coalesce(t.target_text, '') AS target_text
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN inp i USING (doc_id)
+       |LEFT JOIN tgt t USING (doc_id)""".stripMargin
+  }
 }

@@ -77,4 +77,96 @@ object Examples {
           .when(col("act") === 8, lit("random"))
           .otherwise(lit("keep")).as("action"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): replace
+    * contiguous token spans with numbered sentinel tokens; the target
+    * is the sentinel-delimited sequence of removed spans. Fully
+    * deterministic like [[mlmMask]]: a position STARTS a span when its
+    * hash clears `startRateFp` (1e-6 units), the span length is
+    * 2 + hash mod 3 ∈ {2,3,4} (mean 3 — the paper's default), and
+    * overlapping/adjacent spans merge into one sentinel (interval
+    * union via gaps-and-islands on the covered-position set, the
+    * `coveredPositions` shape). With the defaults ~5% of positions
+    * start a span, so ~15% of tokens corrupt.
+    *
+    * Returns one row per document: (doc_id, n_spans, input_text,
+    * target_text) — `input_text` is the normalized text with each span
+    * collapsed to `<extra_id_k>` (k in span order), `target_text` is
+    * `<extra_id_k> removed tokens …` in the same order. Docs with no
+    * selected span (or no tokens) pass through with n_spans = 0 and an
+    * empty target.
+    *
+    * Scale posture: hash decisions are map-only; everything else is
+    * per-document work under a doc_id shuffle (window + groupBy on the
+    * same key — one exchange, AQE-coalesced), with per-doc arrays
+    * bounded by document length (the reassembleTokens precedent).
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      seedTag: String = "t5", startRateFp: Long = 50000L): DataFrame = {
+    require(startRateFp >= 0 && startRateFp <= 1000000L,
+      s"startRateFp is 1e-6 units in [0, 1000000], got $startRateFp")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.words(TextAnalysis.normalizeText(
+          coalesce(col(textCol), lit(""))))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+
+    def decision(tag: String) = xxhash64(
+      concat(lit(s"${seedTag}_$tag:"), col("doc_id"), lit(":"), col("pos")))
+
+    val byDoc = Window.partitionBy("doc_id")
+    val withMax = toks.withColumn("maxPos", max(col("pos")).over(byDoc))
+    val spans = withMax
+      .filter(pmod(decision("s"), lit(1000000L)) < startRateFp)
+      .select(col("doc_id"), col("pos").as("s"),
+        least(col("pos") + 1L + pmod(decision("l"), lit(3L)), col("maxPos"))
+          .as("e"))
+    // interval union: distinct covered positions → maximal runs
+    val covered = spans
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+      .distinct()
+    val islands = covered.withColumn("isl",
+      col("pos") - row_number().over(byDoc.orderBy("pos")))
+    val merged = islands.groupBy("doc_id", "isl")
+      .agg(min("pos").as("s"), max("pos").as("e"))
+      .withColumn("k",
+        row_number().over(byDoc.orderBy("s")).cast("long") - 1L)
+    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+
+    // target: per span, sentinel + removed tokens in position order
+    val spanToks = islands.join(toks, Seq("doc_id", "pos"))
+    val targets = spanToks
+      .join(merged.select(col("doc_id"), col("isl"), col("k")),
+        Seq("doc_id", "isl"))
+      .groupBy("doc_id", "k")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        _.getField("tok")), " ").as("piece"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("k"),
+          concat(lit("<extra_id_"), col("k"), lit("> "), col("piece"))
+            .as("p")))),
+        _.getField("p")), " ").as("target_text"),
+        count(lit(1)).as("n_spans"))
+
+    // input: uncovered tokens + one sentinel at each span start
+    val pieces = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .select(col("doc_id"), col("pos"), col("tok").as("piece"))
+      .unionAll(merged.select(col("doc_id"), col("s").as("pos"),
+        sentinel.as("piece")))
+    val inputs = pieces.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        _.getField("piece")), " ").as("input_text"))
+
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(inputs, Seq("doc_id"), "left_outer")
+      .join(targets, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+  }
 }

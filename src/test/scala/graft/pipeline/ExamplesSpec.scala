@@ -52,6 +52,50 @@ class ExamplesSpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt: splicing targets into the input reconstructs the text") {
+    val rows = Examples.spanCorrupt(corpus, "doc_id", "text",
+        startRateFp = 120000L) // high rate so merges occur
+      .as[(Long, Long, String, String)].collect()
+    assert(rows.exists(_._2 >= 2L)) // sentinel numbering is exercised
+    rows.foreach { case (id, nSpans, input, target) =>
+      // parse target into sentinel -> span tokens
+      val spans = "<extra_id_(\\d+)>".r.findAllMatchIn(target).toSeq
+      assert(spans.map(_.group(1).toInt) === (0 until nSpans.toInt))
+      val pieces = target.split("<extra_id_\\d+> ").filter(_.nonEmpty)
+        .map(_.trim)
+      val rebuilt = (0 until nSpans.toInt).foldLeft(input) { (acc, k) =>
+        acc.replace(s"<extra_id_$k>", pieces(k))
+      }
+      val orig = corpus.filter(col("doc_id") === id)
+        .select(lower(col("text"))).as[String].head()
+      assert(rebuilt === orig.trim.replaceAll("\\s+", " "),
+        s"doc $id failed round-trip")
+    }
+  }
+
+  test("spanCorrupt: deterministic under repartitioning; spans merge") {
+    val a = Examples.spanCorrupt(corpus, "doc_id", "text")
+      .as[(Long, Long, String, String)].collect().sorted.toSeq
+    val b = Examples.spanCorrupt(corpus.repartition(5), "doc_id", "text")
+      .as[(Long, Long, String, String)].collect().sorted.toSeq
+    assert(a === b)
+    // adjacent-but-distinct sentinels never appear (merged spans)
+    a.foreach { case (_, _, input, _) =>
+      assert(!input.matches(".*<extra_id_\\d+> <extra_id_\\d+>.*"))
+    }
+  }
+
+  test("spanCorrupt: zero rate and degenerate docs pass through") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "  "),
+      (3L, "just a few plain tokens here")).toDF("doc_id", "text")
+    val got = Examples.spanCorrupt(df, "doc_id", "text", startRateFp = 0L)
+      .as[(Long, Long, String, String)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(0L, 0L, 0L))
+    assert(got(0)._3 === "" && got(1)._3 === "")
+    assert(got(2)._3 === "just a few plain tokens here")
+    assert(got.forall(_._4 === ""))
+  }
+
   test("mlmMask: null and empty texts contribute no positions") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "   "),
       (3L, "one two three four five six seven eight nine ten"))
