@@ -4033,7 +4033,9 @@ object SparkEntry {
     "q201_entropy_gate" -> (q201 _),
     "q202_dup_clusters" -> (q202 _),
     "q203_mlm_mask" -> (q203 _),
-    "q204_span_corrupt" -> (q204 _))
+    "q204_span_corrupt" -> (q204 _),
+    "q205_shard_assign" -> (q205 _),
+    "q206_shard_manifest" -> (q206 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5175,6 +5177,23 @@ object SparkEntry {
     graft.pipeline.Examples.spanCorrupt(Tables.documents(s, dir),
       "doc_id", "text")
 
+  /** Deterministic training-export sharding
+    * ([[graft.pipeline.Examples.shardAssign]]): the reproducible
+    * global shuffle — hash shard + hash within-shard order, ties on
+    * doc_id, replayed in DuckDB over the signed hash.
+    */
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Examples.shardAssign(Tables.documents(s, dir),
+      "doc_id", "text", nShards = 8)
+
+  /** Export manifest ([[graft.pipeline.Examples.shardManifest]]):
+    * per-shard doc/token counts + order-independent bit_xor content
+    * checksum — validates an export without re-reading it.
+    */
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Examples.shardManifest(Tables.documents(s, dir),
+      "doc_id", "text", nShards = 8)
+
   private def q201Sql(loFp: Long, hiFp: Long): String =
     s"""WITH norm AS (
        |  SELECT doc_id,
@@ -6288,6 +6307,8 @@ object SparkEntry {
     "q202_dup_clusters" -> graft.oracle.MinHashOracles.q202Sql(),
     "q203_mlm_mask" -> graft.oracle.ExampleOracles.q203Sql(),
     "q204_span_corrupt" -> graft.oracle.ExampleOracles.q204Sql(),
+    "q205_shard_assign" -> graft.oracle.ExampleOracles.q205Sql(nShards = 8),
+    "q206_shard_manifest" -> graft.oracle.ExampleOracles.q206Sql(nShards = 8),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

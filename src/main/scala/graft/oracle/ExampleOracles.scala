@@ -130,4 +130,80 @@ object ExampleOracles {
        |LEFT JOIN inp i USING (doc_id)
        |LEFT JOIN tgt t USING (doc_id)""".stripMargin
   }
+
+  /** q205: deterministic shard assignment + within-shard hash order.
+    * Ordering replays Spark's row_number over the SIGNED hash (ties on
+    * doc_id).
+    */
+  def q205Sql(nShards: Int, seedTag: String = "shard"): String = {
+    def pm(x: String, m: String) =
+      s"((${DuckDbXxHash.signedSql(x)} % $m) + $m) % $m"
+    s"""WITH
+       |keys AS (
+       |  SELECT doc_id, tag, pfx || CAST(doc_id AS VARCHAR) AS s
+       |  FROM documents CROSS JOIN (VALUES
+       |    ('s', '${seedTag}_s:'), ('o', '${seedTag}_o:')) t(tag, pfx)),
+       |${DuckDbXxHash.xxh64Ctes("keys", "s", "hh", idCols = "doc_id, tag")},
+       |dec AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN tag = 's' THEN h64 END) AS hshard,
+       |         max(CASE WHEN tag = 'o' THEN h64 END) AS hord
+       |  FROM hh GROUP BY 1),
+       |tokc AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter($wordsExpr, x -> len(x) > 0)) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents),
+       |asg AS (
+       |  SELECT doc_id, CAST(${pm("hshard", nShards.toString)} AS BIGINT) AS shard,
+       |         ${DuckDbXxHash.signedSql("hord")} AS so
+       |  FROM dec)
+       |SELECT a.doc_id, a.shard,
+       |       CAST(row_number() OVER (PARTITION BY a.shard
+       |              ORDER BY a.so, a.doc_id) - 1 AS BIGINT) AS ord,
+       |       t.n_tokens
+       |FROM asg a JOIN tokc t USING (doc_id)""".stripMargin
+  }
+
+  /** q206: per-shard export manifest — doc/token counts plus an
+    * order-independent bit_xor checksum of per-doc content hashes.
+    * bit_xor over the sign-extended HUGEINT view equals the 64-bit xor
+    * (upper bits stay a replica of bit 63), so the final CAST to
+    * BIGINT is exact.
+    */
+  def q206Sql(nShards: Int, seedTag: String = "shard"): String = {
+    def pm(x: String, m: String) =
+      s"((${DuckDbXxHash.signedSql(x)} % $m) + $m) % $m"
+    s"""WITH
+       |norm AS (
+       |  SELECT doc_id,
+       |         trim(regexp_replace(lower(coalesce(text, '')),
+       |              '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |keys AS (
+       |  SELECT doc_id, 's' AS tag,
+       |         '${seedTag}_s:' || CAST(doc_id AS VARCHAR) AS s
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 'c', CAST(doc_id AS VARCHAR) || ':' || md5(t)
+       |  FROM norm),
+       |${DuckDbXxHash.xxh64Ctes("keys", "s", "hh", idCols = "doc_id, tag")},
+       |dec AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN tag = 's' THEN h64 END) AS hshard,
+       |         max(CASE WHEN tag = 'c' THEN h64 END) AS hchk
+       |  FROM hh GROUP BY 1),
+       |tokc AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter($wordsExpr, x -> len(x) > 0)) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents)
+       |SELECT CAST(${pm("hshard", nShards.toString)} AS BIGINT) AS shard,
+       |       count(*) AS n_docs,
+       |       CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(bit_xor(${DuckDbXxHash.signedSql("hchk")}) AS BIGINT)
+       |         AS checksum
+       |FROM dec JOIN tokc t USING (doc_id)
+       |GROUP BY 1""".stripMargin
+  }
 }

@@ -78,6 +78,59 @@ object Examples {
           .otherwise(lit("keep")).as("action"))
   }
 
+  /** Deterministic training-export sharding — the reproducible "global
+    * shuffle" that precedes writing a training dataset: every document
+    * gets a hash-assigned shard and a hash-ordered position within it,
+    * both pure functions of (seedTag, doc_id), so the exact same
+    * example order reproduces on any cluster, any partitioning, any
+    * engine. Ties on the order hash break on doc_id.
+    *
+    * Scale posture: shard + order keys are map-only; the only shuffle
+    * is the per-shard row_number window — one exchange on `shard`
+    * (nShards ≈ thousands at 100 TB, each shard sorts ~n/nShards rows,
+    * which is exactly the work a training-data shuffle must do).
+    *
+    * Returns (doc_id, shard, ord, n_tokens).
+    */
+  def shardAssign(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, seedTag: String = "shard"): DataFrame = {
+    require(nShards > 0, s"need nShards > 0, got $nShards")
+    def h(tag: String) = xxhash64(
+      concat(lit(s"${seedTag}_$tag:"), col("doc_id")))
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(TextAnalysis.words(TextAnalysis.normalizeText(
+            coalesce(col(textCol), lit("")))), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(h("s"), lit(nShards.toLong)))
+      .withColumn("ord", row_number().over(
+          Window.partitionBy("shard").orderBy(h("o"), col("doc_id")))
+        .cast("long") - 1L)
+      .select("doc_id", "shard", "ord", "n_tokens")
+  }
+
+  /** Per-shard export manifest: (shard, n_docs, n_tokens, checksum) —
+    * the record that lets a 100-TB export be validated without
+    * re-reading it. The checksum is an ORDER-INDEPENDENT fold
+    * (bit_xor) of per-document content hashes xxhash64(doc_id ":"
+    * md5(normalized text)), so two manifests agree iff the shards hold
+    * the same document set with the same contents. One map-only pass +
+    * one nShards-row aggregation.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, seedTag: String = "shard"): DataFrame = {
+    val norm = TextAnalysis.normalizeText(coalesce(col(textCol), lit("")))
+    val assigned = docs.select(col(idCol).as("doc_id"),
+        size(filter(TextAnalysis.words(norm), t => length(t) > 0))
+          .cast("long").as("n_tokens"),
+        xxhash64(concat(col(idCol), lit(":"), md5(norm))).as("doc_hash"))
+      .withColumn("shard", pmod(xxhash64(
+        concat(lit(s"${seedTag}_s:"), col("doc_id"))), lit(nShards.toLong)))
+    assigned.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      bit_xor(col("doc_hash")).as("checksum"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4): replace
     * contiguous token spans with numbered sentinel tokens; the target
     * is the sentinel-delimited sequence of removed spans. Fully

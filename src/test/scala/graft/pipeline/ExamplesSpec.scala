@@ -96,6 +96,49 @@ class ExamplesSpec extends SparkSpec {
     assert(got.forall(_._4 === ""))
   }
 
+  test("shardAssign: dense per-shard order, partition-independent") {
+    val a = Examples.shardAssign(corpus, "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    val b = Examples.shardAssign(corpus.repartition(9), "doc_id", "text",
+        nShards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(a.sorted.toSeq === b.sorted.toSeq)
+    assert(a.length === 60)
+    // ord is a dense 0..k-1 sequence inside every shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // every doc has 10 tokens in this corpus
+    assert(a.forall(_._4 === 10L))
+    intercept[IllegalArgumentException] {
+      Examples.shardAssign(corpus, "doc_id", "text", nShards = 0)
+    }
+  }
+
+  test("shardManifest agrees with shardAssign; checksum detects content drift") {
+    val m = Examples.shardManifest(corpus, "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val byShard = Examples.shardAssign(corpus, "doc_id", "text", nShards = 4)
+      .groupBy("shard").agg(count(lit(1)).as("n"), sum("n_tokens").as("t"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(m.keySet === byShard.keySet)
+    m.foreach { case (s, (_, nDocs, nToks, _)) =>
+      assert((nDocs, nToks) === ((byShard(s)._2, byShard(s)._3)))
+    }
+    // same docs, one text changed -> that shard's checksum moves, others don't
+    val mutated = corpus.withColumn("text",
+      when(col("doc_id") === 7L, lit("a completely different body")) // doc 7
+        .otherwise(col("text")))
+    val m2 = Examples.shardManifest(mutated, "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val shard7 = Examples.shardAssign(corpus, "doc_id", "text", nShards = 4)
+      .filter(col("doc_id") === 7L).select("shard").as[Long].head()
+    m.keySet.foreach { s =>
+      if (s == shard7) assert(m2(s)._4 !== m(s)._4)
+      else assert(m2(s)._4 === m(s)._4)
+    }
+  }
+
   test("mlmMask: null and empty texts contribute no positions") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "   "),
       (3L, "one two three four five six seven eight nine ten"))
