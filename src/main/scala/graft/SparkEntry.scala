@@ -4035,7 +4035,8 @@ object SparkEntry {
     "q203_mlm_mask" -> (q203 _),
     "q204_span_corrupt" -> (q204 _),
     "q205_shard_assign" -> (q205 _),
-    "q206_shard_manifest" -> (q206 _))
+    "q206_shard_manifest" -> (q206 _),
+    "q207_stream_mlm_mask" -> (q207 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5194,6 +5195,23 @@ object SparkEntry {
     graft.pipeline.Examples.shardManifest(Tables.documents(s, dir),
       "doc_id", "text", nShards = 8)
 
+  /** Streaming twin of q203
+    * ([[graft.pipeline.Examples.mlmMaskWithVocab]] is pure column
+    * expressions + one broadcast stream-static join under a FROZEN
+    * vocabulary artifact — stateless per micro-batch, the q200
+    * pattern): continuous example generation on the document stream,
+    * sharing q203's oracle verbatim (the artifact is trained on the
+    * same corpus the batch query scans).
+    */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.pipeline.Examples.mlmVocab(
+      Tables.documents(s, dir), "doc_id", "text").localCheckpoint(true)
+    StreamingPrep.runToMemory(
+      graft.pipeline.Examples.mlmMaskWithVocab(
+        StreamingPrep.streamDocuments(s, dir), "doc_id", "text",
+        vocab, vocab.count()))
+  }
+
   private def q201Sql(loFp: Long, hiFp: Long): String =
     s"""WITH norm AS (
        |  SELECT doc_id,
@@ -6309,6 +6327,9 @@ object SparkEntry {
     "q204_span_corrupt" -> graft.oracle.ExampleOracles.q204Sql(),
     "q205_shard_assign" -> graft.oracle.ExampleOracles.q205Sql(nShards = 8),
     "q206_shard_manifest" -> graft.oracle.ExampleOracles.q206Sql(nShards = 8),
+    // stateless map-only twin under the frozen vocab artifact — the
+    // stream admits identical rows and shares q203's oracle verbatim
+    "q207_stream_mlm_mask" -> graft.oracle.ExampleOracles.q203Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -44,8 +44,36 @@ object Examples {
   def mlmMask(docs: DataFrame, idCol: String, textCol: String,
       seedTag: String = "mlm", maskRateFp: Long = 150000L,
       maskToken: String = "[MASK]"): DataFrame = {
+    // bounded artifact: the corpus vocabulary with stable dense ids
+    // (sorted order), built once; the count pins the modulus
+    val vocab = mlmVocab(docs, idCol, textCol)
+    mlmMaskWithVocab(docs, idCol, textCol, vocab, vocab.count(),
+      seedTag, maskRateFp, maskToken)
+  }
+
+  /** The replacement vocabulary [[mlmMask]] trains: sorted distinct
+    * corpus tokens with dense ids (vtok, vidx) — tokenizer-artifact
+    * sized, reusable as a frozen artifact (the streaming twin's input).
+    */
+  def mlmVocab(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.words(TextAnalysis.normalizeText(
+        coalesce(col(textCol), lit(""))))).as("vtok"))
+      .filter(length(col("vtok")) > 0).distinct()
+      .withColumn("vidx",
+        row_number().over(Window.orderBy(col("vtok"))).cast("long") - 1L)
+
+  /** [[mlmMask]] under a FROZEN vocabulary artifact — pure per-row
+    * column expressions plus one broadcast join, so it runs unchanged
+    * on a streaming DataFrame (stateless per micro-batch).
+    * `vocabSize` pins the replacement modulus (pass the artifact's
+    * count; a parameter because `count()` is illegal on a stream).
+    */
+  def mlmMaskWithVocab(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, vocabSize: Long, seedTag: String = "mlm",
+      maskRateFp: Long = 150000L, maskToken: String = "[MASK]"): DataFrame = {
     require(maskRateFp >= 0 && maskRateFp <= 1000000L,
       s"maskRateFp is 1e-6 units in [0, 1000000], got $maskRateFp")
+    require(vocabSize > 0, s"need vocabSize > 0, got $vocabSize")
     val toks = docs
       .select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.words(TextAnalysis.normalizeText(
@@ -55,13 +83,6 @@ object Examples {
 
     def decision(tag: String) = xxhash64(
       concat(lit(s"${seedTag}_$tag:"), col("doc_id"), lit(":"), col("pos")))
-
-    // bounded artifact: the corpus vocabulary with stable dense ids
-    // (sorted order), built once; the count pins the modulus
-    val vocab = toks.select(col("tok").as("vtok")).distinct()
-      .withColumn("vidx",
-        row_number().over(Window.orderBy(col("vtok"))).cast("long") - 1L)
-    val vocabSize = vocab.count()
 
     val selected = toks
       .filter(pmod(decision("m"), lit(1000000L)) < maskRateFp)
