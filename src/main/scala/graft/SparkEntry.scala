@@ -4036,7 +4036,8 @@ object SparkEntry {
     "q204_span_corrupt" -> (q204 _),
     "q205_shard_assign" -> (q205 _),
     "q206_shard_manifest" -> (q206 _),
-    "q207_stream_mlm_mask" -> (q207 _))
+    "q207_stream_mlm_mask" -> (q207 _),
+    "q208_random_projection" -> (q208 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5212,6 +5213,15 @@ object SparkEntry {
         vocab, vocab.count()))
   }
 
+  /** Hash-sign random projection 64→16
+    * ([[graft.similarity.Projection.project]]): the JL shrink before
+    * ANN — hash-parity ±1 matrix inlined as a literal, fixed-point
+    * integer fold, map-only zero-shuffle plan.
+    */
+  private def q208(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Projection.project(Tables.embeddings(s, dir),
+      "vec_id", "embedding", dIn = 64, dOut = 16)
+
   private def q201Sql(loFp: Long, hiFp: Long): String =
     s"""WITH norm AS (
        |  SELECT doc_id,
@@ -6330,6 +6340,7 @@ object SparkEntry {
     // stateless map-only twin under the frozen vocab artifact — the
     // stream admits identical rows and shares q203's oracle verbatim
     "q207_stream_mlm_mask" -> graft.oracle.ExampleOracles.q203Sql(),
+    "q208_random_projection" -> graft.oracle.AnnOracles.q208Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

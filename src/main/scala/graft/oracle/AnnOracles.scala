@@ -763,4 +763,33 @@ object AnnOracles {
        |SELECT query_id, neighbor_id, "rank", score_fp
        |FROM rk WHERE "rank" <= $k""".stripMargin
   }
+
+  /** q208: hash-sign random projection
+    * (graft.similarity.Projection.project) — the ±1 matrix is the
+    * parity of xxhash64("{tag}:j:k") and inputs fix-point to
+    * floor(x·1e6) before the fold, so each component is an exact
+    * integer sum.
+    */
+  def q208Sql(dIn: Int = 64, dOut: Int = 16,
+      seedTag: String = "rp"): String = {
+    val sgn = DuckDbXxHash.signedSql("h64")
+    s"""WITH
+       |jk AS (SELECT CAST(t1.j AS BIGINT) AS j, CAST(t2.k AS BIGINT) AS k
+       |       FROM range(0, $dIn) t1(j) CROSS JOIN range(0, $dOut) t2(k)),
+       |keys AS (SELECT j, k, '$seedTag:' || CAST(j AS VARCHAR) || ':' ||
+       |                CAST(k AS VARCHAR) AS s FROM jk),
+       |${DuckDbXxHash.xxh64Ctes("keys", "s", "hh", idCols = "j, k")},
+       |sgn AS (SELECT j, k,
+       |        CAST(1 - 2 * ((($sgn % 2) + 2) % 2) AS BIGINT) AS sg
+       |        FROM hh),
+       |ef AS (SELECT vec_id AS id, list_transform(embedding,
+       |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vf
+       |       FROM embeddings WHERE embedding IS NOT NULL),
+       |el AS (SELECT id, CAST(i AS BIGINT) AS j, vf[CAST(i AS INT) + 1] AS xf
+       |       FROM (SELECT id, vf, unnest(range(0, len(vf))) AS i FROM ef))
+       |SELECT e.id, CAST(s.k AS INT) AS k,
+       |       CAST(sum(s.sg * e.xf) AS BIGINT) AS y_fp
+       |FROM el e JOIN sgn s ON s.j = e.j
+       |GROUP BY 1, 2""".stripMargin
+  }
 }
