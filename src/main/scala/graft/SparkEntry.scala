@@ -4037,7 +4037,8 @@ object SparkEntry {
     "q205_shard_assign" -> (q205 _),
     "q206_shard_manifest" -> (q206 _),
     "q207_stream_mlm_mask" -> (q207 _),
-    "q208_random_projection" -> (q208 _))
+    "q208_random_projection" -> (q208 _),
+    "q209_proj_refine_topk" -> (q209 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5222,6 +5223,18 @@ object SparkEntry {
     graft.similarity.Projection.project(Tables.embeddings(s, dir),
       "vec_id", "embedding", dIn = 64, dOut = 16)
 
+  /** Two-stage projected-shortlist + exact re-rank top-k
+    * ([[graft.similarity.Projection.projTopKFixed]]): the FAISS
+    * "refine" pattern with both stages exact integer arithmetic, so
+    * the full result hash-gates. Queries = the q48b slice.
+    */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.similarity.Projection.projTopKFixed(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 10, shortlist = 40, dIn = 64, dOut = 16)
+  }
+
   private def q201Sql(loFp: Long, hiFp: Long): String =
     s"""WITH norm AS (
        |  SELECT doc_id,
@@ -6341,6 +6354,7 @@ object SparkEntry {
     // stream admits identical rows and shares q203's oracle verbatim
     "q207_stream_mlm_mask" -> graft.oracle.ExampleOracles.q203Sql(),
     "q208_random_projection" -> graft.oracle.AnnOracles.q208Sql(),
+    "q209_proj_refine_topk" -> graft.oracle.AnnOracles.q209Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -792,4 +792,56 @@ object AnnOracles {
        |FROM el e JOIN sgn s ON s.j = e.j
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** q209: two-stage projected-shortlist + exact re-rank top-k
+    * (graft.similarity.Projection.projTopKFixed) — projection of the
+    * fixed-point UNIT vectors under the q208 hash-sign matrix, integer
+    * shortlist ranking, exact integer-dot refine.
+    */
+  def q209Sql(dIn: Int = 64, dOut: Int = 16, k: Int = 10,
+      shortlist: Int = 40, seedTag: String = "rp"): String = {
+    val sgn = DuckDbXxHash.signedSql("h64")
+    s"""WITH
+       |jk AS (SELECT CAST(t1.j AS BIGINT) AS j, CAST(t2.k AS BIGINT) AS k
+       |       FROM range(0, $dIn) t1(j) CROSS JOIN range(0, $dOut) t2(k)),
+       |keys AS (SELECT j, k, '$seedTag:' || CAST(j AS VARCHAR) || ':' ||
+       |                CAST(k AS VARCHAR) AS s FROM jk),
+       |${DuckDbXxHash.xxh64Ctes("keys", "s", "hh", idCols = "j, k")},
+       |sgn AS (SELECT j, k,
+       |        CAST(1 - 2 * ((($sgn % 2) + 2) % 2) AS BIGINT) AS sg
+       |        FROM hh),
+       |${prefixedUnitFp("c_", embeddingsSrc)},
+       |${prefixedUnitFp("q_", embeddingsSrc + " WHERE vec_id < 10")},
+       |cel AS (SELECT id, CAST(i AS BIGINT) AS j, vf[CAST(i AS INT) + 1] AS xf
+       |        FROM (SELECT id, vf, unnest(range(0, len(vf))) AS i FROM c_vf)),
+       |cpr AS MATERIALIZED (
+       |  SELECT e.id, s.k, CAST(sum(s.sg * e.xf) AS BIGINT) AS y
+       |  FROM cel e JOIN sgn s ON s.j = e.j GROUP BY 1, 2),
+       |qel AS (SELECT id, CAST(i AS BIGINT) AS j, vf[CAST(i AS INT) + 1] AS xf
+       |        FROM (SELECT id, vf, unnest(range(0, len(vf))) AS i FROM q_vf)),
+       |qpr AS MATERIALIZED (
+       |  SELECT e.id, s.k, CAST(sum(s.sg * e.xf) AS BIGINT) AS y
+       |  FROM qel e JOIN sgn s ON s.j = e.j GROUP BY 1, 2),
+       |ps AS (
+       |  SELECT qp.id AS query_id, cp.id AS neighbor_id,
+       |         CAST(sum(qp.y * cp.y) AS BIGINT) AS pscore
+       |  FROM qpr qp JOIN cpr cp ON cp.k = qp.k AND cp.id <> qp.id
+       |  GROUP BY 1, 2),
+       |shr AS (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |           PARTITION BY query_id
+       |           ORDER BY pscore DESC, neighbor_id) AS pr
+       |  FROM ps),
+       |sc AS (
+       |  SELECT s.query_id, s.neighbor_id, ${dotFpSql(dIn)} AS score_fp
+       |  FROM (SELECT query_id, neighbor_id FROM shr WHERE pr <= $shortlist) s
+       |  JOIN q_vf qv ON qv.id = s.query_id
+       |  JOIN c_vf cv ON cv.id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, score_fp
+       |FROM (SELECT query_id, neighbor_id, score_fp,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY score_fp DESC, neighbor_id) AS rn
+       |      FROM sc)
+       |WHERE rn <= $k""".stripMargin
+  }
 }

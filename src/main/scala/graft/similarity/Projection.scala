@@ -1,6 +1,7 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Random-projection dimensionality reduction for embedding columns —
@@ -61,5 +62,57 @@ object Projection {
         lit(0L), (acc, el) => acc + el))
     embs.filter(col(embCol).isNotNull)
       .select(col(idCol).as("id"), posexplode(proj).as(Seq("k", "y_fp")))
+  }
+
+  /** Two-stage top-k: shortlist by projected integer dot in dOut dims,
+    * then exact re-rank of the shortlist by the full fixed-point unit
+    * dot — the FAISS "refine" pattern, here with BOTH stages exact
+    * integer arithmetic so the whole result hash-gates.
+    *
+    * The projection is applied to the fixed-point UNIT vectors (the
+    * convention every Ann fixed twin shares), so the projected dot is
+    * an unbiased ≈ of cosine·1e12·(matrix scale) and ranking by it is
+    * the JL shortlist. Overflow-safe: |y| ≤ dIn·1e6 < 2^27, a product
+    * sum over dOut stays < 2^59.
+    *
+    * Scale posture: stage 1 scores n·|queries| pairs in dOut ≪ dIn
+    * dims with a BROADCAST query table (corpus never shuffles); stage
+    * 2 touches only |queries|·shortlist rows. The per-query
+    * row_number windows partition on query_id — |queries|-bounded.
+    */
+  def projTopKFixed(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, shortlist: Int, dIn: Int, dOut: Int,
+      seedTag: String = "rp"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val m = signMatrix(corpus.sparkSession, dIn, dOut, seedTag)
+    val mLit = typedLit(m.map(_.toSeq).toSeq)
+    def projOf(c: Column) = transform(sequence(lit(0), lit(dOut - 1)), kk =>
+      aggregate(
+        transform(c, (x, j) =>
+          element_at(element_at(mLit, j + 1), kk.cast("int") + 1) * x),
+        lit(0L), (acc, el) => acc + el))
+    val cor = Ann.unitized(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), Ann.fp(col("uv")).as("vf"))
+      .withColumn("pv", projOf(col("vf")))
+    val qs = Ann.unitized(queries, qIdCol, qVecCol)
+      .select(col("id").as("query_id"), Ann.fp(col("uv")).as("qf"))
+      .withColumn("pq", projOf(col("qf")))
+    val pScore = aggregate(zip_with(col("pv"), col("pq"), _ * _),
+      lit(0L), (acc, el) => acc + el)
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("pscore").desc, col("neighbor_id"))
+    val short = cor
+      .join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+      .withColumn("pscore", pScore)
+      .withColumn("prank", row_number().over(wShort))
+      .filter(col("prank") <= shortlist)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_fp").desc, col("neighbor_id"))
+    short.withColumn("score_fp", Ann.dotFp(col("vf"), col("qf")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("score_fp"))
   }
 }

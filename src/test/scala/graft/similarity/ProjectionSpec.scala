@@ -60,6 +60,47 @@ class ProjectionSpec extends SparkSpec {
     assert(exchanges.isEmpty, s"unexpected shuffles: $exchanges")
   }
 
+  test("projTopKFixed: recall@10 vs brute at sf0.1; refine beats projected-only") {
+    assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet").exists())
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    def recallAt(shortlist: Int, dOut: Int): Double = {
+      val got = Projection.projTopKFixed(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10, shortlist = shortlist,
+          dIn = 64, dOut = dOut)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val brute = Ann.bruteForceTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    // This corpus has SHALLOW cosine gaps (rank-10 ≈ 0.31 vs rank-200
+    // ≈ 0.16 for query 0), so sign-projection noise ~1/√dOut is
+    // comparable to the gap at 2× compression — the regime where a JL
+    // shortlist must be generous. Production corpora (≥512-dim, 4–8×
+    // compression → noise ≤ 0.06) sit far from this edge; the oracle
+    // gate (q209) pins exactness, this spec pins the statistics.
+    val r = recallAt(400, 32) // 2× compression, 20% shortlist
+    assert(r >= 0.8, s"proj-refine recall@10: $r")
+    // the refine stage is what makes the shortlist usable: ranking by
+    // the projected score alone (shortlist = k, nothing to re-rank)
+    // must be strictly worse than shortlist + exact re-rank
+    val rProjOnly = recallAt(10, 32)
+    assert(rProjOnly < r,
+      s"refine gained nothing: projected-only $rProjOnly vs refined $r")
+  }
+
+  test("projTopKFixed: shortlist must cover k") {
+    val vecs = randomVecs(10, 64, seed = 5L)
+    intercept[IllegalArgumentException] {
+      Projection.projTopKFixed(vecs, "vec_id", "embedding",
+        vecs, "vec_id", "embedding", k = 10, shortlist = 5,
+        dIn = 64, dOut = 16)
+    }
+  }
+
   test("project: shorter vectors fold their present elements; nulls drop") {
     val df = Seq(
       (1L, Seq(1.0f, -2.0f)),          // shorter than dIn
