@@ -4038,7 +4038,8 @@ object SparkEntry {
     "q206_shard_manifest" -> (q206 _),
     "q207_stream_mlm_mask" -> (q207 _),
     "q208_random_projection" -> (q208 _),
-    "q209_proj_refine_topk" -> (q209 _))
+    "q209_proj_refine_topk" -> (q209 _),
+    "q210_curriculum_order" -> (q210 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5235,6 +5236,40 @@ object SparkEntry {
       k = 10, shortlist = 40, dIn = 64, dOut = 16)
   }
 
+  /** Curriculum ordering
+    * ([[graft.pipeline.Curation.curriculumOrder]]): easy-to-hard by
+    * token count with round-robin source interleaving; the global
+    * ordinal is the closed form over broadcast source counts — no
+    * single-partition sort — while the oracle derives the same order
+    * via a real global sort.
+    */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.pipeline.Curation.curriculumOrder(docs, "doc_id", "source",
+      size(filter(graft.text.TextAnalysis.words(
+          graft.text.TextAnalysis.normalizeText(
+            coalesce(col("text"), lit("")))), t => length(t) > 0)))
+  }
+
+  private def q210Sql(): String = {
+    val wordsExpr = """string_split_regex(trim(trim(regexp_replace(""" +
+      """lower(coalesce(text, '')), '\s+', ' ', 'g'))), '\s+')"""
+    s"""WITH base AS (
+       |  SELECT doc_id, coalesce(source, '') AS source,
+       |         CAST(len(list_filter($wordsExpr, x -> len(x) > 0))
+       |           AS BIGINT) AS difficulty
+       |  FROM documents),
+       |rk AS (
+       |  SELECT doc_id, source, difficulty,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY difficulty, doc_id) AS r
+       |  FROM base)
+       |SELECT doc_id, source, difficulty, CAST(r AS BIGINT) AS src_rank,
+       |       CAST(row_number() OVER (ORDER BY r, source) - 1 AS BIGINT)
+       |         AS ordinal
+       |FROM rk""".stripMargin
+  }
+
   private def q201Sql(loFp: Long, hiFp: Long): String =
     s"""WITH norm AS (
        |  SELECT doc_id,
@@ -6355,6 +6390,10 @@ object SparkEntry {
     "q207_stream_mlm_mask" -> graft.oracle.ExampleOracles.q203Sql(),
     "q208_random_projection" -> graft.oracle.AnnOracles.q208Sql(),
     "q209_proj_refine_topk" -> graft.oracle.AnnOracles.q209Sql(),
+    // the oracle derives the interleaved order via an ACTUAL global
+    // sort, gating the engine's closed-form shuffle-free ordinal
+    // against the naive definition
+    "q210_curriculum_order" -> q210Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -34,6 +34,48 @@ object Curation {
       versionCol: Column): DataFrame =
     Prep.dedupKeepLast(base.unionByName(updates), keys, Seq(versionCol))
 
+  /** Curriculum ordering with round-robin source interleaving: rank
+    * each source's documents by `difficulty` (asc — easy first; ties
+    * on doc_id), then produce the GLOBAL training order that cycles
+    * sources at each difficulty rank (r=1 of every source, then r=2,
+    * …), the standard anti-"source block" curriculum shape.
+    *
+    * The global ordinal is NOT a global row_number (a single-partition
+    * sort — the thing that dies first at 100 TB). Because the
+    * interleaved order is (r, source) lexicographic, the ordinal has a
+    * closed form over the per-source counts n_s (a broadcast-sized
+    * table): ordinal(r, s) = Σ_{s'} [ min(r−1, n_{s'}) +
+    * 1 if (s' < s ∧ n_{s'} ≥ r) ] — each term counts how many docs of
+    * s' precede (r, s). One window per source partition + a map-only
+    * expression; no global exchange. (The oracle computes the same
+    * order via an actual global sort, so the closed form is gated
+    * against the naive definition.)
+    *
+    * Returns (doc_id, source, difficulty, src_rank, ordinal); ordinal
+    * is dense 0..n−1 across the corpus.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, sourceCol: String,
+      difficulty: Column): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      coalesce(col(sourceCol), lit("")).as("source"),
+      difficulty.cast("long").as("difficulty"))
+    // bounded artifact: one row per source
+    val counts = base.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val withR = base.withColumn("src_rank",
+      row_number().over(Window.partitionBy("source")
+        .orderBy(col("difficulty"), col("doc_id"))).cast("long"))
+    val ordinal =
+      if (counts.isEmpty) lit(0L)
+      else counts.keys.toSeq.sorted.map { s2 =>
+        least(col("src_rank") - 1L, lit(counts(s2))) +
+          when(lit(s2) < col("source") &&
+            col("src_rank") <= lit(counts(s2)), 1L).otherwise(0L)
+      }.reduce(_ + _)
+    withR.select(col("doc_id"), col("source"), col("difficulty"),
+      col("src_rank"), ordinal.as("ordinal"))
+  }
+
   /** Benchmark decontamination: drop corpus rows whose normalized
     * content fingerprint (`TextAnalysis.fingerprint` — lowercase,
     * whitespace-collapsed md5) appears in the benchmark/eval set, so

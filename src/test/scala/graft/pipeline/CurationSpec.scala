@@ -626,4 +626,41 @@ class CurationSpec extends SparkSpec {
     assert(got === naive)
     assert(got.nonEmpty && got.size < 200)
   }
+
+  test("curriculumOrder: closed-form ordinal == global-sort ordinal on unequal sources") {
+    val rnd = new scala.util.Random(31)
+    val docs = (1L to 150L).map { i =>
+      // deliberately unequal source sizes (src0 huge, src4 tiny)
+      val src = s"src${math.min(rnd.nextInt(6), rnd.nextInt(6))}"
+      (i, src, rnd.nextInt(40).toLong)
+    }.toDF("doc_id", "source", "diff")
+    val got = Curation.curriculumOrder(docs, "doc_id", "source", col("diff"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    // naive reference: per-source rank, then global (r, source) sort
+    val rows = docs.as[(Long, String, Long)].collect()
+    val ranked = rows.groupBy(_._2).toSeq.flatMap { case (s, g) =>
+      g.sortBy(r => (r._3, r._1)).zipWithIndex
+        .map { case ((id, _, d), i) => (id, s, d, i + 1L) }.toSeq
+    }
+    val expect = ranked.sortBy(r => (r._4, r._2)).zipWithIndex
+      .map { case ((id, s, d, r), ord) => (id, s, d, r, ord.toLong) }
+      .toSet
+    assert(got.toSet === expect)
+    // ordinal is dense 0..n-1
+    assert(got.map(_._5).sorted.toSeq === (0L until 150L).toSeq)
+  }
+
+  test("curriculumOrder: first cycle interleaves every source; no global sort in plan") {
+    val docs = (1L to 60L).map(i => (i, s"s${i % 4}", i % 9))
+      .toDF("doc_id", "source", "diff")
+    val got = Curation.curriculumOrder(docs, "doc_id", "source", col("diff"))
+    // ordinals 0..3 cover all 4 sources (round-robin head)
+    val head = got.filter(col("ordinal") < 4).select("source")
+      .as[String].collect().toSet
+    assert(head === Set("s0", "s1", "s2", "s3"))
+    // the scale claim: no single-partition (global-sort) exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global exchange found in plan:\n$plan")
+  }
 }
