@@ -4039,7 +4039,8 @@ object SparkEntry {
     "q207_stream_mlm_mask" -> (q207 _),
     "q208_random_projection" -> (q208 _),
     "q209_proj_refine_topk" -> (q209 _),
-    "q210_curriculum_order" -> (q210 _))
+    "q210_curriculum_order" -> (q210 _),
+    "q211_bigram_perplexity" -> (q211 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5251,6 +5252,26 @@ object SparkEntry {
             coalesce(col("text"), lit("")))), t => length(t) > 0)))
   }
 
+  /** Interpolated bigram-LM perplexity bucketing
+    * ([[graft.text.BigramLm.perplexity]]): λ·p_bi + (1−λ)·p_uni with
+    * Laplace-smoothed counts frozen on the doc_id%2=0 slice — the
+    * bigram step beyond q197's unigram CCNet analog. Per-term floors
+    * make the doc sum integer; the oracle replays the full
+    * train→score lifecycle.
+    */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m = graft.text.BigramLm.train(
+      docs.filter(col("doc_id") % 2 === 0), "text")
+    graft.text.BigramLm.perplexity(docs, "doc_id", "text", m,
+      headBelowFp = q211Head, midBelowFp = q211Mid)
+  }
+
+  /** q211's frozen bucket thresholds (1e6-fixed-point nats), chosen so
+    * the synthetic corpus populates all three buckets at every sf. */
+  private val q211Head = 3400000L
+  private val q211Mid = 3500000L
+
   private def q210Sql(): String = {
     val wordsExpr = """string_split_regex(trim(trim(regexp_replace(""" +
       """lower(coalesce(text, '')), '\s+', ' ', 'g'))), '\s+')"""
@@ -6394,6 +6415,10 @@ object SparkEntry {
     // sort, gating the engine's closed-form shuffle-free ordinal
     // against the naive definition
     "q210_curriculum_order" -> q210Sql(),
+    // full train→score lifecycle replay: the oracle re-derives the
+    // frozen counts from the same slice (the q159 discipline)
+    "q211_bigram_perplexity" -> graft.oracle.BigramLmOracles.q211Sql(
+      headBelowFp = q211Head, midBelowFp = q211Mid),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interpolated bigram word LM for perplexity filtering — one step
+  * closer to CCNet's KenLM than the frozen unigram LM (Unigram
+  * .perplexity / q197): p(w_i | w_{i−1}) = λ·p_bi + (1−λ)·p_uni with
+  * Laplace-smoothed frozen counts, trained once on a held-out slice
+  * and applied map-only to any corpus.
+  *
+  * Determinism design: the model is COUNTS, not probabilities —
+  * integer word/bigram counts frozen at train time ride as codegen
+  * literal maps (vocab- and top-B-sized artifacts). Scoring computes
+  * each term's probability in double from those integers with a fixed
+  * operation order (divide, scale by λ, add, ln, ·1e6, floor), the
+  * exact chain DuckDB replays (the q153/q159 "ln is portable" rule);
+  * per-term floors make the document sum an integer fold with no
+  * float-ordering hazard.
+  *
+  * Scale posture: training is two count aggregations capped to
+  * artifact size (top-V words, top-B bigrams — the BPE/WordPiece
+  * vocab-artifact class, corpus-size-independent); scoring is one
+  * map-only pass, zero shuffle.
+  */
+object BigramLm {
+
+  /** Frozen model: mapped unigram counts (vocab ∪ "<unk>"), top-B
+    * mapped bigram counts keyed "w1 w2", total word occurrences, and
+    * the Laplace denominator add-on vSize = |vocab| + 1.
+    */
+  final case class Model(unigrams: Seq[(String, Long)],
+      bigrams: Seq[(String, Long)], total: Long, vSize: Int)
+
+  val Unk = "<unk>"
+
+  private def wordsOf(textCol: Column): Column =
+    filter(TextAnalysis.words(TextAnalysis.normalizeText(
+      coalesce(textCol, lit("")))), w => w =!= "")
+
+  /** Train frozen counts on `docs`: top-`vocabSize` words by
+    * (count desc, word), every other occurrence folds into `<unk>`;
+    * bigrams counted over the MAPPED consecutive pairs, capped to the
+    * top-`maxBigrams` by (count desc, key).
+    */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int = 1024,
+      maxBigrams: Int = 4096): Model = {
+    val ws = docs.select(wordsOf(col(textCol)).as("ws"))
+    val raw = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val vocab = raw.orderBy(col("c").desc, col("w"))
+      .limit(vocabSize).collect().map(r => r.getString(0)).toSet
+    val vocabLit = typedLit(vocab.toSeq.sorted)
+    def mapped(c: Column) = when(array_contains(vocabLit, c), c)
+      .otherwise(lit(Unk))
+    val mappedWords = ws.select(transform(col("ws"), w => mapped(w)).as("ms"))
+    val uni = mappedWords.select(explode(col("ms")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy("w").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val bi = mappedWords
+      .select(explode(transform(sequence(lit(1), size(col("ms")) - 1),
+        i => concat(element_at(col("ms"), i), lit(" "),
+          element_at(col("ms"), i + 1)))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("b")).limit(maxBigrams)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    Model(uni, bi, uni.map(_._2).sum, vocab.size + 1)
+  }
+
+  /** Score every document: positions 1..n−1 charge
+    * floor(−ln(λ·p_bi + (1−λ)·p_uni)·1e6) under the frozen counts
+    * (Laplace: p_uni = (c_w+1)/(N+V), p_bi = (c_{w1w2}+1)/(c_{w1}+V));
+    * bucket head/middle/tail on the per-position average, `unscored`
+    * for docs with < 2 words. λ is fixed at 0.5.
+    *
+    * Returns (doc_id, n_scored, nll_fp, avg_nll_fp, ppl_bucket).
+    */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+      m: Model, headBelowFp: Long, midBelowFp: Long): DataFrame = {
+    require(headBelowFp < midBelowFp,
+      s"head threshold $headBelowFp must be below middle $midBelowFp")
+    val uniMap = typedLit(m.unigrams.toMap)
+    val biMap = typedLit(m.bigrams.toMap)
+    val vocabLit = typedLit(m.unigrams.map(_._1).filter(_ != Unk).sorted)
+    val nDouble = lit(m.total.toDouble)
+    val vDouble = lit(m.vSize.toDouble)
+    def mapped(c: Column) = when(array_contains(vocabLit, c), c)
+      .otherwise(lit(Unk))
+    val ms = transform(wordsOf(col(textCol)), w => mapped(w))
+    def cnt(map: Column, key: Column) =
+      coalesce(element_at(map, key), lit(0L)).cast("double")
+    val terms = transform(sequence(lit(1), greatest(size(ms) - 1, lit(0))),
+      i => {
+        val w1 = element_at(ms, i)
+        val w2 = element_at(ms, i + 1)
+        val pU = (cnt(uniMap, w2) + lit(1.0)) / (nDouble + vDouble)
+        val pB = (cnt(biMap, concat(w1, lit(" "), w2)) + lit(1.0)) /
+          (cnt(uniMap, w1) + vDouble)
+        floor(-log(lit(0.5) * pB + lit(0.5) * pU) * lit(1000000.0))
+          .cast("long")
+      })
+    val base = docs.select(col(idCol).as("doc_id"),
+      greatest(size(ms) - 1, lit(0)).cast("long").as("n_scored"),
+      when(size(ms) >= 2,
+        aggregate(terms, lit(0L), (acc, t) => acc + t))
+        .otherwise(lit(0L)).as("nll_fp"))
+    val avg = when(col("n_scored") > 0,
+      floor(col("nll_fp").cast("double") / col("n_scored").cast("double"))
+        .cast("long"))
+    base.select(col("doc_id"), col("n_scored"), col("nll_fp"),
+      avg.as("avg_nll_fp"),
+      when(col("n_scored") === 0, lit("unscored"))
+        .when(avg < headBelowFp, lit("head"))
+        .when(avg < midBelowFp, lit("middle"))
+        .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+}

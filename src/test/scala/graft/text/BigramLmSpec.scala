@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = (1L to 50L)
+    .map(i => (i, "the cat sat on the mat and the dog sat on the rug"))
+    .toDF("doc_id", "text")
+
+  test("train: caps hold; <unk> folds OOV; counts are mapped totals") {
+    val m = BigramLm.train(train, "text", vocabSize = 5, maxBigrams = 8)
+    assert(m.unigrams.map(_._1).contains(BigramLm.Unk))
+    assert(m.unigrams.map(_._1).toSet.size <= 6) // 5 vocab + unk
+    assert(m.bigrams.size <= 8)
+    assert(m.total === 50L * 13) // every occurrence counted
+    assert(m.vSize === 6)
+    // mapped unigram counts sum to the total
+    assert(m.unigrams.map(_._2).sum === m.total)
+  }
+
+  test("perplexity: fluent (seen) text scores below scrambled text") {
+    val m = BigramLm.train(train, "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),          // seen bigrams
+      (2L, "mat the on cat the sat"),          // same words, unseen order
+      (3L, "completely novel zebra words here"), // OOV
+      (4L, "single"),                           // 1 word -> unscored
+      (5L, ""))                                 // empty -> unscored
+      .toDF("doc_id", "text")
+    val got = BigramLm.perplexity(docs, "doc_id", "text", m,
+        headBelowFp = 1000000L, midBelowFp = 5000000L)
+      .as[(Long, Long, Long, Option[Long], String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._4.get < got(2L)._4.get,
+      s"fluent ${got(1L)._4} !< scrambled ${got(2L)._4}")
+    assert(got(2L)._4.get < got(3L)._4.get,
+      s"scrambled ${got(2L)._4} !< OOV ${got(3L)._4}")
+    assert(got(4L)._5 === "unscored" && got(4L)._2 === 0L)
+    assert(got(5L)._5 === "unscored" && got(5L)._3 === 0L)
+    // n_scored = words - 1
+    assert(got(1L)._2 === 5L)
+  }
+
+  test("perplexity: deterministic under repartition; thresholds validated") {
+    val m = BigramLm.train(train, "text")
+    val docs = (1L to 30L).map(i => (i, s"the cat sat token$i on the mat"))
+      .toDF("doc_id", "text")
+    val a = BigramLm.perplexity(docs, "doc_id", "text", m, 100L, 200L)
+      .as[(Long, Long, Long, Option[Long], String)].collect().sorted.toSeq
+    val b = BigramLm.perplexity(docs.repartition(7), "doc_id", "text",
+        m, 100L, 200L)
+      .as[(Long, Long, Long, Option[Long], String)].collect().sorted.toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      BigramLm.perplexity(docs, "doc_id", "text", m, 200L, 100L)
+    }
+  }
+}
