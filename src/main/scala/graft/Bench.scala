@@ -97,7 +97,18 @@ object Bench {
     // the measured Viterbi kernel (q136-class), q195 the measured
     // q169 fold behind a watermark buffer, and q198/q199 are
     // sub-second map/window passes (the q123 no-slot rule).
-    "q196_nn_descent_round")
+    "q196_nn_descent_round",
+    // round-13-late surface: the two genuinely new heavy shapes —
+    // large-star/small-star CC (alternating star rounds over the
+    // checkpointed edge relation, an iterative shape distinct from
+    // the PageRank loop) and span corruption (hash span selection +
+    // gaps-and-islands interval union + TWO ordered per-doc
+    // reassemblies). q203/q207 are single map+broadcast passes,
+    // q205/q206/q208/q210 map-only or nShards-row aggs, q209 a
+    // composition of q208's projection and the q47 refine shape, and
+    // q211 two capped count-aggs + a map pass (the q123 no-slot rule).
+    "q202_dup_clusters",
+    "q204_span_corrupt")
 
   /** The q95 harness WITHOUT its operator: identical staging (two
     * single-file parquet batches, staggered mtimes), identical
