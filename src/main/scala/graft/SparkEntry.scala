@@ -4040,7 +4040,8 @@ object SparkEntry {
     "q208_random_projection" -> (q208 _),
     "q209_proj_refine_topk" -> (q209 _),
     "q210_curriculum_order" -> (q210 _),
-    "q211_bigram_perplexity" -> (q211 _))
+    "q211_bigram_perplexity" -> (q211 _),
+    "q212_stream_manifest" -> (q212 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5272,6 +5273,18 @@ object SparkEntry {
   private val q211Head = 3400000L
   private val q211Mid = 3500000L
 
+  /** Streaming twin of q206: the export manifest as a complete-mode
+    * streaming aggregation — count/sum/bit_xor all merge-commutative,
+    * so ANY micro-batch split folds to the batch manifest exactly
+    * (state = nShards rows). Shares q206's oracle verbatim.
+    */
+  private def q212(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      graft.pipeline.Examples.shardManifest(
+        StreamingPrep.streamDocuments(s, dir), "doc_id", "text",
+        nShards = 8),
+      outputMode = "complete")
+
   private def q210Sql(): String = {
     val wordsExpr = """string_split_regex(trim(trim(regexp_replace(""" +
       """lower(coalesce(text, '')), '\s+', ' ', 'g'))), '\s+')"""
@@ -6419,6 +6432,10 @@ object SparkEntry {
     // frozen counts from the same slice (the q159 discipline)
     "q211_bigram_perplexity" -> graft.oracle.BigramLmOracles.q211Sql(
       headBelowFp = q211Head, midBelowFp = q211Mid),
+    // streaming manifest: count/sum/bit_xor are all merge-commutative,
+    // so the complete-mode streaming aggregation over any micro-batch
+    // split equals the batch manifest — shares q206's oracle verbatim
+    "q212_stream_manifest" -> graft.oracle.ExampleOracles.q206Sql(nShards = 8),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

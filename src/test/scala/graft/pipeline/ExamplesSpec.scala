@@ -139,6 +139,28 @@ class ExamplesSpec extends SparkSpec {
     }
   }
 
+  test("shardManifest streaming fold: three micro-batches == batch manifest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)](spark)
+    val name = "graft_manifest_spec"
+    val q = Examples.shardManifest(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", nShards = 4)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      // deliberately uneven micro-batches exercise the merge path
+      mem.addData(rows.take(7)); q.processAllAvailable()
+      mem.addData(rows.slice(7, 40)); q.processAllAvailable()
+      mem.addData(rows.drop(40)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val batch = Examples.shardManifest(corpus, "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed === batch)
+  }
+
   test("mlmMask: null and empty texts contribute no positions") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "   "),
       (3L, "one two three four five six seven eight nine ten"))
