@@ -4041,7 +4041,8 @@ object SparkEntry {
     "q209_proj_refine_topk" -> (q209 _),
     "q210_curriculum_order" -> (q210 _),
     "q211_bigram_perplexity" -> (q211 _),
-    "q212_stream_manifest" -> (q212 _))
+    "q212_stream_manifest" -> (q212 _),
+    "q213_gate_funnel" -> (q213 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5457,6 +5458,43 @@ object SparkEntry {
        |    AND stop_hits >= 2) AS keep
        |FROM st""".stripMargin
 
+  /** Gate funnel over the q156 Gopher rule stack
+    * ([[graft.text.Quality.gateFunnel]]): per rule in priority order,
+    * outright fails, marginal first-kills and survivors — the
+    * attrition report ("which gate costs me most data") as ONE
+    * conditional-sum aggregation unpivoted to |rules| rows.
+    */
+  private def q213(s: SparkSession, dir: String): DataFrame =
+    graft.text.Quality.gateFunnel(
+      graft.text.Quality.gopherGates(
+        Tables.documents(s, dir), "doc_id", "text",
+        minWords = 30, stopWords = Seq("the", "a"), minStopWords = 2),
+      q213Rules)
+
+  private val q213Rules = Seq("ok_words", "ok_word_len", "ok_symbols",
+    "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stop")
+
+  private def q213Sql(): String = {
+    val metrics = q213Rules.zipWithIndex.map { case (rc, i) =>
+      val prev = q213Rules.take(i)
+        .map(p => s"coalesce($p, FALSE)").mkString(" AND ")
+      val prevPass = if (prev.isEmpty) "TRUE" else prev
+      s"""count(*) FILTER (WHERE NOT coalesce($rc, FALSE)) AS ft_$i,
+         |  count(*) FILTER (WHERE ($prevPass) AND NOT coalesce($rc, FALSE)) AS ff_$i,
+         |  count(*) FILTER (WHERE ($prevPass) AND coalesce($rc, FALSE)) AS sv_$i""".stripMargin
+    }.mkString(",\n  ")
+    val rows = q213Rules.zipWithIndex.map { case (rc, i) =>
+      s"""SELECT CAST($i AS BIGINT) AS stage, '$rc' AS rule,
+         |       ft_$i AS n_fail_total, ff_$i AS n_first_fail,
+         |       sv_$i AS survivors_after FROM one""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH gates AS (${q156Sql()}),
+       |one AS (SELECT
+       |  $metrics
+       |FROM gates)
+       |$rows""".stripMargin
+  }
+
   /** Streaming twin of q156: the Gopher rule report is pure
     * per-document column arithmetic (zero shuffle), so it runs
     * stateless per micro-batch and admits identical rows — shares
@@ -6436,6 +6474,7 @@ object SparkEntry {
     // so the complete-mode streaming aggregation over any micro-batch
     // split equals the batch manifest — shares q206's oracle verbatim
     "q212_stream_manifest" -> graft.oracle.ExampleOracles.q206Sql(nShards = 8),
+    "q213_gate_funnel" -> q213Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

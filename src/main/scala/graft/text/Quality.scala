@@ -153,6 +153,41 @@ object Quality {
     gopherGates(docs, idCol, textCol, GopherConfig(minWords, maxWords,
       minWordLen, maxWordLen, stopWords, minStopWords))
 
+  /** Gate funnel: the attrition report every rule stack needs — for
+    * rules applied in the GIVEN priority order, how many documents
+    * each rule fails outright, how many it is the FIRST to kill
+    * (i.e. its marginal cost given everything before it), and how
+    * many survive through it. Feed it any frame with boolean rule
+    * columns ([[gopherGates]], entropy/langid verdicts joined in, …).
+    * NULL verdicts count as fail (the conservative read).
+    *
+    * One aggregation pass: every metric is a conditional sum with
+    * map-side combine — a single one-row agg unpivoted to |rules|
+    * rows, regardless of corpus size. Returns (stage, rule,
+    * n_fail_total, n_first_fail, survivors_after).
+    */
+  def gateFunnel(gates: DataFrame, ruleCols: Seq[String]): DataFrame = {
+    require(ruleCols.nonEmpty, "need at least one rule column")
+    def r(name: String) = coalesce(col(name), lit(false))
+    val aggs = ruleCols.zipWithIndex.flatMap { case (rc, i) =>
+      val prevPass = ruleCols.take(i).map(r)
+        .foldLeft(lit(true))(_ && _)
+      Seq(
+        coalesce(sum(when(!r(rc), 1L).otherwise(0L)), lit(0L))
+          .as(s"__ft_$i"),
+        coalesce(sum(when(prevPass && !r(rc), 1L).otherwise(0L)), lit(0L))
+          .as(s"__ff_$i"),
+        coalesce(sum(when(prevPass && r(rc), 1L).otherwise(0L)), lit(0L))
+          .as(s"__sv_$i"))
+    }
+    val row = gates.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = ruleCols.zipWithIndex.map { case (rc, i) =>
+      s"CAST($i AS BIGINT), '$rc', __ft_$i, __ff_$i, __sv_$i"
+    }.mkString(", ")
+    row.selectExpr(s"stack(${ruleCols.size}, $stackExpr) AS " +
+      "(stage, rule, n_fail_total, n_first_fail, survivors_after)")
+  }
+
   private def gopherWordCount(text: Column): Column =
     size(filter(
       TextAnalysis.words(TextAnalysis.normalizeText(text)),

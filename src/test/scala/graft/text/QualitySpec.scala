@@ -139,4 +139,26 @@ class QualitySpec extends SparkSpec {
         math.abs(r.getDouble(1)) < 1e-6) // rounded display vs raw decision
     }
   }
+
+  test("gateFunnel: hand-computed attrition incl. NULL-as-fail") {
+    import spark.implicits._
+    // rules a, b in priority order; doc 4 has a NULL verdict on b
+    val gates = Seq(
+      (1L, true, Some(true)),   // survives both
+      (2L, false, Some(true)),  // first-killed by a
+      (3L, true, Some(false)),  // first-killed by b
+      (4L, true, None),         // NULL b -> fail
+      (5L, false, Some(false))) // first-killed by a; also fails b
+      .toDF("doc_id", "a", "b")
+    val got = Quality.gateFunnel(gates, Seq("a", "b"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, "a", 2L, 2L, 3L),  // 2 fail a outright; 3 survive a
+      (1L, "b", 3L, 2L, 1L))) // b fails 3 total, kills 2 marginal, 1 survives
+    // metrics are self-consistent: first-fails + final survivors = n
+    assert(got.map(_._4).sum + got.last._5 === 5L)
+    intercept[IllegalArgumentException] {
+      Quality.gateFunnel(gates, Seq.empty)
+    }
+  }
 }
