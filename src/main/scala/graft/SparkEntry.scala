@@ -4042,7 +4042,8 @@ object SparkEntry {
     "q210_curriculum_order" -> (q210 _),
     "q211_bigram_perplexity" -> (q211 _),
     "q212_stream_manifest" -> (q212 _),
-    "q213_gate_funnel" -> (q213 _))
+    "q213_gate_funnel" -> (q213 _),
+    "q214_cross_family_funnel" -> (q214 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5474,26 +5475,70 @@ object SparkEntry {
   private val q213Rules = Seq("ok_words", "ok_word_len", "ok_symbols",
     "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stop")
 
-  private def q213Sql(): String = {
-    val metrics = q213Rules.zipWithIndex.map { case (rc, i) =>
-      val prev = q213Rules.take(i)
+  /** [[graft.text.Quality.gateFunnel]]'s DuckDB replay over any gates
+    * SQL: the same conditional sums (NULL-as-fail), unpivoted via
+    * UNION ALL. Shared by q213 (Gopher stack) and q214 (cross-family
+    * composition).
+    */
+  private def funnelSql(gatesSql: String, rules: Seq[String]): String = {
+    val metrics = rules.zipWithIndex.map { case (rc, i) =>
+      val prev = rules.take(i)
         .map(p => s"coalesce($p, FALSE)").mkString(" AND ")
       val prevPass = if (prev.isEmpty) "TRUE" else prev
       s"""count(*) FILTER (WHERE NOT coalesce($rc, FALSE)) AS ft_$i,
          |  count(*) FILTER (WHERE ($prevPass) AND NOT coalesce($rc, FALSE)) AS ff_$i,
          |  count(*) FILTER (WHERE ($prevPass) AND coalesce($rc, FALSE)) AS sv_$i""".stripMargin
     }.mkString(",\n  ")
-    val rows = q213Rules.zipWithIndex.map { case (rc, i) =>
+    val rows = rules.zipWithIndex.map { case (rc, i) =>
       s"""SELECT CAST($i AS BIGINT) AS stage, '$rc' AS rule,
          |       ft_$i AS n_fail_total, ff_$i AS n_first_fail,
          |       sv_$i AS survivors_after FROM one""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH gates AS (${q156Sql()}),
+    s"""WITH gates AS ($gatesSql),
        |one AS (SELECT
        |  $metrics
        |FROM gates)
        |$rows""".stripMargin
   }
+
+  private def q213Sql(): String = funnelSql(q156Sql(), q213Rules)
+
+  /** Cross-family attribute composition (the Dolma tagger shape):
+    * Gopher length/stopword rules + the q201 entropy band + a
+    * language-match verdict under the q199 frozen profiles, joined
+    * into ONE attribute frame and funneled in priority order — the
+    * full-stack attrition report. Each verdict family keeps its own
+    * oracle-gated kernel; this gate proves the COMPOSITION.
+    */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val g = graft.text.Quality.gopherGates(docs, "doc_id", "text",
+        minWords = 30, stopWords = Seq("the", "a"), minStopWords = 2)
+      .select("doc_id", "ok_words", "ok_stop")
+    val e = graft.text.TextAnalysis.entropyGate(docs, "doc_id", "text",
+        q201Lo, q201Hi)
+      .select("doc_id", "entropy_ok")
+    val p = graft.text.LangId.trainProfiles(
+      docs.filter(col("doc_id") % 2 === 0), "text", "lang", topN = 256)
+    val l = graft.text.LangId.classify(docs, "doc_id", "text", p)
+      .select("doc_id", "lang_pred")
+    val attrs = g.join(e, "doc_id").join(l, "doc_id")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("ok_lang", col("lang_pred") === col("lang"))
+    graft.text.Quality.gateFunnel(attrs, q214Rules)
+  }
+
+  private val q214Rules =
+    Seq("ok_words", "ok_stop", "entropy_ok", "ok_lang")
+
+  private def q214Sql(): String = funnelSql(
+    s"""SELECT g.doc_id, g.ok_words, g.ok_stop, e.entropy_ok,
+       |       (l.lang_pred = d.lang) AS ok_lang
+       |FROM (${q156Sql()}) g
+       |JOIN (${q201Sql(q201Lo, q201Hi)}) e USING (doc_id)
+       |JOIN (${q199Sql()}) l USING (doc_id)
+       |JOIN documents d USING (doc_id)""".stripMargin,
+    q214Rules)
 
   /** Streaming twin of q156: the Gopher rule report is pure
     * per-document column arithmetic (zero shuffle), so it runs
@@ -6475,6 +6520,7 @@ object SparkEntry {
     // split equals the batch manifest — shares q206's oracle verbatim
     "q212_stream_manifest" -> graft.oracle.ExampleOracles.q206Sql(nShards = 8),
     "q213_gate_funnel" -> q213Sql(),
+    "q214_cross_family_funnel" -> q214Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
