@@ -4043,7 +4043,8 @@ object SparkEntry {
     "q211_bigram_perplexity" -> (q211 _),
     "q212_stream_manifest" -> (q212 _),
     "q213_gate_funnel" -> (q213 _),
-    "q214_cross_family_funnel" -> (q214 _))
+    "q214_cross_family_funnel" -> (q214 _),
+    "q215_manifest_diff" -> (q215 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5531,6 +5532,20 @@ object SparkEntry {
   private val q214Rules =
     Seq("ok_words", "ok_stop", "entropy_ok", "ok_lang")
 
+  /** Manifest diff ([[graft.pipeline.Examples.manifestDiff]]): the
+    * incremental-export validation — a base manifest (the doc_id%7≠0
+    * slice) against the full corpus; the xor checksums localize the
+    * drift per shard without re-reading either export.
+    */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.pipeline.Examples.manifestDiff(
+      graft.pipeline.Examples.shardManifest(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", nShards = 8),
+      graft.pipeline.Examples.shardManifest(
+        docs, "doc_id", "text", nShards = 8))
+  }
+
   private def q214Sql(): String = funnelSql(
     s"""SELECT g.doc_id, g.ok_words, g.ok_stop, e.entropy_ok,
        |       (l.lang_pred = d.lang) AS ok_lang
@@ -6521,6 +6536,10 @@ object SparkEntry {
     "q212_stream_manifest" -> graft.oracle.ExampleOracles.q206Sql(nShards = 8),
     "q213_gate_funnel" -> q213Sql(),
     "q214_cross_family_funnel" -> q214Sql(),
+    "q215_manifest_diff" -> graft.oracle.ExampleOracles.q215Sql(
+      nShards = 8,
+      baseSrc = "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0",
+      curSrc = "SELECT doc_id, text FROM documents"),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -171,19 +171,21 @@ object ExampleOracles {
     * (upper bits stay a replica of bit 63), so the final CAST to
     * BIGINT is exact.
     */
-  def q206Sql(nShards: Int, seedTag: String = "shard"): String = {
+  def q206Sql(nShards: Int, seedTag: String = "shard",
+      docsSrc: String = "SELECT doc_id, text FROM documents"): String = {
     def pm(x: String, m: String) =
       s"((${DuckDbXxHash.signedSql(x)} % $m) + $m) % $m"
     s"""WITH
+       |src AS ($docsSrc),
        |norm AS (
        |  SELECT doc_id,
        |         trim(regexp_replace(lower(coalesce(text, '')),
        |              '\\s+', ' ', 'g')) AS t
-       |  FROM documents),
+       |  FROM src),
        |keys AS (
        |  SELECT doc_id, 's' AS tag,
        |         '${seedTag}_s:' || CAST(doc_id AS VARCHAR) AS s
-       |  FROM documents
+       |  FROM src
        |  UNION ALL
        |  SELECT doc_id, 'c', CAST(doc_id AS VARCHAR) || ':' || md5(t)
        |  FROM norm),
@@ -197,7 +199,7 @@ object ExampleOracles {
        |  SELECT doc_id,
        |         CAST(len(list_filter($wordsExpr, x -> len(x) > 0)) AS BIGINT)
        |           AS n_tokens
-       |  FROM documents)
+       |  FROM src)
        |SELECT CAST(${pm("hshard", nShards.toString)} AS BIGINT) AS shard,
        |       count(*) AS n_docs,
        |       CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
@@ -206,4 +208,21 @@ object ExampleOracles {
        |FROM dec JOIN tokc t USING (doc_id)
        |GROUP BY 1""".stripMargin
   }
+
+  /** q215: manifest diff — two q206 manifests (base slice vs full
+    * corpus) full-outer-joined to per-shard status + deltas.
+    */
+  def q215Sql(nShards: Int, baseSrc: String, curSrc: String): String =
+    s"""SELECT coalesce(b.shard, c.shard) AS shard,
+       |       CASE WHEN b.shard IS NULL THEN 'added'
+       |            WHEN c.shard IS NULL THEN 'removed'
+       |            WHEN b.n_docs = c.n_docs AND b.n_tokens = c.n_tokens
+       |                 AND b.checksum = c.checksum THEN 'unchanged'
+       |            ELSE 'changed' END AS status,
+       |       coalesce(c.n_docs, 0) - coalesce(b.n_docs, 0) AS delta_docs,
+       |       coalesce(c.n_tokens, 0) - coalesce(b.n_tokens, 0)
+       |         AS delta_tokens
+       |FROM (${q206Sql(nShards, docsSrc = baseSrc)}) b
+       |FULL OUTER JOIN (${q206Sql(nShards, docsSrc = curSrc)}) c
+       |  ON b.shard = c.shard""".stripMargin
 }

@@ -152,6 +152,32 @@ object Examples {
       bit_xor(col("doc_hash")).as("checksum"))
   }
 
+  /** Manifest diff — the incremental-export validation: compare two
+    * [[shardManifest]] frames and report per-shard status. `unchanged`
+    * = identical (n_docs, n_tokens, checksum); `changed` = present in
+    * both but any field moved (the xor checksum catches any content
+    * drift, including swaps that keep counts equal); `added`/`removed`
+    * = shard only in `current`/`base`. One full-outer join on the
+    * nShards-row manifests — validating a re-export costs nothing.
+    */
+  def manifestDiff(base: DataFrame, current: DataFrame): DataFrame = {
+    def pfx(df: DataFrame, p: String) = df.select(col("shard"),
+      col("n_docs").as(s"${p}_docs"), col("n_tokens").as(s"${p}_tokens"),
+      col("checksum").as(s"${p}_checksum"))
+    pfx(base, "base").join(pfx(current, "cur"), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("base_docs").isNull, lit("added"))
+          .when(col("cur_docs").isNull, lit("removed"))
+          .when(col("base_docs") === col("cur_docs") &&
+            col("base_tokens") === col("cur_tokens") &&
+            col("base_checksum") === col("cur_checksum"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        (coalesce(col("cur_docs"), lit(0L)) -
+          coalesce(col("base_docs"), lit(0L))).as("delta_docs"),
+        (coalesce(col("cur_tokens"), lit(0L)) -
+          coalesce(col("base_tokens"), lit(0L))).as("delta_tokens"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4): replace
     * contiguous token spans with numbered sentinel tokens; the target
     * is the sentinel-delimited sequence of removed spans. Fully

@@ -161,6 +161,25 @@ class ExamplesSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("manifestDiff: all four statuses; swap-preserving-counts still flags") {
+    val mk = (rows: Seq[(Long, Long, Long, Long)]) =>
+      rows.toDF("shard", "n_docs", "n_tokens", "checksum")
+    val base = mk(Seq((0L, 5L, 50L, 111L), (1L, 3L, 30L, 222L),
+      (2L, 2L, 20L, 333L), (3L, 1L, 10L, 444L)))
+    // shard 0 unchanged; shard 1 counts equal but checksum moved
+    // (content swap); shard 2 counts moved; shard 3 removed; 4 added
+    val cur = mk(Seq((0L, 5L, 50L, 111L), (1L, 3L, 30L, 999L),
+      (2L, 4L, 44L, 555L), (4L, 7L, 70L, 666L)))
+    val got = Examples.manifestDiff(base, cur)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, "unchanged", 0L, 0L),
+      (1L, "changed", 0L, 0L),        // the checksum catches the swap
+      (2L, "changed", 2L, 24L),
+      (3L, "removed", -1L, -10L),
+      (4L, "added", 7L, 70L)))
+  }
+
   test("mlmMask: null and empty texts contribute no positions") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "   "),
       (3L, "one two three four five six seven eight nine ten"))
