@@ -54,6 +54,14 @@ object AnnIndex {
   case object Ivf extends Family
   case object Pq extends Family
   case object IvfSq8 extends Family
+  /** Projected-shortlist + exact refine (`Projection.projTopKFixed`) —
+    * explicit-override only, like [[Lsh]]: right when a quantizer
+    * refit between rebuilds is unwanted AND the query volume justifies
+    * the dOut-dim scoring scan, but recall needs the exact re-rank
+    * (see the ProjectionSpec gap-vs-noise analysis for shortlist
+    * sizing).
+    */
+  case object Proj extends Family
 
   /** The resolved execution plan: family + the derived parameters the
     * dispatch will pass to the direct call — exposed so callers (and
@@ -64,6 +72,7 @@ object AnnIndex {
       nlist: Int = 0, nprobe: Int = 0,
       m: Int = 0, ks: Int = 0, overfetch: Int = 0,
       tables: Int = 0, planes: Int = 0,
+      dOut: Int = 0, shortlist: Int = 0,
       reason: String)
 
   /** √n clamped to [4, 4096] — the FAISS nlist guideline. */
@@ -97,6 +106,11 @@ object AnnIndex {
         Plan(Pq, m = m, ks = 16, overfetch = 16, reason = reason)
       case IvfSq8 =>
         Plan(IvfSq8, nlist = nlist, nprobe = nprobe, reason = reason)
+      case Proj =>
+        // 2× compression; shortlist sized for the refine to matter —
+        // generous because JL noise 1/√dOut competes with cosine gaps
+        Plan(Proj, dOut = math.max(8, math.min(64, dim / 2)),
+          shortlist = math.max(10 * k, 100), reason = reason)
     }
     family match {
       case Some(f) => plan(f, "caller override")
@@ -146,6 +160,12 @@ object AnnIndex {
     case Pq =>
       Ann.pqTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k,
         m = plan.m, ks = plan.ks, seed = seed, overfetch = plan.overfetch)
+    case Proj =>
+      val dim = corpus.select(size(col(vecCol)).as("__d"))
+        .filter(col("__d") > 0).head().getInt(0)
+      Projection.projTopKFixed(corpus, idCol, vecCol,
+        queries, qIdCol, qVecCol, k,
+        shortlist = plan.shortlist, dIn = dim, dOut = plan.dOut)
     case IvfSq8 =>
       // train the two frozen artifacts the composed operator needs —
       // centroids (bounded-sample KMeans over UNIT vectors, the

@@ -104,6 +104,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(recall >= 0.5, s"facade IVF-SQ8 recall: $recall")
   }
 
+  test("forced Proj dispatch == direct projTopKFixed with the plan's params") {
+    val plan = AnnIndex.choose(2000L, 64, 10, family = Some(AnnIndex.Proj))
+    assert(plan.family === AnnIndex.Proj)
+    assert(plan.dOut === 32 && plan.shortlist === 100)
+    val viaFacade = AnnIndex.run(plan, emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val direct = Projection.projTopKFixed(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, shortlist = 100,
+      dIn = 64, dOut = 32)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(viaFacade === direct)
+    assert(viaFacade.nonEmpty)
+  }
+
   test("dim inference skips null/empty vectors") {
     val withEmpty = emb.select($"vec_id", $"embedding")
       .unionByName(Seq((900000L, Array.empty[Float]))
