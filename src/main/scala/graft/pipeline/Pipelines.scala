@@ -369,4 +369,34 @@ object Pipelines {
       sampled, cfg.shardCol, "doc_id", col("n_tokens"), cfg.seqLen)
     (packed, () => cached.foreach(_.unpersist()))
   }
+
+  /** [[exportTrainingData]]'s result: the curated+packed corpus, the
+    * reproducible shard assignment, the per-shard validation manifest,
+    * and the cache release handle ([[curateCorpusManaged]]'s).
+    */
+  final case class ExportResult(curated: DataFrame, assignment: DataFrame,
+      manifest: DataFrame, release: () => Unit)
+
+  /** The full training-data export in one call: [[curateCorpus]]'s
+    * gate→dedup→decontaminate→pack chain, then the DETERMINISTIC
+    * export layer — hash shard assignment + hash within-shard order
+    * ([[Examples.shardAssign]]) and the per-shard manifest
+    * ([[Examples.shardManifest]]) whose xor checksums validate the
+    * written export without re-reading it (diff two runs with
+    * [[Examples.manifestDiff]]). Composition only — every stage keeps
+    * its own oracle gate; scale shape is the sum of the documented
+    * stage shapes (two corpus shuffles from curation, one shard
+    * window, one nShards-row aggregation).
+    */
+  def exportTrainingData(docs: DataFrame, benchmark: DataFrame,
+      cfg: CurationConfig = CurationConfig(), nShards: Int = 1024,
+      importanceTarget: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None): ExportResult = {
+    val (curated, release) =
+      curateCorpusManaged(docs, benchmark, cfg, importanceTarget, embeddings)
+    ExportResult(curated,
+      Examples.shardAssign(curated, "doc_id", "text", nShards),
+      Examples.shardManifest(curated, "doc_id", "text", nShards),
+      release)
+  }
 }

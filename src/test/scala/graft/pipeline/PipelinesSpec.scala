@@ -414,4 +414,36 @@ class PipelinesSpec extends SparkSpec {
     val after = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(after.isEmpty, s"blocks leaked after release(): $after")
   }
+
+  test("exportTrainingData: curation + shard layer agree end-to-end") {
+    import org.apache.spark.sql.functions._
+    def goodText(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    val docs = ((1 to 20).map(i => (i.toLong, goodText(i), "en",
+      if (i % 2 == 0) "srcA" else "srcB")) :+
+      (21L, goodText(2), "en", "srcB"))                // dup of 2 → dropped
+      .toDF("doc_id", "text", "lang", "source")
+    val benchmark = Seq(goodText(5)).toDF("text")      // doc 5 → dropped
+    val r = Pipelines.exportTrainingData(docs, benchmark,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100), nShards = 4)
+    try {
+      val kept = r.curated.select("doc_id").as[Long].collect().toSet
+      assert(!kept.contains(21L) && !kept.contains(5L) && kept.contains(2L))
+      // assignment is a permutation of the curated set, dense per shard
+      val asg = r.assignment.as[(Long, Long, Long, Long)].collect()
+      assert(asg.map(_._1).toSet === kept)
+      asg.groupBy(_._2).values.foreach { rows =>
+        assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+      }
+      // manifest totals reconcile with the assignment
+      val man = r.manifest.as[(Long, Long, Long, Long)].collect()
+      assert(man.map(_._2).sum === kept.size.toLong)
+      assert(man.map(_._3).sum === asg.map(_._4).sum)
+      // a re-export of the same curated corpus diffs as all-unchanged
+      val again = Examples.shardManifest(r.curated, "doc_id", "text", 4)
+      val diff = Examples.manifestDiff(r.manifest, again)
+        .select("status").as[String].collect().toSet
+      assert(diff === Set("unchanged"))
+    } finally r.release()
+  }
 }
