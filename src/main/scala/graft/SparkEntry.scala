@@ -4044,7 +4044,8 @@ object SparkEntry {
     "q212_stream_manifest" -> (q212 _),
     "q213_gate_funnel" -> (q213 _),
     "q214_cross_family_funnel" -> (q214 _),
-    "q215_manifest_diff" -> (q215 _))
+    "q215_manifest_diff" -> (q215 _),
+    "q216_pmi_collocations" -> (q216 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5546,6 +5547,17 @@ object SparkEntry {
         docs, "doc_id", "text", nShards = 8))
   }
 
+  /** PMI collocation mining ([[graft.text.BigramLm.collocations]]):
+    * phrase/boilerplate association scores from the q211 frozen
+    * counts — a pure function of the model, |bigrams| artifact rows;
+    * the oracle re-derives the counts and replays the ln chain.
+    */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.text.BigramLm.train(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0), "text")
+    graft.text.BigramLm.collocations(s, m)
+  }
+
   private def q214Sql(): String = funnelSql(
     s"""SELECT g.doc_id, g.ok_words, g.ok_stop, e.entropy_ok,
        |       (l.lang_pred = d.lang) AS ok_lang
@@ -6540,6 +6552,7 @@ object SparkEntry {
       nShards = 8,
       baseSrc = "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0",
       curSrc = "SELECT doc_id, text FROM documents"),
+    "q216_pmi_collocations" -> graft.oracle.BigramLmOracles.q216Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -16,11 +16,13 @@ object BigramLmOracles {
   private val wordsExpr =
     """list_filter(string_split_regex(trim(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))), '\s+'), x -> len(x) > 0)"""
 
-  def q211Sql(vocabSize: Int = 1024, maxBigrams: Int = 4096,
-      trainWhere: String = "WHERE doc_id % 2 = 0",
-      headBelowFp: Long, midBelowFp: Long): String =
-    s"""WITH
-       |tws AS (SELECT doc_id, $wordsExpr AS ws FROM documents $trainWhere),
+  /** The frozen-model training replay shared by q211 and q216:
+    * top-V vocab, mapped positions, unigram counts, totals, top-B
+    * bigram counts (CTEs tws/rawc/voc/tpos/uni/tot/vsz/big).
+    */
+  private def trainCtes(vocabSize: Int, maxBigrams: Int,
+      trainWhere: String): String =
+    s"""tws AS (SELECT doc_id, $wordsExpr AS ws FROM documents $trainWhere),
        |rawc AS (SELECT w, count(*) AS c
        |         FROM (SELECT unnest(ws) AS w FROM tws) GROUP BY 1),
        |voc AS MATERIALIZED (
@@ -39,7 +41,13 @@ object BigramLmOracles {
        |  FROM (SELECT a.mw || ' ' || b.mw AS b
        |        FROM tpos a JOIN tpos b
        |          ON b.doc_id = a.doc_id AND b.i = a.i + 1)
-       |  GROUP BY 1 ORDER BY c DESC, b LIMIT $maxBigrams),
+       |  GROUP BY 1 ORDER BY c DESC, b LIMIT $maxBigrams)""".stripMargin
+
+  def q211Sql(vocabSize: Int = 1024, maxBigrams: Int = 4096,
+      trainWhere: String = "WHERE doc_id % 2 = 0",
+      headBelowFp: Long, midBelowFp: Long): String =
+    s"""WITH
+       |${trainCtes(vocabSize, maxBigrams, trainWhere)},
        |dws AS (SELECT doc_id, $wordsExpr AS ws FROM documents),
        |dpos AS MATERIALIZED (
        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
@@ -76,4 +84,32 @@ object BigramLmOracles {
        |                 < $midBelowFp THEN 'middle'
        |            ELSE 'tail' END AS ppl_bucket
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** q216: PMI collocations over the same frozen counts —
+    * floor(ln(c_ab·N / (c_a·c_b))·1e6) for retained non-`<unk>`
+    * bigrams with c_ab ≥ minCount, ranked (pmi desc, w1, w2).
+    */
+  def q216Sql(vocabSize: Int = 1024, maxBigrams: Int = 4096,
+      trainWhere: String = "WHERE doc_id % 2 = 0",
+      minCount: Long = 5L): String =
+    s"""WITH
+       |${trainCtes(vocabSize, maxBigrams, trainWhere)},
+       |pairs AS (
+       |  SELECT string_split(b, ' ')[1] AS w1,
+       |         string_split(b, ' ')[2] AS w2, c AS n_pair
+       |  FROM big
+       |  WHERE c >= $minCount AND string_split(b, ' ')[1] <> '<unk>'
+       |    AND string_split(b, ' ')[2] <> '<unk>'),
+       |sc AS (
+       |  SELECT p.w1, p.w2, p.n_pair,
+       |         CAST(floor(ln(CAST(p.n_pair AS DOUBLE) * tot.n /
+       |           (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) * 1000000.0)
+       |           AS BIGINT) AS pmi_fp
+       |  FROM pairs p JOIN uni u1 ON u1.w = p.w1
+       |               JOIN uni u2 ON u2.w = p.w2
+       |  CROSS JOIN tot)
+       |SELECT w1, w2, n_pair, pmi_fp,
+       |       CAST(row_number() OVER (ORDER BY pmi_fp DESC, w1, w2)
+       |         AS BIGINT) AS rank
+       |FROM sc""".stripMargin
 }

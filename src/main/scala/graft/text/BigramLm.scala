@@ -67,6 +67,40 @@ object BigramLm {
     Model(uni, bi, uni.map(_._2).sum, vocab.size + 1)
   }
 
+  /** PMI collocation mining over the frozen counts (the Gensim
+    * Phrases / NPMI shape): for every retained bigram with
+    * c_ab ≥ `minCount`, pmi_fp = floor(ln(c_ab·N / (c_a·c_b))·1e6) —
+    * the association score that surfaces multiword units for
+    * tokenizer/vocab induction and templated-boilerplate detection.
+    * Pure function of the model (no corpus pass): |bigrams| rows of
+    * driver-side arithmetic parallelized as a local relation, ranked
+    * (pmi desc, bigram asc). `<unk>`-containing bigrams are excluded
+    * (their counts aggregate unrelated words).
+    */
+  def collocations(spark: org.apache.spark.sql.SparkSession, m: Model,
+      minCount: Long = 5L): DataFrame = {
+    import spark.implicits._
+    val uni = m.unigrams.toMap
+    val rows = m.bigrams.iterator.collect {
+      case (key, cAb) if cAb >= minCount =>
+        val Array(w1, w2) = key.split(" ", 2) match {
+          case a if a.length == 2 => a
+          case a => Array(a.head, "")
+        }
+        (w1, w2, cAb)
+    }.filter(r => r._1 != Unk && r._2 != Unk && r._2.nonEmpty)
+      .map { case (w1, w2, cAb) =>
+        val pmi = math.floor(math.log(
+          cAb.toDouble * m.total.toDouble /
+            (uni(w1).toDouble * uni(w2).toDouble)) * 1e6).toLong
+        (w1, w2, cAb, pmi)
+      }.toSeq
+    rows.toDF("w1", "w2", "n_pair", "pmi_fp")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))).cast("long"))
+  }
+
   /** Score every document: positions 1..n−1 charge
     * floor(−ln(λ·p_bi + (1−λ)·p_uni)·1e6) under the frozen counts
     * (Laplace: p_uni = (c_w+1)/(N+V), p_bi = (c_{w1w2}+1)/(c_{w1}+V));

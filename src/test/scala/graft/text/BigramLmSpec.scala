@@ -45,6 +45,31 @@ class BigramLmSpec extends SparkSpec {
     assert(got(1L)._2 === 5L)
   }
 
+  test("collocations: hand-computed PMI; min-count and <unk> filters") {
+    // "new york" always adjacent (strong collocation); "the" everywhere
+    val docs = (1L to 20L)
+      .map(i => (i, s"the new york office of the w$i group"))
+      .toDF("doc_id", "text")
+    val m = BigramLm.train(docs, "text", vocabSize = 6, maxBigrams = 64)
+    val got = BigramLm.collocations(spark, m, minCount = 5L)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // no <unk> bigrams; all pairs meet the count floor
+    got.keys.foreach { case (a, b) =>
+      assert(a != BigramLm.Unk && b != BigramLm.Unk)
+    }
+    assert(got.values.forall(_._3 >= 5L))
+    // hand-check: pmi(new,york) = ln(c_ab*N/(c_a*c_b)), c=20, N=160
+    val uni = m.unigrams.toMap
+    val expect = math.floor(math.log(
+      20.0 * m.total / (uni("new").toDouble * uni("york").toDouble)) * 1e6)
+      .toLong
+    assert(got(("new", "york"))._4 === expect)
+    // the adjacent-always pair outranks the promiscuous "the"-pairs
+    val ranks = got.map { case (k, v) => k -> v._5 }
+    assert(ranks(("new", "york")) < ranks(("of", "the")))
+  }
+
   test("perplexity: deterministic under repartition; thresholds validated") {
     val m = BigramLm.train(train, "text")
     val docs = (1L to 30L).map(i => (i, s"the cat sat token$i on the mat"))
