@@ -1069,6 +1069,26 @@ object Dedup {
     } finally cur.release()
   }
 
+  /** Incremental connected components: fold a batch of NEW near-dup
+    * pairs into an EXISTING (id, cluster_id) labeling without
+    * re-deriving pairs for the old corpus — the cluster-level member
+    * of the incremental-dedup family ([[dedupAgainstIndex]] is the
+    * pair-level one). The previous labeling is already a star forest
+    * (each id → its component min), so it re-enters [[clustersStar]]
+    * as |ids| edges; new pairs can only merge existing stars or add
+    * new nodes, and star rounds over a mostly-star graph converge in
+    * O(1) rounds. Equivalent to a full recompute over (old pairs ∪
+    * new pairs) — spec-asserted — because min-label closure is
+    * associative over edge unions.
+    */
+  def clustersStarIncremental(labels: DataFrame,
+      newPairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIterations: Int = 50): DataFrame =
+    clustersStar(
+      labels.select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+        .unionAll(newPairs.select(col(idA).as("id_a"), col(idB).as("id_b"))),
+      maxIterations = maxIterations)
+
   /** One surviving id per duplicate cluster (the min); docs not in any
     * pair are implicitly their own survivors.
     */

@@ -405,6 +405,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.clustersStar(pairs).count() === 0L)
   }
 
+  test("clustersStarIncremental == full recompute over the pair union") {
+    val rnd = new scala.util.Random(41)
+    val n = 50
+    val oldPairs = (1 to 40)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val newPairs = (1 to 25) // overlaps old ids AND introduces new ones
+      .map(_ => (rnd.nextInt(2 * n).toLong, rnd.nextInt(2 * n).toLong))
+    val labels = Dedup.clustersStar(oldPairs.toDF("id_a", "id_b"))
+    val inc = Dedup.clustersStarIncremental(labels,
+        newPairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.clustersStar((oldPairs ++ newPairs).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    // a merging pair actually merges: all members share the new min
+    val merged = Dedup.clustersStarIncremental(
+      Seq((10L, 10L), (20L, 20L), (30L, 30L)).toDF("id", "cluster_id")
+        .select(col("id"), col("cluster_id")),
+      Seq((10L, 20L), (20L, 30L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged === Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
+  }
+
   test("clusterSurvivors keeps min id per cluster plus all unpaired docs") {
     val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
