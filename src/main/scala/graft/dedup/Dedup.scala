@@ -1058,11 +1058,16 @@ object Dedup {
         System.err.println(s"[graft] Dedup.clustersStar: not converged " +
           s"after $maxIterations rounds — raise maxIterations")
       // fixed point is a star forest: every non-root edge is
-      // (member, component min); roots are the ids never on the hi side
+      // (member, component min); roots are the ids never on the hi side.
+      // min(lo) per hi keeps the labeling one-row-per-id even if the
+      // round budget ran out before the star fixed point (where the
+      // relation could still hold several (hi, lo) edges per id); at
+      // the fixed point it is a no-op map-side-combinable agg.
+      val roots = cur.df.groupBy(col("hi")).agg(min(col("lo")).as("root"))
+        .select(col("hi").as("id"), col("root"))
       val nodes = pairs.select(col(idA).as("id"))
         .unionAll(pairs.select(col(idB).as("id"))).distinct()
-      nodes.join(cur.df.select(col("hi").as("id"), col("lo").as("root")),
-          Seq("id"), "left_outer")
+      nodes.join(roots, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("root"), col("id")).as("cluster_id"))
         .localCheckpoint(true)
@@ -1091,9 +1096,18 @@ object Dedup {
 
   /** One surviving id per duplicate cluster (the min); docs not in any
     * pair are implicitly their own survivors.
+    *
+    * Components come from [[clustersStar]] (O(log² n) rounds on any
+    * shape) rather than min-label [[clusters]] (O(diameter)): this is
+    * the entry the batch pipelines route through, and at 100 TB the
+    * component shape — chains of pairwise-similar revisions, template
+    * families — is not under our control. Both produce the identical
+    * labeling (cluster_id = component min), so survivors are unchanged;
+    * [[clusters]] stays as the fast path for per-micro-batch graphs
+    * ([[dedupBatchThenIndex]]) where components are provably shallow.
     */
   def clusterSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val cl = clusters(pairs)
+    val cl = clustersStar(pairs)
     docs.join(cl.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
       .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .drop("cluster_id")

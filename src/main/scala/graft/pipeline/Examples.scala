@@ -88,11 +88,22 @@ object Examples {
       .filter(pmod(decision("m"), lit(1000000L)) < maskRateFp)
       .withColumn("act", pmod(decision("a"), lit(10L)))
       .withColumn("ridx", pmod(decision("r"), lit(vocabSize)))
+    // a random-corruption row whose hash index misses the artifact can
+    // only mean the caller's vocabSize disagrees with the artifact's
+    // real count (the modulus at line `ridx` above) — fail loudly at
+    // execution time instead of silently emitting NULL input_token;
+    // raise_error only evaluates when the lookup actually missed, so
+    // the consistent case is untouched (and it works on streams, where
+    // a driver-side count assert is illegal)
+    val replacement = coalesce(col("vtok"), raise_error(concat(
+      lit("mlmMaskWithVocab: replacement index "), col("ridx"),
+      lit(s" missing from the vocab artifact — vocabSize ($vocabSize) " +
+        "must equal the artifact's row count"))))
     selected
       .join(broadcast(vocab), selected("ridx") === vocab("vidx"), "left_outer")
       .select(col("doc_id"), col("pos"), col("tok").as("orig_token"),
         when(col("act") < 8, lit(maskToken))
-          .when(col("act") === 8, col("vtok"))
+          .when(col("act") === 8, replacement)
           .otherwise(col("tok")).as("input_token"),
         when(col("act") < 8, lit("mask"))
           .when(col("act") === 8, lit("random"))

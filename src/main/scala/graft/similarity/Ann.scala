@@ -718,20 +718,23 @@ object Ann {
     // before returning (every step's expansion is re-checkpointed)
     val gCp = DatasetBridge.localCheckpointFresh(
       graph.select(col("vec_id"), col("neighbor_id")))
-    val q = fixedUnitVectors(queries, qIdCol, qVecCol)
-      .select(col("id").as("query_id"), col("vf").as("qf"))
-    val entries = vectors.filter(col("id").isin(entryIds: _*))
-      .select(col("id").as("node"), col("vf"))
-    var visitedCp = DatasetBridge.localCheckpointFresh(
-      noSelf(q.crossJoin(broadcast(entries)))
-        .select(col("query_id"), col("qf"), col("node"),
-          dotFp(col("vf"), col("qf")).as("score_fp")))
     // null frontier handle = frontier IS visited (step 0) — tracked
     // separately so each generation releases once the next
     // materializes (the hitsFixed discipline); without the releases,
-    // 2·steps checkpoint generations accumulate per call
+    // 2·steps checkpoint generations accumulate per call. Both handles
+    // start null and materialize INSIDE the try, so a failure during
+    // the initial visited build still releases gCp in the finally.
+    var visitedCp: DatasetBridge.FreshCheckpoint = null
     var frontierCp: DatasetBridge.FreshCheckpoint = null
     try {
+      val q = fixedUnitVectors(queries, qIdCol, qVecCol)
+        .select(col("id").as("query_id"), col("vf").as("qf"))
+      val entries = vectors.filter(col("id").isin(entryIds: _*))
+        .select(col("id").as("node"), col("vf"))
+      visitedCp = DatasetBridge.localCheckpointFresh(
+        noSelf(q.crossJoin(broadcast(entries)))
+          .select(col("query_id"), col("qf"), col("node"),
+            dotFp(col("vf"), col("qf")).as("score_fp")))
       val wBeam = Window.partitionBy(col("query_id"))
         .orderBy(col("score_fp").desc, col("node"))
       for (_ <- 1 to steps) {
@@ -767,7 +770,7 @@ object Ann {
           col("rank"), col("score_fp"))
       // final visited stays checkpointed — it backs the returned frame
     } catch { case t: Throwable =>
-      visitedCp.release()
+      if (visitedCp != null) visitedCp.release()
       throw t
     } finally {
       gCp.release()

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Unified ANN entry point — ONE call that picks the family
@@ -127,19 +127,46 @@ object AnnIndex {
     }
   }
 
+  /** Vector dim from the first non-empty vector; None when the corpus
+    * is empty or every vector is null/empty (the caller decides — a
+    * clear error or the empty-result fast path, never a bare
+    * NoSuchElementException out of `.head()`).
+    */
+  private def dimOf(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol)).as("__d")).filter(col("__d") > 0)
+      .take(1).headOption.map(_.getInt(0))
+
+  private def dimOrFail(df: DataFrame, vecCol: String, who: String): Int =
+    dimOf(df, vecCol).getOrElse(throw new IllegalArgumentException(
+      s"AnnIndex.$who: corpus has no non-empty '$vecCol' vector — " +
+        "cannot infer dim"))
+
   /** One-call ANN top-k: resolve the [[Plan]] from the corpus itself
     * (one count + one head row for dim) and dispatch to the direct
     * operator with the derived parameters.
+    *
+    * `statsHint` ≥ 0 supplies the corpus row count and skips the
+    * planning `count()` scan — pass it when the caller already knows n
+    * (a manifest, a catalog stat, a previous pass); the resolved plan
+    * is identical. An empty corpus (or one whose vectors are all
+    * null/empty) returns the Brute branch's empty result frame rather
+    * than failing the dim probe.
     */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       memoryBudgetBytes: Long = Long.MaxValue, seed: Long = 42L,
-      family: Option[Family] = None): DataFrame = {
-    val n = corpus.count()
-    val dim = corpus.select(size(col(vecCol)).as("__d"))
-      .filter(col("__d") > 0).head().getInt(0)
-    run(choose(n, dim, k, memoryBudgetBytes, family),
-      corpus, idCol, vecCol, queries, qIdCol, qVecCol, k, seed)
+      family: Option[Family] = None, statsHint: Long = -1L): DataFrame = {
+    val n = if (statsHint >= 0L) statsHint else corpus.count()
+    dimOf(corpus, vecCol) match {
+      case None =>
+        // no scorable vectors: every family returns zero neighbors;
+        // brute force needs no dim and carries the contract schema
+        run(choose(0L, 1, k, memoryBudgetBytes, Some(Brute)),
+          corpus, idCol, vecCol, queries, qIdCol, qVecCol, k, seed)
+      case Some(dim) =>
+        run(choose(n, dim, k, memoryBudgetBytes, family),
+          corpus, idCol, vecCol, queries, qIdCol, qVecCol, k, seed)
+    }
   }
 
   /** Execute a resolved [[Plan]] — exposed so the equivalence specs
@@ -161,8 +188,7 @@ object AnnIndex {
       Ann.pqTopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k,
         m = plan.m, ks = plan.ks, seed = seed, overfetch = plan.overfetch)
     case Proj =>
-      val dim = corpus.select(size(col(vecCol)).as("__d"))
-        .filter(col("__d") > 0).head().getInt(0)
+      val dim = dimOrFail(corpus, vecCol, "run(Proj)")
       Projection.projTopKFixed(corpus, idCol, vecCol,
         queries, qIdCol, qVecCol, k,
         shortlist = plan.shortlist, dIn = dim, dOut = plan.dOut)
@@ -173,8 +199,7 @@ object AnnIndex {
       // per-dimension SQ8 bounds (one aggregate pass)
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val dim = corpus.select(size(col(vecCol)).as("__d"))
-        .filter(col("__d") > 0).head().getInt(0)
+      val dim = dimOrFail(corpus, vecCol, "run(IvfSq8)")
       val c = Ann.normalized(corpus.select(
         transform(col(vecCol), x => x.cast("double")).as("v")))
         .select(array_to_vector(col("v")).as("__fv"))
@@ -191,5 +216,130 @@ object AnnIndex {
       val (mins, maxs) = Ann.sq8Bounds(corpus, idCol, vecCol, dim)
       Ann.ivfSq8TopK(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k,
         centroids, plan.nprobe, mins, maxs)
+  }
+
+  // ------------- persistent lifecycle (build-once / probe-many) ------
+  //
+  // [[topK]] is the convenience path: it resolves AND trains per call,
+  // which is the wrong cost model for a standing index at 100 TB. The
+  // named lifecycle routes the same decision table to the catalog-table
+  // index objects — [[IvfIndex]] / [[PqIndex]] — so the quantizer fit
+  // and the corpus encode/assignment pass run ONCE, new vectors fold in
+  // append-only under the frozen quantizer, and every later session
+  // probes by name with zero retraining. A one-row `<name>_meta` table
+  // records the family and derived parameters, so probe/refresh need no
+  // re-planning (and no corpus scan) either.
+
+  private def metaTable(name: String): String = name + "_meta"
+
+  private def familyTag(f: Family): String = f match {
+    case Ivf => "ivf"
+    case Pq => "pq"
+    case other => throw new IllegalArgumentException(
+      s"AnnIndex: no persistent lifecycle for family $other")
+  }
+
+  /** Build a persistent index under `name`. The decision table is the
+    * [[choose]] one restricted to the families with catalog lifecycles:
+    * IVF when the scoring vectors fit `memoryBudgetBytes` (and also
+    * when they don't but dim has no PQ subspace divisor — uncompressed
+    * lists are the only persistent option there), PQ otherwise. There
+    * is no Brute tier: a caller building a named index has declared
+    * probe-many intent, and an IVF fit over a small corpus is cheap.
+    *
+    * Materializes the family's tables plus `<name>_meta`, and returns
+    * the resolved [[Plan]] for logging/spec purposes. `statsHint` ≥ 0
+    * skips the planning count scan, as in [[topK]].
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, name: String,
+      memoryBudgetBytes: Long = Long.MaxValue, seed: Long = 42L,
+      statsHint: Long = -1L): Plan = {
+    val spark = corpus.sparkSession
+    val n = if (statsHint >= 0L) statsHint else corpus.count()
+    val dim = dimOrFail(corpus, vecCol, "build")
+    val nlist = nlistFor(n)
+    val nprobe = math.min(nlist, math.max(4, nlist / 4))
+    val m = pqMFor(dim)
+    val fits = n * dim.toLong * 8L <= memoryBudgetBytes
+    val plan =
+      if (fits)
+        Plan(Ivf, nlist = nlist, nprobe = nprobe,
+          reason = "persistent: vectors fit budget — IVF lists")
+      else if (m > 0)
+        Plan(Pq, m = m, ks = 16, overfetch = 16,
+          reason = "persistent: vectors exceed budget — PQ codes")
+      else
+        Plan(Ivf, nlist = nlist, nprobe = nprobe,
+          reason = s"persistent: vectors exceed budget but dim=$dim has " +
+            "no PQ divisor — IVF is the only persistent family")
+    plan.family match {
+      case Ivf =>
+        IvfIndex.build(corpus, idCol, vecCol, name,
+          nlist = plan.nlist, seed = seed)
+      case Pq =>
+        PqIndex.build(corpus, idCol, vecCol, name,
+          m = plan.m, ks = plan.ks, seed = seed)
+      case _ => // unreachable by construction
+    }
+    import spark.implicits._
+    Seq((familyTag(plan.family), plan.nlist, plan.nprobe,
+        plan.m, plan.ks, plan.overfetch))
+      .toDF("family", "nlist", "nprobe", "m", "ks", "overfetch")
+      .coalesce(1).write.format("parquet")
+      .mode("overwrite").saveAsTable(metaTable(name))
+    plan
+  }
+
+  /** Reload the resolved plan a [[build]] recorded under `name`. */
+  def planOf(spark: SparkSession, name: String): Plan = {
+    val r = spark.table(metaTable(name)).head()
+    val f = r.getString(0) match {
+      case "ivf" => Ivf
+      case "pq" => Pq
+      case other => throw new IllegalStateException(
+        s"AnnIndex: unknown family '$other' in ${metaTable(name)}")
+    }
+    Plan(f, nlist = r.getInt(1), nprobe = r.getInt(2),
+      m = r.getInt(3), ks = r.getInt(4), overfetch = r.getInt(5),
+      reason = s"loaded from ${metaTable(name)}")
+  }
+
+  /** Probe a [[build]]-persisted index by name: dispatches on the
+    * recorded family with the recorded parameters — the probe-many
+    * half of the lifecycle, no count scan, no retraining. Same
+    * (query_id, neighbor_id, rank, cos_sim) contract as [[topK]].
+    */
+  def probe(spark: SparkSession, name: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val plan = planOf(spark, name)
+    plan.family match {
+      case Ivf => IvfIndex.probe(spark, name, queries, qIdCol, qVecCol,
+        k, nprobe = plan.nprobe)
+      case Pq => PqIndex.probe(spark, name, queries, qIdCol, qVecCol,
+        k, overfetch = plan.overfetch)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Fold new vectors into the named index under its FROZEN quantizer
+    * (assign to centroids / encode against codebooks) — O(batch),
+    * nothing existing re-read; the standard FAISS add-after-train
+    * ingest path. Re-leveling after drift is the underlying object's
+    * `rebuild`.
+    */
+  def refresh(newVecs: DataFrame, idCol: String, vecCol: String,
+      name: String): Unit =
+    planOf(newVecs.sparkSession, name).family match {
+      case Ivf => IvfIndex.refresh(newVecs, idCol, vecCol, name)
+      case Pq => PqIndex.refresh(newVecs, idCol, vecCol, name)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+
+  /** Drop the named index: the family's tables plus the meta row. */
+  def dropIndex(spark: SparkSession, name: String): Unit = {
+    IvfIndex.drop(spark, name)
+    PqIndex.drop(spark, name)
+    spark.sql(s"DROP TABLE IF EXISTS ${metaTable(name)}")
   }
 }

@@ -50,8 +50,10 @@ object BigramLm {
       .groupBy("w").agg(count(lit(1)).as("c"))
     val vocab = raw.orderBy(col("c").desc, col("w"))
       .limit(vocabSize).collect().map(r => r.getString(0)).toSet
-    val vocabLit = typedLit(vocab.toSeq.sorted)
-    def mapped(c: Column) = when(array_contains(vocabLit, c), c)
+    // membership as a literal-map null-test: O(1) per token where the
+    // previous array_contains scanned the whole vocab per occurrence
+    val vocabMap = typedLit(vocab.iterator.map(_ -> 1).toMap)
+    def mapped(c: Column) = when(element_at(vocabMap, c).isNotNull, c)
       .otherwise(lit(Unk))
     val mappedWords = ws.select(transform(col("ws"), w => mapped(w)).as("ms"))
     val uni = mappedWords.select(explode(col("ms")).as("w"))
@@ -115,10 +117,13 @@ object BigramLm {
       s"head threshold $headBelowFp must be below middle $midBelowFp")
     val uniMap = typedLit(m.unigrams.toMap)
     val biMap = typedLit(m.bigrams.toMap)
-    val vocabLit = typedLit(m.unigrams.map(_._1).filter(_ != Unk).sorted)
+    // O(1) membership via literal-map null-test (same map family as
+    // uniMap/biMap below) instead of an O(|vocab|) array scan per token
+    val vocabMap = typedLit(
+      m.unigrams.iterator.map(_._1).filter(_ != Unk).map(_ -> 1).toMap)
     val nDouble = lit(m.total.toDouble)
     val vDouble = lit(m.vSize.toDouble)
-    def mapped(c: Column) = when(array_contains(vocabLit, c), c)
+    def mapped(c: Column) = when(element_at(vocabMap, c).isNotNull, c)
       .otherwise(lit(Unk))
     val ms = transform(wordsOf(col(textCol)), w => mapped(w))
     def cnt(map: Column, key: Column) =

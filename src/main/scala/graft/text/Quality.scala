@@ -181,11 +181,18 @@ object Quality {
           .as(s"__sv_$i"))
     }
     val row = gates.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = ruleCols.zipWithIndex.map { case (rc, i) =>
-      s"CAST($i AS BIGINT), '$rc', __ft_$i, __ff_$i, __sv_$i"
-    }.mkString(", ")
-    row.selectExpr(s"stack(${ruleCols.size}, $stackExpr) AS " +
-      "(stage, rule, n_fail_total, n_first_fail, survivors_after)")
+    // typed unpivot (explode of struct literals) rather than a spliced
+    // stack() selectExpr, so rule names with quotes/spaces/backticks
+    // can never break parsing or mis-label rows
+    val unpivoted = explode(array(ruleCols.zipWithIndex.map { case (rc, i) =>
+      struct(lit(i.toLong).as("stage"), lit(rc).as("rule"),
+        col(s"__ft_$i").as("n_fail_total"),
+        col(s"__ff_$i").as("n_first_fail"),
+        col(s"__sv_$i").as("survivors_after"))
+    }: _*))
+    row.select(unpivoted.as("r")).select(
+      col("r.stage"), col("r.rule"), col("r.n_fail_total"),
+      col("r.n_first_fail"), col("r.survivors_after"))
   }
 
   private def gopherWordCount(text: Column): Column =

@@ -436,6 +436,31 @@ class DedupSpec extends SparkSpec {
     assert(surv === Seq(1L, 3L, 5L, 6L))
   }
 
+  test("clusterSurvivors routes through star CC: a 300-node chain " +
+    "component resolves within the default round budget") {
+    // min-label propagation needs ~299 rounds here and would return an
+    // UPPER approximation under any sane cap — the star routing is what
+    // makes pathological component shapes safe for the batch pipelines
+    val docs = ((0L to 299L) :+ 1000L).map(i => (i, s"d$i"))
+      .toDF("doc_id", "text")
+    val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val surv = Dedup.clusterSurvivors(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(surv === Seq(0L, 1000L))
+  }
+
+  test("clustersStar: an exhausted round budget still yields one " +
+    "consistent row per id") {
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clustersStar(pairs, maxIterations = 1)
+      .as[(Long, Long)].collect()
+    // not converged — but the labeling must be a function: one row per
+    // id, label <= id (labels only ever move down toward the min)
+    assert(got.length === 200)
+    assert(got.map(_._1).distinct.length === 200)
+    assert(got.forall { case (id, cl) => cl <= id })
+  }
+
   test("ngramJaccardPairs respects blocking") {
     val docs = Seq(
       (1L, "srcA", "one two three four five six seven"),

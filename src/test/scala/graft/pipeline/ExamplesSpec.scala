@@ -180,6 +180,26 @@ class ExamplesSpec extends SparkSpec {
       (4L, "added", 7L, 70L)))
   }
 
+  test("mlmMaskWithVocab: a vocabSize that disagrees with the artifact " +
+    "fails loudly instead of emitting NULL input_token") {
+    val vocab = Examples.mlmVocab(corpus, "doc_id", "text")
+    val n = vocab.count()
+    // consistent size: clean run
+    assert(Examples.mlmMaskWithVocab(corpus, "doc_id", "text", vocab, n)
+      .count() > 0L)
+    // inflated modulus: most random-replacement indexes miss the
+    // artifact — the raise_error fires at execution time
+    val ex = intercept[Exception] {
+      Examples.mlmMaskWithVocab(corpus, "doc_id", "text", vocab,
+        n * 1000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("vocab artifact")),
+      s"unexpected error chain: ${messages(ex).mkString(" | ")}")
+  }
+
   test("mlmMask: null and empty texts contribute no positions") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "   "),
       (3L, "one two three four five six seven eight nine ten"))

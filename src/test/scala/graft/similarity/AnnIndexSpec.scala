@@ -127,4 +127,73 @@ class AnnIndexSpec extends SparkSpec {
       q, "vec_id", "embedding", k = 5)
     assert(rows(got).nonEmpty)
   }
+
+  test("empty / all-empty corpus: topK falls back to brute instead of " +
+    "crashing the dim probe") {
+    val empty = emb.filter($"vec_id" < 0)
+    val got = AnnIndex.topK(empty, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5)
+    assert(got.columns.toSeq
+      === Seq("query_id", "neighbor_id", "rank", "cos_sim"))
+    assert(got.count() === 0L)
+    // all-empty vectors: no dim to infer — the brute fallback scores
+    // them as degenerate zero-cosine rows (bruteForceTopK's existing
+    // contract) rather than throwing NoSuchElementException
+    val allEmpty = Seq((1L, Array.empty[Float]), (2L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val degenerate = AnnIndex.topK(allEmpty, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5)
+    assert(degenerate.columns.toSeq
+      === Seq("query_id", "neighbor_id", "rank", "cos_sim"))
+    assert(degenerate.count() >= 0L) // materializes without throwing
+  }
+
+  test("statsHint skips the count scan but resolves the identical plan") {
+    val n = emb.count()
+    val hinted = rows(AnnIndex.topK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, statsHint = n))
+    val counted = rows(AnnIndex.topK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10))
+    assert(hinted === counted)
+  }
+
+  test("persistent lifecycle: roomy budget builds IVF; probe == IvfIndex.probe") {
+    val name = "graft_annix_ivf_t"
+    AnnIndex.dropIndex(spark, name)
+    try {
+      val plan = AnnIndex.build(emb, "vec_id", "embedding", name, seed = 7L)
+      assert(plan.family === AnnIndex.Ivf)
+      val loaded = AnnIndex.planOf(spark, name)
+      assert(loaded.family === AnnIndex.Ivf)
+      assert(loaded.nlist === plan.nlist && loaded.nprobe === plan.nprobe)
+      val viaFacade = rows(AnnIndex.probe(spark, name,
+        q, "vec_id", "embedding", k = 10))
+      val direct = rows(IvfIndex.probe(spark, name,
+        q, "vec_id", "embedding", 10, nprobe = plan.nprobe))
+      assert(viaFacade === direct)
+      assert(viaFacade.nonEmpty)
+    } finally AnnIndex.dropIndex(spark, name)
+  }
+
+  test("persistent lifecycle: tight budget builds PQ; refresh folds new vectors in") {
+    val name = "graft_annix_pq_t"
+    AnnIndex.dropIndex(spark, name)
+    try {
+      val base = emb.filter($"vec_id" % 2 === 0)
+      val plan = AnnIndex.build(base, "vec_id", "embedding", name,
+        memoryBudgetBytes = 8L, seed = 7L)
+      assert(plan.family === AnnIndex.Pq)
+      val before = rows(AnnIndex.probe(spark, name,
+        q, "vec_id", "embedding", k = 10))
+      assert(before.nonEmpty)
+      // probe-many is frozen-artifact: no odd id can appear yet
+      assert(before.forall(_._2 % 2 == 0))
+      AnnIndex.refresh(emb.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", name)
+      val after = rows(AnnIndex.probe(spark, name,
+        q, "vec_id", "embedding", k = 10))
+      // the folded half is now retrievable under the frozen codebooks
+      assert(after.exists(_._2 % 2 == 1))
+    } finally AnnIndex.dropIndex(spark, name)
+  }
 }

@@ -161,4 +161,14 @@ class QualitySpec extends SparkSpec {
       Quality.gateFunnel(gates, Seq.empty)
     }
   }
+
+  test("gateFunnel: rule names with quotes/spaces label rows verbatim " +
+    "(typed unpivot, no SQL splicing)") {
+    import spark.implicits._
+    val hostile = "it's a % weird ''rule"
+    val gates = Seq((1L, true), (2L, false)).toDF("doc_id", hostile)
+    val got = Quality.gateFunnel(gates, Seq(hostile))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, hostile, 1L, 1L, 1L)))
+  }
 }
