@@ -4045,7 +4045,11 @@ object SparkEntry {
     "q213_gate_funnel" -> (q213 _),
     "q214_cross_family_funnel" -> (q214 _),
     "q215_manifest_diff" -> (q215 _),
-    "q216_pmi_collocations" -> (q216 _))
+    "q216_pmi_collocations" -> (q216 _),
+    "q217_cc_incremental" -> (q217 _),
+    "q218_stream_cc_labels" -> (q218 _),
+    "q219_export_pipeline" -> (q219 _),
+    "q220_bigram_funnel" -> (q220 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5558,6 +5562,210 @@ object SparkEntry {
     graft.text.BigramLm.collocations(s, m)
   }
 
+  /** Incremental connected components
+    * ([[graft.dedup.Dedup.clustersStarIncremental]]): q202's labeling
+    * re-derived as a two-slice FOLD — label the even-hash half of the
+    * near-dup pairs first, then fold the odd-hash half into that
+    * existing labeling without re-deriving the old pairs. Min-label
+    * closure is associative over edge unions, so the fold equals the
+    * full recompute exactly — which is what sharing q202's
+    * recursive-CTE oracle proves. The cluster-level member of the
+    * incremental dedup family (pairs fold via `dedupAgainstIndex`;
+    * labels fold here).
+    */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.minHashPairs(docsWithNearDups(s, dir),
+      "doc_id", "text", shingleK = 5, bands = 16, rowsPerBand = 4,
+      threshold = 0.5).localCheckpoint(true)
+    val parity = pmod(xxhash64(col("id_a"), col("id_b")), lit(2L))
+    val labels = graft.dedup.Dedup.clustersStar(pairs.filter(parity === 0))
+    graft.dedup.Dedup.clustersStarIncremental(labels,
+        pairs.filter(parity === 1))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Streaming twin of q217 — the labels TABLE fold: near-dup pairs
+    * arrive as ordered micro-batches (the q95 staging) and foreachBatch
+    * folds each batch into a persistent (id, cluster_id) catalog table
+    * via [[graft.dedup.Dedup.clustersStarIncremental]] — the previous
+    * labeling re-enters as |ids| star edges, so the per-batch work is
+    * O(labels + batch) with O(1) star rounds on the mostly-star graph,
+    * never a re-derivation of old pairs. Fold associativity makes the
+    * final table equal the batch recompute over all pairs: shares
+    * q202's oracle verbatim (the q212 merge-commutativity pattern).
+    */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val pairs = graft.dedup.Dedup.minHashPairs(docsWithNearDups(s, dir),
+      "doc_id", "text", shingleK = 5, bands = 16, rowsPerBand = 4,
+      threshold = 0.5).select("id_a", "id_b").localCheckpoint(true)
+    val parity = pmod(xxhash64(col("id_a"), col("id_b")), lit(2L))
+    val stream = stageOrderedBatches(s, scratchDir("stream_cc_labels"),
+      StructType(Seq(
+        StructField("id_a", LongType), StructField("id_b", LongType))),
+      Seq(pairs.filter(parity === 0), pairs.filter(parity === 1)))
+    val tbl = s"graft_cc_labels_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // q95 discipline: read AND write through the stream's clone
+        // session; clustersStar* returns an EAGER localCheckpoint, so
+        // the new labeling is decoupled from the table before the
+        // overwrite rewrites it
+        val bs = batch.sparkSession
+        val b = batch.localCheckpoint(true)
+        val next =
+          if (!bs.catalog.tableExists(tbl))
+            graft.dedup.Dedup.clustersStar(b)
+          else graft.dedup.Dedup.clustersStarIncremental(bs.table(tbl), b)
+        next.write.format("parquet").mode("overwrite").saveAsTable(tbl)
+        ()
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import s.implicits._
+    val out =
+      try {
+        s.catalog.refreshTable(tbl)
+        s.table(tbl).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    out.toDF("doc_id", "cluster_id")
+  }
+
+  /** One-call training-data export
+    * ([[graft.pipeline.Pipelines.exportTrainingData]]): default-config
+    * curation (scrub → quality/repetition gates → decontaminate →
+    * exact dedup → pack) composed with the deterministic export layer,
+    * gated on the MANIFEST — per-shard doc/token counts + xor content
+    * checksums over the CURATED corpus, so the oracle re-derives the
+    * survivor set AND validates the export in one chain (q206's
+    * manifest SQL over the q170-class curation fragments).
+    */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.filter(col("doc_id") % 10 === 0)
+      .select(regexp_replace(col("text"), " ", "  ").as("text"))
+    val res = Pipelines.exportTrainingData(docs, benchmark, nShards = 8)
+    val out = res.manifest.localCheckpoint()
+    res.release()
+    out
+  }
+
+  /** The default-config curated corpus as (doc_id, text) — q170's
+    * fragment chain (scrub → quality/repetition gates → decontaminate
+    * → exact keep-first dedup; no classifier/paragraph/fluency/DSIR/
+    * semantic/mixture stages) KEEPING the scrubbed text, which is what
+    * [[graft.pipeline.Pipelines.exportTrainingData]] shards and
+    * manifests. Feeds q206's manifest SQL as `docsSrc`.
+    */
+  private def q219CuratedSql: String =
+    s"""WITH sc1 AS (
+       |  SELECT doc_id,
+       |    regexp_replace(text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+       |      '<EMAIL>', 'g') AS t1
+       |  FROM documents),
+       |sc2 AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(t1,
+       |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+       |      '<IP>', 'g'),
+       |      '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS text
+       |  FROM sc1),
+       |pr0 AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wsl,
+       |    list_filter(regexp_split_to_array(
+       |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |      x -> x <> '') AS wn
+       |  FROM sc2),
+       |wc AS (SELECT doc_id, w, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(wn) AS w FROM pr0) GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, max(c) AS top_word, sum(c) AS n_words
+       |        FROM wc GROUP BY 1),
+       |feat AS (
+       |  SELECT p.doc_id, p.text,
+       |    CAST(len(p.ws) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(p.text) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE len(regexp_replace(p.text, '[^.!?,;:]', '', 'g'))
+       |              / CAST(len(p.text) AS DOUBLE) END AS pr,
+       |    len(list_filter(p.wsl, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |      / CAST(len(p.ws) AS DOUBLE) AS sr,
+       |    r.top_word, r.n_words
+       |  FROM pr0 p LEFT JOIN rep r USING (doc_id)),
+       |gated AS (
+       |  SELECT doc_id, text
+       |  FROM feat
+       |  WHERE least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+       |          * (CAST(1.0 AS DOUBLE) - pr) * (CAST(0.5 AS DOUBLE) + sr) > 0.3
+       |    AND n_words > 0
+       |    AND CAST(top_word AS DOUBLE) / n_words <= 0.5),
+       |bmk AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(
+       |    lower(replace(text, ' ', '  ')), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |cleaned AS (
+       |  SELECT doc_id, text,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM gated g
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bmk
+       |    WHERE bmk.fp = md5(trim(regexp_replace(lower(g.text), '\\s+', ' ', 'g'))))),
+       |ddp AS (
+       |  SELECT doc_id, text,
+       |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM cleaned)
+       |SELECT doc_id, text FROM ddp WHERE rk = 1""".stripMargin
+
+  /** q214's cross-family funnel EXTENDED with the bigram-LM perplexity
+    * gate ([[graft.text.BigramLm.perplexity]] under the q211 frozen
+    * counts): Gopher + entropy + langid + bigram fluency composed into
+    * one attribute frame and funneled — the full Dolma-tagger stack
+    * with the CCNet-style LM member included. `ok_ppl` passes head/
+    * middle buckets and unscorable docs (< 2 words — nothing to judge,
+    * the conservative-pass read the fluency tiers use too).
+    */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val g = graft.text.Quality.gopherGates(docs, "doc_id", "text",
+        minWords = 30, stopWords = Seq("the", "a"), minStopWords = 2)
+      .select("doc_id", "ok_words", "ok_stop")
+    val e = graft.text.TextAnalysis.entropyGate(docs, "doc_id", "text",
+        q201Lo, q201Hi)
+      .select("doc_id", "entropy_ok")
+    val p = graft.text.LangId.trainProfiles(
+      docs.filter(col("doc_id") % 2 === 0), "text", "lang", topN = 256)
+    val l = graft.text.LangId.classify(docs, "doc_id", "text", p)
+      .select("doc_id", "lang_pred")
+    val m = graft.text.BigramLm.train(
+      docs.filter(col("doc_id") % 2 === 0), "text")
+    val b = graft.text.BigramLm.perplexity(docs, "doc_id", "text", m,
+        q211Head, q211Mid)
+      .select("doc_id", "ppl_bucket")
+    val attrs = g.join(e, "doc_id").join(l, "doc_id").join(b, "doc_id")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("ok_lang", col("lang_pred") === col("lang"))
+      .withColumn("ok_ppl", col("ppl_bucket") =!= lit("tail"))
+    graft.text.Quality.gateFunnel(attrs, q220Rules)
+  }
+
+  private val q220Rules =
+    Seq("ok_words", "ok_stop", "entropy_ok", "ok_lang", "ok_ppl")
+
+  private def q220Sql(): String = funnelSql(
+    s"""SELECT g.doc_id, g.ok_words, g.ok_stop, e.entropy_ok,
+       |       (l.lang_pred = d.lang) AS ok_lang,
+       |       (b.ppl_bucket <> 'tail') AS ok_ppl
+       |FROM (${q156Sql()}) g
+       |JOIN (${q201Sql(q201Lo, q201Hi)}) e USING (doc_id)
+       |JOIN (${q199Sql()}) l USING (doc_id)
+       |JOIN (${graft.oracle.BigramLmOracles.q211Sql(
+              headBelowFp = q211Head, midBelowFp = q211Mid)}) b USING (doc_id)
+       |JOIN documents d USING (doc_id)""".stripMargin,
+    q220Rules)
+
   private def q214Sql(): String = funnelSql(
     s"""SELECT g.doc_id, g.ok_words, g.ok_stop, e.entropy_ok,
        |       (l.lang_pred = d.lang) AS ok_lang
@@ -6553,6 +6761,18 @@ object SparkEntry {
       baseSrc = "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0",
       curSrc = "SELECT doc_id, text FROM documents"),
     "q216_pmi_collocations" -> graft.oracle.BigramLmOracles.q216Sql(),
+    // incremental fold == full recompute (min-label closure is
+    // associative over edge unions) — shares q202's oracle verbatim
+    "q217_cc_incremental" -> graft.oracle.MinHashOracles.q202Sql(),
+    // streaming labels-table fold: same associativity argument per
+    // micro-batch (the q212 merge-commutativity pattern) — q202's oracle
+    "q218_stream_cc_labels" -> graft.oracle.MinHashOracles.q202Sql(),
+    // one-call export driver: q206's manifest SQL over the re-derived
+    // default-config curated corpus (q170-class fragments, text kept)
+    "q219_export_pipeline" -> graft.oracle.ExampleOracles.q206Sql(
+      nShards = 8, docsSrc = q219CuratedSql),
+    // q214's funnel + the bigram-LM perplexity gate (q211 lifecycle)
+    "q220_bigram_funnel" -> q220Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
