@@ -449,6 +449,44 @@ class DedupSpec extends SparkSpec {
     assert(surv === Seq(0L, 1000L))
   }
 
+  test("incremental labels fold: shuffle volume is a small multiple of " +
+    "labels+batch, not the full recompute's round ladder") {
+    // a 2000-node path costs clustersStar ~11 O(log² n) rounds of
+    // shuffles; folding a 2-pair batch into the RESULTING star forest
+    // must converge in ~1-2 rounds — the whole point of the
+    // incremental entry. Shuffle records are the observable proxy.
+    def measure[A](body: => A): (A, Long) = {
+      val rec = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) rec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = body
+        org.apache.spark.sql.graftbridge.ListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        (r, rec.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val path = (0L until 1999L).map(i => (i, i + 1))
+    val (labels, fullVol) = measure {
+      Dedup.clustersStar(path.toDF("id_a", "id_b")) // eager checkpoint
+    }
+    val (inc, foldVol) = measure {
+      Dedup.clustersStarIncremental(labels,
+        Seq((1999L, 2000L), (2000L, 2001L)).toDF("id_a", "id_b"))
+    }
+    val got = inc.as[(Long, Long)].collect()
+    assert(got.length === 2002 && got.forall(_._2 === 0L))
+    assert(foldVol < fullVol / 2,
+      s"fold shuffled $foldVol records vs $fullVol for the recompute — " +
+        "the incremental path is re-running the round ladder")
+  }
+
   test("clustersStar: an exhausted round budget still yields one " +
     "consistent row per id") {
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
