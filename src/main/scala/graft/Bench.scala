@@ -109,6 +109,11 @@ object Bench {
     // q211 two capped count-aggs + a map pass (the q123 no-slot rule).
     "q202_dup_clusters",
     "q204_span_corrupt")
+  // round-14 surface: NO new slots — q217/q218 fold the measured q202
+  // star kernel, q219 composes measured curation + manifest stages,
+  // q220 composes measured gate kernels (the q123 no-slot rule). The
+  // workload is therefore identical to round 13, which is exactly what
+  // adjudicating the r13 q34/q35 drift needs.
 
   /** The q95 harness WITHOUT its operator: identical staging (two
     * single-file parquet batches, staggered mtimes), identical
@@ -343,7 +348,21 @@ object Bench {
         (sec, recall)
       } finally { u.unpersist(); i.unpersist() }
     }
+    // ambient machine reference: a fixed data-independent CPU workload
+    // (200M xxhash64 folds across all cores). The r13→r14 verdict cycle
+    // spent two rounds adjudicating a +26-42% drift that turned out to
+    // be HOST-WIDE (median r14/r12 ratio 1.42 over 42 metrics, with
+    // the flagged trainers sitting exactly at the median) — this probe
+    // measures the machine itself, so any future drift can be
+    // normalized (query_sec / ambient_ratio) instead of re-litigated.
+    val ambient = minOr(timeReps("x_ambient_ref_sec") {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      spark.range(0L, 200000000L, 1L, 32)
+        .select(sum(xxhash64(col("id")))).collect()
+      ()
+    })
     val derived = Seq(
+      "x_ambient_ref_sec" -> ambient,
       "x_funk_svd_sec_per_epoch" -> perEpoch("q34_funk_svd_k30", 6),
       "x_als_gd_sec_per_epoch" -> perEpoch("q35_als_gd_k30", 6),
       "x_q95_harness_sec" -> q95Harness,

@@ -4049,7 +4049,10 @@ object SparkEntry {
     "q217_cc_incremental" -> (q217 _),
     "q218_stream_cc_labels" -> (q218 _),
     "q219_export_pipeline" -> (q219 _),
-    "q220_bigram_funnel" -> (q220 _))
+    "q220_bigram_funnel" -> (q220 _),
+    "q221_stream_domain_cap" -> (q221 _),
+    "q222_kneser_ney_perplexity" -> (q222 _),
+    "q223_chunk_documents" -> (q223 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5766,6 +5769,111 @@ object SparkEntry {
        |JOIN documents d USING (doc_id)""".stripMargin,
     q220Rules)
 
+  /** Streaming per-domain admission quota
+    * ([[graft.streaming.StreamingCuration.domainCapStream]]): the
+    * ingest-time face of q116's domain cap — at most 30 docs per
+    * registrable domain across the stream's lifetime, state = one
+    * long per domain. Two ordered micro-batches (the q95 staging);
+    * within-batch admission uses the batch cap's deterministic
+    * (md5(seed|id), id) order, so the admitted set is a pure function
+    * of the split and the oracle replays batch-then-quota exactly.
+    */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, dir)
+      .withColumn("url", concat(lit("http://"), col("source"),
+        expr("(doc_id div 2) % 5").cast("string"), lit(".com/d/"),
+        expr("doc_id div 2").cast("string")))
+      .select("doc_id", "url")
+    val stream = stageOrderedBatches(s, scratchDir("stream_domain_cap"),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("url", StringType))),
+      midpointHalves(docs))
+    StreamingPrep.runToMemory(
+      graft.streaming.StreamingCuration.domainCapStream(
+        stream, "doc_id", "url", cap = 30))
+  }
+
+  private def q221Sql(cap: Int = 30): String =
+    s"""WITH du AS (
+       |  SELECT doc_id,
+       |         'http://' || source || CAST((doc_id // 2) % 5 AS VARCHAR)
+       |           || '.com/d/' || CAST(doc_id // 2 AS VARCHAR) AS url,
+       |         CASE WHEN doc_id <
+       |             (SELECT quantile_disc(doc_id, 0.5) FROM documents)
+       |           THEN 0 ELSE 1 END AS b
+       |  FROM documents),
+       |dom AS (
+       |  SELECT doc_id, b,
+       |         regexp_extract(substr(url, 8), '^[^/?]*') AS domain,
+       |         md5('42|' || CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM du),
+       |r1 AS (
+       |  SELECT domain, doc_id,
+       |         row_number() OVER (PARTITION BY domain
+       |           ORDER BY ord, doc_id) AS rn
+       |  FROM dom WHERE b = 0),
+       |a1 AS (SELECT domain, doc_id FROM r1 WHERE rn <= $cap),
+       |c1 AS (SELECT domain, count(*) AS taken FROM a1 GROUP BY 1),
+       |r2 AS (
+       |  SELECT d.domain, d.doc_id, coalesce(c1.taken, 0) AS taken,
+       |         row_number() OVER (PARTITION BY d.domain
+       |           ORDER BY d.ord, d.doc_id) AS rn
+       |  FROM dom d LEFT JOIN c1 USING (domain) WHERE d.b = 1)
+       |SELECT domain, doc_id FROM a1
+       |UNION ALL
+       |SELECT domain, doc_id FROM r2 WHERE rn <= $cap - taken""".stripMargin
+
+  /** Interpolated Kneser–Ney perplexity bucketing
+    * ([[graft.text.BigramLm.kneserNeyPerplexity]]): the production LM
+    * smoothing (KenLM's default) under the SAME frozen q211 counts —
+    * discounted bigram mass redistributed by continuation probability.
+    * The oracle re-derives the continuation/left fan-outs from the
+    * retained bigram table and replays the discount chain per term.
+    */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m = graft.text.BigramLm.train(
+      docs.filter(col("doc_id") % 2 === 0), "text")
+    graft.text.BigramLm.kneserNeyPerplexity(docs, "doc_id", "text", m,
+      headBelowFp = q222Head, midBelowFp = q222Mid)
+  }
+
+  /** q222's frozen bucket thresholds (1e6-fixed-point nats), chosen so
+    * the synthetic corpus populates all three buckets at every sf. */
+  private val q222Head = 3480000L
+  private val q222Mid = 3550000L
+
+  /** Sliding token-window chunking
+    * ([[graft.pipeline.Examples.chunkDocuments]]): 12-token windows
+    * every 8 tokens (overlapping — the RAG/pretrain context-prep
+    * shape). Map-only slice expressions; the oracle replays the grid
+    * and slices in DuckDB.
+    */
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Examples.chunkDocuments(Tables.documents(s, dir),
+      "doc_id", "text", chunkTokens = 12, stride = 8)
+
+  private def q223Sql(chunkTokens: Int = 12, stride: Int = 8): String = {
+    val wordsExpr = """list_filter(string_split_regex(trim(trim(""" +
+      """regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))), """ +
+      """'\s+'), x -> len(x) > 0)"""
+    s"""WITH ws AS (
+       |  SELECT doc_id, $wordsExpr AS w FROM documents),
+       |grid AS (
+       |  SELECT doc_id, w, CAST(s AS BIGINT) AS s
+       |  FROM (SELECT doc_id, w, unnest(range(0, len(w), $stride)) AS s
+       |        FROM ws WHERE len(w) > 0))
+       |SELECT doc_id,
+       |       CAST(s // $stride AS BIGINT) AS chunk_id,
+       |       s AS begin_tok,
+       |       CAST(least($chunkTokens, len(w) - s) AS BIGINT) AS n_tok,
+       |       array_to_string(
+       |         list_slice(w, CAST(s + 1 AS INT),
+       |           CAST(s + $chunkTokens AS INT)), ' ') AS chunk_text
+       |FROM grid""".stripMargin
+  }
+
   private def q214Sql(): String = funnelSql(
     s"""SELECT g.doc_id, g.ok_words, g.ok_stop, e.entropy_ok,
        |       (l.lang_pred = d.lang) AS ok_lang
@@ -6773,6 +6881,15 @@ object SparkEntry {
       nShards = 8, docsSrc = q219CuratedSql),
     // q214's funnel + the bigram-LM perplexity gate (q211 lifecycle)
     "q220_bigram_funnel" -> q220Sql(),
+    // quota-by-arrival admission under ordered ingest: batch ranks then
+    // remaining-quota ranks, both by the batch cap's (md5, id) order
+    "q221_stream_domain_cap" -> q221Sql(),
+    // Kneser–Ney: same frozen counts as q211, fan-outs re-derived from
+    // the retained bigram table, discount chain replayed per term
+    "q222_kneser_ney_perplexity" -> graft.oracle.BigramLmOracles.q222Sql(
+      headBelowFp = q222Head, midBelowFp = q222Mid),
+    // sliding-window chunk grid + slices replayed verbatim
+    "q223_chunk_documents" -> q223Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -110,6 +110,42 @@ object Examples {
           .otherwise(lit("keep")).as("action"))
   }
 
+  /** Sliding token-window chunking — the context-window preparation
+    * step for RAG indexes and long-document pretraining: split each
+    * document into `chunkTokens`-token windows starting every
+    * `stride` tokens (stride < chunkTokens ⇒ overlapping windows, the
+    * standard retrieval-chunk shape). Pure per-row expression: the
+    * token array materializes once per doc and every window is a
+    * slice — map-only, zero shuffle, stateless on a stream.
+    *
+    * Chunk grid: starts 0, stride, 2·stride, … while start < n_words;
+    * the last window may be short (kept — its tokens appear nowhere
+    * else when stride == chunkTokens). Docs with no words emit no
+    * rows. Returns (doc_id, chunk_id, begin_tok, n_tok, chunk_text)
+    * with chunk_id = start/stride.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $stride")
+    val ws = filter(TextAnalysis.words(TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit("")))), w => length(w) > 0)
+    val n = size(ws)
+    val starts = when(n > 0,
+      sequence(lit(0), n - 1, lit(stride))).otherwise(
+      array().cast("array<int>"))
+    docs.select(col(idCol).as("doc_id"), ws.as("__ws"), n.as("__n"),
+        explode(starts).as("__start"))
+      .select(col("doc_id"),
+        (col("__start") / lit(stride)).cast("long").as("chunk_id"),
+        col("__start").cast("long").as("begin_tok"),
+        least(lit(chunkTokens), col("__n") - col("__start"))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("__ws"), col("__start") + 1, lit(chunkTokens)),
+          " ").as("chunk_text"))
+  }
+
   /** Deterministic training-export sharding — the reproducible "global
     * shuffle" that precedes writing a training dataset: every document
     * gets a hash-assigned shard and a hash-ordered position within it,

@@ -176,4 +176,56 @@ object StreamingCuration {
       }
       .start()
   }
+
+  /** Ingest-time per-domain admission quota — the streaming face of
+    * [[graft.text.Urls.domainCap]]: admit at most `cap` documents per
+    * registrable domain over the stream's LIFETIME. The batch cap can
+    * re-elect its md5-min survivors over the whole corpus; an ingest
+    * stream cannot un-admit what it already emitted, so the streaming
+    * policy is quota-by-arrival: each micro-batch admits up to the
+    * domain's remaining quota, choosing WITHIN the batch by the same
+    * deterministic (md5(seed|id), id) order the batch cap uses. Under
+    * ordered ingest the admitted set is therefore a pure function of
+    * the batch split — hash-gateable (q221), not merely rows-only.
+    *
+    * State = ONE long per domain ([[org.apache.spark.sql.streaming
+    * .GroupState]] via flatMapGroupsWithState — the q81 running-counter
+    * shape), which is the smallest possible admission-control state:
+    * |domains| longs at any corpus size. Per batch each group
+    * materializes only its OWN batch rows to sort them (bounded by the
+    * trigger size; the admitted output is ≤ quota rows). Returns
+    * (domain, doc_id) — semi-join admitted ids back to the stream for
+    * the surviving documents.
+    */
+  def domainCapStream(docs: DataFrame, idCol: String, urlCol: String,
+      cap: Int, seed: Long = 42L): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.text.Urls
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        Urls.registrableDomain(
+          Urls.hostOf(Urls.canonicalizeUrl(col(urlCol)))).as("domain"),
+        col(idCol).cast("long").as("doc_id"),
+        md5(concat(lit(seed.toString), lit("|"),
+          col(idCol).cast("string"))).as("ord"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain, rows, state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val quota = math.max(0L, cap.toLong - admitted).toInt
+          // the group's batch slice sorts in memory: bounded by the
+          // trigger size per domain, and the batch cap's window pays
+          // the same per-domain ordering work
+          val take =
+            if (quota == 0) Seq.empty
+            else rows.toSeq.sortBy(r => (r._3, r._2)).take(quota)
+          if (take.nonEmpty) state.update(admitted + take.size)
+          take.iterator.map(r => (domain, r._2))
+      }
+      .toDF("domain", "doc_id")
+  }
 }

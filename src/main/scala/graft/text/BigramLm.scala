@@ -103,6 +103,84 @@ object BigramLm {
           .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))).cast("long"))
   }
 
+  /** Interpolated Kneser–Ney perplexity bucketing — the smoothing the
+    * production LM filters actually ship (KenLM's default; Kneser &
+    * Ney 1995, Chen & Goodman 1998): instead of q211's uniform-prior
+    * interpolation, mass discounted from seen bigrams (fixed D = 0.75)
+    * is redistributed by CONTINUATION probability — how many distinct
+    * contexts a word completes — so "francisco" (frequent but only
+    * after "san") stops outscoring genuinely versatile words.
+    *
+    * Everything derives from the SAME frozen [[Model]] counts:
+    *   N1+(·w2) / N1+(w1·) = distinct-left/right fan-outs of the
+    *   retained bigram table (driver-side, artifact-sized), B = its
+    *   size. Guards: +1/+V Laplace add-ons on both the continuation
+    *   and the λ numerator keep every term positive when w1 or w2
+    *   never appeared in training (the `<unk>`-only-at-score case) —
+    *   a documented frozen-artifact approximation, the gate is
+    *   engine/oracle self-consistency.
+    *
+    *   p(w2|w1) = max(c12 − D, 0)/(c1 + V)
+    *            + (D·(N1+(w1·) + 1)/(c1 + V)) · ((N1+(·w2) + 1)/(B + V))
+    *
+    * Per-position floors make the doc sum integer (the q211 chain);
+    * scoring is map-only under literal-map artifacts, zero shuffle.
+    * Returns the q211 shape: (doc_id, n_scored, nll_fp, avg_nll_fp,
+    * ppl_bucket).
+    */
+  def kneserNeyPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      m: Model, headBelowFp: Long, midBelowFp: Long): DataFrame = {
+    require(headBelowFp < midBelowFp,
+      s"head threshold $headBelowFp must be below middle $midBelowFp")
+    val uniMap = typedLit(m.unigrams.toMap)
+    val biMap = typedLit(m.bigrams.toMap)
+    val vocabMap = typedLit(
+      m.unigrams.iterator.map(_._1).filter(_ != Unk).map(_ -> 1).toMap)
+    // continuation / left fan-outs of the frozen bigram table —
+    // artifact-sized driver folds, shipped as literal maps like counts
+    val contMap = typedLit(m.bigrams.iterator
+      .map(_._1.split(" ", 2)).collect { case Array(_, w2) => w2 }
+      .foldLeft(Map.empty[String, Long]) { (acc, w) =>
+        acc.updated(w, acc.getOrElse(w, 0L) + 1L) })
+    val leftMap = typedLit(m.bigrams.iterator
+      .map(_._1.split(" ", 2)(0))
+      .foldLeft(Map.empty[String, Long]) { (acc, w) =>
+        acc.updated(w, acc.getOrElse(w, 0L) + 1L) })
+    val bDouble = lit(m.bigrams.size.toDouble)
+    val vDouble = lit(m.vSize.toDouble)
+    val dDisc = lit(0.75)
+    def mapped(c: Column) = when(element_at(vocabMap, c).isNotNull, c)
+      .otherwise(lit(Unk))
+    val ms = transform(wordsOf(col(textCol)), w => mapped(w))
+    def cnt(map: Column, key: Column) =
+      coalesce(element_at(map, key), lit(0L)).cast("double")
+    val terms = transform(sequence(lit(1), greatest(size(ms) - 1, lit(0))),
+      i => {
+        val w1 = element_at(ms, i)
+        val w2 = element_at(ms, i + 1)
+        val c12 = cnt(biMap, concat(w1, lit(" "), w2))
+        val den = cnt(uniMap, w1) + vDouble
+        val p = greatest(c12 - dDisc, lit(0.0)) / den +
+          (dDisc * (cnt(leftMap, w1) + lit(1.0)) / den) *
+            ((cnt(contMap, w2) + lit(1.0)) / (bDouble + vDouble))
+        floor(-log(p) * lit(1000000.0)).cast("long")
+      })
+    val base = docs.select(col(idCol).as("doc_id"),
+      greatest(size(ms) - 1, lit(0)).cast("long").as("n_scored"),
+      when(size(ms) >= 2,
+        aggregate(terms, lit(0L), (acc, t) => acc + t))
+        .otherwise(lit(0L)).as("nll_fp"))
+    val avg = when(col("n_scored") > 0,
+      floor(col("nll_fp").cast("double") / col("n_scored").cast("double"))
+        .cast("long"))
+    base.select(col("doc_id"), col("n_scored"), col("nll_fp"),
+      avg.as("avg_nll_fp"),
+      when(col("n_scored") === 0, lit("unscored"))
+        .when(avg < headBelowFp, lit("head"))
+        .when(avg < midBelowFp, lit("middle"))
+        .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Score every document: positions 1..n−1 charge
     * floor(−ln(λ·p_bi + (1−λ)·p_uni)·1e6) under the frozen counts
     * (Laplace: p_uni = (c_w+1)/(N+V), p_bi = (c_{w1w2}+1)/(c_{w1}+V));

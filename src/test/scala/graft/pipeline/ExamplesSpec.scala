@@ -180,6 +180,35 @@ class ExamplesSpec extends SparkSpec {
       (4L, "added", 7L, 70L)))
   }
 
+  test("chunkDocuments: overlapping grid, short tail kept, empty docs " +
+    "emit nothing, config validated") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 words
+      (2L, "x y"),                 // shorter than one chunk
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Examples.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .as[(Long, Long, Long, Long, String)].collect().sorted.toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "d e f g"),
+      (1L, 2L, 6L, 4L, "g h i j"),
+      (1L, 3L, 9L, 1L, "j"),
+      (2L, 0L, 0L, 2L, "x y")))
+    // stride == chunkTokens → non-overlapping partition of the tokens
+    val flat = Examples.chunkDocuments(docs.filter(col("doc_id") === 1),
+        "doc_id", "text", chunkTokens = 4, stride = 4)
+      .as[(Long, Long, Long, Long, String)].collect().sorted.toSeq
+    assert(flat.map(_._5).mkString(" ") === "a b c d e f g h i j")
+    intercept[IllegalArgumentException] {
+      Examples.chunkDocuments(docs, "doc_id", "text", 4, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Examples.chunkDocuments(docs, "doc_id", "text", 0, 1)
+    }
+  }
+
   test("mlmMaskWithVocab: a vocabSize that disagrees with the artifact " +
     "fails loudly instead of emitting NULL input_token") {
     val vocab = Examples.mlmVocab(corpus, "doc_id", "text")

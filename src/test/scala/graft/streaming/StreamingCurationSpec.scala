@@ -201,4 +201,40 @@ class StreamingCurationSpec extends SparkSpec {
       (2L, 100L, 1L, 36L),
       (4L, 100L, 3L, 8L)))
   }
+
+  test("domainCapStream: lifetime quota per domain, md5-deterministic " +
+    "within a batch, state carries across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)](spark)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = StreamingCuration.domainCapStream(
+        mem.toDF().toDF("doc_id", "url"), "doc_id", "url", cap = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        admitted ++= b.as[(String, Long)].collect(); ()
+      }.start()
+    def urlOf(i: Long, host: String) = s"http://$host/p/$i"
+    try {
+      // batch 1: 5 docs on one domain → exactly 3 admitted, and they
+      // are the md5-min 3 (the batch cap's selection, not arrival luck)
+      mem.addData((1L to 5L).map(i => (i, urlOf(i, "a.com"))): _*)
+      q.processAllAvailable()
+      val batch1 = admitted.toSet
+      assert(batch1.size === 3 && batch1.forall(_._1 == "a.com"))
+      val expect3 = (1L to 5L)
+        .sortBy(i => org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"42|$i"))
+        .take(3).toSet
+      assert(batch1.map(_._2) === expect3)
+      // batch 2: same domain is EXHAUSTED (0 admitted); a fresh domain
+      // and a www./port/case variant of it share one quota group
+      mem.addData((6L, urlOf(6, "a.com")),
+        (7L, "http://www.B.com:80/x"), (8L, "https://b.com/y"),
+        (9L, "http://b.com/z"), (10L, "http://b.com/w"))
+      q.processAllAvailable()
+      val batch2 = admitted.toSet -- batch1
+      assert(batch2.forall(_._1 == "b.com"), s"unexpected: $batch2")
+      assert(batch2.size === 3)
+    } finally q.stop()
+  }
 }

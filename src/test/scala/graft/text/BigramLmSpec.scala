@@ -70,6 +70,65 @@ class BigramLmSpec extends SparkSpec {
     assert(ranks(("new", "york")) < ranks(("of", "the")))
   }
 
+  test("kneserNeyPerplexity: fluent beats scrambled and OOV; degenerate " +
+    "docs unscored; continuation beats raw frequency on a trapped word") {
+    val m = BigramLm.train(train, "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "mat the on cat the sat"),
+      (3L, "completely novel zebra words here"),
+      (4L, "single"), (5L, ""))
+      .toDF("doc_id", "text")
+    val got = BigramLm.kneserNeyPerplexity(docs, "doc_id", "text", m,
+        headBelowFp = 1000000L, midBelowFp = 5000000L)
+      .as[(Long, Long, Long, Option[Long], String)].collect()
+      .map(r => r._1 -> r).toMap
+    // fluent dominates both corruptions; scrambled-vs-OOV order is NOT
+    // asserted — under KN an all-OOV doc is pure backoff (λ guard ×
+    // continuation floor), and whether that beats known-word bigrams
+    // with low continuation fan-outs is parameter-dependent, unlike
+    // q211's uniform interpolation where OOV always loses
+    assert(got(1L)._4.get < got(2L)._4.get)
+    assert(got(1L)._4.get < got(3L)._4.get)
+    assert(got(4L)._5 === "unscored" && got(5L)._5 === "unscored")
+    // the KN signature: a word that appears often but ONLY after one
+    // context ("francisco" after "san") must score WORSE in a novel
+    // context than an equally frequent versatile word — uniform-prior
+    // interpolation (q211's perplexity) cannot see the difference
+    // francisco: 40 occurrences, ONE left context (san); area: 40
+    // occurrences, FORTY left contexts (w$i) — equal raw frequency,
+    // maximally different continuation fan-in
+    val kn = (1L to 40L)
+      .map(i => (i, s"san francisco and w$i area and"))
+      .toDF("doc_id", "text")
+    val mk = BigramLm.train(kn, "text")
+    val probe = Seq(
+      (1L, "nice francisco"), // trapped word, novel context
+      (2L, "nice area"))      // versatile word, same frequency class
+      .toDF("doc_id", "text")
+    val scored = BigramLm.kneserNeyPerplexity(probe, "doc_id", "text",
+        mk, 100L, 200L)
+      .as[(Long, Long, Long, Option[Long], String)].collect()
+      .map(r => r._1 -> r._4.get).toMap
+    assert(scored(1L) > scored(2L),
+      s"KN should punish the single-context word: ${scored(1L)} !> ${scored(2L)}")
+  }
+
+  test("kneserNeyPerplexity: deterministic under repartition") {
+    val m = BigramLm.train(train, "text")
+    val docs = (1L to 30L).map(i => (i, s"the cat sat token$i on the mat"))
+      .toDF("doc_id", "text")
+    val a = BigramLm.kneserNeyPerplexity(docs, "doc_id", "text", m, 100L, 200L)
+      .as[(Long, Long, Long, Option[Long], String)].collect().sorted.toSeq
+    val b = BigramLm.kneserNeyPerplexity(docs.repartition(7), "doc_id",
+        "text", m, 100L, 200L)
+      .as[(Long, Long, Long, Option[Long], String)].collect().sorted.toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      BigramLm.kneserNeyPerplexity(docs, "doc_id", "text", m, 200L, 100L)
+    }
+  }
+
   test("perplexity: deterministic under repartition; thresholds validated") {
     val m = BigramLm.train(train, "text")
     val docs = (1L to 30L).map(i => (i, s"the cat sat token$i on the mat"))
