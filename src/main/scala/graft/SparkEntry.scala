@@ -4052,7 +4052,10 @@ object SparkEntry {
     "q220_bigram_funnel" -> (q220 _),
     "q221_stream_domain_cap" -> (q221 _),
     "q222_kneser_ney_perplexity" -> (q222 _),
-    "q223_chunk_documents" -> (q223 _))
+    "q223_chunk_documents" -> (q223 _),
+    "q224_nsp_pairs" -> (q224 _),
+    "q225_credit_card_audit" -> (q225 _),
+    "q226_zipf_fit" -> (q226 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5874,6 +5877,117 @@ object SparkEntry {
        |FROM grid""".stripMargin
   }
 
+  /** NSP pair generation ([[graft.pipeline.Examples.nspPairs]]): the
+    * BERT next-segment task over the q223 segment grid — hash coin
+    * keeps the true next segment or swaps in a corpus-random one via
+    * the bucketed dense-rank two-level pick (the scale-correct
+    * deterministic-random-row pattern: no global index window).
+    */
+  private def q224(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Examples.nspPairs(Tables.documents(s, dir),
+      "doc_id", "text")
+
+  /** Credit-card exposure audit
+    * ([[graft.text.TextAnalysis.creditCardExposure]]): candidate
+    * detection + Luhn mod-10 validation (the PAN member of the PII
+    * family). Planted (q164 precedent — the synthetic corpus carries
+    * no card numbers): every doc_id%4==0 doc gains the canonical
+    * valid test PAN and an id-derived 16-digit number whose Luhn
+    * verdict is data-dependent — both engines judge it.
+    */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" card 4111-1111-1111-1111 ref "),
+          lpad(((col("doc_id") * 7919L) % 10000000000000000L).cast("string"),
+            16, "0")))
+        .otherwise(col("text")))
+    graft.text.TextAnalysis.creditCardExposure(planted, "doc_id", "text")
+  }
+
+  private def q225Sql(): String =
+    s"""WITH pl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN
+       |      text || ' card 4111-1111-1111-1111 ref ' ||
+       |        lpad(CAST((doc_id * 7919) % 10000000000000000 AS VARCHAR),
+       |          16, '0')
+       |    ELSE text END AS text
+       |  FROM documents),
+       |cd AS (
+       |  SELECT doc_id,
+       |         regexp_extract_all(coalesce(text, ''),
+       |           '\\b(?:[0-9][ -]?){12,18}[0-9]\\b') AS cs
+       |  FROM pl),
+       |nm AS (
+       |  SELECT doc_id, len(cs) AS nc,
+       |         list_transform(cs,
+       |           c -> regexp_replace(c, '[ -]', '', 'g')) AS ds
+       |  FROM cd)
+       |SELECT doc_id, CAST(nc AS BIGINT) AS n_candidates,
+       |  CAST(len(list_filter(ds, d ->
+       |    len(d) >= 13 AND len(d) <= 19 AND
+       |    list_reduce(list_prepend(0, list_transform(range(1, len(d) + 1),
+       |      i -> CASE WHEN i % 2 = 1
+       |                THEN CAST(substr(reverse(d), CAST(i AS INT), 1) AS INT)
+       |                ELSE CASE WHEN 2 * CAST(substr(reverse(d),
+       |                            CAST(i AS INT), 1) AS INT) > 9
+       |                     THEN 2 * CAST(substr(reverse(d),
+       |                            CAST(i AS INT), 1) AS INT) - 9
+       |                     ELSE 2 * CAST(substr(reverse(d),
+       |                            CAST(i AS INT), 1) AS INT) END END)),
+       |      (a, b) -> a + b) % 10 = 0)) AS BIGINT) AS n_luhn_valid
+       |FROM nm""".stripMargin
+
+  /** Zipf rank–frequency fit ([[graft.pipeline.Profiling.zipfFit]]):
+    * the corpus-health power-law scalar — least squares of ln(count)
+    * on ln(rank) over the top tokens, all four regression moments
+    * integer fixed-point so the whole row hash-gates.
+    */
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Profiling.zipfFit(Tables.documents(s, dir), "text",
+      topK = 100)
+
+  private def q226Sql(topK: Int = 100): String = {
+    val wordsExpr = """list_filter(string_split_regex(trim(trim(""" +
+      """regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))), """ +
+      """'\s+'), x -> len(x) > 0)"""
+    s"""WITH tok AS (
+       |  SELECT unnest($wordsExpr) AS token FROM documents),
+       |cnts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+       |tots AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |                count(*) AS vocab_size FROM cnts),
+       |topk AS (SELECT token, cnt FROM cnts
+       |         ORDER BY cnt DESC, token LIMIT $topK),
+       |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token)
+       |         AS rank FROM topk),
+       |mom AS (
+       |  SELECT count(*) AS k_used,
+       |    CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(sum(CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0)
+       |      AS BIGINT)) AS BIGINT) AS sy,
+       |    CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE))
+       |      * ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+       |      AS sxy,
+       |    CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE))
+       |      * ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+       |      AS sxx
+       |  FROM rk)
+       |SELECT k_used, n_tokens, CAST(vocab_size AS BIGINT) AS vocab_size,
+       |       sx, sy, sxy, sxx,
+       |       CAST(floor(-(
+       |         (CAST(k_used AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000.0)
+       |          - (CAST(sx AS DOUBLE) / 1000000.0)
+       |            * (CAST(sy AS DOUBLE) / 1000000.0))
+       |         / (CAST(k_used AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000.0)
+       |            - (CAST(sx AS DOUBLE) / 1000000.0)
+       |              * (CAST(sx AS DOUBLE) / 1000000.0)))
+       |         * 1000000.0) AS BIGINT) AS alpha_fp
+       |FROM mom CROSS JOIN tots""".stripMargin
+  }
+
   private def q214Sql(): String = funnelSql(
     s"""SELECT g.doc_id, g.ok_words, g.ok_stop, e.entropy_ok,
        |       (l.lang_pred = d.lang) AS ok_lang
@@ -6890,6 +7004,13 @@ object SparkEntry {
       headBelowFp = q222Head, midBelowFp = q222Mid),
     // sliding-window chunk grid + slices replayed verbatim
     "q223_chunk_documents" -> q223Sql(),
+    // NSP: segment grid + coin/bucket/rank xxhash decisions + the
+    // bucketed dense-rank negative pick, all replayed
+    "q224_nsp_pairs" -> graft.oracle.ExampleOracles.q224Sql(),
+    // planted PANs; candidate regex + the integer Luhn fold replayed
+    "q225_credit_card_audit" -> q225Sql(),
+    // rank-frequency moments integer fixed-point; ln chains portable
+    "q226_zipf_fit" -> q226Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -225,4 +225,70 @@ object ExampleOracles {
        |FROM (${q206Sql(nShards, docsSrc = baseSrc)}) b
        |FULL OUTER JOIN (${q206Sql(nShards, docsSrc = curSrc)}) c
        |  ON b.shard = c.shard""".stripMargin
+
+  /** q224: NSP pair generation — non-overlapping segment grid,
+    * coin/bucket/rank hash decisions replayed, negative pick via the
+    * same bucketed dense-rank two-level index.
+    */
+  def q224Sql(segTokens: Int = 12, seedTag: String = "nsp",
+      negBuckets: Int = 16): String = {
+    def pm(x: String, m: String) =
+      s"((${DuckDbXxHash.signedSql(x)} % $m) + $m) % $m"
+    val fw = s"list_filter($wordsExpr, x -> len(x) > 0)"
+    s"""WITH ws AS (SELECT doc_id, $fw AS w FROM documents),
+       |segs AS MATERIALIZED (
+       |  SELECT doc_id, CAST(s // $segTokens AS BIGINT) AS seg_no,
+       |         array_to_string(list_slice(w, CAST(s + 1 AS INT),
+       |           CAST(s + $segTokens AS INT)), ' ') AS seg
+       |  FROM (SELECT doc_id, w, unnest(range(0, len(w), $segTokens)) AS s
+       |        FROM ws WHERE len(w) > 0)),
+       |keys AS (
+       |  SELECT doc_id, seg_no AS pos, 't' AS tag,
+       |         '${seedTag}_t:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |           CAST(seg_no AS VARCHAR) AS s
+       |  FROM segs
+       |  UNION ALL
+       |  SELECT a.doc_id, a.seg_no, tag,
+       |         pfx || CAST(a.doc_id AS VARCHAR) || ':' ||
+       |           CAST(a.seg_no AS VARCHAR)
+       |  FROM segs a JOIN segs b
+       |    ON b.doc_id = a.doc_id AND b.seg_no = a.seg_no + 1
+       |  CROSS JOIN (VALUES ('c', '${seedTag}_c:'), ('b', '${seedTag}_b:'),
+       |    ('r', '${seedTag}_r:')) t(tag, pfx)),
+       |${DuckDbXxHash.xxh64Ctes("keys", "s", "hh", idCols = "doc_id, pos, tag")},
+       |bkt AS MATERIALIZED (
+       |  SELECT sg.doc_id, sg.seg_no, sg.seg,
+       |         ${pm("h.h64", negBuckets.toString)} AS nbucket
+       |  FROM segs sg JOIN hh h
+       |    ON h.tag = 't' AND h.doc_id = sg.doc_id AND h.pos = sg.seg_no),
+       |brank AS (
+       |  SELECT doc_id, seg_no, seg, nbucket,
+       |         row_number() OVER (PARTITION BY nbucket
+       |           ORDER BY doc_id, seg_no) - 1 AS nrank
+       |  FROM bkt),
+       |bsize AS (SELECT nbucket, count(*) AS nbsize FROM bkt GROUP BY 1),
+       |dec AS (
+       |  SELECT doc_id, pos,
+       |         max(CASE WHEN tag = 'c' THEN h64 END) AS hc,
+       |         max(CASE WHEN tag = 'b' THEN h64 END) AS hb,
+       |         max(CASE WHEN tag = 'r' THEN h64 END) AS hr
+       |  FROM hh WHERE tag <> 't' GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.doc_id, a.seg_no AS pos, a.seg AS seg_a,
+       |         b.seg AS seg_next
+       |  FROM segs a JOIN segs b
+       |    ON b.doc_id = a.doc_id AND b.seg_no = a.seg_no + 1),
+       |pick AS (
+       |  SELECT p.doc_id, p.pos, p.seg_a, p.seg_next,
+       |         ${pm("d.hc", "2")} = 1 AS is_next,
+       |         ${pm("d.hb", negBuckets.toString)} AS nbucket, d.hr
+       |  FROM pairs p JOIN dec d USING (doc_id, pos)),
+       |pick2 AS (
+       |  SELECT pk.*, ${pm("pk.hr", "z.nbsize")} AS nrank
+       |  FROM pick pk JOIN bsize z USING (nbucket))
+       |SELECT p2.doc_id, p2.pos, p2.seg_a,
+       |       CASE WHEN p2.is_next THEN p2.seg_next ELSE br.seg END AS seg_b,
+       |       p2.is_next
+       |FROM pick2 p2 JOIN brank br USING (nbucket, nrank)""".stripMargin
+  }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,66 @@ object Examples {
           .cast("long").as("n_tok"),
         array_join(slice(col("__ws"), col("__start") + 1, lit(chunkTokens)),
           " ").as("chunk_text"))
+  }
+
+  /** Next-segment-prediction pair generation (BERT §3.1's NSP task,
+    * segment-windowed): for every pair of ADJACENT non-overlapping
+    * `segTokens`-token segments of a document, a deterministic coin
+    * keeps the true next segment (`is_next = true`) or swaps in a
+    * corpus-random segment (`is_next = false`) — 50/50, the paper's
+    * rate. Fully deterministic: every decision is xxhash64 of a
+    * (tag, doc_id, pos) string key (the [[mlmMask]] discipline).
+    *
+    * The negative pick is the DETERMINISTIC-RANDOM-ROW pattern that
+    * scales: a dense global index over all segments would be one
+    * single-partition window (forbidden shape); instead segments
+    * hash into `negBuckets` groups with PER-BUCKET dense ranks (a
+    * bucket-partitioned window), bucket sizes broadcast as a
+    * |negBuckets|-row relation, and the pick is (bucket = h₁ mod K,
+    * rank = h₂ mod size(bucket)). The picked segment may occasionally
+    * be the true next or from the same document — BERT's own sampler
+    * has the same property and the label stays honest either way.
+    *
+    * Returns (doc_id, pos, seg_a, seg_b, is_next).
+    */
+  def nspPairs(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 12, seedTag: String = "nsp",
+      negBuckets: Int = 16): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    require(negBuckets >= 1, s"negBuckets must be >= 1, got $negBuckets")
+    val segs = chunkDocuments(docs, idCol, textCol, segTokens, segTokens)
+      .select(col("doc_id"), col("chunk_id").as("seg_no"),
+        col("chunk_text").as("seg"))
+    def h(tag: String, d: Column, p: Column) = xxhash64(
+      concat(lit(s"${seedTag}_$tag:"), d, lit(":"), p))
+    // per-bucket dense ranks over the segment table — the bounded
+    // stand-in for a global dense index
+    val bucketed = segs.withColumn("nbucket",
+        pmod(h("t", col("doc_id"), col("seg_no")), lit(negBuckets.toLong)))
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy("nbucket").orderBy("doc_id", "seg_no"))
+        .cast("long") - 1L)
+    val sizes = bucketed.groupBy("nbucket")
+      .agg(count(lit(1)).as("nbsize"))
+    val pairs = segs.as("a").join(segs.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.seg_no") === col("a.seg_no") + 1)
+      .select(col("a.doc_id").as("doc_id"), col("a.seg_no").as("pos"),
+        col("a.seg").as("seg_a"), col("b.seg").as("seg_next"))
+      .withColumn("is_next",
+        pmod(h("c", col("doc_id"), col("pos")), lit(2L)) === 1)
+      .withColumn("nbucket",
+        pmod(h("b", col("doc_id"), col("pos")), lit(negBuckets.toLong)))
+    val withPick = pairs.join(broadcast(sizes), Seq("nbucket"))
+      .withColumn("nrank",
+        pmod(h("r", col("doc_id"), col("pos")), col("nbsize")))
+    withPick.join(
+        bucketed.select(col("nbucket"), col("nrank"), col("seg").as("seg_neg")),
+        Seq("nbucket", "nrank"))
+      .select(col("doc_id"), col("pos"), col("seg_a"),
+        when(col("is_next"), col("seg_next")).otherwise(col("seg_neg"))
+          .as("seg_b"),
+        col("is_next"))
   }
 
   /** Deterministic training-export sharding — the reproducible "global

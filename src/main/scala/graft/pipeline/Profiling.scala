@@ -162,6 +162,66 @@ object Profiling {
       .groupBy(col("token")).agg(count(lit(1)).as(out))
   }
 
+  /** Zipf power-law fit of the rank–frequency curve — the corpus-health
+    * scalar behind "does this crawl look like natural language"
+    * (natural text sits near α ≈ 1; boilerplate/template floods and
+    * synthetic spam bend the curve): least-squares slope of ln(count)
+    * on ln(rank) over the top-`topK` tokens, α = −slope.
+    *
+    * Determinism: ranks are total-ordered (count desc, token asc);
+    * each regression moment is floored to 1e6 fixed point PER TERM and
+    * summed as integers (the house float-sum rule), so the whole row —
+    * moments included — hash-gates. The final α divides two exact
+    * integer-valued doubles (one IEEE divide, engine-portable).
+    *
+    * Scale: one map-side-combinable token count, one top-K selection,
+    * one K-row aggregate — the K-row global sort is bounded by `topK`
+    * (the q19 global-top-k class), never corpus-sized. Returns ONE row
+    * (k_used, n_tokens, vocab_size, sx, sy, sxy, sxx, alpha_fp).
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    import org.apache.spark.sql.types.DecimalType
+    val counts = tokenCounts(docs, textCol, "cnt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = counts.agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("vocab_size"))
+      val ranked = counts.orderBy(col("cnt").desc, col("token")).limit(topK)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("token"))).cast("long"))
+      def fp(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000.0)).cast(DecimalType(38, 0))
+      val lx = log(col("rank").cast("double"))
+      val ly = log(col("cnt").cast("double"))
+      val moments = ranked.agg(
+        count(lit(1)).as("k_used"),
+        sum(fp(lx)).cast("long").as("sx"),
+        sum(fp(ly)).cast("long").as("sy"),
+        sum(fp(lx * ly)).cast("long").as("sxy"),
+        sum(fp(lx * lx)).cast("long").as("sxx"))
+      // slope = (K·Σxy − Σx·Σy) / (K·Σxx − Σx²), computed over the
+      // integer moments DESCALED first: each s/1e6 is an
+      // exact-integer-over-1e6 IEEE divide, and the subsequent
+      // multiply/subtract/divide chain is the identical IEEE sequence
+      // in DuckDB (same parenthesization) — never a decimal→double
+      // cast of a >2⁵³ value, which is where engines round differently
+      val out = moments.crossJoin(totals).select(
+        col("k_used"), col("n_tokens"), col("vocab_size"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"),
+        {
+          val k = col("k_used").cast("double")
+          def ds(c: String) = col(c).cast("double") / lit(1000000.0)
+          val num = k * ds("sxy") - ds("sx") * ds("sy")
+          val den = k * ds("sxx") - ds("sx") * ds("sx")
+          floor(-(num / den) * lit(1000000.0)).cast("long").as("alpha_fp")
+        })
+      out.localCheckpoint(true)
+    } finally counts.unpersist()
+  }
+
   /** [[vocabDrift]]'s comparison half over prepared count relations
     * `ca(token, cnt_a)` / `cb(token, cnt_b)` — counts are
     * sum-mergeable, so a streaming consumer folds per-batch counts

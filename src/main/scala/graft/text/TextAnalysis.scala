@@ -464,6 +464,52 @@ object TextAnalysis {
       size(regexp_extract_all(afterIp, lit(phonePattern), lit(0))).as("n_phones"))
   }
 
+  /** Payment-card candidate pattern: 13–19 digits with optional
+    * single space/dash separators (the common PAN formats). Same
+    * Java-regex/RE2 dual-semantics constraint as the patterns above.
+    */
+  val cardCandidatePattern = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Luhn checksum validity of a pure-digit string (ISO/IEC 7812 —
+    * the mod-10 double-every-second-digit check every real PAN
+    * satisfies): one fold over the reversed digits, pure integer
+    * arithmetic, so the verdict replays exactly in any engine. Also
+    * enforces the 13–19 PAN length band. Codegen'd HOF expressions —
+    * no UDF.
+    */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val n = length(digits)
+    val total = aggregate(sequence(lit(1), greatest(n, lit(1))),
+      lit(0),
+      (acc, i) => {
+        val d = rev.substr(i, lit(1)).cast("int")
+        acc + when(i % 2 === 1, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      })
+    n >= 13 && n <= 19 && pmod(total, lit(10)) === 0
+  }
+
+  /** Credit-card exposure audit — the PAN member of the PII family
+    * ([[redactPii]] covers email/IP/phone): per document, how many
+    * card-SHAPED candidates appear and how many actually pass the
+    * Luhn check (the false-positive split that decides whether a doc
+    * needs redaction or just contains long numbers). Map-only column
+    * expressions riding the scan, zero shuffle at any corpus size.
+    * Returns (doc_id, n_candidates, n_luhn_valid).
+    */
+  def creditCardExposure(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cands = regexp_extract_all(coalesce(col(textCol), lit("")),
+      lit(cardCandidatePattern), lit(0))
+    val digits = transform(cands,
+      c => regexp_replace(c, "[ -]", ""))
+    docs.select(col(idCol).as("doc_id"),
+      size(cands).cast("long").as("n_candidates"),
+      size(filter(digits, d => luhnValid(d))).cast("long")
+        .as("n_luhn_valid"))
+  }
+
   /** One-stop profile of a documents table. */
   def profile(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("n_tokens", tokenCount(col(textCol)))

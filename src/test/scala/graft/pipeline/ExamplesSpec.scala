@@ -180,6 +180,33 @@ class ExamplesSpec extends SparkSpec {
       (4L, "added", 7L, 70L)))
   }
 
+  test("nspPairs: deterministic, ~50/50 coin, true-next rows carry the " +
+    "real next segment, negatives come from the segment universe") {
+    val docs = (1L to 40L)
+      .map(i => (i, (1 to 30).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Examples.nspPairs(docs, "doc_id", "text", segTokens = 6)
+      .as[(Long, Long, String, String, Boolean)].collect().sorted.toSeq
+    val b = Examples.nspPairs(docs.repartition(7, col("doc_id")),
+        "doc_id", "text", segTokens = 6)
+      .as[(Long, Long, String, String, Boolean)].collect().sorted.toSeq
+    assert(a === b)
+    // 30 words / 6-token segments → 5 segments → 4 adjacent pairs/doc
+    assert(a.size === 160)
+    val nextShare = a.count(_._5).toDouble / a.size
+    assert(nextShare > 0.35 && nextShare < 0.65, s"coin share $nextShare")
+    // the segment universe, keyed for verification
+    val segs = Examples.chunkDocuments(docs, "doc_id", "text", 6, 6)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byKey = segs.map(s => (s._1, s._2) -> s._5).toMap
+    val universe = segs.map(_._5).toSet
+    a.foreach { case (doc, pos, segA, segB, isNext) =>
+      assert(segA === byKey((doc, pos)))
+      if (isNext) assert(segB === byKey((doc, pos + 1)))
+      else assert(universe.contains(segB))
+    }
+  }
+
   test("chunkDocuments: overlapping grid, short tail kept, empty docs " +
     "emit nothing, config validated") {
     val docs = Seq(

@@ -183,4 +183,31 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long, Long, Boolean, Boolean)].collect()
     assert(same.forall(r => !r._4 && !r._5))
   }
+
+  test("zipfFit: an exact 1/r corpus fits alpha ~ 1; deterministic; " +
+    "k_used binds to vocab when topK exceeds it") {
+    // token t_r appears floor(120/r) times, r = 1..20 → ln(cnt) ≈
+    // ln 120 − ln(rank): slope ≈ −1 up to floor noise
+    val rows = (1 to 20).flatMap { r =>
+      (1 to (120 / r)).map(k => (s"${r}_$k".hashCode.toLong, s"t${"%02d".format(r)}"))
+    }
+    val docs = rows.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Profiling.zipfFit(docs, "text", topK = 100)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    val (kUsed, nTokens, vocab, sx, _, _, _, alphaFp) =
+      (got(0)._1, got(0)._2, got(0)._3, got(0)._4, got(0)._5, got(0)._6,
+        got(0)._7, got(0)._8)
+    assert(kUsed === 20L && vocab === 20L)
+    assert(nTokens === (1 to 20).map(120 / _).sum.toLong)
+    assert(sx > 0L)
+    assert(alphaFp > 850000L && alphaFp < 1150000L, s"alpha_fp $alphaFp")
+    val again = Profiling.zipfFit(docs.repartition(7), "text", topK = 100)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(again.toSeq === got.toSeq)
+    intercept[IllegalArgumentException] {
+      Profiling.zipfFit(docs, "text", topK = 1)
+    }
+  }
 }

@@ -285,4 +285,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(iae.getMessage.contains("band is empty"))
   }
+
+  test("luhnValid: known PANs pass, off-by-one fails, length band binds") {
+    val df = Seq(
+      (1L, "4111111111111111"),  // canonical valid test PAN
+      (2L, "4111111111111112"),  // check digit off by one
+      (3L, "5500005555555559"),  // valid MC-shaped test PAN
+      (4L, "49927398716"),       // Luhn-valid but 11 digits: too short
+      (5L, "4111111111111111111111")) // 22 digits: too long
+      .toDF("id", "d")
+    val got = df.select(col("id"),
+        TextAnalysis.luhnValid(col("d")).as("v"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false))
+  }
+
+  test("creditCardExposure: separators normalized, Luhn splits " +
+    "candidates, digit runs inside words never match") {
+    val docs = Seq(
+      (1L, "pay 4111-1111-1111-1111 or 4111 1111 1111 1112 today"),
+      (2L, "order token1234567890123456 is not a card"),
+      (3L, "no numbers at all"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.creditCardExposure(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) === ((2L, 1L))) // two candidates, one Luhn-valid
+    assert(got(2L) === ((0L, 0L))) // \b blocks letter-adjacent digits
+    assert(got(3L) === ((0L, 0L)))
+    assert(got(4L) === ((0L, 0L)))
+  }
 }
