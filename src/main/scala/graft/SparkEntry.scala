@@ -4055,7 +4055,9 @@ object SparkEntry {
     "q223_chunk_documents" -> (q223 _),
     "q224_nsp_pairs" -> (q224 _),
     "q225_credit_card_audit" -> (q225 _),
-    "q226_zipf_fit" -> (q226 _))
+    "q226_zipf_fit" -> (q226 _),
+    "q227_stream_chunk" -> (q227 _),
+    "q228_stream_card_audit" -> (q228 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5877,6 +5879,32 @@ object SparkEntry {
        |FROM grid""".stripMargin
   }
 
+  /** Streaming twin of q223 — ingest-time chunking: pure slice
+    * expressions, stateless per micro-batch (the q157/q180 map-only
+    * pattern), identical rows, shares q223's oracle verbatim.
+    */
+  private def q227(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      graft.pipeline.Examples.chunkDocuments(
+        StreamingPrep.streamDocuments(s, dir), "doc_id", "text",
+        chunkTokens = 12, stride = 8))
+
+  /** Streaming twin of q225 — the PAN audit at ingest: map-only
+    * regex + Luhn fold, stateless per micro-batch, shares q225's
+    * oracle verbatim (same planted corpus on the stream).
+    */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val planted = StreamingPrep.streamDocuments(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" card 4111-1111-1111-1111 ref "),
+            lpad(((col("doc_id") * 7919L) % 10000000000000000L)
+              .cast("string"), 16, "0")))
+          .otherwise(col("text")).as("text"))
+    StreamingPrep.runToMemory(
+      graft.text.TextAnalysis.creditCardExposure(planted, "doc_id", "text"))
+  }
+
   /** NSP pair generation ([[graft.pipeline.Examples.nspPairs]]): the
     * BERT next-segment task over the q223 segment grid — hash coin
     * keeps the true next segment or swaps in a corpus-random one via
@@ -7011,6 +7039,9 @@ object SparkEntry {
     "q225_credit_card_audit" -> q225Sql(),
     // rank-frequency moments integer fixed-point; ln chains portable
     "q226_zipf_fit" -> q226Sql(),
+    // stateless map-only twins — identical rows, shared oracles
+    "q227_stream_chunk" -> q223Sql(),
+    "q228_stream_card_audit" -> q225Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
