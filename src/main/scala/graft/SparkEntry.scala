@@ -4057,7 +4057,8 @@ object SparkEntry {
     "q225_credit_card_audit" -> (q225 _),
     "q226_zipf_fit" -> (q226 _),
     "q227_stream_chunk" -> (q227 _),
-    "q228_stream_card_audit" -> (q228 _))
+    "q228_stream_card_audit" -> (q228 _),
+    "q229_containment_pairs" -> (q229 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5905,6 +5906,29 @@ object SparkEntry {
       graft.text.TextAnalysis.creditCardExposure(planted, "doc_id", "text"))
   }
 
+  /** Cross-corpus LSH containment decontamination
+    * ([[graft.dedup.Dedup.containmentPairs]]): a benchmark quoted
+    * INSIDE a larger document has high containment but low Jaccard —
+    * the asymmetric member of the near-dup family. Planted: the
+    * benchmark is the first-half words of every tenth doc (ids offset
+    * +500000), so every planted pair has containment ≈ 1 at Jaccard
+    * ≈ 0.5. The oracle replays the shared signature/band chain and
+    * the exact containment verify.
+    */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    Dedup.containmentPairs(docs, "doc_id", "text",
+      bench, "bench_id", "text",
+      shingleK = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+  }
+
   /** NSP pair generation ([[graft.pipeline.Examples.nspPairs]]): the
     * BERT next-segment task over the q223 segment grid — hash coin
     * keeps the true next segment or swaps in a corpus-random one via
@@ -7042,6 +7066,8 @@ object SparkEntry {
     // stateless map-only twins — identical rows, shared oracles
     "q227_stream_chunk" -> q223Sql(),
     "q228_stream_card_audit" -> q225Sql(),
+    // asymmetric containment: shared band chain + exact i/|bench| verify
+    "q229_containment_pairs" -> graft.oracle.MinHashOracles.q229Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

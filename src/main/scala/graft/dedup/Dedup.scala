@@ -501,6 +501,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus LSH CONTAINMENT pairs — the partial-overlap
+    * decontamination primitive (a benchmark document QUOTED inside a
+    * larger corpus document has high containment |A∩B|/|B| but low
+    * Jaccard, so symmetric near-dup misses it): candidates from the
+    * same signature band buckets as [[minHashPairs]] (corpus side ⋈
+    * benchmark side — never a self-join), then EXACT containment on
+    * candidates only, measured against the BENCHMARK's shingle count.
+    *
+    * Honest recall note: candidate recall follows the Jaccard
+    * S-curve of (bands, rowsPerBand) — at extreme size asymmetry
+    * (a tweet inside a book) the Jaccard is tiny and the bucket
+    * collision probability with it; raise `bands` or use the exact
+    * n-gram span path (`Curation.spanDecontaminate`) when the
+    * asymmetry is unbounded. This operator is the probabilistic
+    * pre-filter for quote-sized asymmetries at corpus scale, where
+    * the exact path's gram join is the budget constraint.
+    *
+    * Returns (doc_id, bench_id, containment) with containment =
+    * |shingles(doc) ∩ shingles(bench)| / |shingles(bench)| ≥
+    * `threshold`. Scale shape: both sides band to (id, band, hash)
+    * rows (24 bytes/row through the shuffle); the verify join touches
+    * candidates only.
+    */
+  def containmentPairs(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    val shA = shingleTable(corpus, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shB = shingleTable(bench, benchIdCol, benchTextCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sh: DataFrame) = sh
+      .select(col("id"),
+        graft.functions.MinHashExpressions
+          .minhashSig(col("shingles"), numPerm).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
+    val candidates = banded(shA).as("l")
+      .join(banded(shB).as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash"))
+      .select(col("l.id").as("doc_id"), col("r.id").as("bench_id"))
+      .dropDuplicates("doc_id", "bench_id")
+    candidates
+      .join(shA.select(col("id").as("doc_id"), col("shingles").as("sh_a")),
+        "doc_id")
+      .join(shB.select(col("id").as("bench_id"), col("shingles").as("sh_b")),
+        "bench_id")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("bench_id"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   // --------------------------------------- incremental (indexed) near-dup
 
   /** Canonical banding expression: one row per (band, band_hash) of a

@@ -116,6 +116,41 @@ object MinHashOracles {
        |  SELECT e.dst, l.label FROM lab l JOIN edges e ON e.src = l.id)
        |SELECT id AS doc_id, min(label) AS cluster_id FROM lab GROUP BY id""".stripMargin
 
+  /** q229: cross-corpus LSH containment (Dedup.containmentPairs) —
+    * corpus ∪ (id+500000 benchmark slice = first-half words of every
+    * tenth doc) share one shingle/signature/band chain; candidates =
+    * corpus-side × bench-side band-bucket join; exact containment
+    * i / |shingles(bench)| ≥ threshold.
+    */
+  def q229Sql(shingleK: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): String = {
+    val numPerm = bands * rowsPerBand
+    val docsSql =
+      s"""SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000,
+         |         array_to_string(w[1:greatest(CAST(len(w) // 2 AS INT), 5)],
+         |           ' ')
+         |  FROM (SELECT doc_id, $wordsExpr AS w FROM documents
+         |        WHERE doc_id % 10 = 0)""".stripMargin
+    s"""WITH
+       |${shingleBaseCtes(docsSql, shingleK)},
+       |${sigBandCtes(numPerm, rowsPerBand)},
+       |cand AS (SELECT DISTINCT l.id AS id_doc, r.id AS id_bench
+       |         FROM bnd l JOIN bnd r ON l.band = r.band AND l.bs = r.bs
+       |         WHERE l.id < 500000 AND r.id >= 500000),
+       |cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.id_doc, c.id_bench, count(*) AS i
+       |          FROM cand c JOIN sh a ON a.id = c.id_doc
+       |                      JOIN sh b ON b.id = c.id_bench
+       |                        AND b.shingle = a.shingle
+       |          GROUP BY 1, 2)
+       |SELECT i.id_doc AS doc_id, i.id_bench AS bench_id,
+       |       round(CAST(i.i AS DOUBLE) / cb.n, 6) AS containment
+       |FROM inter i JOIN cnt cb ON cb.id = i.id_bench
+       |WHERE CAST(i.i AS DOUBLE) / cb.n >= $threshold""".stripMargin
+  }
+
   /** q44: SimHash chunk-banding candidates + exact-popcount verify. */
   def q44Sql(maxHamming: Int = 3): String = {
     val chunks = maxHamming + 1

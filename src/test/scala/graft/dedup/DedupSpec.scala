@@ -499,6 +499,30 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (id, cl) => cl <= id })
   }
 
+  test("containmentPairs: a quoted benchmark scores containment ~1 at " +
+    "Jaccard ~0.5; unrelated docs never pair") {
+    val body = (1 to 40).map(i => s"quote$i").mkString(" ")
+    val extra = (1 to 40).map(i => s"extra$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$body $extra"),        // contains the benchmark verbatim
+      (2L, (1 to 80).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, body)).toDF("bench_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        bench, "bench_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 100L)))
+    assert(got.head._3 === 1.0) // every bench shingle appears in doc 1
+    // the symmetric Jaccard of the same pair sits near 0.5 — the case
+    // plain near-dup thresholds at 0.7 would MISS
+    val j = Dedup.minHashPairs(
+      docs.filter($"doc_id" === 1).unionByName(
+        bench.toDF("doc_id", "text")),
+      "doc_id", "text", threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+    assert(j.forall(_._3 < 0.6), s"jaccard unexpectedly high: ${j.toSeq}")
+  }
+
   test("ngramJaccardPairs respects blocking") {
     val docs = Seq(
       (1L, "srcA", "one two three four five six seven"),
