@@ -4058,7 +4058,8 @@ object SparkEntry {
     "q226_zipf_fit" -> (q226 _),
     "q227_stream_chunk" -> (q227 _),
     "q228_stream_card_audit" -> (q228 _),
-    "q229_containment_pairs" -> (q229 _))
+    "q229_containment_pairs" -> (q229 _),
+    "q230_winnow_fingerprints" -> (q230 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5929,6 +5930,54 @@ object SparkEntry {
       shingleK = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
   }
 
+  /** Winnowing fingerprints
+    * ([[graft.text.TextAnalysis.winnowFingerprints]]): the MOSS local
+    * fingerprinting scheme — per-window rightmost-min k-gram hashes,
+    * the "which region is shared" primitive whole-doc fingerprints
+    * lack. The oracle re-derives the gram hashes via DuckDbXxHash and
+    * replays the window argmin fold struct-for-struct.
+    */
+  private def q230(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
+      "doc_id", "text", k = 5, w = 4)
+
+  private def q230Sql(k: Int = 5, w: Int = 4): String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+       |       '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |gm AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |         substr(t, CAST(i AS INT), $k) AS g
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - $k + 2)) AS i
+       |        FROM norm WHERE len(t) >= $k)),
+       |dg AS (SELECT DISTINCT 'wfp:' || g AS s FROM gm),
+       |${graft.oracle.DuckDbXxHash.xxh64Ctes("dg", "s", "gh",
+            idCols = "s AS ids")},
+       |gmh AS (
+       |  SELECT gm.doc_id, gm.i,
+       |         CAST(${graft.oracle.DuckDbXxHash.signedSql("gh.h64")}
+       |           AS BIGINT) AS h
+       |  FROM gm JOIN gh ON gh.s = 'wfp:' || gm.g),
+       |hl AS MATERIALIZED (
+       |  SELECT doc_id, list(h ORDER BY i) AS hs, count(*) AS n
+       |  FROM gmh GROUP BY 1),
+       |selw AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      range(1, greatest(CAST(n AS INT) - ${w - 1}, 1) + 1),
+       |      s -> list_reduce(
+       |        list_prepend({'h': CAST(9223372036854775807 AS BIGINT),
+       |                      'p': CAST(-1 AS BIGINT)},
+       |          list_transform(range(CAST(s AS INT),
+       |              least(CAST(s AS INT) + $w, CAST(n AS INT) + 1)),
+       |            j -> {'h': hs[CAST(j AS INT)],
+       |                  'p': CAST(j AS BIGINT)})),
+       |        (acc, x) -> CASE WHEN x.h <= acc.h THEN x
+       |                         ELSE acc END))) AS sel
+       |  FROM hl)
+       |SELECT DISTINCT doc_id, sel.p AS pos, sel.h AS fp FROM selw""".stripMargin
+
   /** NSP pair generation ([[graft.pipeline.Examples.nspPairs]]): the
     * BERT next-segment task over the q223 segment grid — hash coin
     * keeps the true next segment or swaps in a corpus-random one via
@@ -7068,6 +7117,9 @@ object SparkEntry {
     "q228_stream_card_audit" -> q225Sql(),
     // asymmetric containment: shared band chain + exact i/|bench| verify
     "q229_containment_pairs" -> graft.oracle.MinHashOracles.q229Sql(),
+    // winnowing: window argmin fold replayed struct-for-struct over
+    // the re-derived signed gram hashes
+    "q230_winnow_fingerprints" -> q230Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -286,6 +286,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(iae.getMessage.contains("band is empty"))
   }
 
+  test("winnowFingerprints: window coverage, the shared-substring " +
+    "guarantee, short-doc edges, determinism") {
+    val k = 5; val w = 4
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different words appear in this one here"),
+      // shares a >= k+w-1 char substring with doc 1
+      (3L, "prefix junk quick brown fox jumps suffix junk"),
+      (4L, "abc"),        // shorter than k: nothing
+      (5L, "abcdef"))     // k <= len < k+w-1: one clamped window
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = got.groupBy(_._1)
+    // the winnowing guarantee: every w-window of gram positions holds
+    // at least one selected position
+    val n1 = docs.filter($"doc_id" === 1)
+      .select(length(TextAnalysis.normalizeText($"text")) - (k - 1))
+      .as[Int].head()
+    val pos1 = byDoc(1L).map(_._2).toSet
+    (1 to (n1 - w + 1)).foreach { s =>
+      assert((s until s + w).exists(j => pos1.contains(j.toLong)),
+        s"window starting at $s has no fingerprint")
+    }
+    // shared >= k+w-1 substring => at least one shared fingerprint HASH
+    val shared = byDoc(1L).map(_._3).toSet & byDoc(3L).map(_._3).toSet
+    assert(shared.nonEmpty)
+    // unrelated docs share nothing
+    assert((byDoc(1L).map(_._3).toSet & byDoc(2L).map(_._3).toSet).isEmpty)
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).length === 1) // single clamped window, one pick
+    // deterministic under repartition
+    val again = TextAnalysis.winnowFingerprints(
+        docs.repartition(7), "doc_id", "text", k, w)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sorted.toSeq === got.sorted.toSeq)
+  }
+
   test("luhnValid: known PANs pass, off-by-one fails, length band binds") {
     val df = Seq(
       (1L, "4111111111111111"),  // canonical valid test PAN
