@@ -293,4 +293,22 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Join") || p.contains("InMemory"), s"plan:\n$p")
     } finally df.unpersist()
   }
+
+  test("q223/q225/q230: the map-only passes are exchange-free scans") {
+    // chunking, the PAN audit, and winnowing all claim "rides the
+    // ingest scan, zero shuffle" — assert no ShuffleExchange appears
+    for (name <- Seq("q223_chunk_documents", "q225_credit_card_audit",
+        "q230_winnow_fingerprints")) {
+      val shuffles = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeLike => e
+        }
+      assert(shuffles.isEmpty, s"$name shuffles: ${shuffles.size}")
+    }
+  }
+
+  test("q229: containment candidates come from a band equi-join, never a cartesian") {
+    val p = plan("q229_containment_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in containment:\n$p")
+  }
 }
