@@ -356,9 +356,11 @@ object Bench {
     // measures the machine itself, so any future drift can be
     // normalized (query_sec / ambient_ratio) instead of re-litigated.
     val ambient = minOr(timeReps("x_ambient_ref_sec") {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+      // xor fold, not sum: 200M summed hashes overflow a long under
+      // ANSI arithmetic (the first smoke run recorded -1.0 for this)
       spark.range(0L, 200000000L, 1L, 32)
-        .select(sum(xxhash64(col("id")))).collect()
+        .select(bit_xor(xxhash64(col("id")))).collect()
       ()
     })
     val derived = Seq(
