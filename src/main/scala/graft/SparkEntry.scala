@@ -4059,7 +4059,8 @@ object SparkEntry {
     "q227_stream_chunk" -> (q227 _),
     "q228_stream_card_audit" -> (q228 _),
     "q229_containment_pairs" -> (q229 _),
-    "q230_winnow_fingerprints" -> (q230 _))
+    "q230_winnow_fingerprints" -> (q230 _),
+    "q231_stream_containment" -> (q231 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5978,6 +5979,44 @@ object SparkEntry {
        |  FROM hl)
        |SELECT DISTINCT doc_id, sel.p AS pos, sel.h AS fp FROM selw""".stripMargin
 
+  /** Streaming twin of q229 — containment decontamination at ingest:
+    * every verdict depends only on the arriving document and the
+    * FROZEN benchmark side, so each micro-batch runs the batch
+    * operator verbatim (the q181 frozen-static-side pattern) and the
+    * union over any split equals the batch run — shares q229's
+    * oracle. Per-batch plan: batch-side shingle/sig/band + the
+    * static benchmark bands, candidates joined and verified within
+    * the batch only.
+    */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+      .localCheckpoint(true)
+    val stream = StreamingPrep.streamDocuments(s, dir)
+      .select("doc_id", "text")
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buf ++= Dedup.containmentPairs(b.localCheckpoint(true),
+            "doc_id", "text", bench, "bench_id", "text",
+            shingleK = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "bench_id", "containment")
+  }
+
   /** NSP pair generation ([[graft.pipeline.Examples.nspPairs]]): the
     * BERT next-segment task over the q223 segment grid — hash coin
     * keeps the true next segment or swaps in a corpus-random one via
@@ -7120,6 +7159,9 @@ object SparkEntry {
     // winnowing: window argmin fold replayed struct-for-struct over
     // the re-derived signed gram hashes
     "q230_winnow_fingerprints" -> q230Sql(),
+    // per-doc-independent vs the frozen benchmark — any batch split
+    // folds to the batch run; shares q229's oracle verbatim
+    "q231_stream_containment" -> graft.oracle.MinHashOracles.q229Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
