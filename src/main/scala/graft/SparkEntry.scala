@@ -4060,7 +4060,14 @@ object SparkEntry {
     "q228_stream_card_audit" -> (q228 _),
     "q229_containment_pairs" -> (q229 _),
     "q230_winnow_fingerprints" -> (q230 _),
-    "q231_stream_containment" -> (q231 _))
+    "q231_stream_containment" -> (q231 _),
+    "q232_c4_line_filter" -> (q232 _),
+    "q233_stream_c4_filter" -> (q233 _),
+    "q234_prototypicality_prune" -> (q234 _),
+    "q235_charset_profile" -> (q235 _),
+    "q236_stream_charset" -> (q236 _),
+    "q237_nfc_normalize" -> (q237 _),
+    "q238_orc_roundtrip" -> (q238 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6017,6 +6024,221 @@ object SparkEntry {
     buf.toSeq.toDF("doc_id", "bench_id", "containment")
   }
 
+  // ------------------------------------------------- q232+ cleanup ops
+
+  /** The q232/q233 corpus: q97's 15-word chunking with C4-rule variety
+    * planted on top (the q179 planted-HTML precedent — the synthetic
+    * docs are single-line and punctuation-free, so a line filter gated
+    * on them would prove nothing). Per line `(doc_id + i) % 3` appends
+    * `.` / `!` / nothing (terminal-punct rule both ways); the natural
+    * short last chunk exercises the min-words rule; every 97th doc
+    * gets a `lorem ipsum` line and every 89th a `{` line (the two C4
+    * page-kill tokens). Pure column algebra — streaming-safe.
+    */
+  private def c4Plant(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("text"))
+    .withColumn("__ws", split(col("text"), " "))
+    .withColumn("text", array_join(
+      transform(
+        sequence(lit(0), ((size(col("__ws")) - 1) / 15).cast("int")),
+        i => concat(
+          array_join(slice(col("__ws"), i * 15 + 1, lit(15)), " "),
+          when((col("doc_id") + i) % 3 === 0, lit("."))
+            .when((col("doc_id") + i) % 3 === 1, lit("!"))
+            .otherwise(lit("")))),
+      "\n"))
+    .withColumn("text",
+      when(col("doc_id") % 97 === 0,
+        concat(col("text"), lit("\nlorem ipsum dolor sit amet.")))
+        .otherwise(col("text")))
+    .withColumn("text",
+      when(col("doc_id") % 89 === 0,
+        concat(col("text"), lit("\nif (x) { return x; }")))
+        .otherwise(col("text")))
+    .drop("__ws")
+
+  /** C4-style line filtering (Raffel et al. 2020;
+    * [[graft.text.Quality.c4LineFilter]]) over the planted multi-line
+    * corpus: terminal-punctuation + min-words line rules, lorem-ipsum /
+    * curly-brace / min-kept-lines page rules — the verdict frame, not
+    * just survivors. Map-only, zero shuffle.
+    */
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    graft.text.Quality.c4LineFilter(
+      c4Plant(Tables.documents(s, dir)), "doc_id", "text")
+
+  /** Streaming twin of q232 — the ingest-time cleaning pass: stateless
+    * map-only expressions over the document stream (the q180 pattern),
+    * sharing q232's oracle verbatim.
+    */
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      graft.text.Quality.c4LineFilter(
+        c4Plant(StreamingPrep.streamDocuments(s, dir)), "doc_id", "text"))
+
+  /** Prototypicality pruning (Sorscher et al. 2022;
+    * [[graft.pipeline.Curation.prototypicalityPrune]]) under the q168
+    * frozen first-8 centroids: keep the hardest half of every cluster
+    * by exact d² hardness rank — the data-pruning sibling of SemDeDup
+    * (drop what the model already knows, not just what repeats).
+    */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    graft.pipeline.Curation.prototypicalityPrune(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      centroids, keepNum = 1L, keepDen = 2L)
+      .select(col("id").as("vec_id"), col("cluster"), col("d2_fp"),
+        col("rank"))
+  }
+
+  /** The q235/q236 corpus: a BMP non-ASCII tail (`é漢д1`, built from
+    * codepoints so no literal survives source/JSON encoding) appended
+    * `doc_id % 7` times — the pure-ASCII synthetic corpus would make a
+    * charset gate vacuous. Streaming-safe column algebra.
+    */
+  private def charsetPlant(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      concat(col("text"),
+        // the tail chars ride as Scala \u escapes — Spark SQL's chr()
+        // is byte-valued (n % 256), unlike DuckDB's codepoint chr()
+        expr("repeat(' \u00e9\u6f22\u04341', CAST(doc_id % 7 AS INT))"))
+        .as("text"))
+
+  /** Charset composition + non-ASCII gate
+    * ([[graft.text.TextAnalysis.charsetProfile]]): exact printable-
+    * ASCII / letter / digit / space / non-ASCII counts and the ≤5 %
+    * cross-multiplied keep verdict. Map-only, zero shuffle.
+    */
+  private def q235(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.charsetProfile(
+      charsetPlant(Tables.documents(s, dir)), "doc_id", "text")
+
+  /** Streaming twin of q235 (stateless map-only; shares its oracle). */
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      graft.text.TextAnalysis.charsetProfile(
+        charsetPlant(StreamingPrep.streamDocuments(s, dir)),
+        "doc_id", "text"))
+
+  /** Unicode NFC normalization
+    * ([[graft.functions.UnicodeExpressions.nfc]], a codegen kernel
+    * Expression): the corpus re-planted in DECOMPOSED form (every `e`
+    * followed by a combining acute, built identically in both engines)
+    * recomposes to `é` under NFC — lengths shrink, fingerprints
+    * stabilize. Oracle: DuckDB's `nfc_normalize` (same Unicode
+    * standard). Map-only, zero shuffle.
+    */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val planted = regexp_replace(col("text"), "e", "e\u0301")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.UnicodeExpressions.nfc(planted).as("norm_text"),
+      length(planted).cast("long").as("n_planted"),
+      length(graft.functions.UnicodeExpressions.nfc(planted)).cast("long")
+        .as("n_norm"))
+  }
+
+  /** ORC sink + scan round-trip (the q09/q94 lake pattern for Spark's
+    * second columnar format): documents written as ORC, read back,
+    * content-projected — the oracle reads the parquet original, so a
+    * hash match proves the ORC round-trip is content-identical.
+    */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${scratchDir("orc_roundtrip")}/data"
+    Tables.documents(s, dir).write.mode("overwrite").orc(base)
+    s.read.orc(base).select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"), md5(col("text")).as("fp"))
+  }
+
+  /** The q232/q233 oracle: the same chunk + C4-variety plant as
+    * [[c4Plant]], then the line rules (`[.!?"]$` + ≥3 words) and page
+    * rules (lorem ipsum / `{` / ≥3 kept lines) replayed with DuckDB
+    * list functions.
+    */
+  private val c4FilterSql: String =
+    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+      |ch AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, (len(ws)-1)//15 + 1),
+      |           i -> array_to_string(ws[i*15+1 : i*15+15], ' ') ||
+      |                CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+      |                     WHEN (doc_id + i) % 3 = 1 THEN '!'
+      |                     ELSE '' END) AS ls
+      |  FROM w),
+      |pl AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 89 = 0
+      |              THEN list_append(l2, 'if (x) { return x; }')
+      |              ELSE l2 END AS ls
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN doc_id % 97 = 0
+      |               THEN list_append(ls, 'lorem ipsum dolor sit amet.')
+      |               ELSE ls END AS l2
+      |        FROM ch)),
+      |f AS (
+      |  SELECT doc_id, ls,
+      |         list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+      |           AND len(list_filter(str_split(trim(l), ' '),
+      |                 t -> len(t) > 0)) >= 3) AS kept
+      |  FROM pl)
+      |SELECT doc_id,
+      |       coalesce(array_to_string(kept, chr(10)), '') AS text_kept,
+      |       CAST(len(ls) AS BIGINT) AS n_lines,
+      |       CAST(len(kept) AS BIGINT) AS n_kept,
+      |       (NOT contains(array_to_string(ls, chr(10)), 'lorem ipsum'))
+      |         AND (NOT contains(array_to_string(ls, chr(10)), '{'))
+      |         AND len(kept) >= 3 AS keep_doc
+      |FROM f""".stripMargin
+
+  /** The q235/q236 oracle: same chr()-built non-ASCII plant, same
+    * literal-range counting idiom, same cross-multiplied ≤5 % gate.
+    */
+  private val charsetProfileSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text || repeat(' ' || chr(233) || chr(28450) || chr(1076) || '1',
+      |                   CAST(doc_id % 7 AS INT)) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(t) AS BIGINT) AS n_chars,
+      |  CAST(length(regexp_replace(t, '[^ -~]', '', 'g')) AS BIGINT)
+      |    AS n_ascii,
+      |  CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+      |    AS BIGINT) AS n_letter,
+      |  CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+      |    AS BIGINT) AS n_digit,
+      |  CAST(length(t) - length(regexp_replace(t, ' ', '', 'g'))
+      |    AS BIGINT) AS n_space,
+      |  CAST(length(t) - length(regexp_replace(t, '[^ -~]', '', 'g'))
+      |    AS BIGINT) AS n_nonascii,
+      |  (length(t) - length(regexp_replace(t, '[^ -~]', '', 'g'))) * 20
+      |    <= length(t) * 1 AS keep
+      |FROM p""".stripMargin
+
+  /** The q237 oracle: the same decomposed plant (combining acute
+    * U+0301 after every `e`), normalized by DuckDB's `nfc_normalize` —
+    * both engines implement the Unicode NFC standard.
+    */
+  private val nfcNormalizeSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         regexp_replace(text, 'e', 'e' || chr(769), 'g') AS pt
+      |  FROM documents)
+      |SELECT doc_id,
+      |       nfc_normalize(pt) AS norm_text,
+      |       CAST(length(pt) AS BIGINT) AS n_planted,
+      |       CAST(length(nfc_normalize(pt)) AS BIGINT) AS n_norm
+      |FROM p""".stripMargin
+
+  /** The q238 oracle: the parquet original — a hash match proves the
+    * ORC write/read round-trip preserved every row.
+    */
+  private val orcRoundtripSql: String =
+    "SELECT doc_id, source, lang, n_chars, md5(text) AS fp FROM documents"
+
   /** NSP pair generation ([[graft.pipeline.Examples.nspPairs]]): the
     * BERT next-segment task over the q223 segment grid — hash coin
     * keeps the true next segment or swaps in a corpus-random one via
@@ -7162,6 +7384,20 @@ object SparkEntry {
     // per-doc-independent vs the frozen benchmark — any batch split
     // folds to the batch run; shares q229's oracle verbatim
     "q231_stream_containment" -> graft.oracle.MinHashOracles.q229Sql(),
+    // C4 line/page rules over the planted multi-line corpus
+    "q232_c4_line_filter" -> c4FilterSql,
+    // stateless map-only twin — identical rows, shared oracle
+    "q233_stream_c4_filter" -> c4FilterSql,
+    // frozen-centroid d² hardness rank, cross-multiplied keep test
+    "q234_prototypicality_prune" -> graft.oracle.AnnOracles.q234Sql(),
+    // literal-range charset counts over the chr()-planted corpus
+    "q235_charset_profile" -> charsetProfileSql,
+    // stateless map-only twin — identical rows, shared oracle
+    "q236_stream_charset" -> charsetProfileSql,
+    // Unicode NFC: both engines implement the same standard
+    "q237_nfc_normalize" -> nfcNormalizeSql,
+    // ORC round-trip: oracle reads the parquet original
+    "q238_orc_roundtrip" -> orcRoundtripSql,
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -844,4 +844,39 @@ object AnnOracles {
        |      FROM sc)
        |WHERE rn <= $k""".stripMargin
   }
+
+  /** q234: prototypicality pruning
+    * ([[graft.pipeline.Curation.prototypicalityPrune]]) — raw-space d²
+    * assignment against the first-`nCentroids` embeddings (the q168
+    * centroid convention), within-cluster hardness rank by d² DESC
+    * with id tie-break, keep `ceil(keepNum·n/keepDen)` per cluster via
+    * the cross-multiplied integer test. `d2_fp = floor(d² · 1e12)` —
+    * the d² doubles are the same left-assoc IEEE chains both engines
+    * compute, so the fixed-point projection is exact.
+    */
+  def q234Sql(keepNum: Long = 1L, keepDen: Long = 2L,
+      nCentroids: Int = 8, dim: Int = 64): String =
+    s"""WITH e AS ($embeddingsSrc),
+       |ev AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE)) AS dv
+       |       FROM e),
+       |cent AS (SELECT vec_id AS cid, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS ce
+       |  FROM embeddings WHERE vec_id < $nCentroids),
+       |dist AS MATERIALIZED (SELECT ev.id, c.cid,
+       |    ${d2Chain("ev.dv", "c.ce", dim)} AS d
+       |  FROM ev CROSS JOIN cent c),
+       |bestd AS (SELECT id, min(d) AS md FROM dist GROUP BY 1),
+       |asg AS (SELECT d.id, CAST(min(d.cid) AS BIGINT) AS cluster,
+       |    min(b.md) AS md
+       |  FROM dist d JOIN bestd b ON d.id = b.id AND d.d = b.md
+       |  GROUP BY 1),
+       |sz AS (SELECT cluster, count(*) AS n FROM asg GROUP BY 1),
+       |r AS (SELECT id, cluster, md, row_number() OVER (
+       |        PARTITION BY cluster ORDER BY md DESC, id) AS rn
+       |      FROM asg)
+       |SELECT r.id AS vec_id, r.cluster,
+       |       CAST(floor(md * 1000000000000.0) AS BIGINT) AS d2_fp,
+       |       CAST(rn AS INT) AS rank
+       |FROM r JOIN sz USING (cluster)
+       |WHERE rn * $keepDen <= $keepNum * n + ${keepDen - 1}""".stripMargin
 }

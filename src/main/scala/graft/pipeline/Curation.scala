@@ -668,6 +668,69 @@ object Curation {
     finally assigned.unpersist()
   }
 
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): rank
+    * every embedding within its nearest-frozen-centroid cluster by the
+    * squared distance to that centroid — the SSL-prototypes difficulty
+    * metric — and KEEP only the HARDEST `keepNum/keepDen` fraction
+    * (largest d², the paper's abundant-data regime: prototypical
+    * examples near the centroid teach a large model nothing new).
+    * Returns the survivors as `(id, cluster, d2_fp, rank)` with
+    * `d2_fp = floor(d² · 1e12)` and `rank` the 1-based within-cluster
+    * hardness rank. The per-cluster keep count is
+    * `ceil(keepNum·n/keepDen)` via the cross-multiplied integer test
+    * `rank·keepDen ≤ keepNum·n + keepDen − 1` (no float thresholds).
+    *
+    * Determinism/oracle: assignment and d² are the
+    * [[assignFixedCentroids]]/`centroidD2` left-assoc double chains —
+    * bit-identical cross-engine — and ties rank by id, so the whole
+    * survivor frame hash-gates (q234). Null/short vectors land in
+    * cluster −1 and SURVIVE with NULL d2_fp/rank ("unknown", not
+    * "easy" — the d4Select isolated-survivor contract).
+    *
+    * Scale shape: one map-only assignment pass (O(dim·|centroids|)
+    * per row, no broadcast — centroids ride inside the codegen'd
+    * expression), one |centroids|-key count agg (broadcast back —
+    * artifact-sized, exempt from the size-gate rule), and one
+    * hash-partitioned window over `cluster`. The window's partition
+    * count equals |centroids| — at 100 TB choose centroids ~O(√N) (the
+    * SemDeDup operating point) so per-cluster partitions stay
+    * executor-sized; a mega-cluster skews exactly like SemDeDup's and
+    * the same answer applies (more centroids), never a global sort.
+    */
+  def prototypicalityPrune(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Double]], keepNum: Long,
+      keepDen: Long): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen,
+      s"keep fraction must be in (0,1]: $keepNum/$keepDen")
+    val F = graft.functions.FixedAnnExpressions
+    val assigned = embeddings.select(
+      col(idCol).as("id"),
+      assignFixedCentroids(col(vecCol), centroids).as("cluster"),
+      F.centroidD2(col(vecCol), centroids).as("__d2s"))
+      .withColumn("__d2",
+        when(col("cluster") >= 0,
+          element_at(col("__d2s"), (col("cluster") + 1).cast("int"))))
+      .drop("__d2s")
+    val ranked = assigned.filter(col("cluster") >= 0)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(col("__d2").desc, col("id"))))
+    val sizes = ranked.groupBy("cluster").agg(count(lit(1)).as("__n"))
+    val survivors = ranked
+      .join(broadcast(sizes), Seq("cluster"))
+      .filter(col("rank") * lit(keepDen) <=
+        lit(keepNum) * col("__n") + lit(keepDen - 1))
+    val unknown = assigned.filter(col("cluster") < 0)
+      .select(col("id"), col("cluster"),
+        lit(null).cast("long").as("d2_fp"),
+        lit(null).cast("int").as("rank"))
+    survivors.select(col("id"), col("cluster"),
+      floor(col("__d2") * lit(1e12)).as("d2_fp"), col("rank"))
+      .unionByName(unknown)
+  }
+
   /** D4-style data selection (Tirumala et al. 2023): SemDeDup
     * survivors ([[semanticDedupFixed]], raw-space centroids) → k-NN
     * graph + density over the SURVIVOR set

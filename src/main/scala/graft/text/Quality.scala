@@ -239,6 +239,45 @@ object Quality {
       "ok_stop" -> (stopHits >= minStopWords))
   }
 
+  /** C4-style line-level filtering (Raffel et al. 2020, §2.2 — the
+    * cleaning pass that built C4 from Common Crawl): keep only lines
+    * that END IN A TERMINAL PUNCTUATION mark (`.`, `!`, `?`, `"`) and
+    * carry at least `minWordsPerLine` words; then drop whole pages
+    * that contain `lorem ipsum` or a curly bracket `{`, or retain
+    * fewer than `minKeptLines` lines after the line pass. Returns one
+    * row per input document:
+    * `(id, text_kept, n_lines, n_kept, keep_doc)` — the filtered text
+    * (kept lines rejoined with `\n`), line attrition counts, and the
+    * page verdict — so callers can audit attrition (the q213 funnel
+    * shape) rather than just see survivors.
+    *
+    * Scale: pure column algebra over `split(text, '\n')` — one
+    * map-only pass, zero shuffle, whole-stage codegen; usable
+    * unchanged on a streaming relation (stateless). Word counting and
+    * the punctuation test replay exactly in DuckDB (`str_split` +
+    * `regexp_matches('[.!?"]$')`), so the whole verdict frame
+    * hash-gates. NULL text yields NULL counts and `keep_doc = false`
+    * (no page to keep — the scoreQuality NULL contract).
+    */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), " "), t => length(t) > 0)) >=
+          minWordsPerLine)
+    docs.select(
+      col(idCol),
+      when(text.isNotNull, array_join(keptLines, "\n")).as("text_kept"),
+      when(text.isNotNull, size(lines).cast("long")).as("n_lines"),
+      when(text.isNotNull, size(keptLines).cast("long")).as("n_kept"),
+      coalesce(
+        !text.contains("lorem ipsum") && !text.contains("{") &&
+          size(keptLines) >= minKeptLines,
+        lit(false)).as("keep_doc"))
+  }
+
   /** Fit [[Weights]] by logistic regression on a LABELED sample
     * (`labelCol`: 1.0 = high-quality). Standard lifecycle: the sample
     * is small (it was labeled by hand or by membership in a reference

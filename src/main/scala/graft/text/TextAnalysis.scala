@@ -571,6 +571,44 @@ object TextAnalysis {
         .as("n_luhn_valid"))
   }
 
+  /** Per-document character-class composition + the CCNet/FineWeb-class
+    * non-ASCII gate: exact counts of printable-ASCII, ASCII letters,
+    * digits, spaces, and everything else, plus the cross-multiplied
+    * keep verdict `n_nonascii · maxNonAsciiDen ≤ n_chars ·
+    * maxNonAsciiNum` (default ≤ 5 %). The signal a language-targeted
+    * crawl pipeline gates on before any tokenizer sees the bytes:
+    * mojibake, binary-in-text, and wrong-script pages all light up
+    * `n_nonascii`.
+    *
+    * Counting idiom: `length(text) − length(regexp_replace(text,
+    * class, ''))` with LITERAL character ranges (`[ -~]`, `[A-Za-z]`,
+    * `[0-9]`) — portable between Java regex and RE2, unlike named
+    * classes (`\p{Alpha}`, `\s`). Length semantics agree across
+    * engines for all BMP text (Spark counts UTF-16 units, DuckDB
+    * codepoints — equal until astral-plane chars; documents carrying
+    * emoji/astral CJK would need a codepoint-exact kernel). Map-only,
+    * zero shuffle, whole-stage codegen; stateless, so the streaming
+    * twin runs it unchanged.
+    */
+  def charsetProfile(docs: DataFrame, idCol: String, textCol: String,
+      maxNonAsciiNum: Long = 1L, maxNonAsciiDen: Long = 20L): DataFrame = {
+    val text = col(textCol)
+    def removed(cls: String): Column =
+      (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+    val nChars = length(text).cast("long")
+    val nAscii = length(regexp_replace(text, "[^ -~]", "")).cast("long")
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nAscii.as("n_ascii"),
+      removed("[A-Za-z]").as("n_letter"),
+      removed("[0-9]").as("n_digit"),
+      removed(" ").as("n_space"),
+      (nChars - nAscii).as("n_nonascii"),
+      ((nChars - nAscii) * lit(maxNonAsciiDen) <=
+        nChars * lit(maxNonAsciiNum)).as("keep"))
+  }
+
   /** One-stop profile of a documents table. */
   def profile(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("n_tokens", tokenCount(col(textCol)))
