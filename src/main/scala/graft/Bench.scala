@@ -108,12 +108,24 @@ object Bench {
     // composition of q208's projection and the q47 refine shape, and
     // q211 two capped count-aggs + a map pass (the q123 no-slot rule).
     "q202_dup_clusters",
-    "q204_span_corrupt")
-  // round-14 surface: NO new slots — q217/q218 fold the measured q202
-  // star kernel, q219 composes measured curation + manifest stages,
-  // q220 composes measured gate kernels (the q123 no-slot rule). The
-  // workload is therefore identical to round 13, which is exactly what
-  // adjudicating the r13 q34/q35 drift needs.
+    "q204_span_corrupt",
+    // round-14 continuation: the two genuinely new heavy shapes of the
+    // intake-cleanup family — the C4 line filter (per-line regex +
+    // nested HOF word counts over the planted multi-line corpus) and
+    // the NFC normalization kernel (per-string JDK normalizer call,
+    // the archetype of a codegen'd string kernel on the hottest map
+    // pass). The rest of the continuation surface gets no slots by the
+    // q123 rule: q233/q236/q242 are twins, q234 composes the measured
+    // q168 assignment kernel + a window, q235/q241 are single regex
+    // map passes (q113's family), q238 is a lifecycle, q239 folds the
+    // measured q97 election, q240 is 3× the unslotted q205 shape.
+    "q232_c4_line_filter",
+    "q237_nfc_normalize")
+  // round-14 first-half surface kept NO new slots — q217/q218 fold the
+  // measured q202 star kernel, q219 composes measured curation +
+  // manifest stages, q220 composes measured gate kernels (the q123
+  // no-slot rule) — so the workload stayed identical to round 13 for
+  // adjudicating the r13 q34/q35 drift (done: host-wide, see TODO.md).
 
   /** The q95 harness WITHOUT its operator: identical staging (two
     * single-file parquet batches, staggered mtimes), identical

@@ -4067,7 +4067,11 @@ object SparkEntry {
     "q235_charset_profile" -> (q235 _),
     "q236_stream_charset" -> (q236 _),
     "q237_nfc_normalize" -> (q237 _),
-    "q238_orc_roundtrip" -> (q238 _))
+    "q238_orc_roundtrip" -> (q238 _),
+    "q239_sentence_dedup" -> (q239 _),
+    "q240_epoch_shuffle" -> (q240 _),
+    "q241_sanitize_ctrl" -> (q241 _),
+    "q242_stream_sanitize" -> (q242 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6158,8 +6162,13 @@ object SparkEntry {
     * rules (lorem ipsum / `{` / ≥3 kept lines) replayed with DuckDB
     * list functions.
     */
-  private val c4FilterSql: String =
-    """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+  /** The [[c4Plant]] replay as a CTE fragment ending in
+    * `pl(doc_id, ls)` — shared by the q232/q233 filter oracle and
+    * q239's sentence-dedup oracle (which joins the lines back into the
+    * planted text).
+    */
+  private val c4PlantCtes: String =
+    """w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
       |ch AS (
       |  SELECT doc_id,
       |         list_transform(range(0, (len(ws)-1)//15 + 1),
@@ -6177,10 +6186,13 @@ object SparkEntry {
       |          CASE WHEN doc_id % 97 = 0
       |               THEN list_append(ls, 'lorem ipsum dolor sit amet.')
       |               ELSE ls END AS l2
-      |        FROM ch)),
+      |        FROM ch))""".stripMargin
+
+  private val c4FilterSql: String =
+    s"""WITH $c4PlantCtes,
       |f AS (
       |  SELECT doc_id, ls,
-      |         list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+      |         list_filter(ls, l -> regexp_matches(l, '[.!?"]$$')
       |           AND len(list_filter(str_split(trim(l), ' '),
       |                 t -> len(t) > 0)) >= 3) AS kept
       |  FROM pl)
@@ -6238,6 +6250,100 @@ object SparkEntry {
     */
   private val orcRoundtripSql: String =
     "SELECT doc_id, source, lang, n_chars, md5(text) AS fp FROM documents"
+
+  /** Sentence-level exact dedup ([[graft.dedup.Dedup.sentenceDedup]])
+    * over the planted multi-line corpus — the keep-first election one
+    * granularity below the q97 line: the plant repeats whole 15-word
+    * chunks across near-dup docs, and the sentence splitter sees them
+    * as terminal-punctuated sentences.
+    */
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    Dedup.sentenceDedup(c4Plant(Tables.documents(s, dir)),
+      "doc_id", "text")
+
+  /** The q239 oracle: the c4 plant joined back to text, the same
+    * boundary rewrite (terminal punct + space/newline → U+0001), then
+    * q97's normalize / keep-first / reassemble replay at sentence
+    * granularity (space-joined).
+    */
+  private val sentenceDedupSql: String =
+    s"""WITH $c4PlantCtes,
+      |d AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM pl),
+      |sp AS (SELECT doc_id,
+      |         str_split(regexp_replace(text, '([.!?])[ \\n]',
+      |                     '\\1' || chr(1), 'g'), chr(1)) AS ss
+      |       FROM d),
+      |p AS (
+      |  SELECT doc_id, u.i AS para_no, u.p AS para
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(ss, (x, i) -> {'i': i, 'p': x})) AS u
+      |        FROM sp)),
+      |t AS (
+      |  SELECT doc_id, para_no, para,
+      |         trim(para) = '' AS is_empty,
+      |         md5(lower(trim(regexp_replace(para, '\\s+', ' ', 'g')))) AS k
+      |  FROM p),
+      |r AS (
+      |  SELECT doc_id, para_no, para,
+      |         CASE WHEN is_empty THEN TRUE
+      |              ELSE row_number() OVER (PARTITION BY k
+      |                     ORDER BY doc_id, para_no) = 1 END AS keep
+      |  FROM t)
+      |SELECT doc_id,
+      |       coalesce(string_agg(CASE WHEN keep THEN para END,
+      |                           ' ' ORDER BY para_no), '') AS text,
+      |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_kept,
+      |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+      |         AS n_dropped
+      |FROM r GROUP BY doc_id""".stripMargin
+
+  /** Per-epoch deterministic reshuffle
+    * ([[graft.pipeline.Examples.epochShuffle]]): 3 epochs × 8 shards —
+    * every epoch re-orders the full corpus independently under
+    * epoch-salted hashes.
+    */
+  private def q240(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Examples.epochShuffle(Tables.documents(s, dir),
+      "doc_id", nEpochs = 3, nShards = 8)
+
+  /** Control-character sanitation
+    * ([[graft.text.TextAnalysis.sanitizeControlChars]]) over the
+    * corpus with planted C0/DEL bytes (`chr(7)·chr(31)·chr(127)` —
+    * all < 128, where Spark's byte-valued `chr` and DuckDB's codepoint
+    * `chr` agree — repeated `doc_id % 3` times).
+    */
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.sanitizeControlChars(
+      ctrlPlant(Tables.documents(s, dir)), "doc_id", "text")
+
+  /** Streaming twin of q241 (stateless map-only; shares its oracle). */
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      graft.text.TextAnalysis.sanitizeControlChars(
+        ctrlPlant(StreamingPrep.streamDocuments(s, dir)),
+        "doc_id", "text"))
+
+  /** The q241/q242 plant. */
+  private def ctrlPlant(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      concat(col("text"),
+        expr("repeat(chr(7) || chr(31) || chr(127)," +
+          " CAST(doc_id % 3 AS INT))")).as("text"))
+
+  private val sanitizeCtrlSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text || repeat(chr(7) || chr(31) || chr(127),
+      |                   CAST(doc_id % 3 AS INT)) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+      |    AS text_clean,
+      |  CAST(length(t) - length(regexp_replace(t,
+      |         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT)
+      |    AS n_removed
+      |FROM p""".stripMargin
 
   /** NSP pair generation ([[graft.pipeline.Examples.nspPairs]]): the
     * BERT next-segment task over the q223 segment grid — hash coin
@@ -7398,6 +7504,15 @@ object SparkEntry {
     "q237_nfc_normalize" -> nfcNormalizeSql,
     // ORC round-trip: oracle reads the parquet original
     "q238_orc_roundtrip" -> orcRoundtripSql,
+    // sentence-boundary rewrite + the q97 keep-first replay
+    "q239_sentence_dedup" -> sentenceDedupSql,
+    // epoch-salted shard/order hashes replayed via DuckDbXxHash
+    "q240_epoch_shuffle" -> graft.oracle.ExampleOracles
+      .q240Sql(nEpochs = 3, nShards = 8),
+    // C0/DEL strip over the chr()-planted corpus (all < 128)
+    "q241_sanitize_ctrl" -> sanitizeCtrlSql,
+    // stateless map-only twin — identical rows, shared oracle
+    "q242_stream_sanitize" -> sanitizeCtrlSql,
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

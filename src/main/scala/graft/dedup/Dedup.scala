@@ -100,18 +100,49 @@ object Dedup {
     * present, with text = "" if every paragraph was a cross-corpus dup.
     */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n"): DataFrame = {
-    val paras = explodedParas(docs, idCol, textCol, sep)
+      sep: String = "\n"): DataFrame =
+    reassembleParas(keepFirstFlags(explodedParas(docs, idCol, textCol, sep)),
+      sep)
+
+  /** Sentence-level exact dedup — [[paragraphDedup]]'s keep-first
+    * election at SENTENCE granularity (the CCNet-family unit below the
+    * line: boilerplate sentences repeat inside otherwise-unique
+    * lines). Sentence boundaries are terminal punctuation followed by
+    * a space or newline, marked by rewriting the separator to U+0001
+    * and splitting on it — a lookbehind-free construction both regex
+    * engines (Java, RE2) execute identically, unlike `(?<=[.!?]) `.
+    * Unpunctuated line breaks stay INSIDE a sentence (line-wrap, not a
+    * boundary). Kept sentences rejoin with a single space, which
+    * reconstructs the original text exactly when nothing is dropped
+    * (each sentence retains its own terminal mark). Same scale shape
+    * as the paragraph operator: one explode, one bounded-key owner
+    * agg, one reassembly agg.
+    */
+  def sentenceDedup(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val prepped = docs.select(col(idCol),
+      regexp_replace(coalesce(col(textCol), lit("")),
+        "([.!?])[ \n]", "$1\u0001").as(textCol))
+    reassembleParas(
+      keepFirstFlags(explodedParas(prepped, idCol, textCol, "\u0001")),
+      " ")
+  }
+
+  /** Keep-first owner election over an [[explodedParas]] frame: the
+    * min-(doc_id, para_no) occurrence of every non-empty normalized
+    * key keeps, empties always keep (structure, not content). Shared
+    * by the paragraph and sentence dedup operators.
+    */
+  private def keepFirstFlags(paras: DataFrame): DataFrame = {
     val nonEmpty = paras.filter(!col("__empty"))
     val owners = nonEmpty.groupBy("__k")
       .agg(min(struct(col("doc_id"), col("para_no"))).as("__owner"))
-    val flagged = nonEmpty.join(owners, "__k")
+    nonEmpty.join(owners, "__k")
       .withColumn("__keep",
         col("__owner.doc_id") === col("doc_id") &&
           col("__owner.para_no") === col("para_no"))
       .drop("__owner")
       .unionByName(paras.filter(col("__empty")).withColumn("__keep", lit(true)))
-    reassembleParas(flagged, sep)
   }
 
   // --- shared line/span plumbing: ONE implementation behind

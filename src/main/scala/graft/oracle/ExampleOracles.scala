@@ -165,6 +165,43 @@ object ExampleOracles {
        |FROM asg a JOIN tokc t USING (doc_id)""".stripMargin
   }
 
+  /** q240: per-epoch deterministic reshuffle
+    * ([[graft.pipeline.Examples.epochShuffle]]) — q205's shard/order
+    * construction with the epoch salted into both hash strings
+    * (`epoch_s:<epoch>:<doc_id>` / `epoch_o:…`), ranked per
+    * (epoch, shard).
+    */
+  def q240Sql(nEpochs: Int, nShards: Int, seedTag: String = "epoch")
+      : String = {
+    def pm(x: String, m: String) =
+      s"((${DuckDbXxHash.signedSql(x)} % $m) + $m) % $m"
+    s"""WITH
+       |eps AS (
+       |  SELECT doc_id, e.epoch
+       |  FROM documents CROSS JOIN
+       |    (SELECT unnest(range($nEpochs)) AS epoch) e),
+       |keys AS (
+       |  SELECT doc_id, epoch, tag,
+       |         pfx || CAST(epoch AS VARCHAR) || ':' ||
+       |           CAST(doc_id AS VARCHAR) AS s
+       |  FROM eps CROSS JOIN (VALUES
+       |    ('s', '${seedTag}_s:'), ('o', '${seedTag}_o:')) t(tag, pfx)),
+       |${DuckDbXxHash.xxh64Ctes("keys", "s", "hh",
+          idCols = "doc_id, epoch, tag")},
+       |dec AS (
+       |  SELECT doc_id, epoch,
+       |         max(CASE WHEN tag = 's' THEN h64 END) AS hshard,
+       |         max(CASE WHEN tag = 'o' THEN h64 END) AS hord
+       |  FROM hh GROUP BY 1, 2)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       |       CAST(${pm("hshard", nShards.toString)} AS BIGINT) AS shard,
+       |       CAST(row_number() OVER (
+       |              PARTITION BY epoch, ${pm("hshard", nShards.toString)}
+       |              ORDER BY ${DuckDbXxHash.signedSql("hord")}, doc_id) - 1
+       |            AS BIGINT) AS ord
+       |FROM dec""".stripMargin
+  }
+
   /** q206: per-shard export manifest — doc/token counts plus an
     * order-independent bit_xor checksum of per-doc content hashes.
     * bit_xor over the sign-extended HUGEINT view equals the 64-bit xor

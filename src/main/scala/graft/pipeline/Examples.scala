@@ -206,6 +206,38 @@ object Examples {
         col("is_next"))
   }
 
+  /** Per-epoch deterministic reshuffle — [[shardAssign]]'s order
+    * machinery with the EPOCH salted into both hashes: multi-epoch
+    * training wants a DIFFERENT global order every pass (repeating one
+    * order correlates batch composition across epochs), but each
+    * epoch's order must still be a pure function of (seedTag, epoch,
+    * doc_id) so any worker, cluster, or engine reproduces it. Returns
+    * `(epoch, doc_id, shard, ord)` for epochs `0..nEpochs-1` — every
+    * epoch holds the full document multiset, shuffled independently.
+    *
+    * Scale posture: the epoch fan-out is a generator explode (no self
+    * join); shard/order keys are map-only; the one shuffle is the
+    * per-(epoch, shard) row_number window — nEpochs·nShards
+    * executor-sized sorts, exactly the work the reshuffles must do.
+    * At 100 TB you'd materialize one epoch at a time by filtering the
+    * generator column — the plan is identical, so the gate covers it.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, nEpochs: Int,
+      nShards: Int, seedTag: String = "epoch"): DataFrame = {
+    require(nEpochs > 0, s"need nEpochs > 0, got $nEpochs")
+    require(nShards > 0, s"need nShards > 0, got $nShards")
+    def h(tag: String) = xxhash64(concat(lit(s"${seedTag}_$tag:"),
+      col("epoch"), lit(":"), col("doc_id")))
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(nEpochs - 1L))))
+      .withColumn("shard", pmod(h("s"), lit(nShards.toLong)))
+      .withColumn("ord", row_number().over(
+          Window.partitionBy("epoch", "shard")
+            .orderBy(h("o"), col("doc_id")))
+        .cast("long") - 1L)
+      .select("epoch", "doc_id", "shard", "ord")
+  }
+
   /** Deterministic training-export sharding — the reproducible "global
     * shuffle" that precedes writing a training dataset: every document
     * gets a hash-assigned shard and a hash-ordered position within it,

@@ -609,6 +609,26 @@ object TextAnalysis {
         nChars * lit(maxNonAsciiNum)).as("keep"))
   }
 
+  /** Control-character sanitation — the byte-hygiene pass next to NFC
+    * in any crawl intake: strip C0 controls and DEL (`\x00–\x08`,
+    * `\x0B`, `\x0C`, `\x0E–\x1F`, `\x7F` — everything except tab,
+    * newline, and carriage return, which carry document structure) and
+    * report how many were removed. Terminal escape sequences, NUL
+    * bytes and binary spill inside "text" all die here before they
+    * poison tokenizers and content keys. The class is spelled with
+    * two-digit `\xNN` escapes — the hex-escape syntax Java regex and
+    * RE2 share (named classes like `\p{Cntrl}` differ cross-engine).
+    * Map-only, zero shuffle, streaming-safe.
+    */
+  def sanitizeControlChars(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val text = col(textCol)
+    val cleaned = regexp_replace(text,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    docs.select(col(idCol), cleaned.as("text_clean"),
+      (length(text) - length(cleaned)).cast("long").as("n_removed"))
+  }
+
   /** One-stop profile of a documents table. */
   def profile(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("n_tokens", tokenCount(col(textCol)))

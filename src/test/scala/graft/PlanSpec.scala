@@ -311,4 +311,18 @@ class PlanSpec extends SparkSpec {
     val p = plan("q229_containment_pairs")
     assert(!p.contains("CartesianProduct"), s"cartesian in containment:\n$p")
   }
+
+  test("q232/q235/q237/q241: the intake-cleanup passes are exchange-free scans") {
+    // C4 line filter, charset profile, NFC normalization, and
+    // control-char sanitation all claim "map-only, zero shuffle" —
+    // the whole cleanup family must ride the ingest scan
+    for (name <- Seq("q232_c4_line_filter", "q235_charset_profile",
+        "q237_nfc_normalize", "q241_sanitize_ctrl")) {
+      val shuffles = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeLike => e
+        }
+      assert(shuffles.isEmpty, s"$name shuffles: ${shuffles.size}")
+    }
+  }
 }

@@ -264,4 +264,40 @@ class ExamplesSpec extends SparkSpec {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(!ids.contains(1L) && !ids.contains(2L))
   }
+
+  test("epochShuffle: every epoch holds the full corpus, densely " +
+    "ordered per shard, independent across epochs") {
+    val out = Examples.epochShuffle(corpus, "doc_id",
+      nEpochs = 3, nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // full multiset per epoch
+    (0L to 2L).foreach { e =>
+      assert(out.filter(_._1 == e).map(_._2).sorted === (1L to 60L))
+    }
+    // ord is dense 0..n-1 within every (epoch, shard)
+    out.groupBy(r => (r._1, r._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted === rows.indices.map(_.toLong))
+    }
+    // epochs are shuffled INDEPENDENTLY: the (shard, ord) assignment
+    // of at least one doc moves between epochs
+    val byEpoch = (0L to 2L).map(e =>
+      out.filter(_._1 == e).map(r => r._2 -> ((r._3, r._4))).toMap)
+    assert(byEpoch(0) !== byEpoch(1))
+    assert(byEpoch(1) !== byEpoch(2))
+  }
+
+  test("epochShuffle: partitioning-independent and deterministic") {
+    val a = Examples.epochShuffle(corpus, "doc_id", 2, 4)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val b = Examples.epochShuffle(corpus.repartition(7, col("doc_id")),
+        "doc_id", 2, 4)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Examples.epochShuffle(corpus, "doc_id", 0, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Examples.epochShuffle(corpus, "doc_id", 2, 0)
+    }
+  }
 }
