@@ -4071,7 +4071,8 @@ object SparkEntry {
     "q239_sentence_dedup" -> (q239 _),
     "q240_epoch_shuffle" -> (q240 _),
     "q241_sanitize_ctrl" -> (q241 _),
-    "q242_stream_sanitize" -> (q242 _))
+    "q242_stream_sanitize" -> (q242 _),
+    "q243_intake_clean" -> (q243 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6331,6 +6332,55 @@ object SparkEntry {
         expr("repeat(chr(7) || chr(31) || chr(127)," +
           " CAST(doc_id % 3 AS INT))")).as("text"))
 
+  /** One-call intake cleaning ([[graft.pipeline.Pipelines.intakeClean]]:
+    * control-strip → NFC → C4 line/page rules) over a corpus planted
+    * with all three defects at once — the multi-line c4 plant, every
+    * `merge` decomposed (`me` + U+0301 + `rge`), and a C0/DEL tail.
+    * Each kernel keeps its own gate (q232/q237/q241); this one proves
+    * the COMPOSITION (the q214 cross-family-funnel pattern).
+    */
+  private def q243(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Pipelines.intakeClean(
+      c4Plant(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          concat(regexp_replace(col("text"), "merge", "me\u0301rge"),
+            expr("repeat(chr(7) || chr(31) || chr(127)," +
+              " CAST(doc_id % 3 AS INT))")).as("text")),
+      "doc_id", "text")
+
+  /** The q243 oracle: the same three plants, then the strip / NFC /
+    * line-rule chain replayed stage for stage.
+    */
+  private val intakeCleanSql: String =
+    s"""WITH $c4PlantCtes,
+      |d0 AS (SELECT doc_id, array_to_string(ls, chr(10)) AS t0 FROM pl),
+      |d1 AS (SELECT doc_id,
+      |         regexp_replace(t0, 'merge', 'me' || chr(769) || 'rge', 'g')
+      |           || repeat(chr(7) || chr(31) || chr(127),
+      |                     CAST(doc_id % 3 AS INT)) AS t1
+      |       FROM d0),
+      |d2 AS (SELECT doc_id, t1, regexp_replace(t1,
+      |         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS t2
+      |       FROM d1),
+      |d3 AS (SELECT doc_id, t1, t2, nfc_normalize(t2) AS t3 FROM d2),
+      |f AS (SELECT doc_id, t1, t2, t3,
+      |        list_filter(str_split(t3, chr(10)),
+      |          l -> regexp_matches(l, '[.!?"]$$')
+      |            AND len(list_filter(str_split(trim(l), ' '),
+      |                  t -> len(t) > 0)) >= 3) AS kept
+      |      FROM d3)
+      |SELECT doc_id,
+      |  coalesce(array_to_string(kept, chr(10)), '') AS text_kept,
+      |  CAST(length(t1) - length(t2) AS BIGINT) AS n_ctrl_removed,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  (NOT contains(t3, 'lorem ipsum')) AND (NOT contains(t3, '{'))
+      |    AND len(kept) >= 3 AS keep_doc,
+      |  CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+      |       - length(regexp_replace(
+      |           coalesce(array_to_string(kept, chr(10)), ''),
+      |           '[^ -~\\t\\n\\r]', '', 'g')) AS BIGINT) AS n_nonascii
+      |FROM f""".stripMargin
+
   private val sanitizeCtrlSql: String =
     """WITH p AS (
       |  SELECT doc_id,
@@ -7513,6 +7563,8 @@ object SparkEntry {
     "q241_sanitize_ctrl" -> sanitizeCtrlSql,
     // stateless map-only twin — identical rows, shared oracle
     "q242_stream_sanitize" -> sanitizeCtrlSql,
+    // the strip → NFC → C4 composition, replayed stage for stage
+    "q243_intake_clean" -> intakeCleanSql,
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -170,6 +170,48 @@ object Pipelines {
       semanticMaxClusterSize: Long = 1L << 20,
       semanticSubPlanes: Int = 6)
 
+  /** One-call crawl-intake cleaner — the byte-hygiene prefix a real
+    * pipeline runs BEFORE [[curateCorpus]]'s content stages: strip C0
+    * controls and DEL
+    * ([[graft.text.TextAnalysis.stripControlChars]]) → Unicode NFC
+    * normalization ([[graft.functions.UnicodeExpressions.nfc]] — so
+    * composed and decomposed byte forms of the same text share every
+    * downstream content key) → C4 line/page rules
+    * ([[graft.text.Quality.c4KeptLines]]). Returns the verdict frame
+    * `(id, text_kept, n_ctrl_removed, n_kept, keep_doc, n_nonascii)` —
+    * cleaned text, per-stage attrition, the page verdict, and the
+    * residual non-ASCII count of the kept text (the q235 gate's
+    * input, reported here so a caller can chain the charset gate
+    * without re-scanning).
+    *
+    * Scale: the three stages are pure column algebra and FUSE — one
+    * map-only whole-stage-codegen pass, zero shuffle (plan-asserted),
+    * stateless on a stream. The composition costs exactly one read of
+    * the corpus. Hash-gated end to end as q243.
+    */
+  def intakeClean(docs: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    import graft.text.{Quality, TextAnalysis}
+    val raw = col(textCol)
+    val stripped = TextAnalysis.stripControlChars(raw)
+    val cleaned = graft.functions.UnicodeExpressions.nfc(stripped)
+    val kept = Quality.c4KeptLines(cleaned, minWordsPerLine)
+    val keptText = array_join(kept, "\n")
+    docs.select(col(idCol),
+      when(raw.isNotNull, keptText).as("text_kept"),
+      (length(raw) - length(stripped)).cast("long").as("n_ctrl_removed"),
+      when(raw.isNotNull, size(kept).cast("long")).as("n_kept"),
+      coalesce(!cleaned.contains("lorem ipsum") && !cleaned.contains("{") &&
+        size(kept) >= minKeptLines, lit(false)).as("keep_doc"),
+      when(raw.isNotNull,
+        // structure chars (tab/newline/CR) are not "non-ASCII" — the
+        // kept text is multi-line by construction
+        (length(keptText) -
+          length(regexp_replace(keptText, "[^ -~\t\n\r]", "")))
+          .cast("long")).as("n_nonascii"))
+  }
+
+
   /** The full LLM training-data curation flow as ONE library call —
     * what a user of the reference's script-per-step world replaces
     * their corpus pipeline with:

@@ -263,10 +263,7 @@ object Quality {
       minWordsPerLine: Int = 3, minKeptLines: Int = 3): DataFrame = {
     val text = col(textCol)
     val lines = split(text, "\n")
-    val keptLines = filter(lines, l =>
-      l.rlike("[.!?\"]$") &&
-        size(filter(split(trim(l), " "), t => length(t) > 0)) >=
-          minWordsPerLine)
+    val keptLines = c4KeptLines(text, minWordsPerLine)
     docs.select(
       col(idCol),
       when(text.isNotNull, array_join(keptLines, "\n")).as("text_kept"),
@@ -277,6 +274,17 @@ object Quality {
           size(keptLines) >= minKeptLines,
         lit(false)).as("keep_doc"))
   }
+
+  /** The C4 line rules as a column: the lines of `text` that end in a
+    * terminal punctuation mark and carry at least `minWordsPerLine`
+    * words — [[c4LineFilter]]'s kernel, composable into intake chains
+    * ([[graft.pipeline.Pipelines.intakeClean]]).
+    */
+  def c4KeptLines(text: Column, minWordsPerLine: Int = 3): Column =
+    filter(split(text, "\n"), l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), " "), t => length(t) > 0)) >=
+          minWordsPerLine)
 
   /** Fit [[Weights]] by logistic regression on a LABELED sample
     * (`labelCol`: 1.0 = high-quality). Standard lifecycle: the sample

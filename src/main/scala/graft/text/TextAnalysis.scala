@@ -623,11 +623,16 @@ object TextAnalysis {
   def sanitizeControlChars(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val text = col(textCol)
-    val cleaned = regexp_replace(text,
-      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val cleaned = stripControlChars(text)
     docs.select(col(idCol), cleaned.as("text_clean"),
       (length(text) - length(cleaned)).cast("long").as("n_removed"))
   }
+
+  /** The C0/DEL strip as a column — [[sanitizeControlChars]]'s kernel,
+    * composable into intake chains ([[graft.pipeline.Pipelines.intakeClean]]).
+    */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
 
   /** One-stop profile of a documents table. */
   def profile(docs: DataFrame, textCol: String): DataFrame =

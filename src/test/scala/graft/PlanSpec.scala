@@ -317,7 +317,7 @@ class PlanSpec extends SparkSpec {
     // control-char sanitation all claim "map-only, zero shuffle" —
     // the whole cleanup family must ride the ingest scan
     for (name <- Seq("q232_c4_line_filter", "q235_charset_profile",
-        "q237_nfc_normalize", "q241_sanitize_ctrl")) {
+        "q237_nfc_normalize", "q241_sanitize_ctrl", "q243_intake_clean")) {
       val shuffles = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.collect {
           case e: ShuffleExchangeLike => e
