@@ -4072,7 +4072,9 @@ object SparkEntry {
     "q240_epoch_shuffle" -> (q240 _),
     "q241_sanitize_ctrl" -> (q241 _),
     "q242_stream_sanitize" -> (q242 _),
-    "q243_intake_clean" -> (q243 _))
+    "q243_intake_clean" -> (q243 _),
+    "q244_stream_intake" -> (q244 _),
+    "q245_intake_report" -> (q245 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6341,12 +6343,42 @@ object SparkEntry {
     */
   private def q243(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Pipelines.intakeClean(
-      c4Plant(Tables.documents(s, dir))
-        .select(col("doc_id"),
-          concat(regexp_replace(col("text"), "merge", "me\u0301rge"),
-            expr("repeat(chr(7) || chr(31) || chr(127)," +
-              " CAST(doc_id % 3 AS INT))")).as("text")),
-      "doc_id", "text")
+      intakePlant(c4Plant(Tables.documents(s, dir))), "doc_id", "text")
+
+  /** The q243/q244/q245 defect plant over an already-c4-planted frame:
+    * every `merge` decomposed + a C0/DEL tail. Streaming-safe.
+    */
+  private def intakePlant(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(regexp_replace(col("text"), "merge", "me\u0301rge"),
+        expr("repeat(chr(7) || chr(31) || chr(127)," +
+          " CAST(doc_id % 3 AS INT))")).as("text"))
+
+  /** Streaming twin of q243 \u2014 the intake cleaner at ingest: the fused
+    * strip\u2192NFC\u2192C4 pass is stateless column algebra, so it runs
+    * unchanged per micro-batch (the q180 pattern; shares q243's
+    * oracle).
+    */
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      graft.pipeline.Pipelines.intakeClean(
+        intakePlant(c4Plant(StreamingPrep.streamDocuments(s, dir))),
+        "doc_id", "text"))
+
+  /** Per-source intake attrition report \u2014 the q213 funnel shape at the
+    * intake stage: one agg over the q243 verdict frame (docs in/kept,
+    * kept lines, stripped controls, residual non-ASCII, per source).
+    * The ops report a crawl team actually reads.
+    */
+  private def q245(s: SparkSession, dir: String): DataFrame =
+    q243(s, dir)
+      .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep_doc").cast("long")).as("n_keep"),
+        sum(col("n_kept")).as("n_lines_kept"),
+        sum(col("n_ctrl_removed")).as("n_ctrl_removed"),
+        sum(col("n_nonascii")).as("n_nonascii"))
 
   /** The q243 oracle: the same three plants, then the strip / NFC /
     * line-rule chain replayed stage for stage.
@@ -7565,6 +7597,20 @@ object SparkEntry {
     "q242_stream_sanitize" -> sanitizeCtrlSql,
     // the strip → NFC → C4 composition, replayed stage for stage
     "q243_intake_clean" -> intakeCleanSql,
+    // stateless map-only twin — identical rows, shared oracle
+    "q244_stream_intake" -> intakeCleanSql,
+    // per-source rollup of the verdict frame (HUGEINT sums re-cast).
+    // Built by plain concatenation: a second stripMargin over the
+    // embedded SQL would eat the first bar of every line-leading `||`
+    "q245_intake_report" ->
+      ("SELECT d.source, count(*) AS n_docs,\n" +
+        "  CAST(sum(CASE WHEN v.keep_doc THEN 1 ELSE 0 END) AS BIGINT)" +
+        " AS n_keep,\n" +
+        "  CAST(sum(v.n_kept) AS BIGINT) AS n_lines_kept,\n" +
+        "  CAST(sum(v.n_ctrl_removed) AS BIGINT) AS n_ctrl_removed,\n" +
+        "  CAST(sum(v.n_nonascii) AS BIGINT) AS n_nonascii\n" +
+        s"FROM ($intakeCleanSql) v\n" +
+        "JOIN documents d USING (doc_id)\nGROUP BY 1"),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
