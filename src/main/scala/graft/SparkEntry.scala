@@ -6138,15 +6138,19 @@ object SparkEntry {
     * stabilize. Oracle: DuckDB's `nfc_normalize` (same Unicode
     * standard). Map-only, zero shuffle.
     */
-  private def q237(s: SparkSession, dir: String): DataFrame = {
-    val planted = regexp_replace(col("text"), "e", "e\u0301")
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      graft.functions.UnicodeExpressions.nfc(planted).as("norm_text"),
-      length(planted).cast("long").as("n_planted"),
-      length(graft.functions.UnicodeExpressions.nfc(planted)).cast("long")
-        .as("n_norm"))
-  }
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    // staged selects: plant and NFC each evaluated ONCE per row (the
+    // CollapseProject guard keeps multi-referenced non-cheap
+    // projections un-inlined \u2014 this is a bench headliner, so the
+    // measured cost must be one kernel call, not two)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("__p"))
+      .select(col("doc_id"), col("__p"),
+        graft.functions.UnicodeExpressions.nfc(col("__p")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("__p")).cast("long").as("n_planted"),
+        length(col("norm_text")).cast("long").as("n_norm"))
 
   /** ORC sink + scan round-trip (the q09/q94 lake pattern for Spark's
     * second columnar format): documents written as ORC, read back,

@@ -192,22 +192,36 @@ object Pipelines {
   def intakeClean(docs: DataFrame, idCol: String, textCol: String,
       minWordsPerLine: Int = 3, minKeptLines: Int = 3): DataFrame = {
     import graft.text.{Quality, TextAnalysis}
+    // staged selects: strip, NFC, the kept-lines array, and the kept
+    // text are each DEFINED once and consumed as attributes downstream
+    // — CollapseProject's cost guard keeps multi-referenced non-cheap
+    // projections un-inlined, so the fused pass runs each kernel once
+    // per row (not once per output column). Still one map-only stage.
     val raw = col(textCol)
-    val stripped = TextAnalysis.stripControlChars(raw)
-    val cleaned = graft.functions.UnicodeExpressions.nfc(stripped)
-    val kept = Quality.c4KeptLines(cleaned, minWordsPerLine)
-    val keptText = array_join(kept, "\n")
-    docs.select(col(idCol),
-      when(raw.isNotNull, keptText).as("text_kept"),
-      (length(raw) - length(stripped)).cast("long").as("n_ctrl_removed"),
-      when(raw.isNotNull, size(kept).cast("long")).as("n_kept"),
-      coalesce(!cleaned.contains("lorem ipsum") && !cleaned.contains("{") &&
-        size(kept) >= minKeptLines, lit(false)).as("keep_doc"),
-      when(raw.isNotNull,
+    val s1 = docs.select(col(idCol), raw.as("__raw"),
+      TextAnalysis.stripControlChars(raw).as("__str"))
+    val s2 = s1.select(col(idCol), col("__raw"), col("__str"),
+      graft.functions.UnicodeExpressions.nfc(col("__str")).as("__clean"))
+    val s3 = s2.select(col(idCol), col("__raw"), col("__clean"),
+      (length(col("__raw")) - length(col("__str"))).cast("long")
+        .as("n_ctrl_removed"),
+      Quality.c4KeptLines(col("__clean"), minWordsPerLine).as("__kept"))
+    val s4 = s3.select(col(idCol), col("__raw"), col("__clean"),
+      col("n_ctrl_removed"), col("__kept"),
+      array_join(col("__kept"), "\n").as("__ktext"))
+    s4.select(col(idCol),
+      when(col("__raw").isNotNull, col("__ktext")).as("text_kept"),
+      col("n_ctrl_removed"),
+      when(col("__raw").isNotNull, size(col("__kept")).cast("long"))
+        .as("n_kept"),
+      coalesce(!col("__clean").contains("lorem ipsum") &&
+        !col("__clean").contains("{") &&
+        size(col("__kept")) >= minKeptLines, lit(false)).as("keep_doc"),
+      when(col("__raw").isNotNull,
         // structure chars (tab/newline/CR) are not "non-ASCII" — the
         // kept text is multi-line by construction
-        (length(keptText) -
-          length(regexp_replace(keptText, "[^ -~\t\n\r]", "")))
+        (length(col("__ktext")) -
+          length(regexp_replace(col("__ktext"), "[^ -~\t\n\r]", "")))
           .cast("long")).as("n_nonascii"))
   }
 

@@ -261,18 +261,26 @@ object Quality {
     */
   def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
       minWordsPerLine: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    // two-stage select: the kept-lines array is DEFINED once and
+    // consumed as an attribute — CollapseProject's cost guard keeps a
+    // multi-referenced non-cheap projection un-inlined, so the line
+    // scan runs once per row, not once per output column
     val text = col(textCol)
-    val lines = split(text, "\n")
-    val keptLines = c4KeptLines(text, minWordsPerLine)
-    docs.select(
-      col(idCol),
-      when(text.isNotNull, array_join(keptLines, "\n")).as("text_kept"),
-      when(text.isNotNull, size(lines).cast("long")).as("n_lines"),
-      when(text.isNotNull, size(keptLines).cast("long")).as("n_kept"),
-      coalesce(
-        !text.contains("lorem ipsum") && !text.contains("{") &&
-          size(keptLines) >= minKeptLines,
-        lit(false)).as("keep_doc"))
+    docs.select(col(idCol), text.as("__t"),
+        c4KeptLines(text, minWordsPerLine).as("__kept"))
+      .select(
+        col(idCol),
+        when(col("__t").isNotNull, array_join(col("__kept"), "\n"))
+          .as("text_kept"),
+        when(col("__t").isNotNull,
+          size(split(col("__t"), "\n")).cast("long")).as("n_lines"),
+        when(col("__t").isNotNull, size(col("__kept")).cast("long"))
+          .as("n_kept"),
+        coalesce(
+          !col("__t").contains("lorem ipsum") &&
+            !col("__t").contains("{") &&
+            size(col("__kept")) >= minKeptLines,
+          lit(false)).as("keep_doc"))
   }
 
   /** The C4 line rules as a column: the lines of `text` that end in a

@@ -592,21 +592,25 @@ object TextAnalysis {
     */
   def charsetProfile(docs: DataFrame, idCol: String, textCol: String,
       maxNonAsciiNum: Long = 1L, maxNonAsciiDen: Long = 20L): DataFrame = {
+    // two-stage select: each class strip is DEFINED once (the ASCII
+    // strip feeds three outputs) and consumed as a length attribute —
+    // the CollapseProject guard keeps the regex passes single-eval
     val text = col(textCol)
-    def removed(cls: String): Column =
+    def removedLen(cls: String): Column =
       (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
-    val nChars = length(text).cast("long")
-    val nAscii = length(regexp_replace(text, "[^ -~]", "")).cast("long")
     docs.select(
-      col(idCol),
-      nChars.as("n_chars"),
-      nAscii.as("n_ascii"),
-      removed("[A-Za-z]").as("n_letter"),
-      removed("[0-9]").as("n_digit"),
-      removed(" ").as("n_space"),
-      (nChars - nAscii).as("n_nonascii"),
-      ((nChars - nAscii) * lit(maxNonAsciiDen) <=
-        nChars * lit(maxNonAsciiNum)).as("keep"))
+        col(idCol),
+        length(text).cast("long").as("n_chars"),
+        length(regexp_replace(text, "[^ -~]", "")).cast("long")
+          .as("n_ascii"),
+        removedLen("[A-Za-z]").as("n_letter"),
+        removedLen("[0-9]").as("n_digit"),
+        removedLen(" ").as("n_space"))
+      .select(col(idCol), col("n_chars"), col("n_ascii"),
+        col("n_letter"), col("n_digit"), col("n_space"),
+        (col("n_chars") - col("n_ascii")).as("n_nonascii"),
+        ((col("n_chars") - col("n_ascii")) * lit(maxNonAsciiDen) <=
+          col("n_chars") * lit(maxNonAsciiNum)).as("keep"))
   }
 
   /** Control-character sanitation — the byte-hygiene pass next to NFC
