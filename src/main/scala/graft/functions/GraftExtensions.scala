@@ -80,7 +80,11 @@ object GraftFunctions {
     ("graft_repetition",
       new ExpressionInfo(classOf[RepetitionCounts].getName, "graft_repetition"),
       (es0: Seq[Expression]) => { val es = arity(es0, 1, "graft_repetition")
-        RepetitionCounts(es(0)) }))
+        RepetitionCounts(es(0)) }),
+    ("graft_nfc",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es0: Seq[Expression]) => { val es = arity(es0, 1, "graft_nfc")
+        NfcNormalize(es(0)) }))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

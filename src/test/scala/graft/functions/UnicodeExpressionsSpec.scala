@@ -51,6 +51,13 @@ class UnicodeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_nfc registers as a SQL function") {
+    GraftFunctions.register(spark)
+    // the combining acute rides into the SQL text via the Scala escape
+    val got = spark.sql("SELECT graft_nfc('e\u0301x') AS a").collect()(0)
+    assert(got.getString(0) === "\u00e9x")
+  }
+
   test("non-string input is rejected at analysis time") {
     val e = intercept[Exception] {
       Seq(1L).toDF("t").select(UnicodeExpressions.nfc($"t")).collect()
