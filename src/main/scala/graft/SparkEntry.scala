@@ -4074,7 +4074,8 @@ object SparkEntry {
     "q242_stream_sanitize" -> (q242 _),
     "q243_intake_clean" -> (q243 _),
     "q244_stream_intake" -> (q244 _),
-    "q245_intake_report" -> (q245 _))
+    "q245_intake_report" -> (q245 _),
+    "q246_weighted_sample" -> (q246 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6417,6 +6418,39 @@ object SparkEntry {
       |           '[^ -~\\t\\n\\r]', '', 'g')) AS BIGINT) AS n_nonascii
       |FROM f""".stripMargin
 
+  /** Weighted sampling without replacement
+    * ([[graft.pipeline.Curation.weightedSample]], Efraimidis–Spirakis):
+    * 100 docs drawn ∝ n_chars — the deterministic A-ES key replayed
+    * through DuckDbXxHash and DuckDB's `ln`.
+    */
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.weightedSample(
+      Tables.documents(s, dir).select("doc_id", "n_chars"),
+      "doc_id", "n_chars", k = 100)
+
+  private def q246Sql: String = {
+    val M = 1L << 20
+    s"""WITH wkeys AS (
+       |  SELECT doc_id, n_chars AS wt,
+       |         'wsr:' || CAST(doc_id AS VARCHAR) AS s
+       |  FROM documents WHERE n_chars > 0),
+       |${graft.oracle.DuckDbXxHash.xxh64Ctes("wkeys", "s", "wh",
+          idCols = "doc_id, wt")},
+       |wm AS (SELECT doc_id, wt,
+       |         ((${graft.oracle.DuckDbXxHash.signedSql("h64")} % $M)
+       |           + $M) % $M AS m
+       |       FROM wh),
+       |wsc AS (SELECT doc_id, wt,
+       |          ln((CAST(m AS DOUBLE) + 0.5) / ${M.toDouble})
+       |            / CAST(wt AS DOUBLE) AS key
+       |        FROM wm)
+       |SELECT doc_id, CAST(wt AS BIGINT) AS weight,
+       |       CAST(floor(key * 1000000000000.0) AS BIGINT) AS key_fp
+       |FROM wsc
+       |ORDER BY key DESC, doc_id
+       |LIMIT 100""".stripMargin
+  }
+
   private val sanitizeCtrlSql: String =
     """WITH p AS (
       |  SELECT doc_id,
@@ -7615,6 +7649,8 @@ object SparkEntry {
         "  CAST(sum(v.n_nonascii) AS BIGINT) AS n_nonascii\n" +
         s"FROM ($intakeCleanSql) v\n" +
         "JOIN documents d USING (doc_id)\nGROUP BY 1"),
+    // A-ES key u^(1/w) as ln(u)/w; u from the xxh64 replay
+    "q246_weighted_sample" -> q246Sql,
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -668,6 +668,44 @@ object Curation {
     finally assigned.unpersist()
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir"): draw `k`
+    * rows with inclusion probability proportional to `weightCol`, no
+    * repeats — the A-ES key construction `u^(1/w)` taken top-k, in
+    * the monotone-equivalent form `ln(u)/w` (no pow; ln is the
+    * engine-portable transcendental the q153/q159 gates pinned).
+    * Training-data selection uses this everywhere a rate-based
+    * mixture is the wrong tool: "give me exactly k docs, biased by
+    * quality/length, reproducibly".
+    *
+    * Deterministic: `u = (xxhash64('<seedTag>:' || id) mod 2^20 +
+    * 0.5) / 2^20` — a pure function of (seedTag, id), never an RNG —
+    * so the exact sample replays on any engine/partitioning (q246
+    * hash-gates it; the md5-rank family precedent). Rows with
+    * non-positive weight are excluded (their key is undefined).
+    * Returns `(id, weight, key_fp)` with `key_fp = floor(key·1e12)`.
+    *
+    * Scale: one map pass for keys + a global top-k — which Spark
+    * plans as TakeOrderedAndProject (per-partition partial top-k,
+    * then a k-row merge on one reducer; k rows cross the wire per
+    * partition, never the corpus). The sort key is a double chain of
+    * portable ops in fixed order, so ordering is bit-stable.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int, seedTag: String = "wsr"): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val M = 1L << 20
+    val h = xxhash64(concat(lit(s"$seedTag:"), col(idCol)))
+    val u = (pmod(h, lit(M)).cast("double") + lit(0.5)) / lit(M.toDouble)
+    val key = log(u) / col(weightCol).cast("double")
+    docs.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        floor(key * lit(1e12)).as("key_fp"), key.as("__key"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws: beating power law scaling via data pruning"): rank
     * every embedding within its nearest-frozen-centroid cluster by the
