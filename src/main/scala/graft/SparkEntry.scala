@@ -4075,7 +4075,9 @@ object SparkEntry {
     "q243_intake_clean" -> (q243 _),
     "q244_stream_intake" -> (q244 _),
     "q245_intake_report" -> (q245 _),
-    "q246_weighted_sample" -> (q246 _))
+    "q246_weighted_sample" -> (q246 _),
+    "q247_blocklist_gate" -> (q247 _),
+    "q248_group_weighted_sample" -> (q248 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6451,6 +6453,72 @@ object SparkEntry {
        |LIMIT 100""".stripMargin
   }
 
+  /** Blocklist page gate ([[graft.text.Quality.blocklistGate]] — the
+    * remaining C4 page rule) over a corpus with planted blocklist
+    * tokens: zero / one / several hits per page.
+    */
+  private def q247(s: SparkSession, dir: String): DataFrame =
+    graft.text.Quality.blocklistGate(
+      Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 31 === 0,
+          concat(col("text"), lit(" graftbad")))
+          .when(col("doc_id") % 37 === 0,
+            concat(col("text"), lit(" graftbad graftworse graftbad")))
+          .otherwise(col("text")).as("text")),
+      "doc_id", "text", Seq("graftbad", "graftworse"))
+
+  private val blocklistSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 31 = 0 THEN text || ' graftbad'
+      |         WHEN doc_id % 37 = 0
+      |           THEN text || ' graftbad graftworse graftbad'
+      |         ELSE text END AS t
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(
+      |      regexp_split_to_array(
+      |        trim(regexp_replace(lower(t), '\s+', ' ', 'g')), '\s+'),
+      |      w -> w IN ('graftbad', 'graftworse'))) AS BIGINT) AS n_blocked
+      |  FROM p)
+      |SELECT doc_id, n_blocked, n_blocked = 0 AS keep FROM n""".stripMargin
+
+  /** Per-group weighted sampling
+    * ([[graft.pipeline.Curation.weightedSamplePerGroup]]): the best 10
+    * docs per source drawn ∝ n_chars — balanced A-ES selection, the
+    * WindowGroupLimit shape.
+    */
+  private def q248(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.weightedSamplePerGroup(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", "source", k = 10)
+
+  private def q248Sql: String = {
+    val M = 1L << 20
+    s"""WITH gkeys AS (
+       |  SELECT doc_id, source AS grp, n_chars AS wt,
+       |         'wsrg:' || CAST(doc_id AS VARCHAR) AS s
+       |  FROM documents WHERE n_chars > 0),
+       |${graft.oracle.DuckDbXxHash.xxh64Ctes("gkeys", "s", "gh",
+          idCols = "doc_id, grp, wt")},
+       |gm AS (SELECT doc_id, grp, wt,
+       |         ((${graft.oracle.DuckDbXxHash.signedSql("h64")} % $M)
+       |           + $M) % $M AS m
+       |       FROM gh),
+       |gsc AS (SELECT doc_id, grp, wt,
+       |          ln((CAST(m AS DOUBLE) + 0.5) / ${M.toDouble})
+       |            / CAST(wt AS DOUBLE) AS key
+       |        FROM gm),
+       |gr AS (SELECT doc_id, grp, wt, key, row_number() OVER (
+       |         PARTITION BY grp ORDER BY key DESC, doc_id) AS rn
+       |       FROM gsc)
+       |SELECT grp AS source, doc_id, CAST(wt AS BIGINT) AS weight,
+       |       CAST(floor(key * 1000000000000.0) AS BIGINT) AS key_fp,
+       |       CAST(rn AS INT) AS rank
+       |FROM gr WHERE rn <= 10""".stripMargin
+  }
+
   private val sanitizeCtrlSql: String =
     """WITH p AS (
       |  SELECT doc_id,
@@ -7651,6 +7719,10 @@ object SparkEntry {
         "JOIN documents d USING (doc_id)\nGROUP BY 1"),
     // A-ES key u^(1/w) as ln(u)/w; u from the xxh64 replay
     "q246_weighted_sample" -> q246Sql,
+    // token-level blocklist membership over the planted corpus
+    "q247_blocklist_gate" -> blocklistSql,
+    // the A-ES key ranked per group (WindowGroupLimit shape)
+    "q248_group_weighted_sample" -> q248Sql,
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -706,6 +706,34 @@ object Curation {
       .drop("__key")
   }
 
+  /** Per-group [[weightedSample]] — exactly `k` rows per group, drawn
+    * ∝ weight within the group (balanced per-source selection: "the
+    * best k docs from EVERY source, weight-biased, reproducible").
+    * Same A-ES `ln(u)/w` key; the top-k is a rank filter over a
+    * group-keyed window, which Spark rewrites to WindowGroupLimit
+    * (map-side partial per-group top-k before the one shuffle on
+    * `groupCol` — the q116 domain-cap shape, plan-asserted). Returns
+    * `(group, id, weight, key_fp, rank)`.
+    */
+  def weightedSamplePerGroup(docs: DataFrame, idCol: String,
+      weightCol: String, groupCol: String, k: Int,
+      seedTag: String = "wsrg"): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val M = 1L << 20
+    val h = xxhash64(concat(lit(s"$seedTag:"), col(idCol)))
+    val u = (pmod(h, lit(M)).cast("double") + lit(0.5)) / lit(M.toDouble)
+    val key = log(u) / col(weightCol).cast("double")
+    docs.filter(col(weightCol) > 0)
+      .select(col(groupCol), col(idCol),
+        col(weightCol).cast("long").as("weight"),
+        floor(key * lit(1e12)).as("key_fp"), key.as("__key"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(col("__key").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .drop("__key")
+  }
+
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws: beating power law scaling via data pruning"): rank
     * every embedding within its nearest-frozen-centroid cluster by the

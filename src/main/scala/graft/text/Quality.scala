@@ -283,6 +283,30 @@ object Quality {
           lit(false)).as("keep_doc"))
   }
 
+  /** Blocklist gate — the remaining C4 page rule (Raffel et al. 2020
+    * drop pages containing any word from a bad-word list): count
+    * blocklisted TOKENS (whitespace tokens of the normalized
+    * lowercase text — substring matches would kill "Scunthorpe") and
+    * keep pages with zero hits. Membership is an O(1) literal-map
+    * null-test per token (the BigramLm lesson: `array_contains` over
+    * a literal list is an O(|list|) scan on the hot inner loop).
+    * Map-only, zero shuffle, streaming-safe; returns
+    * `(id, n_blocked, keep)`.
+    */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist gates nothing")
+    val m = map(blocklist.flatMap(w =>
+      Seq(lit(w.toLowerCase), lit(1))): _*)
+    val ws = TextAnalysis.words(
+      TextAnalysis.normalizeText(col(textCol)))
+    val nBlocked = size(filter(ws, w => element_at(m, w).isNotNull))
+      .cast("long")
+    docs.select(col(idCol),
+      when(col(textCol).isNotNull, nBlocked).as("n_blocked"),
+      coalesce(nBlocked === 0, lit(false)).as("keep"))
+  }
+
   /** The C4 line rules as a column: the lines of `text` that end in a
     * terminal punctuation mark and carry at least `minWordsPerLine`
     * words — [[c4LineFilter]]'s kernel, composable into intake chains

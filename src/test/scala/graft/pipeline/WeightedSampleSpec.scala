@@ -58,6 +58,33 @@ class WeightedSampleSpec extends SparkSpec {
     }
   }
 
+  test("per-group variant: exactly k per group, ranked, deterministic") {
+    val grouped = (1L to 300L)
+      .map(i => (i, s"src${i % 3}", 1L + i % 5))
+      .toDF("id", "src", "wt")
+    val out = Curation.weightedSamplePerGroup(grouped, "id", "wt",
+      "src", 7)
+    val rows = out.as[(String, Long, Long, Long, Int)].collect()
+    assert(rows.length === 21)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._5).sorted === (1 to 7))
+    }
+    val again = Curation.weightedSamplePerGroup(
+      grouped.repartition(5, col("id")), "id", "wt", "src", 7)
+      .as[(String, Long, Long, Long, Int)].collect()
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+  }
+
+  test("per-group variant plans as WindowGroupLimit") {
+    val grouped = (1L to 300L)
+      .map(i => (i, s"src${i % 3}", 1L + i % 5))
+      .toDF("id", "src", "wt")
+    val plan = Curation.weightedSamplePerGroup(grouped, "id", "wt",
+      "src", 7).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit:\n$plan")
+  }
+
   test("plans as a partial top-k, not a global sort exchange") {
     val plan = Curation.weightedSample(corpus, "id", "wt", 50)
       .queryExecution.executedPlan.toString

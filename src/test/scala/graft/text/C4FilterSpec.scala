@@ -70,6 +70,41 @@ class C4FilterSpec extends SparkSpec {
     assert(!out.getAs[Boolean]("keep_doc"))
   }
 
+  test("blocklistGate: token-level membership, not substring") {
+    val df = Seq(
+      (1L, "a clean page here"),
+      (2L, "contains graftbad once"),
+      (3L, "GraftBad graftworse graftbad hits"),
+      // substring inside a longer token must NOT match (Scunthorpe)
+      (4L, "notgraftbadword stays fine")).toDF("doc_id", "text")
+    val out = Quality.blocklistGate(df, "doc_id", "text",
+        Seq("graftbad", "graftworse"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((0L, true)))
+    assert(out(2L) === ((1L, false)))
+    // normalization lowercases, so GraftBad counts too
+    assert(out(3L) === ((3L, false)))
+    assert(out(4L) === ((0L, true)))
+  }
+
+  test("blocklistGate: NULL text yields NULL count and keep = false") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, null: String)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val out = Quality.blocklistGate(df, "doc_id", "text", Seq("bad"))
+      .collect()(0)
+    assert(out.isNullAt(1))
+    assert(!out.getBoolean(2))
+    intercept[IllegalArgumentException] {
+      Quality.blocklistGate(df, "doc_id", "text", Seq.empty)
+    }
+  }
+
   test("custom thresholds are honored") {
     // with minWordsPerLine=2 the 2-word line passes; with
     // minKeptLines=1 a single kept line keeps the page
