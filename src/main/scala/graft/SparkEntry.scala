@@ -4077,7 +4077,8 @@ object SparkEntry {
     "q245_intake_report" -> (q245 _),
     "q246_weighted_sample" -> (q246 _),
     "q247_blocklist_gate" -> (q247 _),
-    "q248_group_weighted_sample" -> (q248 _))
+    "q248_group_weighted_sample" -> (q248 _),
+    "q249_stream_blocklist" -> (q249 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6484,6 +6485,21 @@ object SparkEntry {
       |  FROM p)
       |SELECT doc_id, n_blocked, n_blocked = 0 AS keep FROM n""".stripMargin
 
+  /** Streaming twin of q247 — blocklist gating at ingest: stateless
+    * map-only membership per micro-batch (the q180 pattern; shares
+    * q247's oracle).
+    */
+  private def q249(s: SparkSession, dir: String): DataFrame =
+    StreamingPrep.runToMemory(
+      graft.text.Quality.blocklistGate(
+        StreamingPrep.streamDocuments(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 31 === 0,
+            concat(col("text"), lit(" graftbad")))
+            .when(col("doc_id") % 37 === 0,
+              concat(col("text"), lit(" graftbad graftworse graftbad")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text", Seq("graftbad", "graftworse")))
+
   /** Per-group weighted sampling
     * ([[graft.pipeline.Curation.weightedSamplePerGroup]]): the best 10
     * docs per source drawn ∝ n_chars — balanced A-ES selection, the
@@ -7723,6 +7739,8 @@ object SparkEntry {
     "q247_blocklist_gate" -> blocklistSql,
     // the A-ES key ranked per group (WindowGroupLimit shape)
     "q248_group_weighted_sample" -> q248Sql,
+    // stateless map-only twin — identical rows, shared oracle
+    "q249_stream_blocklist" -> blocklistSql,
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
