@@ -6235,10 +6235,10 @@ object SparkEntry {
       |    AS BIGINT) AS n_digit,
       |  CAST(length(t) - length(regexp_replace(t, ' ', '', 'g'))
       |    AS BIGINT) AS n_space,
-      |  CAST(length(t) - length(regexp_replace(t, '[^ -~]', '', 'g'))
+      |  CAST(length(regexp_replace(t, '[ -~\t\n\r]', '', 'g'))
       |    AS BIGINT) AS n_nonascii,
-      |  (length(t) - length(regexp_replace(t, '[^ -~]', '', 'g'))) * 20
-      |    <= length(t) * 1 AS keep
+      |  coalesce(length(regexp_replace(t, '[ -~\t\n\r]', '', 'g')) * 20
+      |    <= length(t) * 1, false) AS keep
       |FROM p""".stripMargin
 
   /** The q237 oracle: the same decomposed plant (combining acute

@@ -296,8 +296,11 @@ object Quality {
   def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "empty blocklist gates nothing")
-    val m = map(blocklist.flatMap(w =>
-      Seq(lit(w.toLowerCase), lit(1))): _*)
+    // dedupe AFTER lowercasing: case-variant duplicates ("Bad","bad")
+    // would build duplicate map keys and throw DUPLICATED_MAP_KEY
+    // under the default spark.sql.mapKeyDedupPolicy=EXCEPTION
+    val m = map(blocklist.map(_.toLowerCase).distinct.flatMap(w =>
+      Seq(lit(w), lit(1))): _*)
     val ws = TextAnalysis.words(
       TextAnalysis.normalizeText(col(textCol)))
     val nBlocked = size(filter(ws, w => element_at(m, w).isNotNull))
@@ -313,8 +316,12 @@ object Quality {
     * ([[graft.pipeline.Pipelines.intakeClean]]).
     */
   def c4KeptLines(text: Column, minWordsPerLine: Int = 3): Column =
+    // \z, not $: Java regex $ also matches BEFORE a final line
+    // terminator (CR, NEL u0085, LS/PS u2028/9), so a CRLF line
+    // ending ".\r" would be kept here but dropped by the RE2/DuckDB
+    // oracle, whose $ is end-of-string. \z is end-of-input in BOTH.
     filter(split(text, "\n"), l =>
-      l.rlike("[.!?\"]$") &&
+      l.rlike("[.!?\"]\\z") &&
         size(filter(split(trim(l), " "), t => length(t) > 0)) >=
           minWordsPerLine)
 

@@ -578,7 +578,14 @@ object TextAnalysis {
     * maxNonAsciiNum` (default ≤ 5 %). The signal a language-targeted
     * crawl pipeline gates on before any tokenizer sees the bytes:
     * mojibake, binary-in-text, and wrong-script pages all light up
-    * `n_nonascii`.
+    * `n_nonascii`. `n_nonascii` (the gate numerator) is chars outside
+    * `[ -~\t\n\r]` — tab/LF/CR carry document STRUCTURE and are not
+    * charged against the budget (the intakeClean class), so a
+    * 100-line clean ASCII doc is not billed 99 "non-ASCII" chars;
+    * `n_ascii` remains strictly printable ASCII, so on multi-line
+    * docs `n_ascii + n_nonascii < n_chars` by the structure-char
+    * count. NULL text keeps NULL counts but gates `keep = false`
+    * (coalesced — the c4LineFilter NULL contract).
     *
     * Counting idiom: `length(text) − length(regexp_replace(text,
     * class, ''))` with LITERAL character ranges (`[ -~]`, `[A-Za-z]`,
@@ -593,7 +600,7 @@ object TextAnalysis {
   def charsetProfile(docs: DataFrame, idCol: String, textCol: String,
       maxNonAsciiNum: Long = 1L, maxNonAsciiDen: Long = 20L): DataFrame = {
     // two-stage select: each class strip is DEFINED once (the ASCII
-    // strip feeds three outputs) and consumed as a length attribute —
+    // strip feeds two outputs) and consumed as a length attribute —
     // the CollapseProject guard keeps the regex passes single-eval
     val text = col(textCol)
     def removedLen(cls: String): Column =
@@ -605,12 +612,22 @@ object TextAnalysis {
           .as("n_ascii"),
         removedLen("[A-Za-z]").as("n_letter"),
         removedLen("[0-9]").as("n_digit"),
-        removedLen(" ").as("n_space"))
+        removedLen(" ").as("n_space"),
+        // gate numerator: chars outside printable ASCII AND outside
+        // the structure chars tab/LF/CR — the intakeClean class. The
+        // plain n_chars − n_ascii difference would charge every line
+        // break of a multi-line doc against the ≤5 % budget.
+        length(regexp_replace(text, "[ -~\\t\\n\\r]", "")).cast("long")
+          .as("n_nonascii"))
       .select(col(idCol), col("n_chars"), col("n_ascii"),
         col("n_letter"), col("n_digit"), col("n_space"),
-        (col("n_chars") - col("n_ascii")).as("n_nonascii"),
-        ((col("n_chars") - col("n_ascii")) * lit(maxNonAsciiDen) <=
-          col("n_chars") * lit(maxNonAsciiNum)).as("keep"))
+        col("n_nonascii"),
+        // coalesce: NULL text must gate to false, not NULL — the
+        // c4LineFilter/blocklistGate NULL contract for this family
+        coalesce(
+          col("n_nonascii") * lit(maxNonAsciiDen) <=
+            col("n_chars") * lit(maxNonAsciiNum),
+          lit(false)).as("keep"))
   }
 
   /** Control-character sanitation — the byte-hygiene pass next to NFC

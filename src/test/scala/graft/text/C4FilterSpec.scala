@@ -33,6 +33,22 @@ class C4FilterSpec extends SparkSpec {
     assert(out.getAs[Boolean]("keep_doc"))
   }
 
+  test("a CRLF line is NOT kept: \\z anchors end-of-input like RE2 $") {
+    // "one two three.\r" — Java $ matches before the final \r and
+    // would keep it (a divergence from the DuckDB oracle); \z doesn't
+    val out = run(Seq((1L, "one two three.\r\nfour five six.")))(1L)
+    assert(out.getAs[Long]("n_kept") === 1)
+    assert(out.getAs[String]("text_kept") === "four five six.")
+  }
+
+  test("blocklistGate: case-variant duplicate blocklist words don't throw") {
+    val df = Seq((1L, "clean text here")).toDF("doc_id", "text")
+    val out = Quality.blocklistGate(df, "doc_id", "text",
+      Seq("Bad", "bad", "BAD", "worse")).collect()(0)
+    assert(out.getAs[Long]("n_blocked") === 0)
+    assert(out.getAs[Boolean]("keep"))
+  }
+
   test("page rules: lorem ipsum, curly brace, min kept lines") {
     val threeGood = "one two three.\nfour five six.\nseven eight nine."
     val out = run(Seq(

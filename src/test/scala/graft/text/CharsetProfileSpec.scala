@@ -40,6 +40,28 @@ class CharsetProfileSpec extends SparkSpec {
     assert(!above.getAs[Boolean]("keep"))
   }
 
+  test("structure chars (tab/LF/CR) are not charged as non-ASCII") {
+    // 40 'a' + 39 '\n' = 79 chars, zero REAL non-ASCII: the old
+    // n_chars − n_ascii numerator billed all 39 line breaks and
+    // dropped the doc; the [^ -~\t\n\r] numerator keeps it
+    val r = profile(Array.fill(40)("a").mkString("\n"))
+    assert(r.getAs[Long]("n_chars") === 79)
+    assert(r.getAs[Long]("n_ascii") === 40)
+    assert(r.getAs[Long]("n_nonascii") === 0)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("NULL text gates keep = false, not NULL") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, null)), schema)
+    val r = TextAnalysis.charsetProfile(df, "doc_id", "text").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("n_chars")))
+    assert(!r.isNullAt(r.fieldIndex("keep")) && !r.getAs[Boolean]("keep"))
+  }
+
   test("custom threshold is cross-multiplied, not floated") {
     // 1 non-ASCII of 3 chars: ≤ 1/3 keeps, ≤ 1/4 drops
     val df = Seq((1L, "abé")).toDF("doc_id", "text")
