@@ -1295,7 +1295,8 @@ object Ann {
   }
 
   def itemItemTopK(ratings: DataFrame, k: Int,
-      maxUserHistory: Int = 1000): DataFrame = {
+      maxUserHistory: Int = 1000,
+      normsBroadcastBytes: Long = 10L << 20): DataFrame = {
     // Skew guard — ON BY DEFAULT: the pair generation is quadratic in
     // per-user degree, so one power user with 10⁶ ratings creates 10¹²
     // pairs. Cap each user's history at the maxUserHistory most recent
@@ -1329,8 +1330,11 @@ object Ann {
     // unbounded).
     def fsum(c: Column): Column =
       (sum(floor(c * lit(1e6)).cast("long")) / lit(1e6)).cast("double")
+    // persisted: feeds BOTH sides of the norm join (and the size
+    // probe below) — one aggregation over the cached ratings, reused
     val norms = r.groupBy("item")
       .agg(fsum(col("rating") * col("rating")).as("norm_sq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = r.as("l").join(r.as("r"),
       col("l.user") === col("r.user") && col("l.item") < col("r.item"))
       .groupBy(col("l.item").as("item_a"), col("r.item").as("item_b"))
@@ -1339,12 +1343,20 @@ object Ann {
       col("item_a").as("item_b"), col("dot")))
     val w = Window.partitionBy(col("item_a"))
       .orderBy(col("cos_sim").desc, col("item_b"))
-    // norms is one row per item — broadcast so the (much larger) pair
-    // relation is never shuffled for these two joins
+    // norms is one row per item — broadcast it so the (much larger)
+    // pair relation is never shuffled for these two joins, but only
+    // while it FITS: |items| at 100 TB can be 10⁸–10⁹, where a forced
+    // broadcast OOMs the driver and a shuffle join is fine (the
+    // Encoding size-gated idiom). ~24 bytes/row: long key + double
+    // norm + row overhead.
+    val nItems = norms.count()
+    val gated: DataFrame => DataFrame =
+      if (nItems * 24L <= normsBroadcastBytes) df => broadcast(df)
+      else df => df
     sym
-      .join(broadcast(norms.withColumnRenamed("item", "item_a")
+      .join(gated(norms.withColumnRenamed("item", "item_a")
         .withColumnRenamed("norm_sq", "na")), "item_a")
-      .join(broadcast(norms.withColumnRenamed("item", "item_b")
+      .join(gated(norms.withColumnRenamed("item", "item_b")
         .withColumnRenamed("norm_sq", "nb")), "item_b")
       .withColumn("cos_sim", col("dot") / sqrt(col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))

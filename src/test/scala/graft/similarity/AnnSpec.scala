@@ -574,6 +574,38 @@ class AnnSpec extends SparkSpec {
     assert(baseTopK(base.unionAll(power)) === baseTopK(base))
   }
 
+  test("itemItemTopK: the norms broadcast is size-gated, not forced") {
+    val r = Seq(
+      Rating("u1", "i1", 2.0, 1L), Rating("u1", "i2", 2.0, 1L),
+      Rating("u2", "i1", 3.0, 1L), Rating("u2", "i2", 3.0, 1L)).toDF
+    def executedPlan(thresholdBytes: Long): String = {
+      val df = Ann.itemItemTopK(r, k = 2,
+        normsBroadcastBytes = thresholdBytes)
+      df.count()
+      df.queryExecution.executedPlan.toString
+    }
+    // auto-broadcast off for the plan assertions: Catalyst/AQE would
+    // broadcast the tiny test relation on its own stats and mask the
+    // gate — only the explicit hint may broadcast here
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // norms fits the default 10 MB gate → broadcast-hash joined
+      assert(executedPlan(10L << 20).contains("BroadcastHashJoin"),
+        "under-threshold norms should broadcast")
+      // a 0-byte gate models the 10⁹-item catalog: the hint must
+      // degrade to a shuffle join, never a forced driver broadcast
+      val big = executedPlan(0L)
+      assert(!big.contains("BroadcastHashJoin"),
+        s"over-threshold norms must not broadcast:\n$big")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // verdicts must agree regardless of the join strategy
+    val a = Ann.itemItemTopK(r, k = 2).collect().toSet
+    val b = Ann.itemItemTopK(r, k = 2, normsBroadcastBytes = 0L)
+      .collect().toSet
+    assert(a === b)
+  }
+
   test("itemItemTopK computes cosine over co-rating vectors") {
     // i1 and i2 rated identically by u1,u2 → cosine 1; i3 orthogonal-ish
     val r = Seq(
