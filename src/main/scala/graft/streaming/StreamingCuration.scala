@@ -217,12 +217,27 @@ object StreamingCuration {
         (domain, rows, state: org.apache.spark.sql.streaming.GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
           val quota = math.max(0L, cap.toLong - admitted).toInt
-          // the group's batch slice sorts in memory: bounded by the
-          // trigger size per domain, and the batch cap's window pays
-          // the same per-domain ordering work
+          // bounded selection, NOT a full sort: a size-`quota`
+          // max-heap of the current keepers (worst keeper on top; a
+          // smaller-keyed row evicts it). Memory is O(quota) per
+          // domain — independent of the trigger's batch-slice size,
+          // so one hot domain flooding a trigger can't balloon the
+          // state worker (the full sortBy held the whole slice).
+          // Selection matches sortBy(ord, doc_id).take(quota) exactly:
+          // the (md5, doc_id) key is unique per row.
           val take =
             if (quota == 0) Seq.empty
-            else rows.toSeq.sortBy(r => (r._3, r._2)).take(quota)
+            else {
+              val ord = Ordering.by[(String, Long, String), (String, Long)](
+                r => (r._3, r._2))
+              val heap = new scala.collection.mutable.PriorityQueue[
+                (String, Long, String)]()(ord)
+              rows.foreach { r =>
+                if (heap.size < quota) heap.enqueue(r)
+                else if (ord.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+              }
+              heap.toSeq.sortBy(r => (r._3, r._2))
+            }
           if (take.nonEmpty) state.update(admitted + take.size)
           take.iterator.map(r => (domain, r._2))
       }

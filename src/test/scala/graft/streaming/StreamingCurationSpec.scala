@@ -237,4 +237,30 @@ class StreamingCurationSpec extends SparkSpec {
       assert(batch2.size === 3)
     } finally q.stop()
   }
+
+  test("domainCapStream: one hot domain flooding a trigger still " +
+    "selects the exact md5-min quota (bounded-heap path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)](spark)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = StreamingCuration.domainCapStream(
+        mem.toDF().toDF("doc_id", "url"), "doc_id", "url", cap = 7)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        admitted ++= b.as[(String, Long)].collect(); ()
+      }.start()
+    try {
+      // 5000 docs on ONE domain in one trigger — the batch slice the
+      // heap keeps O(quota) of. Selection must equal the brute-force
+      // sortBy((md5, id)).take(quota) the full sort produced.
+      mem.addData((1L to 5000L).map(i =>
+        (i, s"http://hot.example/p/$i")): _*)
+      q.processAllAvailable()
+      val expect = (1L to 5000L)
+        .sortBy(i => (org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"42|$i"), i))
+        .take(7).toSet
+      assert(admitted.map(_._2).toSet === expect)
+    } finally q.stop()
+  }
 }
