@@ -4078,7 +4078,8 @@ object SparkEntry {
     "q246_weighted_sample" -> (q246 _),
     "q247_blocklist_gate" -> (q247 _),
     "q248_group_weighted_sample" -> (q248 _),
-    "q249_stream_blocklist" -> (q249 _))
+    "q249_stream_blocklist" -> (q249 _),
+    "q250_intake_curation" -> (q250 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6535,6 +6536,147 @@ object SparkEntry {
        |FROM gr WHERE rn <= 10""".stripMargin
   }
 
+  /** Intake-ENABLED curation composition — the q123-pattern gate for
+    * [[graft.pipeline.Pipelines.CurationConfig.intakeC4]]: the corpus
+    * is the q232 C4-variety plant UNIONed with a byte-twin copy of
+    * every doc (a BEL control char + the café suffix in DECOMPOSED
+    * form, `e`+U+0301, vs the original's composed U+00E9), then ONE
+    * `curateCorpus(intakeC4 = true)` call. Intake hygiene must run
+    * BEFORE content keys: strip+NFC collapse each twin pair to one
+    * fingerprint, so keep-first dedup keeps exactly the original
+    * doc_ids — the survivors, token counts, and pack offsets gate the
+    * whole interaction (without intake, every twin would survive and
+    * shift every downstream pack offset).
+    */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val base = c4Plant(d).join(d.select("doc_id", "source"), Seq("doc_id"))
+    val composed = base.select(col("doc_id"),
+      concat(col("text"), lit("\none two caf\u00e9.")).as("text"),
+      col("source"))
+    val twins = base.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+      concat(col("text"), lit("\u0007\none two cafe\u0301.")).as("text"),
+      col("source"))
+    val benchmark = d.filter(col("doc_id") % 10 === 0)
+      .select(regexp_replace(col("text"), " ", "  ").as("text"))
+    graft.pipeline.Pipelines.curateCorpus(composed.unionAll(twins),
+        benchmark, graft.pipeline.Pipelines.CurationConfig(intakeC4 = true))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+  }
+
+  /** The q250 oracle: plant (c4PlantCtes + café twins) → intake
+    * (strip → nfc_normalize → C4 line/page rules) → the q219 scrub +
+    * quality/repetition gate fragments → decontaminate → keep-first
+    * dedup → the q82 pack replay, stage for stage.
+    */
+  private def q250Sql: String =
+    s"""WITH $c4PlantCtes,
+       |base AS (
+       |  SELECT pl.doc_id,
+       |         array_to_string(pl.ls, chr(10)) AS btext,
+       |         d.source
+       |  FROM pl JOIN documents d USING (doc_id)),
+       |corpus AS (
+       |  SELECT doc_id,
+       |         btext || chr(10) || 'one two caf' || chr(233) || '.' AS text,
+       |         source
+       |  FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id,
+       |         btext || chr(7) || chr(10) || 'one two cafe' || chr(769)
+       |           || '.' AS text,
+       |         source
+       |  FROM base),
+       |ik0 AS (
+       |  SELECT doc_id, source,
+       |    nfc_normalize(regexp_replace(text,
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS ct
+       |  FROM corpus),
+       |ik1 AS (
+       |  SELECT doc_id, source, ct,
+       |    list_filter(str_split(ct, chr(10)),
+       |      l -> regexp_matches(l, '[.!?"]$$')
+       |        AND len(list_filter(str_split(trim(l), ' '),
+       |              t -> len(t) > 0)) >= 3) AS kept
+       |  FROM ik0),
+       |intake AS (
+       |  SELECT doc_id, source,
+       |         coalesce(array_to_string(kept, chr(10)), '') AS text
+       |  FROM ik1
+       |  WHERE (NOT contains(ct, 'lorem ipsum')) AND (NOT contains(ct, '{'))
+       |    AND len(kept) >= 3),
+       |sc1 AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+       |      '<EMAIL>', 'g') AS t1
+       |  FROM intake),
+       |sc2 AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(regexp_replace(t1,
+       |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+       |      '<IP>', 'g'),
+       |      '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS text
+       |  FROM sc1),
+       |pr0 AS (
+       |  SELECT doc_id, source, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS wsl,
+       |    list_filter(regexp_split_to_array(
+       |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |      x -> x <> '') AS wn
+       |  FROM sc2),
+       |wc AS (SELECT doc_id, w, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(wn) AS w FROM pr0) GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, max(c) AS top_word, sum(c) AS n_words
+       |        FROM wc GROUP BY 1),
+       |feat AS (
+       |  SELECT p.doc_id, p.source, p.text,
+       |    CAST(len(p.ws) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(p.text) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE len(regexp_replace(p.text, '[^.!?,;:]', '', 'g'))
+       |              / CAST(len(p.text) AS DOUBLE) END AS pr,
+       |    len(list_filter(p.wsl, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','it'], x)))
+       |      / CAST(len(p.ws) AS DOUBLE) AS sr,
+       |    r.top_word, r.n_words
+       |  FROM pr0 p LEFT JOIN rep r USING (doc_id)),
+       |gated AS (
+       |  SELECT doc_id, source, text, n_tokens
+       |  FROM feat
+       |  WHERE least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+       |          * (CAST(1.0 AS DOUBLE) - pr) * (CAST(0.5 AS DOUBLE) + sr)
+       |          > 0.3
+       |    AND n_words > 0
+       |    AND CAST(top_word AS DOUBLE) / n_words <= 0.5),
+       |bmk AS (
+       |  SELECT DISTINCT md5(trim(regexp_replace(
+       |    lower(replace(text, ' ', '  ')), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |cleaned AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM gated g
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bmk
+       |    WHERE bmk.fp = md5(trim(regexp_replace(
+       |      lower(g.text), '\\s+', ' ', 'g'))))),
+       |ddp AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM cleaned),
+       |srv AS (SELECT doc_id, source, n_tokens FROM ddp WHERE rk = 1),
+       |cum AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source
+       |                                  ORDER BY doc_id) AS BIGINT) AS cm
+       |  FROM srv)
+       |SELECT doc_id, source, n_tokens,
+       |       (cm - n_tokens) // 1024 AS seq_id,
+       |       (cm - n_tokens) % 1024 AS seq_offset
+       |FROM cum""".stripMargin
+
   private val sanitizeCtrlSql: String =
     """WITH p AS (
       |  SELECT doc_id,
@@ -7741,6 +7883,9 @@ object SparkEntry {
     "q248_group_weighted_sample" -> q248Sql,
     // stateless map-only twin — identical rows, shared oracle
     "q249_stream_blocklist" -> blocklistSql,
+    // intake-enabled curation: strip→NFC→C4 before content keys, so
+    // the decomposed/BEL byte twins collapse onto their originals
+    "q250_intake_curation" -> q250Sql,
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -139,6 +139,17 @@ object Pipelines {
       // with different chrome collapse), and paragraph structure
       // survives into paragraph dedup. Map-only, rides the intake scan.
       extractHtml: Boolean = false,
+      // crawl-intake byte hygiene ([[intakeClean]]'s kernels) as the
+      // FIRST content stage: strip C0/DEL controls → Unicode NFC →
+      // C4 line/page rules. Intake must precede every content key —
+      // a dedup fingerprint computed on un-NFC'd text differs between
+      // composed and decomposed byte twins of the SAME text, so the
+      // twins would both survive. Docs failing the C4 page verdict
+      // drop here; survivors continue with the kept-lines text.
+      // Map-only, rides the intake scan (after extractHtml if set).
+      intakeC4: Boolean = false,
+      intakeMinWordsPerLine: Int = 3,
+      intakeMinKeptLines: Int = 3,
       // crawl-intake URL dedup: collapse recrawls of one canonical URL
       // to the min-doc_id copy before any content processing (column
       // holding the raw URL; Urls.canonicalizeUrl keys the groups)
@@ -226,12 +237,43 @@ object Pipelines {
   }
 
 
+  /** [[intakeClean]]'s strip→NFC→C4 chain as an IN-PLACE corpus stage:
+    * every non-text column rides through untouched, `textCol` is
+    * replaced by the kept-lines text, and docs failing the C4 page
+    * verdict are dropped — the form [[curateCorpus]]'s `intakeC4`
+    * stage composes (the verdict-frame [[intakeClean]] is the audit
+    * face of the same kernels). Same staged-select discipline: each
+    * kernel is DEFINED once and consumed as an attribute, so the pass
+    * stays one kernel evaluation per row. Map-only, zero shuffle,
+    * stateless on a stream.
+    */
+  def intakeApply(docs: DataFrame, textCol: String,
+      minWordsPerLine: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    import graft.text.{Quality, TextAnalysis}
+    val others = docs.columns.filterNot(_ == textCol).toSeq
+    val s1 = docs.select(others.map(col) :+
+      TextAnalysis.stripControlChars(col(textCol)).as("__str"): _*)
+    val s2 = s1.select(others.map(col) :+
+      graft.functions.UnicodeExpressions.nfc(col("__str")).as("__clean"): _*)
+    val s3 = s2.select(others.map(col) ++ Seq(col("__clean"),
+      Quality.c4KeptLines(col("__clean"), minWordsPerLine).as("__kept")): _*)
+    s3.filter(coalesce(
+        !col("__clean").contains("lorem ipsum") &&
+          !col("__clean").contains("{") &&
+          size(col("__kept")) >= minKeptLines, lit(false)))
+      .select(others.map(col) :+
+        array_join(col("__kept"), "\n").as(textCol): _*)
+      .select(docs.columns.map(col): _*)
+  }
+
   /** The full LLM training-data curation flow as ONE library call —
     * what a user of the reference's script-per-step world replaces
     * their corpus pipeline with:
     *
     *   optional HTML → text extraction
     *   ([[graft.text.TextAnalysis.htmlToText]]) →
+    *   optional byte-hygiene intake (strip C0/DEL → NFC → C4
+    *   line/page rules, [[intakeApply]] — BEFORE any content key) →
     *   optional URL-dedup + domain-cap intake ([[graft.text.Urls]]) →
     *   PII scrub →
     *   quality + repetition gates (+ optional trained
@@ -308,9 +350,18 @@ object Pipelines {
     // CONTENT, not markup (a raw crawl page is tag soup to the quality
     // gate, and two recrawls with different chrome never share a
     // fingerprint). Map-only expression riding the intake scan.
-    val rawDocs =
-      if (!cfg.extractHtml) docs
-      else docs.withColumn("text", TextAnalysis.htmlToText(col("text")))
+    val rawDocs = {
+      val extracted =
+        if (!cfg.extractHtml) docs
+        else docs.withColumn("text", TextAnalysis.htmlToText(col("text")))
+      // byte hygiene BEFORE any content key (fingerprints, paragraph
+      // lines, gate features): strip→NFC→C4, dropping page-rule
+      // failures. After HTML extraction — the C4 line rules judge
+      // prose lines, not markup.
+      if (!cfg.intakeC4) extracted
+      else intakeApply(extracted, "text",
+        cfg.intakeMinWordsPerLine, cfg.intakeMinKeptLines)
+    }
 
     val intake = cfg.urlCol.fold(rawDocs) { uc =>
       val k = graft.text.Urls.canonicalizeUrl(col(uc))

@@ -260,6 +260,43 @@ class PipelinesSpec extends SparkSpec {
     assert(raw.contains(1L) && raw.contains(2L))
   }
 
+  test("curateCorpus intakeC4 computes dedup keys post-NFC: byte twins collapse") {
+    import org.apache.spark.sql.functions._
+    // three C4-surviving lines (>= 3 words, terminal punct) with an
+    // accent: doc 1 carries the COMPOSED form (U+00E9), doc 2 the
+    // DECOMPOSED twin (e + U+0301) plus a BEL control char — same text
+    // after strip+NFC, different bytes before. doc 3 is distinct.
+    def line(tag: String) = s"the caf\u00e9 of $tag is the best one here."
+    def lineD(tag: String) = s"the cafe\u0301 of $tag is the best one here."
+    val composed = (1 to 3).map(i => line(s"t$i")).mkString("\n")
+    val decomposed =
+      "\u0007" + (1 to 3).map(i => lineD(s"t$i")).mkString("\n")
+    val distinct3 = (1 to 3).map(i => line(s"z$i")).mkString("\n")
+    val docs = Seq(
+      (1L, composed, "en", "srcA"),
+      (2L, decomposed, "en", "srcA"),
+      (3L, distinct3, "en", "srcB")).toDF("doc_id", "text", "lang", "source")
+    val none = Seq.empty[String].toDF("text")
+    val kept = Pipelines.curateCorpus(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100,
+        intakeC4 = true))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L),
+      "the decomposed/BEL twin must share the post-NFC dedup key")
+    // the surviving text is the cleaned form: no control chars, and
+    // the accent is stored composed (NFC)
+    val t1 = kept.filter(col("doc_id") === 1L)
+      .select("text").as[String].collect()(0)
+    assert(!t1.contains("\u0007") && t1.contains("caf\u00e9") &&
+      !t1.contains("e\u0301"))
+    // WITHOUT intake the twins keep distinct byte-level fingerprints
+    val raw = Pipelines.curateCorpus(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100))
+      .select("doc_id").as[Long].collect().toSet
+    assert(raw.contains(1L) && raw.contains(2L),
+      "without intake the byte twins both survive")
+  }
+
   test("curateCorpus semantic stage drops embedding-dups of lexically distinct docs") {
     import org.apache.spark.sql.functions._
     def goodText(i: Int): String =
