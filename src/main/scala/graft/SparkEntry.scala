@@ -4079,7 +4079,8 @@ object SparkEntry {
     "q247_blocklist_gate" -> (q247 _),
     "q248_group_weighted_sample" -> (q248 _),
     "q249_stream_blocklist" -> (q249 _),
-    "q250_intake_curation" -> (q250 _))
+    "q250_intake_curation" -> (q250 _),
+    "q251_winnow_matches" -> (q251 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5962,10 +5963,18 @@ object SparkEntry {
       "doc_id", "text", k = 5, w = 4)
 
   private def q230Sql(k: Int = 5, w: Int = 4): String =
+    winnowFpSql("documents", k, w)
+
+  /** The winnowing-fingerprint derivation of [[q230Sql]] over an
+    * arbitrary source relation (must expose `doc_id, text`) — shared
+    * by q230 and q251's corpus∪benchmark union so the two gates can
+    * never drift.
+    */
+  private def winnowFpSql(srcRel: String, k: Int, w: Int): String =
     s"""WITH norm AS (
        |  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
        |       '\\s+', ' ', 'g')) AS t
-       |  FROM documents),
+       |  FROM $srcRel),
        |gm AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
        |         substr(t, CAST(i AS INT), $k) AS g
@@ -6676,6 +6685,64 @@ object SparkEntry {
        |       (cm - n_tokens) // 1024 AS seq_id,
        |       (cm - n_tokens) % 1024 AS seq_offset
        |FROM cum""".stripMargin
+
+  /** Winnow-join shared-region localization
+    * ([[graft.dedup.Dedup.winnowMatches]], the MOSS report): the q229
+    * corpus×benchmark fixture (bench = first-half words of every tenth
+    * doc, ids +500000) joined on winnowing fingerprints — per (doc,
+    * bench) pair the matched spans in each text and the distinct
+    * shared-fingerprint count. k=20 (≈3–4 words of the synthetic
+    * vocabulary) keeps accidental gram collisions rare so the report
+    * localizes REAL shared regions, not stop-gram noise.
+    */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    Dedup.winnowMatches(docs, "doc_id", "text", bench, "bench_id", "text",
+      k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+  }
+
+  /** The q251 oracle: [[winnowFpSql]] over the corpus∪bench union
+    * (the q229 union trick — one gram-hash chain), split on the
+    * +500000 id plane, bench-side frequency cap, fp equi-join, span
+    * hulls + distinct-fp counts.
+    */
+  private def q251Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFreq: Int = 64): String = {
+    val src =
+      s"""(SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000 AS doc_id,
+         |         array_to_string(wd[1:greatest(CAST(len(wd) // 2 AS INT),
+         |           5)], ' ') AS text
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(trim(trim(regexp_replace(
+         |            lower(text), '\\s+', ' ', 'g'))), '\\s+') AS wd
+         |        FROM documents WHERE doc_id % 10 = 0)) AS u""".stripMargin
+    s"""WITH fps AS MATERIALIZED (${winnowFpSql(src, k, w)}),
+       |dfp AS (SELECT doc_id, pos, fp FROM fps WHERE doc_id < 500000),
+       |bfp AS (SELECT doc_id AS bench_id, pos, fp FROM fps
+       |        WHERE doc_id >= 500000),
+       |rare AS (SELECT fp FROM bfp GROUP BY fp
+       |         HAVING count(*) <= $maxFreq),
+       |jn AS (SELECT d.doc_id, b.bench_id, d.pos AS dpos, b.pos AS bpos,
+       |              d.fp
+       |       FROM dfp d JOIN bfp b USING (fp) JOIN rare USING (fp))
+       |SELECT doc_id, bench_id,
+       |       CAST(count(DISTINCT fp) AS BIGINT) AS n_shared_fps,
+       |       min(dpos) AS doc_lo,
+       |       max(dpos) + ${k - 1} AS doc_hi,
+       |       min(bpos) AS bench_lo,
+       |       max(bpos) + ${k - 1} AS bench_hi
+       |FROM jn GROUP BY 1, 2
+       |HAVING count(DISTINCT fp) >= $minShared""".stripMargin
+  }
 
   private val sanitizeCtrlSql: String =
     """WITH p AS (
@@ -7886,6 +7953,8 @@ object SparkEntry {
     // intake-enabled curation: strip→NFC→C4 before content keys, so
     // the decomposed/BEL byte twins collapse onto their originals
     "q250_intake_curation" -> q250Sql,
+    // MOSS span report: shared winnow fps localized corpus×benchmark
+    "q251_winnow_matches" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

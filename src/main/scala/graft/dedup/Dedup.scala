@@ -590,6 +590,56 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Winnow-join shared-region LOCALIZATION — the MOSS report
+    * (Schleimer–Wilkerson–Aiken 2003 §4): where [[containmentPairs]]
+    * answers "HOW MUCH of benchmark doc B is inside corpus doc A",
+    * this answers "WHERE" — equi-join the two corpora's winnowing
+    * fingerprints ([[graft.text.TextAnalysis.winnowFingerprints]]:
+    * per-window rightmost-min k-gram hashes, positions attached) and
+    * report, per (doc, bench) pair, the matched SPANS in each text
+    * plus the count of distinct shared fingerprints. Positions index
+    * the NORMALIZED text (the fingerprint coordinate space); a span is
+    * the [min pos, max pos + k − 1] hull of the matched fingerprints.
+    *
+    * Guards: fingerprints carried by more than `maxBenchFpFreq`
+    * benchmark rows are dropped BEFORE the join (the MOSS "too common
+    * to mean anything" rule — a stop-gram fingerprint shared by every
+    * benchmark doc would turn the equi-join quadratic), and pairs
+    * sharing fewer than `minSharedFps` distinct fingerprints are
+    * suppressed (winnowing guarantees detection of matches ≥ w+k−1
+    * chars; a single shared fingerprint is noise at small k).
+    *
+    * Scale shape: fingerprints are map-only per side (O(n·w) per doc);
+    * the join keys on the 8-byte fp with the benchmark side small
+    * (auto-broadcast) and every corpus fp row matched by at most
+    * `maxBenchFpFreq` bench rows — never a corpus×corpus product; the
+    * group-by is one shuffle on (doc_id, bench_id) candidate pairs.
+    */
+  def winnowMatches(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int = 20, w: Int = 8, minSharedFps: Int = 2,
+      maxBenchFpFreq: Long = 64L): DataFrame = {
+    import graft.text.TextAnalysis
+    val d = TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select(col("doc_id"), col("pos").as("__dpos"), col("fp"))
+    val b0 = TextAnalysis
+      .winnowFingerprints(bench, benchIdCol, benchTextCol, k, w)
+      .select(col("doc_id").as("bench_id"), col("pos").as("__bpos"),
+        col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rareFps = b0.groupBy("fp").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") <= maxBenchFpFreq).select("fp")
+    d.join(b0.join(rareFps, Seq("fp"), "left_semi"), Seq("fp"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(
+        countDistinct(col("fp")).as("n_shared_fps"),
+        min(col("__dpos")).as("doc_lo"),
+        (max(col("__dpos")) + lit(k - 1).cast("long")).as("doc_hi"),
+        min(col("__bpos")).as("bench_lo"),
+        (max(col("__bpos")) + lit(k - 1).cast("long")).as("bench_hi"))
+      .filter(col("n_shared_fps") >= minSharedFps)
+  }
+
   // --------------------------------------- incremental (indexed) near-dup
 
   /** Canonical banding expression: one row per (band, band_hash) of a

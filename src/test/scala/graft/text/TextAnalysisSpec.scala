@@ -324,6 +324,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.sorted.toSeq === got.sorted.toSeq)
   }
 
+  test("winnowMatches localizes the shared region and suppresses noise") {
+    val corpus = Seq(
+      // doc 1 embeds the benchmark sentence verbatim mid-text
+      (1L, "alpha beta gamma delta the quick brown fox jumps over the " +
+        "lazy dog tonight epsilon zeta eta theta"),
+      (2L, "completely unrelated words appear in this document here " +
+        "nothing shared at all with anything")).toDF("doc_id", "text")
+    val bench = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("bench_id", "text")
+    val k = 5; val w = 4
+    val got = graft.dedup.Dedup.winnowMatches(
+        corpus, "doc_id", "text", bench, "bench_id", "text",
+        k = k, w = w, minSharedFps = 2, maxBenchFpFreq = 64L)
+      .collect()
+    assert(got.length === 1, s"expected one localized pair, got " +
+      got.mkString(", "))
+    val r = got(0)
+    assert(r.getAs[Long]("doc_id") === 1L &&
+      r.getAs[Long]("bench_id") === 900L)
+    // the doc-side span must sit INSIDE the embedded region: the
+    // benchmark text starts at normalized position 25 ("alpha beta
+    // gamma delta " = 24 chars + 1) and runs 51 chars
+    val lo = r.getAs[Long]("doc_lo"); val hi = r.getAs[Long]("doc_hi")
+    assert(lo >= 25 && hi <= 25 + 51 - 1, s"span [$lo,$hi] outside region")
+    // the bench-side span covers most of the benchmark text
+    assert(r.getAs[Long]("bench_lo") >= 1 &&
+      r.getAs[Long]("bench_hi") <= 51)
+    assert(r.getAs[Long]("n_shared_fps") >= 2)
+  }
+
   test("luhnValid: known PANs pass, off-by-one fails, length band binds") {
     val df = Seq(
       (1L, "4111111111111111"),  // canonical valid test PAN
