@@ -4080,7 +4080,9 @@ object SparkEntry {
     "q248_group_weighted_sample" -> (q248 _),
     "q249_stream_blocklist" -> (q249 _),
     "q250_intake_curation" -> (q250 _),
-    "q251_winnow_matches" -> (q251 _))
+    "q251_winnow_matches" -> (q251 _),
+    "q252_chunked_export" -> (q252 _),
+    "q253_epoch_order_export" -> (q253 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6744,6 +6746,62 @@ object SparkEntry {
        |HAVING count(DISTINCT fp) >= $minShared""".stripMargin
   }
 
+  /** Chunked export ([[graft.pipeline.Pipelines.exportTrainingData]]
+    * with `chunkTokens`): the q219 default-config curation re-united
+    * as 12-token/stride-8 sliding windows (the unit a context-bound
+    * trainer loads), then the q206 manifest over the chunk units —
+    * unit ids are `"<doc>:<chunk>"` strings, so the shard hash keys
+    * differ from the doc-level export by construction.
+    */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.filter(col("doc_id") % 10 === 0)
+      .select(regexp_replace(col("text"), " ", "  ").as("text"))
+    val res = Pipelines.exportTrainingData(docs, benchmark, nShards = 8,
+      chunkTokens = Some(12), chunkStride = Some(8))
+    val out = res.manifest.localCheckpoint()
+    res.release()
+    out
+  }
+
+  /** Per-epoch training order over the chunked export units
+    * ([[graft.pipeline.Pipelines.exportTrainingData]] with `epochs`):
+    * the q240 epoch-salted (shard, ord) assignment computed over the
+    * q252 chunk units — the full epoch-varying read plan a trainer
+    * replays from ids alone.
+    */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val benchmark = docs.filter(col("doc_id") % 10 === 0)
+      .select(regexp_replace(col("text"), " ", "  ").as("text"))
+    val res = Pipelines.exportTrainingData(docs, benchmark, nShards = 8,
+      chunkTokens = Some(12), chunkStride = Some(8), epochs = Some(2))
+    val out = res.epochOrder.get.localCheckpoint()
+    res.release()
+    out
+  }
+
+  /** The chunk-unit relation shared by the q252/q253 oracles:
+    * the q219 curated corpus re-derived, then the q223 chunk replay —
+    * `(doc_id: "<doc>:<chunk>", text: chunk_text)`.
+    */
+  private def chunkedUnitsSql(chunkTokens: Int = 12, stride: Int = 8)
+      : String = {
+    val wordsExpr = """list_filter(string_split_regex(trim(trim(""" +
+      """regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))), """ +
+      """'\s+'), x -> len(x) > 0)"""
+    s"""SELECT CAST(doc_id AS VARCHAR) || ':' ||
+       |         CAST(s // $stride AS VARCHAR) AS doc_id,
+       |       array_to_string(list_slice(w, CAST(s + 1 AS INT),
+       |         CAST(s + $chunkTokens AS INT)), ' ') AS text
+       |FROM (
+       |  WITH cur AS MATERIALIZED ($q219CuratedSql),
+       |  ws AS (SELECT doc_id, $wordsExpr AS w FROM cur)
+       |  SELECT doc_id, w, CAST(s AS BIGINT) AS s
+       |  FROM (SELECT doc_id, w, unnest(range(0, len(w), $stride)) AS s
+       |        FROM ws WHERE len(w) > 0))""".stripMargin
+  }
+
   private val sanitizeCtrlSql: String =
     """WITH p AS (
       |  SELECT doc_id,
@@ -7955,6 +8013,13 @@ object SparkEntry {
     "q250_intake_curation" -> q250Sql,
     // MOSS span report: shared winnow fps localized corpus×benchmark
     "q251_winnow_matches" -> q251Sql(),
+    // q206's manifest over the chunked export units (q219 curation →
+    // q223 chunk replay; "<doc>:<chunk>" string unit ids)
+    "q252_chunked_export" -> graft.oracle.ExampleOracles.q206Sql(
+      nShards = 8, docsSrc = chunkedUnitsSql()),
+    // q240's epoch-salted read plan over the same chunk units
+    "q253_epoch_order_export" -> graft.oracle.ExampleOracles.q240Sql(
+      nEpochs = 2, nShards = 8, docsSrc = chunkedUnitsSql()),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

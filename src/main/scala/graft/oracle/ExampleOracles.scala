@@ -171,14 +171,14 @@ object ExampleOracles {
     * (`epoch_s:<epoch>:<doc_id>` / `epoch_o:…`), ranked per
     * (epoch, shard).
     */
-  def q240Sql(nEpochs: Int, nShards: Int, seedTag: String = "epoch")
-      : String = {
+  def q240Sql(nEpochs: Int, nShards: Int, seedTag: String = "epoch",
+      docsSrc: String = "SELECT doc_id FROM documents"): String = {
     def pm(x: String, m: String) =
       s"((${DuckDbXxHash.signedSql(x)} % $m) + $m) % $m"
     s"""WITH
        |eps AS (
        |  SELECT doc_id, e.epoch
-       |  FROM documents CROSS JOIN
+       |  FROM ($docsSrc) CROSS JOIN
        |    (SELECT unnest(range($nEpochs)) AS epoch) e),
        |keys AS (
        |  SELECT doc_id, epoch, tag,

@@ -478,11 +478,16 @@ object Pipelines {
   }
 
   /** [[exportTrainingData]]'s result: the curated+packed corpus, the
+    * export UNITS the shard layer ran over (the curated docs, or their
+    * sliding-window chunks when `chunkTokens` was set — `(doc_id,
+    * text)` with chunk ids spelled `"<doc>:<chunk>"`), the
     * reproducible shard assignment, the per-shard validation manifest,
-    * and the cache release handle ([[curateCorpusManaged]]'s).
+    * the optional per-epoch training order, and the cache release
+    * handle ([[curateCorpusManaged]]'s).
     */
-  final case class ExportResult(curated: DataFrame, assignment: DataFrame,
-      manifest: DataFrame, release: () => Unit)
+  final case class ExportResult(curated: DataFrame, units: DataFrame,
+      assignment: DataFrame, manifest: DataFrame,
+      epochOrder: Option[DataFrame], release: () => Unit)
 
   /** The full training-data export in one call: [[curateCorpus]]'s
     * gate→dedup→decontaminate→pack chain, then the DETERMINISTIC
@@ -490,20 +495,43 @@ object Pipelines {
     * ([[Examples.shardAssign]]) and the per-shard manifest
     * ([[Examples.shardManifest]]) whose xor checksums validate the
     * written export without re-reading it (diff two runs with
-    * [[Examples.manifestDiff]]). Composition only — every stage keeps
-    * its own oracle gate; scale shape is the sum of the documented
-    * stage shapes (two corpus shuffles from curation, one shard
-    * window, one nShards-row aggregation).
+    * [[Examples.manifestDiff]]).
+    *
+    * Trainer-facing options: `chunkTokens` re-units the export as
+    * [[Examples.chunkDocuments]] sliding windows BEFORE sharding (the
+    * unit a context-length-bound trainer actually loads; unit ids are
+    * `"<doc_id>:<chunk_id>"` strings so chunks shard independently),
+    * and `epochs` emits [[Examples.epochShuffle]]'s per-epoch
+    * (shard, ord) assignment over the same units — the full epoch-
+    * varying read plan, reproducible from the doc ids alone.
+    *
+    * Composition only — every stage keeps its own oracle gate; scale
+    * shape is the sum of the documented stage shapes (two corpus
+    * shuffles from curation, the map-only chunk explode, one shard
+    * window, one nShards-row aggregation, one window per epoch).
     */
   def exportTrainingData(docs: DataFrame, benchmark: DataFrame,
       cfg: CurationConfig = CurationConfig(), nShards: Int = 1024,
       importanceTarget: Option[DataFrame] = None,
-      embeddings: Option[DataFrame] = None): ExportResult = {
+      embeddings: Option[DataFrame] = None,
+      chunkTokens: Option[Int] = None, chunkStride: Option[Int] = None,
+      epochs: Option[Int] = None): ExportResult = {
+    require(chunkStride.isEmpty || chunkTokens.isDefined,
+      "chunkStride without chunkTokens — set the window size too")
     val (curated, release) =
       curateCorpusManaged(docs, benchmark, cfg, importanceTarget, embeddings)
-    ExportResult(curated,
-      Examples.shardAssign(curated, "doc_id", "text", nShards),
-      Examples.shardManifest(curated, "doc_id", "text", nShards),
+    val units = chunkTokens.fold(curated.select(col("doc_id"), col("text"))) {
+      ct =>
+        Examples.chunkDocuments(curated, "doc_id", "text", ct,
+            chunkStride.getOrElse(ct))
+          .select(concat(col("doc_id").cast("string"), lit(":"),
+            col("chunk_id").cast("string")).as("doc_id"),
+            col("chunk_text").as("text"))
+    }
+    ExportResult(curated, units,
+      Examples.shardAssign(units, "doc_id", "text", nShards),
+      Examples.shardManifest(units, "doc_id", "text", nShards),
+      epochs.map(n => Examples.epochShuffle(units, "doc_id", n, nShards)),
       release)
   }
 }

@@ -483,4 +483,44 @@ class PipelinesSpec extends SparkSpec {
       assert(diff === Set("unchanged"))
     } finally r.release()
   }
+
+  test("exportTrainingData chunking + epochs: chunk units shard, " +
+    "every epoch is a dense permutation of them") {
+    import org.apache.spark.sql.functions._
+    def goodText(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    val docs = (1 to 10).map(i => (i.toLong, goodText(i), "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val none = Seq.empty[String].toDF("text")
+    val r = Pipelines.exportTrainingData(docs, none,
+      Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100),
+      nShards = 4, chunkTokens = Some(30), chunkStride = Some(20),
+      epochs = Some(2))
+    try {
+      // each 120-token doc yields ceil(120/20) = 6 windows
+      val unitIds = r.units.select("doc_id").as[String].collect().toSet
+      assert(unitIds.size === 10 * 6)
+      assert(unitIds.forall(_.matches("\\d+:\\d+")))
+      // the shard layer runs over the chunk units, not the docs
+      val asg = r.assignment.select("doc_id").as[String].collect().toSet
+      assert(asg === unitIds)
+      // every epoch covers every unit exactly once, dense per shard
+      val eo = r.epochOrder.get
+        .select("epoch", "doc_id", "shard", "ord")
+        .as[(Long, String, Long, Long)].collect()
+      assert(eo.map(_._1).toSet === Set(0L, 1L))
+      (0L to 1L).foreach { e =>
+        val rows = eo.filter(_._1 == e)
+        assert(rows.map(_._2).toSet === unitIds)
+        rows.groupBy(_._3).values.foreach { g =>
+          assert(g.map(_._4).sorted.toSeq === (0L until g.length).toSeq)
+        }
+      }
+      // the two epochs actually differ in order (the point of salting)
+      val byEpoch = eo.groupBy(_._1).map { case (e, rows) =>
+        e -> rows.sortBy(r => (r._3, r._4)).map(_._2).toSeq
+      }
+      assert(byEpoch(0L) !== byEpoch(1L))
+    } finally r.release()
+  }
 }
