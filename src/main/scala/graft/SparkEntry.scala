@@ -4082,7 +4082,8 @@ object SparkEntry {
     "q250_intake_curation" -> (q250 _),
     "q251_winnow_matches" -> (q251 _),
     "q252_chunked_export" -> (q252 _),
-    "q253_epoch_order_export" -> (q253 _))
+    "q253_epoch_order_export" -> (q253 _),
+    "q254_kn_funnel" -> (q254 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5796,6 +5797,49 @@ object SparkEntry {
        |JOIN (${q199Sql()}) l USING (doc_id)
        |JOIN (${graft.oracle.BigramLmOracles.q211Sql(
               headBelowFp = q211Head, midBelowFp = q211Mid)}) b USING (doc_id)
+       |JOIN documents d USING (doc_id)""".stripMargin,
+    q220Rules)
+
+  /** q220's cross-family funnel with the KNESER–NEY scorer
+    * ([[graft.text.BigramLm.kneserNeyPerplexity]], q222's lifecycle)
+    * as the drop-in fluency member instead of the interpolated
+    * bigram LM — the funnel treats any (doc_id, bucket) scorer as a
+    * member, so the modern-smoothing variant composes without
+    * touching the other gates. Same rules, same attrition semantics.
+    */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val g = graft.text.Quality.gopherGates(docs, "doc_id", "text",
+        minWords = 30, stopWords = Seq("the", "a"), minStopWords = 2)
+      .select("doc_id", "ok_words", "ok_stop")
+    val e = graft.text.TextAnalysis.entropyGate(docs, "doc_id", "text",
+        q201Lo, q201Hi)
+      .select("doc_id", "entropy_ok")
+    val p = graft.text.LangId.trainProfiles(
+      docs.filter(col("doc_id") % 2 === 0), "text", "lang", topN = 256)
+    val l = graft.text.LangId.classify(docs, "doc_id", "text", p)
+      .select("doc_id", "lang_pred")
+    val m = graft.text.BigramLm.train(
+      docs.filter(col("doc_id") % 2 === 0), "text")
+    val b = graft.text.BigramLm.kneserNeyPerplexity(docs, "doc_id",
+        "text", m, headBelowFp = q222Head, midBelowFp = q222Mid)
+      .select("doc_id", "ppl_bucket")
+    val attrs = g.join(e, "doc_id").join(l, "doc_id").join(b, "doc_id")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("ok_lang", col("lang_pred") === col("lang"))
+      .withColumn("ok_ppl", col("ppl_bucket") =!= lit("tail"))
+    graft.text.Quality.gateFunnel(attrs, q220Rules)
+  }
+
+  private def q254Sql(): String = funnelSql(
+    s"""SELECT g.doc_id, g.ok_words, g.ok_stop, e.entropy_ok,
+       |       (l.lang_pred = d.lang) AS ok_lang,
+       |       (b.ppl_bucket <> 'tail') AS ok_ppl
+       |FROM (${q156Sql()}) g
+       |JOIN (${q201Sql(q201Lo, q201Hi)}) e USING (doc_id)
+       |JOIN (${q199Sql()}) l USING (doc_id)
+       |JOIN (${graft.oracle.BigramLmOracles.q222Sql(
+              headBelowFp = q222Head, midBelowFp = q222Mid)}) b USING (doc_id)
        |JOIN documents d USING (doc_id)""".stripMargin,
     q220Rules)
 
@@ -8020,6 +8064,8 @@ object SparkEntry {
     // q240's epoch-salted read plan over the same chunk units
     "q253_epoch_order_export" -> graft.oracle.ExampleOracles.q240Sql(
       nEpochs = 2, nShards = 8, docsSrc = chunkedUnitsSql()),
+    // the q220 funnel with Kneser-Ney as the fluency member (q222)
+    "q254_kn_funnel" -> q254Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
