@@ -120,7 +120,13 @@ object Bench {
     // map passes (q113's family), q238 is a lifecycle, q239 folds the
     // measured q97 election, q240 is 3× the unslotted q205 shape.
     "q232_c4_line_filter",
-    "q237_nfc_normalize")
+    "q237_nfc_normalize",
+    // round-15 surface: the winnow-join span report is the one
+    // genuinely new heavy shape (two winnow fingerprint passes at
+    // k=20 + the capped fp equi-join + the pair group-by). q250/q252/
+    // q253/q254/q255 are compositions or twins of stages measured
+    // elsewhere (the q123 no-slot rule).
+    "q251_winnow_matches")
   // round-14 first-half surface kept NO new slots — q217/q218 fold the
   // measured q202 star kernel, q219 composes measured curation +
   // manifest stages, q220 composes measured gate kernels (the q123

@@ -4083,7 +4083,8 @@ object SparkEntry {
     "q251_winnow_matches" -> (q251 _),
     "q252_chunked_export" -> (q252 _),
     "q253_epoch_order_export" -> (q253 _),
-    "q254_kn_funnel" -> (q254 _))
+    "q254_kn_funnel" -> (q254 _),
+    "q255_stream_intake_curation" -> (q255 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6825,6 +6826,66 @@ object SparkEntry {
     out
   }
 
+  /** Streaming twin of q250 — intake-enabled curation at ingest
+    * ([[graft.streaming.StreamingCuration.FrozenConfig.intakeC4]]):
+    * the same planted byte-twin corpus delivered as two ordered
+    * micro-batches (originals first, twins second — the midpoint
+    * split lands exactly on the +10M id plane), each running the
+    * stateless strip→NFC→C4 intake before the frozen gates. Under
+    * ordered ingest the cross-batch fingerprint index elects the same
+    * keep-first survivors as the batch run, so q250's oracle is
+    * shared verbatim (the q124 pattern).
+    */
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d = Tables.documents(s, dir)
+    val base = c4Plant(d).join(d.select("doc_id", "source"), Seq("doc_id"))
+    val planted = base.select(explode(array(
+        struct(col("doc_id"),
+          concat(col("text"), lit("\none two caf\u00e9.")).as("text"),
+          col("source")),
+        struct((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit("\u0007\none two cafe\u0301."))
+            .as("text"),
+          col("source")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.source").as("source"))
+    val benchmark = d.filter(col("doc_id") % 10 === 0)
+      .select(regexp_replace(col("text"), " ", "  ").as("text"))
+      .localCheckpoint()
+    val scratch = scratchDir("stream_intake_curation")
+    val stream = stageOrderedBatches(s, scratch,
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType))),
+      midpointHalves(planted))
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val buf = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+    val q = graft.streaming.StreamingCuration.start(
+      stream, "doc_id", benchmark,
+      graft.streaming.StreamingCuration.FrozenConfig(intakeC4 = true),
+      mixtureRates = None,
+      fpIndexTable = s"graft_sic_fp_$sfx",
+      packStateTable = s"graft_sic_pack_$sfx") { (batch, _) =>
+      buf ++= batch
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.sql(s"DROP TABLE IF EXISTS graft_sic_fp_$sfx")
+      s.sql(s"DROP TABLE IF EXISTS graft_sic_pack_$sfx")
+    }
+    import s.implicits._
+    buf.toSeq
+      .toDF("doc_id", "source", "n_tokens", "seq_id", "seq_offset")
+  }
+
   /** The chunk-unit relation shared by the q252/q253 oracles:
     * the q219 curated corpus re-derived, then the q223 chunk replay —
     * `(doc_id: "<doc>:<chunk>", text: chunk_text)`.
@@ -8066,6 +8127,9 @@ object SparkEntry {
       nEpochs = 2, nShards = 8, docsSrc = chunkedUnitsSql()),
     // the q220 funnel with Kneser-Ney as the fluency member (q222)
     "q254_kn_funnel" -> q254Sql(),
+    // ordered-ingest streaming twin of the intake-enabled curation:
+    // cross-batch keep-first elects the batch survivors — q250's oracle
+    "q255_stream_intake_curation" -> q250Sql,
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

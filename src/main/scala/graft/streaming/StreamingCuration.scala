@@ -50,7 +50,16 @@ object StreamingCuration {
       // batch resample's semi-join semantics
       importance: Option[(Curation.ImportanceModel, Long)] = None,
       seqLen: Int = 1024,
-      shardCol: String = "source")
+      shardCol: String = "source",
+      // byte-hygiene intake (strip C0/DEL → NFC → C4 line/page rules,
+      // Pipelines.intakeApply) as the first per-batch stage — the
+      // streaming face of CurationConfig.intakeC4. Stateless column
+      // algebra, so it rides the batch scan like the other gates;
+      // content keys (fingerprints) are then computed post-NFC,
+      // matching the batch pipeline exactly.
+      intakeC4: Boolean = false,
+      intakeMinWordsPerLine: Int = 3,
+      intakeMinKeptLines: Int = 3)
 
   /** Start the stream. `benchmark` (decontamination corpus) and
     * `mixtureRates` (a [[Curation.mixtureRates]] snapshot keyed on
@@ -93,8 +102,13 @@ object StreamingCuration {
     writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sess = batch.sparkSession
+        // ---- stateless byte-hygiene intake (exact curateCorpus stage)
+        val intaken =
+          if (!cfg.intakeC4) batch
+          else graft.pipeline.Pipelines.intakeApply(batch, "text",
+            cfg.intakeMinWordsPerLine, cfg.intakeMinKeptLines)
         // ---- stateless snapshot-frozen gates (exact curateCorpus exprs)
-        val scrubbed = batch.withColumn("text", regexp_replace(
+        val scrubbed = intaken.withColumn("text", regexp_replace(
           regexp_replace(
             regexp_replace(col("text"),
               TextAnalysis.emailPattern, "<EMAIL>"),
