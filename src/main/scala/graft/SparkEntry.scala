@@ -4084,7 +4084,8 @@ object SparkEntry {
     "q252_chunked_export" -> (q252 _),
     "q253_epoch_order_export" -> (q253 _),
     "q254_kn_funnel" -> (q254 _),
-    "q255_stream_intake_curation" -> (q255 _))
+    "q255_stream_intake_curation" -> (q255 _),
+    "q256_stream_winnow_matches" -> (q256 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6090,6 +6091,45 @@ object SparkEntry {
     finally q.stop()
     import s.implicits._
     buf.toSeq.toDF("doc_id", "bench_id", "containment")
+  }
+
+  /** Streaming twin of q251 — the MOSS span report at ingest: every
+    * (doc, bench) row depends only on the arriving document's
+    * fingerprints and the FROZEN benchmark side (a doc's fingerprints
+    * all ride one micro-batch, so the per-pair group-by never spans
+    * batches), so each batch runs [[graft.dedup.Dedup.winnowMatches]]
+    * verbatim (the q231 frozen-static-side pattern) and the union over
+    * any split equals the batch run — shares q251's oracle.
+    */
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+      .localCheckpoint(true)
+    val stream = StreamingPrep.streamDocuments(s, dir)
+      .select("doc_id", "text")
+    val buf = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Long)]
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buf ++= Dedup.winnowMatches(b.localCheckpoint(true),
+            "doc_id", "text", bench, "bench_id", "text",
+            k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        ()
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "bench_id", "n_shared_fps",
+      "doc_lo", "doc_hi", "bench_lo", "bench_hi")
   }
 
   // ------------------------------------------------- q232+ cleanup ops
@@ -8130,6 +8170,9 @@ object SparkEntry {
     // ordered-ingest streaming twin of the intake-enabled curation:
     // cross-batch keep-first elects the batch survivors — q250's oracle
     "q255_stream_intake_curation" -> q250Sql,
+    // per-doc verdicts vs the frozen benchmark side: any batch split
+    // folds to the batch run — shares q251's oracle verbatim
+    "q256_stream_winnow_matches" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
