@@ -4085,7 +4085,8 @@ object SparkEntry {
     "q253_epoch_order_export" -> (q253 _),
     "q254_kn_funnel" -> (q254 _),
     "q255_stream_intake_curation" -> (q255 _),
-    "q256_stream_winnow_matches" -> (q256 _))
+    "q256_stream_winnow_matches" -> (q256 _),
+    "q257_winnow_decontaminate" -> (q257 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6800,18 +6801,24 @@ object SparkEntry {
     * +500000 id plane, bench-side frequency cap, fp equi-join, span
     * hulls + distinct-fp counts.
     */
+  /** The corpus∪benchmark union relation of the q251/q256/q257
+    * oracles (the q229 fixture: bench = first-half words of every
+    * tenth doc, ids +500000).
+    */
+  private val winnowUnionSrc: String =
+    s"""(SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id,
+       |         array_to_string(wd[1:greatest(CAST(len(wd) // 2 AS INT),
+       |           5)], ' ') AS text
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(trim(regexp_replace(
+       |            lower(text), '\\s+', ' ', 'g'))), '\\s+') AS wd
+       |        FROM documents WHERE doc_id % 10 = 0)) AS u""".stripMargin
+
   private def q251Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
       maxFreq: Int = 64): String = {
-    val src =
-      s"""(SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 500000 AS doc_id,
-         |         array_to_string(wd[1:greatest(CAST(len(wd) // 2 AS INT),
-         |           5)], ' ') AS text
-         |  FROM (SELECT doc_id,
-         |          string_split_regex(trim(trim(regexp_replace(
-         |            lower(text), '\\s+', ' ', 'g'))), '\\s+') AS wd
-         |        FROM documents WHERE doc_id % 10 = 0)) AS u""".stripMargin
+    val src = winnowUnionSrc
     s"""WITH fps AS MATERIALIZED (${winnowFpSql(src, k, w)}),
        |dfp AS (SELECT doc_id, pos, fp FROM fps WHERE doc_id < 500000),
        |bfp AS (SELECT doc_id AS bench_id, pos, fp FROM fps
@@ -6830,6 +6837,79 @@ object SparkEntry {
        |FROM jn GROUP BY 1, 2
        |HAVING count(DISTINCT fp) >= $minShared""".stripMargin
   }
+
+  /** Surgical span-removal decontamination
+    * ([[graft.dedup.Dedup.winnowDecontaminate]]): instead of dropping
+    * every doc that quotes a benchmark item (the whole-doc
+    * decontaminate), cut exactly the winnow-localized regions and keep
+    * the rest — every corpus doc returns a row with its cleaned
+    * NORMALIZED text and span/char attrition. Same q229 fixture and
+    * evidence floor as q251.
+    */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    Dedup.winnowDecontaminate(docs, "doc_id", "text",
+      bench, "bench_id", "text",
+      k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+  }
+
+  /** The q257 oracle: the q251 match CTEs, then per-pair evidence
+    * floor → tainted [p, p+k−1] char cover → gaps-and-islands interval
+    * union → lag-based segment stitching over the normalized text.
+    */
+  private def q257Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFreq: Int = 64): String =
+    s"""WITH fps AS MATERIALIZED (${winnowFpSql(winnowUnionSrc, k, w)}),
+       |dfp AS (SELECT doc_id, pos, fp FROM fps WHERE doc_id < 500000),
+       |bfp AS (SELECT doc_id AS bench_id, pos, fp FROM fps
+       |        WHERE doc_id >= 500000),
+       |rare AS (SELECT fp FROM bfp GROUP BY fp
+       |         HAVING count(*) <= $maxFreq),
+       |jn AS (SELECT d.doc_id, b.bench_id, d.pos AS dpos, d.fp
+       |       FROM dfp d JOIN bfp b USING (fp) JOIN rare USING (fp)),
+       |okp AS (SELECT doc_id, bench_id FROM jn GROUP BY 1, 2
+       |        HAVING count(DISTINCT fp) >= $minShared),
+       |cov0 AS (SELECT doc_id, unnest(range(dpos, dpos + $k)) AS cp
+       |         FROM jn JOIN okp USING (doc_id, bench_id)),
+       |cov AS (SELECT DISTINCT doc_id, CAST(cp AS BIGINT) AS cp
+       |        FROM cov0),
+       |isl AS (SELECT doc_id, cp,
+       |          cp - row_number() OVER (PARTITION BY doc_id
+       |                                  ORDER BY cp) AS g
+       |        FROM cov),
+       |mg AS (SELECT doc_id, min(cp) AS s, max(cp) AS e
+       |       FROM isl GROUP BY doc_id, g),
+       |cnorm AS (SELECT doc_id,
+       |            trim(regexp_replace(lower(coalesce(text, '')),
+       |                 '\\s+', ' ', 'g')) AS t
+       |          FROM documents),
+       |iv AS (SELECT doc_id, s, e,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+       |                  0) AS pe
+       |       FROM mg),
+       |cuts AS (
+       |  SELECT i.doc_id,
+       |    string_agg(substr(n.t, CAST(i.pe + 1 AS INT),
+       |      CAST(i.s - i.pe - 1 AS INT)), '' ORDER BY i.s) AS pre,
+       |    max(i.e) AS laste,
+       |    count(*) AS nsp,
+       |    sum(i.e - i.s + 1) AS removed
+       |  FROM iv i JOIN cnorm n USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT n.doc_id,
+       |       CASE WHEN c.doc_id IS NULL THEN n.t
+       |            ELSE c.pre || substr(n.t, CAST(c.laste + 1 AS INT))
+       |       END AS text_clean,
+       |       CAST(coalesce(c.nsp, 0) AS BIGINT) AS n_spans,
+       |       CAST(coalesce(c.removed, 0) AS BIGINT) AS n_removed_chars
+       |FROM cnorm n LEFT JOIN cuts c USING (doc_id)""".stripMargin
 
   /** Chunked export ([[graft.pipeline.Pipelines.exportTrainingData]]
     * with `chunkTokens`): the q219 default-config curation re-united
@@ -8173,6 +8253,9 @@ object SparkEntry {
     // per-doc verdicts vs the frozen benchmark side: any batch split
     // folds to the batch run — shares q251's oracle verbatim
     "q256_stream_winnow_matches" -> q251Sql(),
+    // surgical span removal: evidence floor → char cover → islands →
+    // lag-stitched segments over the normalized text
+    "q257_winnow_decontaminate" -> q257Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

@@ -615,10 +615,15 @@ object Dedup {
     * `maxBenchFpFreq` bench rows — never a corpus×corpus product; the
     * group-by is one shuffle on (doc_id, bench_id) candidate pairs.
     */
-  def winnowMatches(corpus: DataFrame, idCol: String, textCol: String,
-      bench: DataFrame, benchIdCol: String, benchTextCol: String,
-      k: Int = 20, w: Int = 8, minSharedFps: Int = 2,
-      maxBenchFpFreq: Long = 64L): DataFrame = {
+  /** The frequency-capped fingerprint join shared by [[winnowMatches]]
+    * and [[winnowDecontaminate]]: one row per matched (corpus fp
+    * occurrence × benchmark fp occurrence) —
+    * `(fp, doc_id, __dpos, bench_id, __bpos)`.
+    */
+  private def winnowMatchRows(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, k: Int, w: Int,
+      maxBenchFpFreq: Long): DataFrame = {
     import graft.text.TextAnalysis
     val d = TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
       .select(col("doc_id"), col("pos").as("__dpos"), col("fp"))
@@ -630,6 +635,14 @@ object Dedup {
     val rareFps = b0.groupBy("fp").agg(count(lit(1)).as("__c"))
       .filter(col("__c") <= maxBenchFpFreq).select("fp")
     d.join(b0.join(rareFps, Seq("fp"), "left_semi"), Seq("fp"))
+  }
+
+  def winnowMatches(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int = 20, w: Int = 8, minSharedFps: Int = 2,
+      maxBenchFpFreq: Long = 64L): DataFrame =
+    winnowMatchRows(corpus, idCol, textCol, bench, benchIdCol,
+        benchTextCol, k, w, maxBenchFpFreq)
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(
         countDistinct(col("fp")).as("n_shared_fps"),
@@ -638,6 +651,82 @@ object Dedup {
         min(col("__bpos")).as("bench_lo"),
         (max(col("__bpos")) + lit(k - 1).cast("long")).as("bench_hi"))
       .filter(col("n_shared_fps") >= minSharedFps)
+
+  /** SURGICAL decontamination — remove the matched REGIONS instead of
+    * dropping whole documents: where [[graft.pipeline.Curation]]'s
+    * whole-doc decontaminate throws away a book because it quotes one
+    * benchmark item, this cuts exactly the winnow-localized spans and
+    * keeps the rest (the span-removal flavor several production
+    * pipelines prefer for long documents).
+    *
+    * Evidence discipline: only (doc, bench) pairs sharing at least
+    * `minSharedFps` distinct fingerprints contribute spans (the
+    * [[winnowMatches]] noise floor); each contributing fingerprint at
+    * position p taints chars [p, p+k−1] of the NORMALIZED text; the
+    * tainted set unions into maximal intervals (gaps-and-islands, the
+    * q204 discipline) which are then cut from the normalized text.
+    * Every corpus doc returns a row: untouched docs keep their
+    * normalized text with `n_spans = 0` — output coordinates are the
+    * normalized ones throughout (the fingerprint coordinate space).
+    *
+    * Returns `(doc_id, text_clean, n_spans, n_removed_chars)`.
+    *
+    * Scale shape: the match join is [[winnowMatchRows]]'s (benchmark
+    * side broadcast-sized, per-fp fan-out capped); the covered-char
+    * explode is |matched fps| × k rows — matched content only, never
+    * the corpus; the island window partitions by doc; the final cut is
+    * one codegen fold over the per-doc interval array riding a
+    * broadcast-sized join back to the corpus scan.
+    */
+  def winnowDecontaminate(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, k: Int = 20, w: Int = 8,
+      minSharedFps: Int = 2, maxBenchFpFreq: Long = 64L): DataFrame = {
+    import graft.text.TextAnalysis
+    val rows = winnowMatchRows(corpus, idCol, textCol, bench, benchIdCol,
+        benchTextCol, k, w, maxBenchFpFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okPairs = rows.groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("fp")).as("__nf"))
+      .filter(col("__nf") >= minSharedFps)
+      .select("doc_id", "bench_id")
+    // tainted char positions (1-based, normalized coordinates)
+    val covered = rows.join(okPairs, Seq("doc_id", "bench_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("__dpos"),
+          col("__dpos") + lit(k - 1).cast("long"))).as("cp"))
+      .distinct()
+    val byDoc = Window.partitionBy("doc_id")
+    val merged = covered
+      .withColumn("isl", col("cp") - row_number().over(byDoc.orderBy("cp")))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("cp")).as("s"), max(col("cp")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("__ivs"))
+    val normed = corpus.select(col(idCol).as("doc_id"),
+      TextAnalysis.normalizeText(coalesce(col(textCol), lit("")))
+        .as("__t"))
+    // cut: fold the sorted intervals, emitting the segment BEFORE each
+    // span; finish appends the tail after the last span
+    val cut = aggregate(col("__ivs"),
+      struct(lit(1L).as("p"), lit("").as("a")),
+      (acc, iv) => struct(
+        (iv.getField("e") + lit(1L)).as("p"),
+        concat(acc.getField("a"),
+          col("__t").substr(acc.getField("p"),
+            iv.getField("s") - acc.getField("p"))).as("a")),
+      acc => concat(acc.getField("a"),
+        col("__t").substr(acc.getField("p"),
+          length(col("__t")) - acc.getField("p") + lit(1L))))
+    val removed = aggregate(col("__ivs"), lit(0L),
+      (acc, iv) => acc + iv.getField("e") - iv.getField("s") + lit(1L))
+    normed.join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__ivs").isNull, col("__t")).otherwise(cut)
+          .as("text_clean"),
+        coalesce(size(col("__ivs")).cast("long"), lit(0L)).as("n_spans"),
+        when(col("__ivs").isNull, lit(0L)).otherwise(removed)
+          .as("n_removed_chars"))
   }
 
   // --------------------------------------- incremental (indexed) near-dup

@@ -474,13 +474,17 @@ object TextAnalysis {
     * the local-dedup property whole-doc fingerprints and MinHash both
     * lack (they answer "similar?", winnowing answers "which region").
     *
-    * Per-row cost is O(n·w) HOF arithmetic (n = gram count) — the
-    * honest expression form; a production variant for very long docs
-    * is the run-length characterization over an exploded (doc, pos,
-    * hash) relation (one partitioned window), same output. Map-only,
-    * zero shuffle; docs shorter than k emit nothing; a doc with
-    * k ≤ len < k+w−1 forms one clamped window. Selected hashes are
-    * SIGNED xxhash64 values, replayable cross-engine.
+    * The selection runs as a native codegen kernel
+    * ([[graft.functions.WinnowExpressions.winnowSelect]]): one O(n)
+    * monotonic-deque pass per document — the HOF formulation re-folded
+    * every window from scratch (O(n·w) interpreted lambda steps, ~20×
+    * slower at corpus scale, and it needed a `PlanBarrier` to stop
+    * CollapseProject making it O(n²·w); that lesson stands —
+    * SCALE.md §PlanBarrier — the kernel simply no longer has a staged
+    * array to protect). Map-only, zero shuffle; docs shorter than k
+    * emit nothing; a doc with k ≤ len < k+w−1 forms one clamped
+    * window. Selected hashes are SIGNED xxhash64 values of
+    * `'wfp:' || gram` (seed 42), replayable cross-engine.
     *
     * Returns (doc_id, pos, fp) — pos is the 1-based gram position.
     */
@@ -489,39 +493,9 @@ object TextAnalysis {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
     val t = normalizeText(coalesce(col(textCol), lit("")))
-    val n = length(t) - lit(k - 1)
-    val nc = greatest(n, lit(1)) // ANSI-safe bound for empty/short docs
-    val hs = transform(sequence(lit(1), nc),
-      i => xxhash64(concat(lit("wfp:"), t.substr(i, lit(k)))))
-    // STAGE the hash array as an attribute BEHIND A PLAN BARRIER
-    // before the window folds: embedding `hs` in the nested lambdas
-    // inlines the whole n-element hash pipeline into every element_at
-    // — O(n²·w) per row, observed as a HANG at corpus scale, and a
-    // plain .select stage did NOT survive optimization here (the
-    // collapse guard declined to protect this shape). ProjectBarrier
-    // makes the stage structural: downstream sees __hs as an opaque
-    // attribute, each access is an array read, row cost is the
-    // documented O(n·w).
-    val staged = graft.plans.PlanBarrier.barrier(
-      docs.select(col(idCol).as("doc_id"), n.as("__n"), hs.as("__hs")))
-    val nCol = col("__n")
-    val ncCol = greatest(nCol, lit(1))
-    val lastStart = greatest(nCol - lit(w - 1), lit(1))
-    val sel = transform(sequence(lit(1), lastStart), s => {
-      val hi = least(s + lit(w - 1), ncCol)
-      aggregate(sequence(s, hi),
-        struct(lit(Long.MaxValue).as("h"), lit(-1L).as("p")),
-        (acc, j) => {
-          val hj = element_at(col("__hs"), j)
-          when(hj <= acc.getField("h"),
-            struct(hj.as("h"), j.cast("long").as("p"))).otherwise(acc)
-        })
-    })
-    staged.select(col("doc_id"),
-        when(nCol >= 1, array_distinct(sel))
-          .otherwise(array().cast("array<struct<h:bigint,p:bigint>>"))
-          .as("__sel"))
-      .select(col("doc_id"), explode(col("__sel")).as("__s"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.WinnowExpressions.winnowSelect(t, k, w))
+          .as("__s"))
       .select(col("doc_id"), col("__s.p").as("pos"), col("__s.h").as("fp"))
   }
 

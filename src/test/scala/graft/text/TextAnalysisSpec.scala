@@ -355,6 +355,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_shared_fps") >= 2)
   }
 
+  test("winnowDecontaminate cuts the matched region, keeps the rest, " +
+    "and passes untouched docs through") {
+    val embedded = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta $embedded epsilon zeta eta theta"),
+      (2L, "completely unrelated words appear in this document here " +
+        "nothing shared at all with anything")).toDF("doc_id", "text")
+    val bench = Seq((900L, embedded)).toDF("bench_id", "text")
+    val got = graft.dedup.Dedup.winnowDecontaminate(
+        corpus, "doc_id", "text", bench, "bench_id", "text",
+        k = 5, w = 4, minSharedFps = 2, maxBenchFpFreq = 64L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: the embedded sentence is gone, the frame survives
+    val c1 = got(1L)
+    val t1 = c1.getAs[String]("text_clean")
+    assert(!t1.contains("quick brown fox"), s"region not cut: $t1")
+    assert(t1.startsWith("alpha beta gamma delta"),
+      s"prefix lost: $t1")
+    assert(t1.endsWith("epsilon zeta eta theta") ||
+      t1.contains("zeta eta theta"), s"suffix lost: $t1")
+    assert(c1.getAs[Long]("n_spans") >= 1)
+    assert(c1.getAs[Long]("n_removed_chars") > 0)
+    // attrition reconciles: cleaned length + removed = normalized length
+    val norm1 = ("alpha beta gamma delta " + embedded +
+      " epsilon zeta eta theta")
+    assert(t1.length + c1.getAs[Long]("n_removed_chars") === norm1.length)
+    // doc 2: untouched — normalized text back, zero attrition
+    val c2 = got(2L)
+    assert(c2.getAs[Long]("n_spans") === 0)
+    assert(c2.getAs[Long]("n_removed_chars") === 0)
+    assert(c2.getAs[String]("text_clean").startsWith("completely"))
+  }
+
   test("luhnValid: known PANs pass, off-by-one fails, length band binds") {
     val df = Seq(
       (1L, "4111111111111111"),  // canonical valid test PAN
