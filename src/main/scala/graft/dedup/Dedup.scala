@@ -623,7 +623,8 @@ object Dedup {
   private def winnowMatchRows(corpus: DataFrame, idCol: String,
       textCol: String, bench: DataFrame, benchIdCol: String,
       benchTextCol: String, k: Int, w: Int,
-      maxBenchFpFreq: Long): DataFrame = {
+      maxBenchFpFreq: Long,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
     import graft.text.TextAnalysis
     val d = TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
       .select(col("doc_id"), col("pos").as("__dpos"), col("fp"))
@@ -632,17 +633,33 @@ object Dedup {
       .select(col("doc_id").as("bench_id"), col("pos").as("__bpos"),
         col("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rareFps = b0.groupBy("fp").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") <= maxBenchFpFreq).select("fp")
+    // MOSS's actual rule is a document-frequency PROPORTION ("too
+    // common to mean anything"): when a fraction is given, the cap
+    // scales with the benchmark instead of being an absolute row
+    // count — ceil(frac · |bench docs|) distinct carrying docs
+    val rareFps = maxBenchFpDocFrac match {
+      case Some(f) =>
+        require(f > 0.0 && f <= 1.0,
+          s"maxBenchFpDocFrac must be in (0, 1], got $f")
+        val nBench = b0.select("bench_id").distinct().count()
+        val cap = math.max(1L, math.ceil(f * nBench).toLong)
+        b0.groupBy("fp")
+          .agg(countDistinct(col("bench_id")).as("__c"))
+          .filter(col("__c") <= cap).select("fp")
+      case None =>
+        b0.groupBy("fp").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") <= maxBenchFpFreq).select("fp")
+    }
     d.join(b0.join(rareFps, Seq("fp"), "left_semi"), Seq("fp"))
   }
 
   def winnowMatches(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       k: Int = 20, w: Int = 8, minSharedFps: Int = 2,
-      maxBenchFpFreq: Long = 64L): DataFrame =
+      maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame =
     winnowMatchRows(corpus, idCol, textCol, bench, benchIdCol,
-        benchTextCol, k, w, maxBenchFpFreq)
+        benchTextCol, k, w, maxBenchFpFreq, maxBenchFpDocFrac)
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(
         countDistinct(col("fp")).as("n_shared_fps"),
@@ -681,10 +698,11 @@ object Dedup {
   def winnowDecontaminate(corpus: DataFrame, idCol: String,
       textCol: String, bench: DataFrame, benchIdCol: String,
       benchTextCol: String, k: Int = 20, w: Int = 8,
-      minSharedFps: Int = 2, maxBenchFpFreq: Long = 64L): DataFrame = {
+      minSharedFps: Int = 2, maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
     import graft.text.TextAnalysis
     val rows = winnowMatchRows(corpus, idCol, textCol, bench, benchIdCol,
-        benchTextCol, k, w, maxBenchFpFreq)
+        benchTextCol, k, w, maxBenchFpFreq, maxBenchFpDocFrac)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val okPairs = rows.groupBy(col("doc_id"), col("bench_id"))
       .agg(countDistinct(col("fp")).as("__nf"))

@@ -355,6 +355,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_shared_fps") >= 2)
   }
 
+  test("winnowMatches fractional cap drops fps common across the benchmark") {
+    // two bench docs with IDENTICAL text (a duplicated benchmark
+    // item): every fingerprint carries doc-frequency 2/2 = 1.0 > 0.5
+    // → dropped under the fractional cap, so doc 1 reports no pair.
+    // (Differently-framed copies would keep their boundary-window
+    // selections — winnowing self-synchronization holds only w+k away
+    // from the edges — which is exactly the tail the proportion rule
+    // is meant to keep, so identical copies are the crisp fixture.)
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta $shared epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, shared), (901L, shared))
+      .toDF("bench_id", "text")
+    def run(frac: Option[Double]) = graft.dedup.Dedup.winnowMatches(
+        corpus, "doc_id", "text", bench, "bench_id", "text",
+        k = 5, w = 4, minSharedFps = 2, maxBenchFpFreq = 64L,
+        maxBenchFpDocFrac = frac)
+      .collect()
+    // absolute cap (64 rows) keeps the common fps → both pairs report
+    assert(run(None).length === 2)
+    // frac 0.5 with 2 bench docs: cap = 1 carrying doc — the shared
+    // sentence's fps (in both) die; nothing else matches
+    assert(run(Some(0.5)).isEmpty)
+    // frac 1.0 admits everything again
+    assert(run(Some(1.0)).length === 2)
+  }
+
   test("winnowDecontaminate cuts the matched region, keeps the rest, " +
     "and passes untouched docs through") {
     val embedded = "the quick brown fox jumps over the lazy dog tonight"
