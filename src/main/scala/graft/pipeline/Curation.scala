@@ -974,17 +974,30 @@ object Curation {
   /** Apply [[semanticContaminationPairs]]: the corpus minus every
     * flagged document — same signature family as [[decontaminate]] /
     * [[decontaminateNgrams]]. The flagged-id relation is
-    * benchmark-neighborhood-sized; it broadcasts into the anti-join,
-    * so this too leaves the corpus unshuffled.
+    * benchmark-neighborhood-sized; while it fits the broadcast
+    * threshold it rides into the anti-join without shuffling the
+    * corpus, and an oversized flag set (a pathological threshold)
+    * degrades to a shuffle join instead of a driver OOM.
     */
   def semanticDecontaminate(corpus: DataFrame, idCol: String,
       vecCol: String, benchmark: DataFrame, benchIdCol: String,
       benchVecCol: String, centroids: Seq[Seq[Double]],
-      thresholdFp: Long, nProbe: Int = 2): DataFrame = {
+      thresholdFp: Long, nProbe: Int = 2,
+      broadcastThresholdBytes: Long = 10L << 20): DataFrame = {
+    // persisted: the flagged set feeds BOTH the size probe and the
+    // anti-join — without it the whole contamination pipeline would
+    // run twice. Benchmark-neighborhood-sized by construction, but a
+    // pathological threshold can flag a corpus-scale fraction, where a
+    // forced broadcast OOMs the driver — size-gate it (the
+    // Encoding/itemItemTopK idiom; ~56 bytes per id row).
     val flagged = semanticContaminationPairs(corpus, idCol, vecCol,
       benchmark, benchIdCol, benchVecCol, centroids, thresholdFp, nProbe)
       .select(col("id").as(idCol)).distinct()
-    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated =
+      if (flagged.count() * 56L <= broadcastThresholdBytes) broadcast(flagged)
+      else flagged
+    corpus.join(gated, Seq(idCol), "left_anti")
   }
 
   /** (id, cluster, vf): nearest-frozen-centroid assignment + the

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * (dict lookups + NumPy dot) — O(|test|) on one core. Here prediction is
   * a distributed plan: two left-outer equi-joins (user state, item state)
   * + a scoring expression + clip + cold-start fallback, all inside
-  * whole-stage codegen. The per-id state tables are broadcast when small.
+  * whole-stage codegen. The per-id state tables are broadcast only
+  * while their estimated bytes fit the threshold — an oversized state
+  * degrades to a shuffle join instead of a driver OOM.
   *
   * Semantics preserved exactly (SURVEY §7.1.3):
   *  - known user AND known item → dot(u,i) + biases + mean, clipped to
@@ -39,10 +41,24 @@ object Serving {
       userState: DataFrame,
       itemState: DataFrame,
       stats: graft.encode.RatingStats,
-      predCol: String = "prediction"): DataFrame = {
+      predCol: String = "prediction",
+      broadcastThresholdBytes: Long = 10L << 20): DataFrame = {
+    // broadcast the per-id states only while they FIT: trained states
+    // are typically fresh-checkpointed (no planner stats, so
+    // auto-broadcast can't engage — hence an explicit hint), but
+    // |users|/|items| at production scale can be 1e8+, where a FORCED
+    // hint OOMs the driver and a shuffle join is fine (the
+    // Encoding/itemItemTopK size-gate idiom). One probe row reads the
+    // factor width; ~8 bytes/factor + 48 bytes row overhead.
+    def gated(st: DataFrame, factorsCol: String): DataFrame = {
+      val k = st.select(size(col(factorsCol))).take(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      val est = st.count() * (8L * k + 48L)
+      if (est <= broadcastThresholdBytes) broadcast(st) else st
+    }
     val scored = test
-      .join(broadcast(userState), Seq("user"), "left_outer")
-      .join(broadcast(itemState), Seq("item"), "left_outer")
+      .join(gated(userState, "u_factors"), Seq("user"), "left_outer")
+      .join(gated(itemState, "i_factors"), Seq("item"), "left_outer")
     val known = col("u_factors").isNotNull && col("i_factors").isNotNull
     val score = dot(col("u_factors"), col("i_factors")) +
       col("u_bias") + col("i_bias") + lit(stats.meanRating)
