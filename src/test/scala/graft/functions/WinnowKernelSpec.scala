@@ -2,16 +2,18 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.unsafe.types.UTF8String
-import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
 
 /** [[WinnowKernel]] vs a brute-force reference of the ORIGINAL HOF
   * semantics (per-window left-to-right fold with `<=` replacement →
   * rightmost min; global `array_distinct`): the O(n) monotonic deque
   * must reproduce it exactly on randomized inputs — the kernel-level
   * twin of the DuckDB oracle gate (q230), cheap enough to sweep
-  * hundreds of (text, k, w) combinations.
+  * hundreds of (text, k, w) combinations. Plus the codegen path
+  * staying compiled (the NfcNormalize discipline).
   */
-class WinnowKernelSpec extends AnyFunSuite {
+class WinnowKernelSpec extends SparkSpec {
 
   /** The HOF pipeline's semantics, transcribed literally. */
   private def reference(text: String, k: Int, w: Int): Seq[(Long, Long)] = {
@@ -56,6 +58,23 @@ class WinnowKernelSpec extends AnyFunSuite {
       val w = 1 + rnd.nextInt(6)
       assert(kernel(text, k, w) === reference(text, k, w),
         s"mismatch at trial $trial: text='$text' k=$k w=$w")
+    }
+  }
+
+  test("WinnowSelect stays compiled with codegen fallback disabled") {
+    import spark.implicits._
+    val old = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val text = "the quick brown fox jumps"
+      val got = Seq(text).toDF("t")
+        .select(org.apache.spark.sql.functions.explode(
+          WinnowExpressions.winnowSelect($"t", 5, 4)).as("s"))
+        .select($"s.h", $"s.p").as[(Long, Long)].collect().toSeq
+      assert(got === reference(text, 5, 4))
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
 
