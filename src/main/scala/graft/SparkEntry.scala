@@ -4086,7 +4086,8 @@ object SparkEntry {
     "q254_kn_funnel" -> (q254 _),
     "q255_stream_intake_curation" -> (q255 _),
     "q256_stream_winnow_matches" -> (q256 _),
-    "q257_winnow_decontaminate" -> (q257 _))
+    "q257_winnow_decontaminate" -> (q257 _),
+    "q258_winnow_index_lifecycle" -> (q258 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6911,6 +6912,33 @@ object SparkEntry {
        |       CAST(coalesce(c.removed, 0) AS BIGINT) AS n_removed_chars
        |FROM cnorm n LEFT JOIN cuts c USING (doc_id)""".stripMargin
 
+  /** Persistent winnow-index lifecycle ([[graft.dedup.WinnowIndex]]):
+    * build the benchmark fingerprint artifact once, then probe the
+    * corpus against it by name — the standing-decontamination cost
+    * model (the q177/q108b lifecycle pattern). On a fresh index the
+    * probe is row-identical to the one-shot [[q251]], so the oracle is
+    * shared verbatim; the result is checkpointed before the tables
+    * drop (a lazy plan would re-probe the dropped artifact).
+    */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    val name = "graft_widx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      graft.dedup.WinnowIndex.build(bench, "bench_id", "text", name,
+        k = 20, w = 8)
+      graft.dedup.WinnowIndex.probe(s, name, docs, "doc_id", "text",
+        minSharedFps = 2, maxBenchFpFreq = 64L).localCheckpoint()
+    } finally graft.dedup.WinnowIndex.drop(s, name)
+  }
+
   /** Chunked export ([[graft.pipeline.Pipelines.exportTrainingData]]
     * with `chunkTokens`): the q219 default-config curation re-united
     * as 12-token/stride-8 sliding windows (the unit a context-bound
@@ -8256,6 +8284,8 @@ object SparkEntry {
     // surgical span removal: evidence floor → char cover → islands →
     // lag-stitched segments over the normalized text
     "q257_winnow_decontaminate" -> q257Sql(),
+    // fresh build + probe == the one-shot operator — q251's oracle
+    "q258_winnow_index_lifecycle" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),

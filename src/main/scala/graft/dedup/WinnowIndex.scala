@@ -1,0 +1,128 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTENT form of [[Dedup.winnowMatches]] — the benchmark-side
+  * winnowing-fingerprint artifact a standing decontamination service
+  * probes by name, in the same lifecycle discipline as
+  * [[graft.text.Bm25Index]] / `IvfIndex` / `PqIndex`: pay the
+  * benchmark fingerprint pass once, fold new benchmark items in
+  * O(batch), probe any corpus batch from any later session. The
+  * one-shot operator recomputes the benchmark side per call — the
+  * wrong cost model for the standing "is tonight's crawl contaminated"
+  * service whose benchmark changes rarely and whose corpus arrives
+  * continuously.
+  *
+  *  - `<name>_fps`  — (fp, bench_id, pos): the benchmark fingerprints,
+  *    bucketed by fp — a corpus-batch probe joins on fp without
+  *    shuffling the index.
+  *  - `<name>_freq` — (fp, n_rows, n_docs): the too-common model,
+  *    FROZEN at build (the Bm25 df discipline). Probes apply the
+  *    MOSS common-fingerprint cap against these build-time counts, so
+  *    probe verdicts stay deterministic functions of the build-time
+  *    model; fingerprints first seen by a refresh have no freq row and
+  *    are treated as rare (count 0 at build — the [UNK] analog).
+  *    Once refresh drift accumulates, rebuild by `drop` + `build`.
+  *  - `<name>_meta` — ONE row (k, w, n_bench): the gram/window
+  *    geometry frozen at build — probes derive the corpus fingerprints
+  *    with the SAME (k, w), so a parameter mismatch is impossible.
+  */
+object WinnowIndex {
+
+  private def fpsTable(name: String): String = name + "_fps"
+  private def freqTable(name: String): String = name + "_freq"
+  private def metaTable(name: String): String = name + "_meta"
+
+  /** Fingerprint `bench` once and materialize all three tables. */
+  def build(bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      name: String, k: Int = 20, w: Int = 8, buckets: Int = 16): Unit = {
+    val spark = bench.sparkSession
+    import spark.implicits._
+    val nBench = bench.select(col(benchIdCol)).distinct().count()
+    val fps = graft.text.TextAnalysis
+      .winnowFingerprints(bench, benchIdCol, benchTextCol, k, w)
+      .select(col("fp"), col("doc_id").as("bench_id"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      fps.write.bucketBy(buckets, "fp").sortBy("fp")
+        .format("parquet").mode("overwrite").saveAsTable(fpsTable(name))
+      fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("bench_id")).as("n_docs"))
+        .write.format("parquet")
+        .mode("overwrite").saveAsTable(freqTable(name))
+      Seq((k, w, nBench)).toDF("k", "w", "n_bench")
+        .coalesce(1).write.format("parquet")
+        .mode("overwrite").saveAsTable(metaTable(name))
+    } finally fps.unpersist()
+  }
+
+  /** Append-only refresh: fingerprint the new benchmark items under
+    * the FROZEN (k, w) and append — O(batch); freq/meta untouched.
+    * Caller contract: batch bench ids are new (the Bm25Index refresh
+    * contract).
+    */
+  def refresh(newBench: DataFrame, benchIdCol: String,
+      benchTextCol: String, name: String, buckets: Int = 16): Unit = {
+    val spark = newBench.sparkSession
+    val m = spark.table(metaTable(name)).head()
+    graft.text.TextAnalysis
+      .winnowFingerprints(newBench, benchIdCol, benchTextCol,
+        m.getInt(0), m.getInt(1))
+      .select(col("fp"), col("doc_id").as("bench_id"), col("pos"))
+      .write.bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet").mode("append").saveAsTable(fpsTable(name))
+  }
+
+  /** Probe the artifact with a corpus batch: the exact
+    * [[Dedup.winnowMatches]] report under the frozen geometry and
+    * frequency model — on a freshly built index the result is
+    * row-identical to the one-shot operator (spec-asserted and gated:
+    * q258 shares q251's oracle). Corpus-sized work: the batch's
+    * fingerprint pass plus one fp equi-join into the bucketed index.
+    */
+  def probe(spark: SparkSession, name: String, corpus: DataFrame,
+      idCol: String, textCol: String, minSharedFps: Int = 2,
+      maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
+    val m = spark.table(metaTable(name)).head()
+    val (k, w, nBench) = (m.getInt(0), m.getInt(1), m.getLong(2))
+    val freq = spark.table(freqTable(name))
+    val rareVerdict = maxBenchFpDocFrac match {
+      case Some(f) =>
+        require(f > 0.0 && f <= 1.0,
+          s"maxBenchFpDocFrac must be in (0, 1], got $f")
+        val cap = math.max(1L, math.ceil(f * nBench).toLong)
+        freq.select(col("fp"), (col("n_docs") <= cap).as("__rare"))
+      case None =>
+        freq.select(col("fp"),
+          (col("n_rows") <= maxBenchFpFreq).as("__rare"))
+    }
+    // LEFT join, not semi: a fingerprint first seen by a refresh has
+    // no freq row — build-time count 0, i.e. RARE (the [UNK] analog);
+    // a semi join would silently drop every refreshed benchmark item
+    val idx = spark.table(fpsTable(name))
+      .join(rareVerdict, Seq("fp"), "left")
+      .filter(coalesce(col("__rare"), lit(true)))
+      .select(col("fp"), col("bench_id"), col("pos").as("__bpos"))
+    graft.text.TextAnalysis
+      .winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select(col("doc_id"), col("pos").as("__dpos"), col("fp"))
+      .join(idx, Seq("fp"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(
+        countDistinct(col("fp")).as("n_shared_fps"),
+        min(col("__dpos")).as("doc_lo"),
+        (max(col("__dpos")) + lit(k - 1).cast("long")).as("doc_hi"),
+        min(col("__bpos")).as("bench_lo"),
+        (max(col("__bpos")) + lit(k - 1).cast("long")).as("bench_hi"))
+      .filter(col("n_shared_fps") >= minSharedFps)
+  }
+
+  /** Drop all three tables (test/maintenance convenience). */
+  def drop(spark: SparkSession, name: String): Unit =
+    Seq(fpsTable _, freqTable _, metaTable _).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t(name)}")
+    }
+}
