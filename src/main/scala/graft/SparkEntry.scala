@@ -4087,7 +4087,8 @@ object SparkEntry {
     "q255_stream_intake_curation" -> (q255 _),
     "q256_stream_winnow_matches" -> (q256 _),
     "q257_winnow_decontaminate" -> (q257 _),
-    "q258_winnow_index_lifecycle" -> (q258 _))
+    "q258_winnow_index_lifecycle" -> (q258 _),
+    "q259_stream_winnow_probe" -> (q259 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6939,6 +6940,52 @@ object SparkEntry {
     } finally graft.dedup.WinnowIndex.drop(s, name)
   }
 
+  /** Streaming probe of the persistent winnow index — the full
+    * standing-decontamination service shape: the benchmark artifact is
+    * built ONCE before the stream starts (the frozen-static-side
+    * discipline), and each corpus micro-batch probes it by name. A
+    * doc's fingerprints ride one batch, so the per-pair report never
+    * spans batches and the union over any split equals the batch
+    * probe, which equals the one-shot q251 — oracle shared verbatim.
+    */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    val name = "graft_swidx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val buf = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Long)]
+    try {
+      graft.dedup.WinnowIndex.build(bench, "bench_id", "text", name,
+        k = 20, w = 8)
+      val stream = StreamingPrep.streamDocuments(s, dir)
+        .select("doc_id", "text")
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // catalog reads through the stream clone's session (the
+          // foreachBatch table discipline)
+          buf ++= graft.dedup.WinnowIndex.probe(b.sparkSession, name,
+              b.localCheckpoint(true), "doc_id", "text",
+              minSharedFps = 2, maxBenchFpFreq = 64L)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+          ()
+        }.start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally graft.dedup.WinnowIndex.drop(s, name)
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "bench_id", "n_shared_fps",
+      "doc_lo", "doc_hi", "bench_lo", "bench_hi")
+  }
+
   /** Chunked export ([[graft.pipeline.Pipelines.exportTrainingData]]
     * with `chunkTokens`): the q219 default-config curation re-united
     * as 12-token/stride-8 sliding windows (the unit a context-bound
@@ -8286,6 +8333,8 @@ object SparkEntry {
     "q257_winnow_decontaminate" -> q257Sql(),
     // fresh build + probe == the one-shot operator — q251's oracle
     "q258_winnow_index_lifecycle" -> q251Sql(),
+    // frozen index + per-batch probes fold to the batch probe — same
+    "q259_stream_winnow_probe" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice
     "q160_unigram_artifact" -> graft.oracle.UnigramOracles
       .tokenStatsSql(applyWhere = "WHERE doc_id % 10 = 1"),
