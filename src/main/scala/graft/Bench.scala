@@ -433,10 +433,8 @@ object Bench {
       }.mkString("{", ",", "}")
     val rv = repMap(repValues)
     val ra = repMap(repAmbient)
-    val rvn = repMap(repValues.keys.map(k => k -> normReps(k)).toSeq
-      .foldLeft(scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]) {
-        case (acc, (k, v)) => acc += (k -> v)
-      })
+    val rvn = repMap(scala.collection.mutable.LinkedHashMap.from(
+      repValues.keys.map(k => k -> normReps(k))))
     // normalized headline map + total: min over ambient-normalized
     // reps — the cross-round comparison channel (raw stays headline)
     val normResults = results.map { case (k, _) => k -> minOr(normReps(k)) }
@@ -444,7 +442,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalNorm = normResults.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,"unit":"sec","reps":$reps,"queries":$qs,"queries_norm":$qsn,"rep_values":$rv,"rep_values_norm":$rvn,"rep_ambient":$ra,"sf":"$sfDir"}""")
+    // reps = the default; trainer-class metrics run reps_trainer (the
+    // per-metric truth is rep_values' array lengths — the metadata
+    // must not contradict it)
+    println(f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,"unit":"sec","reps":$reps,"reps_trainer":$trainerReps,"queries":$qs,"queries_norm":$qsn,"rep_values":$rv,"rep_values_norm":$rvn,"rep_ambient":$ra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6311,7 +6311,8 @@ object SparkEntry {
       |       coalesce(array_to_string(kept, chr(10)), '') AS text_kept,
       |       CAST(len(ls) AS BIGINT) AS n_lines,
       |       CAST(len(kept) AS BIGINT) AS n_kept,
-      |       (NOT contains(array_to_string(ls, chr(10)), 'lorem ipsum'))
+      |       (NOT contains(lower(array_to_string(ls, chr(10))),
+      |                     'lorem ipsum'))
       |         AND (NOT contains(array_to_string(ls, chr(10)), '{'))
       |         AND len(kept) >= 3 AS keep_doc
       |FROM f""".stripMargin
@@ -6504,7 +6505,7 @@ object SparkEntry {
       |       FROM d1),
       |d3 AS (SELECT doc_id, t1, t2, nfc_normalize(t2) AS t3 FROM d2),
       |f AS (SELECT doc_id, t1, t2, t3,
-      |        list_filter(str_split(t3, chr(10)),
+      |        list_filter(string_split_regex(t3, '\r?\n'),
       |          l -> regexp_matches(l, '[.!?"]$$')
       |            AND len(list_filter(str_split(trim(l), ' '),
       |                  t -> len(t) > 0)) >= 3) AS kept
@@ -6513,7 +6514,8 @@ object SparkEntry {
       |  coalesce(array_to_string(kept, chr(10)), '') AS text_kept,
       |  CAST(length(t1) - length(t2) AS BIGINT) AS n_ctrl_removed,
       |  CAST(len(kept) AS BIGINT) AS n_kept,
-      |  (NOT contains(t3, 'lorem ipsum')) AND (NOT contains(t3, '{'))
+      |  (NOT contains(lower(t3), 'lorem ipsum'))
+      |    AND (NOT contains(t3, '{'))
       |    AND len(kept) >= 3 AS keep_doc,
       |  CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
       |       - length(regexp_replace(
@@ -6694,7 +6696,7 @@ object SparkEntry {
        |  FROM corpus),
        |ik1 AS (
        |  SELECT doc_id, source, ct,
-       |    list_filter(str_split(ct, chr(10)),
+       |    list_filter(string_split_regex(ct, '\r?\n'),
        |      l -> regexp_matches(l, '[.!?"]$$')
        |        AND len(list_filter(str_split(trim(l), ' '),
        |              t -> len(t) > 0)) >= 3) AS kept
@@ -6703,7 +6705,8 @@ object SparkEntry {
        |  SELECT doc_id, source,
        |         coalesce(array_to_string(kept, chr(10)), '') AS text
        |  FROM ik1
-       |  WHERE (NOT contains(ct, 'lorem ipsum')) AND (NOT contains(ct, '{'))
+       |  WHERE (NOT contains(lower(ct), 'lorem ipsum'))
+       |    AND (NOT contains(ct, '{'))
        |    AND len(kept) >= 3),
        |sc1 AS (
        |  SELECT doc_id, source,

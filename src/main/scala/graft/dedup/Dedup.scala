@@ -628,11 +628,16 @@ object Dedup {
     import graft.text.TextAnalysis
     val d = TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
       .select(col("doc_id"), col("pos").as("__dpos"), col("fp"))
+    // NOT persisted: the bench side feeds the freq agg and the join
+    // (two computations of a benchmark-sized fingerprint pass — cheap
+    // with the native kernel), and per-micro-batch callers (q256)
+    // would otherwise pin one fresh unreleasable cache per trigger
+    // for the stream's lifetime. Callers with a standing benchmark
+    // use the persistent WinnowIndex — that's what it's for.
     val b0 = TextAnalysis
       .winnowFingerprints(bench, benchIdCol, benchTextCol, k, w)
       .select(col("doc_id").as("bench_id"), col("pos").as("__bpos"),
         col("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // MOSS's actual rule is a document-frequency PROPORTION ("too
     // common to mean anything"): when a fraction is given, the cap
     // scales with the benchmark instead of being an absolute row

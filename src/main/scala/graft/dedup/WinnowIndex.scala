@@ -39,11 +39,15 @@ object WinnowIndex {
       name: String, k: Int = 20, w: Int = 8, buckets: Int = 16): Unit = {
     val spark = bench.sparkSession
     import spark.implicits._
-    val nBench = bench.select(col(benchIdCol)).distinct().count()
     val fps = graft.text.TextAnalysis
       .winnowFingerprints(bench, benchIdCol, benchTextCol, k, w)
       .select(col("fp"), col("doc_id").as("bench_id"), col("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // FINGERPRINT-BEARING docs, not all bench rows: the one-shot
+    // operator's fractional cap divides by the same denominator
+    // (winnowMatchRows counts distinct ids in the fp relation), so a
+    // sub-k-length benchmark doc can't skew probe-vs-one-shot parity
+    val nBench = fps.select(col("bench_id")).distinct().count()
     try {
       fps.write.bucketBy(buckets, "fp").sortBy("fp")
         .format("parquet").mode("overwrite").saveAsTable(fpsTable(name))

@@ -225,9 +225,8 @@ object Pipelines {
       col("n_ctrl_removed"),
       when(col("__raw").isNotNull, size(col("__kept")).cast("long"))
         .as("n_kept"),
-      coalesce(!col("__clean").contains("lorem ipsum") &&
-        !col("__clean").contains("{") &&
-        size(col("__kept")) >= minKeptLines, lit(false)).as("keep_doc"),
+      Quality.c4PageKeep(col("__clean"), col("__kept"), minKeptLines)
+        .as("keep_doc"),
       when(col("__raw").isNotNull,
         // structure chars (tab/newline/CR) are not "non-ASCII" — the
         // kept text is multi-line by construction
@@ -257,10 +256,8 @@ object Pipelines {
       graft.functions.UnicodeExpressions.nfc(col("__str")).as("__clean"): _*)
     val s3 = s2.select(others.map(col) ++ Seq(col("__clean"),
       Quality.c4KeptLines(col("__clean"), minWordsPerLine).as("__kept")): _*)
-    s3.filter(coalesce(
-        !col("__clean").contains("lorem ipsum") &&
-          !col("__clean").contains("{") &&
-          size(col("__kept")) >= minKeptLines, lit(false)))
+    s3.filter(Quality.c4PageKeep(col("__clean"), col("__kept"),
+        minKeptLines))
       .select(others.map(col) :+
         array_join(col("__kept"), "\n").as(textCol): _*)
       .select(docs.columns.map(col): _*)

@@ -51,7 +51,9 @@ object Serving {
     // Encoding/itemItemTopK size-gate idiom). One probe row reads the
     // factor width; ~8 bytes/factor + 48 bytes row overhead.
     def gated(st: DataFrame, factorsCol: String): DataFrame = {
-      val k = st.select(size(col(factorsCol))).take(1)
+      // coalesce: a state row with NULL factors (outer-join-assembled
+      // states) must not NPE the size probe — width 0 is conservative
+      val k = st.select(coalesce(size(col(factorsCol)), lit(0))).take(1)
         .headOption.map(_.getInt(0)).getOrElse(0)
       val est = st.count() * (8L * k + 48L)
       if (est <= broadcastThresholdBytes) broadcast(st) else st

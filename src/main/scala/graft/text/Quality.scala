@@ -273,14 +273,11 @@ object Quality {
         when(col("__t").isNotNull, array_join(col("__kept"), "\n"))
           .as("text_kept"),
         when(col("__t").isNotNull,
-          size(split(col("__t"), "\n")).cast("long")).as("n_lines"),
+          size(split(col("__t"), "\\r?\\n")).cast("long")).as("n_lines"),
         when(col("__t").isNotNull, size(col("__kept")).cast("long"))
           .as("n_kept"),
-        coalesce(
-          !col("__t").contains("lorem ipsum") &&
-            !col("__t").contains("{") &&
-            size(col("__kept")) >= minKeptLines,
-          lit(false)).as("keep_doc"))
+        c4PageKeep(col("__t"), col("__kept"), minKeptLines)
+          .as("keep_doc"))
   }
 
   /** Blocklist gate — the remaining C4 page rule (Raffel et al. 2020
@@ -316,14 +313,34 @@ object Quality {
     * ([[graft.pipeline.Pipelines.intakeClean]]).
     */
   def c4KeptLines(text: Column, minWordsPerLine: Int = 3): Column =
-    // \z, not $: Java regex $ also matches BEFORE a final line
-    // terminator (CR, NEL u0085, LS/PS u2028/9), so a CRLF line
-    // ending ".\r" would be kept here but dropped by the RE2/DuckDB
-    // oracle, whose $ is end-of-string. \z is end-of-input in BOTH.
-    filter(split(text, "\n"), l =>
+    // split on \r?\n (Spark's split IS regex): a CRLF-convention
+    // document must not fail every line rule just because each line
+    // carries a trailing \r that stripControlChars deliberately
+    // preserves — the line-ending convention is not a quality signal.
+    // \z, not $, for the terminal-punct anchor: Java regex $ also
+    // matches BEFORE a final line terminator (CR, NEL u0085, LS/PS
+    // u2028/9), so a lone-\r line ending ".\r" would be kept here but
+    // dropped by the RE2/DuckDB oracle, whose $ is end-of-string.
+    filter(split(text, "\\r?\\n"), l =>
       l.rlike("[.!?\"]\\z") &&
         size(filter(split(trim(l), " "), t => length(t) > 0)) >=
           minWordsPerLine)
+
+  /** The C4 PAGE verdict as one column — shared by [[c4LineFilter]],
+    * [[graft.pipeline.Pipelines.intakeClean]] and
+    * [[graft.pipeline.Pipelines.intakeApply]] so the audit frame and
+    * the in-place stage can never drift: no "lorem ipsum" placeholder
+    * text (checked on the LOWERCASED page — the canonical placeholder
+    * is capitalized "Lorem ipsum…", which a case-sensitive test
+    * silently missed), no curly brace (code soup), and at least
+    * `minKeptLines` surviving lines. NULL text gates false.
+    */
+  def c4PageKeep(clean: Column, kept: Column, minKeptLines: Int): Column =
+    coalesce(
+      !lower(clean).contains("lorem ipsum") &&
+        !clean.contains("{") &&
+        size(kept) >= minKeptLines,
+      lit(false))
 
   /** Fit [[Weights]] by logistic regression on a LABELED sample
     * (`labelCol`: 1.0 = high-quality). Standard lifecycle: the sample

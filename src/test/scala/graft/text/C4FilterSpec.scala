@@ -33,12 +33,33 @@ class C4FilterSpec extends SparkSpec {
     assert(out.getAs[Boolean]("keep_doc"))
   }
 
-  test("a CRLF line is NOT kept: \\z anchors end-of-input like RE2 $") {
-    // "one two three.\r" — Java $ matches before the final \r and
-    // would keep it (a divergence from the DuckDB oracle); \z doesn't
-    val out = run(Seq((1L, "one two three.\r\nfour five six.")))(1L)
+  test("CRLF documents survive: lines split on \\r?\\n, not just \\n") {
+    // a Windows-convention doc must not fail every line rule over its
+    // trailing \r bytes (stripControlChars deliberately keeps \r)
+    val out = run(Seq((1L,
+      "one two three.\r\nfour five six.\r\nseven eight nine.")))(1L)
+    assert(out.getAs[Long]("n_lines") === 3)
+    assert(out.getAs[Long]("n_kept") === 3)
+    assert(out.getAs[Boolean]("keep_doc"))
+  }
+
+  test("a lone trailing \\r is NOT terminal punct: \\z anchors like RE2 $") {
+    // "one two three.\r" (old-Mac line break, not part of a \r\n
+    // pair) — Java $ matches before the final \r and would keep it
+    // (a divergence from the DuckDB oracle); \z doesn't
+    val out = run(Seq((1L, "four five six.\none two three.\r")))(1L)
     assert(out.getAs[Long]("n_kept") === 1)
     assert(out.getAs[String]("text_kept") === "four five six.")
+  }
+
+  test("the lorem-ipsum page rule is case-insensitive") {
+    val threeGood = "one two three.\nfour five six.\nseven eight nine."
+    val out = run(Seq(
+      (1L, threeGood + "\nLorem Ipsum dolor sit amet."),
+      (2L, threeGood)))
+    assert(!out(1L).getAs[Boolean]("keep_doc"),
+      "the canonical capitalized placeholder must fail the page rule")
+    assert(out(2L).getAs[Boolean]("keep_doc"))
   }
 
   test("blocklistGate: case-variant duplicate blocklist words don't throw") {
