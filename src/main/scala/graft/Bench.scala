@@ -445,7 +445,28 @@ object Bench {
     // reps = the default; trainer-class metrics run reps_trainer (the
     // per-metric truth is rep_values' array lengths — the metadata
     // must not contradict it)
-    println(f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,"unit":"sec","reps":$reps,"reps_trainer":$trainerReps,"queries":$qs,"queries_norm":$qsn,"rep_values":$rv,"rep_values_norm":$rvn,"rep_ambient":$ra,"sf":"$sfDir"}""")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,"unit":"sec","reps":$reps,"reps_trainer":$trainerReps,"queries":$qs,"queries_norm":$qsn,"rep_values":$rv,"rep_values_norm":$rvn,"rep_ambient":$ra,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The driver's record keeps only a bounded TAIL of stdout, and the
+    // full JSON (rep arrays for 50+ metrics) outgrew it two rounds in a
+    // row — BENCH_r14/r15.json carry `parsed: null` and no per-query
+    // data. Two durability channels:
+    //  1. the full JSON is written to BENCH_FULL.json in the working
+    //     directory (the repo root under sbt), so the complete record
+    //     survives regardless of capture windows;
+    //  2. a COMPACT line — totals, per-query raw mins, the ambient
+    //     calibration constant, and a pointer to the file; NO rep
+    //     arrays and NO per-query norm map (those live in the file) —
+    //     prints LAST so a line-anchored scan of any recent-tail
+    //     window finds one parseable record.
+    try {
+      val out = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(out,
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    println(f"""{"metric":"total","value":$total%.3f,"value_norm":$totalNorm%.3f,"unit":"sec","reps":$reps,"reps_trainer":$trainerReps,"x_ambient_cal_sec":$ambientCalSec%.3f,"compact":true,"full":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

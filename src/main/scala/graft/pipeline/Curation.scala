@@ -983,13 +983,31 @@ object Curation {
       vecCol: String, benchmark: DataFrame, benchIdCol: String,
       benchVecCol: String, centroids: Seq[Seq[Double]],
       thresholdFp: Long, nProbe: Int = 2,
-      broadcastThresholdBytes: Long = 10L << 20): DataFrame = {
+      broadcastThresholdBytes: Long = 10L << 20): DataFrame =
+    semanticDecontaminateManaged(corpus, idCol, vecCol, benchmark,
+      benchIdCol, benchVecCol, centroids, thresholdFp, nProbe,
+      broadcastThresholdBytes)._1
+
+  /** [[semanticDecontaminate]] with a RELEASE HANDLE for the cached
+    * flagged-id set (the `curateCorpusManaged` discipline): call the
+    * handle once the returned plan has been materialized. The plain
+    * overload leaves the (small, benchmark-neighborhood-sized) cache
+    * to LRU eviction — fine for one-shot jobs, a slow leak in a
+    * session that decontaminates repeatedly.
+    */
+  def semanticDecontaminateManaged(corpus: DataFrame, idCol: String,
+      vecCol: String, benchmark: DataFrame, benchIdCol: String,
+      benchVecCol: String, centroids: Seq[Seq[Double]],
+      thresholdFp: Long, nProbe: Int = 2,
+      broadcastThresholdBytes: Long = 10L << 20)
+      : (DataFrame, () => Unit) = {
     // persisted: the flagged set feeds BOTH the size probe and the
     // anti-join — without it the whole contamination pipeline would
     // run twice. Benchmark-neighborhood-sized by construction, but a
     // pathological threshold can flag a corpus-scale fraction, where a
     // forced broadcast OOMs the driver — size-gate it (the
-    // Encoding/itemItemTopK idiom; ~56 bytes per id row).
+    // Encoding/itemItemTopK idiom; ~56 bytes per id row). Released by
+    // the returned handle.
     val flagged = semanticContaminationPairs(corpus, idCol, vecCol,
       benchmark, benchIdCol, benchVecCol, centroids, thresholdFp, nProbe)
       .select(col("id").as(idCol)).distinct()
@@ -997,7 +1015,8 @@ object Curation {
     val gated =
       if (flagged.count() * 56L <= broadcastThresholdBytes) broadcast(flagged)
       else flagged
-    corpus.join(gated, Seq(idCol), "left_anti")
+    (corpus.join(gated, Seq(idCol), "left_anti"),
+      () => { flagged.unpersist(); () })
   }
 
   /** (id, cluster, vf): nearest-frozen-centroid assignment + the

@@ -31,10 +31,24 @@ object Serving {
   def clip(c: Column, lo: Double, hi: Double): Column =
     least(greatest(c, lit(lo)), lit(hi))
 
+  /** Pre-known size statistics of a state table — the
+    * `AnnIndex.statsHint` precedent: a hot serving path that already
+    * knows its state's row count and factor width (a fit pipeline
+    * counts users/items anyway) passes them here and [[predict]] runs
+    * ZERO probe jobs before the real join.
+    */
+  case class StateStats(rows: Long, factorWidth: Int) {
+    require(rows >= 0, s"rows must be >= 0, got $rows")
+    require(factorWidth >= 0, s"factorWidth must be >= 0, got $factorWidth")
+  }
+
   /** Generic factor-model scoring.
     *
     * @param userState (user, u_factors ARRAY<DOUBLE>, u_bias DOUBLE)
     * @param itemState (item, i_factors ARRAY<DOUBLE>, i_bias DOUBLE)
+    * @param userStateStats / itemStateStats optional known (rows,
+    *   factor width) — supplied, the size gate runs no probe job on
+    *   that state (the hot-path bypass)
     */
   def predict(
       test: DataFrame,
@@ -42,25 +56,37 @@ object Serving {
       itemState: DataFrame,
       stats: graft.encode.RatingStats,
       predCol: String = "prediction",
-      broadcastThresholdBytes: Long = 10L << 20): DataFrame = {
+      broadcastThresholdBytes: Long = 10L << 20,
+      userStateStats: Option[StateStats] = None,
+      itemStateStats: Option[StateStats] = None): DataFrame = {
     // broadcast the per-id states only while they FIT: trained states
     // are typically fresh-checkpointed (no planner stats, so
     // auto-broadcast can't engage — hence an explicit hint), but
     // |users|/|items| at production scale can be 1e8+, where a FORCED
     // hint OOMs the driver and a shuffle join is fine (the
-    // Encoding/itemItemTopK size-gate idiom). One probe row reads the
-    // factor width; ~8 bytes/factor + 48 bytes row overhead.
-    def gated(st: DataFrame, factorsCol: String): DataFrame = {
-      // coalesce: a state row with NULL factors (outer-join-assembled
-      // states) must not NPE the size probe — width 0 is conservative
-      val k = st.select(coalesce(size(col(factorsCol)), lit(0))).take(1)
-        .headOption.map(_.getInt(0)).getOrElse(0)
-      val est = st.count() * (8L * k + 48L)
+    // Encoding/itemItemTopK size-gate idiom). Without a stats hint,
+    // ONE agg job probes count + MAX factor width together — max, not
+    // a first-row sample: a NULL-factors or narrow first row would
+    // UNDERestimate the state and force a broadcast in the unsafe
+    // direction (driver OOM); max over non-null widths is the true
+    // upper bound, and an all-NULL state genuinely has no arrays.
+    // ~8 bytes/factor + 48 bytes row overhead.
+    def gated(st: DataFrame, factorsCol: String,
+        hint: Option[StateStats]): DataFrame = {
+      val (n, k) = hint match {
+        case Some(s) => (s.rows, s.factorWidth)
+        case None =>
+          val r = st.agg(count(lit(1)), max(size(col(factorsCol)))).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+      }
+      val est = n * (8L * k + 48L)
       if (est <= broadcastThresholdBytes) broadcast(st) else st
     }
     val scored = test
-      .join(gated(userState, "u_factors"), Seq("user"), "left_outer")
-      .join(gated(itemState, "i_factors"), Seq("item"), "left_outer")
+      .join(gated(userState, "u_factors", userStateStats),
+        Seq("user"), "left_outer")
+      .join(gated(itemState, "i_factors", itemStateStats),
+        Seq("item"), "left_outer")
     val known = col("u_factors").isNotNull && col("i_factors").isNotNull
     val score = dot(col("u_factors"), col("i_factors")) +
       col("u_bias") + col("i_bias") + lit(stats.meanRating)

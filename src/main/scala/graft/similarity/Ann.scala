@@ -1294,9 +1294,31 @@ object Ann {
     flat
   }
 
+  /** [[itemItemTopKManaged]] without the release handle — the cached
+    * intermediates (the capped ratings feeding both self-join sides,
+    * the per-item norms) are left to LRU eviction: fine for one-shot
+    * jobs, a slow leak in a long-lived session that recomputes
+    * similarities repeatedly (use the managed form there — the
+    * `curateCorpusManaged` discipline).
+    */
   def itemItemTopK(ratings: DataFrame, k: Int,
       maxUserHistory: Int = 1000,
-      normsBroadcastBytes: Long = 10L << 20): DataFrame = {
+      normsBroadcastBytes: Long = 10L << 20,
+      nItemsHint: Long = -1L): DataFrame =
+    itemItemTopKManaged(ratings, k, maxUserHistory, normsBroadcastBytes,
+      nItemsHint)._1
+
+  /** Item-item cosine top-k with a RELEASE HANDLE for the two cached
+    * intermediates: call the handle once the returned plan has been
+    * materialized. `nItemsHint` ≥ 0 supplies the distinct-item count
+    * and skips the gate's probe job (the `AnnIndex.statsHint`
+    * precedent) — note the probe also materializes the norms cache, so
+    * hinted callers pay that lazily on first use instead.
+    */
+  def itemItemTopKManaged(ratings: DataFrame, k: Int,
+      maxUserHistory: Int = 1000,
+      normsBroadcastBytes: Long = 10L << 20,
+      nItemsHint: Long = -1L): (DataFrame, () => Unit) = {
     // Skew guard — ON BY DEFAULT: the pair generation is quadratic in
     // per-user degree, so one power user with 10⁶ ratings creates 10¹²
     // pairs. Cap each user's history at the maxUserHistory most recent
@@ -1316,7 +1338,8 @@ object Ann {
         ratings.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= maxUserHistory).drop("__rn")
       }
-    // persisted: feeds the self-join (both sides) and the norms agg
+    // persisted: feeds the self-join (both sides) and the norms agg;
+    // released by the returned handle
     val r = capped.select(col("user"), col("item"), col("rating"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Fixed-point (floor·10⁶ → exact integer sum) dot products and
@@ -1331,7 +1354,8 @@ object Ann {
     def fsum(c: Column): Column =
       (sum(floor(c * lit(1e6)).cast("long")) / lit(1e6)).cast("double")
     // persisted: feeds BOTH sides of the norm join (and the size
-    // probe below) — one aggregation over the cached ratings, reused
+    // probe below) — one aggregation over the cached ratings, reused;
+    // released by the returned handle
     val norms = r.groupBy("item")
       .agg(fsum(col("rating") * col("rating")).as("norm_sq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1349,11 +1373,11 @@ object Ann {
     // broadcast OOMs the driver and a shuffle join is fine (the
     // Encoding size-gated idiom). ~24 bytes/row: long key + double
     // norm + row overhead.
-    val nItems = norms.count()
+    val nItems = if (nItemsHint >= 0L) nItemsHint else norms.count()
     val gated: DataFrame => DataFrame =
       if (nItems * 24L <= normsBroadcastBytes) df => broadcast(df)
       else df => df
-    sym
+    val out = sym
       .join(gated(norms.withColumnRenamed("item", "item_a")
         .withColumnRenamed("norm_sq", "na")), "item_a")
       .join(gated(norms.withColumnRenamed("item", "item_b")
@@ -1363,5 +1387,6 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("item_a"), col("item_b"), col("rank"),
         round(col("cos_sim"), 6).as("cos_sim"))
+    (out, () => { norms.unpersist(); r.unpersist(); () })
   }
 }

@@ -80,6 +80,27 @@ class SemanticDecontaminationSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSet === Set(2L))
   }
 
+  test("semanticDecontaminateManaged: release drops the flagged cache, same verdicts") {
+    // distinct fixture ids from the plain-overload test above: the
+    // CacheManager dedupes persists by logical plan, so an identical
+    // plan would reuse (and hide) that test's still-cached flagged set
+    val a = vec(8.0, 2.0, 0, 0, 0, 0, 0, 0)
+    val corpus = corpusDf(Seq(11L -> a,
+      12L -> vec(2.0, 8.0, 0, 0, 0, 0, 0, 0)))
+    val bench = benchDf(Seq(1100L -> a))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (out, release) = Curation.semanticDecontaminateManaged(corpus,
+      "id", "v", bench, "bid", "bv", centroids,
+      thresholdFp = 900000000000L)
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(ids === Set(12L))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "the flagged-id cache should be live before release")
+    release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "release() must unpersist the flagged-id cache")
+  }
+
   test("nProbe outside [1, |centroids|] fails loudly") {
     val corpus = corpusDf(Seq(1L -> vec(9, 1, 0, 0, 0, 0, 0, 0)))
     val bench = benchDf(Seq(100L -> vec(9, 1, 0, 0, 0, 0, 0, 0)))

@@ -35,6 +35,53 @@ class ServingSpec extends SparkSpec {
     assert(out(("uX", "iX")) === 3.0)
   }
 
+  test("predict: stats hints skip the probe jobs and leave verdicts unchanged") {
+    val test = Seq(
+      ("u1", "i1", 5.0), ("uX", "i1", 3.0),
+      ("u1", "iX", 3.0), ("uX", "iX", 3.0)).toDF("user", "item", "rating")
+    val probed = Serving.predict(test, userState, itemState, stats)
+      .select("user", "item", "prediction").collect().toSet
+    // count jobs during PLAN CONSTRUCTION: without hints the size gate
+    // runs one agg job per state; with hints it must run none (the
+    // hot-serving-path contract)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hintedPlan = Serving.predict(test, userState, itemState, stats,
+        userStateStats = Some(Serving.StateStats(1L, 2)),
+        itemStateStats = Some(Serving.StateStats(1L, 2)))
+      // listener events post asynchronously — give the bus a moment
+      Thread.sleep(1500)
+      assert(jobs.get() === 0,
+        s"hinted predict must run zero probe jobs, ran ${jobs.get()}")
+      assert(hintedPlan.select("user", "item", "prediction")
+        .collect().toSet === probed)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a hint over the broadcast threshold must degrade to shuffle
+    // joins (auto-broadcast off so Catalyst can't mask the gate — the
+    // AnnSpec size-gate discipline)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = Serving.predict(test, userState, itemState, stats,
+        userStateStats = Some(Serving.StateStats(1L << 40, 30)),
+        itemStateStats = Some(Serving.StateStats(1L << 40, 30)))
+      big.count()
+      assert(!big.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "an over-threshold hint must not force a broadcast")
+      assert(big.select("user", "item", "prediction").collect().toSet
+        === probed)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("dot is the inner product") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     assert(df.select(Serving.dot(col("a"), col("b"))).as[Double].head() === 32.0)

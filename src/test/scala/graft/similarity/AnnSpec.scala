@@ -606,6 +606,29 @@ class AnnSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("itemItemTopKManaged: release drops both caches; nItemsHint agrees") {
+    // distinct fixture from the size-gate test above: the CacheManager
+    // dedupes persists by logical plan, so an identical ratings frame
+    // would alias that test's still-cached intermediates
+    val r = Seq(
+      Rating("u7", "j1", 2.5, 1L), Rating("u7", "j2", 2.5, 1L),
+      Rating("u8", "j1", 3.5, 1L), Rating("u8", "j2", 3.5, 1L)).toDF
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (df, release) = Ann.itemItemTopKManaged(r, k = 2)
+    val got = df.collect().toSet
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "the capped ratings / norms caches should be live before release")
+    release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "release() must unpersist every cache the operator pinned")
+    // hint path: same verdicts, probe job skipped (2 distinct items)
+    val (hinted, release2) = Ann.itemItemTopKManaged(r, k = 2,
+      nItemsHint = 2L)
+    try assert(hinted.collect().toSet === got)
+    finally release2()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("itemItemTopK computes cosine over co-rating vectors") {
     // i1 and i2 rated identically by u1,u2 → cosine 1; i3 orthogonal-ish
     val r = Seq(
