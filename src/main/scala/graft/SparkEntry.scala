@@ -4088,7 +4088,11 @@ object SparkEntry {
     "q256_stream_winnow_matches" -> (q256 _),
     "q257_winnow_decontaminate" -> (q257 _),
     "q258_winnow_index_lifecycle" -> (q258 _),
-    "q259_stream_winnow_probe" -> (q259 _))
+    "q259_stream_winnow_probe" -> (q259 _),
+    "q260_winnow_decontaminate_raw" -> (q260 _),
+    "q261_winnow_index_decon_raw" -> (q261 _),
+    "q262_stream_winnow_decon_raw" -> (q262 _),
+    "q263_winnow_index_drift" -> (q263 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6026,7 +6030,21 @@ object SparkEntry {
        |  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
        |       '\\s+', ' ', 'g')) AS t
        |  FROM $srcRel),
-       |gm AS (
+       |""".stripMargin + winnowFpCoreSql(k, w)
+    // concatenated, never re-stripped: the core is already
+    // stripMargin'd (the one-strip rule — a second pass eats the
+    // first bar of any line-leading `||`)
+
+  /** The gram-hash/window-selection chain of [[winnowFpSql]] over an
+    * ALREADY-NORMALIZED relation named `norm` (must expose
+    * `doc_id, t`) — the raw-coordinate oracle builds `norm` from its
+    * own token map (so token positions and fingerprint positions come
+    * from one construction) and splices this in; [[winnowFpSql]]
+    * prepends the canonical normalizer. One chain, two entries — the
+    * two oracles can never drift.
+    */
+  private def winnowFpCoreSql(k: Int, w: Int): String =
+    s"""gm AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
        |         substr(t, CAST(i AS INT), $k) AS g
        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - $k + 2)) AS i
@@ -6810,16 +6828,28 @@ object SparkEntry {
     * oracles (the q229 fixture: bench = first-half words of every
     * tenth doc, ids +500000).
     */
-  private val winnowUnionSrc: String =
-    s"""(SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 500000 AS doc_id,
+  /** The benchmark-only branch of [[winnowUnionSrc]] (ids +500000) —
+    * the raw-coordinate oracle fingerprints it through its own hash
+    * chain (its corpus side needs the token map, so the union trick
+    * doesn't apply there).
+    */
+  private def winnowBenchSrcWhere(pred: String): String =
+    s"""(SELECT doc_id + 500000 AS doc_id,
        |         array_to_string(wd[1:greatest(CAST(len(wd) // 2 AS INT),
        |           5)], ' ') AS text
        |  FROM (SELECT doc_id,
        |          string_split_regex(trim(trim(regexp_replace(
        |            lower(text), '\\s+', ' ', 'g'))), '\\s+') AS wd
-       |        FROM documents WHERE doc_id % 10 = 0)) AS u""".stripMargin
+       |        FROM documents WHERE $pred)) AS b""".stripMargin
+
+  private val winnowBenchSrc: String =
+    winnowBenchSrcWhere("doc_id % 10 = 0")
+
+  // concatenated, never re-stripped (the one-strip rule)
+  private val winnowUnionSrc: String =
+    "(SELECT doc_id, text FROM documents\n" +
+      "  UNION ALL\n  SELECT doc_id, text FROM " + winnowBenchSrc +
+      ") AS u"
 
   private def q251Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
       maxFreq: Int = 64): String = {
@@ -6915,6 +6945,258 @@ object SparkEntry {
        |       CAST(coalesce(c.nsp, 0) AS BIGINT) AS n_spans,
        |       CAST(coalesce(c.removed, 0) AS BIGINT) AS n_removed_chars
        |FROM cnorm n LEFT JOIN cuts c USING (doc_id)""".stripMargin
+
+  /** RAW-coordinate surgical decontamination
+    * ([[graft.dedup.Dedup.winnowDecontaminateRaw]]): the q257 fixture
+    * and evidence floor, but spans are cut from the ORIGINAL text —
+    * an untouched doc round-trips byte-identical (casing, whitespace,
+    * NULLs), and a touched one keeps its original bytes minus exactly
+    * the matched spans. q257's normalized output remains as the
+    * forensic twin; this is the production form (the r15 verdict's
+    * top operator gap).
+    */
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    Dedup.winnowDecontaminateRaw(docs, "doc_id", "text",
+      bench, "bench_id", "text",
+      k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+  }
+
+  /** The q260 oracle: replay the kernel's inline normalization as a
+    * TOKEN MAP (per raw char: whitespace classification → run
+    * grouping → interior-run space tokens + char tokens, each with
+    * its raw [rs, re] span), derive the corpus fingerprints from the
+    * token-built normalized text via [[winnowFpCoreSql]] (one chain —
+    * fp positions and token positions can't drift), join each
+    * selected gram's first/last token for its raw hull, then the q257
+    * evidence floor → raw-interval union (running-max sweep) →
+    * lag-stitched cut over the ORIGINAL text. The bench side is
+    * [[winnowFpSql]] over [[winnowBenchSrc]].
+    */
+  private def q260Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFreq: Int = 64): String =
+    s"""WITH rawd AS (SELECT doc_id, coalesce(text, '') AS raw
+       |              FROM documents),
+       |lw AS (SELECT doc_id, lower(raw) AS lo FROM rawd),
+       |chs AS (SELECT doc_id, CAST(i AS BIGINT) AS rp,
+       |          substr(lo, CAST(i AS INT), 1) AS c
+       |        FROM (SELECT doc_id, lo,
+       |                unnest(range(1, len(lo) + 1)) AS i FROM lw)),
+       |cw AS (SELECT doc_id, rp, c,
+       |         c IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13))
+       |           AS ws
+       |       FROM chs),
+       |runs AS (SELECT doc_id, rp, c, ws,
+       |           rp - row_number() OVER (PARTITION BY doc_id, ws
+       |                                   ORDER BY rp) AS rg
+       |         FROM cw),
+       |tok0 AS (
+       |  SELECT doc_id, rp AS rs, rp AS re, c AS nc
+       |  FROM runs WHERE NOT ws
+       |  UNION ALL
+       |  SELECT doc_id, min(rp) AS rs, max(rp) AS re, ' ' AS nc
+       |  FROM runs WHERE ws GROUP BY doc_id, rg),
+       |bnds AS (SELECT doc_id, min(rs) AS fnw, max(rs) AS lnw
+       |         FROM tok0 WHERE nc <> ' ' GROUP BY doc_id),
+       |tok AS MATERIALIZED (
+       |  SELECT t.doc_id, t.rs, t.re, t.nc,
+       |    row_number() OVER (PARTITION BY t.doc_id ORDER BY t.rs)
+       |      AS np
+       |  FROM tok0 t JOIN bnds b USING (doc_id)
+       |  WHERE t.nc <> ' ' OR (t.rs > b.fnw AND t.re < b.lnw)),
+       |cn AS (SELECT doc_id, string_agg(nc, '' ORDER BY np) AS t
+       |       FROM tok GROUP BY doc_id),
+       |dfp AS MATERIALIZED (
+       |  SELECT doc_id, pos, fp FROM (
+       |    WITH norm AS (SELECT doc_id, t FROM cn),
+       |    ${winnowFpCoreSql(k, w)})),
+       |dfpr AS (
+       |  SELECT f.doc_id, f.fp, ts.rs AS rlo, te.re AS rhi
+       |  FROM dfp f
+       |  JOIN tok ts ON ts.doc_id = f.doc_id AND ts.np = f.pos
+       |  JOIN tok te ON te.doc_id = f.doc_id
+       |             AND te.np = f.pos + ${k - 1}),
+       |bfp AS MATERIALIZED (
+       |  SELECT doc_id AS bench_id, pos, fp FROM (
+       |    ${winnowFpSql(winnowBenchSrc, k, w)})),
+       |rare AS (SELECT fp FROM bfp GROUP BY fp
+       |         HAVING count(*) <= $maxFreq),
+       |jn AS (SELECT d.doc_id, b.bench_id, d.rlo, d.rhi, d.fp
+       |       FROM dfpr d JOIN bfp b USING (fp) JOIN rare USING (fp)),
+       |okp AS (SELECT doc_id, bench_id FROM jn GROUP BY 1, 2
+       |        HAVING count(DISTINCT fp) >= $minShared),
+       |iv0 AS (SELECT DISTINCT doc_id, rlo AS s, rhi AS e
+       |        FROM jn JOIN okp USING (doc_id, bench_id)),
+       |flag AS (SELECT doc_id, s, e,
+       |           CASE WHEN max(e) OVER w0 IS NULL
+       |                  OR s > max(e) OVER w0 + 1
+       |                THEN 1 ELSE 0 END AS nf
+       |         FROM iv0
+       |         WINDOW w0 AS (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |isl AS (SELECT doc_id, s, e,
+       |          sum(nf) OVER (PARTITION BY doc_id ORDER BY s, e
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS g
+       |        FROM flag),
+       |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e
+       |       FROM isl GROUP BY doc_id, g),
+       |iv AS (SELECT doc_id, s, e,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+       |                  0) AS pe
+       |       FROM mg),
+       |craw AS (SELECT doc_id, text AS t FROM documents),
+       |cuts AS (
+       |  SELECT i.doc_id,
+       |    string_agg(substr(n.t, CAST(i.pe + 1 AS INT),
+       |      CAST(i.s - i.pe - 1 AS INT)), '' ORDER BY i.s) AS pre,
+       |    max(i.e) AS laste,
+       |    count(*) AS nsp,
+       |    sum(i.e - i.s + 1) AS removed
+       |  FROM iv i JOIN craw n USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT n.doc_id,
+       |       CASE WHEN c.doc_id IS NULL THEN n.t
+       |            ELSE c.pre || substr(n.t, CAST(c.laste + 1 AS INT))
+       |       END AS text_clean,
+       |       CAST(coalesce(c.nsp, 0) AS BIGINT) AS n_spans,
+       |       CAST(coalesce(c.removed, 0) AS BIGINT)
+       |         AS n_removed_chars
+       |FROM craw n LEFT JOIN cuts c USING (doc_id)""".stripMargin
+
+  /** Index-probed raw surgical decontamination
+    * ([[graft.dedup.WinnowIndex.decontaminateRaw]]): the standing-
+    * service cost model (benchmark artifact built once, geometry and
+    * too-common model frozen) composed with q260's raw surgery. On a
+    * fresh index the result is row-identical to the one-shot q260 —
+    * oracle shared verbatim; checkpointed before the tables drop (the
+    * q258 discipline).
+    */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    val name = "graft_rwidx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      graft.dedup.WinnowIndex.build(bench, "bench_id", "text", name,
+        k = 20, w = 8)
+      graft.dedup.WinnowIndex.decontaminateRaw(s, name, docs,
+        "doc_id", "text", minSharedFps = 2, maxBenchFpFreq = 64L)
+        .localCheckpoint()
+    } finally graft.dedup.WinnowIndex.drop(s, name)
+  }
+
+  /** Streaming raw surgical decontamination — the full standing
+    * service: the benchmark artifact is built ONCE before the stream
+    * (the q259 frozen-artifact discipline), each corpus micro-batch
+    * is surgically cleaned against it, and cleaned documents stream
+    * out with their ORIGINAL bytes minus the matched spans. A doc's
+    * fingerprints ride one batch and every doc emits exactly one row
+    * from its own batch, so the union over any split equals the batch
+    * run, which on a fresh index equals the one-shot q260 — oracle
+    * shared verbatim.
+    */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    val name = "graft_srwidx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val buf = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, Long, Long)]
+    try {
+      graft.dedup.WinnowIndex.build(bench, "bench_id", "text", name,
+        k = 20, w = 8)
+      val stream = StreamingPrep.streamDocuments(s, dir)
+        .select("doc_id", "text")
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // catalog reads through the stream clone's session (the
+          // foreachBatch table discipline)
+          buf ++= graft.dedup.WinnowIndex.decontaminateRaw(
+              b.sparkSession, name, b.localCheckpoint(true),
+              "doc_id", "text", minSharedFps = 2, maxBenchFpFreq = 64L)
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3)))
+          ()
+        }.start()
+      try q.processAllAvailable()
+      finally q.stop()
+      import s.implicits._
+      buf.toSeq
+        .toDF("doc_id", "text_clean", "n_spans", "n_removed_chars")
+    } finally graft.dedup.WinnowIndex.drop(s, name)
+  }
+
+  /** Winnow-index refresh-drift report
+    * ([[graft.dedup.WinnowIndex.driftReport]]): build on HALF the
+    * benchmark (every 20th doc), refresh with the other half (every
+    * 10th-but-not-20th) — the freq-less share over distinct index fps
+    * is the rebuild signal for the frozen too-common model. The
+    * oracle derives both halves' fingerprint sets independently and
+    * counts `|B \ A|` over `|A ∪ B|`.
+    */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    def benchSlice(pred: Column) = docs.filter(pred)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    val benchA = benchSlice(col("doc_id") % 20 === 0)
+    val benchB = benchSlice(col("doc_id") % 10 === 0 &&
+      col("doc_id") % 20 =!= 0)
+    val name = "graft_dwidx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      graft.dedup.WinnowIndex.build(benchA, "bench_id", "text", name,
+        k = 20, w = 8)
+      graft.dedup.WinnowIndex.refresh(benchB, "bench_id", "text", name)
+      graft.dedup.WinnowIndex.driftReport(s, name).localCheckpoint()
+    } finally graft.dedup.WinnowIndex.drop(s, name)
+  }
+
+  /** The q263 oracle: the two bench halves' fingerprint sets via
+    * [[winnowFpSql]] over predicate-parameterized [[winnowBenchSrc]]
+    * slices; freq-less = the refresh half's fps EXCEPT the build
+    * half's.
+    */
+  private def q263Sql(k: Int = 20, w: Int = 8): String =
+    s"""WITH afp AS MATERIALIZED (SELECT fp FROM (
+       |    ${winnowFpSql(winnowBenchSrcWhere("doc_id % 20 = 0"), k, w)})),
+       |bfp AS MATERIALIZED (SELECT fp FROM (
+       |    ${winnowFpSql(winnowBenchSrcWhere(
+              "doc_id % 10 = 0 AND doc_id % 20 <> 0"), k, w)})),
+       |tot AS (SELECT count(DISTINCT fp) AS nt FROM
+       |          (SELECT fp FROM afp UNION ALL SELECT fp FROM bfp)),
+       |wo AS (SELECT count(*) AS nw0 FROM
+       |         (SELECT fp FROM bfp EXCEPT SELECT fp FROM afp))
+       |SELECT CAST(tot.nt AS BIGINT) AS n_fps_total,
+       |       CAST(wo.nw0 AS BIGINT) AS n_fps_without_freq,
+       |       round(CAST(wo.nw0 AS DOUBLE)
+       |         / greatest(tot.nt, 1), 6) AS drift_frac
+       |FROM tot, wo""".stripMargin
 
   /** Persistent winnow-index lifecycle ([[graft.dedup.WinnowIndex]]):
     * build the benchmark fingerprint artifact once, then probe the
@@ -8336,6 +8618,15 @@ object SparkEntry {
     "q257_winnow_decontaminate" -> q257Sql(),
     // fresh build + probe == the one-shot operator — q251's oracle
     "q258_winnow_index_lifecycle" -> q251Sql(),
+    // raw-coordinate span removal: token-map oracle over the original
+    // text (untouched docs byte-identical)
+    "q260_winnow_decontaminate_raw" -> q260Sql(),
+    // fresh index + raw surgery == the one-shot — q260's oracle
+    "q261_winnow_index_decon_raw" -> q260Sql(),
+    // frozen artifact + per-batch surgery folds to the batch run
+    "q262_stream_winnow_decon_raw" -> q260Sql(),
+    // refresh-drift report: |B \ A| over |A ∪ B| distinct fps
+    "q263_winnow_index_drift" -> q263Sql(),
     // frozen index + per-batch probes fold to the batch probe — same
     "q259_stream_winnow_probe" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice

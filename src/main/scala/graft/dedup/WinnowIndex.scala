@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
   *    model; fingerprints first seen by a refresh have no freq row and
   *    are treated as rare (count 0 at build — the [UNK] analog).
   *    Once refresh drift accumulates, rebuild by `drop` + `build`.
-  *  - `<name>_meta` — ONE row (k, w, n_bench): the gram/window
-  *    geometry frozen at build — probes derive the corpus fingerprints
-  *    with the SAME (k, w), so a parameter mismatch is impossible.
+  *  - `<name>_meta` — ONE row (k, w, n_bench, buckets): the gram/
+  *    window geometry AND the bucket layout frozen at build — probes
+  *    derive the corpus fingerprints with the SAME (k, w) and refresh
+  *    appends under the SAME bucket count, so a parameter mismatch is
+  *    impossible (a refresh writing a different bucket count would
+  *    throw at append time, or worse silently diverge layouts if the
+  *    defaults ever changed).
   */
 object WinnowIndex {
 
@@ -36,7 +40,9 @@ object WinnowIndex {
 
   /** Fingerprint `bench` once and materialize all three tables. */
   def build(bench: DataFrame, benchIdCol: String, benchTextCol: String,
-      name: String, k: Int = 20, w: Int = 8, buckets: Int = 16): Unit = {
+      name: String, k: Int = graft.text.TextAnalysis.WinnowDefaultK,
+      w: Int = graft.text.TextAnalysis.WinnowDefaultW,
+      buckets: Int = 16): Unit = {
     val spark = bench.sparkSession
     import spark.implicits._
     val fps = graft.text.TextAnalysis
@@ -56,28 +62,49 @@ object WinnowIndex {
           countDistinct(col("bench_id")).as("n_docs"))
         .write.format("parquet")
         .mode("overwrite").saveAsTable(freqTable(name))
-      Seq((k, w, nBench)).toDF("k", "w", "n_bench")
+      Seq((k, w, nBench, buckets)).toDF("k", "w", "n_bench", "buckets")
         .coalesce(1).write.format("parquet")
         .mode("overwrite").saveAsTable(metaTable(name))
     } finally fps.unpersist()
   }
 
   /** Append-only refresh: fingerprint the new benchmark items under
-    * the FROZEN (k, w) and append — O(batch); freq/meta untouched.
-    * Caller contract: batch bench ids are new (the Bm25Index refresh
-    * contract).
+    * the FROZEN (k, w) and append under the FROZEN bucket count —
+    * O(batch); freq/meta untouched. Caller contract: batch bench ids
+    * are new (the Bm25Index refresh contract).
     */
   def refresh(newBench: DataFrame, benchIdCol: String,
-      benchTextCol: String, name: String, buckets: Int = 16): Unit = {
+      benchTextCol: String, name: String): Unit = {
     val spark = newBench.sparkSession
     val m = spark.table(metaTable(name)).head()
     graft.text.TextAnalysis
       .winnowFingerprints(newBench, benchIdCol, benchTextCol,
         m.getInt(0), m.getInt(1))
       .select(col("fp"), col("doc_id").as("bench_id"), col("pos"))
-      .write.bucketBy(buckets, "fp").sortBy("fp")
+      .write.bucketBy(m.getInt(3), "fp").sortBy("fp")
       .format("parquet").mode("append").saveAsTable(fpsTable(name))
   }
+
+  /** Refresh-drift report: ONE row
+    * `(n_fps_total, n_fps_without_freq, drift_frac)` over DISTINCT
+    * index fingerprints. Fingerprints first seen by a refresh carry no
+    * freq row and are treated as rare at probe time (count 0 at build,
+    * the [UNK] analog — see [[probe]]); that is the right verdict per
+    * fingerprint but says nothing about how STALE the frozen
+    * too-common model has become. This is the rebuild signal: once
+    * `drift_frac` (freq-less share of the distinct-fp space) crosses
+    * the operator's tolerance, `drop` + `build`. One agg over the
+    * fps/freq join — index-sized, never corpus-sized.
+    */
+  def driftReport(spark: SparkSession, name: String): DataFrame =
+    spark.table(fpsTable(name)).select("fp").distinct()
+      .join(spark.table(freqTable(name)).select(col("fp"), lit(1).as("__f")),
+        Seq("fp"), "left")
+      .agg(count(lit(1)).as("n_fps_total"),
+        count(when(col("__f").isNull, 1)).as("n_fps_without_freq"))
+      .withColumn("drift_frac",
+        round(col("n_fps_without_freq").cast("double")
+          / greatest(col("n_fps_total"), lit(1L)).cast("double"), 6))
 
   /** Probe the artifact with a corpus batch: the exact
     * [[Dedup.winnowMatches]] report under the frozen geometry and
@@ -86,12 +113,13 @@ object WinnowIndex {
     * q258 shares q251's oracle). Corpus-sized work: the batch's
     * fingerprint pass plus one fp equi-join into the bucketed index.
     */
-  def probe(spark: SparkSession, name: String, corpus: DataFrame,
-      idCol: String, textCol: String, minSharedFps: Int = 2,
-      maxBenchFpFreq: Long = 64L,
-      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
-    val m = spark.table(metaTable(name)).head()
-    val (k, w, nBench) = (m.getInt(0), m.getInt(1), m.getLong(2))
+  /** The frequency-capped index relation `(fp, bench_id, __bpos)`
+    * under the frozen model — shared by [[probe]] and
+    * [[decontaminateRaw]].
+    */
+  private def rareIdx(spark: SparkSession, name: String, nBench: Long,
+      maxBenchFpFreq: Long,
+      maxBenchFpDocFrac: Option[Double]): DataFrame = {
     val freq = spark.table(freqTable(name))
     val rareVerdict = maxBenchFpDocFrac match {
       case Some(f) =>
@@ -106,10 +134,20 @@ object WinnowIndex {
     // LEFT join, not semi: a fingerprint first seen by a refresh has
     // no freq row — build-time count 0, i.e. RARE (the [UNK] analog);
     // a semi join would silently drop every refreshed benchmark item
-    val idx = spark.table(fpsTable(name))
+    spark.table(fpsTable(name))
       .join(rareVerdict, Seq("fp"), "left")
       .filter(coalesce(col("__rare"), lit(true)))
       .select(col("fp"), col("bench_id"), col("pos").as("__bpos"))
+  }
+
+  def probe(spark: SparkSession, name: String, corpus: DataFrame,
+      idCol: String, textCol: String, minSharedFps: Int = 2,
+      maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
+    val m = spark.table(metaTable(name)).head()
+    val (k, w, nBench) = (m.getInt(0), m.getInt(1), m.getLong(2))
+    val idx = rareIdx(spark, name, nBench, maxBenchFpFreq,
+      maxBenchFpDocFrac)
     graft.text.TextAnalysis
       .winnowFingerprints(corpus, idCol, textCol, k, w)
       .select(col("doc_id"), col("pos").as("__dpos"), col("fp"))
@@ -122,6 +160,31 @@ object WinnowIndex {
         min(col("__bpos")).as("bench_lo"),
         (max(col("__bpos")) + lit(k - 1).cast("long")).as("bench_hi"))
       .filter(col("n_shared_fps") >= minSharedFps)
+  }
+
+  /** Index-probed RAW-coordinate surgical decontamination — the
+    * standing-service form of [[Dedup.winnowDecontaminateRaw]]: the
+    * benchmark side comes from the frozen artifact (geometry,
+    * fingerprints, too-common model all build-time), the corpus batch
+    * pays one raw-fingerprint pass + the fp equi-join into the
+    * bucketed index, and the surgery returns the ORIGINAL bytes minus
+    * the matched spans. On a fresh index the result is row-identical
+    * to the one-shot operator (gated: shares its oracle).
+    */
+  def decontaminateRaw(spark: SparkSession, name: String,
+      corpus: DataFrame, idCol: String, textCol: String,
+      minSharedFps: Int = 2, maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
+    val m = spark.table(metaTable(name)).head()
+    val (k, w, nBench) = (m.getInt(0), m.getInt(1), m.getLong(2))
+    val d = graft.text.TextAnalysis
+      .winnowFingerprintsRaw(corpus, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp"), col("raw_lo"), col("raw_hi"))
+    Dedup.winnowRawSurgery(d,
+      rareIdx(spark, name, nBench, maxBenchFpFreq, maxBenchFpDocFrac)
+        .select("fp", "bench_id"),
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+      minSharedFps)
   }
 
   /** Drop all three tables (test/maintenance convenience). */

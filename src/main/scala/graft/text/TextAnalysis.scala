@@ -464,6 +464,19 @@ object TextAnalysis {
       size(regexp_extract_all(afterIp, lit(phonePattern), lit(0))).as("n_phones"))
   }
 
+  /** THE winnow geometry defaults, shared by every winnow-family
+    * entry point ([[winnowFingerprints]], `Dedup.winnowMatches`/
+    * `winnowDecontaminate`, `WinnowIndex`) so two corpora
+    * fingerprinted "with the defaults" can never silently mismatch.
+    * k=20 ≈ 3–4 words: accidental gram collisions are rare enough
+    * that shared fingerprints localize REAL shared regions; w=8 makes
+    * the detection guarantee spans ≥ k+w−1 = 27 chars (one clause).
+    * Smaller k (e.g. 5) raises sensitivity for short-match forensics
+    * at the cost of stop-gram noise — pass it explicitly.
+    */
+  val WinnowDefaultK = 20
+  val WinnowDefaultW = 8
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS local fingerprinting scheme): hash every
     * character k-gram of the normalized text, slide a w-hash window,
@@ -489,7 +502,7 @@ object TextAnalysis {
     * Returns (doc_id, pos, fp) — pos is the 1-based gram position.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4): DataFrame = {
+      k: Int = WinnowDefaultK, w: Int = WinnowDefaultW): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
     val t = normalizeText(coalesce(col(textCol), lit("")))
@@ -497,6 +510,30 @@ object TextAnalysis {
         explode(graft.functions.WinnowExpressions.winnowSelect(t, k, w))
           .as("__s"))
       .select(col("doc_id"), col("__s.p").as("pos"), col("__s.h").as("fp"))
+  }
+
+  /** [[winnowFingerprints]] with RAW-coordinate gram spans: identical
+    * hashes and normalized positions (the selection runs over the same
+    * normalized form — fingerprints from the two variants always
+    * join), plus `raw_lo`/`raw_hi`, the 1-based inclusive code-point
+    * span each selected k-gram occupies in the ORIGINAL text
+    * ([[graft.functions.WinnowSelectRaw]]'s inline normalization map).
+    * This is the corpus-side primitive of raw-coordinate span removal
+    * (`Dedup.winnowDecontaminateRaw`): evidence is matched in the
+    * normalized space, surgery happens in the raw one. Map-only, zero
+    * shuffle, same O(n) kernel cost class.
+    *
+    * Returns (doc_id, pos, fp, raw_lo, raw_hi).
+    */
+  def winnowFingerprintsRaw(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = WinnowDefaultK, w: Int = WinnowDefaultW): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.WinnowExpressions.winnowSelectRaw(
+          coalesce(col(textCol), lit("")), k, w)).as("__s"))
+      .select(col("doc_id"), col("__s.p").as("pos"), col("__s.h").as("fp"),
+        col("__s.rs").as("raw_lo"), col("__s.re").as("raw_hi"))
   }
 
   /** Payment-card candidate pattern: 13–19 digits with optional

@@ -95,4 +95,72 @@ class WinnowIndexSpec extends SparkSpec {
         .collect().nonEmpty)
     } finally WinnowIndex.drop(spark, name)
   }
+
+  test("refresh appends under the FROZEN bucket count from meta") {
+    val name = freshName()
+    try {
+      // non-default bucket count frozen at build; refresh takes NO
+      // bucket parameter — a mismatched append is impossible by
+      // construction, not by caller discipline
+      WinnowIndex.build(Seq((900L, embedded)).toDF("bench_id", "text"),
+        "bench_id", "text", name, k = 5, w = 4, buckets = 4)
+      val m = spark.table(name + "_meta").head()
+      assert(m.getInt(3) === 4)
+      WinnowIndex.refresh(
+        Seq((901L, "a totally different benchmark sentence here"))
+          .toDF("bench_id", "text"), "bench_id", "text", name)
+      // both write epochs remain probe-able through the bucketed table
+      assert(WinnowIndex.probe(spark, name, corpus, "doc_id", "text",
+        minSharedFps = 2).collect().nonEmpty)
+    } finally WinnowIndex.drop(spark, name)
+  }
+
+  test("decontaminateRaw: fresh index surgery == the one-shot raw operator") {
+    val bench = Seq((900L, embedded)).toDF("bench_id", "text")
+    val name = freshName()
+    try {
+      WinnowIndex.build(bench, "bench_id", "text", name, k = 5, w = 4)
+      val probed = WinnowIndex.decontaminateRaw(spark, name, corpus,
+          "doc_id", "text", minSharedFps = 2, maxBenchFpFreq = 64L)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val oneShot = Dedup.winnowDecontaminateRaw(corpus, "doc_id",
+          "text", bench, "bench_id", "text", k = 5, w = 4,
+          minSharedFps = 2, maxBenchFpFreq = 64L)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(probed === oneShot)
+      // the contaminated doc was surgically cut, the clean one intact
+      assert(probed.exists(t => t._1 == 1L && t._3 >= 1L &&
+        !t._2.contains("quick brown fox")))
+      assert(probed.exists(t => t._1 == 2L && t._3 === 0L))
+    } finally WinnowIndex.drop(spark, name)
+  }
+
+  test("driftReport: 0 on a fresh build, exact freq-less share after refresh") {
+    val name = freshName()
+    try {
+      WinnowIndex.build(Seq((900L, embedded)).toDF("bench_id", "text"),
+        "bench_id", "text", name, k = 5, w = 4)
+      val fresh = WinnowIndex.driftReport(spark, name).head()
+      assert(fresh.getAs[Long]("n_fps_total") > 0L)
+      assert(fresh.getAs[Long]("n_fps_without_freq") === 0L)
+      assert(fresh.getAs[Double]("drift_frac") === 0.0)
+      WinnowIndex.refresh(
+        Seq((901L, "xylophone quartz jigsaw vexing blimp fjord"))
+          .toDF("bench_id", "text"), "bench_id", "text", name)
+      val after = WinnowIndex.driftReport(spark, name).head()
+      // the refreshed fps are disjoint from the build's (disjoint
+      // vocabularies) → freq-less count == the refresh's distinct fps
+      val refreshed = graft.text.TextAnalysis.winnowFingerprints(
+          Seq((901L, "xylophone quartz jigsaw vexing blimp fjord"))
+            .toDF("bench_id", "text"), "bench_id", "text", k = 5, w = 4)
+        .select("fp").distinct().count()
+      assert(after.getAs[Long]("n_fps_without_freq") === refreshed)
+      assert(after.getAs[Long]("n_fps_total") >
+        fresh.getAs[Long]("n_fps_total"))
+      assert(after.getAs[Double]("drift_frac") > 0.0 &&
+        after.getAs[Double]("drift_frac") < 1.0)
+    } finally WinnowIndex.drop(spark, name)
+  }
 }

@@ -416,6 +416,94 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c2.getAs[String]("text_clean").startsWith("completely"))
   }
 
+  test("winnowFingerprintsRaw: hash/pos parity with the normalized " +
+    "variant, raw spans land on the original text") {
+    val docs = Seq(
+      (1L, "The   Quick\tBrown Fox jumps\nover the lazy DOG tonight"),
+      (2L, "  leading and trailing whitespace everywhere here  "),
+      // lowercase EXPANSION (İ → i + combining dot): the alignment
+      // path where |lowered| != |raw|
+      (3L, "İstanbul kebab shops open late tonight always"))
+      .toDF("doc_id", "text")
+    val k = 5; val w = 4
+    val norm = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val raw = TextAnalysis
+      .winnowFingerprintsRaw(docs, "doc_id", "text", k, w)
+      .select("doc_id", "pos", "fp").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(raw === norm, "raw variant must select identical (pos, fp)")
+    // every raw span must slice out of the ORIGINAL text a substring
+    // whose normalization equals the selected normalized k-gram
+    val texts = docs.as[(Long, String)].collect().toMap
+    TextAnalysis.winnowFingerprintsRaw(docs, "doc_id", "text", k, w)
+      .as[(Long, Long, Long, Long, Long)].collect().foreach {
+        case (id, pos, _, rlo, rhi) =>
+          val t = texts(id)
+          assert(rlo >= 1 && rhi <= t.codePointCount(0, t.length),
+            s"doc $id span [$rlo,$rhi] out of raw range")
+          val rawSlice = {
+            val a = t.offsetByCodePoints(0, (rlo - 1).toInt)
+            val b = t.offsetByCodePoints(0, rhi.toInt)
+            t.substring(a, b)
+          }
+          val normDoc = docs.filter($"doc_id" === id)
+            .select(TextAnalysis.normalizeText($"text")).as[String].head()
+          val gram = normDoc.substring((pos - 1).toInt,
+            (pos - 1 + k).toInt)
+          val sliceNorm = docs.sparkSession.range(1)
+            .select(TextAnalysis.normalizeText(lit(rawSlice)))
+            .as[String].head()
+          // edge spaces: a gram starting/ending on a collapsed run
+          // maps to the whole raw run (greedy), and re-normalizing
+          // the slice standalone TRIMS that edge — compare trimmed
+          assert(sliceNorm === gram.trim,
+            s"doc $id pos $pos: raw slice '$rawSlice' normalizes to " +
+              s"'$sliceNorm', selected gram '$gram'")
+      }
+  }
+
+  test("winnowDecontaminateRaw: untouched docs round-trip " +
+    "byte-identical, touched docs keep original bytes minus the span") {
+    val embedded = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      // mixed case + irregular whitespace AROUND the quote: only the
+      // quote may be cut, everything else byte-exact
+      (1L, s"Alpha  BETA\tgamma delta $embedded epsilon Zeta eta theta"),
+      (2L, "Completely UNRELATED words\t\tappear in THIS document " +
+        "here nothing shared at all with anything  "),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, embedded)).toDF("bench_id", "text")
+    val got = graft.dedup.Dedup.winnowDecontaminateRaw(
+        corpus, "doc_id", "text", bench, "bench_id", "text",
+        k = 5, w = 4, minSharedFps = 2, maxBenchFpFreq = 64L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: quote gone, frame keeps ORIGINAL casing and whitespace
+    val c1 = got(1L)
+    val t1 = c1.getAs[String]("text_clean")
+    assert(!t1.toLowerCase.contains("quick brown fox"),
+      s"region not cut: $t1")
+    assert(t1.startsWith("Alpha  BETA\tgamma delta"),
+      s"raw prefix altered: '$t1'")
+    assert(t1.endsWith("Zeta eta theta") || t1.contains("Zeta eta"),
+      s"raw suffix altered: '$t1'")
+    assert(c1.getAs[Long]("n_spans") >= 1)
+    val raw1 = s"Alpha  BETA\tgamma delta $embedded epsilon Zeta eta theta"
+    assert(t1.length + c1.getAs[Long]("n_removed_chars") === raw1.length)
+    // doc 2: BYTE-IDENTICAL round-trip (tabs, trailing spaces, casing)
+    val c2 = got(2L)
+    assert(c2.getAs[String]("text_clean") ===
+      "Completely UNRELATED words\t\tappear in THIS document " +
+        "here nothing shared at all with anything  ")
+    assert(c2.getAs[Long]("n_spans") === 0L)
+    assert(c2.getAs[Long]("n_removed_chars") === 0L)
+    // doc 3: NULL stays NULL (never coalesced on the output path)
+    val c3 = got(3L)
+    assert(c3.isNullAt(c3.fieldIndex("text_clean")))
+    assert(c3.getAs[Long]("n_spans") === 0L)
+  }
+
   test("luhnValid: known PANs pass, off-by-one fails, length band binds") {
     val df = Seq(
       (1L, "4111111111111111"),  // canonical valid test PAN
