@@ -126,7 +126,14 @@ object Bench {
     // k=20 + the capped fp equi-join + the pair group-by). q250/q252/
     // q253/q254/q255 are compositions or twins of stages measured
     // elsewhere (the q123 no-slot rule).
-    "q251_winnow_matches")
+    "q251_winnow_matches",
+    // round-16 surface: the within-corpus MOSS self-report is the one
+    // genuinely new heavy shape (corpus fp SELF-join under the
+    // document-frequency cap — no benchmark side to broadcast, the
+    // cap is the only thing between this and all-pairs). q260–q262
+    // are q257's surgery with the raw kernel, q263/q265/q266 are
+    // index-sized or map+broadcast passes (the q123 no-slot rule).
+    "q264_winnow_self_matches")
   // round-14 first-half surface kept NO new slots — q217/q218 fold the
   // measured q202 star kernel, q219 composes measured curation +
   // manifest stages, q220 composes measured gate kernels (the q123

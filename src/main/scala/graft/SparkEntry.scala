@@ -4092,7 +4092,11 @@ object SparkEntry {
     "q260_winnow_decontaminate_raw" -> (q260 _),
     "q261_winnow_index_decon_raw" -> (q261 _),
     "q262_stream_winnow_decon_raw" -> (q262 _),
-    "q263_winnow_index_drift" -> (q263 _))
+    "q263_winnow_index_drift" -> (q263 _),
+    "q264_winnow_self_matches" -> (q264 _),
+    "q265_winnow_contamination" -> (q265 _),
+    "q266_stream_winnow_contamination" -> (q266 _),
+    "q267_winnow_matches_raw" -> (q267 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -6980,9 +6984,15 @@ object SparkEntry {
     * lag-stitched cut over the ORIGINAL text. The bench side is
     * [[winnowFpSql]] over [[winnowBenchSrc]].
     */
-  private def q260Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
-      maxFreq: Int = 64): String =
-    s"""WITH rawd AS (SELECT doc_id, coalesce(text, '') AS raw
+  /** The raw-coordinate corpus fingerprint CTE chain shared by the
+    * q260 and q267 oracles: token map (per raw char: whitespace
+    * classification → run grouping → interior-run space tokens + char
+    * tokens, each with its raw [rs, re] span) → token-built normalized
+    * text → [[winnowFpCoreSql]] fingerprints → `dfpr` =
+    * `(doc_id, pos, fp, rlo, rhi)`. No leading WITH; splice after one.
+    */
+  private def winnowRawFpCtes(k: Int, w: Int): String =
+    s"""rawd AS (SELECT doc_id, coalesce(text, '') AS raw
        |              FROM documents),
        |lw AS (SELECT doc_id, lower(raw) AS lo FROM rawd),
        |chs AS (SELECT doc_id, CAST(i AS BIGINT) AS rp,
@@ -7018,12 +7028,16 @@ object SparkEntry {
        |    WITH norm AS (SELECT doc_id, t FROM cn),
        |    ${winnowFpCoreSql(k, w)})),
        |dfpr AS (
-       |  SELECT f.doc_id, f.fp, ts.rs AS rlo, te.re AS rhi
+       |  SELECT f.doc_id, f.pos, f.fp, ts.rs AS rlo, te.re AS rhi
        |  FROM dfp f
        |  JOIN tok ts ON ts.doc_id = f.doc_id AND ts.np = f.pos
        |  JOIN tok te ON te.doc_id = f.doc_id
-       |             AND te.np = f.pos + ${k - 1}),
-       |bfp AS MATERIALIZED (
+       |             AND te.np = f.pos + ${k - 1})""".stripMargin
+
+  private def q260Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFreq: Int = 64): String =
+    "WITH " + winnowRawFpCtes(k, w) + ",\n" +
+    s"""bfp AS MATERIALIZED (
        |  SELECT doc_id AS bench_id, pos, fp FROM (
        |    ${winnowFpSql(winnowBenchSrc, k, w)})),
        |rare AS (SELECT fp FROM bfp GROUP BY fp
@@ -7070,6 +7084,52 @@ object SparkEntry {
        |       CAST(coalesce(c.removed, 0) AS BIGINT)
        |         AS n_removed_chars
        |FROM craw n LEFT JOIN cuts c USING (doc_id)""".stripMargin
+
+  /** MOSS span report with RAW doc-side coordinates
+    * ([[graft.dedup.Dedup.winnowMatchesRaw]]): q251's report plus the
+    * code-point hull in the ORIGINAL document — what a reviewer or
+    * highlighting UI reads before q260's surgery acts. Same fixture,
+    * cap and evidence floor as q251.
+    */
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    Dedup.winnowMatchesRaw(docs, "doc_id", "text",
+      bench, "bench_id", "text",
+      k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+  }
+
+  /** The q267 oracle: [[winnowRawFpCtes]]' raw-span corpus
+    * fingerprints joined to the q251-style bench side, with both the
+    * normalized and the raw hulls aggregated per pair.
+    */
+  private def q267Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFreq: Int = 64): String =
+    "WITH " + winnowRawFpCtes(k, w) + ",\n" +
+    s"""bfp AS MATERIALIZED (
+       |  SELECT doc_id AS bench_id, pos, fp FROM (
+       |    ${winnowFpSql(winnowBenchSrc, k, w)})),
+       |rare AS (SELECT fp FROM bfp GROUP BY fp
+       |         HAVING count(*) <= $maxFreq),
+       |jn AS (SELECT d.doc_id, b.bench_id, d.pos AS dpos,
+       |              d.rlo, d.rhi, b.pos AS bpos, d.fp
+       |       FROM dfpr d JOIN bfp b USING (fp) JOIN rare USING (fp))
+       |SELECT doc_id, bench_id,
+       |       CAST(count(DISTINCT fp) AS BIGINT) AS n_shared_fps,
+       |       min(dpos) AS doc_lo,
+       |       max(dpos) + ${k - 1} AS doc_hi,
+       |       min(rlo) AS doc_raw_lo,
+       |       max(rhi) AS doc_raw_hi,
+       |       min(bpos) AS bench_lo,
+       |       max(bpos) + ${k - 1} AS bench_hi
+       |FROM jn GROUP BY 1, 2
+       |HAVING count(DISTINCT fp) >= $minShared""".stripMargin
 
   /** Index-probed raw surgical decontamination
     * ([[graft.dedup.WinnowIndex.decontaminateRaw]]): the standing-
@@ -7197,6 +7257,113 @@ object SparkEntry {
        |       round(CAST(wo.nw0 AS DOUBLE)
        |         / greatest(tot.nt, 1), 6) AS drift_frac
        |FROM tot, wo""".stripMargin
+
+  /** Within-corpus MOSS self-report
+    * ([[graft.dedup.Dedup.winnowSelfMatches]]): which corpus documents
+    * share which regions with EACH OTHER — cross-document
+    * plagiarism/boilerplate forensics over the documents table itself,
+    * no benchmark side. The corpus-wide fp document-frequency cap
+    * (≤ 4 carrying docs) is the quadratic guard: the synthetic
+    * vocabulary's stop-grams die there, real shared runs survive.
+    */
+  private def q264(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowSelfMatches(Tables.documents(s, dir), "doc_id", "text",
+      k = 20, w = 8, minSharedFps = 2, maxFpDocs = 4L)
+
+  private def q264Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFpDocs: Int = 4): String =
+    s"""WITH fps AS MATERIALIZED (${winnowFpSql("documents", k, w)}),
+       |rare AS (SELECT fp FROM fps GROUP BY fp
+       |         HAVING count(DISTINCT doc_id) <= $maxFpDocs),
+       |f AS (SELECT doc_id, pos, fp FROM fps
+       |      JOIN rare USING (fp)),
+       |jn AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              a.pos AS apos, b.pos AS bpos, a.fp
+       |       FROM f a JOIN f b USING (fp)
+       |       WHERE a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(count(DISTINCT fp) AS BIGINT) AS n_shared_fps,
+       |       min(apos) AS a_lo,
+       |       max(apos) + ${k - 1} AS a_hi,
+       |       min(bpos) AS b_lo,
+       |       max(bpos) + ${k - 1} AS b_hi
+       |FROM jn GROUP BY 1, 2
+       |HAVING count(DISTINCT fp) >= $minShared""".stripMargin
+
+  /** Per-document contamination fraction
+    * ([[graft.dedup.Dedup.winnowContamination]]): the gating metric a
+    * pipeline thresholds to route docs between keep / surgical cut
+    * (q260) / whole-doc drop — share of each doc's distinct winnow
+    * fingerprints matching the capped benchmark side. Same q229
+    * fixture as the winnow family.
+    */
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    Dedup.winnowContamination(docs, "doc_id", "text",
+      bench, "bench_id", "text", k = 20, w = 8, maxBenchFpFreq = 64L)
+  }
+
+  private def q265Sql(k: Int = 20, w: Int = 8, maxFreq: Int = 64): String =
+    s"""WITH fps AS MATERIALIZED (${winnowFpSql(winnowUnionSrc, k, w)}),
+       |dfp AS (SELECT DISTINCT doc_id, fp FROM fps
+       |        WHERE doc_id < 500000),
+       |bfp AS (SELECT doc_id AS bench_id, pos, fp FROM fps
+       |        WHERE doc_id >= 500000),
+       |rare AS (SELECT fp FROM bfp GROUP BY fp
+       |         HAVING count(*) <= $maxFreq),
+       |bset AS (SELECT DISTINCT fp FROM bfp JOIN rare USING (fp))
+       |SELECT d.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_fps,
+       |       CAST(count(b.fp) AS BIGINT) AS n_matched_fps,
+       |       round(CAST(count(b.fp) AS DOUBLE) / count(*), 6)
+       |         AS contamination_frac
+       |FROM dfp d LEFT JOIN bset b ON b.fp = d.fp
+       |GROUP BY 1""".stripMargin
+
+  /** Streaming contamination fraction — the gating metric at ingest:
+    * every doc's fraction depends only on its own fingerprints and
+    * the FROZEN benchmark side, so each micro-batch runs
+    * [[graft.dedup.Dedup.winnowContamination]] verbatim (the q231
+    * frozen-static-side pattern) and the union over any split equals
+    * the batch run — shares q265's oracle.
+    */
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+      .localCheckpoint(true)
+    val stream = StreamingPrep.streamDocuments(s, dir)
+      .select("doc_id", "text")
+    val buf = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buf ++= Dedup.winnowContamination(b.localCheckpoint(true),
+            "doc_id", "text", bench, "bench_id", "text",
+            k = 20, w = 8, maxBenchFpFreq = 64L)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+        ()
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import s.implicits._
+    buf.toSeq
+      .toDF("doc_id", "n_fps", "n_matched_fps", "contamination_frac")
+  }
 
   /** Persistent winnow-index lifecycle ([[graft.dedup.WinnowIndex]]):
     * build the benchmark fingerprint artifact once, then probe the
@@ -8627,6 +8794,14 @@ object SparkEntry {
     "q262_stream_winnow_decon_raw" -> q260Sql(),
     // refresh-drift report: |B \ A| over |A ∪ B| distinct fps
     "q263_winnow_index_drift" -> q263Sql(),
+    // within-corpus MOSS: doc-freq-capped fp self-join + span hulls
+    "q264_winnow_self_matches" -> q264Sql(),
+    // per-doc contamination fraction over distinct fps vs capped bench
+    "q265_winnow_contamination" -> q265Sql(),
+    // per-batch fraction vs the frozen bench folds to the batch run
+    "q266_stream_winnow_contamination" -> q265Sql(),
+    // q251's report + the raw code-point hull from the token map
+    "q267_winnow_matches_raw" -> q267Sql(),
     // frozen index + per-batch probes fold to the batch probe — same
     "q259_stream_winnow_probe" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice

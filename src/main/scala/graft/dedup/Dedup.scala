@@ -688,6 +688,128 @@ object Dedup {
         (max(col("__bpos")) + lit(k - 1).cast("long")).as("bench_hi"))
       .filter(col("n_shared_fps") >= minSharedFps)
 
+  /** [[winnowMatches]] with RAW doc-side coordinates: the span report
+    * a human (or a highlighting UI) reads against the ORIGINAL
+    * document — `doc_raw_lo`/`doc_raw_hi` are the code-point hull of
+    * the matched fingerprints' raw gram spans
+    * ([[graft.text.TextAnalysis.winnowFingerprintsRaw]]), alongside
+    * the normalized hulls both sides already report (the benchmark
+    * side keeps normalized coordinates: its text is the frozen
+    * artifact, the corpus doc is the thing someone opens in an
+    * editor). Same join/cap/evidence plan as [[winnowMatches]].
+    */
+  def winnowMatchesRaw(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int = graft.text.TextAnalysis.WinnowDefaultK,
+      w: Int = graft.text.TextAnalysis.WinnowDefaultW,
+      minSharedFps: Int = 2, maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
+    import graft.text.TextAnalysis
+    val d = TextAnalysis
+      .winnowFingerprintsRaw(corpus, idCol, textCol, k, w)
+      .select(col("doc_id"), col("pos").as("__dpos"), col("fp"),
+        col("raw_lo"), col("raw_hi"))
+    d.join(winnowBenchSide(bench, benchIdCol, benchTextCol, k, w,
+        maxBenchFpFreq, maxBenchFpDocFrac), Seq("fp"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(
+        countDistinct(col("fp")).as("n_shared_fps"),
+        min(col("__dpos")).as("doc_lo"),
+        (max(col("__dpos")) + lit(k - 1).cast("long")).as("doc_hi"),
+        min(col("raw_lo")).as("doc_raw_lo"),
+        max(col("raw_hi")).as("doc_raw_hi"),
+        min(col("__bpos")).as("bench_lo"),
+        (max(col("__bpos")) + lit(k - 1).cast("long")).as("bench_hi"))
+      .filter(col("n_shared_fps") >= minSharedFps)
+  }
+
+  /** Within-corpus shared-span localization — the MOSS report over
+    * ONE corpus (Schleimer–Wilkerson–Aiken 2003's actual deployment:
+    * find which documents share which regions with each other, the
+    * cross-document plagiarism/boilerplate forensic the pairwise
+    * near-dup family answers only with a score): per (doc_a, doc_b)
+    * pair (doc_a < doc_b), the matched span hulls in each text and
+    * the distinct shared-fingerprint count.
+    *
+    * The quadratic guard is the corpus-wide document-frequency cap:
+    * fingerprints carried by more than `maxFpDocs` documents are
+    * dropped BEFORE the self-join (boilerplate grams — navigation
+    * chrome, license headers — would otherwise turn the fp equi-join
+    * into an all-pairs product). Each surviving fp contributes at most
+    * `maxFpDocs·(maxFpDocs−1)/2` pairs, so the join is linear in the
+    * fingerprint count times a small constant; the per-pair group-by
+    * is one shuffle on candidate pairs. Evidence floor as
+    * [[winnowMatches]].
+    *
+    * Returns `(doc_a, doc_b, n_shared_fps, a_lo, a_hi, b_lo, b_hi)` —
+    * positions in each doc's NORMALIZED text.
+    */
+  def winnowSelfMatches(corpus: DataFrame, idCol: String,
+      textCol: String,
+      k: Int = graft.text.TextAnalysis.WinnowDefaultK,
+      w: Int = graft.text.TextAnalysis.WinnowDefaultW,
+      minSharedFps: Int = 2, maxFpDocs: Long = 4L): DataFrame = {
+    import graft.text.TextAnalysis
+    require(maxFpDocs >= 2, s"maxFpDocs must be >= 2, got $maxFpDocs")
+    val fps = TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
+    val rare = fps.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("__c"))
+      .filter(col("__c") <= maxFpDocs).select("fp")
+    val f = fps.join(rare, Seq("fp"), "left_semi")
+    f.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("__apos"))
+      .join(f.select(col("fp"), col("doc_id").as("doc_b"),
+        col("pos").as("__bpos")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        countDistinct(col("fp")).as("n_shared_fps"),
+        min(col("__apos")).as("a_lo"),
+        (max(col("__apos")) + lit(k - 1).cast("long")).as("a_hi"),
+        min(col("__bpos")).as("b_lo"),
+        (max(col("__bpos")) + lit(k - 1).cast("long")).as("b_hi"))
+      .filter(col("n_shared_fps") >= minSharedFps)
+  }
+
+  /** Per-document contamination FRACTION — the gating metric between
+    * [[winnowMatches]] (where exactly?) and whole-doc decontamination
+    * (drop it?): for every fingerprint-bearing corpus doc, the share
+    * of its distinct winnow fingerprints that match the
+    * frequency-capped benchmark side. A pipeline drops docs over a
+    * fraction threshold, surgically cuts the mid band
+    * ([[winnowDecontaminateRaw]]), and keeps the noise floor — this is
+    * the column those thresholds read. Docs shorter than k (no
+    * fingerprints) emit no row: they cannot quote anything winnowing
+    * can see.
+    *
+    * Returns `(doc_id, n_fps, n_matched_fps, contamination_frac)`.
+    *
+    * Scale shape: one distinct over per-doc fingerprints (map-side
+    * combinable), the capped benchmark fp set broadcast-sized, one
+    * left join + per-doc count agg — never a pair relation.
+    */
+  def winnowContamination(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String,
+      k: Int = graft.text.TextAnalysis.WinnowDefaultK,
+      w: Int = graft.text.TextAnalysis.WinnowDefaultW,
+      maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
+    import graft.text.TextAnalysis
+    val d = TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val bset = winnowBenchSide(bench, benchIdCol, benchTextCol, k, w,
+      maxBenchFpFreq, maxBenchFpDocFrac)
+      .select(col("fp")).distinct()
+      .withColumn("__m", lit(1))
+    d.join(bset, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        count(col("__m")).as("n_matched_fps"))
+      .withColumn("contamination_frac",
+        round(col("n_matched_fps").cast("double")
+          / col("n_fps").cast("double"), 6))
+  }
+
   /** SURGICAL decontamination — remove the matched REGIONS instead of
     * dropping whole documents: where [[graft.pipeline.Curation]]'s
     * whole-doc decontaminate throws away a book because it quotes one

@@ -504,6 +504,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c3.getAs[Long]("n_spans") === 0L)
   }
 
+  test("winnowSelfMatches: shared regions pair up, boilerplate fps are capped away") {
+    val header = "standard boilerplate navigation header text block"
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    // ALL six docs share the header (doc-freq 6 > cap 4 → its fps
+    // die); only docs 1 and 2 also share the quote
+    val docs = Seq(
+      (1L, s"$header alpha beta $quote gamma delta"),
+      (2L, s"$header epsilon zeta $quote eta theta"),
+      (3L, s"$header zucchini quasar mellow fjord blizzard kayak"),
+      (4L, s"$header orchid tundra velvet prism nomad cascade"),
+      (5L, s"$header ember lagoon crystal bonsai zephyr mosaic"),
+      (6L, s"$header falcon indigo marble sprocket juniper quill"))
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.winnowSelfMatches(docs, "doc_id", "text",
+        k = 5, w = 4, minSharedFps = 2, maxFpDocs = 4L)
+      .collect()
+    assert(got.length === 1, s"expected exactly the (1,2) pair, got " +
+      got.mkString(", "))
+    assert(got(0).getAs[Long]("doc_a") === 1L &&
+      got(0).getAs[Long]("doc_b") === 2L)
+    assert(got(0).getAs[Long]("n_shared_fps") >= 2)
+    // raising the cap to 6 admits the header fps → all 15 pairs report
+    val loose = graft.dedup.Dedup.winnowSelfMatches(docs, "doc_id",
+        "text", k = 5, w = 4, minSharedFps = 2, maxFpDocs = 6L)
+      .collect()
+    assert(loose.length === 15)
+  }
+
+  test("winnowContamination: embedded quote scores high, clean doc zero, sub-k doc absent") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta $quote epsilon zeta eta theta"),
+      (2L, "completely unrelated words appear in this document here " +
+        "nothing shared at all with anything"),
+      (3L, "abc")) // shorter than k: no fingerprints, no row
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, quote)).toDF("bench_id", "text")
+    val got = graft.dedup.Dedup.winnowContamination(corpus, "doc_id",
+        "text", bench, "bench_id", "text", k = 5, w = 4,
+        maxBenchFpFreq = 64L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!got.contains(3L))
+    val c1 = got(1L)
+    assert(c1.getAs[Long]("n_matched_fps") >= 2)
+    assert(c1.getAs[Double]("contamination_frac") > 0.0 &&
+      c1.getAs[Double]("contamination_frac") < 1.0)
+    assert(c1.getAs[Long]("n_fps") >= c1.getAs[Long]("n_matched_fps"))
+    val c2 = got(2L)
+    assert(c2.getAs[Long]("n_matched_fps") === 0L)
+    assert(c2.getAs[Double]("contamination_frac") === 0.0)
+  }
+
   test("luhnValid: known PANs pass, off-by-one fails, length band binds") {
     val df = Seq(
       (1L, "4111111111111111"),  // canonical valid test PAN
