@@ -4096,7 +4096,9 @@ object SparkEntry {
     "q264_winnow_self_matches" -> (q264 _),
     "q265_winnow_contamination" -> (q265 _),
     "q266_stream_winnow_contamination" -> (q266 _),
-    "q267_winnow_matches_raw" -> (q267 _))
+    "q267_winnow_matches_raw" -> (q267 _),
+    "q268_surgical_curation" -> (q268 _),
+    "q269_stream_surgical_curation" -> (q269 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -5705,8 +5707,12 @@ object SparkEntry {
     * [[graft.pipeline.Pipelines.exportTrainingData]] shards and
     * manifests. Feeds q206's manifest SQL as `docsSrc`.
     */
-  private def q219CuratedSql: String =
-    s"""WITH sc1 AS (
+  /** The default-config scrub→gate chain (sc1 … `gated(doc_id, text)`)
+    * shared by [[q219CuratedSql]] and the q268 surgical variant. No
+    * leading WITH; splice after one.
+    */
+  private def q219GatedCtes: String =
+    s"""sc1 AS (
        |  SELECT doc_id,
        |    regexp_replace(text,
        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
@@ -5748,8 +5754,11 @@ object SparkEntry {
        |  WHERE least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
        |          * (CAST(1.0 AS DOUBLE) - pr) * (CAST(0.5 AS DOUBLE) + sr) > 0.3
        |    AND n_words > 0
-       |    AND CAST(top_word AS DOUBLE) / n_words <= 0.5),
-       |bmk AS (
+       |    AND CAST(top_word AS DOUBLE) / n_words <= 0.5)""".stripMargin
+
+  private def q219CuratedSql: String =
+    "WITH " + q219GatedCtes + ",\n" +
+    s"""bmk AS (
        |  SELECT DISTINCT md5(trim(regexp_replace(
        |    lower(replace(text, ' ', '  ')), '\\s+', ' ', 'g'))) AS fp
        |  FROM documents WHERE doc_id % 10 = 0),
@@ -6985,15 +6994,17 @@ object SparkEntry {
     * [[winnowFpSql]] over [[winnowBenchSrc]].
     */
   /** The raw-coordinate corpus fingerprint CTE chain shared by the
-    * q260 and q267 oracles: token map (per raw char: whitespace
+    * q260/q267/q268 oracles: token map (per raw char: whitespace
     * classification → run grouping → interior-run space tokens + char
     * tokens, each with its raw [rs, re] span) → token-built normalized
     * text → [[winnowFpCoreSql]] fingerprints → `dfpr` =
-    * `(doc_id, pos, fp, rlo, rhi)`. No leading WITH; splice after one.
+    * `(doc_id, pos, fp, rlo, rhi)`. `srcRel` must expose
+    * `(doc_id, text)`. No leading WITH; splice after one.
     */
-  private def winnowRawFpCtes(k: Int, w: Int): String =
+  private def winnowRawFpCtes(k: Int, w: Int,
+      srcRel: String = "documents"): String =
     s"""rawd AS (SELECT doc_id, coalesce(text, '') AS raw
-       |              FROM documents),
+       |              FROM $srcRel),
        |lw AS (SELECT doc_id, lower(raw) AS lo FROM rawd),
        |chs AS (SELECT doc_id, CAST(i AS BIGINT) AS rp,
        |          substr(lo, CAST(i AS INT), 1) AS c
@@ -7034,12 +7045,19 @@ object SparkEntry {
        |  JOIN tok te ON te.doc_id = f.doc_id
        |             AND te.np = f.pos + ${k - 1})""".stripMargin
 
-  private def q260Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
-      maxFreq: Int = 64): String =
-    "WITH " + winnowRawFpCtes(k, w) + ",\n" +
+  /** The raw-surgery CTE chain shared by the q260 and q268 oracles:
+    * capped bench fps (`benchRel` must expose `(doc_id, text)`) joined
+    * to `dfpr` (from [[winnowRawFpCtes]]), the evidence floor,
+    * raw-interval union (running-max sweep), and the lag-stitched cut
+    * over `rawRel`'s original text — ends with
+    * `surgout(doc_id, text_clean, n_spans, n_removed_chars)`. No
+    * leading WITH; splice after [[winnowRawFpCtes]].
+    */
+  private def winnowRawSurgeryCtes(k: Int, w: Int, minShared: Int,
+      maxFreq: Int, benchRel: String, rawRel: String): String =
     s"""bfp AS MATERIALIZED (
        |  SELECT doc_id AS bench_id, pos, fp FROM (
-       |    ${winnowFpSql(winnowBenchSrc, k, w)})),
+       |    ${winnowFpSql(benchRel, k, w)})),
        |rare AS (SELECT fp FROM bfp GROUP BY fp
        |         HAVING count(*) <= $maxFreq),
        |jn AS (SELECT d.doc_id, b.bench_id, d.rlo, d.rhi, d.fp
@@ -7066,7 +7084,7 @@ object SparkEntry {
        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
        |                  0) AS pe
        |       FROM mg),
-       |craw AS (SELECT doc_id, text AS t FROM documents),
+       |craw AS (SELECT doc_id, text AS t FROM $rawRel),
        |cuts AS (
        |  SELECT i.doc_id,
        |    string_agg(substr(n.t, CAST(i.pe + 1 AS INT),
@@ -7075,15 +7093,130 @@ object SparkEntry {
        |    count(*) AS nsp,
        |    sum(i.e - i.s + 1) AS removed
        |  FROM iv i JOIN craw n USING (doc_id)
-       |  GROUP BY 1)
-       |SELECT n.doc_id,
-       |       CASE WHEN c.doc_id IS NULL THEN n.t
-       |            ELSE c.pre || substr(n.t, CAST(c.laste + 1 AS INT))
-       |       END AS text_clean,
-       |       CAST(coalesce(c.nsp, 0) AS BIGINT) AS n_spans,
-       |       CAST(coalesce(c.removed, 0) AS BIGINT)
-       |         AS n_removed_chars
-       |FROM craw n LEFT JOIN cuts c USING (doc_id)""".stripMargin
+       |  GROUP BY 1),
+       |surgout AS (
+       |  SELECT n.doc_id,
+       |         CASE WHEN c.doc_id IS NULL THEN n.t
+       |              ELSE c.pre || substr(n.t, CAST(c.laste + 1 AS INT))
+       |         END AS text_clean,
+       |         CAST(coalesce(c.nsp, 0) AS BIGINT) AS n_spans,
+       |         CAST(coalesce(c.removed, 0) AS BIGINT)
+       |           AS n_removed_chars
+       |  FROM craw n LEFT JOIN cuts c USING (doc_id))""".stripMargin
+
+  private def q260Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFreq: Int = 64): String =
+    "WITH " + winnowRawFpCtes(k, w) + ",\n" +
+      winnowRawSurgeryCtes(k, w, minShared, maxFreq,
+        winnowBenchSrc, "documents") +
+      "\nSELECT doc_id, text_clean, n_spans, n_removed_chars FROM surgout"
+
+  /** SURGICAL curation — `curateCorpus(surgicalDecon = true)` end to
+    * end: the default scrub→gate chain, then the benchmark
+    * decontamination stage CUTS the winnow-localized spans from the
+    * original text instead of dropping whole documents (a doc quoting
+    * one benchmark item keeps everything but the quote; fully-cut
+    * docs drop), exact dedup keys on the post-surgery text, and the
+    * export layer shards the survivors. Gates the export UNITS (the
+    * curated `(doc_id, text)` relation) so the cut text itself is
+    * hash-compared. Benchmark fixture: first-half words of every
+    * tenth doc (partial quotes — surgery, not deletion).
+    */
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(array_join(slice(ws, lit(1),
+        greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+        .as("text"))
+    val res = Pipelines.exportTrainingData(docs, bench,
+      cfg = Pipelines.CurationConfig(surgicalDecon = true), nShards = 8)
+    val out = res.units.localCheckpoint()
+    res.release()
+    out
+  }
+
+  /** The q268 bench relation: the pipeline's internal identity is
+    * md5 of the DISTINCT benchmark text (duplicate items are one
+    * item) — mirrored here so the frequency cap counts the same rows.
+    */
+  private val q268BenchSrc: String =
+    s"""(SELECT md5(coalesce(text, '')) AS doc_id, text FROM (
+       |  SELECT DISTINCT array_to_string(
+       |    wd[1:greatest(CAST(len(wd) // 2 AS INT), 5)], ' ') AS text
+       |  FROM (SELECT string_split_regex(trim(trim(regexp_replace(
+       |          lower(text), '\\s+', ' ', 'g'))), '\\s+') AS wd
+       |        FROM documents WHERE doc_id % 10 = 0))) AS b""".stripMargin
+
+  /** The q268 oracle: [[q219GatedCtes]] (scrub → gates), the raw
+    * token-map fingerprints over the GATED text, the shared surgery
+    * chain vs [[q268BenchSrc]], the empty-survivor filter, and the
+    * keep-first dedup on the post-surgery fingerprint.
+    */
+  private def q268Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFreq: Int = 64): String =
+    "WITH " + q219GatedCtes + ",\n" +
+      winnowRawFpCtes(k, w, srcRel = "gated") + ",\n" +
+      winnowRawSurgeryCtes(k, w, minShared, maxFreq,
+        q268BenchSrc, "gated") + ",\n" +
+      s"""surg AS (
+         |  SELECT doc_id, text_clean AS text FROM surgout
+         |  WHERE trim(text_clean) <> ''),
+         |ddp AS (
+         |  SELECT doc_id, text,
+         |         row_number() OVER (PARTITION BY
+         |           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |           ORDER BY doc_id) AS rk
+         |  FROM surg)
+         |SELECT doc_id, text FROM ddp WHERE rk = 1""".stripMargin
+
+  /** Streaming twin of q268 — surgical curation at ingest
+    * ([[graft.streaming.StreamingCuration.FrozenConfig.surgicalDecon]]):
+    * the documents corpus as two ordered micro-batches through the
+    * frozen gates, each batch surgically cut against the FROZEN
+    * benchmark side, the cross-batch fingerprint index keying on the
+    * POST-surgery text. Surgery verdicts are batch-local and ingest
+    * is ordered, so keep-first elects the batch run's survivors —
+    * q268's oracle shared verbatim.
+    */
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = d.filter(col("doc_id") % 10 === 0)
+      .select(array_join(slice(ws, lit(1),
+        greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+        .as("text"))
+      .localCheckpoint()
+    val scratch = scratchDir("stream_surgical_curation")
+    val stream = stageOrderedBatches(s, scratch,
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType))),
+      midpointHalves(d.select("doc_id", "text", "source")))
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = graft.streaming.StreamingCuration.start(
+      stream, "doc_id", bench,
+      graft.streaming.StreamingCuration.FrozenConfig(surgicalDecon = true),
+      mixtureRates = None,
+      fpIndexTable = s"graft_ssc_fp_$sfx",
+      packStateTable = s"graft_ssc_pack_$sfx") { (batch, _) =>
+      buf ++= batch.select(col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.sql(s"DROP TABLE IF EXISTS graft_ssc_fp_$sfx")
+      s.sql(s"DROP TABLE IF EXISTS graft_ssc_pack_$sfx")
+    }
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "text")
+  }
 
   /** MOSS span report with RAW doc-side coordinates
     * ([[graft.dedup.Dedup.winnowMatchesRaw]]): q251's report plus the
@@ -8802,6 +8935,10 @@ object SparkEntry {
     "q266_stream_winnow_contamination" -> q265Sql(),
     // q251's report + the raw code-point hull from the token map
     "q267_winnow_matches_raw" -> q267Sql(),
+    // surgical curation end-to-end: gates → span cut → dedup → units
+    "q268_surgical_curation" -> q268Sql(),
+    // ordered ingest + frozen bench folds to the batch run
+    "q269_stream_surgical_curation" -> q268Sql(),
     // frozen index + per-batch probes fold to the batch probe — same
     "q259_stream_winnow_probe" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice

@@ -158,6 +158,20 @@ object Pipelines {
       // most this many docs per registrable domain (deterministic
       // min-by-md5 survivors, Urls.domainCap). Requires urlCol.
       domainCapN: Option[Int] = None,
+      // SURGICAL benchmark decontamination: instead of dropping every
+      // doc whose whole-text fingerprint matches a benchmark item,
+      // cut the winnow-localized matched spans from the ORIGINAL text
+      // and keep the rest (Dedup.winnowDecontaminateRaw — the
+      // long-document alternative: a book quoting one benchmark item
+      // loses the quote, not the book). Docs whose text is entirely
+      // cut away drop; survivors are re-token-counted and the exact
+      // dedup keys on the POST-surgery text (two docs differing only
+      // by the quote collapse). Duplicate benchmark TEXTS are one
+      // item (md5 identity) — the winnow frequency cap counts real
+      // distinct benchmark content, not redundant copies.
+      surgicalDecon: Boolean = false,
+      surgicalMinSharedFps: Int = 2,
+      surgicalMaxBenchFpFreq: Long = 64L,
       // DSIR importance-resample gate thresholds (used only when an
       // importanceTarget is passed to curateCorpus): keep docs whose
       // fixed-point target/raw affinity clears this floor (1e9 =
@@ -447,7 +461,27 @@ object Pipelines {
       Curation.importanceResample(fluent, "doc_id", "text", t, "text",
         cfg.importanceMinAffinityFp, cfg.importanceBuckets,
         cfg.importanceUnigrams))
-    val cleaned = Curation.decontaminate(selected, benchmark, "text")
+    val deconned =
+      if (cfg.surgicalDecon) {
+        // winnow surgery needs a benchmark identity column; md5 of the
+        // (deduped) text is deterministic and collapses duplicate
+        // benchmark items into one — see the config note
+        val bench = benchmark.select(col("text")).distinct()
+          .select(md5(coalesce(col("text"), lit(""))).as("__bid"),
+            col("text"))
+        val cut = graft.dedup.Dedup.winnowDecontaminateRaw(
+            selected, "doc_id", "text", bench, "__bid", "text",
+            minSharedFps = cfg.surgicalMinSharedFps,
+            maxBenchFpFreq = cfg.surgicalMaxBenchFpFreq)
+          .select(col("doc_id"), col("text_clean"))
+        selected.drop("text")
+          .join(cut, Seq("doc_id"))
+          .withColumnRenamed("text_clean", "text")
+          .filter(trim(col("text")) =!= "")
+          .withColumn("n_tokens",
+            TextAnalysis.tokenCount(col("text")).cast("long"))
+      } else Curation.decontaminate(selected, benchmark, "text")
+    val cleaned = deconned
       .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
     val deduped = Prep.dedupKeepFirst(cleaned, Seq("__fp"), Seq(col("doc_id")))
       .drop("__fp")

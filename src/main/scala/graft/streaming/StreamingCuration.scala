@@ -59,7 +59,17 @@ object StreamingCuration {
       // matching the batch pipeline exactly.
       intakeC4: Boolean = false,
       intakeMinWordsPerLine: Int = 3,
-      intakeMinKeptLines: Int = 3)
+      intakeMinKeptLines: Int = 3,
+      // SURGICAL benchmark decontamination — the streaming face of
+      // CurationConfig.surgicalDecon: cut the winnow-localized matched
+      // spans from each arriving doc's ORIGINAL text instead of
+      // dropping the doc (fully-cut docs drop). Verdicts depend only
+      // on the doc and the FROZEN benchmark side, so the stage is
+      // batch-local; the cross-batch dedup then keys on the
+      // POST-surgery fingerprint, exactly like the batch pipeline.
+      surgicalDecon: Boolean = false,
+      surgicalMinSharedFps: Int = 2,
+      surgicalMaxBenchFpFreq: Long = 64L)
 
   /** Start the stream. `benchmark` (decontamination corpus) and
     * `mixtureRates` (a [[Curation.mixtureRates]] snapshot keyed on
@@ -132,7 +142,25 @@ object StreamingCuration {
           gated.filter(
             Curation.importanceAffinity(col("text"), m) >= lit(minAff))
         }
-        val cleaned = Curation.decontaminate(selected, benchmark, "text")
+        val cleaned =
+          if (cfg.surgicalDecon) {
+            // benchmark identity = md5 of the distinct item text (the
+            // batch pipeline's convention — duplicate items are one)
+            val bm = benchmark.select(col("text")).distinct()
+              .select(md5(coalesce(col("text"), lit(""))).as("__bid"),
+                col("text"))
+            val cut = graft.dedup.Dedup.winnowDecontaminateRaw(
+                selected, idCol, "text", bm, "__bid", "text",
+                minSharedFps = cfg.surgicalMinSharedFps,
+                maxBenchFpFreq = cfg.surgicalMaxBenchFpFreq)
+              .select(col("doc_id").as(idCol), col("text_clean"))
+            selected.drop("text")
+              .join(cut, Seq(idCol))
+              .withColumnRenamed("text_clean", "text")
+              .filter(trim(col("text")) =!= "")
+              .withColumn("n_tokens",
+                TextAnalysis.tokenCount(col("text")).cast("long"))
+          } else Curation.decontaminate(selected, benchmark, "text")
 
         // ---- cross-batch exact keep-first dedup (fingerprint index)
         val index = sess.table(fpIndexTable)

@@ -349,6 +349,35 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("curateCorpus surgicalDecon cuts the quote, keeps the book; whole-doc mode keeps the quote") {
+    import org.apache.spark.sql.functions._
+    def frame(i: Int): String =
+      (0 until 40).map(j => s"the w${(i * 31 + j * 7) % 97} of").mkString(" ")
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    // doc 1 quotes the benchmark mid-text; doc 2 is clean
+    val docs = Seq(
+      (1L, s"${frame(1)} $quote ${frame(11)}", "en", "srcA"),
+      (2L, frame(2), "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val bench = Seq(quote).toDF("text")
+    def curate(surgical: Boolean) = Pipelines.curateCorpus(docs, bench,
+        Pipelines.CurationConfig(minQuality = 0.2, seqLen = 100,
+          surgicalDecon = surgical))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // whole-doc mode: doc 1's full-text fingerprint differs from the
+    // benchmark item's, so the doc survives WITH the quote inside
+    val wholeDoc = curate(surgical = false)
+    assert(wholeDoc(1L).contains(quote))
+    // surgical mode: the quote is cut, the frame survives verbatim
+    val surgical = curate(surgical = true)
+    assert(!surgical(1L).contains("quick brown fox"),
+      s"quote not cut: ${surgical(1L)}")
+    assert(surgical(1L).startsWith("the w31 of"),
+      s"frame head altered: ${surgical(1L).take(40)}")
+    assert(surgical(2L) === wholeDoc(2L),
+      "a clean doc must be untouched by the surgical stage")
+  }
+
   test("curateCorpus importanceTarget gate keeps target-like docs only") {
     import org.apache.spark.sql.functions._
     // both styles pass the heuristic gates (stopword-rich); only A
