@@ -733,13 +733,20 @@ object Dedup {
     *
     * The quadratic guard is the corpus-wide document-frequency cap:
     * fingerprints carried by more than `maxFpDocs` documents are
-    * dropped BEFORE the self-join (boilerplate grams — navigation
-    * chrome, license headers — would otherwise turn the fp equi-join
-    * into an all-pairs product). Each surviving fp contributes at most
-    * `maxFpDocs·(maxFpDocs−1)/2` pairs, so the join is linear in the
-    * fingerprint count times a small constant; the per-pair group-by
-    * is one shuffle on candidate pairs. Evidence floor as
+    * dropped before any pairing (boilerplate grams — navigation
+    * chrome, license headers — would otherwise turn the fp match into
+    * an all-pairs product). Each surviving fp contributes at most
+    * `maxFpDocs·(maxFpDocs−1)/2` pairs. Evidence floor as
     * [[winnowMatches]].
+    *
+    * Plan shape (ONE fingerprint pass — a naive fps⨝fps self-join
+    * would compute the kernel relation three times: the cap agg plus
+    * both join sides): occurrences collapse to per-(fp, doc) hulls,
+    * each fp folds its carriers into a ≤`maxFpDocs`-struct list
+    * (STRICT memory bound — within-doc occurrence counts are already
+    * collapsed, so no degenerate doc can blow a group), ordered pairs
+    * explode map-side from the list, and the per-pair group-by is one
+    * shuffle on candidate pairs.
     *
     * Returns `(doc_a, doc_b, n_shared_fps, a_lo, a_hi, b_lo, b_hi)` —
     * positions in each doc's NORMALIZED text.
@@ -751,22 +758,29 @@ object Dedup {
       minSharedFps: Int = 2, maxFpDocs: Long = 4L): DataFrame = {
     import graft.text.TextAnalysis
     require(maxFpDocs >= 2, s"maxFpDocs must be >= 2, got $maxFpDocs")
-    val fps = TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
-    val rare = fps.groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("__c"))
-      .filter(col("__c") <= maxFpDocs).select("fp")
-    val f = fps.join(rare, Seq("fp"), "left_semi")
-    f.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("__apos"))
-      .join(f.select(col("fp"), col("doc_id").as("doc_b"),
-        col("pos").as("__bpos")), Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    val perDoc = TextAnalysis
+      .winnowFingerprints(corpus, idCol, textCol, k, w)
+      .groupBy(col("fp"), col("doc_id"))
+      .agg(min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+    val pairs = perDoc.groupBy(col("fp"))
+      .agg(collect_list(struct(col("doc_id"), col("lo"), col("hi")))
+        .as("__ds"))
+      .filter(size(col("__ds")) >= 2 &&
+        size(col("__ds")) <= maxFpDocs)
+      .select(col("fp"), explode(flatten(transform(col("__ds"), a =>
+        transform(
+          filter(col("__ds"), b =>
+            b.getField("doc_id") > a.getField("doc_id")),
+          b => struct(a.as("a"), b.as("b")))))).as("__p"))
+    pairs
+      .groupBy(col("__p.a.doc_id").as("doc_a"),
+        col("__p.b.doc_id").as("doc_b"))
       .agg(
         countDistinct(col("fp")).as("n_shared_fps"),
-        min(col("__apos")).as("a_lo"),
-        (max(col("__apos")) + lit(k - 1).cast("long")).as("a_hi"),
-        min(col("__bpos")).as("b_lo"),
-        (max(col("__bpos")) + lit(k - 1).cast("long")).as("b_hi"))
+        min(col("__p.a.lo")).as("a_lo"),
+        (max(col("__p.a.hi")) + lit(k - 1).cast("long")).as("a_hi"),
+        min(col("__p.b.lo")).as("b_lo"),
+        (max(col("__p.b.hi")) + lit(k - 1).cast("long")).as("b_hi"))
       .filter(col("n_shared_fps") >= minSharedFps)
   }
 
