@@ -312,6 +312,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in containment:\n$p")
   }
 
+  test("q264: self-matches pair via the capped per-fp lists — one kernel pass, no join") {
+    val df = SparkEntry.queries("q264_winnow_self_matches")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the pairing is a map-side explode of bounded carrier lists — a
+    // plan with ANY join node means the fps⨝fps self-join (and its
+    // triple kernel recompute) crept back in
+    assert(!p.contains("Join"), s"self-matches must not join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // exactly ONE WinnowSelect kernel scan feeds the whole plan
+    assert("winnowselect".r.findAllIn(p.toLowerCase).size <= 1,
+      s"kernel relation computed more than once:\n$p")
+  }
+
   test("q232/q235/q237/q241: the intake-cleanup passes are exchange-free scans") {
     // C4 line filter, charset profile, NFC normalization, and
     // control-char sanitation all claim "map-only, zero shuffle" —
