@@ -4098,7 +4098,8 @@ object SparkEntry {
     "q266_stream_winnow_contamination" -> (q266 _),
     "q267_winnow_matches_raw" -> (q267 _),
     "q268_surgical_curation" -> (q268 _),
-    "q269_stream_surgical_curation" -> (q269 _))
+    "q269_stream_surgical_curation" -> (q269 _),
+    "q270_winnow_index_contamination" -> (q270 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -7218,6 +7219,33 @@ object SparkEntry {
     buf.toSeq.toDF("doc_id", "text")
   }
 
+  /** Contamination fractions against the standing index
+    * ([[graft.dedup.WinnowIndex.contamination]]): the q265 gating
+    * metric under the q258 cost model — benchmark artifact built once,
+    * each corpus batch pays one fingerprint pass + the fp probe. On a
+    * fresh index row-identical to the one-shot q265 — oracle shared
+    * verbatim; checkpointed before the tables drop.
+    */
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+    val name = "graft_cwidx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      graft.dedup.WinnowIndex.build(bench, "bench_id", "text", name,
+        k = 20, w = 8)
+      graft.dedup.WinnowIndex.contamination(s, name, docs,
+        "doc_id", "text", maxBenchFpFreq = 64L)
+        .localCheckpoint()
+    } finally graft.dedup.WinnowIndex.drop(s, name)
+  }
+
   /** MOSS span report with RAW doc-side coordinates
     * ([[graft.dedup.Dedup.winnowMatchesRaw]]): q251's report plus the
     * code-point hull in the ORIGINAL document — what a reviewer or
@@ -8939,6 +8967,8 @@ object SparkEntry {
     "q268_surgical_curation" -> q268Sql(),
     // ordered ingest + frozen bench folds to the batch run
     "q269_stream_surgical_curation" -> q268Sql(),
+    // fresh index + fraction probe == the one-shot — q265's oracle
+    "q270_winnow_index_contamination" -> q265Sql(),
     // frozen index + per-batch probes fold to the batch probe — same
     "q259_stream_winnow_probe" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice

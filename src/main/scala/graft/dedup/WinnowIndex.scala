@@ -187,6 +187,36 @@ object WinnowIndex {
       minSharedFps)
   }
 
+  /** Per-document contamination fraction against the frozen artifact
+    * — the standing-service form of [[Dedup.winnowContamination]]:
+    * the share of each arriving doc's distinct fingerprints matching
+    * the index under the frozen frequency model (the metric a
+    * continuous pipeline thresholds to route docs between keep /
+    * surgical cut / drop). One left join of per-doc distinct fps into
+    * the distinct index fp set; on a fresh index row-identical to the
+    * one-shot operator (gated: shares its oracle).
+    */
+  def contamination(spark: SparkSession, name: String, corpus: DataFrame,
+      idCol: String, textCol: String, maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
+    val m = spark.table(metaTable(name)).head()
+    val (k, w, nBench) = (m.getInt(0), m.getInt(1), m.getLong(2))
+    val bset = rareIdx(spark, name, nBench, maxBenchFpFreq,
+        maxBenchFpDocFrac)
+      .select(col("fp")).distinct()
+      .withColumn("__m", lit(1))
+    graft.text.TextAnalysis
+      .winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .join(bset, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        count(col("__m")).as("n_matched_fps"))
+      .withColumn("contamination_frac",
+        round(col("n_matched_fps").cast("double")
+          / col("n_fps").cast("double"), 6))
+  }
+
   /** Drop all three tables (test/maintenance convenience). */
   def drop(spark: SparkSession, name: String): Unit =
     Seq(fpsTable _, freqTable _, metaTable _).foreach { t =>

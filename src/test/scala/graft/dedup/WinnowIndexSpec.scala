@@ -137,6 +137,28 @@ class WinnowIndexSpec extends SparkSpec {
     } finally WinnowIndex.drop(spark, name)
   }
 
+  test("contamination: fresh index fractions == the one-shot operator") {
+    val bench = Seq((900L, embedded)).toDF("bench_id", "text")
+    val name = freshName()
+    try {
+      WinnowIndex.build(bench, "bench_id", "text", name, k = 5, w = 4)
+      val probed = WinnowIndex.contamination(spark, name, corpus,
+          "doc_id", "text", maxBenchFpFreq = 64L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val oneShot = Dedup.winnowContamination(corpus, "doc_id", "text",
+          bench, "bench_id", "text", k = 5, w = 4,
+          maxBenchFpFreq = 64L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(probed === oneShot)
+      // doc 1 embeds the benchmark sentence → positive fraction;
+      // doc 2 shares nothing → zero
+      assert(probed.exists(t => t._1 == 1L && t._4 > 0.0))
+      assert(probed.exists(t => t._1 == 2L && t._4 === 0.0))
+    } finally WinnowIndex.drop(spark, name)
+  }
+
   test("driftReport: 0 on a fresh build, exact freq-less share after refresh") {
     val name = freshName()
     try {
