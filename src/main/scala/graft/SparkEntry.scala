@@ -4099,7 +4099,9 @@ object SparkEntry {
     "q267_winnow_matches_raw" -> (q267 _),
     "q268_surgical_curation" -> (q268 _),
     "q269_stream_surgical_curation" -> (q269 _),
-    "q270_winnow_index_contamination" -> (q270 _))
+    "q270_winnow_index_contamination" -> (q270 _),
+    "q271_winnow_self_matches_raw" -> (q271 _),
+    "q272_stream_winnow_self_matches" -> (q272 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -7451,6 +7453,94 @@ object SparkEntry {
        |FROM jn GROUP BY 1, 2
        |HAVING count(DISTINCT fp) >= $minShared""".stripMargin
 
+  /** q264 with RAW coordinates on BOTH sides
+    * ([[graft.dedup.Dedup.winnowSelfMatchesRaw]]): the within-corpus
+    * forensics report a highlighting UI reads — both members of a
+    * pair are corpus documents someone opens in an editor, so each
+    * side carries its code-point hull in the ORIGINAL text alongside
+    * the normalized hulls (the q267 treatment applied to the q264
+    * report). Same cap, evidence floor and single-kernel-pass plan.
+    */
+  private def q271(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowSelfMatchesRaw(Tables.documents(s, dir), "doc_id",
+      "text", k = 20, w = 8, minSharedFps = 2, maxFpDocs = 4L)
+
+  /** The q271 oracle: [[winnowRawFpCtes]]' raw-span corpus
+    * fingerprints self-joined under q264's doc-frequency cap, with
+    * BOTH sides' normalized and raw hulls aggregated per pair.
+    */
+  private def q271Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFpDocs: Int = 4): String =
+    "WITH " + winnowRawFpCtes(k, w) + ",\n" +
+    s"""rare AS (SELECT fp FROM dfpr GROUP BY fp
+       |         HAVING count(DISTINCT doc_id) <= $maxFpDocs),
+       |f AS (SELECT doc_id, pos, fp, rlo, rhi FROM dfpr
+       |      JOIN rare USING (fp)),
+       |jn AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              a.pos AS apos, b.pos AS bpos,
+       |              a.rlo AS arlo, a.rhi AS arhi,
+       |              b.rlo AS brlo, b.rhi AS brhi, a.fp
+       |       FROM f a JOIN f b USING (fp)
+       |       WHERE a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(count(DISTINCT fp) AS BIGINT) AS n_shared_fps,
+       |       min(apos) AS a_lo,
+       |       max(apos) + ${k - 1} AS a_hi,
+       |       min(arlo) AS a_raw_lo,
+       |       max(arhi) AS a_raw_hi,
+       |       min(bpos) AS b_lo,
+       |       max(bpos) + ${k - 1} AS b_hi,
+       |       min(brlo) AS b_raw_lo,
+       |       max(brhi) AS b_raw_hi
+       |FROM jn GROUP BY 1, 2
+       |HAVING count(DISTINCT fp) >= $minShared""".stripMargin
+
+  /** Streaming twin of q264 — the self-report over a corpus that
+    * ARRIVES: each micro-batch pays its kernel fingerprint pass at
+    * ingest and appends per-(fp, doc) hulls to a standing table (a
+    * doc's fingerprints ride one batch, so its hulls are complete
+    * within that batch); the corpus-global doc-frequency cap +
+    * pairing fold ([[graft.dedup.Dedup.winnowSelfPairsFromHulls]])
+    * runs ONCE at end of ingest over the standing table. The cap is
+    * deliberately NOT applied per batch: a fingerprint's carrier
+    * count only grows, so a pair emitted early could be invalidated
+    * by a later batch pushing its fp over the cap — per-batch
+    * emission cannot match the one-shot report, the end-of-ingest
+    * fold matches it exactly (shares q264's oracle). The standing
+    * hull table is the q218 incremental-artifact discipline: ingest
+    * work is O(batch), the final fold is one join-free job over
+    * fingerprint-hull rows, never over text.
+    */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    val stream = StreamingPrep.streamDocuments(s, dir)
+      .select("doc_id", "text")
+    val tbl = "graft_selfm_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // q95 discipline: write through the stream's clone session
+        Dedup.winnowSelfHulls(b.localCheckpoint(true),
+            "doc_id", "text", k = 20, w = 8)
+          .write.format("parquet").mode("append").saveAsTable(tbl)
+        ()
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import s.implicits._
+    val out =
+      try {
+        s.catalog.refreshTable(tbl)
+        Dedup.winnowSelfPairsFromHulls(s.table(tbl), k = 20,
+            minSharedFps = 2, maxFpDocs = 4L, raw = false)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+          .toSeq
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    out.toDF("doc_a", "doc_b", "n_shared_fps",
+      "a_lo", "a_hi", "b_lo", "b_hi")
+  }
+
   /** Per-document contamination fraction
     * ([[graft.dedup.Dedup.winnowContamination]]): the gating metric a
     * pipeline thresholds to route docs between keep / surgical cut
@@ -8969,6 +9059,10 @@ object SparkEntry {
     "q269_stream_surgical_curation" -> q268Sql(),
     // fresh index + fraction probe == the one-shot — q265's oracle
     "q270_winnow_index_contamination" -> q265Sql(),
+    // q264's report with both sides' raw hulls from the token map
+    "q271_winnow_self_matches_raw" -> q271Sql(),
+    // ingest-time hulls + end-of-ingest cap/pairing fold == one-shot
+    "q272_stream_winnow_self_matches" -> q264Sql(),
     // frozen index + per-batch probes fold to the batch probe — same
     "q259_stream_winnow_probe" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice

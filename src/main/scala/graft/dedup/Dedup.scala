@@ -488,6 +488,7 @@ object Dedup {
     // persistence the whole regex/shingle pipeline re-executes once per
     // branch (4x total — verified via .explain).
     val sh = shingleTable(docs, idCol, textCol, shingleK)
+      // evict: LRU — plan-lifetime cache of the plain one-shot overload
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signature via the codegen'd whole-signature expression
     // (MinHashSig): all numPerm mins in one generated loop at the scan —
@@ -512,6 +513,7 @@ object Dedup {
     val banded = withSig.select(
       col("id"),
       bandsOf(col("sig"), bands, rowsPerBand).as(Seq("band", "band_hash")))
+      // evict: LRU — plan-lifetime cache; both self-join sides read it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = banded.as("l")
       .join(banded.as("r"),
@@ -563,6 +565,7 @@ object Dedup {
     val shA = shingleTable(corpus, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shB = shingleTable(bench, benchIdCol, benchTextCol, shingleK)
+      // evict: LRU — plan-lifetime caches of the plain one-shot overload
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def banded(sh: DataFrame) = sh
       .select(col("id"),
@@ -739,14 +742,19 @@ object Dedup {
     * `maxFpDocs·(maxFpDocs−1)/2` pairs. Evidence floor as
     * [[winnowMatches]].
     *
-    * Plan shape (ONE fingerprint pass — a naive fps⨝fps self-join
-    * would compute the kernel relation three times: the cap agg plus
-    * both join sides): occurrences collapse to per-(fp, doc) hulls,
-    * each fp folds its carriers into a ≤`maxFpDocs`-struct list
-    * (STRICT memory bound — within-doc occurrence counts are already
-    * collapsed, so no degenerate doc can blow a group), ordered pairs
-    * explode map-side from the list, and the per-pair group-by is one
-    * shuffle on candidate pairs.
+    * Plan shape (ONE fingerprint pass, JOIN-FREE — a naive fps⨝fps
+    * self-join would compute the kernel relation three times: the cap
+    * agg plus both join sides): occurrences collapse to per-(fp, doc)
+    * hulls; the document-frequency cap is applied BEFORE any list
+    * aggregation as a window count over `fp` (the same shuffle key as
+    * the fold below — no extra exchange, and WindowExec streams each
+    * fp's sorted run through a SPILLABLE buffer, so a boilerplate
+    * fingerprint carried by millions of docs spills to disk instead of
+    * building one in-memory aggregation buffer); only the surviving
+    * 2..`maxFpDocs` carrier bands reach `collect_list`, so no
+    * aggregation buffer ever holds more than `maxFpDocs` structs;
+    * ordered pairs explode map-side from the bounded list, and the
+    * per-pair group-by is one shuffle on candidate pairs.
     *
     * Returns `(doc_a, doc_b, n_shared_fps, a_lo, a_hi, b_lo, b_hi)` —
     * positions in each doc's NORMALIZED text.
@@ -755,32 +763,93 @@ object Dedup {
       textCol: String,
       k: Int = graft.text.TextAnalysis.WinnowDefaultK,
       w: Int = graft.text.TextAnalysis.WinnowDefaultW,
+      minSharedFps: Int = 2, maxFpDocs: Long = 4L): DataFrame =
+    winnowSelfPairsFromHulls(winnowSelfHulls(corpus, idCol, textCol,
+      k, w), k, minSharedFps, maxFpDocs, raw = false)
+
+  /** [[winnowSelfMatches]] with RAW per-side coordinates: the q267
+    * treatment for the within-corpus report — both documents of a
+    * pair are corpus docs someone opens in an editor, so BOTH sides
+    * carry the code-point hull in the ORIGINAL text
+    * (`a_raw_lo`/`a_raw_hi`/`b_raw_lo`/`b_raw_hi`, from
+    * [[graft.text.TextAnalysis.winnowFingerprintsRaw]]) alongside the
+    * normalized hulls. Same single-kernel-pass, join-free,
+    * capped-before-aggregation plan as [[winnowSelfMatches]].
+    */
+  def winnowSelfMatchesRaw(corpus: DataFrame, idCol: String,
+      textCol: String,
+      k: Int = graft.text.TextAnalysis.WinnowDefaultK,
+      w: Int = graft.text.TextAnalysis.WinnowDefaultW,
       minSharedFps: Int = 2, maxFpDocs: Long = 4L): DataFrame = {
     import graft.text.TextAnalysis
-    require(maxFpDocs >= 2, s"maxFpDocs must be >= 2, got $maxFpDocs")
     val perDoc = TextAnalysis
-      .winnowFingerprints(corpus, idCol, textCol, k, w)
+      .winnowFingerprintsRaw(corpus, idCol, textCol, k, w)
+      .groupBy(col("fp"), col("doc_id"))
+      .agg(min(col("pos")).as("lo"), max(col("pos")).as("hi"),
+        min(col("raw_lo")).as("rlo"), max(col("raw_hi")).as("rhi"))
+    winnowSelfPairsFromHulls(perDoc, k, minSharedFps, maxFpDocs,
+      raw = true)
+  }
+
+  /** The per-(fp, doc) NORMALIZED hull frame behind
+    * [[winnowSelfMatches]] — `(fp, doc_id, lo, hi)`, one row per
+    * (fingerprint, carrying doc). This is the in-stream half of the
+    * self-report: the streaming twin fingerprints each micro-batch
+    * with this (a doc's fingerprints ride one batch) and defers the
+    * corpus-global cap + pairing to [[winnowSelfPairsFromHulls]] at
+    * end of ingest.
+    */
+  private[graft] def winnowSelfHulls(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
+    import graft.text.TextAnalysis
+    TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
       .groupBy(col("fp"), col("doc_id"))
       .agg(min(col("pos")).as("lo"), max(col("pos")).as("hi"))
-    val pairs = perDoc.groupBy(col("fp"))
-      .agg(collect_list(struct(col("doc_id"), col("lo"), col("hi")))
-        .as("__ds"))
-      .filter(size(col("__ds")) >= 2 &&
-        size(col("__ds")) <= maxFpDocs)
+  }
+
+  /** The cap + pairing fold shared by [[winnowSelfMatches]],
+    * [[winnowSelfMatchesRaw]] and the streaming twin. `perDoc` is the
+    * per-(fp, doc) hull frame (`rlo`/`rhi` raw hulls too when
+    * `raw`). The document-frequency cap runs as a window count over
+    * `fp` BEFORE `collect_list` — the aggregation buffer is bounded
+    * by `maxFpDocs` BY CONSTRUCTION, not by a post-hoc size filter
+    * (the filter-after-`collect_list` shape materializes a degenerate
+    * fingerprint's full carrier list in one non-spillable buffer
+    * before the filter can drop it).
+    */
+  private[graft] def winnowSelfPairsFromHulls(perDoc: DataFrame,
+      k: Int, minSharedFps: Int, maxFpDocs: Long,
+      raw: Boolean): DataFrame = {
+    require(maxFpDocs >= 2, s"maxFpDocs must be >= 2, got $maxFpDocs")
+    val byFp = Window.partitionBy(col("fp"))
+    val hullFields =
+      if (raw) Seq(col("doc_id"), col("lo"), col("hi"),
+        col("rlo"), col("rhi"))
+      else Seq(col("doc_id"), col("lo"), col("hi"))
+    val pairs = perDoc
+      .withColumn("__nd", count(lit(1)).over(byFp))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxFpDocs)
+      .groupBy(col("fp"))
+      .agg(collect_list(struct(hullFields: _*)).as("__ds"))
       .select(col("fp"), explode(flatten(transform(col("__ds"), a =>
         transform(
           filter(col("__ds"), b =>
             b.getField("doc_id") > a.getField("doc_id")),
           b => struct(a.as("a"), b.as("b")))))).as("__p"))
+    val aggs = Seq(
+      countDistinct(col("fp")).as("n_shared_fps"),
+      min(col("__p.a.lo")).as("a_lo"),
+      (max(col("__p.a.hi")) + lit(k - 1).cast("long")).as("a_hi")) ++
+      (if (raw) Seq(min(col("__p.a.rlo")).as("a_raw_lo"),
+        max(col("__p.a.rhi")).as("a_raw_hi")) else Nil) ++
+      Seq(min(col("__p.b.lo")).as("b_lo"),
+        (max(col("__p.b.hi")) + lit(k - 1).cast("long")).as("b_hi")) ++
+      (if (raw) Seq(min(col("__p.b.rlo")).as("b_raw_lo"),
+        max(col("__p.b.rhi")).as("b_raw_hi")) else Nil)
     pairs
       .groupBy(col("__p.a.doc_id").as("doc_a"),
         col("__p.b.doc_id").as("doc_b"))
-      .agg(
-        countDistinct(col("fp")).as("n_shared_fps"),
-        min(col("__p.a.lo")).as("a_lo"),
-        (max(col("__p.a.hi")) + lit(k - 1).cast("long")).as("a_hi"),
-        min(col("__p.b.lo")).as("b_lo"),
-        (max(col("__p.b.hi")) + lit(k - 1).cast("long")).as("b_hi"))
+      .agg(aggs.head, aggs.tail: _*)
       .filter(col("n_shared_fps") >= minSharedFps)
   }
 
@@ -811,10 +880,21 @@ object Dedup {
     import graft.text.TextAnalysis
     val d = TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
       .select(col("doc_id"), col("fp")).distinct()
-    val bset = winnowBenchSide(bench, benchIdCol, benchTextCol, k, w,
+    val bset0 = winnowBenchSide(bench, benchIdCol, benchTextCol, k, w,
       maxBenchFpFreq, maxBenchFpDocFrac)
       .select(col("fp")).distinct()
       .withColumn("__m", lit(1))
+    // explicit size-gated broadcast hint (the Encoding idiom — a bare
+    // auto-broadcast reliance was the engine's one inconsistency
+    // here): one count of the already-aggregated benchmark-sized fp
+    // set (~24 B/row of long fp + flag), hint only while it fits; an
+    // oversized bench side degrades to a shuffle join, never a driver
+    // OOM. Join semantics identical either way.
+    val bset =
+      if (bset0.count() * 24L <=
+          graft.encode.Encoding.DefaultAutoBroadcastDimBytes)
+        broadcast(bset0)
+      else bset0
     d.join(bset, Seq("fp"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fps"),
@@ -862,7 +942,10 @@ object Dedup {
       benchTextCol, k, w, maxBenchFpFreq, maxBenchFpDocFrac)
     // per-pair evidence floor as a WINDOW over the match rows (a
     // window can't take count(DISTINCT), so size∘collect_set — the
-    // per-pair fp set is maxBenchFpFreq-bounded): one shuffle on
+    // per-pair fp set is bounded by the DOC's distinct fingerprints,
+    // ~n/w of its normalized length: maxBenchFpFreq caps how many
+    // BENCH rows each fp fans out to, not how many distinct fps a
+    // near-full-copy doc shares with one bench item): one shuffle on
     // (doc_id, bench_id), match rows computed ONCE — the previous
     // groupBy+join-back shape computed them twice and pinned a
     // session-lifetime persist() with no release path (the r15
@@ -1052,6 +1135,7 @@ object Dedup {
     // eagerly persisted: the index is the reusable artifact — callers
     // probe it many times (and updateIndex merges against it)
     val idx = bucketOwners(docs, idCol, textCol, shingleK, bands, rowsPerBand)
+      // evict: caller-owned standing artifact — released when the caller drops or replaces the index
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     idx.count()
     idx
@@ -1284,6 +1368,7 @@ object Dedup {
     val merged = index
       .unionByName(newIndexRows(index, survivors, idCol, textCol,
         shingleK, bands, rowsPerBand))
+      // evict: caller-owned — the refreshed artifact replaces (and the caller unpersists/drops) the old index
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     merged.count() // materialize before the caller drops its old index
     merged
@@ -1338,6 +1423,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("sig"), c * lit(bitsPer))
           .bitwiseAND((1L << bitsPer) - 1L))).as(Seq("chunk", "chunk_val")))
+      // evict: LRU — plan-lifetime cache; both self-join sides read it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("l")
       .join(banded.as("r"),
@@ -1379,6 +1465,7 @@ object Dedup {
       .withColumn("sh", shinglesFromWords(col("__ws"), n))
       .drop("__ws")
       .filter(size(col("sh")) > 0) // 0/0 jaccard would throw under ANSI
+      // evict: LRU — plan-lifetime cache of the plain one-shot overload
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def exactPairs(part: DataFrame): DataFrame =
@@ -1421,6 +1508,7 @@ object Dedup {
       // banding carries (id, block, band, band_hash) — never shingles
       val banded = withSig.select(col("id"), col("block"),
         posexplode(col("sig")).as(Seq("band", "band_hash")))
+        // evict: LRU — plan-lifetime cache; both self-join sides read it
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candidates = banded.as("l").join(banded.as("r"),
         col("l.block") === col("r.block") &&
@@ -1640,6 +1728,7 @@ object Dedup {
       embs: DataFrame, idCol: String, vecCol: String, threshold: Double,
       tables: Int = 12, planes: Int = 6, seed: Long = 42L): DataFrame = {
     val b = graft.similarity.Ann.lshBuckets(embs, idCol, vecCol, tables, planes, seed)
+      // evict: LRU — plan-lifetime cache; both self-join sides read it
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     b.as("l").join(b.as("r"),
       col("l.table") === col("r.table") &&
@@ -1662,6 +1751,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val e = embs.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+      // evict: LRU — plan-lifetime cache of the brute-force verification-scale path
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.as("l").join(e.as("r"), col("l.id") < col("r.id"))
       .withColumn("cos", cosine(col("l.v"), col("r.v")))

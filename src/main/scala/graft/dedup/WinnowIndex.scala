@@ -76,12 +76,23 @@ object WinnowIndex {
   def refresh(newBench: DataFrame, benchIdCol: String,
       benchTextCol: String, name: String): Unit = {
     val spark = newBench.sparkSession
-    val m = spark.table(metaTable(name)).head()
+    val meta = spark.table(metaTable(name))
+    val m = meta.head()
+    // resolve by FIELD NAME with a default: an index built before the
+    // buckets column was frozen into _meta has a 3-column meta row —
+    // those artifacts were all written under the then-hardcoded 16
+    // buckets, so 16 is exact for them, and a positional read here
+    // would throw on every standing pre-change index (silent format
+    // break)
+    val buckets =
+      if (meta.schema.fieldNames.contains("buckets"))
+        m.getInt(meta.schema.fieldIndex("buckets"))
+      else 16
     graft.text.TextAnalysis
       .winnowFingerprints(newBench, benchIdCol, benchTextCol,
         m.getInt(0), m.getInt(1))
       .select(col("fp"), col("doc_id").as("bench_id"), col("pos"))
-      .write.bucketBy(m.getInt(3), "fp").sortBy("fp")
+      .write.bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").mode("append").saveAsTable(fpsTable(name))
   }
 

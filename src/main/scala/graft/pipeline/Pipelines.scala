@@ -463,6 +463,15 @@ object Pipelines {
         cfg.importanceUnigrams))
     val deconned =
       if (cfg.surgicalDecon) {
+        // the surgical stage evaluates `selected` THREE times — the
+        // raw fingerprint pass and the raws side inside
+        // winnowDecontaminateRaw, plus the join-back's left side —
+        // so persist it here and the regex-heavy scrub→gate chain
+        // above runs once, not 3× per curation (released via the
+        // returned handle, or LRU-evicted under the plain overload)
+        val selectedP = selected.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += selectedP
         // winnow surgery needs a benchmark identity column; md5 of the
         // (deduped) text is deterministic and collapses duplicate
         // benchmark items into one — see the config note
@@ -470,11 +479,11 @@ object Pipelines {
           .select(md5(coalesce(col("text"), lit(""))).as("__bid"),
             col("text"))
         val cut = graft.dedup.Dedup.winnowDecontaminateRaw(
-            selected, "doc_id", "text", bench, "__bid", "text",
+            selectedP, "doc_id", "text", bench, "__bid", "text",
             minSharedFps = cfg.surgicalMinSharedFps,
             maxBenchFpFreq = cfg.surgicalMaxBenchFpFreq)
           .select(col("doc_id"), col("text_clean"))
-        selected.drop("text")
+        selectedP.drop("text")
           .join(cut, Seq("doc_id"))
           .withColumnRenamed("text_clean", "text")
           .filter(trim(col("text")) =!= "")

@@ -345,6 +345,8 @@ object GdMf {
     var lastCpI: Option[DatasetBridge.FreshCheckpoint] = None
     var prevU: Option[DatasetBridge.FreshCheckpoint] = None
     def persistErr(df: DataFrame): DataFrame = {
+      // released: drained by pendingErr.foreach(_.unpersist()) at the
+      // checkpoint cuts and at trainer exit
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       pendingErr += p
       p
@@ -455,6 +457,7 @@ object GdMf {
       def errOf(u: RDD[InternalRow], i: RDD[InternalRow]): RDD[InternalRow] =
         PlanTemplate.runToRdd(PlanTemplate.instantiate(spark, tErr,
           Seq(factsBind, Bind(uLeaf, u), Bind(iLeaf, i))))
+          // released: every errOf result is unpersisted by the epoch loop below
           .persist(StorageLevel.MEMORY_AND_DISK)
       // the err rows inherit the facts' hash(u_id) partitioning
       // (broadcast joins preserve the streamed side); declaring it on

@@ -98,4 +98,53 @@ class SkewStressSpec extends SparkSpec {
     assert(agg === ((60000L + 1L, 18000L - 1L)))
     assert(sec < 120.0, s"paragraphDedup skew run took $sec s")
   }
+
+  test("winnowSelfMatches: a boilerplate fingerprint in 10k docs is capped BEFORE aggregation") {
+    // every doc carries the same license-header boilerplate (its
+    // fingerprints land in 10^4 carrier docs — the shape that built
+    // one unbounded collect_list buffer in the round-16 form); two
+    // planted docs additionally share a long distinctive run that the
+    // report must localize
+    val boiler = "this corpus ships one boilerplate license header " +
+      "carried by every single document in the fixture"
+    val planted = "the two planted documents additionally share this " +
+      "very long and quite distinctive run of text that winnowing " +
+      "must localize and report as a shared span between exactly " +
+      "those two documents and nobody else in the whole corpus"
+    // the per-doc tail starts with the ZERO-PADDED doc id, so a gram
+    // spanning the boiler→tail junction is either carried by ≥10 docs
+    // (a shared id prefix — capped away) or by exactly one (the full
+    // id is unique); a raw random/hash tail here lets two docs
+    // sharing a few leading hex chars form a coincidental pair
+    val docs = spark.range(10000L).select(
+      col("id").as("doc_id"),
+      concat(lit(boiler + " "),
+        when(col("id").isin(3L, 7L), lit(planted + " "))
+          .otherwise(lit("")),
+        lit("tail "), lpad(col("id").cast("string"), 10, "0"),
+        lit(" "), md5(col("id").cast("string"))).as("text"))
+    val report = graft.dedup.Dedup.winnowSelfMatches(docs, "doc_id",
+      "text", k = 20, w = 8, minSharedFps = 2, maxFpDocs = 4L)
+    val (rows, sec) = timed(report.collect())
+    // the boilerplate fps (10^4 carriers) die at the cap, so NO pair
+    // among the 9,998 boilerplate-only docs survives; the planted fps
+    // (2 carriers) survive and localize the one real pair
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((3L, 7L)), s"expected exactly the planted pair, got ${rows.toSeq}")
+    assert(rows.head.getLong(2) >= 2L, "planted run under evidence floor")
+    assert(sec < 120.0, s"self-matches skew run took $sec s")
+    // plan shape: the doc-frequency cap (a Filter on the window count)
+    // must sit BELOW the collect_list aggregate — i.e. print AFTER it
+    // in the plan tree — so no aggregation buffer ever holds an
+    // uncapped carrier list; and the pairing stays join-free
+    val p = report.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"self-matches must not join:\n$p")
+    val aggAt = p.indexOf("collect_list")
+    val capAt = p.indexOf("__nd")
+    val winAt = p.indexOf("Window")
+    assert(aggAt >= 0 && capAt >= 0 && winAt >= 0,
+      s"expected collect_list above a windowed __nd cap:\n$p")
+    assert(aggAt < capAt && aggAt < winAt,
+      s"cap must run BEFORE the collect_list aggregate:\n$p")
+  }
 }
