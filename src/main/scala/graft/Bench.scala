@@ -133,7 +133,12 @@ object Bench {
     // cap is the only thing between this and all-pairs). q260–q262
     // are q257's surgery with the raw kernel, q263/q265/q266 are
     // index-sized or map+broadcast passes (the q123 no-slot rule).
-    "q264_winnow_self_matches")
+    "q264_winnow_self_matches",
+    // round-17 surface: the raw-coordinate self-report is the one
+    // genuinely new heavy shape (the raw kernel's inline-normalize
+    // replay + alignment map on top of q264's capped pairing). q272
+    // folds the same pairing at end of ingest (twin rule).
+    "q271_winnow_self_matches_raw")
   // round-14 first-half surface kept NO new slots — q217/q218 fold the
   // measured q202 star kernel, q219 composes measured curation +
   // manifest stages, q220 composes measured gate kernels (the q123

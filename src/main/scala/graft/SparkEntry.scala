@@ -4101,7 +4101,13 @@ object SparkEntry {
     "q269_stream_surgical_curation" -> (q269 _),
     "q270_winnow_index_contamination" -> (q270 _),
     "q271_winnow_self_matches_raw" -> (q271 _),
-    "q272_stream_winnow_self_matches" -> (q272 _))
+    "q272_stream_winnow_self_matches" -> (q272 _),
+    "q273_winnow_route" -> (q273 _),
+    "q274_stream_winnow_route" -> (q274 _),
+    "q275_winnow_index_route" -> (q275 _),
+    "q276_winnow_route_report" -> (q276 _),
+    "q277_routed_curation" -> (q277 _),
+    "q278_stream_routed_curation" -> (q278 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -7541,6 +7547,259 @@ object SparkEntry {
       "a_lo", "a_hi", "b_lo", "b_hi")
   }
 
+  /** The q273/q274/q275 benchmark fixture — q265's (first-half words
+    * of every tenth doc, ids offset to 500000).
+    */
+  private def winnowRouteBench(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000L).as("bench_id"),
+        array_join(slice(ws, lit(1),
+          greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+          .as("text"))
+  }
+
+  /** Contamination-fraction ROUTING ([[graft.dedup.Dedup.winnowRoute]]):
+    * the disposition a pipeline takes with q265's metric in one call —
+    * fraction ≥ 0.4 drops the doc, the [0.05, 0.4) mid band is
+    * surgically cut (q260's raw surgery — original bytes minus the
+    * spans), the noise floor keeps the original text byte-identical.
+    * The fixture's bench sources land in the drop band, partial
+    * quoters in cut, the rest keep — all three verdicts populated.
+    */
+  private def q273(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowRoute(Tables.documents(s, dir), "doc_id", "text",
+      winnowRouteBench(s, dir), "bench_id", "text",
+      cutFloor = 0.05, dropFloor = 0.4,
+      k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+
+  /** The q273 oracle: the q265 fraction chain and the q260 surgery
+    * chain over the SAME token-map CTEs, routed by the two floors.
+    */
+  private def q273Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFreq: Int = 64, cutFloor: Double = 0.05,
+      dropFloor: Double = 0.4): String =
+    "WITH " + winnowRawFpCtes(k, w) + ",\n" +
+      winnowRawSurgeryCtes(k, w, minShared, maxFreq,
+        winnowBenchSrc, "documents") + ",\n" +
+    s"""cdfp AS (SELECT DISTINCT doc_id, fp FROM dfp),
+       |cbset AS (SELECT DISTINCT fp FROM bfp JOIN rare USING (fp)),
+       |fr AS (SELECT d.doc_id,
+       |         round(CAST(count(b.fp) AS DOUBLE) / count(*), 6)
+       |           AS frac
+       |       FROM cdfp d LEFT JOIN cbset b ON b.fp = d.fp
+       |       GROUP BY 1)
+       |SELECT n.doc_id,
+       |       round(coalesce(fr.frac, 0.0), 6) AS contamination_frac,
+       |       CASE WHEN coalesce(fr.frac, 0.0) >= $dropFloor
+       |              THEN 'drop'
+       |            WHEN coalesce(fr.frac, 0.0) >= $cutFloor THEN 'cut'
+       |            ELSE 'keep' END AS verdict,
+       |       CASE WHEN coalesce(fr.frac, 0.0) >= $dropFloor THEN NULL
+       |            WHEN coalesce(fr.frac, 0.0) >= $cutFloor
+       |              THEN s.text_clean
+       |            ELSE n.text END AS text_out
+       |FROM documents n
+       |LEFT JOIN fr USING (doc_id)
+       |LEFT JOIN surgout s USING (doc_id)""".stripMargin
+
+  /** Streaming routing twin — the keep/cut/drop gate at ingest: every
+    * doc's fraction and surgery depend only on its own fingerprints
+    * and the FROZEN benchmark side, so each micro-batch runs
+    * [[graft.dedup.Dedup.winnowRoute]] verbatim (the q231
+    * frozen-static-side pattern) and the union over any split equals
+    * the batch run — shares q273's oracle.
+    */
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    val bench = winnowRouteBench(s, dir).localCheckpoint(true)
+    val stream = StreamingPrep.streamDocuments(s, dir)
+      .select("doc_id", "text")
+    val buf = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Double, String, String)]
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buf ++= Dedup.winnowRoute(b.localCheckpoint(true),
+            "doc_id", "text", bench, "bench_id", "text",
+            cutFloor = 0.05, dropFloor = 0.4,
+            k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+            r.getString(3)))
+        ()
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "contamination_frac", "verdict",
+      "text_out")
+  }
+
+  /** ROUTED surgical curation —
+    * `curateCorpus(surgicalDecon = true, routeFloors = Some((0.05,
+    * 0.4)))` end to end: the q268 pipeline with the decontamination
+    * stage upgraded to the keep/cut/drop disposition — benchmark
+    * copies (fraction ≥ 0.4) DROP instead of surviving as husks,
+    * partial quoters are cut, the noise floor passes with no surgery
+    * artifacts. Gates the export units so the routed text itself is
+    * hash-compared.
+    */
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(array_join(slice(ws, lit(1),
+        greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+        .as("text"))
+    val res = Pipelines.exportTrainingData(docs, bench,
+      cfg = Pipelines.CurationConfig(surgicalDecon = true,
+        routeFloors = Some((0.05, 0.4))), nShards = 8)
+    val out = res.units.localCheckpoint()
+    res.release()
+    out
+  }
+
+  /** The q277 oracle: q268's gated chain + surgery, plus the fraction
+    * CTE over the same token-map fingerprints, routed by the floors —
+    * the drop band filtered before the empty-survivor and dedup
+    * stages.
+    */
+  private def q277Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFreq: Int = 64, cutFloor: Double = 0.05,
+      dropFloor: Double = 0.4): String =
+    "WITH " + q219GatedCtes + ",\n" +
+      winnowRawFpCtes(k, w, srcRel = "gated") + ",\n" +
+      winnowRawSurgeryCtes(k, w, minShared, maxFreq,
+        q268BenchSrc, "gated") + ",\n" +
+      s"""fr AS (SELECT d.doc_id,
+         |         round(CAST(count(b.fp) AS DOUBLE) / count(*), 6)
+         |           AS frac
+         |       FROM (SELECT DISTINCT doc_id, fp FROM dfp) d
+         |       LEFT JOIN (SELECT DISTINCT fp FROM bfp
+         |                  JOIN rare USING (fp)) b ON b.fp = d.fp
+         |       GROUP BY 1),
+         |routed AS (
+         |  SELECT g.doc_id,
+         |    CASE WHEN coalesce(fr.frac, 0.0) >= $cutFloor
+         |           THEN s.text_clean ELSE g.text END AS text
+         |  FROM gated g
+         |  LEFT JOIN fr USING (doc_id)
+         |  LEFT JOIN surgout s USING (doc_id)
+         |  WHERE coalesce(fr.frac, 0.0) < $dropFloor),
+         |surg AS (SELECT doc_id, text FROM routed
+         |         WHERE trim(text) <> ''),
+         |ddp AS (
+         |  SELECT doc_id, text,
+         |         row_number() OVER (PARTITION BY
+         |           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |           ORDER BY doc_id) AS rk
+         |  FROM surg)
+         |SELECT doc_id, text FROM ddp WHERE rk = 1""".stripMargin
+
+  /** Streaming routed curation — the q269 harness with
+    * [[graft.streaming.StreamingCuration.FrozenConfig.routeFloors]]:
+    * each arriving doc routes keep/cut/drop against the FROZEN
+    * benchmark side (batch-local verdicts), the cross-batch dedup
+    * keys on the post-routing text, ordered ingest folds keep-first
+    * to the batch run — q277's oracle shared verbatim.
+    */
+  private def q278(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val d = Tables.documents(s, dir)
+    val ws = graft.text.TextAnalysis.words(
+      graft.text.TextAnalysis.normalizeText(col("text")))
+    val bench = d.filter(col("doc_id") % 10 === 0)
+      .select(array_join(slice(ws, lit(1),
+        greatest((size(ws) / lit(2)).cast("int"), lit(5))), " ")
+        .as("text"))
+      .localCheckpoint()
+    val scratch = scratchDir("stream_routed_curation")
+    val stream = stageOrderedBatches(s, scratch,
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType))),
+      midpointHalves(d.select("doc_id", "text", "source")))
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = graft.streaming.StreamingCuration.start(
+      stream, "doc_id", bench,
+      graft.streaming.StreamingCuration.FrozenConfig(
+        surgicalDecon = true, routeFloors = Some((0.05, 0.4))),
+      mixtureRates = None,
+      fpIndexTable = s"graft_src_fp_$sfx",
+      packStateTable = s"graft_src_pack_$sfx") { (batch, _) =>
+      buf ++= batch.select(col("doc_id"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.sql(s"DROP TABLE IF EXISTS graft_src_fp_$sfx")
+      s.sql(s"DROP TABLE IF EXISTS graft_src_pack_$sfx")
+    }
+    import s.implicits._
+    buf.toSeq.toDF("doc_id", "text")
+  }
+
+  /** Per-source routing audit
+    * ([[graft.dedup.Dedup.winnowRouteReport]]): the data-card rollup a
+    * pipeline owner reads to see WHICH source quotes the benchmark —
+    * per `source`, verdict counts, fixed-point contamination mass and
+    * surgically removed characters (q245's intake report gets its
+    * contamination sibling).
+    */
+  private def q276(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowRouteReport(Tables.documents(s, dir), "doc_id", "text",
+      "source", winnowRouteBench(s, dir), "bench_id", "text",
+      cutFloor = 0.05, dropFloor = 0.4,
+      k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+
+  /** The q276 oracle: q273's routed relation as a derived table,
+    * joined back to `documents` for the group key and original
+    * length, folded per source with the fsum fixed-point discipline.
+    */
+  private def q276Sql(): String =
+    s"""WITH routedq AS (SELECT * FROM (${q273Sql()})),
+       |dl AS (SELECT doc_id, source,
+       |         length(coalesce(text, '')) AS olen FROM documents)
+       |SELECT d.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(CASE WHEN r.verdict = 'keep' THEN 1 END)
+       |         AS BIGINT) AS n_keep,
+       |       CAST(count(CASE WHEN r.verdict = 'cut' THEN 1 END)
+       |         AS BIGINT) AS n_cut,
+       |       CAST(count(CASE WHEN r.verdict = 'drop' THEN 1 END)
+       |         AS BIGINT) AS n_drop,
+       |       CAST(sum(CAST(floor(r.contamination_frac * 1e6)
+       |         AS BIGINT)) AS BIGINT) AS contamination_fp6_sum,
+       |       CAST(sum(CASE WHEN r.verdict = 'cut'
+       |                THEN d.olen - length(r.text_out)
+       |                ELSE 0 END) AS BIGINT) AS n_removed_chars
+       |FROM routedq r JOIN dl d USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
+  /** Index-probed routing ([[graft.dedup.WinnowIndex.route]]): the
+    * keep/cut/drop disposition under the standing-artifact cost model
+    * (frozen geometry + too-common model). On a fresh index
+    * row-identical to the one-shot — shares q273's oracle;
+    * checkpointed before the tables drop (the q258 discipline).
+    */
+  private def q275(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_rtidx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      graft.dedup.WinnowIndex.build(winnowRouteBench(s, dir),
+        "bench_id", "text", name, k = 20, w = 8)
+      graft.dedup.WinnowIndex.route(s, name, Tables.documents(s, dir),
+        "doc_id", "text", cutFloor = 0.05, dropFloor = 0.4,
+        minSharedFps = 2, maxBenchFpFreq = 64L)
+        .localCheckpoint()
+    } finally graft.dedup.WinnowIndex.drop(s, name)
+  }
+
   /** Per-document contamination fraction
     * ([[graft.dedup.Dedup.winnowContamination]]): the gating metric a
     * pipeline thresholds to route docs between keep / surgical cut
@@ -9063,6 +9322,18 @@ object SparkEntry {
     "q271_winnow_self_matches_raw" -> q271Sql(),
     // ingest-time hulls + end-of-ingest cap/pairing fold == one-shot
     "q272_stream_winnow_self_matches" -> q264Sql(),
+    // keep/cut/drop routing: q265's fraction chain + q260's surgery
+    "q273_winnow_route" -> q273Sql(),
+    // per-batch routing vs the frozen bench folds to the batch run
+    "q274_stream_winnow_route" -> q273Sql(),
+    // fresh index + routing probe == the one-shot — q273's oracle
+    "q275_winnow_index_route" -> q273Sql(),
+    // per-source routing audit: verdict counts + fp6 mass + removed
+    "q276_winnow_route_report" -> q276Sql(),
+    // routed curation end-to-end: gates → keep/cut/drop → dedup → units
+    "q277_routed_curation" -> q277Sql(),
+    // ordered ingest + frozen bench folds to the batch run
+    "q278_stream_routed_curation" -> q277Sql(),
     // frozen index + per-batch probes fold to the batch probe — same
     "q259_stream_winnow_probe" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice

@@ -904,6 +904,122 @@ object Dedup {
           / col("n_fps").cast("double"), 6))
   }
 
+  /** Contamination-fraction ROUTING — the disposition decision a
+    * production pipeline actually takes with [[winnowContamination]]'s
+    * metric: docs at or above `dropFloor` are dropped outright (a
+    * benchmark copy is not salvageable), the `[cutFloor, dropFloor)`
+    * mid band is SURGICALLY cut ([[winnowDecontaminateRaw]] — keep the
+    * book, cut the quote), and the noise floor below `cutFloor` passes
+    * through byte-identical. One call answers keep / cut / drop per
+    * doc instead of the caller wiring three operators.
+    *
+    * Returns `(doc_id, contamination_frac, verdict, text_out)` — one
+    * row per corpus doc; `verdict ∈ {keep, cut, drop}`; `text_out` is
+    * the ORIGINAL text for keep, the original bytes minus the matched
+    * spans for cut, NULL for drop. Docs shorter than k carry no
+    * fingerprints → fraction 0 → keep.
+    *
+    * Scale shape: the fraction pass is [[winnowContamination]]'s (one
+    * kernel pass + size-gated broadcast join + per-doc agg); the raw
+    * surgical pass runs over the FULL corpus rather than the mid band
+    * — deliberately: filtering the surgery input by fraction would
+    * embed (and re-execute) the fraction aggregation in all three
+    * places the surgery reads its corpus, whereas the full pass is
+    * one extra map-only kernel scan, partition-parallel and
+    * predictable, and its match join is benchmark-capped regardless.
+    * A caller holding a persisted fraction frame can pre-filter and
+    * call the pieces directly.
+    */
+  def winnowRoute(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      cutFloor: Double, dropFloor: Double,
+      k: Int = graft.text.TextAnalysis.WinnowDefaultK,
+      w: Int = graft.text.TextAnalysis.WinnowDefaultW,
+      minSharedFps: Int = 2, maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
+    val fr = winnowContamination(corpus, idCol, textCol, bench,
+        benchIdCol, benchTextCol, k, w, maxBenchFpFreq,
+        maxBenchFpDocFrac)
+      .select(col("doc_id"), col("contamination_frac"))
+    val cleaned = winnowDecontaminateRaw(corpus, idCol, textCol, bench,
+        benchIdCol, benchTextCol, k, w, minSharedFps, maxBenchFpFreq,
+        maxBenchFpDocFrac)
+      .select(col("doc_id"), col("text_clean"))
+    winnowRouteAssemble(
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("__raw")),
+      fr, cleaned, cutFloor, dropFloor)
+  }
+
+  /** The verdict/text assembly shared by [[winnowRoute]] and
+    * [[WinnowIndex.route]]: base `(doc_id, __raw)` ⟕ fractions ⟕
+    * cleaned text, routed by the two floors. Fraction and surgery
+    * rows are per-doc aggregates of the corpus — the joins are
+    * doc-count-sized on both sides.
+    */
+  private[dedup] def winnowRouteAssemble(base: DataFrame, fr: DataFrame,
+      cleaned: DataFrame, cutFloor: Double,
+      dropFloor: Double): DataFrame = {
+    require(cutFloor > 0.0 && cutFloor <= dropFloor,
+      s"need 0 < cutFloor <= dropFloor, got ($cutFloor, $dropFloor)")
+    val f = coalesce(col("contamination_frac"), lit(0.0))
+    base
+      .join(fr, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(f, 6).as("contamination_frac"),
+        when(f >= dropFloor, lit("drop"))
+          .when(f >= cutFloor, lit("cut"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(f >= dropFloor, lit(null).cast("string"))
+          .when(f >= cutFloor, col("text_clean"))
+          .otherwise(col("__raw")).as("text_out"))
+  }
+
+  /** Per-group routing AUDIT — the data-card rollup of
+    * [[winnowRoute]]: per `groupCol` (source, domain, shard…), doc
+    * counts by verdict, the fixed-point contamination mass, and the
+    * characters the mid band's surgery removed. This is the report a
+    * pipeline owner reads to see WHICH source is quoting the
+    * benchmark — the q245 per-source intake report's contamination
+    * sibling.
+    *
+    * Returns `(<groupCol>, n_docs, n_keep, n_cut, n_drop,
+    * contamination_fp6_sum, n_removed_chars)`.
+    * `contamination_fp6_sum` is `Σ floor(frac·1e6)` as a long — an
+    * integer fold, order-independent where a double mean is not (the
+    * engine's fsum discipline); divide by `n_docs·1e6` for the mean.
+    *
+    * Scale shape: [[winnowRoute]]'s passes plus one doc-count-sized
+    * join back to the corpus scan for the group key and one group agg.
+    */
+  def winnowRouteReport(corpus: DataFrame, idCol: String,
+      textCol: String, groupCol: String, bench: DataFrame,
+      benchIdCol: String, benchTextCol: String,
+      cutFloor: Double, dropFloor: Double,
+      k: Int = graft.text.TextAnalysis.WinnowDefaultK,
+      w: Int = graft.text.TextAnalysis.WinnowDefaultW,
+      minSharedFps: Int = 2, maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
+    val routed = winnowRoute(corpus, idCol, textCol, bench, benchIdCol,
+      benchTextCol, cutFloor, dropFloor, k, w, minSharedFps,
+      maxBenchFpFreq, maxBenchFpDocFrac)
+    val keys = corpus.select(col(idCol).as("doc_id"),
+      col(groupCol),
+      length(coalesce(col(textCol), lit(""))).as("__olen"))
+    routed.join(keys, Seq("doc_id"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("verdict") === "keep", 1)).as("n_keep"),
+        count(when(col("verdict") === "cut", 1)).as("n_cut"),
+        count(when(col("verdict") === "drop", 1)).as("n_drop"),
+        sum(floor(col("contamination_frac") * lit(1e6)).cast("long"))
+          .as("contamination_fp6_sum"),
+        sum(when(col("verdict") === "cut",
+            col("__olen").cast("long") - length(col("text_out")))
+          .otherwise(lit(0L))).as("n_removed_chars"))
+  }
+
   /** SURGICAL decontamination — remove the matched REGIONS instead of
     * dropping whole documents: where [[graft.pipeline.Curation]]'s
     * whole-doc decontaminate throws away a book because it quotes one

@@ -228,6 +228,29 @@ object WinnowIndex {
           / col("n_fps").cast("double"), 6))
   }
 
+  /** Contamination-fraction ROUTING against the frozen artifact — the
+    * standing-service form of [[Dedup.winnowRoute]]: keep / cut / drop
+    * per arriving doc under the build-time geometry and too-common
+    * model ([[contamination]]'s fraction + [[decontaminateRaw]]'s
+    * surgery + the shared assembly). On a fresh index row-identical to
+    * the one-shot operator (gated: shares its oracle).
+    */
+  def route(spark: SparkSession, name: String, corpus: DataFrame,
+      idCol: String, textCol: String, cutFloor: Double,
+      dropFloor: Double, minSharedFps: Int = 2,
+      maxBenchFpFreq: Long = 64L,
+      maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
+    val fr = contamination(spark, name, corpus, idCol, textCol,
+        maxBenchFpFreq, maxBenchFpDocFrac)
+      .select(col("doc_id"), col("contamination_frac"))
+    val cleaned = decontaminateRaw(spark, name, corpus, idCol, textCol,
+        minSharedFps, maxBenchFpFreq, maxBenchFpDocFrac)
+      .select(col("doc_id"), col("text_clean"))
+    Dedup.winnowRouteAssemble(
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("__raw")),
+      fr, cleaned, cutFloor, dropFloor)
+  }
+
   /** Drop all three tables (test/maintenance convenience). */
   def drop(spark: SparkSession, name: String): Unit =
     Seq(fpsTable _, freqTable _, metaTable _).foreach { t =>

@@ -172,6 +172,17 @@ object Pipelines {
       surgicalDecon: Boolean = false,
       surgicalMinSharedFps: Int = 2,
       surgicalMaxBenchFpFreq: Long = 64L,
+      // contamination-fraction ROUTING for the surgical stage (only
+      // meaningful with surgicalDecon = true): (cutFloor, dropFloor).
+      // Docs whose contamination fraction (share of distinct winnow
+      // fps matching the capped benchmark — Dedup.winnowContamination)
+      // reaches dropFloor are dropped OUTRIGHT (a benchmark copy is
+      // not salvageable by surgery), the [cutFloor, dropFloor) mid
+      // band is surgically cut, and the noise floor below cutFloor
+      // passes through untouched (no surgery artifacts from
+      // coincidental fingerprint hits). None = cut every matched doc
+      // (the plain surgical stage).
+      routeFloors: Option[(Double, Double)] = None,
       // DSIR importance-resample gate thresholds (used only when an
       // importanceTarget is passed to curateCorpus): keep docs whose
       // fixed-point target/raw affinity clears this floor (1e9 =
@@ -478,11 +489,26 @@ object Pipelines {
         val bench = benchmark.select(col("text")).distinct()
           .select(md5(coalesce(col("text"), lit(""))).as("__bid"),
             col("text"))
-        val cut = graft.dedup.Dedup.winnowDecontaminateRaw(
-            selectedP, "doc_id", "text", bench, "__bid", "text",
-            minSharedFps = cfg.surgicalMinSharedFps,
-            maxBenchFpFreq = cfg.surgicalMaxBenchFpFreq)
-          .select(col("doc_id"), col("text_clean"))
+        // routed form: the drop band vanishes here (inner join-back),
+        // the mid band carries its surgically cut text, the noise
+        // floor carries the original — one fraction pass on top of
+        // the plain stage's surgery
+        val cut = cfg.routeFloors match {
+          case Some((cutFloor, dropFloor)) =>
+            graft.dedup.Dedup.winnowRoute(
+                selectedP, "doc_id", "text", bench, "__bid", "text",
+                cutFloor = cutFloor, dropFloor = dropFloor,
+                minSharedFps = cfg.surgicalMinSharedFps,
+                maxBenchFpFreq = cfg.surgicalMaxBenchFpFreq)
+              .filter(col("verdict") =!= "drop")
+              .select(col("doc_id"), col("text_out").as("text_clean"))
+          case None =>
+            graft.dedup.Dedup.winnowDecontaminateRaw(
+                selectedP, "doc_id", "text", bench, "__bid", "text",
+                minSharedFps = cfg.surgicalMinSharedFps,
+                maxBenchFpFreq = cfg.surgicalMaxBenchFpFreq)
+              .select(col("doc_id"), col("text_clean"))
+        }
         selectedP.drop("text")
           .join(cut, Seq("doc_id"))
           .withColumnRenamed("text_clean", "text")

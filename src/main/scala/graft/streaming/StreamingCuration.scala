@@ -69,7 +69,14 @@ object StreamingCuration {
       // POST-surgery fingerprint, exactly like the batch pipeline.
       surgicalDecon: Boolean = false,
       surgicalMinSharedFps: Int = 2,
-      surgicalMaxBenchFpFreq: Long = 64L)
+      surgicalMaxBenchFpFreq: Long = 64L,
+      // contamination-fraction routing for the surgical stage — the
+      // streaming face of CurationConfig.routeFloors: (cutFloor,
+      // dropFloor); ≥ dropFloor drops the arriving doc outright, the
+      // mid band is cut, the noise floor passes untouched. Fractions
+      // depend only on the doc and the FROZEN benchmark side, so the
+      // stage stays batch-local.
+      routeFloors: Option[(Double, Double)] = None)
 
   /** Start the stream. `benchmark` (decontamination corpus) and
     * `mixtureRates` (a [[Curation.mixtureRates]] snapshot keyed on
@@ -149,11 +156,23 @@ object StreamingCuration {
             val bm = benchmark.select(col("text")).distinct()
               .select(md5(coalesce(col("text"), lit(""))).as("__bid"),
                 col("text"))
-            val cut = graft.dedup.Dedup.winnowDecontaminateRaw(
-                selected, idCol, "text", bm, "__bid", "text",
-                minSharedFps = cfg.surgicalMinSharedFps,
-                maxBenchFpFreq = cfg.surgicalMaxBenchFpFreq)
-              .select(col("doc_id").as(idCol), col("text_clean"))
+            val cut = cfg.routeFloors match {
+              case Some((cutFloor, dropFloor)) =>
+                graft.dedup.Dedup.winnowRoute(
+                    selected, idCol, "text", bm, "__bid", "text",
+                    cutFloor = cutFloor, dropFloor = dropFloor,
+                    minSharedFps = cfg.surgicalMinSharedFps,
+                    maxBenchFpFreq = cfg.surgicalMaxBenchFpFreq)
+                  .filter(col("verdict") =!= "drop")
+                  .select(col("doc_id").as(idCol),
+                    col("text_out").as("text_clean"))
+              case None =>
+                graft.dedup.Dedup.winnowDecontaminateRaw(
+                    selected, idCol, "text", bm, "__bid", "text",
+                    minSharedFps = cfg.surgicalMinSharedFps,
+                    maxBenchFpFreq = cfg.surgicalMaxBenchFpFreq)
+                  .select(col("doc_id").as(idCol), col("text_clean"))
+            }
             selected.drop("text")
               .join(cut, Seq(idCol))
               .withColumnRenamed("text_clean", "text")

@@ -1,0 +1,87 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Dedup.winnowRoute]] — the keep / surgical-cut / drop disposition
+  * over the contamination fraction: band routing semantics, byte
+  * identity of kept documents, surgical removal of exactly the quoted
+  * region in the mid band, and fresh-index parity of
+  * [[WinnowIndex.route]].
+  */
+class WinnowRouteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val benchText =
+    "the quick brown fox jumps over the lazy dog while the band " +
+      "plays on and the crowd cheers loudly forever into the night " +
+      "under a pale and watchful moon"
+
+  // keep-doc with casing/whitespace the normalized kernel folds away —
+  // routing must return the ORIGINAL bytes untouched
+  private val keepText =
+    "MiXeD CaSe\t\twhitespace   preserved exactly as written plus " +
+      "some genuinely original prose about gardening and carpentry " +
+      "that quotes no benchmark item whatsoever in any fragment"
+
+  private val tail =
+    (1 to 6).map(i => s"wholly original trailing segment number $i " +
+      "about navigation astronomy pottery weaving and the patient " +
+      "art of keeping bees in a walled orchard garden").mkString(" ")
+
+  private def fixture = Seq(
+    (1L, benchText),                          // full copy → drop
+    (2L, s"intro passage first $benchText $tail"), // quoter → cut
+    (3L, keepText),                           // clean → keep
+    (4L, "tiny")                              // sub-k → no fps → keep
+  ).toDF("doc_id", "text")
+
+  private def bench = Seq((900L, benchText)).toDF("bench_id", "text")
+
+  private def routed() = Dedup.winnowRoute(fixture, "doc_id", "text",
+    bench, "bench_id", "text", cutFloor = 0.05, dropFloor = 0.4,
+    k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+
+  test("bands route to drop / cut / keep; kept docs are byte-identical") {
+    val byId = routed().collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getString(2), r.getString(3))).toMap
+    val (fracA, vA, tA) = byId(1L)
+    assert(vA === "drop" && tA == null, s"full copy must drop: $fracA")
+    assert(fracA >= 0.4)
+    val (fracB, vB, tB) = byId(2L)
+    assert(vB === "cut", s"quoter must cut, frac was $fracB")
+    assert(fracB >= 0.05 && fracB < 0.4,
+      s"fixture drifted out of the mid band: $fracB")
+    // surgery removed the quoted region (its interior phrase is gone)
+    // and kept the original surroundings
+    assert(!tB.contains("band plays on"), s"quote interior survived: $tB")
+    assert(tB.startsWith("intro passage first"))
+    assert(tB.contains("keeping bees in a walled orchard garden"))
+    assert(tB.length < s"intro passage first $benchText $tail".length)
+    val (fracC, vC, tC) = byId(3L)
+    assert(vC === "keep" && fracC === 0.0)
+    assert(tC === keepText, "kept doc must round-trip byte-identical")
+    val (fracD, vD, tD) = byId(4L)
+    assert(vD === "keep" && fracD === 0.0 && tD === "tiny",
+      "sub-k doc must keep unchanged")
+  }
+
+  test("WinnowIndex.route on a fresh index == the one-shot operator") {
+    val name = "graft_route_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val viaIndex =
+      try {
+        WinnowIndex.build(bench, "bench_id", "text", name, k = 20, w = 8)
+        WinnowIndex.route(spark, name, fixture, "doc_id", "text",
+          cutFloor = 0.05, dropFloor = 0.4, minSharedFps = 2,
+          maxBenchFpFreq = 64L).localCheckpoint(true)
+      } finally WinnowIndex.drop(spark, name)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getDouble(1), r.getString(2),
+        Option(r.getString(3)))
+    assert(viaIndex.collect().map(key).sortBy(_._1).toSeq ===
+      routed().collect().map(key).sortBy(_._1).toSeq)
+  }
+}
