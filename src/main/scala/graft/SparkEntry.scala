@@ -4107,7 +4107,9 @@ object SparkEntry {
     "q275_winnow_index_route" -> (q275 _),
     "q276_winnow_route_report" -> (q276 _),
     "q277_routed_curation" -> (q277 _),
-    "q278_stream_routed_curation" -> (q278 _))
+    "q278_stream_routed_curation" -> (q278 _),
+    "q279_stream_route_report" -> (q279 _),
+    "q280_winnow_self_clusters" -> (q280 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -7744,6 +7746,89 @@ object SparkEntry {
     buf.toSeq.toDF("doc_id", "text")
   }
 
+  /** Streaming per-source routing audit — the q276 data card over a
+    * corpus that ARRIVES: each micro-batch routes against the FROZEN
+    * benchmark side and appends its per-source partial rollup to a
+    * standing table; the final report is one group-sum over the
+    * partials. Every audit column is a sum/count of per-doc
+    * contributions and verdicts are doc-local vs the frozen side, so
+    * the fold over any split equals the batch run — shares q276's
+    * oracle.
+    */
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    val bench = winnowRouteBench(s, dir).localCheckpoint(true)
+    val stream = StreamingPrep.streamDocuments(s, dir)
+      .select("doc_id", "text", "source")
+    val tbl = "graft_rtrep_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        Dedup.winnowRouteReport(b.localCheckpoint(true),
+            "doc_id", "text", "source", bench, "bench_id", "text",
+            cutFloor = 0.05, dropFloor = 0.4,
+            k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+          .write.format("parquet").mode("append").saveAsTable(tbl)
+        ()
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import s.implicits._
+    val out =
+      try {
+        s.catalog.refreshTable(tbl)
+        s.table(tbl).groupBy(col("source"))
+          .agg(sum("n_docs").as("n_docs"),
+            sum("n_keep").as("n_keep"),
+            sum("n_cut").as("n_cut"),
+            sum("n_drop").as("n_drop"),
+            sum("contamination_fp6_sum").as("contamination_fp6_sum"),
+            sum("n_removed_chars").as("n_removed_chars"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+          .toSeq
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+    out.toDF("source", "n_docs", "n_keep", "n_cut", "n_drop",
+      "contamination_fp6_sum", "n_removed_chars")
+  }
+
+  /** Boilerplate-family clustering
+    * ([[graft.dedup.Dedup.winnowSelfClusters]]): connected components
+    * over the q264 self-report pairs — documents sharing localized
+    * regions directly or transitively fold into one family label (the
+    * per-family grouping a pipeline caps or samples, vs q264's
+    * per-pair forensics). Star-CC on top of the capped join-free
+    * pairing; the oracle replays the closure as a recursive
+    * min-reachable-label CTE over the q264 pair chain.
+    */
+  private def q280(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowSelfClusters(Tables.documents(s, dir), "doc_id",
+        "text", k = 20, w = 8, minSharedFps = 2, maxFpDocs = 4L)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+
+  private def q280Sql(k: Int = 20, w: Int = 8, minShared: Int = 2,
+      maxFpDocs: Int = 4): String =
+    s"""WITH RECURSIVE
+       |fps AS MATERIALIZED (${winnowFpSql("documents", k, w)}),
+       |rare AS (SELECT fp FROM fps GROUP BY fp
+       |         HAVING count(DISTINCT doc_id) <= $maxFpDocs),
+       |f AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+       |prs AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM f a JOIN f b USING (fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT fp) >= $minShared),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION SELECT doc_b, doc_a FROM prs),
+       |lab(id, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, l.label FROM lab l JOIN edges e ON e.src = l.id)
+       |SELECT id AS doc_id, min(label) AS cluster_id
+       |FROM lab GROUP BY id""".stripMargin
+
   /** Per-source routing audit
     * ([[graft.dedup.Dedup.winnowRouteReport]]): the data-card rollup a
     * pipeline owner reads to see WHICH source quotes the benchmark —
@@ -9334,6 +9419,10 @@ object SparkEntry {
     "q277_routed_curation" -> q277Sql(),
     // ordered ingest + frozen bench folds to the batch run
     "q278_stream_routed_curation" -> q277Sql(),
+    // per-batch audit partials group-sum to the batch report
+    "q279_stream_route_report" -> q276Sql(),
+    // family labels: recursive min-reachable CTE over q264's pairs
+    "q280_winnow_self_clusters" -> q280Sql(),
     // frozen index + per-batch probes fold to the batch probe — same
     "q259_stream_winnow_probe" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice

@@ -791,6 +791,28 @@ object Dedup {
       raw = true)
   }
 
+  /** Boilerplate-FAMILY clustering — connected components over the
+    * [[winnowSelfMatches]] pair relation: documents sharing
+    * winnow-localized regions (directly or transitively — a license
+    * header carried across a site, a template family, serial
+    * plagiarism chains) fold into one labeled family, the grouping a
+    * curation pipeline caps or samples per family instead of per
+    * pair. Components via [[clustersStar]] (O(log² n) rounds), so the
+    * family fold inherits the q202 scale shape on top of the
+    * self-report's capped join-free pairing.
+    *
+    * Returns `(doc_id, cluster_id = component min)` for every doc in
+    * at least one qualifying pair.
+    */
+  def winnowSelfClusters(corpus: DataFrame, idCol: String,
+      textCol: String,
+      k: Int = graft.text.TextAnalysis.WinnowDefaultK,
+      w: Int = graft.text.TextAnalysis.WinnowDefaultW,
+      minSharedFps: Int = 2, maxFpDocs: Long = 4L): DataFrame =
+    clustersStar(winnowSelfMatches(corpus, idCol, textCol, k, w,
+        minSharedFps, maxFpDocs)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+
   /** The per-(fp, doc) NORMALIZED hull frame behind
     * [[winnowSelfMatches]] — `(fp, doc_id, lo, hi)`, one row per
     * (fingerprint, carrying doc). This is the in-stream half of the
