@@ -4109,7 +4109,8 @@ object SparkEntry {
     "q277_routed_curation" -> (q277 _),
     "q278_stream_routed_curation" -> (q278 _),
     "q279_stream_route_report" -> (q279 _),
-    "q280_winnow_self_clusters" -> (q280 _))
+    "q280_winnow_self_clusters" -> (q280 _),
+    "q281_winnow_family_cap" -> (q281 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -7829,6 +7830,34 @@ object SparkEntry {
        |SELECT id AS doc_id, min(label) AS cluster_id
        |FROM lab GROUP BY id""".stripMargin
 
+  /** Per-family admission cap
+    * ([[graft.dedup.Dedup.winnowFamilyCap]]): the q280 family labels
+    * put to work — at most 2 documents admitted per shared-region
+    * family (lowest doc ids win, the domain-quota discipline applied
+    * to content families), docs in no family pass. Full verdict frame
+    * gated: `(doc_id, cluster_id, rank_in_family, kept)`.
+    */
+  private def q281(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFamilyCap(Tables.documents(s, dir), "doc_id", "text",
+      capPerFamily = 2, k = 20, w = 8, minSharedFps = 2,
+      maxFpDocs = 4L)
+
+  /** The q281 oracle: q280's family chain as a derived table, ranked
+    * per family by doc_id, left-joined to the corpus (NULL family =
+    * rank 1, kept).
+    */
+  private def q281Sql(cap: Int = 2): String =
+    s"""WITH famq AS (SELECT * FROM (${q280Sql()})),
+       |rk AS (SELECT doc_id, cluster_id,
+       |         CAST(row_number() OVER (PARTITION BY cluster_id
+       |           ORDER BY doc_id) AS INT) AS rank_in_family
+       |       FROM famq)
+       |SELECT d.doc_id, r.cluster_id,
+       |       CAST(coalesce(r.rank_in_family, 1) AS INT)
+       |         AS rank_in_family,
+       |       coalesce(r.rank_in_family, 1) <= $cap AS kept
+       |FROM documents d LEFT JOIN rk r USING (doc_id)""".stripMargin
+
   /** Per-source routing audit
     * ([[graft.dedup.Dedup.winnowRouteReport]]): the data-card rollup a
     * pipeline owner reads to see WHICH source quotes the benchmark —
@@ -9423,6 +9452,8 @@ object SparkEntry {
     "q279_stream_route_report" -> q276Sql(),
     // family labels: recursive min-reachable CTE over q264's pairs
     "q280_winnow_self_clusters" -> q280Sql(),
+    // per-family cap: q280's families ranked by doc_id, kept <= cap
+    "q281_winnow_family_cap" -> q281Sql(),
     // frozen index + per-batch probes fold to the batch probe — same
     "q259_stream_winnow_probe" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice

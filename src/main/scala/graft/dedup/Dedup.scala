@@ -813,6 +813,45 @@ object Dedup {
         minSharedFps, maxFpDocs)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
 
+  /** Per-FAMILY admission cap — the curation stage the
+    * [[winnowSelfClusters]] labels exist for: instead of hard-deduping
+    * shared-region families (near-dup dedup's job) or keeping them
+    * all, admit at most `capPerFamily` documents per family — the
+    * domain-quota discipline applied to content families (a template
+    * family contributes diversity up to a point, then it's just
+    * repetition). Deterministic: families keep their lowest doc ids.
+    *
+    * Returns one row per corpus doc:
+    * `(doc_id, cluster_id, rank_in_family, kept)` — docs in no family
+    * have NULL cluster_id, rank 1, kept true.
+    *
+    * Scale shape: the q264/q202 pairing+CC chain, one doc-count-sized
+    * left anti/inner join pair, and a per-family rank window whose
+    * partitions are family-sized (unlabeled docs deliberately bypass
+    * the window — a NULL-keyed window partition would serialize every
+    * unlabeled doc through one reducer).
+    */
+  def winnowFamilyCap(corpus: DataFrame, idCol: String,
+      textCol: String, capPerFamily: Int,
+      k: Int = graft.text.TextAnalysis.WinnowDefaultK,
+      w: Int = graft.text.TextAnalysis.WinnowDefaultW,
+      minSharedFps: Int = 2, maxFpDocs: Long = 4L): DataFrame = {
+    require(capPerFamily >= 1,
+      s"capPerFamily must be >= 1, got $capPerFamily")
+    val labels = winnowSelfClusters(corpus, idCol, textCol, k, w,
+        minSharedFps, maxFpDocs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val base = corpus.select(col(idCol).as("doc_id"))
+    val labeled = base.join(labels, Seq("doc_id"))
+      .withColumn("rank_in_family", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))))
+    val unlabeled = base.join(labels, Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", lit(null).cast("long"))
+      .withColumn("rank_in_family", lit(1))
+    labeled.unionByName(unlabeled)
+      .withColumn("kept", col("rank_in_family") <= capPerFamily)
+  }
+
   /** The per-(fp, doc) NORMALIZED hull frame behind
     * [[winnowSelfMatches]] — `(fp, doc_id, lo, hi)`, one row per
     * (fingerprint, carrying doc). This is the in-stream half of the
