@@ -661,4 +661,32 @@ class DedupSpec extends SparkSpec {
     assert(moved === 0L)
     Seq(idx0, idx1).foreach(_.unpersist())
   }
+
+  test("self-matches fold is split-invariant: hulls from ANY corpus split union to the one-shot report") {
+    // the q272 streaming claim, stated at the library level: per-(fp,
+    // doc) hulls are doc-local, so hull tables computed over ANY
+    // disjoint corpus split — not just ordered halves — union to the
+    // same input, and the end-of-ingest cap+pairing fold equals the
+    // one-shot report
+    val shared = "every member of this little family carries this " +
+      "exact boilerplate run of text through the fingerprint window"
+    val docs = (0L until 30L).map { i =>
+      val own = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+      (i, if (i % 3 == 0) s"$own $shared" else own)
+    }.toDF("doc_id", "text")
+    val oneShot = Dedup.winnowSelfMatches(docs, "doc_id", "text",
+      k = 20, w = 8, minSharedFps = 2, maxFpDocs = 64L)
+    // three interleaved (non-contiguous) batches
+    val parts = (0 until 3).map(r =>
+      Dedup.winnowSelfHulls(docs.filter($"doc_id" % 3 === r),
+        "doc_id", "text", 20, 8))
+    val folded = Dedup.winnowSelfPairsFromHulls(
+      parts.reduce(_ unionByName _), k = 20, minSharedFps = 2,
+      maxFpDocs = 64L, raw = false)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (0 until r.length).map(r.get).mkString("|")
+    assert(folded.collect().map(key).sorted.toSeq ===
+      oneShot.collect().map(key).sorted.toSeq)
+    assert(oneShot.count() > 0L, "fixture planted no pairs")
+  }
 }
