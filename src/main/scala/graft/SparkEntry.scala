@@ -4110,7 +4110,8 @@ object SparkEntry {
     "q278_stream_routed_curation" -> (q278 _),
     "q279_stream_route_report" -> (q279 _),
     "q280_winnow_self_clusters" -> (q280 _),
-    "q281_winnow_family_cap" -> (q281 _))
+    "q281_winnow_family_cap" -> (q281 _),
+    "q282_stream_family_cap" -> (q282 _))
 
   /** Shared by q40 (batch) and its streaming twin q79 — the streaming
     * profile is the same pure-expression computation per micro-batch.
@@ -7858,6 +7859,57 @@ object SparkEntry {
        |       coalesce(r.rank_in_family, 1) <= $cap AS kept
        |FROM documents d LEFT JOIN rk r USING (doc_id)""".stripMargin
 
+  /** Streaming family cap — the q281 admission verdicts over a corpus
+    * that ARRIVES: each micro-batch pays its kernel pass and appends
+    * per-(fp, doc) hulls AND its doc roster to standing tables; at
+    * end of ingest the corpus-global pairing
+    * ([[graft.dedup.Dedup.winnowSelfPairsFromHulls]]) → star-CC →
+    * cap assembly runs once (the q272 discipline — family membership
+    * is corpus-global, so per-batch verdicts could be invalidated by
+    * later arrivals). Shares q281's oracle.
+    */
+  private def q282(s: SparkSession, dir: String): DataFrame = {
+    val stream = StreamingPrep.streamDocuments(s, dir)
+      .select("doc_id", "text")
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val hullTbl = s"graft_fcap_h_$sfx"
+    val docTbl = s"graft_fcap_d_$sfx"
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val bb = b.localCheckpoint(true)
+        Dedup.winnowSelfHulls(bb, "doc_id", "text", k = 20, w = 8)
+          .write.format("parquet").mode("append").saveAsTable(hullTbl)
+        bb.select("doc_id")
+          .write.format("parquet").mode("append").saveAsTable(docTbl)
+        ()
+      }.start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import s.implicits._
+    val out =
+      try {
+        s.catalog.refreshTable(hullTbl)
+        s.catalog.refreshTable(docTbl)
+        val pairs = Dedup.winnowSelfPairsFromHulls(s.table(hullTbl),
+            k = 20, minSharedFps = 2, maxFpDocs = 4L, raw = false)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+        val labels = Dedup.clustersStar(pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        Dedup.winnowFamilyCapFromLabels(s.table(docTbl), labels,
+            capPerFamily = 2)
+          .collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) null.asInstanceOf[java.lang.Long]
+            else java.lang.Long.valueOf(r.getLong(1)),
+            r.getInt(2), r.getBoolean(3)))
+          .toSeq
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $hullTbl")
+        s.sql(s"DROP TABLE IF EXISTS $docTbl")
+      }
+    out.toDF("doc_id", "cluster_id", "rank_in_family", "kept")
+  }
+
   /** Per-source routing audit
     * ([[graft.dedup.Dedup.winnowRouteReport]]): the data-card rollup a
     * pipeline owner reads to see WHICH source quotes the benchmark —
@@ -9454,6 +9506,8 @@ object SparkEntry {
     "q280_winnow_self_clusters" -> q280Sql(),
     // per-family cap: q280's families ranked by doc_id, kept <= cap
     "q281_winnow_family_cap" -> q281Sql(),
+    // ingest hulls+roster → end-of-ingest CC+cap fold == one-shot
+    "q282_stream_family_cap" -> q281Sql(),
     // frozen index + per-batch probes fold to the batch probe — same
     "q259_stream_winnow_probe" -> q251Sql(),
     // artifact lifecycle: reloaded scored vocab on the disjoint slice

@@ -836,12 +836,21 @@ object Dedup {
       k: Int = graft.text.TextAnalysis.WinnowDefaultK,
       w: Int = graft.text.TextAnalysis.WinnowDefaultW,
       minSharedFps: Int = 2, maxFpDocs: Long = 4L): DataFrame = {
+    winnowFamilyCapFromLabels(corpus.select(col(idCol).as("doc_id")),
+      winnowSelfClusters(corpus, idCol, textCol, k, w, minSharedFps,
+        maxFpDocs).select(col("id").as("doc_id"), col("cluster_id")),
+      capPerFamily)
+  }
+
+  /** The cap assembly behind [[winnowFamilyCap]], shared with the
+    * streaming twin (standing hulls → end-of-ingest clusters → this):
+    * `base` is the full `(doc_id)` corpus roster, `labels` the
+    * `(doc_id, cluster_id)` family frame.
+    */
+  private[graft] def winnowFamilyCapFromLabels(base: DataFrame,
+      labels: DataFrame, capPerFamily: Int): DataFrame = {
     require(capPerFamily >= 1,
       s"capPerFamily must be >= 1, got $capPerFamily")
-    val labels = winnowSelfClusters(corpus, idCol, textCol, k, w,
-        minSharedFps, maxFpDocs)
-      .select(col("id").as("doc_id"), col("cluster_id"))
-    val base = corpus.select(col(idCol).as("doc_id"))
     val labeled = base.join(labels, Seq("doc_id"))
       .withColumn("rank_in_family", row_number().over(
         Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))))
