@@ -645,20 +645,33 @@ object Dedup {
     // common to mean anything"): when a fraction is given, the cap
     // scales with the benchmark instead of being an absolute row
     // count — ceil(frac · |bench docs|) distinct carrying docs
-    val rareFps = maxBenchFpDocFrac match {
+    maxBenchFpDocFrac match {
       case Some(f) =>
         require(f > 0.0 && f <= 1.0,
           s"maxBenchFpDocFrac must be in (0, 1], got $f")
         val nBench = b0.select("bench_id").distinct().count()
         val cap = math.max(1L, math.ceil(f * nBench).toLong)
-        b0.groupBy("fp")
+        val rareFps = b0.groupBy("fp")
           .agg(countDistinct(col("bench_id")).as("__c"))
           .filter(col("__c") <= cap).select("fp")
+        b0.join(rareFps, Seq("fp"), "left_semi")
       case None =>
-        b0.groupBy("fp").agg(count(lit(1)).as("__c"))
-          .filter(col("__c") <= maxBenchFpFreq).select("fp")
+        // r18 (guide §2.4, the q264 cap-before-agg precedent): the
+        // absolute-frequency cap runs as a WINDOW count over fp — one
+        // kernel pass and one exchange — instead of the frequency
+        // aggregation + semi-join, whose two branches re-ran the
+        // bench kernel once each (per-branch column pruning defeats
+        // exchange reuse: the pruned copies are not canonically
+        // equal). Same surviving rows; the output stays clustered by
+        // fp for the downstream equi-join. The proportional branch
+        // above keeps the join shape — its distinct-carrier count has
+        // no bounded-buffer window form, and it is the non-default
+        // path.
+        b0.withColumn("__c",
+            count(lit(1)).over(Window.partitionBy(col("fp"))))
+          .filter(col("__c") <= maxBenchFpFreq)
+          .drop("__c")
     }
-    b0.join(rareFps, Seq("fp"), "left_semi")
   }
 
   private def winnowMatchRows(corpus: DataFrame, idCol: String,
@@ -851,9 +864,44 @@ object Dedup {
       labels: DataFrame, capPerFamily: Int): DataFrame = {
     require(capPerFamily >= 1,
       s"capPerFamily must be >= 1, got $capPerFamily")
-    val labeled = base.join(labels, Seq("doc_id"))
-      .withColumn("rank_in_family", row_number().over(
-        Window.partitionBy(col("cluster_id")).orderBy(col("doc_id"))))
+    // Exact per-family rank WITHOUT a per-family window partition: a
+    // `row_number().over(partitionBy(cluster_id))` hashes every member
+    // of a family into ONE window task, so a boilerplate mega-family
+    // (10⁷–10⁸ docs carrying one template) serializes its whole roster
+    // through a single sort (the r17 verdict's straggler note).
+    // Instead: (1) range-partition the labeled rows by
+    // (cluster_id, doc_id) — a PARALLEL global sort, the mega-family
+    // spreads over many partitions — and record each row's physical
+    // partition; (2) rank locally within (cluster_id, partition) —
+    // window partitions bounded by the range-partition size, never by
+    // family size; (3) roll a per-(cluster, partition) count into the
+    // earlier-partition offset — that window's partitions are at most
+    // |range partitions| rows. rank = offset + local rank is the exact
+    // global (cluster_id, doc_id) position regardless of where the
+    // range boundaries fall (doc_id is unique, so the order is total);
+    // q281/q282 hash-identical, spec-pinned by the planted
+    // mega-family test in SkewStressSpec. Partition count follows
+    // spark.sql.shuffle.partitions (scale-adaptive, not hard-coded).
+    val ranged = base.join(labels, Seq("doc_id"))
+      .repartitionByRange(col("cluster_id"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("cluster_id"), col("__pid"))
+      .orderBy(col("doc_id"))
+    val local = ranged.withColumn("__lr", row_number().over(wLocal))
+    val wOff = Window.partitionBy(col("cluster_id")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("cluster_id"), col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("cluster_id"), col("__pid"), col("__off"))
+    // restore the pre-join column order (join-USING reorders keys
+    // first; the output contract is base.*, cluster_id, rank, kept)
+    val outCols = base.columns.map(col).toSeq :+
+      col("cluster_id") :+ col("rank_in_family")
+    val labeled = local.join(offs, Seq("cluster_id", "__pid"))
+      .withColumn("rank_in_family",
+        (col("__off") + col("__lr")).cast("int"))
+      .select(outCols: _*)
     val unlabeled = base.join(labels, Seq("doc_id"), "left_anti")
       .withColumn("cluster_id", lit(null).cast("long"))
       .withColumn("rank_in_family", lit(1))
@@ -948,30 +996,66 @@ object Dedup {
       maxBenchFpFreq: Long = 64L,
       maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
     import graft.text.TextAnalysis
-    val d = TextAnalysis.winnowFingerprints(corpus, idCol, textCol, k, w)
-      .select(col("doc_id"), col("fp")).distinct()
+    // r18 reshape (guide §2.3/§2.4): the denominator — each doc's
+    // DISTINCT fingerprint count — is a pure per-row function of the
+    // kernel's selection array, so it is computed MAP-SIDE
+    // (array_distinct over the selection, zero shuffle) instead of the
+    // old distinct-exchange over the full (doc_id, fp) relation; the
+    // per-doc aggregation then partial-aggregates to ONE row per doc
+    // before its exchange. The old shape paid two full fingerprint-
+    // relation exchanges (the distinct + the per-doc agg).
+    val sel = graft.functions.WinnowExpressions.winnowSelect(
+      TextAnalysis.normalizeText(coalesce(col(textCol), lit(""))), k, w)
+    // PlanBarrier: keeps the inferred size(__fps) > 0 generate filter
+    // a cheap attribute check instead of a pushed-down second kernel
+    // evaluation (see winnowRawRows)
+    val perDoc = graft.plans.PlanBarrier.barrier(corpus
+        .select(col(idCol).as("doc_id"),
+          array_distinct(transform(sel, s => s.getField("h")))
+            .as("__fps")))
+      .select(col("doc_id"), size(col("__fps")).cast("long").as("__nf"),
+        explode(col("__fps")).as("fp"))
     val bset0 = winnowBenchSide(bench, benchIdCol, benchTextCol, k, w,
       maxBenchFpFreq, maxBenchFpDocFrac)
       .select(col("fp")).distinct()
       .withColumn("__m", lit(1))
-    // explicit size-gated broadcast hint (the Encoding idiom — a bare
-    // auto-broadcast reliance was the engine's one inconsistency
-    // here): one count of the already-aggregated benchmark-sized fp
-    // set (~24 B/row of long fp + flag), hint only while it fits; an
-    // oversized bench side degrades to a shuffle join, never a driver
-    // OOM. Join semantics identical either way.
+    // size-gated broadcast hint (the Encoding idiom), gated on a CHEAP
+    // upper bound instead of the old eager `bset0.count()`: counting
+    // the fp set ran the full benchmark fingerprint+cap aggregation as
+    // a construction-time job AND re-ran it when the join executed
+    // (the r17 ADVICE medium item — in the streaming routing paths
+    // that job fired per micro-batch). Winnowing selects at most one
+    // fingerprint per character, so |distinct fps| ≤ total benchmark
+    // chars — one column-pruned length scan bounds the broadcast from
+    // above with no kernel work. An oversized bench side degrades to
+    // a shuffle join, never a driver OOM; join semantics identical.
     val bset =
-      if (bset0.count() * 24L <=
+      if (benchCharsUpperBound(bench, benchTextCol) * 24L <=
           graft.encode.Encoding.DefaultAutoBroadcastDimBytes)
         broadcast(bset0)
       else bset0
-    d.join(bset, Seq("fp"), "left")
+    perDoc.join(bset, Seq("fp"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fps"),
+      .agg(max(col("__nf")).as("n_fps"),
         count(col("__m")).as("n_matched_fps"))
       .withColumn("contamination_frac",
         round(col("n_matched_fps").cast("double")
           / col("n_fps").cast("double"), 6))
+  }
+
+  /** Cheap upper bound on a benchmark side's distinct-fingerprint
+    * count: winnowing selects at most one fingerprint per character,
+    * so Σ length(text) bounds |distinct fps| with one column-pruned
+    * scan — no fingerprint kernel, no aggregation-over-fps job. Used
+    * only to gate broadcast hints (a loose bound costs a broadcast
+    * downgrade for mid-size benchmarks, never correctness).
+    */
+  private def benchCharsUpperBound(bench: DataFrame,
+      benchTextCol: String): Long = {
+    val r = bench
+      .agg(sum(length(coalesce(col(benchTextCol), lit("")))).cast("long"))
+      .head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Contamination-fraction ROUTING — the disposition decision a
@@ -989,16 +1073,24 @@ object Dedup {
     * spans for cut, NULL for drop. Docs shorter than k carry no
     * fingerprints → fraction 0 → keep.
     *
-    * Scale shape: the fraction pass is [[winnowContamination]]'s (one
-    * kernel pass + size-gated broadcast join + per-doc agg); the raw
-    * surgical pass runs over the FULL corpus rather than the mid band
-    * — deliberately: filtering the surgery input by fraction would
-    * embed (and re-execute) the fraction aggregation in all three
-    * places the surgery reads its corpus, whereas the full pass is
-    * one extra map-only kernel scan, partition-parallel and
-    * predictable, and its match join is benchmark-capped regardless.
-    * A caller holding a persisted fraction frame can pre-filter and
-    * call the pieces directly.
+    * Scale shape (r18 single-kernel reshape, guide §1.2/§2.4/§8): ONE
+    * raw fingerprint kernel scan of the corpus serves BOTH the
+    * fraction and the surgery. Each doc's distinct-fingerprint count
+    * (the fraction denominator) is computed map-side from the kernel's
+    * selection array; the exploded fingerprints join the capped
+    * benchmark side once (size-gated broadcast), and the MATCHED rows
+    * — the only thing both consumers need — are repartitioned by
+    * doc_id into one exchange that the fraction aggregation and the
+    * surgery's evidence window both reuse (their clustering
+    * requirements are satisfied by doc_id, so neither adds a shuffle
+    * and the kernel subtree executes once). Docs with fingerprints but
+    * no benchmark match carry no fraction row — the assembly's
+    * coalesce-to-0.0 routes them identically to an explicit 0. The
+    * cut itself happens in the assembly, riding the corpus scan's own
+    * text column joined against the matched-doc interval sets — the
+    * pre-r18 shape shuffled a corpus-text-sized `text_clean` frame for
+    * every doc and ran TWO full kernel scans plus three bench-side
+    * fingerprint passes per action.
     */
   def winnowRoute(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
@@ -1007,43 +1099,133 @@ object Dedup {
       w: Int = graft.text.TextAnalysis.WinnowDefaultW,
       minSharedFps: Int = 2, maxBenchFpFreq: Long = 64L,
       maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
-    val fr = winnowContamination(corpus, idCol, textCol, bench,
-        benchIdCol, benchTextCol, k, w, maxBenchFpFreq,
-        maxBenchFpDocFrac)
-      .select(col("doc_id"), col("contamination_frac"))
-    val cleaned = winnowDecontaminateRaw(corpus, idCol, textCol, bench,
-        benchIdCol, benchTextCol, k, w, minSharedFps, maxBenchFpFreq,
-        maxBenchFpDocFrac)
-      .select(col("doc_id"), col("text_clean"))
-    winnowRouteAssemble(
+    val bRows0 = winnowBenchSide(bench, benchIdCol, benchTextCol, k, w,
+        maxBenchFpFreq, maxBenchFpDocFrac)
+      .select(col("fp"), col("bench_id")).distinct()
+    // size-gated broadcast on the cheap chars bound (see
+    // benchCharsUpperBound); 48 B/row budgets the fp long plus a
+    // string bench id
+    val bRows =
+      if (benchCharsUpperBound(bench, benchTextCol) * 48L <=
+          graft.encode.Encoding.DefaultAutoBroadcastDimBytes)
+        broadcast(bRows0)
+      else bRows0
+    val m = winnowRawRows(corpus, idCol, textCol, k, w)
+      .join(bRows, Seq("fp"))
+      .repartition(col("doc_id"))
+    winnowRouteFromMatches(
       corpus.select(col(idCol).as("doc_id"), col(textCol).as("__raw")),
-      fr, cleaned, cutFloor, dropFloor)
+      m, cutFloor, dropFloor, minSharedFps)
   }
 
-  /** The verdict/text assembly shared by [[winnowRoute]] and
-    * [[WinnowIndex.route]]: base `(doc_id, __raw)` ⟕ fractions ⟕
-    * cleaned text, routed by the two floors. Fraction and surgery
-    * rows are per-doc aggregates of the corpus — the joins are
-    * doc-count-sized on both sides.
+  /** The corpus side of the single-kernel routing plan: one raw
+    * kernel selection per doc, the per-doc DISTINCT fingerprint count
+    * attached map-side (`__nfps` — the fraction denominator), then the
+    * per-occurrence explode. `(doc_id, __nfps, fp, raw_lo, raw_hi)`.
     */
-  private[dedup] def winnowRouteAssemble(base: DataFrame, fr: DataFrame,
-      cleaned: DataFrame, cutFloor: Double,
-      dropFloor: Double): DataFrame = {
+  private[dedup] def winnowRawRows(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
+    val sel = graft.functions.WinnowExpressions.winnowSelectRaw(
+      coalesce(col(textCol), lit("")), k, w)
+    // PlanBarrier: InferFiltersFromGenerate adds `size(__sel) > 0`
+    // above the staged array, and predicate pushdown would substitute
+    // the kernel's definition into that filter below the projection —
+    // a second kernel evaluation per corpus row (observed in the r18
+    // plan spec before the barrier). Behind the barrier the filter
+    // stays a cheap attribute check.
+    graft.plans.PlanBarrier.barrier(
+        corpus.select(col(idCol).as("doc_id"), sel.as("__sel")))
+      .select(col("doc_id"),
+        size(array_distinct(transform(col("__sel"),
+          s => s.getField("h")))).cast("long").as("__nfps"),
+        col("__sel"))
+      .select(col("doc_id"), col("__nfps"), explode(col("__sel")).as("__s"))
+      .select(col("doc_id"), col("__nfps"), col("__s.h").as("fp"),
+        col("__s.rs").as("raw_lo"), col("__s.re").as("raw_hi"))
+  }
+
+  /** The routing fold shared by [[winnowRoute]] and
+    * [[WinnowIndex.route]] over the MATCHED relation
+    * `m = (doc_id, __nfps, fp, raw_lo, raw_hi, bench_id)` (pre-
+    * partitioned by doc_id so the fraction aggregation and the
+    * surgery window reuse one exchange): per-doc fraction =
+    * distinct matched fps / `__nfps`; surgery intervals from the
+    * [[winnowRawIntervals]] evidence fold; verdict + in-place cut on
+    * `base = (doc_id, __raw)`. Fraction and interval rows exist only
+    * for matched docs — both joins are matched-doc-sized.
+    */
+  private[dedup] def winnowRouteFromMatches(base: DataFrame,
+      m: DataFrame, cutFloor: Double, dropFloor: Double,
+      minSharedFps: Int): DataFrame = {
     require(cutFloor > 0.0 && cutFloor <= dropFloor,
       s"need 0 < cutFloor <= dropFloor, got ($cutFloor, $dropFloor)")
+    // ONE consumer of the matched relation: fraction counters AND the
+    // qualifying raw intervals come out of a single per-doc
+    // aggregation (a two-branch plan — fraction agg + interval fold —
+    // would re-execute the kernel+join subtree per branch: per-branch
+    // column pruning makes the two exchange subtrees non-identical,
+    // so exchange reuse does NOT deduplicate them; measured in the
+    // r18 plan spec). The per-pair evidence floor rides a window the
+    // doc_id exchange already satisfies; interval union happens as an
+    // expression fold over the per-doc sorted interval set — exactly
+    // the winnowRawIntervals sweep, per doc instead of per row.
+    val byPair = Window.partitionBy(col("doc_id"), col("bench_id"))
+    val perDoc = m
+      .withColumn("__nfp", size(collect_set(col("fp")).over(byPair)))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("__nm"),
+        max(col("__nfps")).as("__nf"),
+        sort_array(collect_set(when(col("__nfp") >= minSharedFps,
+          struct(col("raw_lo").as("s"), col("raw_hi").as("e")))))
+          .as("__iv0"))
+      .select(col("doc_id"),
+        round(col("__nm").cast("double") / col("__nf").cast("double"), 6)
+          .as("contamination_frac"),
+        mergeSortedIntervals(col("__iv0")).as("__ivs"))
     val f = coalesce(col("contamination_frac"), lit(0.0))
     base
-      .join(fr, Seq("doc_id"), "left")
-      .join(cleaned, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         round(f, 6).as("contamination_frac"),
         when(f >= dropFloor, lit("drop"))
           .when(f >= cutFloor, lit("cut"))
           .otherwise(lit("keep")).as("verdict"),
         when(f >= dropFloor, lit(null).cast("string"))
-          .when(f >= cutFloor, col("text_clean"))
+          .when(f >= cutFloor,
+            when(col("__ivs").isNull, col("__raw"))
+              .otherwise(cutByIntervals(col("__raw"))))
           .otherwise(col("__raw")).as("text_out"))
   }
+
+  /** Union of SORTED (s, e) intervals into disjoint islands — the
+    * expression-fold twin of [[winnowRawIntervals]]' running-max sweep
+    * (adjacent intervals merge: a new island starts only when s clears
+    * the current island's max end by more than one; sorted input makes
+    * the current island's max end equal the global running max, so the
+    * two formulations are equivalent). Empty input → empty array —
+    * the cut fold over an empty island set returns the text unchanged.
+    */
+  private def mergeSortedIntervals(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit(false).as("st"),
+        array().cast("array<struct<s:bigint,e:bigint>>").as("out"),
+        lit(0L).as("cs"), lit(0L).as("ce")),
+      (acc, iv) => when(not(acc.getField("st")),
+          struct(lit(true).as("st"), acc.getField("out").as("out"),
+            iv.getField("s").as("cs"), iv.getField("e").as("ce")))
+        .when(iv.getField("s") > acc.getField("ce") + lit(1L),
+          struct(lit(true).as("st"),
+            concat(acc.getField("out"), array(struct(
+              acc.getField("cs").as("s"), acc.getField("ce").as("e"))))
+              .as("out"),
+            iv.getField("s").as("cs"), iv.getField("e").as("ce")))
+        .otherwise(struct(lit(true).as("st"),
+          acc.getField("out").as("out"), acc.getField("cs").as("cs"),
+          greatest(acc.getField("ce"), iv.getField("e")).as("ce"))),
+      acc => when(not(acc.getField("st")), acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+          array(struct(acc.getField("cs").as("s"),
+            acc.getField("ce").as("e"))))))
 
   /** Per-group routing AUDIT — the data-card rollup of
     * [[winnowRoute]]: per `groupCol` (source, domain, shard…), doc
@@ -1230,7 +1412,32 @@ object Dedup {
     */
   private[dedup] def winnowRawSurgery(d: DataFrame, benchRows: DataFrame,
       raws: DataFrame, minSharedFps: Int): DataFrame = {
-    val rows = d.join(benchRows, Seq("fp"))
+    // one doc_id exchange of the matched rows satisfies every
+    // downstream clustering requirement in the interval chain (the
+    // evidence window, the interval distinct, the sweep, both
+    // group-bys) — the unpartitioned form paid three exchanges of the
+    // same relation (r18, guide §2.4)
+    val merged = winnowRawIntervals(
+      d.join(benchRows, Seq("fp")).repartition(col("doc_id")),
+      minSharedFps)
+    // the output path touches ONLY the raw text column — NULL stays
+    // NULL, casing and whitespace stay, the round-trip is byte-exact
+    raws.join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__ivs").isNull, col("__t"))
+          .otherwise(cutByIntervals(col("__t"))).as("text_clean"),
+        coalesce(size(col("__ivs")).cast("long"), lit(0L)).as("n_spans"),
+        when(col("__ivs").isNull, lit(0L))
+          .otherwise(removedByIntervals).as("n_removed_chars"))
+  }
+
+  /** Evidence floor → tainted raw intervals → per-doc interval union,
+    * over matched rows `(doc_id, fp, raw_lo, raw_hi, bench_id, …)` —
+    * the shared middle of [[winnowRawSurgery]] and the routing fold.
+    * Returns `(doc_id, __ivs)` for docs with qualifying evidence only.
+    */
+  private[dedup] def winnowRawIntervals(rows: DataFrame,
+      minSharedFps: Int): DataFrame = {
     val byPair = Window.partitionBy(col("doc_id"), col("bench_id"))
     // evidence floor, then the tainted RAW intervals (distinct: the
     // same gram can match several bench occurrences)
@@ -1246,7 +1453,7 @@ object Dedup {
     val sweep = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
     val prevMax = max(col("e"))
       .over(sweep.rowsBetween(Window.unboundedPreceding, -1))
-    val merged = iv0
+    iv0
       .withColumn("__new",
         when(prevMax.isNull || col("s") > prevMax + lit(1L), lit(1))
           .otherwise(lit(0)))
@@ -1256,28 +1463,26 @@ object Dedup {
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("__ivs"))
-    // the output path touches ONLY the raw text column — NULL stays
-    // NULL, casing and whitespace stay, the round-trip is byte-exact
-    val cut = aggregate(col("__ivs"),
+  }
+
+  /** The interval-cut fold: `text` minus the sorted `__ivs` spans —
+    * emit the segment before each span, then the tail. */
+  private def cutByIntervals(text: Column): Column =
+    aggregate(col("__ivs"),
       struct(lit(1L).as("p"), lit("").as("a")),
       (acc, iv) => struct(
         (iv.getField("e") + lit(1L)).as("p"),
         concat(acc.getField("a"),
-          col("__t").substr(acc.getField("p"),
+          text.substr(acc.getField("p"),
             iv.getField("s") - acc.getField("p"))).as("a")),
       acc => concat(acc.getField("a"),
-        col("__t").substr(acc.getField("p"),
-          length(col("__t")) - acc.getField("p") + lit(1L))))
-    val removed = aggregate(col("__ivs"), lit(0L),
+        text.substr(acc.getField("p"),
+          length(text) - acc.getField("p") + lit(1L))))
+
+  /** Total code points the `__ivs` spans cover. */
+  private def removedByIntervals: Column =
+    aggregate(col("__ivs"), lit(0L),
       (acc, iv) => acc + iv.getField("e") - iv.getField("s") + lit(1L))
-    raws.join(merged, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("__ivs").isNull, col("__t")).otherwise(cut)
-          .as("text_clean"),
-        coalesce(size(col("__ivs")).cast("long"), lit(0L)).as("n_spans"),
-        when(col("__ivs").isNull, lit(0L)).otherwise(removed)
-          .as("n_removed_chars"))
-  }
 
   // --------------------------------------- incremental (indexed) near-dup
 
@@ -1802,9 +2007,19 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
+    // ONE evaluation of the pair derivation: `pairs` is typically an
+    // expensive chain (the winnow self-pairing for q280/q281, the
+    // MinHash banding for q202), and it used to be re-derived TWICE
+    // more at the end for the node roster (both unionAll branches) —
+    // three full pair-chain executions per call. Checkpoint the raw
+    // endpoints once; the canonical edge relation AND the roster both
+    // read those blocks (r18 optimization, guide §1.2/§2.4 — results
+    // identical, the roster still covers self-loop-only ids).
+    val pCp = DatasetBridge.localCheckpointFresh(
+      pairs.select(col(idA).as("__pa"), col(idB).as("__pb")))
     var cur = DatasetBridge.localCheckpointFresh(
-      pairs.select(greatest(col(idA), col(idB)).as("hi"),
-          least(col(idA), col(idB)).as("lo"))
+      pCp.df.select(greatest(col("__pa"), col("__pb")).as("hi"),
+          least(col("__pa"), col("__pb")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct())
     try {
       var sum = checksum(cur.df)
@@ -1848,13 +2063,13 @@ object Dedup {
       // the fixed point it is a no-op map-side-combinable agg.
       val roots = cur.df.groupBy(col("hi")).agg(min(col("lo")).as("root"))
         .select(col("hi").as("id"), col("root"))
-      val nodes = pairs.select(col(idA).as("id"))
-        .unionAll(pairs.select(col(idB).as("id"))).distinct()
+      val nodes = pCp.df.select(col("__pa").as("id"))
+        .unionAll(pCp.df.select(col("__pb").as("id"))).distinct()
       nodes.join(roots, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("root"), col("id")).as("cluster_id"))
         .localCheckpoint(true)
-    } finally cur.release()
+    } finally { cur.release(); pCp.release() }
   }
 
   /** Incremental connected components: fold a batch of NEW near-dup

@@ -216,12 +216,25 @@ object WinnowIndex {
         maxBenchFpDocFrac)
       .select(col("fp")).distinct()
       .withColumn("__m", lit(1))
-    graft.text.TextAnalysis
-      .winnowFingerprints(corpus, idCol, textCol, k, w)
-      .select(col("doc_id"), col("fp")).distinct()
+    // r18 reshape, mirroring Dedup.winnowContamination: the per-doc
+    // distinct-fingerprint denominator is map-side (array_distinct of
+    // the kernel selection), so the old full (doc_id, fp) distinct
+    // exchange disappears and the per-doc agg partial-aggregates to
+    // one row per doc before its shuffle.
+    val sel = graft.functions.WinnowExpressions.winnowSelect(
+      graft.text.TextAnalysis.normalizeText(
+        coalesce(col(textCol), lit(""))), k, w)
+    // PlanBarrier: see Dedup.winnowRawRows — keeps the inferred
+    // size(__fps) > 0 generate filter off the kernel definition
+    graft.plans.PlanBarrier.barrier(corpus
+        .select(col(idCol).as("doc_id"),
+          array_distinct(transform(sel, s => s.getField("h")))
+            .as("__fps")))
+      .select(col("doc_id"), size(col("__fps")).cast("long").as("__nf"),
+        explode(col("__fps")).as("fp"))
       .join(bset, Seq("fp"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fps"),
+      .agg(max(col("__nf")).as("n_fps"),
         count(col("__m")).as("n_matched_fps"))
       .withColumn("contamination_frac",
         round(col("n_matched_fps").cast("double")
@@ -240,15 +253,22 @@ object WinnowIndex {
       dropFloor: Double, minSharedFps: Int = 2,
       maxBenchFpFreq: Long = 64L,
       maxBenchFpDocFrac: Option[Double] = None): DataFrame = {
-    val fr = contamination(spark, name, corpus, idCol, textCol,
-        maxBenchFpFreq, maxBenchFpDocFrac)
-      .select(col("doc_id"), col("contamination_frac"))
-    val cleaned = decontaminateRaw(spark, name, corpus, idCol, textCol,
-        minSharedFps, maxBenchFpFreq, maxBenchFpDocFrac)
-      .select(col("doc_id"), col("text_clean"))
-    Dedup.winnowRouteAssemble(
+    // r18 single-kernel reshape (see Dedup.winnowRoute): one raw
+    // kernel scan of the corpus batch; the matched relation feeds
+    // both the fraction aggregation and the surgery through one
+    // doc_id exchange, and the cut rides the assembly's own text
+    // column — the pre-r18 shape ran the normalized + raw kernels
+    // separately and shuffled a batch-text-sized text_clean frame.
+    val m = spark.table(metaTable(name)).head()
+    val (k, w, nBench) = (m.getInt(0), m.getInt(1), m.getLong(2))
+    val matched = Dedup.winnowRawRows(corpus, idCol, textCol, k, w)
+      .join(rareIdx(spark, name, nBench, maxBenchFpFreq,
+          maxBenchFpDocFrac)
+        .select(col("fp"), col("bench_id")).distinct(), Seq("fp"))
+      .repartition(col("doc_id"))
+    Dedup.winnowRouteFromMatches(
       corpus.select(col(idCol).as("doc_id"), col(textCol).as("__raw")),
-      fr, cleaned, cutFloor, dropFloor)
+      matched, cutFloor, dropFloor, minSharedFps)
   }
 
   /** Drop all three tables (test/maintenance convenience). */

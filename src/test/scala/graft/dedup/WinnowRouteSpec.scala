@@ -68,6 +68,46 @@ class WinnowRouteSpec extends SparkSpec {
       "sub-k doc must keep unchanged")
   }
 
+  test("route executes ONE corpus kernel scan and ONE bench kernel pass") {
+    // the r18 single-kernel reshape: the fraction and the surgery both
+    // read one matched relation behind a shared doc_id exchange, so
+    // the EXECUTED plan must carry exactly one raw-kernel selection
+    // over the corpus (the pre-r18 shape ran the normalized + raw
+    // corpus kernels plus three bench-side fingerprint passes). A
+    // regression shows up as a second winnowselectraw/winnowselect
+    // generator instead of a reused exchange. Inputs go through
+    // parquet — a local relation would be constant-folded and hide
+    // the kernel from the plan; collect() executes the dataset's OWN
+    // queryExecution, so executedPlan afterwards is the AQE-final
+    // plan where a reused exchange prints once.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_route_plan").toString
+    fixture.write.parquet(s"$dir/corpus")
+    bench.write.parquet(s"$dir/bench")
+    val df = Dedup.winnowRoute(
+      spark.read.parquet(s"$dir/corpus"), "doc_id", "text",
+      spark.read.parquet(s"$dir/bench"), "bench_id", "text",
+      cutFloor = 0.05, dropFloor = 0.4,
+      k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L)
+    df.collect()
+    // count in the FINAL (executed) section only — the string also
+    // embeds the pre-AQE "Initial Plan" rendering of the same tree
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val raws = "winnowselectraw\\(".r.findAllIn(plan).length
+    // "winnowselect(" cannot match inside "winnowselectraw(" — the
+    // paren anchors the non-raw (bench-side) kernel exactly
+    val benchK = "winnowselect\\(".r.findAllIn(plan).length
+    assert(raws === 1, s"expected 1 corpus kernel scan, got $raws:\n$plan")
+    assert(benchK === 1,
+      s"expected 1 bench kernel pass, got $benchK:\n$plan")
+    // the PlanBarrier guarantee: the inferred generate filter must not
+    // carry the kernel's definition (a pushed-down copy evaluates the
+    // kernel a second time per corpus row)
+    assert(!plan.contains("size(winnowselect"),
+      s"kernel definition pushed into a filter:\n$plan")
+  }
+
   test("WinnowIndex.route on a fresh index == the one-shot operator") {
     val name = "graft_route_spec_" +
       java.util.UUID.randomUUID().toString.replace("-", "")

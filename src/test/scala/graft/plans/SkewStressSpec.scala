@@ -147,4 +147,55 @@ class SkewStressSpec extends SparkSpec {
     assert(aggAt < capAt && aggAt < winAt,
       s"cap must run BEFORE the collect_list aggregate:\n$p")
   }
+
+  test("winnowFamilyCap rank: a 300k-member mega-family never sorts in one task") {
+    import spark.implicits._
+    // one boilerplate family carrying 300k docs + 1k unlabeled docs:
+    // the old row_number().over(partitionBy(cluster_id)) serialized
+    // the full roster through ONE window task (the r17 verdict's
+    // straggler note); the r18 shape range-partitions the sort and
+    // rolls per-partition offsets, so every window partition is
+    // bounded by the range-partition size, not the family size
+    val n = 300000L
+    val base = spark.range(n + 1000L).select(col("id").as("doc_id"))
+    val labels = spark.range(n)
+      .select(col("id").as("doc_id"), lit(7L).as("cluster_id"))
+    val capped = graft.dedup.Dedup.winnowFamilyCapFromLabels(
+      base, labels, capPerFamily = 2)
+    // plan shape: the member-level rank window must be partitioned by
+    // (cluster_id, __pid) — never by the family alone — and the only
+    // cluster_id-alone window is the per-partition offset roll, whose
+    // input is the (cluster_id, __pid) COUNT aggregate (≤ one row per
+    // range partition per family, bounded regardless of family size)
+    val wins = capped.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        (w.partitionSpec.map(_.toString), w.child.toString)
+    }
+    assert(wins.nonEmpty, "expected window operators in the rank plan")
+    wins.foreach { case (spec, child) =>
+      val famAlone = spec.size == 1 && spec.head.contains("cluster_id")
+      assert(!famAlone || child.contains("HashAggregate") ||
+        child.contains("Aggregate"),
+        s"family-alone window over member rows: $spec\n$child")
+    }
+    assert(wins.exists(_._1.exists(_.contains("__pid"))),
+      s"member rank window must include the range-partition id: $wins")
+    // exact semantics on the mega family: rank = doc_id + 1 (doc_ids
+    // are dense from 0), exactly capPerFamily kept among members,
+    // unlabeled docs pass with rank 1
+    val (rows, sec) = timed {
+      capped.select(col("doc_id"), col("cluster_id"),
+        col("rank_in_family"), col("kept")).collect()
+    }
+    assert(rows.length === (n + 1000L).toInt)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getInt(2) === 1 && byId(0L).getBoolean(3))
+    assert(byId(1L).getInt(2) === 2 && byId(1L).getBoolean(3))
+    assert(byId(2L).getInt(2) === 3 && !byId(2L).getBoolean(3))
+    assert(byId(n - 1L).getInt(2) === n.toInt && !byId(n - 1L).getBoolean(3))
+    assert(byId(n + 5L).isNullAt(1) && byId(n + 5L).getInt(2) === 1 &&
+      byId(n + 5L).getBoolean(3), "unlabeled doc must pass with rank 1")
+    assert(rows.count(r => !r.isNullAt(1) && r.getBoolean(3)) === 2)
+    assert(sec < 120.0, s"mega-family rank run took $sec s")
+  }
 }
