@@ -448,10 +448,18 @@ object Ann {
     require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
     val e = graph.select(col("vec_id"), col("neighbor_id"), col("score_fp"))
     // undirected adjacency: the dot is symmetric, so the swapped edge
-    // carries the same score and the pair-dedup keeps either copy
+    // carries the same score and the pair-dedup keeps either copy.
+    // r18 (guide §2.4): each "dropDuplicates(vec_id, neighbor_id) →
+    // window over vec_id" pair used to cost TWO exchanges; one
+    // repartition on vec_id satisfies both (the dedup becomes a
+    // local group-by — duplicate rows carry identical scores, so
+    // max() keeps the same value — and the rank window sorts in
+    // place), halving the per-round edge-relation shuffles.
     val und = e.unionByName(e.select(col("neighbor_id").as("vec_id"),
-      col("vec_id").as("neighbor_id"), col("score_fp")))
-      .dropDuplicates("vec_id", "neighbor_id")
+        col("vec_id").as("neighbor_id"), col("score_fp")))
+      .repartition(col("vec_id"))
+      .groupBy(col("vec_id"), col("neighbor_id"))
+      .agg(max(col("score_fp")).as("score_fp"))
     val wCap = Window.partitionBy(col("vec_id"))
       .orderBy(col("score_fp").desc, col("neighbor_id"))
     val capped = und.withColumn("__rn", row_number().over(wCap))
@@ -473,8 +481,14 @@ object Ann {
         dotFp(col("va"), col("vf")).as("score_fp"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score_fp").desc, col("neighbor_id"))
+    // merge re-rank: candidate scores and current edges agree exactly
+    // where they overlap (same integer dot), so the grouped max is
+    // byte-identical to the old dropDuplicates — one vec_id exchange
+    // instead of the dedup + window pair
     scored.unionByName(e)
-      .dropDuplicates("vec_id", "neighbor_id")
+      .repartition(col("vec_id"))
+      .groupBy(col("vec_id"), col("neighbor_id"))
+      .agg(max(col("score_fp")).as("score_fp"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("score_fp"),
