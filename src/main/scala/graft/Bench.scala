@@ -138,7 +138,18 @@ object Bench {
     // genuinely new heavy shape (the raw kernel's inline-normalize
     // replay + alignment map on top of q264's capped pairing). q272
     // folds the same pairing at end of ingest (twin rule).
-    "q271_winnow_self_matches_raw")
+    "q271_winnow_self_matches_raw",
+    // round-18 (optimization round): the contamination-routing family
+    // joins the headliners so the single-kernel winnowRoute reshape —
+    // and any future regression of it — is adjudicated by the bench
+    // rather than only by ad-hoc timing. q273 is the flagship routing
+    // operator; q276 its per-source audit rollup (one extra group agg
+    // + corpus key join on top of the same routed relation). Added
+    // per the r17 verdict's "no bench entry for the new flagship"
+    // item — entries are ADDED, never renamed/removed (driver
+    // contract).
+    "q273_winnow_route",
+    "q276_winnow_route_report")
   // round-14 first-half surface kept NO new slots — q217/q218 fold the
   // measured q202 star kernel, q219 composes measured curation +
   // manifest stages, q220 composes measured gate kernels (the q123
