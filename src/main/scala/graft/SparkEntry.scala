@@ -7528,7 +7528,15 @@ object SparkEntry {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
-        // q95 discipline: write through the stream's clone session
+        // q95 discipline: write through the stream's clone session.
+        // SINGLE-RUN HARNESS ASSUMPTION (r17 ADVICE): this append is
+        // NOT keyed by batchId — a retried micro-batch would append
+        // its hull rows twice, perturbing the end-of-ingest
+        // doc-frequency cap. The registry harness runs each stream
+        // exactly once with no checkpoint/restart (processAllAvailable
+        // then stop), so no retry path exists here; a production
+        // deployment of this pattern keys writes by batchId (see
+        // StreamingCuration's batch_id column + replay guard).
         Dedup.winnowSelfHulls(b.localCheckpoint(true),
             "doc_id", "text", k = 20, w = 8)
           .write.format("parquet").mode("append").saveAsTable(tbl)
@@ -7765,6 +7773,12 @@ object SparkEntry {
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
+        // single-run harness assumption (r17 ADVICE): not keyed by
+        // batchId — a retried batch would double its report partials
+        // in the end-of-ingest group-sum. The registry harness runs
+        // each stream once with no checkpoint/restart; production
+        // deployments key writes by batchId (StreamingCuration's
+        // replay guard).
         Dedup.winnowRouteReport(b.localCheckpoint(true),
             "doc_id", "text", "source", bench, "bench_id", "text",
             cutFloor = 0.05, dropFloor = 0.4,
@@ -7877,6 +7891,12 @@ object SparkEntry {
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
         val bb = b.localCheckpoint(true)
+        // single-run harness assumption (r17 ADVICE): neither append
+        // is keyed by batchId — a retried batch would duplicate hull
+        // and roster rows, perturbing the fp-frequency cap and the
+        // rank assembly. The registry harness runs each stream once
+        // with no checkpoint/restart; production deployments key
+        // writes by batchId (StreamingCuration's replay guard).
         Dedup.winnowSelfHulls(bb, "doc_id", "text", k = 20, w = 8)
           .write.format("parquet").mode("append").saveAsTable(hullTbl)
         bb.select("doc_id")
