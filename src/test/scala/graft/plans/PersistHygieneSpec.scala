@@ -65,10 +65,31 @@ class PersistHygieneSpec extends AnyFunSuite {
         val nearOk =
           nearMarker.findFirstIn((above ++ below).mkString("\n")).isDefined
         // the binding-val shape: walk up to the nearest `val X =`
-        // and accept an explicit X.unpersist anywhere later on
+        // and accept an explicit X.unpersist anywhere later on.
+        // r18 (r17 ADVICE): the binding only counts if every line
+        // between it and the persist continues the SAME expression
+        // chain — a statement boundary in between means the persist
+        // belongs to a different (unbound) statement, and crediting
+        // the earlier val's unpersist would false-pass a leak. A line
+        // continues the chain if it starts with `.`/`)`/comment, or
+        // the previous line ends open (`(`, `,`, `=`, `{`, `+`).
+        def continuesChain(j: Int): Boolean =
+          (j + 1 to i).forall { t =>
+            val cur = lines(t).trim
+            val prev = lines(t - 1).trim
+            cur.startsWith(".") || cur.startsWith(")") ||
+            cur.startsWith("}") ||
+            cur.startsWith("//") || cur.startsWith("*") ||
+            prev.endsWith("(") || prev.endsWith(",") ||
+            prev.endsWith("=") || prev.endsWith("{") ||
+            prev.endsWith("+") || prev.endsWith("++")
+          }
         val bound = (i to math.max(0, i - bindWalk) by -1)
-          .iterator.map(j => bindingVal.findFirstMatchIn(lines(j)))
-          .collectFirst { case Some(m) => m.group(1) }
+          .iterator
+          .map(j => (j, bindingVal.findFirstMatchIn(lines(j))))
+          .collectFirst { case (j, Some(m)) if continuesChain(j) =>
+            m.group(1)
+          }
         // word-boundary match: a bound `x` must not piggyback on some
         // OTHER val's `idx.unpersist`
         val boundOk = bound.exists(n =>
