@@ -241,6 +241,83 @@ object Bench {
     ()
   }
 
+  // ---- scale-credible slots (r19, the r18 verdict's item 2) --------
+  //
+  // At sf0.1 every headliner is 0.1–6 s and dominated by fixed
+  // per-query overhead, so the driver's 8-vs-32-core ratios sit at ≈1
+  // and the bench cannot demonstrate §2 (shuffle/parallelism) wins.
+  // These slots re-run the shuffle- and kernel-heavy operator shapes
+  // (q202's star-CC loop, q273's routing kernel, q281's family-cap
+  // rank) over a DETERMINISTIC R-fold replication of the same
+  // `$SPARK_GRAFT_SF_DIR` inputs — each replica's ids shifted into a
+  // disjoint range — sized so the operator, not the trigger overhead,
+  // owns the wall-clock. Everything is derived fresh from the parquet
+  // inputs on every rep (no caching across runs); replication factors
+  // are constants of the BENCH WORKLOAD (like bpe32k's 32k merge
+  // table), not tuning knobs, and the timed action is the noop sink
+  // (guide §1.4) so column pruning cannot hollow out the rank/assembly
+  // columns a count() would drop.
+  private val scaleShift = 1000000000000L
+
+  private def replicate(df: org.apache.spark.sql.DataFrame,
+      idCols: Seq[String], reps: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val shifted = idCols.foldLeft(
+      df.withColumn("__rep", explode(sequence(lit(0L), lit(reps - 1L))))) {
+      (d, c) => d.withColumn(c, col(c) + col("__rep") * lit(scaleShift))
+    }
+    shifted.drop("__rep")
+  }
+
+  private def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** q202's connected-components loop over an R-replicated canonical
+    * pair relation: the pair derivation (one MinHash banding pass of
+    * the sf corpus) runs once inside the loop's first checkpoint, and
+    * the star rounds then shuffle R× the edges — the iterative
+    * join+agg shape whose scaling the sf-sized q202 cannot show.
+    */
+  private[graft] def scaleCc(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    val pairs = graft.dedup.Dedup.minHashPairs(
+      SparkEntry.docsWithNearDups(spark, sfDir), "doc_id", "text",
+      shingleK = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    noop(graft.dedup.Dedup.clustersStar(
+      replicate(pairs, Seq("id_a", "id_b"), reps)))
+  }
+
+  /** q273's contamination routing over an R-replicated corpus against
+    * the unreplicated benchmark fixture: the winnow kernel + broadcast
+    * probe + per-doc aggregation + surgery assembly at R× the corpus,
+    * the CPU-parallel shape for the core-scaling ratio.
+    */
+  private[graft] def scaleRoute(spark: SparkSession, sfDir: String, reps: Int): Unit =
+    noop(graft.dedup.Dedup.winnowRoute(
+      replicate(graft.io.Tables.documents(spark, sfDir)
+        .select("doc_id", "text"), Seq("doc_id"), reps),
+      "doc_id", "text",
+      SparkEntry.winnowRouteBench(spark, sfDir), "bench_id", "text",
+      cutFloor = 0.05, dropFloor = 0.4,
+      k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L))
+
+  /** q281's exact family-cap rank over an R-replicated roster with a
+    * PLANTED mega-family (≈70 % of all rows in one cluster, the
+    * boilerplate-template skew case the r18 reshape targets): the
+    * parallel range-sort + bounded windows + offset roll at a row
+    * count where the sort, not the trigger, is the cost.
+    */
+  private[graft] def scaleCap(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = replicate(graft.io.Tables.documents(spark, sfDir)
+      .select("doc_id"), Seq("doc_id"), reps)
+    val labels = base.select(col("doc_id"),
+      when(pmod(xxhash64(col("doc_id")), lit(10L)) < 7, lit(0L))
+        .otherwise(pmod(xxhash64(col("doc_id")), lit(1000L)) + lit(1L))
+        .as("cluster_id"))
+    noop(graft.dedup.Dedup.winnowFamilyCapFromLabels(base, labels,
+      capPerFamily = 2))
+  }
+
   /** Deterministic fixed-point factor states over the ratings relation
     * (the q31b construction: u = i = [n, Σr/10⁶, Σr²/10⁶], i_bias the
     * fixed-point mean) — the serving bench scores the SERVING operators
@@ -401,6 +478,15 @@ object Bench {
       bpe32kTokenize(spark, sfDir) })
     val bpe32kPerOcc = minOr(timeReps("x_bpe32k_perocc_sec") {
       bpe32kTokenizePerOcc(spark, sfDir) })
+    // scale-credible slots (see the r19 block above): operator shapes
+    // at R× the sf inputs so the 8-vs-32-core ratio measures §2 wins.
+    // Factors sized for single-digit seconds at sf0.1/local[32].
+    val scaleCcSec = minOr(timeReps("x_scale_cc_sec") {
+      scaleCc(spark, sfDir, reps = 1024) })
+    val scaleRouteSec = minOr(timeReps("x_scale_route_sec") {
+      scaleRoute(spark, sfDir, reps = 16) })
+    val scaleCapSec = minOr(timeReps("x_scale_cap_sec") {
+      scaleCap(spark, sfDir, reps = 4096) })
     // serving path: the ANN-shortlist top-N recommender (the q31
     // production path) under frozen deterministic states — latency
     // min-of-3 plus recall@5 vs the exact cross-join verifier, so a
@@ -451,6 +537,9 @@ object Bench {
       "x_q95_operator_sec" -> q95Operator,
       "x_bpe32k_tokenize_sec" -> bpe32k,
       "x_bpe32k_perocc_sec" -> bpe32kPerOcc,
+      "x_scale_cc_sec" -> scaleCcSec,
+      "x_scale_route_sec" -> scaleRouteSec,
+      "x_scale_cap_sec" -> scaleCapSec,
       "x_serving_ann_sec" -> servingSec,
       "x_serving_recall_pct" -> servingRecallPct)
     val qs = (results ++ derived).map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

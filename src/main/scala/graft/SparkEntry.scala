@@ -3190,7 +3190,7 @@ object SparkEntry {
   /** Documents with appended-suffix near-copies planted → MinHash+LSH
     * candidate generation + exact-Jaccard verify.
     */
-  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     fanOut(d.unionAll(d.select(col("doc_id") + 100000,
       concat(col("text"), lit(" near duplicate suffix marker")))))
@@ -7562,7 +7562,7 @@ object SparkEntry {
   /** The q273/q274/q275 benchmark fixture — q265's (first-half words
     * of every tenth doc, ids offset to 500000).
     */
-  private def winnowRouteBench(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowRouteBench(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val ws = graft.text.TextAnalysis.words(
       graft.text.TextAnalysis.normalizeText(col("text")))

@@ -649,12 +649,33 @@ object Dedup {
       case Some(f) =>
         require(f > 0.0 && f <= 1.0,
           s"maxBenchFpDocFrac must be in (0, 1], got $f")
+        // the denominator (fingerprint-bearing bench docs) still costs
+        // one eager kernel job — the proportional cap needs the scalar
+        // before the plan is built; WinnowIndex callers avoid it by
+        // freezing n_bench in the index meta at build time
         val nBench = b0.select("bench_id").distinct().count()
         val cap = math.max(1L, math.ceil(f * nBench).toLong)
-        val rareFps = b0.groupBy("fp")
-          .agg(countDistinct(col("bench_id")).as("__c"))
-          .filter(col("__c") <= cap).select("fp")
-        b0.join(rareFps, Seq("fp"), "left_semi")
+        // r19 (guide §2.4, the r18 absolute-cap precedent): the
+        // distinct-carrier count rides TWO stacked windows over ONE
+        // hash(fp) exchange — first-occurrence markers per
+        // (fp, bench_id), summed over the fp partition — instead of
+        // the freq agg + left-semi join whose two branches re-ran the
+        // bench kernel once each (per-branch pruning defeats exchange
+        // reuse). hash(fp) satisfies BOTH window clusterings (subset
+        // rule) and the (fp, bench_id, __bpos) sort of the first
+        // window already orders the second's fp partitions, so the
+        // whole cap is one exchange and one sort; window partitions
+        // are bounded by per-fp bench frequency, the same bound the
+        // old agg's groups had. Same surviving rows; output stays
+        // fp-clustered for the downstream equi-join.
+        b0.repartition(col("fp"))
+          .withColumn("__r", row_number().over(Window
+            .partitionBy(col("fp"), col("bench_id"))
+            .orderBy(col("__bpos"))))
+          .withColumn("__c", sum(when(col("__r") === 1, 1L)
+            .otherwise(0L)).over(Window.partitionBy(col("fp"))))
+          .filter(col("__c") <= cap)
+          .drop("__r", "__c")
       case None =>
         // r18 (guide §2.4, the q264 cap-before-agg precedent): the
         // absolute-frequency cap runs as a WINDOW count over fp — one
@@ -2001,12 +2022,6 @@ object Dedup {
       idB: String = "id_b", maxIterations: Int = 50): DataFrame = {
     import org.apache.spark.sql.graftbridge.DatasetBridge
 
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-
     // ONE evaluation of the pair derivation: `pairs` is typically an
     // expensive chain (the winnow self-pairing for q280/q281, the
     // MinHash banding for q202), and it used to be re-derived TWICE
@@ -2017,12 +2032,28 @@ object Dedup {
     // identical, the roster still covers self-loop-only ids).
     val pCp = DatasetBridge.localCheckpointFresh(
       pairs.select(col(idA).as("__pa"), col(idB).as("__pb")))
-    var cur = DatasetBridge.localCheckpointFresh(
+    // every round's checkpoint materialization ALSO folds the
+    // convergence checksum (count, xor of xxhash64(hi, lo)) inside the
+    // same action — one job per round instead of the r18
+    // checkpoint-then-checksum pair (r19, guide §1.2; the hash chain is
+    // bit-identical to the old agg(count, bit_xor(xxhash64)) job). The
+    // fused fold reads (long, long) rows; any other id type (no current
+    // caller) keeps the two-job shape.
+    def cpSum(df: DataFrame): (DatasetBridge.FreshCheckpoint, (Long, Long)) =
+      if (df.schema.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType))
+        DatasetBridge.localCheckpointFreshChecksum(df)
+      else {
+        val cp = DatasetBridge.localCheckpointFresh(df)
+        val r = cp.df.agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+        (cp, (r.getLong(0), r.getLong(1)))
+      }
+    var (cur, sum) = cpSum(
       pCp.df.select(greatest(col("__pa"), col("__pb")).as("hi"),
           least(col("__pa"), col("__pb")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct())
     try {
-      var sum = checksum(cur.df)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIterations) {
@@ -2040,14 +2071,13 @@ object Dedup {
         // m = min of its smaller neighbors, connect those neighbors
         // and hi itself to m. Output canonical again (v > m).
         val mSmall = ls.groupBy("hi").agg(min(col("lo")).as("m"))
-        val next = DatasetBridge.localCheckpointFresh(
+        val (next, nextSum) = cpSum(
           ls.join(mSmall, "hi").select(col("lo").as("v"), col("m"))
             .unionAll(mSmall.select(col("hi").as("v"), col("m")))
             .filter(col("v") =!= col("m"))
             .select(col("v").as("hi"), col("m").as("lo")).distinct())
         cur.release()
         cur = next
-        val nextSum = checksum(cur.df)
         converged = nextSum == sum
         sum = nextSum
         iter += 1

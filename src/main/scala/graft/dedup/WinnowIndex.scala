@@ -55,8 +55,9 @@ object WinnowIndex {
     // sub-k-length benchmark doc can't skew probe-vs-one-shot parity
     val nBench = fps.select(col("bench_id")).distinct().count()
     try {
-      fps.write.bucketBy(buckets, "fp").sortBy("fp")
-        .format("parquet").mode("overwrite").saveAsTable(fpsTable(name))
+      // bucket-aligned: one file per bucket, not one per (task, bucket)
+      graft.io.Bucketing.writeBucketedAligned(
+        fps, fpsTable(name), "fp", buckets, "overwrite")
       fps.groupBy(col("fp"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("bench_id")).as("n_docs"))
@@ -88,12 +89,12 @@ object WinnowIndex {
       if (meta.schema.fieldNames.contains("buckets"))
         m.getInt(meta.schema.fieldIndex("buckets"))
       else 16
-    graft.text.TextAnalysis
-      .winnowFingerprints(newBench, benchIdCol, benchTextCol,
-        m.getInt(0), m.getInt(1))
-      .select(col("fp"), col("doc_id").as("bench_id"), col("pos"))
-      .write.bucketBy(buckets, "fp").sortBy("fp")
-      .format("parquet").mode("append").saveAsTable(fpsTable(name))
+    graft.io.Bucketing.writeBucketedAligned(
+      graft.text.TextAnalysis
+        .winnowFingerprints(newBench, benchIdCol, benchTextCol,
+          m.getInt(0), m.getInt(1))
+        .select(col("fp"), col("doc_id").as("bench_id"), col("pos")),
+      fpsTable(name), "fp", buckets, "append")
   }
 
   /** Refresh-drift report: ONE row

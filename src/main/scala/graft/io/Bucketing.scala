@@ -21,6 +21,50 @@ object Bucketing {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Bucket-ALIGNED write: the task↔bucket 1:1 discipline of
+    * [[compactBucketed]] as a reusable sink for every bucketed-table
+    * build and per-batch append in the engine.
+    *
+    * A bucketed `saveAsTable` does NOT shuffle: each incoming task
+    * sorts its rows by bucket id and opens one file per bucket it
+    * holds, so an unaligned write emits up to tasks × buckets files.
+    * Measured on the q95 per-batch index fold (sf0.1, 4k rows/batch):
+    * ~1000 row-sized parquet files and ~2.8 s per append vs 32 files
+    * and ~0.95 s aligned — the append was the dominant per-batch cost
+    * (guide §6 small-files, both write-side open/commit overhead and
+    * read-side listing for every later probe). `repartition(buckets,
+    * key)` uses the same pmod(murmur3) assignment as the bucket-id
+    * function, so partition i holds exactly bucket i; AQE and
+    * autoBucketedScan are pinned off around the write because both can
+    * silently undo the alignment (local-read rewrite of the exchange /
+    * EnsureRequirements dropping it against a bucketed scan — see
+    * [[compactBucketed]]'s note, both observed). The pin is scoped to
+    * this one action: everything in `df`'s plan is O(input) and
+    * per-call; callers' other queries run outside it.
+    */
+  def writeBucketedAligned(df: DataFrame, table: String, key: String,
+      buckets: Int, mode: String): Unit = {
+    val sess = df.sparkSession
+    val aqe = "spark.sql.adaptive.enabled"
+    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val aqeWas = sess.conf.get(aqe, "true")
+    val absWas = sess.conf.get(abs, "true")
+    try {
+      sess.conf.set(aqe, "false")
+      sess.conf.set(abs, "false")
+      df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+        .write
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .mode(mode)
+        .saveAsTable(table)
+    } finally {
+      sess.conf.set(aqe, aqeWas)
+      sess.conf.set(abs, absWas)
+    }
+  }
+
   /** Bucket-PRESERVING compaction for the append-only index tables
     * the streaming dedup/ANN folds maintain (each micro-batch appends
     * one small file set per bucket; thousands of triggers fragment the
@@ -58,33 +102,19 @@ object Bucketing {
     val tmp = table + "__compact"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     // File count = writing tasks × buckets-per-task, so the write must
-    // arrive with task ↔ bucket 1:1. repartition(buckets, key) uses the
-    // same pmod(murmur3) assignment as the bucket-id function — but two
-    // optimizer behaviors silently break the alignment (both observed,
-    // 46-47 files for 8 buckets):
-    //  - AQE re-splits/coalesces the repartition's shuffle read, mixing
-    //    buckets within tasks;
-    //  - with AQE off, EnsureRequirements drops the repartition as
-    //    redundant against the bucketed scan's claimed partitioning,
-    //    and DisableUnnecessaryBucketedScan then reverts the scan to
-    //    FILE-based splits — removing both sources of alignment.
-    // Pin both off for this one maintenance write: the plan is then
-    // scan → exchange(buckets) → per-task sort+write, exactly one file
-    // per non-empty bucket.
+    // arrive with task ↔ bucket 1:1 — [[writeBucketedAligned]]'s
+    // repartition + AQE/autoBucketedScan pin (two optimizer behaviors
+    // silently break the alignment, both observed here, 46-47 files
+    // for 8 buckets: AQE re-splits/coalesces the repartition's shuffle
+    // read, mixing buckets within tasks; with AQE off,
+    // EnsureRequirements drops the repartition as redundant against
+    // the bucketed scan's claimed partitioning, and
+    // DisableUnnecessaryBucketedScan then reverts the scan to
+    // FILE-based splits). The plan is scan → exchange(buckets) →
+    // per-task sort+write, exactly one file per non-empty bucket.
     val rows = spark.table(table)
     val nRows = rows.count()
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val absWas = spark.conf.get(abs, "true")
-    try {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set(abs, "false")
-      writeBucketed(rows.repartition(buckets,
-        org.apache.spark.sql.functions.col(key)), tmp, key, buckets)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set(abs, absWas)
-    }
+    writeBucketedAligned(rows, tmp, key, buckets, "overwrite")
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     (nRows, before, parquetFiles(location(table)))
@@ -108,7 +138,7 @@ object Bucketing {
           s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
         val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(wh)) fs.delete(wh, true)
-        writeBucketed(df, table, key, buckets)
+        writeBucketedAligned(df, table, key, buckets, "overwrite")
       }
     }
 }

@@ -465,11 +465,18 @@ object Ann {
     val capped = und.withColumn("__rn", row_number().over(wCap))
       .filter(col("__rn") <= maxDegree)
       .select(col("vec_id").as("mid"), col("neighbor_id").as("member"))
-    // the local join: co-members of a neighborhood become candidates
+    // the local join: co-members of a neighborhood become candidates.
+    // r19 (guide §2.4): key the dedup's exchange on vec_id — hash
+    // partitioning on a SUBSET of the dedup keys satisfies its
+    // clustering requirement, the dedup itself becomes a local agg,
+    // and the scoring join on vec_id below reuses the partitioning
+    // instead of exchanging the candidate relation (the round's
+    // largest) a second time when the vector joins shuffle.
     val cand = capped.join(
       capped.select(col("mid"), col("member").as("other")), Seq("mid"))
       .filter(col("member") =!= col("other"))
       .select(col("member").as("vec_id"), col("other").as("neighbor_id"))
+      .repartition(col("vec_id"))
       .dropDuplicates("vec_id", "neighbor_id")
     val v = vectors.select(col("id"), col("vf"))
     val scored = cand

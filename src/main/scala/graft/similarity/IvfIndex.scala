@@ -75,9 +75,10 @@ object IvfIndex {
         .toDF("list_id", "centroid")
         .coalesce(1).write.format("parquet")
         .mode("overwrite").saveAsTable(centroidsTable(name))
-      km.transform(c).select(col("neighbor_id"), col("v"), col("list_id"))
-        .write.bucketBy(listBuckets, "list_id").sortBy("list_id")
-        .format("parquet").mode("overwrite").saveAsTable(listsTable(name))
+      // bucket-aligned: one file per bucket, not one per (task, bucket)
+      graft.io.Bucketing.writeBucketedAligned(
+        km.transform(c).select(col("neighbor_id"), col("v"), col("list_id")),
+        listsTable(name), "list_id", listBuckets, "overwrite")
     } finally c.unpersist()
   }
 
@@ -105,8 +106,8 @@ object IvfIndex {
       .agg(min(struct(col("__dist"), col("list_id"), col("v"))).as("b"))
       .select(col("neighbor_id"), col("b.v").as("v"),
         col("b.list_id").as("list_id"))
-    assigned.write.bucketBy(listBuckets, "list_id").sortBy("list_id")
-      .format("parquet").mode("append").saveAsTable(listsTable(name))
+    graft.io.Bucketing.writeBucketedAligned(
+      assigned, listsTable(name), "list_id", listBuckets, "append")
   }
 
   // ----- frozen-quantizer (hash-gateable) lifecycle -----------------
@@ -138,9 +139,9 @@ object IvfIndex {
       .toDF("list_id", "centroid")
       .coalesce(1).write.format("parquet")
       .mode("overwrite").saveAsTable(centroidsTable(name))
-    Ann.fixedAssigned(corpus, idCol, vecCol, centroids)
-      .write.bucketBy(listBuckets, "list_id").sortBy("list_id")
-      .format("parquet").mode("overwrite").saveAsTable(listsTable(name))
+    graft.io.Bucketing.writeBucketedAligned(
+      Ann.fixedAssigned(corpus, idCol, vecCol, centroids),
+      listsTable(name), "list_id", listBuckets, "overwrite")
   }
 
   /** Append-only refresh under the STORED frozen centroids (parquet
@@ -149,10 +150,10 @@ object IvfIndex {
     */
   def refreshFixed(newVecs: DataFrame, idCol: String, vecCol: String,
       name: String, listBuckets: Int = 16): Unit =
-    Ann.fixedAssigned(newVecs, idCol, vecCol,
-      fixedCentroidsOf(newVecs.sparkSession, name))
-      .write.bucketBy(listBuckets, "list_id").sortBy("list_id")
-      .format("parquet").mode("append").saveAsTable(listsTable(name))
+    graft.io.Bucketing.writeBucketedAligned(
+      Ann.fixedAssigned(newVecs, idCol, vecCol,
+        fixedCentroidsOf(newVecs.sparkSession, name)),
+      listsTable(name), "list_id", listBuckets, "append")
 
   /** Probe the frozen-quantizer index: same pure function as
     * [[Ann.ivfTopKFixed]] over the persisted lists. Lazy.

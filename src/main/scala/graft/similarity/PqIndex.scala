@@ -72,10 +72,11 @@ object PqIndex {
         .coalesce(1).write.format("parquet")
         .mode("overwrite").saveAsTable(codebooksTable(name))
       val cent = typedLit(flat.toSeq)
-      c.withColumn("codes", PqExpressions.encode(col("v"), cent, m, ks))
-        .select("neighbor_id", "v", "codes")
-        .write.bucketBy(codeBuckets, "neighbor_id").sortBy("neighbor_id")
-        .format("parquet").mode("overwrite").saveAsTable(codesTable(name))
+      // bucket-aligned: one file per bucket, not one per (task, bucket)
+      graft.io.Bucketing.writeBucketedAligned(
+        c.withColumn("codes", PqExpressions.encode(col("v"), cent, m, ks))
+          .select("neighbor_id", "v", "codes"),
+        codesTable(name), "neighbor_id", codeBuckets, "overwrite")
     } finally c.unpersist()
   }
 
@@ -108,12 +109,12 @@ object PqIndex {
     val spark = newVecs.sparkSession
     val (flat, m, ks, _) = loadCodebooks(spark, name)
     val cent = typedLit(flat.toSeq)
-    normalized(newVecs.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("v")))
-      .withColumn("codes", PqExpressions.encode(col("v"), cent, m, ks))
-      .select("neighbor_id", "v", "codes")
-      .write.bucketBy(codeBuckets, "neighbor_id").sortBy("neighbor_id")
-      .format("parquet").mode("append").saveAsTable(codesTable(name))
+    graft.io.Bucketing.writeBucketedAligned(
+      normalized(newVecs.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("v")))
+        .withColumn("codes", PqExpressions.encode(col("v"), cent, m, ks))
+        .select("neighbor_id", "v", "codes"),
+      codesTable(name), "neighbor_id", codeBuckets, "append")
   }
 
   /** Probe the persisted index: ADC shortlist over the stored codes,
@@ -181,11 +182,11 @@ object PqIndex {
       .toDF("subspace", "code", "centroid")
       .coalesce(1).write.format("parquet")
       .mode("overwrite").saveAsTable(codebooksTable(name))
-    Ann.unitized(corpus, idCol, vecCol)
-      .select(col("id").as("neighbor_id"),
-        Ann.pqCodesFixed(codebooks).as("codes"))
-      .write.bucketBy(codeBuckets, "neighbor_id").sortBy("neighbor_id")
-      .format("parquet").mode("overwrite").saveAsTable(codesTable(name))
+    graft.io.Bucketing.writeBucketedAligned(
+      Ann.unitized(corpus, idCol, vecCol)
+        .select(col("id").as("neighbor_id"),
+          Ann.pqCodesFixed(codebooks).as("codes")),
+      codesTable(name), "neighbor_id", codeBuckets, "overwrite")
   }
 
   /** Append-only refresh: encode `newVecs` under the STORED frozen
@@ -194,11 +195,11 @@ object PqIndex {
   def refreshFixed(newVecs: DataFrame, idCol: String, vecCol: String,
       name: String, codeBuckets: Int = 16): Unit = {
     val codebooks = fixedCodebooksOf(newVecs.sparkSession, name)
-    Ann.unitized(newVecs, idCol, vecCol)
-      .select(col("id").as("neighbor_id"),
-        Ann.pqCodesFixed(codebooks).as("codes"))
-      .write.bucketBy(codeBuckets, "neighbor_id").sortBy("neighbor_id")
-      .format("parquet").mode("append").saveAsTable(codesTable(name))
+    graft.io.Bucketing.writeBucketedAligned(
+      Ann.unitized(newVecs, idCol, vecCol)
+        .select(col("id").as("neighbor_id"),
+          Ann.pqCodesFixed(codebooks).as("codes")),
+      codesTable(name), "neighbor_id", codeBuckets, "append")
   }
 
   /** Probe the frozen-codebook index: same pure function as

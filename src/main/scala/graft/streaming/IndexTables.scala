@@ -46,15 +46,13 @@ object IndexTables {
     // table (not from non-fault-tolerant checkpoint blocks).
     val staged = table + "__migrated"
     spark.sql(s"DROP TABLE IF EXISTS $staged")
-    spark.table(table)
-      .withColumn("batch_id", lit(-1L))
-      .write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .format("parquet").saveAsTable(staged)
+    graft.io.Bucketing.writeBucketedAligned(
+      spark.table(table).withColumn("batch_id", lit(-1L)),
+      staged, bucketCol, buckets, "error")
     // overwrite from the durable staged copy (reads staged, writes
     // original — no read-from-write-target conflict), then drop staging
-    spark.table(staged)
-      .write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .format("parquet").mode("overwrite").saveAsTable(table)
+    graft.io.Bucketing.writeBucketedAligned(
+      spark.table(staged), table, bucketCol, buckets, "overwrite")
     spark.sql(s"DROP TABLE $staged")
   }
 }

@@ -99,12 +99,11 @@ object StreamingCuration {
       (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val setup = docs.sparkSession
     if (!setup.catalog.tableExists(fpIndexTable))
-      setup.createDataFrame(
+      graft.io.Bucketing.writeBucketedAligned(setup.createDataFrame(
         setup.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("h", StringType),
-          StructField("batch_id", LongType))))
-        .write.bucketBy(indexBuckets, "h").sortBy("h")
-        .format("parquet").mode("overwrite").saveAsTable(fpIndexTable)
+          StructField("batch_id", LongType)))),
+        fpIndexTable, "h", indexBuckets, "overwrite")
     else
       IndexTables.requireBatchIdColumn(setup, fpIndexTable)
     if (!setup.catalog.tableExists(packStateTable))
@@ -196,8 +195,10 @@ object StreamingCuration {
         val newFps = deduped.select(col("__fp").as("h")).distinct()
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint()
-        newFps.write.bucketBy(indexBuckets, "h").sortBy("h")
-          .format("parquet").mode("append").saveAsTable(fpIndexTable)
+        // bucket-aligned append: one file per bucket per trigger, not
+        // one per (task, bucket) — see Bucketing.writeBucketedAligned
+        graft.io.Bucketing.writeBucketedAligned(
+          newFps, fpIndexTable, "h", indexBuckets, "append")
 
         // ---- frozen mixture rebalance
         val sampled = mixtureRates.fold(deduped.drop("__fp"))(r =>

@@ -85,15 +85,16 @@ object StreamingDedup {
   private val indexCols =
     Seq("owner_id", "owner_sig", "band", "band_hash", "batch_id")
 
+  // bucket-ALIGNED (r19, guide §6): an unaligned bucketed append emits
+  // one file per (task, bucket) — measured ~1000 row-sized files and
+  // ~1.5 s per micro-batch at sf0.1, the dominant q95 per-batch cost;
+  // aligned it is one file per bucket and ~3× cheaper, and every later
+  // probe scan lists per-trigger files instead of per-(trigger×task)
   private def writeIndex(df: DataFrame, table: String, buckets: Int,
       overwrite: Boolean): Unit =
-    df.select(indexCols.map(col): _*)
-      .write
-      .bucketBy(buckets, "band_hash")
-      .sortBy("band_hash")
-      .format("parquet")
-      .mode(if (overwrite) "overwrite" else "append")
-      .saveAsTable(table)
+    graft.io.Bucketing.writeBucketedAligned(
+      df.select(indexCols.map(col): _*), table, "band_hash", buckets,
+      if (overwrite) "overwrite" else "append")
 
   private def emptyIndex(spark: SparkSession, idType: DataType): DataFrame =
     spark.createDataFrame(
@@ -171,15 +172,15 @@ object StreamingDedup {
             }
           val fullIndex = sess.table(tbl)
           // The batch's MinHash pass (numPerm permutations over every
-          // doc's shingles) is the dominant per-batch CPU — compute it
-          // ONCE and share between the probe and the index fold
-          // (previously both recomputed it: ~2× the minhash cost per
-          // batch). localCheckpoint pins the signatures so both
-          // consumers read the materialized rows.
-          val sigs = timed("sigs") {
-            Dedup.sigTable(batch, idCol, textCol, shingleK,
-              bands * rowsPerBand).localCheckpoint()
-          }
+          // doc's shingles) is the dominant per-batch CPU. Since the
+          // r18 one-join reshape BOTH the probe and the fold read the
+          // single checkpointed banded join, so `sigs` has exactly one
+          // consumer — it stays LAZY and the minhash pass runs once,
+          // inside that join's checkpoint job (the r18 shape still
+          // checkpointed sigs separately: one extra job and one extra
+          // full pass over the batch per trigger, r19 guide §1.2).
+          val sigs = Dedup.sigTable(batch, idCol, textCol, shingleK,
+            bands * rowsPerBand)
           // ONE banded left-join against the table serves both the
           // probe (hits with batch_id < batchId — the replay guard)
           // and the fold (unowned buckets → new rows), instead of the
@@ -202,14 +203,28 @@ object StreamingDedup {
           // newRows stays LAZY: it derives only from the checkpointed
           // join + verdicts, so the append below is its single
           // materialization pass (the earlier fold checkpoint was a
-          // second full pass before the write). Coalescing the append
-          // to one writer task was measured a net LOSS (single-task
-          // sort+write serializes ~0.5 s over the parallel multi-file
-          // write) — small appended files are ordinary maintenance,
-          // compacted offline via Bucketing.compactBucketed
-          timed("append")(writeIndex(newRows, tbl, indexBuckets,
-            overwrite = false))
+          // second full pass before the write). The write itself is
+          // bucket-ALIGNED (see writeIndex): one file per bucket per
+          // trigger, parallel across buckets — strictly better than
+          // both the earlier unaligned multi-file write and the
+          // coalesce(1) single-task variant. Per-trigger bucket files
+          // still accumulate across long runs; compact offline via
+          // Bucketing.compactBucketed
+          // the append and the caller's sink are INDEPENDENT jobs —
+          // verdicts' plan is pinned off the table (see above), so the
+          // append cannot perturb what onBatch reads — and each leaves
+          // most of local[N] idle; overlap them (guide §2.6). The
+          // await before returning keeps the batch-completion contract
+          // (both landed) and the at-least-once replay story exactly
+          // as sequential: a failure of either side replays the batch,
+          // the probe's batch_id guard reproduces the verdicts, and
+          // the fold's no-owner rule suppresses duplicate re-appends.
+          val appendF = scala.concurrent.Future(
+            timed("append")(writeIndex(newRows, tbl, indexBuckets,
+              overwrite = false)))(scala.concurrent.ExecutionContext.global)
           timed("onBatch")(onBatch(verdicts, batchId))
+          scala.concurrent.Await.result(appendF,
+            scala.concurrent.duration.Duration.Inf)
         }
         .start()
       Run(query,

@@ -62,12 +62,11 @@ object StreamingParagraphDedup {
       (onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
     val setup = docs.sparkSession
     if (!setup.catalog.tableExists(indexTable))
-      setup.createDataFrame(
+      graft.io.Bucketing.writeBucketedAligned(setup.createDataFrame(
         setup.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("h", StringType),
-          StructField("batch_id", LongType))))
-        .write.bucketBy(indexBuckets, "h").sortBy("h")
-        .format("parquet").mode("overwrite").saveAsTable(indexTable)
+          StructField("batch_id", LongType)))),
+        indexTable, "h", indexBuckets, "overwrite")
     else
       // a pre-batch_id table would fail the probe's filter mid-stream
       // with an opaque missing-column error; fail at start instead,
@@ -107,8 +106,10 @@ object StreamingParagraphDedup {
           .select(col("__k").as("h")).distinct()
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint()
-        newHashes.write.bucketBy(indexBuckets, "h").sortBy("h")
-          .format("parquet").mode("append").saveAsTable(indexTable)
+        // bucket-aligned append: one file per bucket per trigger, not
+        // one per (task, bucket) — see Bucketing.writeBucketedAligned
+        graft.io.Bucketing.writeBucketedAligned(
+          newHashes, indexTable, "h", indexBuckets, "append")
         onBatch(out, batchId)
       }
       .start()

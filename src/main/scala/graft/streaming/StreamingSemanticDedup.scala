@@ -57,15 +57,13 @@ object StreamingSemanticDedup {
 
   private val indexCols = Seq("id", "cluster", "vf", "batch_id")
 
+  // bucket-aligned: one file per bucket per trigger, not one per
+  // (task, bucket) — see Bucketing.writeBucketedAligned
   private def writeIndex(df: DataFrame, table: String, buckets: Int,
       overwrite: Boolean): Unit =
-    df.select(indexCols.map(col): _*)
-      .write
-      .bucketBy(buckets, "cluster")
-      .sortBy("cluster")
-      .format("parquet")
-      .mode(if (overwrite) "overwrite" else "append")
-      .saveAsTable(table)
+    graft.io.Bucketing.writeBucketedAligned(
+      df.select(indexCols.map(col): _*), table, "cluster", buckets,
+      if (overwrite) "overwrite" else "append")
 
   private def emptyIndex(spark: SparkSession, idType: DataType): DataFrame =
     spark.createDataFrame(

@@ -43,12 +43,11 @@ object StreamingSubstringDedup {
     val w = windowTokens
     val setup = docs.sparkSession
     if (!setup.catalog.tableExists(indexTable))
-      setup.createDataFrame(
+      graft.io.Bucketing.writeBucketedAligned(setup.createDataFrame(
         setup.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("h", StringType),
-          StructField("batch_id", LongType))))
-        .write.bucketBy(indexBuckets, "h").sortBy("h")
-        .format("parquet").mode("overwrite").saveAsTable(indexTable)
+          StructField("batch_id", LongType)))),
+        indexTable, "h", indexBuckets, "overwrite")
     else
       // fail at start with the migration step, not mid-stream with a
       // missing-column error (see StreamingParagraphDedup)
@@ -79,8 +78,10 @@ object StreamingSubstringDedup {
           .select(col("h")).distinct()
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint()
-        newHashes.write.bucketBy(indexBuckets, "h").sortBy("h")
-          .format("parquet").mode("append").saveAsTable(indexTable)
+        // bucket-aligned append: one file per bucket per trigger, not
+        // one per (task, bucket) — see Bucketing.writeBucketedAligned
+        graft.io.Bucketing.writeBucketedAligned(
+          newHashes, indexTable, "h", indexBuckets, "append")
         onBatch(out, batchId)
       }
       .start()

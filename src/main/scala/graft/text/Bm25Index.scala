@@ -80,12 +80,12 @@ object Bm25Index {
   private def writePostings(tf: DataFrame, name: String, buckets: Int,
       overwrite: Boolean): Unit = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, Seq("doc_id"))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
-      .write.bucketBy(buckets, "token").sortBy("token")
-      .format("parquet")
-      .mode(if (overwrite) "overwrite" else "append")
-      .saveAsTable(postingsTable(name))
+    // bucket-aligned: one file per bucket, not one per (task, bucket)
+    graft.io.Bucketing.writeBucketedAligned(
+      tf.join(dl, Seq("doc_id"))
+        .select(col("token"), col("doc_id"), col("tf"), col("dl")),
+      postingsTable(name), "token", buckets,
+      if (overwrite) "overwrite" else "append")
   }
 
   /** Probe the artifact: [[Retrieval.bm25TopK]]'s exact scoring chain

@@ -40,4 +40,48 @@ object DatasetBridge {
     rdd.count() // eager: materialize the cut now, like localCheckpoint(true)
     FreshCheckpoint(spark.internalCreateDataFrame(rdd, df.schema), rdd)
   }
+
+  /** [[localCheckpointFresh]] whose materialization action ALSO returns
+    * `(count, xor of xxhash64(col0, col1))` over the checkpointed rows —
+    * for iterative loops that detect convergence by relation checksum
+    * (Dedup.clustersStar). The separate `agg(count, bit_xor(xxhash64))`
+    * job those loops ran per round re-read the just-written blocks; here
+    * the one job that caches the blocks computes the checksum as it
+    * goes, halving the per-round job count. The hash is bit-identical
+    * to SQL `xxhash64(c0, c1)` (same XXH64 chain, seed 42; a NULL input
+    * leaves the running hash unchanged, like the SQL expression), so
+    * the convergence semantics are exactly the old ones.
+    *
+    * Requires a two-column LongType schema.
+    */
+  def localCheckpointFreshChecksum(df: DataFrame): (FreshCheckpoint, (Long, Long)) = {
+    import org.apache.spark.sql.types.LongType
+    require(df.schema.length == 2 &&
+      df.schema.forall(_.dataType == LongType),
+      s"checksum checkpoint needs (long, long) rows, got ${df.schema}")
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // the collect below is this RDD's first action: it computes (and,
+    // via the localCheckpoint mark, caches) every partition — the same
+    // materialization barrier as the count() above, plus the fold
+    val (cnt, xor) = rdd.mapPartitions { it =>
+      var c = 0L
+      var x = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        c += 1L
+        var h = 42L
+        if (!r.isNullAt(0)) h = XXH64.hashLong(r.getLong(0), h)
+        if (!r.isNullAt(1)) h = XXH64.hashLong(r.getLong(1), h)
+        x ^= h
+      }
+      Iterator.single((c, x))
+    }.collect().foldLeft((0L, 0L)) { case ((c1, x1), (c2, x2)) =>
+      (c1 + c2, x1 ^ x2)
+    }
+    (FreshCheckpoint(spark.internalCreateDataFrame(rdd, df.schema), rdd),
+      (cnt, xor))
+  }
 }
