@@ -108,6 +108,33 @@ class WinnowRouteSpec extends SparkSpec {
       s"kernel definition pushed into a filter:\n$plan")
   }
 
+  test("proportional bench cap executes ONE bench kernel pass") {
+    // r19: the maxBenchFpDocFrac branch used to run the bench kernel
+    // THREE times (the eager denominator count + the freq agg + the
+    // semi-join probe side — per-branch pruning defeats exchange
+    // reuse); the distinct-carrier cap now rides two stacked windows
+    // over one fp exchange. The eager denominator job runs OUTSIDE
+    // the returned plan, so the EXECUTED plan must carry exactly TWO
+    // winnowselect generators: one corpus-side, one bench-side — a
+    // regression to the join shape shows up as a third. Parquet
+    // inputs for the same constant-folding reason as the route test.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_prop_plan").toString
+    fixture.write.parquet(s"$dir/corpus")
+    bench.write.parquet(s"$dir/bench")
+    val df = Dedup.winnowMatches(
+      spark.read.parquet(s"$dir/corpus"), "doc_id", "text",
+      spark.read.parquet(s"$dir/bench"), "bench_id", "text",
+      k = 20, w = 8, minSharedFps = 2, maxBenchFpFreq = 64L,
+      maxBenchFpDocFrac = Some(0.9))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val kernels = "winnowselect\\(".r.findAllIn(plan).length
+    assert(kernels === 2,
+      s"expected 2 kernel passes (corpus + bench), got $kernels:\n$plan")
+  }
+
   test("WinnowIndex.route on a fresh index == the one-shot operator") {
     val name = "graft_route_spec_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
