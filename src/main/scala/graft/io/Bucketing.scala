@@ -43,15 +43,28 @@ object Bucketing {
     * per-call; callers' other queries run outside it.
     */
   def writeBucketedAligned(df: DataFrame, table: String, key: String,
-      buckets: Int, mode: String): Unit = {
+      buckets: Int, mode: String, pinConf: Boolean = true): Unit = {
+    // pinConf=false is for the ONE caller that runs this write
+    // CONCURRENTLY with other queries on the same session
+    // (StreamingDedup overlaps the append with the caller's sink):
+    // the conf pin is session-scoped, so toggling it there would race
+    // the sibling query's planning. For that caller's plan shape — a
+    // user-specified repartition over checkpoint-leaf children, no
+    // bucketed scan below — alignment was measured to hold under AQE
+    // (32 files per append); the two optimizer behaviors the pin
+    // guards against need a bucketed-scan child (EnsureRequirements
+    // elision) or a distribution-free local-read rewrite that AQE
+    // skips for user-specified repartitions.
     val sess = df.sparkSession
     val aqe = "spark.sql.adaptive.enabled"
     val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val aqeWas = sess.conf.get(aqe, "true")
     val absWas = sess.conf.get(abs, "true")
     try {
-      sess.conf.set(aqe, "false")
-      sess.conf.set(abs, "false")
+      if (pinConf) {
+        sess.conf.set(aqe, "false")
+        sess.conf.set(abs, "false")
+      }
       df.repartition(buckets, org.apache.spark.sql.functions.col(key))
         .write
         .bucketBy(buckets, key)
@@ -60,8 +73,10 @@ object Bucketing {
         .mode(mode)
         .saveAsTable(table)
     } finally {
-      sess.conf.set(aqe, aqeWas)
-      sess.conf.set(abs, absWas)
+      if (pinConf) {
+        sess.conf.set(aqe, aqeWas)
+        sess.conf.set(abs, absWas)
+      }
     }
   }
 

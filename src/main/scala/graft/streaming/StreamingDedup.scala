@@ -90,11 +90,16 @@ object StreamingDedup {
   // ~1.5 s per micro-batch at sf0.1, the dominant q95 per-batch cost;
   // aligned it is one file per bucket and ~3× cheaper, and every later
   // probe scan lists per-trigger files instead of per-(trigger×task)
+  // pinConf=false: this write runs CONCURRENTLY with the caller's
+  // onBatch on the same session (see the overlap below), so the
+  // session-scoped AQE pin would race the sibling query's planning;
+  // alignment holds without it for this plan shape (checkpoint-leaf
+  // children, no bucketed scan below the repartition — measured).
   private def writeIndex(df: DataFrame, table: String, buckets: Int,
       overwrite: Boolean): Unit =
     graft.io.Bucketing.writeBucketedAligned(
       df.select(indexCols.map(col): _*), table, "band_hash", buckets,
-      if (overwrite) "overwrite" else "append")
+      if (overwrite) "overwrite" else "append", pinConf = false)
 
   private def emptyIndex(spark: SparkSession, idType: DataType): DataFrame =
     spark.createDataFrame(
