@@ -90,16 +90,11 @@ object StreamingDedup {
   // ~1.5 s per micro-batch at sf0.1, the dominant q95 per-batch cost;
   // aligned it is one file per bucket and ~3× cheaper, and every later
   // probe scan lists per-trigger files instead of per-(trigger×task)
-  // pinConf=false: this write runs CONCURRENTLY with the caller's
-  // onBatch on the same session (see the overlap below), so the
-  // session-scoped AQE pin would race the sibling query's planning;
-  // alignment holds without it for this plan shape (checkpoint-leaf
-  // children, no bucketed scan below the repartition — measured).
   private def writeIndex(df: DataFrame, table: String, buckets: Int,
       overwrite: Boolean): Unit =
     graft.io.Bucketing.writeBucketedAligned(
       df.select(indexCols.map(col): _*), table, "band_hash", buckets,
-      if (overwrite) "overwrite" else "append", pinConf = false)
+      if (overwrite) "overwrite" else "append")
 
   private def emptyIndex(spark: SparkSession, idType: DataType): DataFrame =
     spark.createDataFrame(
@@ -219,17 +214,31 @@ object StreamingDedup {
           // verdicts' plan is pinned off the table (see above), so the
           // append cannot perturb what onBatch reads — and each leaves
           // most of local[N] idle; overlap them (guide §2.6). The
+          // append runs on a CLONED session: the aligned writer pins
+          // AQE off around its write (measured ~2× faster and −10
+          // jobs/run than an unpinned append), and a session-scoped
+          // pin on THIS session would race onBatch's concurrent
+          // planning — the clone isolates the conf while sharing the
+          // external catalog, so the rows land in the same table. The
           // await before returning keeps the batch-completion contract
           // (both landed) and the at-least-once replay story exactly
           // as sequential: a failure of either side replays the batch,
           // the probe's batch_id guard reproduces the verdicts, and
           // the fold's no-owner rule suppresses duplicate re-appends.
           val appendF = scala.concurrent.Future(
-            timed("append")(writeIndex(newRows, tbl, indexBuckets,
+            timed("append")(writeIndex(
+              org.apache.spark.sql.graftbridge.DatasetBridge
+                .rebindToClone(newRows),
+              tbl, indexBuckets,
               overwrite = false)))(scala.concurrent.ExecutionContext.global)
           timed("onBatch")(onBatch(verdicts, batchId))
           scala.concurrent.Await.result(appendF,
             scala.concurrent.duration.Duration.Inf)
+          // the append refreshed the CLONE's relation cache, not this
+          // session's — refresh here so the next batch's probe lists
+          // the files it just wrote (a stale listing silently misses
+          // duplicates; the original found-empirically failure mode)
+          sess.catalog.refreshTable(tbl)
         }
         .start()
       Run(query,

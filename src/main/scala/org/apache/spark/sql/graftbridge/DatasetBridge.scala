@@ -33,6 +33,28 @@ object DatasetBridge {
     def release(): Unit = rdd.unpersist(blocking = false)
   }
 
+  /** Re-plan `df`'s logical plan under another session — for running a
+    * side job (e.g. a table append) on a CLONED session so its conf
+    * pins cannot race queries planned concurrently on the original
+    * session. The clone shares the external catalog, so table writes
+    * land identically; only the session-scoped conf and relation cache
+    * are isolated (the caller refreshes its own cache afterwards when
+    * the side job mutated a table it reads).
+    */
+  def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      to.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.logical)
+
+  /** [[rebind]] onto a fresh clone of `df`'s own session (cloneSession
+    * is private[sql]; this is the public doorway the conf-isolated
+    * side-write pattern needs).
+    */
+  def rebindToClone(df: DataFrame): DataFrame =
+    rebind(df, df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession())
+
   def localCheckpointFresh(df: DataFrame): FreshCheckpoint = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rdd = df.queryExecution.toRdd.map(_.copy())
